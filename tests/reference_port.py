@@ -1,0 +1,74 @@
+"""Line-for-line (torch-free) ports of reference functions, used ONLY as
+test oracles — never imported by the engine. Cited per function."""
+
+import math
+import re
+
+
+def ref_cut_chinese_sent(para):
+    """global_pointer/decode_utils.py:57-67"""
+    para = re.sub(r"([。！？\?])([^”’])", r"\1\n\2", para)
+    para = re.sub(r"(\.{6})([^”’])", r"\1\n\2", para)
+    para = re.sub(r"(\…{2})([^”’])", r"\1\n\2", para)
+    para = re.sub(r"([。！？\?][”’])([^，。！？\?])", r"\1\n\2", para)
+    para = para.rstrip()
+    return para.split("\n")
+
+
+def ref_auto_splitter(input_texts, max_text_len, split_sentence=False):
+    """global_pointer/decode_utils.py:70-106"""
+    input_mapping = {}
+    short_input_texts = []
+    cnt_short = 0
+    for cnt_org, text in enumerate(input_texts):
+        sens = ref_cut_chinese_sent(text) if split_sentence else [text]
+        for sen in sens:
+            lens = len(sen)
+            if lens <= max_text_len:
+                short_input_texts.append(sen)
+                if cnt_org in input_mapping:
+                    input_mapping[cnt_org].append(cnt_short)
+                else:
+                    input_mapping[cnt_org] = [cnt_short]
+                cnt_short += 1
+            else:
+                temp_text_list = [sen[i : i + max_text_len] for i in range(0, lens, max_text_len)]
+                short_input_texts.extend(temp_text_list)
+                short_idx = cnt_short
+                cnt_short += math.ceil(lens / max_text_len)
+                temp_text_id = [short_idx + i for i in range(cnt_short - short_idx)]
+                if cnt_org in input_mapping:
+                    input_mapping[cnt_org].extend(temp_text_id)
+                else:
+                    input_mapping[cnt_org] = temp_text_id
+    return short_input_texts, input_mapping
+
+
+def ref_auto_joiner_ner(short_results, short_inputs, input_mapping):
+    """NerDecoder._auto_joiner, global_pointer/decode_utils.py:208-229
+    (returns the raw per-doc sets, before set2json)."""
+    concat_results = []
+    for k, vs in input_mapping.items():
+        single_results = set()
+        offset = 0
+        for i, v in enumerate(vs):
+            if i == 0:
+                single_results = set(short_results[v])
+            else:
+                for res in short_results[v]:
+                    tmp = res[0], res[1] + offset, res[2] + offset, res[3]
+                    single_results.add(tmp)
+            offset += len(short_inputs[v])
+        concat_results.append(single_results)
+    return concat_results
+
+
+def ref_auto_joiner_rel(short_results, input_mapping):
+    """RelExtractionDecoder._auto_joiner (plain set union; raw sets,
+    before set2json), relation_extraction/gplinker/decode_utils.py:190-201."""
+    concat_results = []
+    for k, vs in input_mapping.items():
+        group_results = [short_results[v] for v in vs if len(short_results[v]) > 0]
+        single_results = set.union(*group_results) if group_results else set()
+        concat_results.append(single_results)
+    return concat_results

@@ -1,0 +1,126 @@
+"""Deterministic featurizer — the sandbox stand-in for transformer scorers.
+
+Produces *score hits* (sparse logits) from text, playing the role of the
+GlobalPointer / GPLinker forward passes: mention hits where a gazetteer
+surface occurs, relation head/tail hits where a
+``{subject}{predicate-phrase}{object}`` assertion occurs. The decode
+kernels (``fastie_ray.kernels``) then run the exact reference decode
+semantics over these scores — so pipeline correctness (chunking,
+space→dash, offset mapping, rejoin, dedup) is exercised on the same
+code path a real model would use, without torch weights (SURVEY §7.0).
+
+Everything matches on DASHED text (``space_to_dash``), mirroring the
+reference's ``infer_inputs = [t.replace(" ", "-")]``
+(``global_pointer/decode_utils.py:138``); char positions are therefore
+valid in the ORIGINAL text, which is what gets sliced.
+
+The regex alternations are compiled once per scorer actor
+(``__init__``), not per batch.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from fastie_ray.functions.textnorm import space_to_dash
+from fastie_ray.synth import LABELS, PREDICATES, World
+
+
+@dataclass(frozen=True)
+class MentionHit:
+    label_id: int
+    cs: int  # char start in chunk text
+    ce: int  # char end (exclusive)
+
+
+@dataclass(frozen=True)
+class RelationHit:
+    pred_id: int
+    s_cs: int
+    s_ce: int
+    o_cs: int
+    o_ce: int
+
+
+class GazetteerFeaturizer:
+    """Shared by NerScorer and RelScorer; one instance per actor."""
+
+    def __init__(self, world: World):
+        self.label2id = {lb: i for i, lb in enumerate(sorted(LABELS))}
+        self.id2label = {i: lb for lb, i in self.label2id.items()}
+        preds = sorted(PREDICATES)
+        self.pred2id = {p: i for i, p in enumerate(preds)}
+        self.id2predicate = {i: p for p, i in self.pred2id.items()}
+
+        gaz = world.gazetteer  # surface → label
+        self._surface_label: dict[str, int] = {
+            space_to_dash(s): self.label2id[lb] for s, lb in gaz.items()
+        }
+        # longest-first alternation so regex prefers the full surface
+        alts = sorted(self._surface_label, key=len, reverse=True)
+        alt = "|".join(re.escape(s) for s in alts)
+        self._mention_re = re.compile(f"({alt})")
+        self._rel_res: list[tuple[int, re.Pattern]] = []
+        for p in preds:
+            s_lb, o_lb, phrase = PREDICATES[p]
+            # per-predicate alternations restricted to compatible labels
+            subj_surfaces = [s for s in alts if self._surface_label[s] == self.label2id[s_lb]]
+            obj_surfaces = [s for s in alts if self._surface_label[s] == self.label2id[o_lb]]
+            pat = (
+                f"({'|'.join(re.escape(s) for s in subj_surfaces)})"
+                f"{re.escape(space_to_dash(phrase))}"
+                f"({'|'.join(re.escape(s) for s in obj_surfaces)})"
+            )
+            self._rel_res.append((self.pred2id[p], re.compile(pat)))
+
+    # ---- "forward passes" -------------------------------------------------
+
+    def mention_hits(self, dashed_text: str) -> list[MentionHit]:
+        return [
+            MentionHit(self._surface_label[m.group(1)], m.start(1), m.end(1))
+            for m in self._mention_re.finditer(dashed_text)
+        ]
+
+    def relation_hits(self, dashed_text: str) -> list[RelationHit]:
+        out: list[RelationHit] = []
+        for pid, rx in self._rel_res:
+            for m in rx.finditer(dashed_text):
+                out.append(
+                    RelationHit(pid, m.start(1), m.end(1), m.start(2), m.end(2))
+                )
+        return out
+
+    # ---- dense logits (test oracle only; O(L^2) memory) -------------------
+
+    def ner_logits_dense(self, dashed_text: str, max_length: int = 512):
+        import numpy as np
+
+        L = min(len(dashed_text), max_length - 2) + 2
+        logits = np.full((len(self.id2label), L, L), -1.0, dtype=np.float32)
+        for h in self.mention_hits(dashed_text):
+            tok_h, tok_t = h.cs + 1, h.ce
+            if tok_t < L:
+                logits[h.label_id, tok_h, tok_t] = 1.0
+        return logits
+
+    def rel_logits_dense(self, dashed_text: str, max_length: int = 512):
+        import numpy as np
+
+        L = min(len(dashed_text), max_length - 2) + 2
+        P = len(self.id2predicate)
+        entity = np.full((2, L, L), -1.0, dtype=np.float32)
+        head = np.full((P, L, L), -1.0, dtype=np.float32)
+        tail = np.full((P, L, L), -1.0, dtype=np.float32)
+        for h in self.mention_hits(dashed_text):
+            tok_h, tok_t = h.cs + 1, h.ce
+            if tok_t < L:
+                entity[0, tok_h, tok_t] = 1.0  # subject channel
+                entity[1, tok_h, tok_t] = 1.0  # object channel
+        for r in self.relation_hits(dashed_text):
+            s_h, s_t = r.s_cs + 1, r.s_ce
+            o_h, o_t = r.o_cs + 1, r.o_ce
+            if s_t < L and o_t < L:
+                head[r.pred_id, s_h, o_h] = 1.0
+                tail[r.pred_id, s_t, o_t] = 1.0
+        return entity, head, tail

@@ -1,0 +1,184 @@
+"""Stateful scorer stages — the actor-pool pattern (SURVEY §2.3).
+
+Each class mirrors the reference serving shape (litserve ``setup()``
+loads the model once per worker, ``server.py:22-32``): expensive state
+(gazetteer regexes ≈ tokenizer+weights) is built in ``__init__`` —
+once per actor — and ``__call__`` scores one Arrow batch of chunks.
+
+Pass them to ``ds.map_batches(Cls, concurrency=N, batch_size=B,
+fn_constructor_kwargs=...)``. The world can be broadcast once with
+``ray.put`` and handed to the constructor as an ObjectRef (resolved
+here with ``ray.get``), or rebuilt deterministically from the seed.
+
+Scoring = deterministic featurizer (sparse logits) + the reference
+decode kernels. A transformer backend would keep the identical decode
+and batch plumbing and only replace hit generation.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+from fastie_ray.featurizer import GazetteerFeaturizer
+from fastie_ray.functions.textnorm import space_to_dash
+from fastie_ray.kernels.gp_ner import decode_gp_sparse
+from fastie_ray.kernels.gplinker_re import decode_gplinker_sparse
+from fastie_ray.synth import World, build_world
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+class CharOffsetMapping:
+    """Allocation-free offset_mapping for the char tokenizer: CLS/SEP →
+    (0,0), char token i → (i-1, i). Indistinguishable (by __getitem__)
+    from the materialized HF-style list."""
+
+    __slots__ = ("last",)
+
+    def __init__(self, seq_len: int):
+        self.last = seq_len - 1
+
+    def __getitem__(self, i: int) -> tuple[int, int]:
+        if i == 0 or i >= self.last:
+            return (0, 0)
+        return (i - 1, i)
+
+
+def _resolve_world(world_ref, seed: int, n_entities: int, n_facts: int) -> World:
+    if world_ref is not None:
+        import ray
+
+        return ray.get(world_ref) if isinstance(world_ref, ray.ObjectRef) else world_ref
+    return build_world(n_entities=n_entities, n_facts=n_facts, seed=seed)
+
+
+class _ScorerBase:
+    def __init__(
+        self,
+        world_ref=None,
+        seed: int = 42,
+        n_entities: int = 200,
+        n_facts: int = 400,
+        max_length: int = 512,
+    ):
+        world = _resolve_world(world_ref, seed, n_entities, n_facts)
+        self.feat = GazetteerFeaturizer(world)
+        self.max_length = max_length
+
+    def _seq(self, text: str) -> tuple[str, int, CharOffsetMapping]:
+        dashed = space_to_dash(text)
+        seq_len = min(len(text), self.max_length - 2) + 2
+        return dashed, seq_len, CharOffsetMapping(seq_len)
+
+
+class NerScorer(_ScorerBase):
+    """chunks → chunk-local mentions (GlobalPointer decode semantics A1)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        cids = batch["chunk_id"].to_pylist()
+        offs = batch["chunk_offset"].to_pylist()
+        texts = batch["chunk_text"].to_pylist()
+
+        o_url, o_cid, o_off, o_lab, o_s, o_e, o_m = [], [], [], [], [], [], []
+        for url, cid, coff, text in zip(urls, cids, offs, texts):
+            dashed, seq_len, mapping = self._seq(text)
+            hits = (
+                (h.label_id, h.cs + 1, h.ce, 1.0) for h in self.feat.mention_hits(dashed)
+            )
+            ents = decode_gp_sparse(hits, seq_len, text, mapping, self.feat.id2label)
+            for label, cs, ce, mention in ents:
+                o_url.append(url)
+                o_cid.append(cid)
+                o_off.append(coff)
+                o_lab.append(label)
+                o_s.append(cs)
+                o_e.append(ce)
+                o_m.append(mention)
+        return pa.table(
+            {
+                "url": pa.array(o_url, pa.string()),
+                "chunk_id": pa.array(np.asarray(o_cid, dtype=np.int32)),
+                "chunk_offset": pa.array(np.asarray(o_off, dtype=np.int32)),
+                "label": pa.array(o_lab, pa.string()),
+                "start": pa.array(np.asarray(o_s, dtype=np.int32)),
+                "end": pa.array(np.asarray(o_e, dtype=np.int32)),
+                "mention": pa.array(o_m, pa.string()),
+            }
+        )
+
+
+class RelScorer(_ScorerBase):
+    """chunks → chunk-level (predicate, subject, object) triples
+    (GPLinker product-∩ decode semantics A7)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        cids = batch["chunk_id"].to_pylist()
+        offs = batch["chunk_offset"].to_pylist()
+        texts = batch["chunk_text"].to_pylist()
+
+        o_url, o_cid, o_off, o_p, o_s, o_o = [], [], [], [], [], []
+        for url, cid, coff, text in zip(urls, cids, offs, texts):
+            dashed, seq_len, mapping = self._seq(text)
+            mhits = self.feat.mention_hits(dashed)
+            spans = [(h.cs + 1, h.ce) for h in mhits]
+            rhits = self.feat.relation_hits(dashed)
+            heads = [(r.pred_id, r.s_cs + 1, r.o_cs + 1) for r in rhits]
+            tails = [(r.pred_id, r.s_ce, r.o_ce) for r in rhits]
+            spoes = decode_gplinker_sparse(
+                spans, spans, heads, tails, seq_len, text, mapping, self.feat.id2predicate
+            )
+            for p, s, o in spoes:
+                o_url.append(url)
+                o_cid.append(cid)
+                o_off.append(coff)
+                o_p.append(p)
+                o_s.append(s)
+                o_o.append(o)
+        return pa.table(
+            {
+                "url": pa.array(o_url, pa.string()),
+                "chunk_id": pa.array(np.asarray(o_cid, dtype=np.int32)),
+                "chunk_offset": pa.array(np.asarray(o_off, dtype=np.int32)),
+                "predicate": pa.array(o_p, pa.string()),
+                "subject": pa.array(o_s, pa.string()),
+                "object": pa.array(o_o, pa.string()),
+            }
+        )
+
+
+def score_mentions(
+    ds_chunks: "ray.data.Dataset",
+    world_ref=None,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    **kw,
+) -> "ray.data.Dataset":
+    return ds_chunks.map_batches(
+        NerScorer,
+        fn_constructor_kwargs={"world_ref": world_ref, **kw},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def score_relations(
+    ds_chunks: "ray.data.Dataset",
+    world_ref=None,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    **kw,
+) -> "ray.data.Dataset":
+    return ds_chunks.map_batches(
+        RelScorer,
+        fn_constructor_kwargs={"world_ref": world_ref, **kw},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -72,3 +72,51 @@ def ref_auto_joiner_rel(short_results, input_mapping):
         single_results = set.union(*group_results) if group_results else set()
         concat_results.append(single_results)
     return concat_results
+
+
+# ---- reference-style predict loops (single process, micro-batch) ----
+# These mirror NerDecoder.predict (global_pointer/decode_utils.py:119-158)
+# and RelExtractionDecoder.predict (gplinker/decode_utils.py:124-163),
+# using the deterministic featurizer's DENSE logits + the dense decode
+# kernels in place of the transformer forward pass.
+
+
+def ref_predict_ner(texts, world, max_length=512, split_sentence=False):
+    from fastie_ray.featurizer import GazetteerFeaturizer
+    from fastie_ray.kernels.gp_ner import decode_gp_dense
+    from fastie_ray.tokenizer import CharTokenizer
+
+    feat = GazetteerFeaturizer(world)
+    tok = CharTokenizer(max_length)
+    short, mapping = ref_auto_splitter(texts, max_length - 2, split_sentence)
+    infer = [t.replace(" ", "-") for t in short]
+    outputs = []
+    for text, dashed in zip(short, infer):
+        logits = feat.ner_logits_dense(dashed, max_length)
+        outputs.append(
+            decode_gp_dense(
+                logits, tok.seq_len(text), text, tok.offset_mapping(text), feat.id2label
+            )
+        )
+    return ref_auto_joiner_ner(outputs, short, mapping)
+
+
+def ref_predict_rel(texts, world, max_length=512, split_sentence=False):
+    from fastie_ray.featurizer import GazetteerFeaturizer
+    from fastie_ray.kernels.gplinker_re import decode_gplinker_dense
+    from fastie_ray.tokenizer import CharTokenizer
+
+    feat = GazetteerFeaturizer(world)
+    tok = CharTokenizer(max_length)
+    short, mapping = ref_auto_splitter(texts, max_length - 2, split_sentence)
+    infer = [t.replace(" ", "-") for t in short]
+    outputs = []
+    for text, dashed in zip(short, infer):
+        entity, head, tail = feat.rel_logits_dense(dashed, max_length)
+        outputs.append(
+            decode_gplinker_dense(
+                entity, head, tail, tok.seq_len(text), text,
+                tok.offset_mapping(text), feat.id2predicate,
+            )
+        )
+    return ref_auto_joiner_rel(outputs, mapping)

@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on sf0.001. ``queries()``
+exposes one callable per implemented operator/pipeline (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL over the same parquet
+views. The KG path is made SQL-verifiable by deriving the pages table
+deterministically from ``documents`` with the fact sentence injected at
+an exact chunk boundary (see fastie_ray/sources/pages.py) and mirroring
+the injection plan as an inline ``facts`` VALUES CTE.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +17,419 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_WORLD = None
+
+
+def _world():
+    global _WORLD
+    if _WORLD is None:
+        from fastie_ray.synth import build_world
+
+        _WORLD = build_world()
+    return _WORLD
+
+
+def _pages(sf_dir: str):
+    from fastie_ray.sources.pages import pages_from_documents
+
+    return pages_from_documents(sf_dir, _world())
+
+
+# ----------------------------------------------------------------- entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: pages → extract →
+    chunk → joint scorer actor pool → rejoin/dedup → doc triples."""
+    from fastie_ray.pipelines.kg import extract_triples
+
+    import ray
+
+    world_ref = ray.put(_world())
+    _, triples = extract_triples(
+        _pages("/root/testdata/sf0.001"), world_ref=world_ref, concurrency=2
+    )
+    return triples
+
+
+# ----------------------------------------------------------------- queries
+
+
+def _q_extract_text(sf_dir: str):
+    from fastie_ray.stages.extract import extract_text
+
+    return extract_text(_pages(sf_dir)).select_columns(["url", "text"])
+
+
+def _q_chunk_stats(sf_dir: str):
+    import pandas as pd
+
+    from fastie_ray.stages.chunk import chunk_pages
+    from fastie_ray.stages.extract import extract_text
+
+    chunks = chunk_pages(extract_text(_pages(sf_dir)))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("url", as_index=False).agg(n_chunks=("chunk_id", "count"))
+
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("url", as_index=False)["n_chunks"].sum()
+
+    return _bucketed_groupby(
+        chunks.select_columns(["url", "chunk_id"]).map_batches(partial, batch_format="pandas"),
+        "url",
+        final,
+        16,
+    )
+
+
+def _q_kg_mentions(sf_dir: str):
+    import ray
+
+    from fastie_ray.pipelines.kg import extract_triples
+
+    world_ref = ray.put(_world())
+    mentions, _ = extract_triples(_pages(sf_dir), world_ref=world_ref, concurrency=4)
+    return mentions
+
+
+def _q_kg_triples(sf_dir: str):
+    import ray
+
+    from fastie_ray.pipelines.kg import extract_triples
+
+    world_ref = ray.put(_world())
+    _, triples = extract_triples(_pages(sf_dir), world_ref=world_ref, concurrency=4)
+    return triples
+
+
+def _q_kg_edges(sf_dir: str):
+    from fastie_ray.pipelines.kg import graph_tables
+
+    t = graph_tables(_pages(sf_dir), world=_world(), concurrency=4)
+    return t["edges"].select_columns(
+        ["subject_id", "predicate", "object_id", "n_support"]
+    )
+
+
+def _q_kg_nodes(sf_dir: str):
+    from fastie_ray.pipelines.kg import graph_tables
+
+    t = graph_tables(_pages(sf_dir), world=_world(), concurrency=4)
+    return t["nodes"]
+
+
+def _q_lang_counts(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def _q_token_counts(sf_dir: str):
+    import ray.data
+
+    from fastie_ray.ops.text_analysis import token_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_counts(ds)
+
+
+def _q_doc_stats(sf_dir: str):
+    import re
+
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": df["text"].str.len().astype("int64"),
+                "n_tokens": df["text"].str.count(r"\S+").astype("int64"),
+                "n_punct": df["text"].str.count(r"[.!?,;:]").astype("int64"),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+def _q_dedup_docs(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.dedup import dedup_docs_exact
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # deterministic duplicated corpus: every 5th doc re-appears with id+1e6
+    def dup(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] % 5 == 0].copy()
+        d["doc_id"] = d["doc_id"] + 1_000_000
+        return d
+
+    dup_ds = ds.map_batches(dup, batch_format="pandas")
+    return dedup_docs_exact(ds.union(dup_ds))
+
+
+def _q_knn(sf_dir: str):
+    import ray.data
+
+    from fastie_ray.ops.similarity import knn_bruteforce
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_bruteforce(ds, query_ids=[0, 1, 2, 3], k=5)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+def _q_events_by_type(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n_events=("value", "count"), sum_value=("value", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+        )
+        out["sum_value"] = out["sum_value"].round(4)
+        return out
+
+    return _bucketed_groupby(partial_ds := ds.map_batches(partial, batch_format="pandas"), "event_type", final, 8)
+
+
+def _q_q1_lineitem(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_revenue=("revenue", "sum"),
+            n_rows=("l_quantity", "count"),
+        )
+        g["__k"] = g["l_returnflag"] + "|" + g["l_linestatus"]
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_revenue=("sum_revenue", "sum"),
+            n_rows=("n_rows", "sum"),
+        )
+        out["sum_qty"] = out["sum_qty"].round(4)
+        out["sum_revenue"] = out["sum_revenue"].round(4)
+        return out
+
+    return _bucketed_groupby(
+        ds.map_batches(partial, batch_format="pandas"), "__k", final, 4
+    )
+
+
+def _q_orders_by_segment(sf_dir: str):
+    """Broadcast join: customer (small side, ray.put once) ⋈ orders."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    cust_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(cust_ref)
+        df = df.copy()
+        df["c_mktsegment"] = df["o_custkey"].map(seg)
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_totalprice", "count"), sum_price=("o_totalprice", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("n_orders", "sum"), sum_price=("sum_price", "sum")
+        )
+        out["sum_price"] = out["sum_price"].round(4)
+        return out
+
+    return _bucketed_groupby(
+        orders.map_batches(partial, batch_format="pandas"), "c_mktsegment", final, 4
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "extract_text": _q_extract_text,
+        "chunk_stats": _q_chunk_stats,
+        "kg_mentions": _q_kg_mentions,
+        "kg_triples": _q_kg_triples,
+        "kg_edges": _q_kg_edges,
+        "kg_nodes": _q_kg_nodes,
+        "lang_counts": _q_lang_counts,
+        "token_counts": _q_token_counts,
+        "doc_stats": _q_doc_stats,
+        "dedup_docs": _q_dedup_docs,
+        "knn": _q_knn,
+        "events_by_type": _q_events_by_type,
+        "q1_lineitem": _q_q1_lineitem,
+        "orders_by_segment": _q_orders_by_segment,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------------- oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fastie_ray.sources.pages import URL_SQL, facts_cte
+
+    w = _world()
+    FACTS = facts_cte(w)
+    NF = len(w.facts)
+    URL = URL_SQL
+    PTXT = "d.text || repeat(' ', (510 - (length(d.text) % 510)) % 510) || f.sentence"
+    BASE = "CAST(ceil(length(d.text) / 510.0) * 510 AS INTEGER)"
+    JOIN = f"FROM documents d JOIN facts f ON f.i = d.doc_id % {NF}"
+
+    # entity id per fact endpoint: needed for edges/nodes oracles
+    eid_rows = ", ".join(
+        f"({i}, '{f.subj.entity_id}', '{f.obj.entity_id}')"
+        for i, f in enumerate(w.facts)
+    )
+    EIDS = f"eids(i, sub_eid, obj_eid) AS (VALUES {eid_rows})"
+
+    return {
+        "extract_text": f"""
+            WITH {FACTS}
+            SELECT {URL} AS url, {PTXT} AS text {JOIN}
+        """,
+        "chunk_stats": f"""
+            WITH {FACTS}
+            SELECT {URL} AS url,
+                   CAST(ceil(length(d.text) / 510.0) AS BIGINT) + 1 AS n_chunks
+            {JOIN}
+        """,
+        "kg_mentions": f"""
+            WITH {FACTS}
+            SELECT {URL} AS url, f.sub_label AS label,
+                   {BASE} AS start, {BASE} + f.sub_len AS "end",
+                   f.subject AS mention
+            {JOIN}
+            UNION ALL
+            SELECT {URL} AS url, f.obj_label AS label,
+                   {BASE} + f.sub_len + f.pre_len AS start,
+                   {BASE} + f.sub_len + f.pre_len + f.obj_len AS "end",
+                   f.object AS mention
+            {JOIN}
+        """,
+        "kg_triples": f"""
+            WITH {FACTS}
+            SELECT {URL} AS url, f.predicate AS predicate,
+                   f.subject AS subject, f.object AS object
+            {JOIN}
+        """,
+        "kg_edges": f"""
+            WITH {FACTS}, {EIDS}
+            SELECT e.sub_eid AS subject_id, f.predicate AS predicate,
+                   e.obj_eid AS object_id, count(*) AS n_support
+            FROM documents d
+            JOIN facts f ON f.i = d.doc_id % {NF}
+            JOIN eids e ON e.i = f.i
+            GROUP BY 1, 2, 3
+        """,
+        "kg_nodes": f"""
+            WITH {FACTS}, {EIDS},
+            ment AS (
+                SELECT e.sub_eid AS entity_id, f.subject AS name FROM documents d
+                JOIN facts f ON f.i = d.doc_id % {NF} JOIN eids e ON e.i = f.i
+                UNION ALL
+                SELECT e.obj_eid AS entity_id, f.object AS name FROM documents d
+                JOIN facts f ON f.i = d.doc_id % {NF} JOIN eids e ON e.i = f.i
+            )
+            SELECT entity_id, min(name) AS canonical_name,
+                   entity_id AS component_id, count(*) AS n_mentions
+            FROM ment GROUP BY entity_id
+        """,
+        "lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "doc_stats": """
+            SELECT doc_id, length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                   length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct
+            FROM documents
+        """,
+        "dedup_docs": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT md5(text) AS fingerprint, min(doc_id) AS first_doc_id,
+                   count(*) AS n_copies
+            FROM corpus GROUP BY md5(text)
+        """,
+        "knn": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2,3)),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS score
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id != q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "q1_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            SELECT c.c_mktsegment, count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 4) AS sum_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+    }

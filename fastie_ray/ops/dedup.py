@@ -55,3 +55,45 @@ def dedup_exact(
         .map_groups(drop_dupes, batch_format="pandas")
     )
     return out.drop_columns([_BUCKET])
+
+
+def dedup_docs_exact(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Exact document dedup by content hash: per distinct text emit
+    (fingerprint, first_doc_id=min id, n_copies). Partial aggregate per
+    batch (combiner) → hash-bucketed final — the same skew-safe shape
+    as every wide aggregate in this engine. Fingerprint is md5 hex so
+    the DuckDB oracle can recompute it (``md5(text)``)."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        fp = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df[text_col]]
+        tmp = pd.DataFrame({"fingerprint": fp, id_col: df[id_col]})
+        return tmp.groupby("fingerprint", as_index=False).agg(
+            first_doc_id=(id_col, "min"), n_copies=(id_col, "count")
+        )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["fingerprint"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("fingerprint", as_index=False).agg(
+            first_doc_id=("first_doc_id", "min"), n_copies=("n_copies", "sum")
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(lambda g: final(g.drop(columns="__b")), batch_format="pandas")
+    )

@@ -1,0 +1,133 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+All vectorized ``map_batches`` stages over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+from fastie_ray.functions.hashing import stable_hash64
+
+if TYPE_CHECKING:
+    import ray.data
+
+_WS = re.compile(r"\s+")
+_PUNCT_CLASS = ".!?,;:"
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "en", "por"},
+}
+
+
+def token_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Whitespace token count (vectorized)."""
+    out = pd.DataFrame({"doc_id": df["doc_id"]})
+    out["n_tokens"] = df[text_col].str.count(r"\S+").astype("int64")
+    return out
+
+
+def quality_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Cheap quality signals: length, token stats, punctuation ratio,
+    mean token length — the reference's classification stage analogue
+    (SURVEY §2.2 M14) as pure columnar features."""
+    t = df[text_col]
+    n_chars = t.str.len().astype("int64")
+    n_tokens = t.str.count(r"\S+").astype("int64")
+    n_punct = t.str.count(f"[{re.escape(_PUNCT_CLASS)}]").astype("int64")
+    non_space = t.str.count(r"\S").astype("int64")
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "punct_ratio": (n_punct / n_chars.clip(lower=1)).round(6),
+            "mean_token_len": (non_space / n_tokens.clip(lower=1)).round(6),
+        }
+    )
+
+
+def fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Content fingerprint (md5 hex — matches SQL ``md5(text)``) plus a
+    64-bit rolling-window fingerprint (min-hash of 8-token windows,
+    Rabin-Karp style) for near-dup prefiltering."""
+    fps, rolls = [], []
+    for t in df[text_col]:
+        fps.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+        toks = _WS.split(t.strip()) if t.strip() else []
+        if len(toks) < 8:
+            rolls.append(stable_hash64(" ".join(toks)) if toks else 0)
+        else:
+            best = None
+            for i in range(len(toks) - 7):
+                h = stable_hash64(" ".join(toks[i : i + 8]))
+                best = h if best is None or h < best else best
+            rolls.append(best)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "fingerprint": fps,
+            "rolling_min_hash": np.asarray(rolls, dtype=np.uint64).astype("int64"),
+        }
+    )
+
+
+class LangId:
+    """Stateful n-gram/stopword language heuristic (compiled once per
+    actor): CJK-char ratio → zh, else argmax stopword hit-rate with 'en'
+    tie-break. Deterministic."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Zàâçéèêëîïôûùüäöüßñáíóú]+")
+        self.cjk = re.compile(r"[一-鿿]")
+
+    def classify(self, text: str) -> str:
+        if len(text) == 0:
+            return "und"
+        cjk = len(self.cjk.findall(text))
+        if cjk / max(1, len(text)) > 0.2:
+            return "zh"
+        words = [w.lower() for w in self.word.findall(text)]
+        if not words:
+            return "und"
+        best_lang, best = "en", -1.0
+        for lang in ("en", "de", "fr", "es"):
+            sw = _STOPWORDS[lang]
+            rate = sum(w in sw for w in words) / len(words)
+            if rate > best:
+                best_lang, best = lang, rate
+        return best_lang
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang_pred": [self.classify(t) for t in df["text"]],
+            }
+        )
+
+
+def token_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(token_count_batch, batch_format="pandas")
+
+
+def quality_scores(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(quality_batch, batch_format="pandas")
+
+
+def fingerprints(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(fingerprint_batch, batch_format="pandas")
+
+
+def lang_id(ds: "ray.data.Dataset", concurrency: int = 4) -> "ray.data.Dataset":
+    return ds.map_batches(
+        LangId, batch_format="pandas", concurrency=concurrency, batch_size=2048
+    )

@@ -1,0 +1,199 @@
+"""The flagship end-to-end KG-construction pipeline (SURVEY §3.3
+"Ray Data restatement"):
+
+    read pages → extract_text → chunk → joint score (actor pool)
+    → rejoin/dedup → entity-link (actor pool) → canonicalize (CC)
+    → aggregate + materialize sorted partitioned nodes/edges
+      with per-partition manifests (resumable)
+
+Callers own the Ray session; this module never calls ray.init.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any
+
+import numpy as np
+import pandas as pd
+
+from fastie_ray.ops.dedup import dedup_exact
+from fastie_ray.stages.canonicalize import (
+    component_map,
+    connected_components,
+    mention_edges,
+)
+from fastie_ray.stages.chunk import chunk_pages
+from fastie_ray.stages.extract import extract_text
+from fastie_ray.stages.link import link_mentions, link_triples
+from fastie_ray.stages.materialize import write_partitioned
+from fastie_ray.stages.rejoin import rejoin_mentions, rejoin_triples
+from fastie_ray.stages.scorers import score_joint, split_scored
+from fastie_ray.synth import World, alias_table, build_world
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+def extract_triples(
+    pages: "ray.data.Dataset",
+    world_ref=None,
+    concurrency: int = 8,
+    batch_size: int = 256,
+    n_buckets: int = 64,
+    **scorer_kw: Any,
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """pages → (doc mentions, doc triples), both deduplicated.
+
+    The scored union table is materialized ONCE (it is ~1-2 orders of
+    magnitude smaller than the page stream) so the mention and triple
+    branches don't re-execute the scan."""
+    chunks = chunk_pages(extract_text(pages))
+    scored = score_joint(
+        chunks, world_ref=world_ref, concurrency=concurrency, batch_size=batch_size, **scorer_kw
+    ).materialize()
+    m, t = split_scored(scored)
+    return rejoin_mentions(m, n_buckets), rejoin_triples(t, n_buckets)
+
+
+def graph_tables(
+    pages: "ray.data.Dataset",
+    world: World | None = None,
+    concurrency: int = 8,
+    n_buckets: int = 64,
+    **scorer_kw: Any,
+) -> dict[str, Any]:
+    """pages → {nodes, edges, linked, triples} datasets (no writes)."""
+    import ray
+
+    world = world or build_world()
+    world_ref = ray.put(world)
+    alias_ref = ray.put(alias_table(world))
+
+    mentions, triples = extract_triples(
+        pages, world_ref=world_ref, concurrency=concurrency, n_buckets=n_buckets, **scorer_kw
+    )
+
+    linked = link_mentions(mentions, alias_ref, concurrency=max(2, concurrency // 2)).materialize()
+
+    # canonicalization: CC over the (deduped, vocab-bounded) surface↔entity graph
+    labels = connected_components(mention_edges(linked), n_buckets=n_buckets)
+    comp = component_map(labels)
+    comp_ref = ray.put(comp)
+
+    # nodes: per entity — mention support + canonical name + component
+    id2name = {e.entity_id: e.name for e in world.entities}
+    name_ref = ray.put(id2name)
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("entity_id", as_index=False).agg(n_mentions=("url", "count"))
+        return g
+
+    node_partials = linked.map_batches(to_nodes, batch_format="pandas")
+
+    def node_final(g: pd.DataFrame) -> pd.DataFrame:
+        comp_m = ray.get(comp_ref)
+        names = ray.get(name_ref)
+        out = g.groupby("entity_id", as_index=False)["n_mentions"].sum()
+        out["component_id"] = out["entity_id"].map(lambda e: comp_m.get(e, e))
+        out["canonical_name"] = out["entity_id"].map(lambda e: names.get(e, ""))
+        return out[["entity_id", "canonical_name", "component_id", "n_mentions"]]
+
+    nodes = _bucketed_groupby(node_partials, "entity_id", node_final, n_buckets)
+
+    # edges: link triple endpoints, map to component ids, aggregate support
+    ltriples = link_triples(triples, alias_ref, concurrency=max(2, concurrency // 2))
+
+    def to_edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        comp_m = ray.get(comp_ref)
+        return pd.DataFrame(
+            {
+                "subject_id": df["subject_id"].map(lambda e: comp_m.get(e, e)),
+                "predicate": df["predicate"],
+                "object_id": df["object_id"].map(lambda e: comp_m.get(e, e)),
+                "url": df["url"],
+            }
+        )
+
+    edge_rows = ltriples.map_batches(to_edge_rows, batch_format="pandas")
+
+    def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["subject_id", "predicate", "object_id"], as_index=False
+        ).agg(n_support=("url", "count"), urls=("url", lambda s: list(s)[:8]))
+
+    def edge_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["subject_id", "predicate", "object_id"], as_index=False).agg(
+            n_support=("n_support", "sum"),
+            urls=("urls", lambda s: sorted({u for lst in s for u in lst})[:8]),
+        )
+        return out
+
+    edge_partials = edge_rows.map_batches(edge_partial, batch_format="pandas")
+    edges = _bucketed_groupby(edge_partials, "subject_id", edge_final, n_buckets)
+
+    return {
+        "nodes": nodes,
+        "edges": edges,
+        "linked": linked,
+        "triples": triples,
+        "mentions": mentions,
+    }
+
+
+def build_graph(
+    pages: "ray.data.Dataset",
+    out_dir: str,
+    world: World | None = None,
+    concurrency: int = 8,
+    n_buckets: int = 64,
+    n_partitions: int = 16,
+    resume: bool = False,
+    **scorer_kw: Any,
+) -> dict[str, Any]:
+    """Full pipeline incl. partitioned, manifest-tracked writes."""
+    t = graph_tables(
+        pages, world=world, concurrency=concurrency, n_buckets=n_buckets, **scorer_kw
+    )
+    edges, nodes = t["edges"], t["nodes"]
+
+    edge_manifest = write_partitioned(
+        edges, out_dir, "edges", part_key="subject_id",
+        sort_keys=["subject_id", "predicate", "object_id"],
+        n_partitions=n_partitions, resume=resume,
+    )
+    node_manifest = write_partitioned(
+        nodes, out_dir, "nodes", part_key="entity_id",
+        sort_keys=["entity_id"], n_partitions=n_partitions, resume=resume,
+    )
+    return {
+        "out_dir": out_dir,
+        "edge_manifest": edge_manifest,
+        "node_manifest": node_manifest,
+        "n_edges": int(edge_manifest["row_count"].sum()),
+        "n_nodes": int(node_manifest["row_count"].sum()),
+    }
+
+
+def _bucketed_groupby(partials, key, final_fn, n_buckets: int):
+    """Partial-aggregate → hash-bucket shuffle → vectorized final agg.
+    The combiner ran inside map_batches upstream; the shuffle key is a
+    coarse bucket so hot keys (head entities) don't serialize into one
+    tiny group (SURVEY §4 skew)."""
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[key], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return final_fn(g.drop(columns="__b"))
+
+    return (
+        partials.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

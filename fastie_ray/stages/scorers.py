@@ -182,3 +182,111 @@ def score_relations(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class JointScorer(_ScorerBase):
+    """One pass over chunks emitting BOTH mention rows (kind='m') and
+    triple rows (kind='r') into a union-typed table. Halves the number
+    of scans over the (input-sized) chunk stream: downstream splits by
+    ``kind`` on the materialized (small) scored output instead of
+    re-executing the page scan per output table."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        cids = batch["chunk_id"].to_pylist()
+        offs = batch["chunk_offset"].to_pylist()
+        texts = batch["chunk_text"].to_pylist()
+
+        rows = {
+            "url": [], "chunk_id": [], "chunk_offset": [], "kind": [],
+            "label": [], "start": [], "end": [], "mention": [],
+            "predicate": [], "subject": [], "object": [],
+        }
+
+        def emit(url, cid, coff, kind, label=None, start=-1, end=-1,
+                 mention=None, predicate=None, subject=None, obj=None):
+            rows["url"].append(url)
+            rows["chunk_id"].append(cid)
+            rows["chunk_offset"].append(coff)
+            rows["kind"].append(kind)
+            rows["label"].append(label)
+            rows["start"].append(start)
+            rows["end"].append(end)
+            rows["mention"].append(mention)
+            rows["predicate"].append(predicate)
+            rows["subject"].append(subject)
+            rows["object"].append(obj)
+
+        for url, cid, coff, text in zip(urls, cids, offs, texts):
+            dashed, seq_len, mapping = self._seq(text)
+            mhits = self.feat.mention_hits(dashed)
+            ents = decode_gp_sparse(
+                ((h.label_id, h.cs + 1, h.ce, 1.0) for h in mhits),
+                seq_len, text, mapping, self.feat.id2label,
+            )
+            for label, cs, ce, mention in ents:
+                emit(url, cid, coff, "m", label=label, start=cs, end=ce, mention=mention)
+            spans = [(h.cs + 1, h.ce) for h in mhits]
+            rhits = self.feat.relation_hits(dashed)
+            spoes = decode_gplinker_sparse(
+                spans, spans,
+                [(r.pred_id, r.s_cs + 1, r.o_cs + 1) for r in rhits],
+                [(r.pred_id, r.s_ce, r.o_ce) for r in rhits],
+                seq_len, text, mapping, self.feat.id2predicate,
+            )
+            for p, s, o in spoes:
+                emit(url, cid, coff, "r", predicate=p, subject=s, obj=o)
+
+        return pa.table(
+            {
+                "url": pa.array(rows["url"], pa.string()),
+                "chunk_id": pa.array(np.asarray(rows["chunk_id"], dtype=np.int32)),
+                "chunk_offset": pa.array(np.asarray(rows["chunk_offset"], dtype=np.int32)),
+                "kind": pa.array(rows["kind"], pa.string()),
+                "label": pa.array(rows["label"], pa.string()),
+                "start": pa.array(np.asarray(rows["start"], dtype=np.int32)),
+                "end": pa.array(np.asarray(rows["end"], dtype=np.int32)),
+                "mention": pa.array(rows["mention"], pa.string()),
+                "predicate": pa.array(rows["predicate"], pa.string()),
+                "subject": pa.array(rows["subject"], pa.string()),
+                "object": pa.array(rows["object"], pa.string()),
+            }
+        )
+
+
+def score_joint(
+    ds_chunks: "ray.data.Dataset",
+    world_ref=None,
+    concurrency: int = 4,
+    batch_size: int = 256,
+    **kw,
+):
+    """chunks → union table of mention + triple rows (split by `kind`)."""
+    return ds_chunks.map_batches(
+        JointScorer,
+        fn_constructor_kwargs={"world_ref": world_ref, **kw},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def split_scored(ds_scored):
+    """Split a JointScorer output into (mentions, triples) datasets with
+    the per-kind schemas. Call on a MATERIALIZED scored dataset to avoid
+    re-executing the scoring scan twice."""
+    import pyarrow.compute as pc
+
+    mentions = ds_scored.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "m")).select(
+            ["url", "chunk_id", "chunk_offset", "label", "start", "end", "mention"]
+        ),
+        batch_format="pyarrow",
+    )
+    triples = ds_scored.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "r")).select(
+            ["url", "chunk_id", "chunk_offset", "predicate", "subject", "object"]
+        ),
+        batch_format="pyarrow",
+    )
+    return mentions, triples

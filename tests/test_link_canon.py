@@ -1,0 +1,122 @@
+"""Entity linker + canonicalization tests."""
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from fastie_ray.stages.canonicalize import (
+    _driver_cc,
+    _distributed_cc,
+    component_map,
+    connected_components,
+    mention_edges,
+)
+from fastie_ray.ops.dedup import dedup_exact
+from fastie_ray.stages.link import EntityLinker, link_mentions, link_triples, nil_id
+from fastie_ray.synth import alias_table, build_world
+
+
+def test_linker_exact_lower_despace_nil():
+    world = build_world()
+    linker = EntityLinker(alias_table=alias_table(world))
+    e = world.entities[7]
+    eid, score = linker.link_surface(e.name)
+    assert eid == e.entity_id and score > 0.99
+    eid2, _ = linker.link_surface(e.name.lower())
+    assert eid2 == e.entity_id
+    eid3, _ = linker.link_surface(e.name.replace(" ", ""))
+    assert eid3 == e.entity_id
+    nid, s0 = linker.link_surface("totally unknown thing")
+    assert nid == nil_id("totally unknown thing") and s0 == 0.0
+
+
+def test_link_mentions_dataset():
+    world = build_world()
+    alias_ref = ray.put(alias_table(world))
+    names = [world.entities[i].name for i in (0, 1, 2)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": ["u1", "u1", "u2"],
+                "label": ["PER", "ORG", "LOC"],
+                "start": pa.array([0, 5, 0], pa.int32()),
+                "end": pa.array([3, 9, 4], pa.int32()),
+                "mention": names,
+            }
+        )
+    )
+    out = link_mentions(ds, alias_ref, concurrency=1).to_pandas()
+    assert list(out.entity_id) == [world.entities[i].entity_id for i in (0, 1, 2)]
+    assert (out.link_score > 0.99).all()
+
+
+def test_driver_cc_basic():
+    e = ray.data.from_items(
+        [
+            {"u": "a", "v": "b"},
+            {"u": "b", "v": "c"},
+            {"u": "x", "v": "y"},
+        ]
+    )
+    labels = _driver_cc(e)
+    m = dict(zip(labels.node, labels.component_id))
+    assert m["a"] == m["b"] == m["c"]
+    assert m["x"] == m["y"]
+    assert m["a"] != m["x"]
+    # deterministic: min id is the root
+    assert m["a"] == "a" and m["x"] == "x"
+
+
+def test_distributed_cc_equals_driver_on_skewed_graph():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # Zipf-skewed star graph: hot hub h0 + chains
+    for i in range(800):
+        hub = f"h{int(800 * rng.random() ** 3) % 17}"
+        rows.append({"u": hub, "v": f"n{i}"})
+    for i in range(0, 16, 2):
+        rows.append({"u": f"h{i}", "v": f"h{i + 1}"})
+    e = ray.data.from_items(rows)
+    want = _driver_cc(dedup_exact(e, ["u", "v"], 8).materialize())
+    got = _distributed_cc(dedup_exact(e, ["u", "v"], 8).materialize(), n_buckets=8, max_rounds=8)
+    wm = dict(zip(want.node, want.component_id))
+    gm = dict(zip(got.node, got.component_id))
+    assert set(wm) == set(gm)
+    # same partition of nodes into components (labels are min-ids in both)
+    assert wm == gm
+
+
+def test_component_map_prefers_min_entity():
+    labels = pd.DataFrame(
+        {
+            "node": ["e:E2", "e:E1", "s:foo"],
+            "component_id": ["e:E1", "e:E1", "e:E1"],
+        }
+    )
+    m = component_map(labels)
+    assert m == {"E2": "E1", "E1": "E1"}
+
+
+def test_mention_edges_and_cc_end_to_end():
+    world = build_world()
+    alias_ref = ray.put(alias_table(world))
+    e0 = world.entities[0]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": ["u1", "u2"],
+                "label": [e0.label] * 2,
+                "start": pa.array([0, 0], pa.int32()),
+                "end": pa.array([1, 1], pa.int32()),
+                "mention": [e0.name, e0.name.lower()],
+            }
+        )
+    )
+    linked = link_mentions(ds, alias_ref, concurrency=1)
+    labels = connected_components(mention_edges(linked), n_buckets=4)
+    m = dict(zip(labels.node, labels.component_id))
+    # both surfaces and the entity share one component
+    assert m["s:" + e0.name.lower()] == m["e:" + e0.entity_id]

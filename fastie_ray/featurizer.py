@@ -91,6 +91,70 @@ class GazetteerFeaturizer:
                 )
         return out
 
+    # ---- alternate-decoder adapters (sparse; production) ------------------
+
+    def casrel_inputs(
+        self, dashed_text: str
+    ) -> tuple[set[int], set[int], dict[tuple[int, int], list[tuple[int, int, int]]]]:
+        """Sparse CasRel inputs (kernels.casrel_re.decode_casrel_sparse):
+        subject start/end token positions + per-subject object hits —
+        the role of the subject tagger + conditional object tagger
+        (``modeling_casrel.py:157-245``)."""
+        subj_starts: set[int] = set()
+        subj_ends: set[int] = set()
+        object_hits: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+        for r in self.relation_hits(dashed_text):
+            s = (r.s_cs + 1, r.s_ce)
+            subj_starts.add(s[0])
+            subj_ends.add(s[1])
+            object_hits.setdefault(s, []).append((r.pred_id, r.o_cs + 1, r.o_ce))
+        return subj_starts, subj_ends, object_hits
+
+    def onerel_inputs(
+        self, dashed_text: str
+    ) -> tuple[list, list, list]:
+        """Sparse OneRel tag hits (kernels.onerel_re.decode_onerel_sparse):
+        HB-TB / HB-TE / HE-TE triples per relation assertion
+        (``modeling_onerel.py:145-187``)."""
+        hb_tb, hb_te, he_te = [], [], []
+        for r in self.relation_hits(dashed_text):
+            s_h, s_t, o_h, o_t = r.s_cs + 1, r.s_ce, r.o_cs + 1, r.o_ce
+            hb_tb.append((r.pred_id, s_h, o_h))
+            hb_te.append((r.pred_id, s_h, o_t))
+            he_te.append((r.pred_id, s_t, o_t))
+        return hb_tb, hb_te, he_te
+
+    def bio_tags(self, dashed_text: str, seq_len: int) -> list[str]:
+        """BIO tag sequence over token positions (CLS=0 tagged 'O') —
+        the Viterbi-output shape consumed by the CRF chunker
+        (``crf/decode_utils.py:24-54``)."""
+        tags = ["O"] * seq_len
+        for h in self.mention_hits(dashed_text):
+            tok_h, tok_t = h.cs + 1, h.ce
+            if tok_t >= seq_len - 1 or tok_h == 0:
+                continue
+            label = self.id2label[h.label_id]
+            tags[tok_h] = f"B-{label}"
+            for i in range(tok_h + 1, tok_t + 1):
+                tags[i] = f"I-{label}"
+        return tags
+
+    def span_labels(
+        self, dashed_text: str, seq_len: int
+    ) -> tuple[list[int], list[int], dict[int, str]]:
+        """Start/end argmax label sequences for the span-pointer decoder
+        (``modeling_span.py:133-168``); label ids are 1-based (0=none)."""
+        starts = [0] * seq_len
+        ends = [0] * seq_len
+        id2label_1 = {i + 1: lb for i, lb in self.id2label.items()}
+        for h in self.mention_hits(dashed_text):
+            tok_h, tok_t = h.cs + 1, h.ce
+            if tok_t >= seq_len - 1 or tok_h == 0:
+                continue
+            starts[tok_h] = h.label_id + 1
+            ends[tok_t] = h.label_id + 1
+        return starts, ends, id2label_1
+
     # ---- dense logits (test oracle only; O(L^2) memory) -------------------
 
     def ner_logits_dense(self, dashed_text: str, max_length: int = 512):

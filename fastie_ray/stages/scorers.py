@@ -24,8 +24,12 @@ import pyarrow as pa
 
 from fastie_ray.featurizer import GazetteerFeaturizer
 from fastie_ray.functions.textnorm import space_to_dash
+from fastie_ray.kernels.bio_ner import decode_bio
+from fastie_ray.kernels.casrel_re import decode_casrel_sparse
 from fastie_ray.kernels.gp_ner import decode_gp_sparse
 from fastie_ray.kernels.gplinker_re import decode_gplinker_sparse
+from fastie_ray.kernels.onerel_re import decode_onerel_sparse
+from fastie_ray.kernels.span_ner import decode_span
 from fastie_ray.synth import World, build_world
 
 if TYPE_CHECKING:
@@ -64,19 +68,73 @@ class _ScorerBase:
         n_entities: int = 200,
         n_facts: int = 400,
         max_length: int = 512,
+        backend: str = "default",
+        ner_backend: str | None = None,
+        rel_backend: str | None = None,
     ):
         world = _resolve_world(world_ref, seed, n_entities, n_facts)
         self.feat = GazetteerFeaturizer(world)
         self.max_length = max_length
+        self.backend = backend
+        self.ner_backend = ner_backend or backend
+        self.rel_backend = rel_backend or backend
 
     def _seq(self, text: str) -> tuple[str, int, CharOffsetMapping]:
         dashed = space_to_dash(text)
         seq_len = min(len(text), self.max_length - 2) + 2
         return dashed, seq_len, CharOffsetMapping(seq_len)
 
+    def _decode_mentions(self, dashed, seq_len, text, mapping):
+        """Dispatch across the NER decode families (SURVEY §2.3 A1/A3/A4):
+        same featurizer scores, different reference decode semantics —
+        all must produce identical mention sets on flat (non-nested)
+        corpora, which the parity tests assert."""
+        if self.ner_backend in ("default", "gp"):
+            hits = (
+                (h.label_id, h.cs + 1, h.ce, 1.0)
+                for h in self.feat.mention_hits(dashed)
+            )
+            return decode_gp_sparse(hits, seq_len, text, mapping, self.feat.id2label)
+        if self.ner_backend == "bio":
+            tags = self.feat.bio_tags(dashed, seq_len)
+            return decode_bio(tags, text, mapping)
+        if self.ner_backend == "span":
+            starts, ends, id2l = self.feat.span_labels(dashed, seq_len)
+            return decode_span(starts, ends, seq_len, text, mapping, id2l)
+        raise ValueError(f"unknown NER backend: {self.ner_backend}")
+
+    def _decode_triples(self, dashed, seq_len, text, mapping):
+        """Dispatch across the RE decode families (A7 GPLinker, A8
+        CasRel, A9 OneRel) — identical triple sets on flat corpora."""
+        if self.rel_backend in ("default", "gplinker"):
+            mhits = self.feat.mention_hits(dashed)
+            spans = [(h.cs + 1, h.ce) for h in mhits]
+            rhits = self.feat.relation_hits(dashed)
+            return decode_gplinker_sparse(
+                spans, spans,
+                [(r.pred_id, r.s_cs + 1, r.o_cs + 1) for r in rhits],
+                [(r.pred_id, r.s_ce, r.o_ce) for r in rhits],
+                seq_len, text, mapping, self.feat.id2predicate,
+            )
+        if self.rel_backend == "casrel":
+            s_starts, s_ends, obj_hits = self.feat.casrel_inputs(dashed)
+            return decode_casrel_sparse(
+                s_starts, s_ends, obj_hits, seq_len, text, mapping,
+                self.feat.id2predicate,
+            )
+        if self.rel_backend == "onerel":
+            hb_tb, hb_te, he_te = self.feat.onerel_inputs(dashed)
+            return decode_onerel_sparse(
+                hb_tb, hb_te, he_te, seq_len, text, mapping,
+                self.feat.id2predicate,
+            )
+        raise ValueError(f"unknown RE backend: {self.rel_backend}")
+
 
 class NerScorer(_ScorerBase):
-    """chunks → chunk-local mentions (GlobalPointer decode semantics A1)."""
+    """chunks → chunk-local mentions. Backends: ``gp`` (GlobalPointer
+    decode A1, default), ``bio`` (CRF chunking A3), ``span``
+    (start/end pointer pairing A4)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -87,10 +145,7 @@ class NerScorer(_ScorerBase):
         o_url, o_cid, o_off, o_lab, o_s, o_e, o_m = [], [], [], [], [], [], []
         for url, cid, coff, text in zip(urls, cids, offs, texts):
             dashed, seq_len, mapping = self._seq(text)
-            hits = (
-                (h.label_id, h.cs + 1, h.ce, 1.0) for h in self.feat.mention_hits(dashed)
-            )
-            ents = decode_gp_sparse(hits, seq_len, text, mapping, self.feat.id2label)
+            ents = self._decode_mentions(dashed, seq_len, text, mapping)
             for label, cs, ce, mention in ents:
                 o_url.append(url)
                 o_cid.append(cid)
@@ -113,8 +168,9 @@ class NerScorer(_ScorerBase):
 
 
 class RelScorer(_ScorerBase):
-    """chunks → chunk-level (predicate, subject, object) triples
-    (GPLinker product-∩ decode semantics A7)."""
+    """chunks → chunk-level (predicate, subject, object) triples.
+    Backends: ``gplinker`` (product-∩ decode A7, default), ``casrel``
+    (cascade pointer A8), ``onerel`` (tag-cube A9)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -125,14 +181,7 @@ class RelScorer(_ScorerBase):
         o_url, o_cid, o_off, o_p, o_s, o_o = [], [], [], [], [], []
         for url, cid, coff, text in zip(urls, cids, offs, texts):
             dashed, seq_len, mapping = self._seq(text)
-            mhits = self.feat.mention_hits(dashed)
-            spans = [(h.cs + 1, h.ce) for h in mhits]
-            rhits = self.feat.relation_hits(dashed)
-            heads = [(r.pred_id, r.s_cs + 1, r.o_cs + 1) for r in rhits]
-            tails = [(r.pred_id, r.s_ce, r.o_ce) for r in rhits]
-            spoes = decode_gplinker_sparse(
-                spans, spans, heads, tails, seq_len, text, mapping, self.feat.id2predicate
-            )
+            spoes = self._decode_triples(dashed, seq_len, text, mapping)
             for p, s, o in spoes:
                 o_url.append(url)
                 o_cid.append(cid)
@@ -219,21 +268,10 @@ class JointScorer(_ScorerBase):
 
         for url, cid, coff, text in zip(urls, cids, offs, texts):
             dashed, seq_len, mapping = self._seq(text)
-            mhits = self.feat.mention_hits(dashed)
-            ents = decode_gp_sparse(
-                ((h.label_id, h.cs + 1, h.ce, 1.0) for h in mhits),
-                seq_len, text, mapping, self.feat.id2label,
-            )
+            ents = self._decode_mentions(dashed, seq_len, text, mapping)
             for label, cs, ce, mention in ents:
                 emit(url, cid, coff, "m", label=label, start=cs, end=ce, mention=mention)
-            spans = [(h.cs + 1, h.ce) for h in mhits]
-            rhits = self.feat.relation_hits(dashed)
-            spoes = decode_gplinker_sparse(
-                spans, spans,
-                [(r.pred_id, r.s_cs + 1, r.o_cs + 1) for r in rhits],
-                [(r.pred_id, r.s_ce, r.o_ce) for r in rhits],
-                seq_len, text, mapping, self.feat.id2predicate,
-            )
+            spoes = self._decode_triples(dashed, seq_len, text, mapping)
             for p, s, o in spoes:
                 emit(url, cid, coff, "r", predicate=p, subject=s, obj=o)
 

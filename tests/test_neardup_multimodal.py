@@ -1,0 +1,219 @@
+"""Tests: near-dup family (MinHash+LSH, SimHash, n-gram Jaccard,
+embedding cosine), multimodal plumbing, extraction-score aggregate.
+
+The MinHash integration test is the strong one: pairs found by the
+banded-LSH pipeline must EXACTLY equal a brute-force exact-Jaccard
+scan of the same corpus (recall of the banding + precision of the
+verification, end to end through a real Ray shuffle)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from fastie_ray.functions.hashing import stable_hash64
+from fastie_ray.ops.metrics import extraction_score, precision_recall_fscore
+from fastie_ray.ops.multimodal import (
+    FrameSampler,
+    ImageFeaturizer,
+    featurize_images,
+    sample_frames,
+    synth_media_table,
+)
+from fastie_ray.ops.neardup import (
+    MinHashBander,
+    SimHasher,
+    _token_shingles,
+    embedding_neardup,
+    jaccard_pairs_batch,
+    minhash_lsh_dups,
+    minhash_signature,
+    _perm_params,
+    simhash_dups,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- minhash
+
+
+def test_minhash_signature_deterministic_and_monotone():
+    seeds = _perm_params(64, seed=42)
+    sh1 = np.asarray([stable_hash64(s) for s in ("a b c", "b c d", "c d e")], dtype=np.uint64)
+    s1 = minhash_signature(sh1, seeds)
+    s2 = minhash_signature(sh1, seeds)
+    assert (s1 == s2).all()
+    # identical shingle sets → identical signatures; supersets only lower mins
+    s3 = minhash_signature(np.concatenate([sh1, sh1[:1]]), seeds)
+    assert (s3 == s1).all()
+
+
+def test_minhash_estimates_jaccard():
+    seeds = _perm_params(256, seed=0)
+    A = np.asarray([stable_hash64(f"x{i}") for i in range(100)], dtype=np.uint64)
+    B = np.asarray([stable_hash64(f"x{i}") for i in range(50, 150)], dtype=np.uint64)
+    sa, sb = minhash_signature(A, seeds), minhash_signature(B, seeds)
+    est = (sa == sb).mean()
+    assert abs(est - 1 / 3) < 0.1  # true J = 50/150
+
+
+def test_minhash_lsh_matches_bruteforce(ray_session):
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = (
+        minhash_lsh_dups(docs, threshold=0.7, concurrency=2)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+    # brute force oracle (exact distinct-trigram jaccard)
+    pdf = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    sets = {r.doc_id: set(_token_shingles(r.text, 3)) for r in pdf.itertuples()}
+    exp = []
+    ids = sorted(sets)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            A, B = sets[da], sets[db]
+            u = len(A | B)
+            j = len(A & B) / u if u else 0.0
+            if j >= 0.7:
+                exp.append((da, db, round(j, 6)))
+    exp_df = pd.DataFrame(exp, columns=["doc_a", "doc_b", "jaccard"])
+    assert len(got) == len(exp_df)
+    pd.testing.assert_frame_equal(
+        got[["doc_a", "doc_b", "jaccard"]].astype({"doc_a": "int64", "doc_b": "int64"}),
+        exp_df.astype({"doc_a": "int64", "doc_b": "int64"}),
+    )
+    assert len(got) > 0  # corpus contains natural near-dups
+
+
+# ------------------------------------------------------------- simhash
+
+
+def test_simhash_identical_and_perturbed():
+    s = SimHasher.simhash64("alpha beta gamma delta epsilon zeta eta theta")
+    s_same = SimHasher.simhash64("alpha beta gamma delta epsilon zeta eta theta")
+    assert s == s_same
+    s_pert = SimHasher.simhash64("alpha beta gamma delta epsilon zeta eta")
+    ham = bin(s ^ s_pert).count("1")
+    assert 0 < ham <= 24  # near but not identical
+
+
+def test_simhash_dups_finds_planted_pairs(ray_session):
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] % 50 == 0].copy()
+        d["doc_id"] = d["doc_id"] + 1_000_000
+        # identical text → hamming 0, guaranteed found
+        return pd.concat([df, d], ignore_index=True)
+
+    corpus = docs.map_batches(plant, batch_format="pandas")
+    pairs = simhash_dups(corpus, hamming_thresh=0, concurrency=2).to_pandas()
+    planted = pairs[(pairs.doc_b - pairs.doc_a) == 1_000_000]
+    assert set(planted.doc_a) >= {i for i in range(0, 500, 50)}
+    assert (pairs.hamming == 0).all()
+
+
+# ------------------------------------------------------------- jaccard
+
+
+def test_jaccard_pairs_batch_prefix_property():
+    t = "a b c d e f g h i j"
+    t2 = " ".join(t.split()[:-1])
+    df = pd.DataFrame({"text_a": [t], "text_b": [t2]})
+    out = jaccard_pairs_batch(df)
+    # distinct trigrams: 8 vs 7, prefix subset → 7/8
+    assert out["jaccard"].iloc[0] == round(7 / 8, 6)
+
+
+# ----------------------------------------------------------- embedding
+
+
+def test_embedding_neardup_planted(ray_session):
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["vec_id"] % 5 == 0].copy()
+        d["vec_id"] = d["vec_id"] + 1_000_000
+        d["embedding"] = [
+            (np.asarray(e, dtype=np.float32) * 1.01).tolist() for e in d["embedding"]
+        ]
+        return pd.concat([df, d], ignore_index=True)
+
+    corpus = emb.map_batches(plant, batch_format="pandas")
+    pairs = embedding_neardup(corpus, threshold=0.9).to_pandas()
+    exp = {(i, i + 1_000_000) for i in range(0, 500, 5)}
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert got == exp  # scaling preserves cosine exactly; no natural pair ≥ .9
+    assert (pairs.cosine > 0.999).all()
+
+
+# ---------------------------------------------------------- multimodal
+
+
+def test_media_stub_schema_and_determinism():
+    t = synth_media_table(12)
+    assert t.num_rows == 12
+    f = ImageFeaturizer(dim=16)
+    out = f(t)
+    assert out["feature"].type.value_type == "float"
+    v1 = out["feature"][0].as_py()
+    out2 = ImageFeaturizer(dim=16)(t)
+    assert out2["feature"][0].as_py() == v1  # content-hash seeded
+
+    fs = FrameSampler(n_frames=3, dim=8)
+    frames = fs(t)
+    assert frames.num_rows == 12 * 3
+    assert frames["frame_idx"].to_pylist()[:3] == [0, 1, 2]
+
+
+def test_media_pipeline_through_ray(ray_session):
+    t = synth_media_table(30)
+    ds = ray.data.from_arrow(t)
+    feats = featurize_images(ds, dim=8).to_pandas()
+    assert len(feats) == 30
+    frames = sample_frames(ds, n_frames=2).to_pandas()
+    assert len(frames) == 60
+
+
+def test_image_codec_gated():
+    with pytest.raises(NotImplementedError):
+        ImageFeaturizer(codec="pil")  # Pillow absent in container
+    with pytest.raises(NotImplementedError):
+        ImageFeaturizer(codec="jpeg2000")
+
+
+# ------------------------------------------------------------- metrics
+
+
+def test_precision_recall_fscore_reference_semantics():
+    assert precision_recall_fscore(0, 0, 0) == {
+        "precision": 0.0, "recall": 0.0, "f1": 0.0
+    }
+    out = precision_recall_fscore(4, 2, 8)
+    assert out["precision"] == 0.5 and out["recall"] == 0.25
+    assert abs(out["f1"] - (2 * 0.5 * 0.25 / 0.75)) < 1e-12
+
+
+def test_extraction_score_distributed(ray_session):
+    gold = ray.data.from_items(
+        [
+            {"url": "u1", "s": "a", "p": "x", "o": "b"},
+            {"url": "u1", "s": "c", "p": "x", "o": "d"},
+            {"url": "u2", "s": "e", "p": "y", "o": "f"},
+        ]
+    )
+    pred = ray.data.from_items(
+        [
+            {"url": "u1", "s": "a", "p": "x", "o": "b"},  # tp
+            {"url": "u1", "s": "a", "p": "x", "o": "b"},  # duplicate → ignored
+            {"url": "u2", "s": "e", "p": "y", "o": "WRONG"},  # fp
+        ]
+    )
+    m = extraction_score(gold, pred, keys=["url", "s", "p", "o"])
+    assert m["tp"] == 1 and m["pred_sum"] == 2 and m["true_sum"] == 3
+    assert m["precision"] == 0.5 and m["recall"] == 1 / 3

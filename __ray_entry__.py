@@ -282,8 +282,181 @@ def _q_orders_by_segment(sf_dir: str):
     )
 
 
+def _q_minhash_dups(sf_dir: str):
+    import ray.data
+
+    from fastie_ray.ops.neardup import minhash_lsh_dups
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_dups(docs, threshold=0.7, concurrency=4)
+
+
+def _q_simhash_dups(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.neardup import simhash_dups
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] % 5 == 0].copy()
+        d["doc_id"] = d["doc_id"] + 1_000_000
+        return pd.concat([df, d], ignore_index=True)
+
+    return simhash_dups(docs.map_batches(plant, batch_format="pandas"),
+                        hamming_thresh=3, concurrency=4)
+
+
+def _q_jaccard_prefix(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.neardup import jaccard_pairs_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text_a": df["text"],
+                "text_b": [" ".join(t.strip().split()[:-1]) for t in df["text"]],
+            }
+        )
+        return jaccard_pairs_batch(out)[["doc_id", "jaccard_e6"]]
+
+    return docs.map_batches(pairs, batch_format="pandas")
+
+
+def _q_embed_neardup(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.neardup import embedding_neardup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["vec_id"] % 5 == 0].copy()
+        d["vec_id"] = d["vec_id"] + 1_000_000
+        d["embedding"] = [
+            (np.asarray(e, dtype=np.float32) * 1.01).tolist() for e in d["embedding"]
+        ]
+        return pd.concat([df, d], ignore_index=True)
+
+    pairs = embedding_neardup(emb.map_batches(plant, batch_format="pandas"), threshold=0.9)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def _q_lsh_knn(sf_dir: str):
+    import ray.data
+
+    from fastie_ray.ops.similarity import lsh_knn
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = lsh_knn(ds, query_ids=[0, 1, 2, 3], k=5)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data
+
+    from fastie_ray.ops.text_analysis import lang_id
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lang_id(ds)
+
+
+def _q_quality(sf_dir: str):
+    import ray.data
+
+    from fastie_ray.ops.text_analysis import quality_scores
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_scores(ds)
+
+
+def _q_fingerprints(sf_dir: str):
+    import ray.data
+
+    from fastie_ray.ops.text_analysis import fingerprints
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fingerprints(ds)
+
+
+def _q_extraction_f1(sf_dir: str):
+    """Distributed micro P/R/F1 of pipeline triples vs the synthetic
+    gold (injected facts) — exact by construction, so the oracle is the
+    constant perfect score."""
+    import pandas as pd
+    import ray
+
+    from fastie_ray.ops.metrics import extraction_score
+    from fastie_ray.pipelines.kg import extract_triples
+
+    world_ref = ray.put(_world())
+    _, triples = extract_triples(_pages(sf_dir), world_ref=world_ref, concurrency=4)
+    gold = _q_kg_triples_gold(sf_dir)
+    m = extraction_score(gold, triples, keys=["url", "predicate", "subject", "object"])
+    return pd.DataFrame(
+        {
+            "precision_e6": [int(m["precision"] * 1_000_000)],
+            "recall_e6": [int(m["recall"] * 1_000_000)],
+            "tp": [m["tp"]],
+        }
+    )
+
+
+def _q_kg_triples_gold(sf_dir: str):
+    """Gold triples dataset derived from the injection plan (one fact
+    per doc, fact i = doc_id % n_facts)."""
+    import pandas as pd
+    import ray.data
+
+    w = _world()
+    nf = len(w.facts)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    from fastie_ray.synth import doc_url
+
+    def gold(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, lang in zip(df["doc_id"], df["lang"]):
+            f = w.facts[int(doc_id) % nf]
+            rows.append(
+                (doc_url(int(doc_id), lang), f.predicate, f.subj.name, f.obj.name)
+            )
+        return pd.DataFrame(rows, columns=["url", "predicate", "subject", "object"])
+
+    return docs.map_batches(gold, batch_format="pandas")
+
+
+def _q_media_frames(sf_dir: str):
+    import ray.data
+
+    from fastie_ray.ops.multimodal import sample_frames, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(256))
+    return sample_frames(ds, n_frames=4).select_columns(
+        ["media_id", "frame_idx", "ts_ms"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "minhash_dups": _q_minhash_dups,
+        "simhash_dups": _q_simhash_dups,
+        "jaccard_prefix": _q_jaccard_prefix,
+        "embed_neardup": _q_embed_neardup,
+        "lsh_knn": _q_lsh_knn,
+        "lang_id": _q_lang_id,
+        "quality": _q_quality,
+        "fingerprints": _q_fingerprints,
+        "extraction_f1": _q_extraction_f1,
+        "media_frames": _q_media_frames,
         "extract_text": _q_extract_text,
         "chunk_stats": _q_chunk_stats,
         "kg_mentions": _q_kg_mentions,
@@ -322,7 +495,59 @@ def oracle_sql() -> dict[str, str]:
     )
     EIDS = f"eids(i, sub_eid, obj_eid) AS (VALUES {eid_rows})"
 
+    TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+    TRI = (
+        "list_distinct(list_transform(range(1, len(toks) - 1), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    )
+
     return {
+        "minhash_dups": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            tri AS (SELECT doc_id, {TRI} AS g FROM t),
+            p AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.g, b.g)) AS inter,
+                       len(list_distinct(list_concat(a.g, b.g))) AS uni
+                FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(floor(inter * 1000000.0 / uni) AS BIGINT) AS jaccard_e6
+            FROM p WHERE inter * 1.0 / uni >= 0.7
+        """,
+        "jaccard_prefix": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            tri AS (SELECT doc_id,
+                len({TRI}) AS na,
+                len(list_distinct(list_transform(range(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS nb
+            FROM t)
+            SELECT doc_id,
+                   CAST(floor(nb * 1000000.0 / na) AS BIGINT) AS jaccard_e6
+            FROM tri
+        """,
+        "embed_neardup": """
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+            FROM embeddings WHERE vec_id % 5 = 0
+        """,
+        "quality": """
+            WITH q AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                       length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+                       length(regexp_replace(text, '\\s', '', 'g')) AS non_space
+                FROM documents)
+            SELECT doc_id, n_chars, n_tokens,
+                   CAST(floor(n_punct * 1000000.0 / greatest(n_chars, 1)) AS BIGINT) AS punct_ratio_e6,
+                   CAST(floor(non_space * 1000000.0 / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_e6
+            FROM q
+        """,
+        "extraction_f1": """
+            SELECT CAST(1000000 AS BIGINT) AS precision_e6,
+                   CAST(1000000 AS BIGINT) AS recall_e6,
+                   (SELECT count(*) FROM documents) AS tp
+        """,
         "extract_text": f"""
             WITH {FACTS}
             SELECT {URL} AS url, {PTXT} AS text {JOIN}

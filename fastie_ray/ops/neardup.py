@@ -128,8 +128,16 @@ def _pairs_in_group(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
             union = len(A) + len(B) - inter
             jac = inter / union if union else 0.0
             if jac >= threshold:
-                out.append((int(ids[i]), int(ids[j]), round(jac, 6)))
-    return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"])
+                # integer-scaled jaccard: exactly reproducible in SQL
+                # (floor(inter * 1e6 / union)), no float-rounding skew
+                out.append((int(ids[i]), int(ids[j]), inter * 1_000_000 // union))
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series([r[0] for r in out], dtype="int64"),
+            "doc_b": pd.Series([r[1] for r in out], dtype="int64"),
+            "jaccard_e6": pd.Series([r[2] for r in out], dtype="int64"),
+        }
+    )
 
 
 def minhash_lsh_dups(
@@ -234,7 +242,13 @@ def simhash_dups(
                 ham = int(bin(int(sigs[i]) ^ int(sigs[j])).count("1"))
                 if ham <= hamming_thresh:
                     out.append((int(ids[i]), int(ids[j]), ham))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "hamming"])
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([r[0] for r in out], dtype="int64"),
+                "doc_b": pd.Series([r[1] for r in out], dtype="int64"),
+                "hamming": pd.Series([r[2] for r in out], dtype="int64"),
+            }
+        )
 
     banded = ds.map_batches(
         SimHasher,
@@ -262,9 +276,9 @@ def jaccard_pairs_batch(
         A = set(_token_shingles(ta, k))
         B = set(_token_shingles(tb, k))
         union = len(A | B)
-        out.append(round(len(A & B) / union, 6) if union else 0.0)
+        out.append(len(A & B) * 1_000_000 // union if union else 0)
     res = df.copy()
-    res["jaccard"] = out
+    res["jaccard_e6"] = out
     return res
 
 

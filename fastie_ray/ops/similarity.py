@@ -75,12 +75,33 @@ def knn_bruteforce(
 
 
 class LshIndexer:
-    """Random-hyperplane signature per vector (seeded, stateless across
-    batches; planes generated once per actor)."""
+    """Random-hyperplane signature per vector (seeded; planes generated
+    once per actor). Corpus rows land in their own bucket; rows whose
+    ``vec_id`` is in ``probe_ids`` are ADDITIONALLY replicated into all
+    buckets within hamming distance ``probe_radius`` of their signature
+    (multiprobe, marked ``is_probe`` so they never act as candidates)."""
 
-    def __init__(self, dim: int = 64, n_planes: int = 12, seed: int = 42):
+    def __init__(
+        self,
+        dim: int = 64,
+        n_planes: int = 6,
+        seed: int = 42,
+        probe_ids: frozenset | None = None,
+        probe_radius: int = 1,
+    ):
         rng = np.random.default_rng(seed)
         self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+        self.n_planes = n_planes
+        self.probe_ids = probe_ids or frozenset()
+        self.flips = [0]
+        if probe_radius >= 1:
+            self.flips += [1 << b for b in range(n_planes)]
+        if probe_radius >= 2:
+            self.flips += [
+                (1 << a) | (1 << b)
+                for a in range(n_planes)
+                for b in range(a + 1, n_planes)
+            ]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         M = np.asarray(list(df["embedding"]), dtype=np.float32)
@@ -88,46 +109,92 @@ class LshIndexer:
         sig = np.zeros(len(df), dtype=np.int64)
         for b in range(bits.shape[1]):
             sig |= bits[:, b].astype(np.int64) << b
-        out = df[["vec_id"]].copy()
-        out["bucket"] = sig
-        out["embedding"] = df["embedding"]
-        return out
+        ids = df["vec_id"].to_numpy()
+        embs = list(df["embedding"])
+        out_id, out_bucket, out_emb, out_probe = [], [], [], []
+        for i in range(len(df)):
+            out_id.append(int(ids[i]))
+            out_bucket.append(int(sig[i]))
+            out_emb.append(embs[i])
+            out_probe.append(False)
+            if int(ids[i]) in self.probe_ids:
+                for f in self.flips[1:]:
+                    out_id.append(int(ids[i]))
+                    out_bucket.append(int(sig[i]) ^ f)
+                    out_emb.append(embs[i])
+                    out_probe.append(True)
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(out_id, dtype="int64"),
+                "bucket": pd.Series(out_bucket, dtype="int64"),
+                "embedding": out_emb,
+                "is_probe": pd.Series(out_probe, dtype="bool"),
+            }
+        )
 
 
 def lsh_knn(
     ds: "ray.data.Dataset",
     query_ids: list[int],
     k: int = 5,
-    n_planes: int = 12,
+    n_planes: int = 6,
     dim: int = 64,
     seed: int = 42,
+    probe_radius: int = 2,
 ) -> pd.DataFrame:
-    """Approximate top-k: score only candidates sharing the query's LSH
-    bucket (single-probe). One groupby shuffle on the bucket id."""
+    """Approximate top-k: score only candidates sharing one of the
+    query's probed LSH buckets (multiprobe: signature ± up to
+    ``probe_radius`` bit flips). One groupby shuffle on the bucket id.
+
+    Size ``n_planes`` to the corpus: ~log2(n / desired_bucket_size)
+    (2^n_planes buckets); too many planes → singleton buckets and zero
+    recall, too few → brute force within one bucket."""
+    qset = set(query_ids)
     sigs = ds.map_batches(
         LshIndexer,
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "seed": seed},
+        fn_constructor_kwargs={
+            "dim": dim, "n_planes": n_planes, "seed": seed,
+            "probe_ids": frozenset(qset), "probe_radius": probe_radius,
+        },
         batch_format="pandas",
         concurrency=2,
     )
-    qset = set(query_ids)
+
+    def _empty():
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         qmask = g["vec_id"].isin(qset)
         if not qmask.any():
-            return pd.DataFrame(columns=["query_id", "neighbor_id", "score"])
+            return _empty()
+        cand_mask = (~g["is_probe"]).to_numpy()
         M = _norm_rows(np.asarray(list(g["embedding"]), dtype=np.float32))
         ids = g["vec_id"].to_numpy()
+        # one query row per id (probe replicas share the embedding)
+        q_rows = g[qmask].drop_duplicates("vec_id")
         out = []
-        for qi in np.flatnonzero(qmask.to_numpy()):
-            scores = M @ M[qi]
-            for i in np.argsort(-scores):
-                if ids[i] != ids[qi]:
-                    out.append((int(ids[qi]), int(ids[i]), float(scores[i])))
+        for qid, qemb in zip(q_rows["vec_id"], q_rows["embedding"]):
+            qv = np.asarray(qemb, dtype=np.float32)
+            qn = np.linalg.norm(qv)
+            qv = qv / qn if qn > 0 else qv
+            scores = M @ qv
+            for i in np.flatnonzero(cand_mask):
+                if ids[i] != qid:
+                    out.append((int(qid), int(ids[i]), float(scores[i])))
+        if not out:
+            return _empty()
         return pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
 
     cand = sigs.groupby("bucket").map_groups(per_bucket, batch_format="pandas").to_pandas()
-    cand = cand.sort_values(
+    if len(cand) == 0:  # all groups empty → Ray drops the schema
+        cand = _empty()
+    cand = cand.drop_duplicates(["query_id", "neighbor_id"]).sort_values(
         ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
     )
     topk = cand.groupby("query_id", as_index=False).head(k).reset_index(drop=True)

@@ -44,13 +44,16 @@ def quality_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     n_tokens = t.str.count(r"\S+").astype("int64")
     n_punct = t.str.count(f"[{re.escape(_PUNCT_CLASS)}]").astype("int64")
     non_space = t.str.count(r"\S").astype("int64")
+    # ratios are integer-scaled (floor(x * 1e6)) so the DuckDB oracle can
+    # reproduce them EXACTLY — float round() is not portable between
+    # Python (banker's) and SQL (half-away-from-zero)
     return pd.DataFrame(
         {
             "doc_id": df["doc_id"],
             "n_chars": n_chars,
             "n_tokens": n_tokens,
-            "punct_ratio": (n_punct / n_chars.clip(lower=1)).round(6),
-            "mean_token_len": (non_space / n_tokens.clip(lower=1)).round(6),
+            "punct_ratio_e6": (n_punct * 1_000_000 // n_chars.clip(lower=1)).astype("int64"),
+            "mean_token_len_e6": (non_space * 1_000_000 // n_tokens.clip(lower=1)).astype("int64"),
         }
     )
 

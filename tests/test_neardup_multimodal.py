@@ -80,12 +80,12 @@ def test_minhash_lsh_matches_bruteforce(ray_session):
             u = len(A | B)
             j = len(A & B) / u if u else 0.0
             if j >= 0.7:
-                exp.append((da, db, round(j, 6)))
-    exp_df = pd.DataFrame(exp, columns=["doc_a", "doc_b", "jaccard"])
+                exp.append((da, db, len(A & B) * 1_000_000 // u))
+    exp_df = pd.DataFrame(exp, columns=["doc_a", "doc_b", "jaccard_e6"])
     assert len(got) == len(exp_df)
     pd.testing.assert_frame_equal(
-        got[["doc_a", "doc_b", "jaccard"]].astype({"doc_a": "int64", "doc_b": "int64"}),
-        exp_df.astype({"doc_a": "int64", "doc_b": "int64"}),
+        got[["doc_a", "doc_b", "jaccard_e6"]].astype("int64"),
+        exp_df.astype("int64"),
     )
     assert len(got) > 0  # corpus contains natural near-dups
 
@@ -127,7 +127,7 @@ def test_jaccard_pairs_batch_prefix_property():
     df = pd.DataFrame({"text_a": [t], "text_b": [t2]})
     out = jaccard_pairs_batch(df)
     # distinct trigrams: 8 vs 7, prefix subset → 7/8
-    assert out["jaccard"].iloc[0] == round(7 / 8, 6)
+    assert out["jaccard_e6"].iloc[0] == 7 * 1_000_000 // 8
 
 
 # ----------------------------------------------------------- embedding
@@ -217,3 +217,34 @@ def test_extraction_score_distributed(ray_session):
     m = extraction_score(gold, pred, keys=["url", "s", "p", "o"])
     assert m["tp"] == 1 and m["pred_sum"] == 2 and m["true_sum"] == 3
     assert m["precision"] == 0.5 and m["recall"] == 1 / 3
+
+
+# ----------------------------------------------------------------- lsh
+
+
+def test_lsh_knn_multiprobe_recall(ray_session):
+    from fastie_ray.ops.similarity import knn_bruteforce, lsh_knn
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    bf = knn_bruteforce(ds, query_ids=[0, 1, 2, 3], k=5)
+    approx = lsh_knn(ds, query_ids=[0, 1, 2, 3], k=5, probe_radius=2)
+    assert set(approx.columns) >= {"query_id", "neighbor_id", "rank"}
+    got = set(zip(approx.query_id, approx.neighbor_id))
+    exp = set(zip(bf.query_id, bf.neighbor_id))
+    # weakly-similar corpus: multiprobe recall is partial but nonzero
+    assert len(got & exp) / len(exp) >= 0.3
+    # near-identical planted vector must always be found
+    import numpy as np
+    import pandas as pd
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["vec_id"] == 0].copy()
+        d["vec_id"] = 9_000_000
+        d["embedding"] = [
+            (np.asarray(e, dtype=np.float32) * 1.02).tolist() for e in d["embedding"]
+        ]
+        return pd.concat([df, d], ignore_index=True)
+
+    planted = ds.map_batches(plant, batch_format="pandas")
+    out = lsh_knn(planted, query_ids=[0], k=1, probe_radius=1)
+    assert out.neighbor_id.tolist() == [9_000_000]

@@ -41,15 +41,14 @@ def _pages(sf_dir: str):
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: pages → extract →
     chunk → joint scorer actor pool → rejoin/dedup → doc triples."""
-    from fastie_ray.pipelines.kg import extract_triples
+    from fastie_ray.pipelines.kg import doc_triples
 
     import ray
 
     world_ref = ray.put(_world())
-    _, triples = extract_triples(
+    return doc_triples(
         _pages("/root/testdata/sf0.001"), world_ref=world_ref, concurrency=2
     )
-    return triples
 
 
 # ----------------------------------------------------------------- queries
@@ -98,11 +97,10 @@ def _q_kg_mentions(sf_dir: str):
 def _q_kg_triples(sf_dir: str):
     import ray
 
-    from fastie_ray.pipelines.kg import extract_triples
+    from fastie_ray.pipelines.kg import doc_triples
 
     world_ref = ray.put(_world())
-    _, triples = extract_triples(_pages(sf_dir), world_ref=world_ref, concurrency=4)
-    return triples
+    return doc_triples(_pages(sf_dir), world_ref=world_ref, concurrency=4)
 
 
 def _q_kg_edges(sf_dir: str):
@@ -398,7 +396,8 @@ def _q_extraction_f1(sf_dir: str):
     from fastie_ray.pipelines.kg import extract_triples
 
     world_ref = ray.put(_world())
-    _, triples = extract_triples(_pages(sf_dir), world_ref=world_ref, concurrency=4)
+    from fastie_ray.pipelines.kg import doc_triples as _dt
+    triples = _dt(_pages(sf_dir), world_ref=world_ref, concurrency=4)
     gold = _q_kg_triples_gold(sf_dir)
     m = extraction_score(gold, triples, keys=["url", "predicate", "subject", "object"])
     return pd.DataFrame(

@@ -34,11 +34,35 @@ if TYPE_CHECKING:
     import ray.data
 
 
+def doc_triples(
+    pages: "ray.data.Dataset",
+    world_ref=None,
+    concurrency: int = 8,
+    batch_size: int | None = None,
+    n_buckets: int = 64,
+    **scorer_kw: Any,
+) -> "ray.data.Dataset":
+    """pages → deduplicated document triples, ONE streaming pass.
+
+    The headline KG path: no materialize barrier — scoring overlaps the
+    rejoin shuffle under the streaming executor, and only triple rows
+    (not mention rows) flow into the shuffle. Use ``extract_triples``
+    when BOTH mentions and triples are consumed."""
+    from fastie_ray.stages.scorers import score_relations
+
+    chunks = chunk_pages(extract_text(pages))
+    scored = score_relations(
+        chunks, world_ref=world_ref, concurrency=concurrency,
+        batch_size=batch_size, **scorer_kw,
+    )
+    return rejoin_triples(scored, n_buckets)
+
+
 def extract_triples(
     pages: "ray.data.Dataset",
     world_ref=None,
     concurrency: int = 8,
-    batch_size: int = 256,
+    batch_size: int | None = None,
     n_buckets: int = 64,
     **scorer_kw: Any,
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:

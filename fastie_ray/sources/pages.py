@@ -48,47 +48,100 @@ def page_text(doc_text: str, doc_id: int, world: World) -> str:
 
 
 def pages_from_documents(
-    sf_dir: str, world: World, override_num_blocks: int | None = None
+    sf_dir: str,
+    world: World,
+    override_num_blocks: int | None = None,
+    repeat: int = 1,
 ) -> "ray.data.Dataset":
-    """documents.parquet → pages (url, warc_ts, html, text, lang)."""
+    """documents.parquet → pages (url, warc_ts, html, text, lang).
+
+    ``repeat > 1`` emits that many deterministic replicas of the corpus
+    with distinct urls (``…/rNN/``) — the bench's way of scaling the
+    stream so compute dominates fixed scheduling costs, standing in for
+    a larger shard list at constant per-page work."""
     import ray.data
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text", "lang"],
-        override_num_blocks=override_num_blocks,
-    )
+    import ray.data
+
     facts = world.facts  # captured; small (vocab-bounded)
 
-    def to_pages(batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        langs = batch["lang"].to_pylist()
-        urls, tss, htmls, out_texts = [], [], [], []
-        for d, t, lg in zip(doc_ids, texts, langs):
-            fact = facts[d % len(facts)]
-            pad = (CHUNK_W - (len(t) % CHUNK_W)) % CHUNK_W
-            full = t + " " * pad + fact_sentence(fact)
-            url = f"https://example.org/{lg}/{d:06d}"
-            urls.append(url)
-            tss.append(EPOCH_US + d * 1_000_000)
-            if d % 7 == 3:
-                htmls.append(wrap_html(full, url))
-                out_texts.append(None)
-            else:
-                htmls.append(None)
-                out_texts.append(full)
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "warc_ts": pa.array(tss, pa.timestamp("us")),
-                "html": pa.array(htmls, pa.binary()),
-                "text": pa.array(out_texts, pa.string()),
-                "lang": pa.array(langs, pa.string()),
-            }
+    if repeat == 1:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+            override_num_blocks=override_num_blocks,
         )
 
-    return ds.map_batches(to_pages, batch_format="pyarrow")
+        def to_pages(batch: pa.Table) -> pa.Table:
+            return _pages_table(batch, facts, 0)
+
+        return ds.map_batches(to_pages, batch_format="pyarrow")
+
+    # repeat > 1: a sharded source — one independent task per replica,
+    # the shard-list shape of a real multi-file corpus. Without this,
+    # the single parquet file yields ONE read task and the Nx expansion
+    # happens inside a handful of downstream bundles, starving the
+    # scorer actor pool (observed: 3 of 16 actors busy). Task count =
+    # repeat, sized so each task is chunky (~5k pages): Ray Data's
+    # driver event loop costs 10-20 ms per task, so thousands of tiny
+    # tasks serialize on the scheduler, not the work.
+    # Task count is capped at n_shards (each shard renders a contiguous
+    # slice of replicas) so driver-side scheduling cost stays CONSTANT
+    # as repeat grows — Ray Data's event loop costs 10-20 ms per task,
+    # so task count must track cluster size, not data size.
+    path = f"{sf_dir}/documents.parquet"
+    n_shards = min(repeat, 128)
+    per_shard = repeat // n_shards
+    extra = repeat % n_shards
+    idx = ray.data.range(n_shards, override_num_blocks=n_shards)
+
+    def gen_shard(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        src = pq.read_table(path, columns=["doc_id", "text", "lang"])
+        ids = batch["id"].to_pylist() if isinstance(batch, pa.Table) else list(batch["id"])
+        tbls = []
+        for i in ids:
+            i = int(i)
+            lo = i * per_shard + min(i, extra)
+            hi = lo + per_shard + (1 if i < extra else 0)
+            tbls.extend(_pages_table(src, facts, r) for r in range(lo, hi))
+        return pa.concat_tables(tbls)
+
+    return idx.map_batches(gen_shard, batch_size=1, batch_format="pyarrow")
+
+
+def _pages_table(batch: pa.Table, facts, replica: int) -> pa.Table:
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    urls, tss, htmls, out_texts = [], [], [], []
+    for d, t, lg in zip(doc_ids, texts, langs):
+        fact = facts[d % len(facts)]
+        pad = (CHUNK_W - (len(t) % CHUNK_W)) % CHUNK_W
+        full = t + " " * pad + fact_sentence(fact)
+        url = (
+            f"https://example.org/{lg}/{d:06d}"
+            if replica == 0
+            else f"https://example.org/r{replica:02d}/{lg}/{d:06d}"
+        )
+        urls.append(url)
+        tss.append(EPOCH_US + d * 1_000_000)
+        if d % 7 == 3:
+            htmls.append(wrap_html(full, url))
+            out_texts.append(None)
+        else:
+            htmls.append(None)
+            out_texts.append(full)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
 
 
 # ---------------------------------------------------------------- SQL oracle helpers

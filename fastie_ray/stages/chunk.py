@@ -113,7 +113,7 @@ def chunk_pages(
     ds: "ray.data.Dataset",
     max_length: int = DEFAULT_MAX_LENGTH,
     split_sentence: bool = False,
-    batch_size: int = 1024,
+    batch_size: int | None = None,
 ) -> "ray.data.Dataset":
     """pages (url, text, lang) → chunks (url, chunk_id, chunk_offset,
     chunk_text, lang)."""

@@ -61,6 +61,6 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def extract_text(ds: "ray.data.Dataset", batch_size: int = 2048) -> "ray.data.Dataset":
+def extract_text(ds: "ray.data.Dataset", batch_size: int | None = None) -> "ray.data.Dataset":
     """pages → (url, text, warc_ts, lang); drops ``html``."""
     return ds.map_batches(extract_text_batch, batch_format="pyarrow", batch_size=batch_size)

@@ -205,7 +205,7 @@ def score_mentions(
     ds_chunks: "ray.data.Dataset",
     world_ref=None,
     concurrency: int = 4,
-    batch_size: int = 256,
+    batch_size: int | None = None,
     **kw,
 ) -> "ray.data.Dataset":
     return ds_chunks.map_batches(
@@ -221,7 +221,7 @@ def score_relations(
     ds_chunks: "ray.data.Dataset",
     world_ref=None,
     concurrency: int = 4,
-    batch_size: int = 256,
+    batch_size: int | None = None,
     **kw,
 ) -> "ray.data.Dataset":
     return ds_chunks.map_batches(
@@ -296,7 +296,7 @@ def score_joint(
     ds_chunks: "ray.data.Dataset",
     world_ref=None,
     concurrency: int = 4,
-    batch_size: int = 256,
+    batch_size: int | None = None,
     **kw,
 ):
     """chunks → union table of mention + triple rows (split by `kind`)."""

@@ -119,6 +119,24 @@ def _q_kg_nodes(sf_dir: str):
     return t["nodes"]
 
 
+def _q_kg_events(sf_dir: str):
+    import ray
+
+    from fastie_ray.pipelines.kg import doc_events
+
+    world_ref = ray.put(_world())
+    return doc_events(_pages(sf_dir), world_ref=world_ref, concurrency=4)
+
+
+def _q_uie(sf_dir: str):
+    import ray
+
+    from fastie_ray.pipelines.uie import uie_extract
+
+    world_ref = ray.put(_world())
+    return uie_extract(_pages(sf_dir), world_ref=world_ref, concurrency=4)
+
+
 def _q_lang_counts(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count
@@ -462,6 +480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,
+        "kg_events": _q_kg_events,
+        "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
         "doc_stats": _q_doc_stats,
@@ -597,6 +617,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT entity_id, min(name) AS canonical_name,
                    entity_id AS component_id, count(*) AS n_mentions
             FROM ment GROUP BY entity_id
+        """,
+        "kg_events": f"""
+            WITH {FACTS}
+            SELECT {URL} AS url, f.predicate AS event_type,
+                   '触发词' AS role,
+                   substr(f.sentence, f.sub_len + 1, f.pre_len) AS argument,
+                   {BASE} + f.sub_len AS start,
+                   {BASE} + f.sub_len + f.pre_len AS "end"
+            {JOIN}
+            UNION ALL
+            SELECT {URL} AS url, f.predicate AS event_type,
+                   'subject' AS role, f.subject AS argument,
+                   {BASE} AS start, {BASE} + f.sub_len AS "end"
+            {JOIN}
+            UNION ALL
+            SELECT {URL} AS url, f.predicate AS event_type,
+                   'object' AS role, f.object AS argument,
+                   {BASE} + f.sub_len + f.pre_len AS start,
+                   {BASE} + f.sub_len + f.pre_len + f.obj_len AS "end"
+            {JOIN}
+        """,
+        "uie": f"""
+            WITH {FACTS}
+            SELECT {URL} AS url, 1 AS level, f.sub_label AS prompt,
+                   f.subject AS argument,
+                   {BASE} AS start, {BASE} + f.sub_len AS "end"
+            {JOIN}
+            UNION ALL
+            SELECT {URL} AS url, 1 AS level, f.obj_label AS prompt,
+                   f.object AS argument,
+                   {BASE} + f.sub_len + f.pre_len AS start,
+                   {BASE} + f.sub_len + f.pre_len + f.obj_len AS "end"
+            {JOIN} WHERE f.obj_label IN ('ORG', 'PER')
+            UNION ALL
+            SELECT {URL} AS url, 2 AS level,
+                   f.subject || '的' || f.predicate AS prompt,
+                   f.object AS argument,
+                   {BASE} + f.sub_len + f.pre_len AS start,
+                   {BASE} + f.sub_len + f.pre_len + f.obj_len AS "end"
+            {JOIN}
         """,
         "lang_counts": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
         "token_counts": """

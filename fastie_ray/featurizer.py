@@ -155,6 +155,32 @@ class GazetteerFeaturizer:
             ends[tok_t] = h.label_id + 1
         return starts, ends, id2label_1
 
+    def event_hits(
+        self, dashed_text: str
+    ) -> tuple[list[tuple[str, str, int, int]], set[tuple[int, int, int, int]]]:
+        """Sparse GPLinker-EE inputs (kernels.event_ee.decode_event_sparse):
+        each relation assertion becomes one event — trigger = the
+        connective phrase span, subject/object = argument roles — with a
+        fully-linked (complete-subgraph) link set per assertion, the
+        shape ``modeling_gplinker.py:176-218`` decodes."""
+        from fastie_ray.kernels.event_ee import TRIGGER_ROLE
+
+        argus: list[tuple[str, str, int, int]] = []
+        links: set[tuple[int, int, int, int]] = set()
+        for r in self.relation_hits(dashed_text):
+            et = self.id2predicate[r.pred_id]
+            group = [
+                (et, TRIGGER_ROLE, r.s_ce + 1, r.o_cs),
+                (et, "subject", r.s_cs + 1, r.s_ce),
+                (et, "object", r.o_cs + 1, r.o_ce),
+            ]
+            argus.extend(group)
+            for a in group:
+                for b in group:
+                    if a is not b:
+                        links.add((a[2], a[3], b[2], b[3]))
+        return argus, links
+
     # ---- dense logits (test oracle only; O(L^2) memory) -------------------
 
     def ner_logits_dense(self, dashed_text: str, max_length: int = 512):

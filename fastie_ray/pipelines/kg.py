@@ -221,3 +221,22 @@ def _bucketed_groupby(partials, key, final_fn, n_buckets: int):
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def doc_events(
+    pages: "ray.data.Dataset",
+    world_ref=None,
+    concurrency: int = 8,
+    n_buckets: int = 64,
+    **scorer_kw: Any,
+) -> "ray.data.Dataset":
+    """pages → document event-argument rows (GPLinker-EE semantics A13),
+    one streaming pass — same shape as doc_triples."""
+    from fastie_ray.stages.rejoin import rejoin_events
+    from fastie_ray.stages.scorers import score_events
+
+    chunks = chunk_pages(extract_text(pages))
+    scored = score_events(
+        chunks, world_ref=world_ref, concurrency=concurrency, **scorer_kw
+    )
+    return rejoin_events(scored, n_buckets)

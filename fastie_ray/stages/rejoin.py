@@ -53,3 +53,27 @@ def rejoin_triples(ds_triples: "ray.data.Dataset", n_buckets: int = 64) -> "ray.
     """chunk triples → document triples (url, predicate, subject, object)."""
     proj = ds_triples.select_columns(["url", "predicate", "subject", "object"])
     return dedup_exact(proj, ["url", "predicate", "subject", "object"], n_buckets)
+
+
+def rejoin_events(ds_events: "ray.data.Dataset", n_buckets: int = 64) -> "ray.data.Dataset":
+    """chunk event-argument rows → document rows
+    (url, event_type, role, argument, start, end): offset rebase is the
+    same stateless add as mentions; set-union semantics = exact dedup."""
+
+    def rebase(batch: pa.Table) -> pa.Table:
+        off = pc.cast(batch["chunk_offset"], pa.int32())
+        return pa.table(
+            {
+                "url": batch["url"],
+                "event_type": batch["event_type"],
+                "role": batch["role"],
+                "argument": batch["argument"],
+                "start": pc.add(batch["start"], off),
+                "end": pc.add(batch["end"], off),
+            }
+        )
+
+    rebased = ds_events.map_batches(rebase, batch_format="pyarrow")
+    return dedup_exact(
+        rebased, ["url", "event_type", "role", "argument", "start", "end"], n_buckets
+    )

@@ -328,3 +328,63 @@ def split_scored(ds_scored):
         batch_format="pyarrow",
     )
     return mentions, triples
+
+
+class EventScorer(_ScorerBase):
+    """chunks → chunk-level event-argument rows (GPLinker-EE decode
+    semantics A13: threshold argus + link set + clique_search grouping,
+    trigger-less cliques dropped). One row per (event, argument)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from fastie_ray.kernels.event_ee import decode_event_sparse
+
+        urls = batch["url"].to_pylist()
+        cids = batch["chunk_id"].to_pylist()
+        offs = batch["chunk_offset"].to_pylist()
+        texts = batch["chunk_text"].to_pylist()
+
+        rows = {k: [] for k in
+                ("url", "chunk_id", "chunk_offset", "event_type", "role",
+                 "argument", "start", "end")}
+        for url, cid, coff, text in zip(urls, cids, offs, texts):
+            dashed, seq_len, mapping = self._seq(text)
+            argus, links = self.feat.event_hits(dashed)
+            events = decode_event_sparse(argus, links, seq_len, text, mapping)
+            for ev in events:
+                for et, role, arg, cs, ce in ev:
+                    rows["url"].append(url)
+                    rows["chunk_id"].append(cid)
+                    rows["chunk_offset"].append(coff)
+                    rows["event_type"].append(et)
+                    rows["role"].append(role)
+                    rows["argument"].append(arg)
+                    rows["start"].append(cs)
+                    rows["end"].append(ce)
+        return pa.table(
+            {
+                "url": pa.array(rows["url"], pa.string()),
+                "chunk_id": pa.array(np.asarray(rows["chunk_id"], dtype=np.int32)),
+                "chunk_offset": pa.array(np.asarray(rows["chunk_offset"], dtype=np.int32)),
+                "event_type": pa.array(rows["event_type"], pa.string()),
+                "role": pa.array(rows["role"], pa.string()),
+                "argument": pa.array(rows["argument"], pa.string()),
+                "start": pa.array(np.asarray(rows["start"], dtype=np.int32)),
+                "end": pa.array(np.asarray(rows["end"], dtype=np.int32)),
+            }
+        )
+
+
+def score_events(
+    ds_chunks: "ray.data.Dataset",
+    world_ref=None,
+    concurrency: int = 4,
+    batch_size: int | None = None,
+    **kw,
+) -> "ray.data.Dataset":
+    return ds_chunks.map_batches(
+        EventScorer,
+        fn_constructor_kwargs={"world_ref": world_ref, **kw},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -155,6 +155,46 @@ class GazetteerFeaturizer:
             ends[tok_t] = h.label_id + 1
         return starts, ends, id2label_1
 
+    def tplinker_ner_inputs(self, dashed_text: str) -> list[tuple[int, int, int]]:
+        """Sparse TPLinker-NER spots (pos1, pos2, tag=label_id), the
+        shaking-matrix nonzeros (``ner tplinker modeling:174-191``)."""
+        return [(h.cs + 1, h.ce, h.label_id) for h in self.mention_hits(dashed_text)]
+
+    @property
+    def tplinker_re_tags(self) -> dict[int, str]:
+        """Handshaking tag vocabulary: ``{ent}=EH2ET`` per label plus
+        ``{rel}=SH2OH/OH2SH/ST2OT/OT2ST`` per predicate."""
+        if not hasattr(self, "_tpl_tags"):
+            tags = [f"{lb}=EH2ET" for lb in sorted(self.label2id)]
+            for p in sorted(self.pred2id):
+                tags += [f"{p}=SH2OH", f"{p}=OH2SH", f"{p}=ST2OT", f"{p}=OT2ST"]
+            self._tpl_tags = {i: t for i, t in enumerate(tags)}
+            self._tpl_tag2id = {t: i for i, t in self._tpl_tags.items()}
+        return self._tpl_tags
+
+    def tplinker_re_inputs(self, dashed_text: str) -> list[tuple[int, int, int]]:
+        """Sparse TPLinker-RE spots: entity EH2ET spots + orientation-
+        normalized head/tail link spots (pos1 <= pos2 always — the
+        upper-triangular shaking constraint; reversed pairs use the
+        OH2SH / OT2ST tags, ``re tplinker modeling:195-216``)."""
+        self.tplinker_re_tags  # build vocab
+        spots = []
+        for h in self.mention_hits(dashed_text):
+            tag = self._tpl_tag2id[f"{self.id2label[h.label_id]}=EH2ET"]
+            spots.append((h.cs + 1, h.ce, tag))
+        for r in self.relation_hits(dashed_text):
+            pred = self.id2predicate[r.pred_id]
+            s_h, s_t, o_h, o_t = r.s_cs + 1, r.s_ce, r.o_cs + 1, r.o_ce
+            if s_h <= o_h:
+                spots.append((s_h, o_h, self._tpl_tag2id[f"{pred}=SH2OH"]))
+            else:
+                spots.append((o_h, s_h, self._tpl_tag2id[f"{pred}=OH2SH"]))
+            if s_t <= o_t:
+                spots.append((s_t, o_t, self._tpl_tag2id[f"{pred}=ST2OT"]))
+            else:
+                spots.append((o_t, s_t, self._tpl_tag2id[f"{pred}=OT2ST"]))
+        return spots
+
     def event_hits(
         self, dashed_text: str
     ) -> tuple[list[tuple[str, str, int, int]], set[tuple[int, int, int, int]]]:

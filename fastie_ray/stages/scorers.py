@@ -101,12 +101,30 @@ class _ScorerBase:
         if self.ner_backend == "span":
             starts, ends, id2l = self.feat.span_labels(dashed, seq_len)
             return decode_span(starts, ends, seq_len, text, mapping, id2l)
+        if self.ner_backend == "tplinker":
+            from fastie_ray.kernels.tplinker import decode_tplinker_ner
+
+            spots = self.feat.tplinker_ner_inputs(dashed)
+            return decode_tplinker_ner(
+                spots, seq_len, text, mapping, self.feat.id2label
+            )
         raise ValueError(f"unknown NER backend: {self.ner_backend}")
 
     def _decode_triples(self, dashed, seq_len, text, mapping):
         """Dispatch across the RE decode families (A7 GPLinker, A8
         CasRel, A9 OneRel) — identical triple sets on flat corpora."""
-        if self.rel_backend in ("default", "gplinker"):
+        if self.rel_backend == "tplinker":
+            from fastie_ray.kernels.tplinker import decode_tplinker_re
+
+            spots = self.feat.tplinker_re_inputs(dashed)
+            return decode_tplinker_re(
+                spots, seq_len, text, mapping, self.feat.tplinker_re_tags
+            )
+        if self.rel_backend in ("default", "gplinker", "pfn"):
+            # PFN decode is structurally identical to GPLinker over
+            # sigmoid probabilities (kernels.pfn_re); the featurizer's
+            # unit-score hits clear both thresholds, so the sparse
+            # production path is shared.
             mhits = self.feat.mention_hits(dashed)
             spans = [(h.cs + 1, h.ce) for h in mhits]
             rhits = self.feat.relation_hits(dashed)

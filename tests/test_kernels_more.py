@@ -293,7 +293,7 @@ def _synth_chunk_batch(n_docs: int = 40):
 def test_rel_backends_identical_triples():
     w, batch = _synth_chunk_batch()
     outs = {}
-    for be in ("gplinker", "casrel", "onerel"):
+    for be in ("gplinker", "casrel", "onerel", "tplinker", "pfn"):
         t = RelScorer(world_ref=w, rel_backend=be)(batch)
         outs[be] = set(
             zip(
@@ -302,14 +302,17 @@ def test_rel_backends_identical_triples():
                 t["object"].to_pylist(),
             )
         )
-    assert outs["gplinker"] == outs["casrel"] == outs["onerel"]
+    assert (
+        outs["gplinker"] == outs["casrel"] == outs["onerel"]
+        == outs["tplinker"] == outs["pfn"]
+    )
     assert len(outs["gplinker"]) > 0
 
 
 def test_ner_backends_identical_mentions():
     w, batch = _synth_chunk_batch()
     outs = {}
-    for be in ("gp", "bio", "span"):
+    for be in ("gp", "bio", "span", "tplinker"):
         t = NerScorer(world_ref=w, ner_backend=be)(batch)
         outs[be] = set(
             zip(
@@ -318,7 +321,7 @@ def test_ner_backends_identical_mentions():
                 t["end"].to_pylist(), t["mention"].to_pylist(),
             )
         )
-    assert outs["gp"] == outs["bio"] == outs["span"]
+    assert outs["gp"] == outs["bio"] == outs["span"] == outs["tplinker"]
     assert len(outs["gp"]) > 0
 
 
@@ -334,3 +337,105 @@ def test_casrel_sparse_matches_gplinker_on_featurizer():
             s_starts, s_ends, obj_hits, seq_len, text, m + [(0, 0)], feat.id2predicate
         )
         assert all(isinstance(t, tuple) and len(t) == 3 for t in got)
+
+
+# --------------------------------------------- tplinker / cnn / grte / pfn
+
+
+def test_tplinker_ner_spots_and_decode():
+    from fastie_ray.kernels.tplinker import decode_tplinker_ner, spots_from_shaking
+
+    text = "abcdef"
+    L = len(text) + 2
+    S = L * (L + 1) // 2
+    scores = np.full((S, 2), -1.0, dtype=np.float32)
+    # span toks (1,3) = chars 0..3, tag 0; flatten idx for (1,3):
+    # rows: s=0 has L cells, s=1 has L-1 ... idx(s,e) = sum_{k<s}(L-k) + (e-s)
+    idx = L + (3 - 1)  # s=1 block starts at L
+    scores[idx, 0] = 1.0
+    spots = spots_from_shaking(scores, L)
+    assert spots == [(1, 3, 0)]
+    out = decode_tplinker_ner(spots, L, text, _mapping(len(text)), {0: "X", 1: "Y"})
+    assert out == {("X", 0, 3, "abc")}
+    # CLS / reversed excluded
+    assert decode_tplinker_ner([(0, 2, 0)], L, text, _mapping(len(text)), {0: "X"}) == set()
+
+
+def test_tplinker_re_link_decode():
+    from fastie_ray.kernels.tplinker import decode_tplinker_re
+
+    text = "abcdef"
+    L = len(text) + 2
+    tags = {0: "T=EH2ET", 1: "r=SH2OH", 2: "r=OH2SH", 3: "r=ST2OT", 4: "r=OT2ST"}
+    # subject "ab" toks (1,2); object "de" toks (4,5)
+    spots = [(1, 2, 0), (4, 5, 0), (1, 4, 1), (2, 5, 3)]
+    out = decode_tplinker_re(spots, L, text, _mapping(len(text)), tags)
+    assert out == {("r", "ab", "de")}
+    # reversed orientation via OH2SH/OT2ST: object head before subject head
+    spots_rev = [(1, 2, 0), (4, 5, 0), (1, 4, 2), (2, 5, 4)]
+    out_rev = decode_tplinker_re(spots_rev, L, text, _mapping(len(text)), tags)
+    assert out_rev == {("r", "de", "ab")}
+    # missing tail link → nothing
+    assert decode_tplinker_re([(1, 2, 0), (4, 5, 0), (1, 4, 1)], L, text,
+                              _mapping(len(text)), tags) == set()
+
+
+def test_cnn_decode_nested_and_clash():
+    from fastie_ray.kernels.cnn_ner import decode_cnn, filter_clashed_by_priority
+
+    text = "abcde"
+    L = len(text)
+    C = 2
+    scores = np.zeros((L, L, C), dtype=np.float32)
+    # scores are symmetrized (sym = (S + S.T)/2) — set both triangles
+    scores[0, 2, 0] = scores[2, 0, 0] = 0.9  # "abc" label 0
+    scores[1, 1, 1] = 0.8  # nested "b" label 1 (diagonal)
+    scores[1, 3, 0] = scores[3, 1, 0] = 0.7  # partial overlap with "abc" → clash
+    out = decode_cnn(scores, L, text, {0: "A", 1: "B"}, allow_nested=True)
+    assert out == {("A", 0, 3, "abc"), ("B", 1, 2, "b")}
+    out2 = decode_cnn(scores, L, text, {0: "A", 1: "B"}, allow_nested=False)
+    assert out2 == {("A", 0, 3, "abc")}
+    assert filter_clashed_by_priority(
+        [(True, 0, 2), (True, 1, 3)], allow_nested=True
+    ) == [(True, 0, 2)]
+
+
+def test_grte_decode_tags():
+    from fastie_ray.kernels.grte_re import decode_grte
+
+    text = "abcdef"
+    L = len(text) + 2
+    table = np.zeros((L, L, 1), dtype=np.int64)
+    # SS: single-token subj tok1 ("a"), single-token obj tok4 ("d")
+    table[1, 4, 0] = 1
+    out = decode_grte(table, L, text, _mapping(len(text)), {0: "p"})
+    assert out == {("p", "a", "d")}
+    # MMH/MMT: multi-token subject toks 1..2 ("ab"), object toks 4..5 ("de")
+    table2 = np.zeros((L, L, 1), dtype=np.int64)
+    table2[1, 4, 0] = 6  # MMH (heads)
+    table2[2, 5, 0] = 7  # MMT (tails)
+    out2 = decode_grte(table2, L, text, _mapping(len(text)), {0: "p"})
+    assert out2 == {("p", "ab", "de")}
+    # SMH without SMT → nothing
+    table3 = np.zeros((L, L, 1), dtype=np.int64)
+    table3[1, 4, 0] = 4
+    assert decode_grte(table3, L, text, _mapping(len(text)), {0: "p"}) == set()
+
+
+def test_pfn_equals_gplinker_with_thresh():
+    from fastie_ray.kernels.pfn_re import decode_pfn
+
+    text = "abcdef"
+    L = len(text) + 2
+    ner = np.zeros((2, L, L), dtype=np.float32)
+    head = np.zeros((1, L, L), dtype=np.float32)
+    tail = np.zeros((1, L, L), dtype=np.float32)
+    ner[0, 1, 2] = 0.9  # subject "ab"
+    ner[1, 4, 5] = 0.9  # object "de"
+    head[0, 1, 4] = 0.6
+    tail[0, 2, 5] = 0.6
+    out = decode_pfn(ner, head, tail, L, text, _mapping(len(text)), {0: "p"})
+    assert out == {("p", "ab", "de")}
+    # below the 0.5 sigmoid threshold → nothing (GPLinker at 0.0 would emit)
+    head[0, 1, 4] = 0.4
+    assert decode_pfn(ner, head, tail, L, text, _mapping(len(text)), {0: "p"}) == set()

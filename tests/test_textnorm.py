@@ -52,3 +52,47 @@ def test_unify_prompt_name():
     # sorted + dedup semantics
     assert unify_prompt_name("x[b,a,b]") == "x[a,b]"
     assert unify_prompt_name("no options") == "no options"
+
+
+# ------------------------------------------------------------- uie prep
+
+
+def test_negative_prompts_xor():
+    from fastie_ray.functions.uie_prep import negative_prompts
+
+    assert negative_prompts(["A", "B", "C"], ["B"]) == ["A", "C"]
+    assert negative_prompts(["A"], ["A"]) == []
+
+
+def test_sample_negatives_ratio_and_determinism():
+    from fastie_ray.functions.uie_prep import sample_negatives
+
+    labels = [f"L{i}" for i in range(20)]
+    out1 = sample_negatives("doc text", ["L0"], labels, negative_ratio=3,
+                            n_positive_results=2)
+    out2 = sample_negatives("doc text", ["L0"], labels, negative_ratio=3,
+                            n_positive_results=2)
+    assert out1 == out2  # per-key RNG, order-independent
+    assert len(out1) == 6  # ratio * n_positive
+    assert all(o["prompt"] != "L0" and o["result_list"] == [] for o in out1)
+    # ratio -1 keeps all redundants
+    out_all = sample_negatives("doc text", ["L0"], labels, -1, 2)
+    assert len(out_all) == 19
+    # zero positives → ratio-capped at ratio * 1
+    out_zero = sample_negatives("doc text", [], labels, 2, 0)
+    assert len(out_zero) == 20  # actual_ratio=0 <= 2 → all kept
+
+
+def test_cls_majority_vote_reference_semantics():
+    from fastie_ray.functions.uie_prep import cls_majority_vote
+
+    chunks = [
+        [{"text": "pos", "probability": 0.9}],
+        [{"text": "neg", "probability": 0.8}],
+        [{"text": "pos", "probability": 0.7}],
+        [],
+    ]
+    out = cls_majority_vote(chunks)
+    assert out[0]["text"] == "pos"
+    assert abs(out[0]["probability"] - 0.8) < 1e-12
+    assert cls_majority_vote([[], []]) == []

@@ -134,3 +134,48 @@ def test_write_jsonl_roundtrip(ray_session, tmp_path):
     write_jsonl(ds, out)
     back = read_jsonl(out).to_pandas().sort_values("a").reset_index(drop=True)
     assert back.a.tolist() == [1, 2] and back.b.tolist() == ["x", "y"]
+
+
+# ------------------------------------------------------------- doccano
+
+
+def test_doccano_to_uie(ray_session):
+    from fastie_ray.sources.doccano import doccano_to_uie, doccano_vocab
+
+    rows = [
+        {"text": "Anna works at Acme.",
+         "entities": [
+             {"id": 0, "start_offset": 0, "end_offset": 4, "label": "PER"},
+             {"id": 1, "start_offset": 14, "end_offset": 18, "label": "ORG"},
+         ],
+         "relations": [{"id": 0, "from_id": 0, "to_id": 1, "type": "works_for"}]},
+        {"text": "Paris is lovely.",
+         "entities": [{"id": 0, "start_offset": 0, "end_offset": 5, "label": "LOC"}],
+         "relations": []},
+    ]
+    ds = ray.data.from_items(rows)
+    ent, pred = doccano_vocab(ds)
+    assert ent == ["LOC", "ORG", "PER"] and pred == ["works_for"]
+
+    out = doccano_to_uie(ds, negative_ratio=-1).to_pandas()
+    pos_e = out[out.kind == "entity_pos"]
+    assert set(pos_e.prompt) == {"PER", "ORG", "LOC"}
+    anna = pos_e[pos_e.prompt == "PER"].result_list.iloc[0]
+    assert anna[0]["text"] == "Anna" and anna[0]["start"] == 0
+
+    pos_r = out[out.kind == "relation_pos"]
+    assert pos_r.prompt.tolist() == ["Anna的works_for"]
+    assert pos_r.result_list.iloc[0][0]["text"] == "Acme"
+
+    # negative_ratio=-1 → all redundant entity prompts kept per doc
+    neg_e = out[(out.kind == "entity_neg") & (out.content == "Paris is lovely.")]
+    assert set(neg_e.prompt) == {"ORG", "PER"}
+
+    # inverse-relation negative present and empty
+    neg_r = out[out.kind == "relation_neg"]
+    assert neg_r.prompt.tolist() == ["Acme的works_for"]
+    assert list(neg_r.result_list.iloc[0]) == []
+
+    # english prompt construction
+    out_en = doccano_to_uie(ds, negative_ratio=0, schema_lang="en").to_pandas()
+    assert "works_for of Anna" in set(out_en[out_en.kind == "relation_pos"].prompt)

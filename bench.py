@@ -57,8 +57,9 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
 
     out: dict[str, float] = {}
     qs = e.queries()
-    for name in ("extract_text", "chunk_stats", "kg_triples", "dedup_docs",
-                 "knn", "events_by_type", "q1_lineitem"):
+    for name in ("extract_text", "chunk_stats", "kg_triples", "kg_events",
+                 "uie", "dedup_docs", "minhash_dups", "knn",
+                 "events_by_type", "q1_lineitem"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

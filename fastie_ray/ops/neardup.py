@@ -88,9 +88,16 @@ class MinHashBander:
         self.rows_per_band = num_perm // bands
         self.seeds = _perm_params(num_perm, seed)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch) -> "pa.Table":
+        # Arrow in/out: the shingle sets ride the shuffle as a
+        # list<uint64> column (fast columnar serialization), not pandas
+        # object arrays (row-pickled, ~10x slower through the sort).
+        import pyarrow as pa
+
+        ids = batch[self.id_col].to_pylist() if isinstance(batch, pa.Table) else list(batch[self.id_col])
+        texts = batch[self.text_col].to_pylist() if isinstance(batch, pa.Table) else list(batch[self.text_col])
         out_id, out_band, out_key, out_sh = [], [], [], []
-        for doc_id, text in zip(df[self.id_col], df[self.text_col]):
+        for doc_id, text in zip(ids, texts):
             sh = sorted({stable_hash64(s) for s in _token_shingles(text, self.shingle_k)})
             sh_arr = np.asarray(sh, dtype=np.uint64)
             sig = minhash_signature(sh_arr, self.seeds)
@@ -101,36 +108,43 @@ class MinHashBander:
                 out_band.append(band)
                 out_key.append(np.int64(key % (1 << 62)))
                 out_sh.append(sh_arr)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": out_id,
-                "band": out_band,
-                "key": out_key,
-                "shingles": out_sh,
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "key": pa.array(out_key, pa.int64()),
+                "shingles": pa.array([a.tolist() for a in out_sh], pa.list_(pa.uint64())),
             }
         )
 
 
-def _pairs_in_group(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Exact-Jaccard verification of all candidate pairs sharing one
-    (band, key) bucket."""
+def _pairs_in_partition(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Exact-Jaccard verification within one COARSE hash partition:
+    a vectorized pandas groupby over (band, key) filters to buckets
+    with ≥2 docs, then candidate pairs are verified. One partition =
+    one task — iterating every (band, key) bucket as its own
+    ``map_groups`` call costs a Python roundtrip per SINGLETON bucket
+    (the overwhelming majority), ~150k calls at sf0.1."""
     out = []
-    ids = g["doc_id"].to_numpy()
-    shingles = list(g["shingles"])
-    order = np.argsort(ids)
-    for ii in range(len(order)):
-        for jj in range(ii + 1, len(order)):
-            i, j = order[ii], order[jj]
-            if ids[i] == ids[j]:
-                continue
-            A, B = shingles[i], shingles[j]
-            inter = len(np.intersect1d(A, B, assume_unique=True))
-            union = len(A) + len(B) - inter
-            jac = inter / union if union else 0.0
-            if jac >= threshold:
-                # integer-scaled jaccard: exactly reproducible in SQL
-                # (floor(inter * 1e6 / union)), no float-rounding skew
-                out.append((int(ids[i]), int(ids[j]), inter * 1_000_000 // union))
+    sizes = g.groupby(["band", "key"])["doc_id"].transform("size")
+    cand = g[sizes >= 2]
+    for (_, _), grp in cand.groupby(["band", "key"]):
+        ids = grp["doc_id"].to_numpy()
+        shingles = [np.asarray(x, dtype=np.uint64) for x in grp["shingles"]]
+        order = np.argsort(ids)
+        for ii in range(len(order)):
+            for jj in range(ii + 1, len(order)):
+                i, j = order[ii], order[jj]
+                if ids[i] == ids[j]:
+                    continue
+                A, B = shingles[i], shingles[j]
+                inter = len(np.intersect1d(A, B, assume_unique=True))
+                union = len(A) + len(B) - inter
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    # integer-scaled jaccard: exactly reproducible in
+                    # SQL (floor(inter*1e6/union)), no rounding skew
+                    out.append((int(ids[i]), int(ids[j]), inter * 1_000_000 // union))
     return pd.DataFrame(
         {
             "doc_a": pd.Series([r[0] for r in out], dtype="int64"),
@@ -164,11 +178,24 @@ def minhash_lsh_dups(
             id_col=id_col, text_col=text_col, shingle_k=shingle_k,
             num_perm=num_perm, bands=bands, seed=seed,
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=concurrency,
     )
-    pairs = banded.groupby(["band", "key"]).map_groups(
-        lambda g: _pairs_in_group(g, threshold), batch_format="pandas"
+
+    def add_part(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        part = pc.cast(pc.bit_wise_and(t["key"], 63), pa.int32())
+        return t.append_column("__part", part)
+
+    pairs = (
+        banded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda g: _pairs_in_partition(g.drop(columns="__part"), threshold),
+            batch_format="pandas",
+        )
     )
     return dedup_exact(pairs, ["doc_a", "doc_b"])
 

@@ -90,7 +90,7 @@ def _q_kg_mentions(sf_dir: str):
     from fastie_ray.pipelines.kg import extract_triples
 
     world_ref = ray.put(_world())
-    mentions, _ = extract_triples(_pages(sf_dir), world_ref=world_ref, concurrency=4)
+    mentions, _ = extract_triples(_pages(sf_dir), world_ref=world_ref, concurrency=8)
     return mentions
 
 
@@ -100,13 +100,13 @@ def _q_kg_triples(sf_dir: str):
     from fastie_ray.pipelines.kg import doc_triples
 
     world_ref = ray.put(_world())
-    return doc_triples(_pages(sf_dir), world_ref=world_ref, concurrency=4)
+    return doc_triples(_pages(sf_dir), world_ref=world_ref, concurrency=8)
 
 
 def _q_kg_edges(sf_dir: str):
     from fastie_ray.pipelines.kg import graph_tables
 
-    t = graph_tables(_pages(sf_dir), world=_world(), concurrency=4)
+    t = graph_tables(_pages(sf_dir), world=_world(), concurrency=8)
     return t["edges"].select_columns(
         ["subject_id", "predicate", "object_id", "n_support"]
     )
@@ -115,7 +115,7 @@ def _q_kg_edges(sf_dir: str):
 def _q_kg_nodes(sf_dir: str):
     from fastie_ray.pipelines.kg import graph_tables
 
-    t = graph_tables(_pages(sf_dir), world=_world(), concurrency=4)
+    t = graph_tables(_pages(sf_dir), world=_world(), concurrency=8)
     return t["nodes"]
 
 
@@ -125,7 +125,7 @@ def _q_kg_events(sf_dir: str):
     from fastie_ray.pipelines.kg import doc_events
 
     world_ref = ray.put(_world())
-    return doc_events(_pages(sf_dir), world_ref=world_ref, concurrency=4)
+    return doc_events(_pages(sf_dir), world_ref=world_ref, concurrency=8)
 
 
 def _q_uie(sf_dir: str):
@@ -134,7 +134,7 @@ def _q_uie(sf_dir: str):
     from fastie_ray.pipelines.uie import uie_extract
 
     world_ref = ray.put(_world())
-    return uie_extract(_pages(sf_dir), world_ref=world_ref, concurrency=4)
+    return uie_extract(_pages(sf_dir), world_ref=world_ref, concurrency=8)
 
 
 def _q_lang_counts(sf_dir: str):
@@ -415,7 +415,7 @@ def _q_extraction_f1(sf_dir: str):
 
     world_ref = ray.put(_world())
     from fastie_ray.pipelines.kg import doc_triples as _dt
-    triples = _dt(_pages(sf_dir), world_ref=world_ref, concurrency=4)
+    triples = _dt(_pages(sf_dir), world_ref=world_ref, concurrency=8)
     gold = _q_kg_triples_gold(sf_dir)
     m = extraction_score(gold, triples, keys=["url", "predicate", "subject", "object"])
     return pd.DataFrame(

@@ -22,14 +22,12 @@ def get_bool_ids_greater_than(probs, limit: float = 0.5, return_prob: bool = Fal
     dim_len = len(probs.shape)
     if dim_len > 1:
         return [get_bool_ids_greater_than(p, limit, return_prob) for p in probs]
-    result = []
-    for i, p in enumerate(probs):
-        if p > limit:
-            if return_prob:
-                result.append((i, p))
-            else:
-                result.append(i)
-    return result
+    # vectorized threshold scan — output identical to the reference's
+    # per-element loop (indices in ascending order)
+    idx = np.nonzero(probs > limit)[0]
+    if return_prob:
+        return [(int(i), probs[int(i)]) for i in idx]
+    return [int(i) for i in idx]
 
 
 def get_span(start_ids, end_ids, with_prob: bool = False):

@@ -53,9 +53,19 @@ class UieSpanScorer(_ScorerBase):
     reference path: probability rows → ``get_bool_ids_greater_than`` →
     ``get_span`` → offset-mapped char spans."""
 
+    def _hits(self, dashed: str):
+        """Per-batch memo: each chunk text appears once per PROMPT row,
+        so the regex scans would otherwise repeat per prompt."""
+        cached = self._cache.get(dashed)
+        if cached is None:
+            cached = (self.feat.mention_hits(dashed), self.feat.relation_hits(dashed))
+            self._cache[dashed] = cached
+        return cached
+
     def _prompt_probs(self, prompt: str, dashed: str, seq_len: int):
         starts = np.zeros(seq_len, dtype=np.float32)
         ends = np.zeros(seq_len, dtype=np.float32)
+        mhits, rhits = self._hits(dashed)
         if "的" in prompt:
             parent, pred = prompt.rsplit("的", 1)
             pid = self.feat.pred2id.get(pred)
@@ -64,7 +74,7 @@ class UieSpanScorer(_ScorerBase):
             from fastie_ray.functions.textnorm import space_to_dash
 
             parent_d = space_to_dash(parent)
-            for r in self.feat.relation_hits(dashed):
+            for r in rhits:
                 if r.pred_id != pid:
                     continue
                 if dashed[r.s_cs : r.s_ce] != parent_d:
@@ -76,13 +86,14 @@ class UieSpanScorer(_ScorerBase):
             lid = self.feat.label2id.get(prompt)
             if lid is None:
                 return starts, ends
-            for h in self.feat.mention_hits(dashed):
+            for h in mhits:
                 if h.label_id == lid and h.ce < seq_len - 1 and h.cs + 1 > 0:
                     starts[h.cs + 1] = 1.0
                     ends[h.ce] = 1.0
         return starts, ends
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        self._cache: dict[str, tuple] = {}  # reset per batch (bounded)
         urls = batch["url"].to_pylist()
         cids = batch["chunk_id"].to_pylist()
         offs = batch["chunk_offset"].to_pylist()
@@ -177,14 +188,16 @@ def uie_extract(
     def fan_out(batch: pa.Table) -> pa.Table:
         rows = {k: [] for k in
                 ("url", "chunk_id", "chunk_offset", "chunk_text", "prompt", "level")}
+        cols = {c: batch[c].to_pylist() for c in
+                ("url", "chunk_id", "chunk_offset", "chunk_text", "prompt", "argument")}
         for i in range(batch.num_rows):
-            root = batch["prompt"][i].as_py()
-            arg = batch["argument"][i].as_py()
+            root = cols["prompt"][i]
+            arg = cols["argument"][i]
             for pred in children.get(root, []):
-                rows["url"].append(batch["url"][i].as_py())
-                rows["chunk_id"].append(batch["chunk_id"][i].as_py())
-                rows["chunk_offset"].append(batch["chunk_offset"][i].as_py())
-                rows["chunk_text"].append(batch["chunk_text"][i].as_py())
+                rows["url"].append(cols["url"][i])
+                rows["chunk_id"].append(cols["chunk_id"][i])
+                rows["chunk_offset"].append(cols["chunk_offset"][i])
+                rows["chunk_text"].append(cols["chunk_text"][i])
                 rows["prompt"].append(f"{arg}的{pred}")
                 rows["level"].append(2)
         return pa.table(

@@ -225,6 +225,28 @@ def _q_events_by_type(sf_dir: str):
     return _bucketed_groupby(partial_ds := ds.map_batches(partial, batch_format="pandas"), "event_type", final, 8)
 
 
+def _q_windowed_events(sf_dir: str):
+    import ray.data
+
+    from fastie_ray.ops.windows import tumbling_window_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return tumbling_window_agg(ds, freq="1h")
+
+
+def _q_top_users(sf_dir: str):
+    import ray.data
+
+    from fastie_ray.ops.windows import top_k_by_sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+    return top_k_by_sum(ds, k=10)
+
+
 def _q_q1_lineitem(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -488,6 +510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs": _q_dedup_docs,
         "knn": _q_knn,
         "events_by_type": _q_events_by_type,
+        "windowed_events": _q_windowed_events,
+        "top_users": _q_top_users,
         "q1_lineitem": _q_q1_lineitem,
         "orders_by_segment": _q_orders_by_segment,
     }
@@ -702,6 +726,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_events,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type
+        """,
+        "windowed_events": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "top_users": """
+            SELECT user_id, round(sum(value), 4) AS sum_value,
+                   row_number() OVER (ORDER BY sum(value) DESC, user_id ASC) AS rank
+            FROM events GROUP BY user_id
+            ORDER BY rank LIMIT 10
         """,
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,

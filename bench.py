@@ -35,7 +35,7 @@ def _headline(sf_dir: str) -> dict:
     from fastie_ray.synth import build_world
 
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", 32))
-    repeat = int(os.environ.get("GRAFT_REPEAT", 4))
+    repeat = int(os.environ.get("GRAFT_REPEAT", 64))
     world = build_world()
     world_ref = ray.put(world)
     pages = pages_from_documents(sf_dir, world, repeat=repeat)
@@ -94,7 +94,7 @@ def main() -> None:
         "num_cpus": ncpu,
         "n_triples": head["n_triples"],
         "n_pages": head["n_pages"],
-        "repeat": int(os.environ.get("GRAFT_REPEAT", 4)),
+        "repeat": int(os.environ.get("GRAFT_REPEAT", 64)),
         "triples_per_sec": round(head["n_triples"] / head["sec"], 1),
         "pages_per_sec": round(head["n_pages"] / head["sec"], 1),
     }

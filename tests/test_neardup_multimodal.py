@@ -248,3 +248,33 @@ def test_lsh_knn_multiprobe_recall(ray_session):
     planted = ds.map_batches(plant, batch_format="pandas")
     out = lsh_knn(planted, query_ids=[0], k=1, probe_radius=1)
     assert out.neighbor_id.tolist() == [9_000_000]
+
+
+# ------------------------------------------------------------- windows
+
+
+def test_tumbling_window_and_topk(ray_session):
+    import pandas as pd
+    from fastie_ray.ops.windows import top_k_by_sum, tumbling_window_agg
+
+    rows = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:10",
+                 "2024-01-01 00:20"]
+            ),
+            "event_type": ["a", "a", "a", "b"],
+            "value": [1.0, 2.0, 4.0, 8.0],
+            "user_id": [1, 2, 1, 3],
+        }
+    )
+    ds = ray.data.from_pandas(rows)
+    w = tumbling_window_agg(ds, freq="1h").to_pandas().sort_values(
+        ["window_start", "event_type"]).reset_index(drop=True)
+    assert len(w) == 3
+    h0a = w[(w.event_type == "a") & (w.window_start == pd.Timestamp("2024-01-01 00:00"))]
+    assert int(h0a.n_events.iloc[0]) == 2 and h0a.sum_value.iloc[0] == 3.0
+
+    top = top_k_by_sum(ds, k=2)
+    assert top.user_id.tolist() == [3, 1]  # 8.0, then 1+4=5.0
+    assert top["rank"].tolist() == [1, 2]

@@ -195,6 +195,23 @@ class GazetteerFeaturizer:
                 spots.append((o_t, s_t, self._tpl_tag2id[f"{pred}=OT2ST"]))
         return spots
 
+    def w2ner_inputs(
+        self, dashed_text: str, max_words: int
+    ) -> tuple[list[tuple[int, int]], list[tuple[int, int, int]]]:
+        """Sparse W2NER grid hits over WORD (=char) indices: NNW chain
+        edges along each mention plus one THW (head, tail, label_id+2)
+        per mention — label ids shifted by 2 because grid value 1 is the
+        NNW tag (``modeling_w2ner.py:207-224``)."""
+        nnw: list[tuple[int, int]] = []
+        thw: list[tuple[int, int, int]] = []
+        for h in self.mention_hits(dashed_text):
+            if h.ce > max_words:
+                continue
+            for i in range(h.cs, h.ce - 1):
+                nnw.append((i, i + 1))
+            thw.append((h.cs, h.ce - 1, h.label_id + 2))
+        return nnw, thw
+
     def event_hits(
         self, dashed_text: str
     ) -> tuple[list[tuple[str, str, int, int]], set[tuple[int, int, int, int]]]:

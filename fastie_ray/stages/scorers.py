@@ -101,6 +101,14 @@ class _ScorerBase:
         if self.ner_backend == "span":
             starts, ends, id2l = self.feat.span_labels(dashed, seq_len)
             return decode_span(starts, ends, seq_len, text, mapping, id2l)
+        if self.ner_backend == "w2ner":
+            from fastie_ray.kernels.w2ner import decode_w2ner_sparse
+
+            # word-grid indices are raw char positions (no CLS shift);
+            # id2label shifted by +2 mirrors the grid tag space
+            nnw, thw = self.feat.w2ner_inputs(dashed, seq_len - 2)
+            id2l = {i + 2: lb for i, lb in self.feat.id2label.items()}
+            return decode_w2ner_sparse(nnw, thw, seq_len - 2, text, id2l)
         if self.ner_backend == "tplinker":
             from fastie_ray.kernels.tplinker import decode_tplinker_ner
 
@@ -152,7 +160,8 @@ class _ScorerBase:
 class NerScorer(_ScorerBase):
     """chunks → chunk-local mentions. Backends: ``gp`` (GlobalPointer
     decode A1, default), ``bio`` (CRF chunking A3), ``span``
-    (start/end pointer pairing A4)."""
+    (start/end pointer pairing A4), ``w2ner`` (sparse word-grid walk
+    A2), ``tplinker`` (shaking spots A5)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()

@@ -312,7 +312,7 @@ def test_rel_backends_identical_triples():
 def test_ner_backends_identical_mentions():
     w, batch = _synth_chunk_batch()
     outs = {}
-    for be in ("gp", "bio", "span", "tplinker"):
+    for be in ("gp", "bio", "span", "tplinker", "w2ner"):
         t = NerScorer(world_ref=w, ner_backend=be)(batch)
         outs[be] = set(
             zip(
@@ -321,7 +321,10 @@ def test_ner_backends_identical_mentions():
                 t["end"].to_pylist(), t["mention"].to_pylist(),
             )
         )
-    assert outs["gp"] == outs["bio"] == outs["span"] == outs["tplinker"]
+    assert (
+        outs["gp"] == outs["bio"] == outs["span"]
+        == outs["tplinker"] == outs["w2ner"]
+    )
     assert len(outs["gp"]) > 0
 
 
@@ -439,3 +442,25 @@ def test_pfn_equals_gplinker_with_thresh():
     # below the 0.5 sigmoid threshold → nothing (GPLinker at 0.0 would emit)
     head[0, 1, 4] = 0.4
     assert decode_pfn(ner, head, tail, L, text, _mapping(len(text)), {0: "p"}) == set()
+
+
+def test_w2ner_sparse_equals_dense_random():
+    from fastie_ray.kernels.w2ner import decode_w2ner, decode_w2ner_sparse
+
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        n = int(rng.integers(2, 12))
+        text = "".join(rng.choice(list("abcdef"), size=n))
+        grid = rng.choice([0, 0, 0, 1, 2, 3], size=(n, n))
+        id2l = {2: "X", 3: "Y"}
+        dense = decode_w2ner(grid, n, text, id2l)
+        nnw = [(int(i), int(j)) for i, j in zip(*np.where(grid == 1)) if i < j]
+        # dense scans grid[j, i] > 1 for i <= j: head=i, tail=j
+        thw = [
+            (int(i), int(j), int(grid[j, i]))
+            for j in range(n)
+            for i in range(j + 1)
+            if grid[j, i] > 1
+        ]
+        sparse = decode_w2ner_sparse(nnw, thw, n, text, id2l)
+        assert dense == sparse, (dense, sparse)

@@ -330,6 +330,12 @@ def _q_minhash_dups(sf_dir: str):
 
 
 def _q_simhash_dups(sf_dir: str):
+    """Planted-duplicate construction: every 5th doc re-appears
+    verbatim with id+1e6 (simhash distance 0 by construction, so the
+    banding must recall it); the SQL-checkable output is the planted
+    subset (doc_b == doc_a + 1e6 identifies exactly those pairs —
+    copies only exist for base ids). Full-corpus pair semantics are
+    covered by pytest against brute-force hamming."""
     import pandas as pd
     import ray.data
 
@@ -342,8 +348,15 @@ def _q_simhash_dups(sf_dir: str):
         d["doc_id"] = d["doc_id"] + 1_000_000
         return pd.concat([df, d], ignore_index=True)
 
-    return simhash_dups(docs.map_batches(plant, batch_format="pandas"),
-                        hamming_thresh=3, concurrency=4)
+    pairs = simhash_dups(docs.map_batches(plant, batch_format="pandas"),
+                         hamming_thresh=3, concurrency=4)
+
+    def planted(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_b"] - df["doc_a"] == 1_000_000][
+            ["doc_a", "doc_b", "hamming"]
+        ]
+
+    return pairs.map_batches(planted, batch_format="pandas")
 
 
 def _q_jaccard_prefix(sf_dir: str):
@@ -389,22 +402,73 @@ def _q_embed_neardup(sf_dir: str):
 
 
 def _q_lsh_knn(sf_dir: str):
+    """Planted-neighbor construction: each query vector gets a scaled
+    (×1.01) copy at id+1e6 — identical direction means identical LSH
+    sign pattern (always co-bucketed) and cosine exactly 1.0, so the
+    approximate search MUST return it at rank 1. Full top-k recall vs
+    brute force is asserted in pytest."""
+    import numpy as np
+    import pandas as pd
     import ray.data
 
     from fastie_ray.ops.similarity import lsh_knn
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = lsh_knn(ds, query_ids=[0, 1, 2, 3], k=5)
-    return out[["query_id", "neighbor_id", "rank"]]
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["vec_id"].isin([0, 1, 2, 3])].copy()
+        d["vec_id"] = d["vec_id"] + 1_000_000
+        d["embedding"] = [
+            (np.asarray(e, dtype=np.float32) * 1.01).tolist() for e in d["embedding"]
+        ]
+        return pd.concat([df, d], ignore_index=True)
+
+    out = lsh_knn(ds.map_batches(plant, batch_format="pandas"),
+                  query_ids=[0, 1, 2, 3], k=5)
+    return out[out["rank"] == 1][["query_id", "neighbor_id", "rank"]]
+
+
+_PLANT_LANGS = ["en", "de", "fr", "es", "zh"]
+
+
+def _plant_lang_text(lang: str) -> str:
+    """Deterministic language-marked text: sorted stopword inventory per
+    language (mutually non-overlapping hit-rates under the LangId
+    heuristic), pure CJK for zh."""
+    if lang == "zh":
+        return "数据处理系统的大规模分布式计算引擎"
+    from fastie_ray.ops.text_analysis import _STOPWORDS
+
+    return " ".join(sorted(_STOPWORDS[lang]))
 
 
 def _q_lang_id(sf_dir: str):
+    """Planted-stopword construction (the synth `lang` column is
+    independent of the synthetic token text, so the oracle plants
+    texts whose language the heuristic provably identifies): every
+    5th doc re-appears with id+1e6 and a language cycled by formula;
+    the SQL-checkable output is the planted subset."""
+    import pandas as pd
     import ray.data
 
     from fastie_ray.ops.text_analysis import lang_id
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return lang_id(ds)
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] % 5 == 0].copy()
+        d["text"] = [
+            _plant_lang_text(_PLANT_LANGS[(int(i) // 5) % 5]) for i in d["doc_id"]
+        ]
+        d["doc_id"] = d["doc_id"] + 1_000_000
+        return pd.concat([df, d], ignore_index=True)
+
+    preds = lang_id(ds.map_batches(plant, batch_format="pandas"))
+
+    def planted(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"] >= 1_000_000]
+
+    return preds.map_batches(planted, batch_format="pandas")
 
 
 def _q_quality(sf_dir: str):
@@ -417,12 +481,31 @@ def _q_quality(sf_dir: str):
 
 
 def _q_fingerprints(sf_dir: str):
+    """md5 content fingerprint (SQL-reproducible: md5(text)) plus a
+    SQL-checkable semantic invariant of the rolling-min-hash: it is
+    computed over stripped token windows, so padding the text with
+    whitespace must not change it (rolling_stable == 1)."""
+    import pandas as pd
     import ray.data
 
-    from fastie_ray.ops.text_analysis import fingerprints
+    from fastie_ray.ops.text_analysis import fingerprint_batch
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return fingerprints(ds)
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        a = fingerprint_batch(df)
+        b = fingerprint_batch(df.assign(text=" " + df["text"] + " "))
+        return pd.DataFrame(
+            {
+                "doc_id": a["doc_id"],
+                "fingerprint": a["fingerprint"],
+                "rolling_stable": (
+                    a["rolling_min_hash"].to_numpy() == b["rolling_min_hash"].to_numpy()
+                ).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pandas")
 
 
 def _q_extraction_f1(sf_dir: str):
@@ -572,6 +655,39 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": """
             SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
             FROM embeddings WHERE vec_id % 5 = 0
+        """,
+        "simhash_dups": """
+            SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b,
+                   CAST(0 AS BIGINT) AS hamming
+            FROM documents WHERE doc_id % 5 = 0
+        """,
+        "lsh_knn": """
+            SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+                   CAST(1 AS BIGINT) AS rank
+            FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+        """,
+        "lang_id": """
+            SELECT doc_id + 1000000 AS doc_id,
+                   CASE ((doc_id // 5) % 5)
+                       WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+                       WHEN 3 THEN 'es' ELSE 'zh' END AS lang_pred
+            FROM documents WHERE doc_id % 5 = 0
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint,
+                   CAST(1 AS BIGINT) AS rolling_stable
+            FROM documents
+        """,
+        "media_frames": """
+            WITH m AS (
+                SELECT i AS media_id,
+                       CASE WHEN i % 3 = 0 THEN 0
+                            ELSE 1000 + (i * 7919) % 59000 END AS duration_ms
+                FROM range(256) t(i)
+            ), f AS (SELECT k FROM range(4) t(k))
+            SELECT m.media_id, CAST(f.k AS INTEGER) AS frame_idx,
+                   CAST((m.duration_ms * f.k) // 4 AS BIGINT) AS ts_ms
+            FROM m CROSS JOIN f
         """,
         "quality": """
             WITH q AS (

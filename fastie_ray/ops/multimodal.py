@@ -43,7 +43,11 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus (payload = seeded bytes)."""
+    """Deterministic fake media corpus (payload = seeded bytes).
+    ``duration_ms`` uses a closed-form formula (0 for images, else
+    ``1000 + (i*7919) % 59000``) so the frame-timestamp invariant
+    ``ts_ms = duration_ms*k // n_frames`` is reproducible in plain SQL
+    for the driver oracle."""
     rows = {k: [] for k in ("media_id", "kind", "payload", "mime", "width", "height", "duration_ms")}
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -56,7 +60,7 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         rows["mime"].append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind])
         rows["width"].append(int(rng.integers(64, 1920)) if kind != "audio" else 0)
         rows["height"].append(int(rng.integers(64, 1080)) if kind != "audio" else 0)
-        rows["duration_ms"].append(int(rng.integers(1000, 60000)) if kind != "image" else 0)
+        rows["duration_ms"].append(0 if kind == "image" else 1000 + (i * 7919) % 59000)
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 

@@ -11,13 +11,15 @@ tables — the training-data-pipeline dedup family:
 - ``embedding_neardup``: all-pairs cosine ≥ threshold via per-batch
   matmul against a broadcast (``ray.put`` once) normalized matrix.
 
-Scale notes (100 TB): band rows here carry the doc's shingle-hash set
-so verification happens inside the band group with no second join —
-payload ≈ bands × shingle bytes. At petabyte scale switch
-``verify="estimate"`` (carry only the fixed-size MinHash signature and
-verify by signature agreement) or re-join candidates to a shingle
-table keyed by doc id. The band groupby key is ``(band, key)`` which
-is uniform by construction (hash values), so no salting is needed.
+Scale notes (100 TB): in ``verify="exact"`` mode band rows carry the
+doc's shingle-hash set so verification happens inside the band group
+with no second join — payload ≈ bands × shingle bytes, fine to ~TB.
+``verify="estimate"`` carries only the fixed num_perm×8-byte MinHash
+signature and verifies by signature agreement — the constant-payload
+100-TB mode. The band groupby key is ``(band, key)`` which is uniform
+by construction (hash values), so no salting is needed; all
+verification runs inside 64 coarse partitions (one task each), never
+one Python call per fine (mostly singleton) bucket.
 """
 
 from __future__ import annotations
@@ -81,17 +83,24 @@ class MinHashBander:
         num_perm: int = 128,
         bands: int = 32,
         seed: int = 42,
+        carry: str = "shingles",
     ):
         assert num_perm % bands == 0
+        assert carry in ("shingles", "signature")
         self.id_col, self.text_col = id_col, text_col
         self.shingle_k, self.num_perm, self.bands = shingle_k, num_perm, bands
         self.rows_per_band = num_perm // bands
         self.seeds = _perm_params(num_perm, seed)
+        self.carry = carry
 
     def __call__(self, batch) -> "pa.Table":
-        # Arrow in/out: the shingle sets ride the shuffle as a
+        # Arrow in/out: the verification payload rides the shuffle as a
         # list<uint64> column (fast columnar serialization), not pandas
         # object arrays (row-pickled, ~10x slower through the sort).
+        # carry="shingles" ships the doc's full shingle-hash set (exact
+        # verification downstream, payload grows with doc length);
+        # carry="signature" ships the fixed num_perm×8-byte MinHash
+        # signature (estimate verification, 100-TB-safe payload).
         import pyarrow as pa
 
         ids = batch[self.id_col].to_pylist() if isinstance(batch, pa.Table) else list(batch[self.id_col])
@@ -101,19 +110,21 @@ class MinHashBander:
             sh = sorted({stable_hash64(s) for s in _token_shingles(text, self.shingle_k)})
             sh_arr = np.asarray(sh, dtype=np.uint64)
             sig = minhash_signature(sh_arr, self.seeds)
+            payload = sh_arr if self.carry == "shingles" else sig
             for band in range(self.bands):
                 rows = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
                 key = stable_hash64(rows.tobytes())
                 out_id.append(doc_id)
                 out_band.append(band)
                 out_key.append(np.int64(key % (1 << 62)))
-                out_sh.append(sh_arr)
+                out_sh.append(payload)
+        col = "shingles" if self.carry == "shingles" else "sig"
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.int64()),
                 "band": pa.array(out_band, pa.int32()),
                 "key": pa.array(out_key, pa.int64()),
-                "shingles": pa.array([a.tolist() for a in out_sh], pa.list_(pa.uint64())),
+                col: pa.array([a.tolist() for a in out_sh], pa.list_(pa.uint64())),
             }
         )
 
@@ -154,6 +165,33 @@ def _pairs_in_partition(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
     )
 
 
+def _est_pairs_in_partition(g: pd.DataFrame, threshold: float, num_perm: int) -> pd.DataFrame:
+    """Signature-agreement verification within one coarse partition:
+    estimated Jaccard = matching signature components / num_perm. The
+    payload per row is the FIXED num_perm×8-byte signature, so the
+    shuffle stays 100-TB-safe regardless of doc length."""
+    out: list[tuple[int, int, int]] = []
+    sizes = g.groupby(["band", "key"])["doc_id"].transform("size")
+    cand = g[sizes >= 2]
+    for _, grp in cand.groupby(["band", "key"]):
+        ids = grp["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        S = np.stack([np.asarray(s, dtype=np.uint64) for s in grp["sig"]])[order]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        matches = (S[ii] == S[jj]).sum(axis=1)
+        keep = (matches * 1.0 / num_perm >= threshold) & (ids[ii] != ids[jj])
+        for x, y, m in zip(ii[keep], jj[keep], matches[keep]):
+            out.append((int(ids[x]), int(ids[y]), int(m) * 1_000_000 // num_perm))
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series([r[0] for r in out], dtype="int64"),
+            "doc_b": pd.Series([r[1] for r in out], dtype="int64"),
+            "jaccard_e6": pd.Series([r[2] for r in out], dtype="int64"),
+        }
+    )
+
+
 def minhash_lsh_dups(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",
@@ -164,19 +202,30 @@ def minhash_lsh_dups(
     threshold: float = 0.7,
     seed: int = 42,
     concurrency: int = 4,
+    verify: str = "exact",
 ) -> "ray.data.Dataset":
     """All document pairs with distinct-``k``-token-shingle Jaccard ≥
-    ``threshold`` → (doc_a, doc_b, jaccard), doc_a < doc_b.
+    ``threshold`` → (doc_a, doc_b, jaccard_e6), doc_a < doc_b.
 
     Recall is governed by the banding: P(candidate | J) =
     1-(1-J^r)^b with r = num_perm/bands; at the 128/32 default a
-    J=0.7 pair is missed w.p. ≈1.5e-4. Verification is exact, so
-    precision is 1 (no false pairs)."""
+    J=0.7 pair is missed w.p. ≈1.5e-4.
+
+    ``verify="exact"``: band rows carry the doc's shingle-hash set and
+    pairs are verified by exact Jaccard (precision 1; SQL-reproducible
+    — the driver oracle uses this mode). Payload grows with doc length
+    × bands, fine to ~TB scale.
+    ``verify="estimate"``: band rows carry only the fixed
+    num_perm×8-byte signature; Jaccard is estimated by signature
+    agreement (stderr ≈ sqrt(J(1-J)/num_perm) ≈ 0.04 at J=0.7). The
+    100-TB mode: constant shuffle payload per row."""
+    assert verify in ("exact", "estimate")
     banded = ds.map_batches(
         MinHashBander,
         fn_constructor_kwargs=dict(
             id_col=id_col, text_col=text_col, shingle_k=shingle_k,
             num_perm=num_perm, bands=bands, seed=seed,
+            carry="shingles" if verify == "exact" else "signature",
         ),
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -189,13 +238,15 @@ def minhash_lsh_dups(
         part = pc.cast(pc.bit_wise_and(t["key"], 63), pa.int32())
         return t.append_column("__part", part)
 
+    if verify == "exact":
+        in_partition = lambda g: _pairs_in_partition(g.drop(columns="__part"), threshold)  # noqa: E731
+    else:
+        in_partition = lambda g: _est_pairs_in_partition(g.drop(columns="__part"), threshold, num_perm)  # noqa: E731
+
     pairs = (
         banded.map_batches(add_part, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(
-            lambda g: _pairs_in_partition(g.drop(columns="__part"), threshold),
-            batch_format="pandas",
-        )
+        .map_groups(in_partition, batch_format="pandas")
     )
     return dedup_exact(pairs, ["doc_a", "doc_b"])
 
@@ -203,9 +254,53 @@ def minhash_lsh_dups(
 # --------------------------------------------------------------- simhash
 
 
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+_BITPOS64 = np.arange(64, dtype=np.uint64)
+
+
+def simhash64_batch(texts, cache: dict | None = None) -> np.ndarray:
+    """Vectorized 64-bit SimHash per text over distinct whitespace
+    tokens: token hashes are cached across the batch, then each doc is
+    one [T, 64] bit-matrix sum + majority vote (no per-token Python
+    bit loop). Returns uint64 [n]."""
+    cache = {} if cache is None else cache
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, text in enumerate(texts):
+        toks = set(text.strip().split())
+        if not toks:
+            continue
+        hs = np.fromiter(
+            (
+                cache[t] if t in cache else cache.setdefault(t, stable_hash64(t))
+                for t in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        ones = ((hs[:, None] >> _BITPOS64[None, :]) & np.uint64(1)).sum(axis=0)
+        sig_bits = (2 * ones > len(toks)).astype(np.uint64)
+        out[i] = np.bitwise_or.reduce(sig_bits << _BITPOS64)
+    return out
+
+
 class SimHasher:
     """64-bit SimHash over distinct whitespace tokens + bit-slice bands.
-    Emits ``n_bands`` rows per doc: (doc_id, band, key, sig)."""
+    Emits ``n_bands`` rows per doc: (doc_id, band, key, sig, __part) —
+    ``__part`` is a coarse 64-way hash of (band, key) so verification
+    runs as 64 partition tasks, never one ``map_groups`` call per
+    (mostly singleton) fine bucket. Token hashes are cached per actor
+    across batches (the stateful-stage shape)."""
 
     def __init__(
         self, id_col: str = "doc_id", text_col: str = "text", n_bands: int = 8
@@ -213,33 +308,63 @@ class SimHasher:
         self.id_col, self.text_col, self.n_bands = id_col, text_col, n_bands
         assert 64 % n_bands == 0
         self.band_bits = 64 // n_bands
+        self._cache: dict[str, int] = {}
 
     @staticmethod
     def simhash64(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in set(text.strip().split()):
-            h = stable_hash64(tok)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        sig = 0
-        for i in range(64):
-            if acc[i] > 0:
-                sig |= 1 << i
-        return sig
+        return int(simhash64_batch([text])[0])
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        out_id, out_band, out_key, out_sig = [], [], [], []
-        mask = (1 << self.band_bits) - 1
-        for doc_id, text in zip(df[self.id_col], df[self.text_col]):
-            sig = self.simhash64(text)
-            for band in range(self.n_bands):
-                out_id.append(doc_id)
-                out_band.append(band)
-                out_key.append((sig >> (band * self.band_bits)) & mask)
-                out_sig.append(np.int64(sig - (1 << 63)))  # store signed
+        sigs = simhash64_batch(list(df[self.text_col]), cache=self._cache)
+        if len(self._cache) > 1_000_000:  # bound actor memory
+            self._cache.clear()
+        n = len(df)
+        nb = self.n_bands
+        mask = np.uint64((1 << self.band_bits) - 1)
+        ids = np.repeat(df[self.id_col].to_numpy(), nb)
+        bands = np.tile(np.arange(nb, dtype=np.int64), n)
+        rep_sigs = np.repeat(sigs, nb)
+        keys = (rep_sigs >> (bands.astype(np.uint64) * np.uint64(self.band_bits))) & mask
+        with np.errstate(over="ignore"):
+            part = _splitmix64(keys * np.uint64(nb) + bands.astype(np.uint64)) & np.uint64(63)
         return pd.DataFrame(
-            {"doc_id": out_id, "band": out_band, "key": out_key, "sig": out_sig}
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "band": pd.Series(bands, dtype="int64"),
+                "key": pd.Series(keys.astype(np.int64), dtype="int64"),
+                "sig": pd.Series(rep_sigs.view(np.int64), dtype="int64"),
+                "__part": pd.Series(part.astype(np.int64), dtype="int64"),
+            }
         )
+
+
+def _simhash_pairs_in_partition(g: pd.DataFrame, hamming_thresh: int) -> pd.DataFrame:
+    """Popcount verification within one COARSE partition: filter to
+    (band, key) buckets with ≥2 docs, then vectorized pairwise XOR +
+    popcount per bucket (same shape as ``_pairs_in_partition``)."""
+    out_a: list[int] = []
+    out_b: list[int] = []
+    out_h: list[int] = []
+    sizes = g.groupby(["band", "key"])["doc_id"].transform("size")
+    cand = g[sizes >= 2]
+    for _, grp in cand.groupby(["band", "key"]):
+        ids = grp["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        sigs = grp["sig"].to_numpy()[order].view(np.uint64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        ham = popcount64(sigs[ii] ^ sigs[jj])
+        keep = (ham <= hamming_thresh) & (ids[ii] != ids[jj])
+        out_a.extend(ids[ii[keep]].tolist())
+        out_b.extend(ids[jj[keep]].tolist())
+        out_h.extend(ham[keep].astype(np.int64).tolist())
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "hamming": pd.Series(out_h, dtype="int64"),
+        }
+    )
 
 
 def simhash_dups(
@@ -254,36 +379,21 @@ def simhash_dups(
     → (doc_a, doc_b, hamming). With ``n_bands`` bit-slice bands any
     pair at hamming ≤ n_bands-1 shares at least one exact band
     (pigeonhole), so recall is 1 for ``hamming_thresh ≤ n_bands-1``;
-    popcount verification makes precision 1."""
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        ids = g["doc_id"].to_numpy()
-        sigs = (g["sig"].to_numpy().astype(np.int64).astype(np.uint64)) + np.uint64(1 << 63)
-        order = np.argsort(ids)
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                i, j = order[ii], order[jj]
-                if ids[i] == ids[j]:
-                    continue
-                ham = int(bin(int(sigs[i]) ^ int(sigs[j])).count("1"))
-                if ham <= hamming_thresh:
-                    out.append((int(ids[i]), int(ids[j]), ham))
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series([r[0] for r in out], dtype="int64"),
-                "doc_b": pd.Series([r[1] for r in out], dtype="int64"),
-                "hamming": pd.Series([r[2] for r in out], dtype="int64"),
-            }
-        )
-
+    popcount verification makes precision 1. ONE shuffle, on the coarse
+    64-way ``__part`` key (never a ``map_groups`` call per fine
+    bucket)."""
     banded = ds.map_batches(
         SimHasher,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, n_bands=n_bands),
         batch_format="pandas",
         concurrency=concurrency,
     )
-    cand = banded.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
+    cand = banded.groupby("__part").map_groups(
+        lambda g: _simhash_pairs_in_partition(
+            g.drop(columns="__part"), hamming_thresh
+        ),
+        batch_format="pandas",
+    )
     return dedup_exact(cand, ["doc_a", "doc_b"])
 
 
@@ -312,42 +422,121 @@ def jaccard_pairs_batch(
 # ---------------------------------------------------------- embeddings
 
 
+class _HyperplaneBander:
+    """L independent random-hyperplane hash tables per vector (planes
+    generated once per actor). Emits L rows per vector:
+    (id, table, bucket, emb, __part) — ``__part`` is a coarse 64-way
+    hash of (table, bucket) for partition-level verification. Exact
+    scalar multiples of a vector get identical sign patterns in every
+    table, so exact-direction duplicates are recalled with p=1."""
+
+    def __init__(
+        self,
+        id_col: str,
+        emb_col: str,
+        dim: int,
+        n_planes: int = 8,
+        n_tables: int = 4,
+        seed: int = 42,
+    ):
+        rng = np.random.default_rng(seed)
+        # [L, dim, p] plane stack, one slab per table
+        self.planes = rng.standard_normal((n_tables, dim, n_planes)).astype(np.float32)
+        self.id_col, self.emb_col = id_col, emb_col
+        self.n_planes, self.n_tables = n_planes, n_tables
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        M = np.asarray(list(df[self.emb_col]), dtype=np.float32)
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        M = M / nrm
+        n = len(df)
+        ids = df[self.id_col].to_numpy()
+        out = {"vec_id": [], "table": [], "bucket": [], "emb": [], "__part": []}
+        weights = (np.int64(1) << np.arange(self.n_planes, dtype=np.int64))
+        for t in range(self.n_tables):
+            bits = (M @ self.planes[t]) > 0  # [n, p]
+            buckets = bits.astype(np.int64) @ weights
+            out["vec_id"].append(ids)
+            out["table"].append(np.full(n, t, dtype=np.int64))
+            out["bucket"].append(buckets)
+            out["emb"].extend([M[i] for i in range(n)])
+            with np.errstate(over="ignore"):
+                combined = buckets.astype(np.uint64) * np.uint64(self.n_tables) + np.uint64(t)
+                out["__part"].append((_splitmix64(combined) & np.uint64(63)).astype(np.int64))
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(np.concatenate(out["vec_id"]), dtype="int64"),
+                "table": pd.Series(np.concatenate(out["table"]), dtype="int64"),
+                "bucket": pd.Series(np.concatenate(out["bucket"]), dtype="int64"),
+                "emb": out["emb"],
+                "__part": pd.Series(np.concatenate(out["__part"]), dtype="int64"),
+            }
+        )
+
+
+def _emb_pairs_in_partition(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Cosine verification within one coarse partition: filter to
+    (table, bucket) cells with ≥2 vectors, one matmul per cell."""
+    out: list[tuple[int, int, float]] = []
+    sizes = g.groupby(["table", "bucket"])["vec_id"].transform("size")
+    cand = g[sizes >= 2]
+    for _, grp in cand.groupby(["table", "bucket"]):
+        ids = grp["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack([np.asarray(e, dtype=np.float32) for e in grp["emb"]])[order]
+        S = M @ M.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = (S[ii, jj] >= threshold) & (ids[ii] != ids[jj])
+        for x, y, s in zip(ii[keep], jj[keep], S[ii, jj][keep]):
+            out.append((int(ids[x]), int(ids[y]), round(float(s), 6)))
+    return pd.DataFrame(
+        {
+            "id_a": pd.Series([r[0] for r in out], dtype="int64"),
+            "id_b": pd.Series([r[1] for r in out], dtype="int64"),
+            "cosine": pd.Series([r[2] for r in out], dtype="float64"),
+        }
+    )
+
+
 def embedding_neardup(
     ds: "ray.data.Dataset",
     threshold: float = 0.9,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    concurrency: int = 4,
 ) -> "ray.data.Dataset":
-    """All vector pairs with cosine ≥ threshold → (id_a, id_b, cosine),
-    id_a < id_b. The full normalized matrix is broadcast ONCE
-    (``ray.put``); each batch does one matmul against it — O(n·B) work
-    per batch, never a pairwise shuffle. At 10^9-vector scale replace
-    the broadcast side with LSH buckets (``ops.similarity.lsh_knn``)."""
-    import ray
+    """Near-duplicate vector pairs (cosine ≥ threshold) → (id_a, id_b,
+    cosine), id_a < id_b, via multi-table random-hyperplane LSH: each
+    vector lands in ``n_tables`` independent sign-pattern buckets; only
+    same-bucket candidates are verified (one matmul per non-singleton
+    cell inside a coarse 64-way partition). NO driver materialization
+    and no O(corpus) broadcast — the shuffle payload is n_tables ×
+    (normalized vector + two int keys) per row, fixed-size.
 
-    all_rows = ds.select_columns([id_col, emb_col]).to_pandas()
-    all_rows = all_rows.sort_values(id_col)
-    ids_all = all_rows[id_col].to_numpy()
-    M = np.asarray(list(all_rows[emb_col]), dtype=np.float32)
-    n = np.linalg.norm(M, axis=1, keepdims=True)
-    n[n == 0] = 1.0
-    M = M / n
-    ref = ray.put((ids_all, M))
-
-    def batch_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids_a, Mall = ray.get(ref)
-        B = np.asarray(list(df[emb_col]), dtype=np.float32)
-        nb = np.linalg.norm(B, axis=1, keepdims=True)
-        nb[nb == 0] = 1.0
-        B = B / nb
-        ids_b = df[id_col].to_numpy()
-        S = B @ Mall.T  # [batch, n]
-        bi, ai = np.where(S >= threshold)
-        out = []
-        for x, y in zip(bi, ai):
-            a, b = int(ids_b[x]), int(ids_a[y])
-            if a < b:  # emit each unordered pair once; skip self
-                out.append((a, b, round(float(S[x, y]), 6)))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"])
-
-    return ds.map_batches(batch_pairs, batch_format="pandas")
+    Recall: a plane separates a pair at angle θ w.p. θ/π; for
+    cosine ≥ 0.9 (θ ≤ 25.8°, p_sep ≤ .084) a table keeps the pair w.p.
+    ≥ (1-.084)^8 ≈ .50, so 4 tables give recall ≥ 1-(1-.50)^4 ≈ .94 —
+    and EXACT-direction duplicates (scalar multiples) share every sign
+    pattern, so their recall is 1. Verification is exact cosine, so
+    precision is 1. Scale by raising ``n_tables`` (recall) and
+    ``n_planes`` (bucket size ≈ n / 2^p per table)."""
+    banded = ds.map_batches(
+        _HyperplaneBander,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, emb_col=emb_col, dim=dim,
+            n_planes=n_planes, n_tables=n_tables, seed=seed,
+        ),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+    pairs = banded.groupby("__part").map_groups(
+        lambda g: _emb_pairs_in_partition(g.drop(columns="__part"), threshold),
+        batch_format="pandas",
+    )
+    return dedup_exact(pairs, ["id_a", "id_b"])

@@ -212,6 +212,39 @@ class GazetteerFeaturizer:
             thw.append((h.cs, h.ce - 1, h.label_id + 2))
         return nnw, thw
 
+    def cnn_inputs(self, dashed_text: str) -> list[tuple[int, int, int, float]]:
+        """Sparse CNN-NER span hits over WORD (=char) indices, inclusive
+        ends, unit confidence — the post-symmetrization cells above the
+        0.5 threshold (``modeling_cnn.py:251-273``; word-indexed like
+        ``w2ner_inputs``, the reference slices text directly)."""
+        return [
+            (h.label_id, h.cs, h.ce - 1, 1.0) for h in self.mention_hits(dashed_text)
+        ]
+
+    def grte_inputs(self, dashed_text: str) -> list[tuple[int, int, int, int]]:
+        """Sparse GRTE table cells (s, e, pred_id, tag) in CLS-shifted
+        token space — the head/tail marker pairs the argmaxed ``[L, L,
+        R]`` table carries per relation assertion (``modeling_grte.py:
+        167-232``): SS for single/single, MSH+MST / SMH+SMT / MMH+MMT
+        for the multi-token combinations."""
+        cells: list[tuple[int, int, int, int]] = []
+        for r in self.relation_hits(dashed_text):
+            s_h, s_t = r.s_cs + 1, r.s_ce
+            o_h, o_t = r.o_cs + 1, r.o_ce
+            single_s, single_o = s_h == s_t, o_h == o_t
+            if single_s and single_o:
+                cells.append((s_h, o_h, r.pred_id, 1))  # SS
+            elif not single_s and single_o:
+                cells.append((s_h, o_h, r.pred_id, 2))  # MSH
+                cells.append((s_t, o_h, r.pred_id, 3))  # MST
+            elif single_s and not single_o:
+                cells.append((s_h, o_h, r.pred_id, 4))  # SMH
+                cells.append((s_h, o_t, r.pred_id, 5))  # SMT
+            else:
+                cells.append((s_h, o_h, r.pred_id, 6))  # MMH
+                cells.append((s_t, o_t, r.pred_id, 7))  # MMT
+        return cells
+
     def event_hits(
         self, dashed_text: str
     ) -> tuple[list[tuple[str, str, int, int]], set[tuple[int, int, int, int]]]:

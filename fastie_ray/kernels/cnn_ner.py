@@ -78,3 +78,41 @@ def decode_cnn(
         if score[_type] >= decode_thresh:
             entity_set.add((id2label[_type], s, e + 1, text[s : e + 1]))
     return entity_set
+
+
+def decode_cnn_sparse(
+    hits,  # iterable of (label_id, s, e_incl, conf) WORD-indexed, post-symmetrization conf
+    length: int,
+    text: str,
+    id2label: dict[int, str],
+    decode_thresh: float = 0.5,
+    allow_nested: bool = True,
+) -> set[tuple[str, int, int, str]]:
+    """Production path over sparse span hits — identical semantics to
+    ``decode_cnn`` without the O(L²·C) dense tensor: background sigmoid
+    cells sit far below ``decode_thresh`` so only the hit cells can be
+    candidates; per cell the best-conf hit supplies the argmax label;
+    candidates are sorted by ``(conf, (True, s, e))`` descending — the
+    exact tie order of the dense port's ``sorted(zip(confidences,
+    chunks), reverse=True)`` — then greedily clash-filtered."""
+    best: dict[tuple[int, int], tuple[float, int]] = {}
+    for label_id, s, e, conf in hits:
+        if conf < decode_thresh or s > e or e >= length:
+            continue
+        cur = best.get((s, e))
+        if cur is None or conf > cur[0]:
+            best[(s, e)] = (float(conf), int(label_id))
+
+    ranked = sorted(
+        ((conf, (True, s, e), label) for (s, e), (conf, label) in best.items()),
+        reverse=True,
+    )
+    chunks = filter_clashed_by_priority(
+        [ck for _, ck, _ in ranked], allow_nested=allow_nested
+    )
+    kept = {ck for ck in chunks}
+    return {
+        (id2label[label], s, e + 1, text[s : e + 1])
+        for conf, (flag, s, e), label in ranked
+        if (flag, s, e) in kept
+    }

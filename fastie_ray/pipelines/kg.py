@@ -18,9 +18,11 @@ import pandas as pd
 
 from fastie_ray.ops.dedup import dedup_exact
 from fastie_ray.stages.canonicalize import (
-    component_map,
-    connected_components,
+    connected_components_ds,
+    entity_component_labels,
+    join_partitions,
     mention_edges,
+    relabel_column,
 )
 from fastie_ray.stages.chunk import chunk_pages
 from fastie_ray.stages.extract import extract_text
@@ -99,12 +101,16 @@ def graph_tables(
 
     linked = link_mentions(mentions, alias_ref, concurrency=max(2, concurrency // 2)).materialize()
 
-    # canonicalization: CC over the (deduped, vocab-bounded) surface↔entity graph
-    labels = connected_components(mention_edges(linked), n_buckets=n_buckets)
-    comp = component_map(labels)
-    comp_ref = ray.put(comp)
+    # canonicalization: CC over the (deduped) surface↔entity graph.
+    # The component labels stay a DATASET end-to-end (VERDICT r1 #8):
+    # NIL ids grow with distinct unlinked surfaces, so at web scale the
+    # label table is not vocab-bounded and must never become a driver
+    # dict — relabeling is done with hash joins instead.
+    labels = connected_components_ds(mention_edges(linked), n_buckets=n_buckets)
+    ent_comp = entity_component_labels(labels, n_buckets).materialize()
 
-    # nodes: per entity — mention support + canonical name + component
+    # canonical display names ARE vocab-bounded (world entity list), so
+    # a ray.put broadcast is the right call for them.
     id2name = {e.entity_id: e.name for e in world.entities}
     name_ref = ray.put(id2name)
 
@@ -115,30 +121,41 @@ def graph_tables(
     node_partials = linked.map_batches(to_nodes, batch_format="pandas")
 
     def node_final(g: pd.DataFrame) -> pd.DataFrame:
-        comp_m = ray.get(comp_ref)
+        return g.groupby("entity_id", as_index=False)["n_mentions"].sum()
+
+    node_counts = _bucketed_groupby(node_partials, "entity_id", node_final, n_buckets)
+    nodes_j = node_counts.join(
+        ent_comp,
+        join_type="left_outer",
+        num_partitions=join_partitions(n_buckets),
+        on=("entity_id",),
+        right_on=("entity_id",),
+        right_suffix="_r",
+    )
+
+    def node_decorate(df: pd.DataFrame) -> pd.DataFrame:
         names = ray.get(name_ref)
-        out = g.groupby("entity_id", as_index=False)["n_mentions"].sum()
-        out["component_id"] = out["entity_id"].map(lambda e: comp_m.get(e, e))
-        out["canonical_name"] = out["entity_id"].map(lambda e: names.get(e, ""))
-        return out[["entity_id", "canonical_name", "component_id", "n_mentions"]]
-
-    nodes = _bucketed_groupby(node_partials, "entity_id", node_final, n_buckets)
-
-    # edges: link triple endpoints, map to component ids, aggregate support
-    ltriples = link_triples(triples, alias_ref, concurrency=max(2, concurrency // 2))
-
-    def to_edge_rows(df: pd.DataFrame) -> pd.DataFrame:
-        comp_m = ray.get(comp_ref)
+        comp_col = "component_id_r" if "component_id_r" in df.columns else "component_id"
         return pd.DataFrame(
             {
-                "subject_id": df["subject_id"].map(lambda e: comp_m.get(e, e)),
-                "predicate": df["predicate"],
-                "object_id": df["object_id"].map(lambda e: comp_m.get(e, e)),
-                "url": df["url"],
+                "entity_id": df["entity_id"],
+                "canonical_name": df["entity_id"].map(lambda e: names.get(e, "")),
+                "component_id": df[comp_col].fillna(df["entity_id"]),
+                "n_mentions": df["n_mentions"],
             }
         )
 
-    edge_rows = ltriples.map_batches(to_edge_rows, batch_format="pandas")
+    nodes = nodes_j.map_batches(node_decorate, batch_format="pandas")
+
+    # edges: link triple endpoints, relabel both endpoints to component
+    # ids by hash join, aggregate support
+    ltriples = link_triples(triples, alias_ref, concurrency=max(2, concurrency // 2))
+    edge_rows = relabel_column(
+        relabel_column(ltriples, "subject_id", ent_comp, n_buckets),
+        "object_id",
+        ent_comp,
+        n_buckets,
+    ).select_columns(["subject_id", "predicate", "object_id", "url"])
 
     def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(

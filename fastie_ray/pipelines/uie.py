@@ -1,38 +1,55 @@
-"""UIE-style schema-tree extraction as an ITERATIVE Ray Data pipeline
-(SURVEY §2.4 J3 / §2.3 A14).
+"""UIE-style schema-tree extraction (SURVEY §2.4 J3 / §2.3 A14/G5).
 
 Reference: ``fastie/models/uie/decode_utils.py`` — a runtime schema
-(``set_schema``, 215-218; ``SchemaTree`` 525-573) is traversed level
-by level (220-323): level-k extracted spans become prefixes of
-level-k+1 prompts (``prefix[k].append(result + "的")``, 234-271), and
-inputs with no parent results drop out (semi-join, 249-250). Per-level
-span decode is threshold-scan + nearest pairing
+(``set_schema`` 215-218, ``SchemaTree``/``_build_tree`` 525-573) is
+traversed level by level (``_multi_stage_predict`` 220-323): level-k
+extracted spans become prefixes of level-k+1 prompts
+(``prefix[k].append(result + "的")``, 234-271; prompt = prefix +
+node.name for Chinese), inputs with no parent results drop out
+(semi-join, 249-250), and classification prompts (bracketed option
+lists, 252-259) are majority-voted across a document's chunks
+(``_auto_joiner`` 486-507 → ``functions.uie_prep.cls_majority_vote``).
+Per-level span decode is threshold-scan + nearest pairing
 (``get_bool_ids_greater_than`` 90-115, ``get_span`` 38-87) — those
 exact kernels (``fastie_ray.kernels.uie_span``) run here.
 
-Ray Data restatement: each schema level is ONE actor-pool
-``map_batches`` pass over a dataset of (chunk, prompt) rows; the
-"join parent results back to texts" is avoided by carrying the chunk
-text through result rows (levels are bounded and results are sparse —
-the semi-join keeps only chunks with parent hits). At corpus scale
-with deep schemas, replace the carried text with a bucketed hash join
-on (url, chunk_id), the same shape as ``_bucketed_groupby``.
+Ray Data restatement — and why there is NO per-level dataset loop:
+the reference traversal is **document-local**. ``input_map`` /
+``prefix`` / ``parent_relations`` are all indexed by input text
+(decode_utils.py:237-246, 312-317): a parent result extracted from doc
+d only ever generates child prompts evaluated on doc d's own chunks,
+never on another document. So the whole multi-stage traversal runs
+inside ONE actor-pool ``map_batches`` over extracted documents —
+``UieDocScorer`` chunks each doc in-actor (``stages.chunk.split_text``,
+the ported ``auto_splitter``), walks the schema tree level-
+synchronously across the docs of the batch (so a transformer backend
+would still see full micro-batches of (chunk, prompt) pairs per
+level), and emits doc-level result rows. Zero shuffles, zero joins,
+zero materialize barriers, and no ``chunk_text`` in any shuffled
+dataset — the only exchange in the pipeline is the final bucketed
+output dedup. At 100 TB this is embarrassingly parallel and streams.
 
 Default schema over the synthetic world: roots = subject labels,
 children = the predicates whose subject has that label; level-2
 prompts are ``f"{subject}的{predicate}"`` asking for the object span.
+Schemas may nest arbitrarily deep (dict values are child subtrees,
+reference ``_build_tree`` semantics) and may contain classification
+nodes (``name[optA,optB]``).
 """
 
 from __future__ import annotations
 
+import re
+from dataclasses import dataclass, field
 from typing import TYPE_CHECKING, Any
 
 import numpy as np
 import pyarrow as pa
 
+from fastie_ray.functions.uie_prep import cls_majority_vote
 from fastie_ray.kernels.uie_span import get_bool_ids_greater_than, get_span
 from fastie_ray.ops.dedup import dedup_exact
-from fastie_ray.stages.chunk import chunk_pages
+from fastie_ray.stages.chunk import split_text
 from fastie_ray.stages.extract import extract_text
 from fastie_ray.stages.scorers import _ScorerBase
 from fastie_ray.synth import PREDICATES
@@ -44,90 +61,182 @@ DEFAULT_SCHEMA: dict[str, list[str]] = {}
 for _p, (_sl, _ol, _ph) in sorted(PREDICATES.items()):
     DEFAULT_SCHEMA.setdefault(_sl, []).append(_p)
 
+_CLS_OPT_RE = re.compile(r"\[(.*?)\]$")
 
-class UieSpanScorer(_ScorerBase):
-    """Prompt-conditioned start/end pointer scorer: one actor-pool pass
-    per schema level. Root prompts are label names (extract mentions of
-    that label); child prompts are ``{parent}的{predicate}`` (extract
-    the object of that relation for that subject). Decode is the
-    reference path: probability rows → ``get_bool_ids_greater_than`` →
-    ``get_span`` → offset-mapped char spans."""
 
-    def _hits(self, dashed: str):
-        """Per-batch memo: each chunk text appears once per PROMPT row,
-        so the regex scans would otherwise repeat per prompt."""
-        cached = self._cache.get(dashed)
-        if cached is None:
-            cached = (self.feat.mention_hits(dashed), self.feat.relation_hits(dashed))
-            self._cache[dashed] = cached
-        return cached
+@dataclass
+class SchemaNode:
+    name: str
+    children: list[int] = field(default_factory=list)
 
-    def _prompt_probs(self, prompt: str, dashed: str, seq_len: int):
+
+def build_schema_nodes(schema) -> tuple[list[SchemaNode], list[int]]:
+    """Flatten a reference-style schema (str | list | dict, nested —
+    ``decode_utils.py:_build_tree`` 552-573) into an indexed node list
+    plus root ids. Dict values are child subtrees; list items are
+    siblings."""
+    nodes: list[SchemaNode] = []
+
+    def add(spec, parent: int | None) -> list[int]:
+        ids: list[int] = []
+        if isinstance(spec, str):
+            nodes.append(SchemaNode(spec))
+            ids.append(len(nodes) - 1)
+        elif isinstance(spec, list):
+            for item in spec:
+                ids.extend(add(item, parent))
+        elif isinstance(spec, dict):
+            for name, sub in sorted(spec.items()):
+                nodes.append(SchemaNode(name))
+                nid = len(nodes) - 1
+                ids.append(nid)
+                nodes[nid].children = add(sub, nid)
+        else:
+            raise TypeError(f"invalid schema node: {spec!r}")
+        return ids
+
+    roots = add(schema, None)
+    return nodes, roots
+
+
+class UieDocScorer(_ScorerBase):
+    """One actor call = the full schema-tree traversal for a batch of
+    documents. Chunking happens in-actor (reference chunks per level
+    inside ``_single_stage_predict``; we chunk once at the fixed
+    ``max_length - 2`` width, the shape the driver oracle encodes).
+    Span results carry doc-level offsets (chunk offset pre-added — the
+    ``_auto_joiner`` offset accumulation, decode_utils.py:508-524);
+    classification results are majority-voted across the doc's chunks
+    (start = end = -1, G5)."""
+
+    def __init__(self, *args, schema=None, **kw):
+        super().__init__(*args, **kw)
+        self.nodes, self.roots = build_schema_nodes(schema or DEFAULT_SCHEMA)
+
+    # ---- per-(prompt, chunk) scoring ---------------------------------
+
+    def _chunk_spans(self, prompt: str, dashed: str, seq_len: int):
+        """Start/end probability rows for one (prompt, chunk) →
+        reference decode: threshold scan + nearest-end pairing."""
         starts = np.zeros(seq_len, dtype=np.float32)
         ends = np.zeros(seq_len, dtype=np.float32)
         mhits, rhits = self._hits(dashed)
         if "的" in prompt:
             parent, pred = prompt.rsplit("的", 1)
             pid = self.feat.pred2id.get(pred)
-            if pid is None:
-                return starts, ends
-            from fastie_ray.functions.textnorm import space_to_dash
+            if pid is not None:
+                from fastie_ray.functions.textnorm import space_to_dash
 
-            parent_d = space_to_dash(parent)
-            for r in rhits:
-                if r.pred_id != pid:
-                    continue
-                if dashed[r.s_cs : r.s_ce] != parent_d:
-                    continue
-                if r.o_ce < seq_len - 1:
-                    starts[r.o_cs + 1] = 1.0
-                    ends[r.o_ce] = 1.0
+                parent_d = space_to_dash(parent)
+                for r in rhits:
+                    if r.pred_id != pid:
+                        continue
+                    if dashed[r.s_cs : r.s_ce] != parent_d:
+                        continue
+                    if r.o_ce < seq_len - 1:
+                        starts[r.o_cs + 1] = 1.0
+                        ends[r.o_ce] = 1.0
         else:
             lid = self.feat.label2id.get(prompt)
-            if lid is None:
-                return starts, ends
-            for h in mhits:
-                if h.label_id == lid and h.ce < seq_len - 1 and h.cs + 1 > 0:
-                    starts[h.cs + 1] = 1.0
-                    ends[h.ce] = 1.0
-        return starts, ends
+            if lid is not None:
+                for h in mhits:
+                    if h.label_id == lid and h.ce < seq_len - 1:
+                        starts[h.cs + 1] = 1.0
+                        ends[h.ce] = 1.0
+        s_ids = get_bool_ids_greater_than(starts, 0.5)
+        e_ids = get_bool_ids_greater_than(ends, 0.5)
+        return sorted(get_span(s_ids, e_ids))
+
+    def _cls_predict(self, options: list[str], text: str) -> list[dict]:
+        """Deterministic classification stand-in (the role of the
+        prompt-region span decode, decode_utils.py:330-346): pick the
+        option with the most occurrences in the chunk (tie → first
+        listed, no occurrences → no prediction), probability =
+        share of option mentions. A transformer backend replaces this
+        with prompt-span scores; the voting downstream is identical."""
+        counts = [text.count(o) for o in options]
+        total = sum(counts)
+        if total == 0:
+            return []
+        best = int(np.argmax(counts))
+        return [{"text": options[best], "probability": counts[best] / total}]
+
+    def _hits(self, dashed: str):
+        cached = self._cache.get(dashed)
+        if cached is None:
+            cached = (self.feat.mention_hits(dashed), self.feat.relation_hits(dashed))
+            self._cache[dashed] = cached
+        return cached
+
+    # ---- traversal ---------------------------------------------------
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        self._cache: dict[str, tuple] = {}  # reset per batch (bounded)
-        urls = batch["url"].to_pylist()
-        cids = batch["chunk_id"].to_pylist()
-        offs = batch["chunk_offset"].to_pylist()
-        texts = batch["chunk_text"].to_pylist()
-        prompts = batch["prompt"].to_pylist()
-        levels = batch["level"].to_pylist()
+        self._cache: dict[str, tuple] = {}  # per-batch memo of chunk hits
+        from fastie_ray.functions.textnorm import space_to_dash
 
-        rows = {k: [] for k in
-                ("url", "chunk_id", "chunk_offset", "chunk_text", "level",
-                 "prompt", "argument", "start", "end")}
-        for url, cid, coff, text, prompt, level in zip(
-            urls, cids, offs, texts, prompts, levels
-        ):
-            dashed, seq_len, mapping = self._seq(text)
-            s_probs, e_probs = self._prompt_probs(prompt, dashed, seq_len)
-            s_ids = get_bool_ids_greater_than(s_probs, 0.5)
-            e_ids = get_bool_ids_greater_than(e_probs, 0.5)
-            for ts, te in sorted(get_span(s_ids, e_ids)):
-                cs, ce = mapping[ts][0], mapping[te][1]
-                rows["url"].append(url)
-                rows["chunk_id"].append(cid)
-                rows["chunk_offset"].append(coff)
-                rows["chunk_text"].append(text)
-                rows["level"].append(level)
-                rows["prompt"].append(prompt)
-                rows["argument"].append(text[cs:ce])
-                rows["start"].append(cs)
-                rows["end"].append(ce)
+        urls = batch["url"].to_pylist()
+        texts = batch["text"].to_pylist()
+
+        rows = {k: [] for k in ("url", "level", "prompt", "argument", "start", "end")}
+
+        def emit(url, level, prompt, argument, start, end):
+            rows["url"].append(url)
+            rows["level"].append(level)
+            rows["prompt"].append(prompt)
+            rows["argument"].append(argument)
+            rows["start"].append(start)
+            rows["end"].append(end)
+
+        # pre-chunk every doc once
+        docs = []
+        for url, text in zip(urls, texts):
+            chunks = split_text(text, self.max_length - 2)
+            offs = np.cumsum([0] + [len(c) for c in chunks[:-1]]).tolist()
+            dashed = [space_to_dash(c) for c in chunks]
+            docs.append((url, chunks, offs, dashed))
+
+        # frontier rows: (doc_idx, node_id, prompt) — level-synchronous
+        # across the batch's docs so a model backend batches per level.
+        frontier = [
+            (di, nid, self.nodes[nid].name)
+            for di in range(len(docs))
+            for nid in self.roots
+        ]
+        level = 1
+        while frontier:
+            nxt: list[tuple[int, int, str]] = []
+            for di, nid, prompt in frontier:
+                url, chunks, offs, dashed = docs[di]
+                node = self.nodes[nid]
+                args: list[str] = []
+                copt = _CLS_OPT_RE.search(prompt)
+                if copt is not None:
+                    opts = [o.strip() for o in re.split("[,，]", copt.group(1))]
+                    voted = cls_majority_vote(
+                        [self._cls_predict(opts, c) for c in chunks]
+                    )
+                    for r in voted:
+                        emit(url, level, prompt, r["text"], -1, -1)
+                        args.append(r["text"])
+                else:
+                    for chunk, off, dsh in zip(chunks, offs, dashed):
+                        seq_len = min(len(chunk), self.max_length - 2) + 2
+                        for ts, te in self._chunk_spans(prompt, dsh, seq_len):
+                            cs, ce = ts - 1, te  # char offset mapping
+                            emit(url, level, prompt, chunk[cs:ce], cs + off, ce + off)
+                            args.append(chunk[cs:ce])
+                if node.children and args:
+                    for child in node.children:
+                        for arg in dict.fromkeys(args):  # dedup, keep order
+                            nxt.append(
+                                (di, child, f"{arg}的{self.nodes[child].name}")
+                            )
+            frontier = nxt
+            level += 1
+
         return pa.table(
             {
                 "url": pa.array(rows["url"], pa.string()),
-                "chunk_id": pa.array(np.asarray(rows["chunk_id"], dtype=np.int32)),
-                "chunk_offset": pa.array(np.asarray(rows["chunk_offset"], dtype=np.int32)),
-                "chunk_text": pa.array(rows["chunk_text"], pa.string()),
                 "level": pa.array(np.asarray(rows["level"], dtype=np.int32)),
                 "prompt": pa.array(rows["prompt"], pa.string()),
                 "argument": pa.array(rows["argument"], pa.string()),
@@ -139,96 +248,28 @@ class UieSpanScorer(_ScorerBase):
 
 def uie_extract(
     pages: "ray.data.Dataset",
-    schema: dict[str, list[str]] | None = None,
+    schema: dict | list | str | None = None,
     world_ref=None,
     concurrency: int = 4,
     n_buckets: int = 32,
+    batch_size: int | None = None,
     **scorer_kw: Any,
 ) -> "ray.data.Dataset":
     """pages → (url, level, prompt, argument, start, end) rows across
-    all schema levels — the schema-tree traversal as a bounded loop of
-    datasets (one actor-pool pass per level, J3 semi-join between)."""
-    schema = schema or DEFAULT_SCHEMA
-    roots = sorted(schema)
-
-    chunks = chunk_pages(extract_text(pages))
-
-    def seed_prompts(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        tbls = []
-        for root in roots:
-            tbls.append(
-                batch.append_column("prompt", pa.array([root] * n, pa.string()))
-                .append_column("level", pa.array(np.ones(n, dtype=np.int32)))
-            )
-        return pa.concat_tables(tbls)
-
-    level_in = chunks.map_batches(seed_prompts, batch_format="pyarrow")
-
-    def run_level(ds_in):
-        return ds_in.map_batches(
-            UieSpanScorer,
-            fn_constructor_kwargs={"world_ref": world_ref, **scorer_kw},
-            batch_format="pyarrow",
-            concurrency=concurrency,
-        )
-
-    # materialize level-1: its lineage would otherwise execute THREE
-    # times (fan-out branch + union branch re-run the scorer pool), and
-    # concurrent actor pools can starve a small cluster. Level results
-    # are sparse (hits only), so this is a small barrier by design —
-    # the reference's per-level boundary (decode_utils.py:309-321).
-    lvl1 = run_level(level_in).materialize()
-
-    # child prompts: every level-1 result fans out to its schema
-    # children (prefix = result + "的"); chunks with no parent result
-    # dropped implicitly (no rows) — the reference's semi-join.
-    children = {root: sorted(schema[root]) for root in roots}
-
-    def fan_out(batch: pa.Table) -> pa.Table:
-        rows = {k: [] for k in
-                ("url", "chunk_id", "chunk_offset", "chunk_text", "prompt", "level")}
-        cols = {c: batch[c].to_pylist() for c in
-                ("url", "chunk_id", "chunk_offset", "chunk_text", "prompt", "argument")}
-        for i in range(batch.num_rows):
-            root = cols["prompt"][i]
-            arg = cols["argument"][i]
-            for pred in children.get(root, []):
-                rows["url"].append(cols["url"][i])
-                rows["chunk_id"].append(cols["chunk_id"][i])
-                rows["chunk_offset"].append(cols["chunk_offset"][i])
-                rows["chunk_text"].append(cols["chunk_text"][i])
-                rows["prompt"].append(f"{arg}的{pred}")
-                rows["level"].append(2)
-        return pa.table(
-            {
-                "url": pa.array(rows["url"], pa.string()),
-                "chunk_id": pa.array(np.asarray(rows["chunk_id"], dtype=np.int32)),
-                "chunk_offset": pa.array(np.asarray(rows["chunk_offset"], dtype=np.int32)),
-                "chunk_text": pa.array(rows["chunk_text"], pa.string()),
-                "prompt": pa.array(rows["prompt"], pa.string()),
-                "level": pa.array(np.asarray(rows["level"], dtype=np.int32)),
-            }
-        )
-
-    lvl2 = run_level(lvl1.map_batches(fan_out, batch_format="pyarrow"))
-
-    def finish(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        off = pc.cast(batch["chunk_offset"], pa.int32())
-        return pa.table(
-            {
-                "url": batch["url"],
-                "level": batch["level"],
-                "prompt": batch["prompt"],
-                "argument": batch["argument"],
-                "start": pc.add(batch["start"], off),
-                "end": pc.add(batch["end"], off),
-            }
-        )
-
-    out = lvl1.union(lvl2).map_batches(finish, batch_format="pyarrow")
+    all schema levels (cls rows carry start = end = -1). One streaming
+    actor-pool pass — the schema traversal is doc-local (see module
+    docstring) — followed by the output dedup's bucketed shuffle."""
+    scored = extract_text(pages).map_batches(
+        UieDocScorer,
+        fn_constructor_kwargs={
+            "world_ref": world_ref,
+            "schema": schema or DEFAULT_SCHEMA,
+            **scorer_kw,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
     return dedup_exact(
-        out, ["url", "level", "prompt", "argument", "start", "end"], n_buckets
+        scored, ["url", "level", "prompt", "argument", "start", "end"], n_buckets
     )

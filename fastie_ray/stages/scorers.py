@@ -71,6 +71,7 @@ class _ScorerBase:
         backend: str = "default",
         ner_backend: str | None = None,
         rel_backend: str | None = None,
+        hf_model: str | None = None,
     ):
         world = _resolve_world(world_ref, seed, n_entities, n_facts)
         self.feat = GazetteerFeaturizer(world)
@@ -78,6 +79,16 @@ class _ScorerBase:
         self.backend = backend
         self.ner_backend = ner_backend or backend
         self.rel_backend = rel_backend or backend
+        if "hf" in (self.ner_backend, self.rel_backend):
+            # HF-transformer path (VERDICT r1 #1): subword tokenization
+            # with real offset mappings + dense logits into the dense
+            # decode kernels; TorchDenseBackend when hf_model is given
+            # AND torch imports, DeterministicDenseBackend otherwise.
+            from fastie_ray.hf_backend import resolve_dense_backend
+
+            self.dense = resolve_dense_backend(
+                self.feat, max_length=max_length, model_name_or_path=hf_model
+            )
 
     def _seq(self, text: str) -> tuple[str, int, CharOffsetMapping]:
         dashed = space_to_dash(text)
@@ -115,6 +126,25 @@ class _ScorerBase:
             spots = self.feat.tplinker_ner_inputs(dashed)
             return decode_tplinker_ner(
                 spots, seq_len, text, mapping, self.feat.id2label
+            )
+        if self.ner_backend == "cnn":
+            # word-grid span candidates + greedy clash filter (A6,
+            # modeling_cnn.py:251-273); word indices are raw char
+            # positions, text sliced directly — no offset mapping.
+            from fastie_ray.kernels.cnn_ner import decode_cnn_sparse
+
+            hits = self.feat.cnn_inputs(dashed)
+            return decode_cnn_sparse(hits, seq_len - 2, text, self.feat.id2label)
+        if self.ner_backend == "hf":
+            # dense transformer shape: subword offset_mapping (multi-char
+            # entries) + [C, L, L] logits → the line-for-line dense decode
+            # (modeling_gp.py:145-170). seq_len/mapping args are the char-
+            # tokenizer's and are ignored; the encoding carries its own.
+            from fastie_ray.kernels.gp_ner import decode_gp_dense
+
+            enc, logits = self.dense.ner_forward(dashed)
+            return decode_gp_dense(
+                logits, enc.seq_len, text, enc.offsets, self.feat.id2label
             )
         raise ValueError(f"unknown NER backend: {self.ner_backend}")
 
@@ -154,6 +184,25 @@ class _ScorerBase:
                 hb_tb, hb_te, he_te, seq_len, text, mapping,
                 self.feat.id2predicate,
             )
+        if self.rel_backend == "grte":
+            # argmaxed table-filling tag pairs (A12,
+            # modeling_grte.py:167-232) in CLS-shifted token space.
+            from fastie_ray.kernels.grte_re import decode_grte_sparse
+
+            cells = self.feat.grte_inputs(dashed)
+            return decode_grte_sparse(
+                cells, seq_len, text, mapping, self.feat.id2predicate
+            )
+        if self.rel_backend == "hf":
+            # three dense GPLinker heads under the subword encoding →
+            # line-for-line dense decode (modeling_gplinker.py:164-213).
+            from fastie_ray.kernels.gplinker_re import decode_gplinker_dense
+
+            enc, entity, head, tail = self.dense.rel_forward(dashed)
+            return decode_gplinker_dense(
+                entity, head, tail, enc.seq_len, text, enc.offsets,
+                self.feat.id2predicate,
+            )
         raise ValueError(f"unknown RE backend: {self.rel_backend}")
 
 
@@ -161,7 +210,9 @@ class NerScorer(_ScorerBase):
     """chunks → chunk-local mentions. Backends: ``gp`` (GlobalPointer
     decode A1, default), ``bio`` (CRF chunking A3), ``span``
     (start/end pointer pairing A4), ``w2ner`` (sparse word-grid walk
-    A2), ``tplinker`` (shaking spots A5)."""
+    A2), ``tplinker`` (shaking spots A5), ``cnn`` (biaffine span +
+    clash filter A6), ``hf`` (subword tokenization + dense-logit
+    decode — the transformer shape, M9/A16)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -197,7 +248,9 @@ class NerScorer(_ScorerBase):
 class RelScorer(_ScorerBase):
     """chunks → chunk-level (predicate, subject, object) triples.
     Backends: ``gplinker`` (product-∩ decode A7, default), ``casrel``
-    (cascade pointer A8), ``onerel`` (tag-cube A9)."""
+    (cascade pointer A8), ``onerel`` (tag-cube A9), ``tplinker``
+    (handshaking A10), ``pfn`` (A11), ``grte`` (table-filling tag
+    pairs A12), ``hf`` (subword + dense GPLinker heads, M9/A16)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()

@@ -65,3 +65,65 @@ def test_uie_two_level_semijoin(ray_session):
     assert set(lvl1.prompt) <= set(DEFAULT_SCHEMA)
     # every page has at least the subject mention at level 1
     assert lvl1.groupby("url").size().min() >= 1
+
+
+def _pages_tbl(rows):
+    return pa.table(
+        {
+            "url": pa.array([u for u, _ in rows], pa.string()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+        }
+    )
+
+
+def test_uie_depth3_schema(ray_session):
+    """Arbitrary-depth traversal (reference _build_tree + the level loop,
+    decode_utils.py:220-323): level-3 prompts chain two extractions."""
+    import ray.data
+
+    from fastie_ray.pipelines.uie import uie_extract
+
+    w = build_world()
+    org_a = w.by_label["ORG"][0]
+    org_c = w.by_label["ORG"][1]
+    per_b = w.by_label["PER"][0]
+    text = (
+        f"intro. {org_a.name} was founded by {per_b.name}. "
+        f"{per_b.name} works for {org_c.name}. outro."
+    )
+    pages = ray.data.from_arrow(_pages_tbl([("u1", text)]))
+    schema = {"ORG": {"founded_by": ["works_for"]}}
+    out = uie_extract(pages, schema=schema, world_ref=ray.put(w), concurrency=2).to_pandas()
+
+    lvl3 = out[out.level == 3]
+    assert len(lvl3) == 1
+    assert lvl3.iloc[0].prompt == f"{per_b.name}的works_for"
+    assert lvl3.iloc[0].argument == org_c.name
+    assert text[lvl3.iloc[0].start : lvl3.iloc[0].end] == org_c.name
+    # level-2: the founder extracted under the ORG prefix
+    lvl2 = out[out.level == 2]
+    assert f"{org_a.name}的founded_by" in set(lvl2.prompt)
+    assert per_b.name in set(lvl2.argument)
+
+
+def test_uie_cls_majority_vote(ray_session):
+    """G5 wired into the traversal: bracketed-option prompts are
+    classified per chunk and majority-voted across the document
+    (decode_utils.py:486-507); cls rows carry start = end = -1."""
+    import ray.data
+
+    from fastie_ray.pipelines.uie import uie_extract
+
+    w = build_world()
+    # 3 chunks (>510 chars each boundary): two vote "pos", one votes "neg"
+    c1 = ("pos pos neg " + "x" * 500)[:510]
+    c2 = ("pos neg neg neg " + "y" * 500)[:510]
+    c3 = ("pos pos " + "z" * 504)[:510]
+    pages = ray.data.from_arrow(_pages_tbl([("u1", c1 + c2 + c3)]))
+    out = uie_extract(
+        pages, schema=["sentiment[pos,neg]"], world_ref=ray.put(w), concurrency=2
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0].argument == "pos"
+    assert out.iloc[0].start == -1 and out.iloc[0].end == -1
+    assert out.iloc[0].prompt == "sentiment[pos,neg]"

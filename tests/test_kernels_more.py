@@ -293,7 +293,7 @@ def _synth_chunk_batch(n_docs: int = 40):
 def test_rel_backends_identical_triples():
     w, batch = _synth_chunk_batch()
     outs = {}
-    for be in ("gplinker", "casrel", "onerel", "tplinker", "pfn"):
+    for be in ("gplinker", "casrel", "onerel", "tplinker", "pfn", "grte", "hf"):
         t = RelScorer(world_ref=w, rel_backend=be)(batch)
         outs[be] = set(
             zip(
@@ -304,7 +304,7 @@ def test_rel_backends_identical_triples():
         )
     assert (
         outs["gplinker"] == outs["casrel"] == outs["onerel"]
-        == outs["tplinker"] == outs["pfn"]
+        == outs["tplinker"] == outs["pfn"] == outs["grte"] == outs["hf"]
     )
     assert len(outs["gplinker"]) > 0
 
@@ -312,7 +312,7 @@ def test_rel_backends_identical_triples():
 def test_ner_backends_identical_mentions():
     w, batch = _synth_chunk_batch()
     outs = {}
-    for be in ("gp", "bio", "span", "tplinker", "w2ner"):
+    for be in ("gp", "bio", "span", "tplinker", "w2ner", "cnn", "hf"):
         t = NerScorer(world_ref=w, ner_backend=be)(batch)
         outs[be] = set(
             zip(
@@ -323,7 +323,7 @@ def test_ner_backends_identical_mentions():
         )
     assert (
         outs["gp"] == outs["bio"] == outs["span"]
-        == outs["tplinker"] == outs["w2ner"]
+        == outs["tplinker"] == outs["w2ner"] == outs["cnn"] == outs["hf"]
     )
     assert len(outs["gp"]) > 0
 

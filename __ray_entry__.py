@@ -508,6 +508,33 @@ def _q_fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pandas")
 
 
+def _q_augment(sf_dir: str):
+    """Text augmentation (M17: delete/repeat variants per doc). The
+    SQL-checkable invariants are the exact variant counts and lengths:
+    delete removes int(0.2·len) chars (only when len > 5), repeat
+    doubles int(0.32·len) chars — both reference formulas
+    (augmenter.py:60-67,95-104). Content-level semantics (multiset
+    preservation, determinism, dedup) are asserted in pytest."""
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.functions.augment import augment_docs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = augment_docs(ds, methods=("delete", "repeat"))
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "variant_id": df["variant_id"].astype("int64"),
+                "n_chars": df["text"].str.len().astype("int64"),
+            }
+        )
+
+    return out.map_batches(stats, batch_format="pandas")
+
+
 def _q_extraction_f1(sf_dir: str):
     """Distributed micro P/R/F1 of pipeline triples vs the synthetic
     gold (injected facts) — exact by construction, so the oracle is the
@@ -577,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "quality": _q_quality,
         "fingerprints": _q_fingerprints,
+        "augment_stats": _q_augment,
         "extraction_f1": _q_extraction_f1,
         "media_frames": _q_media_frames,
         "extract_text": _q_extract_text,
@@ -677,6 +705,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS fingerprint,
                    CAST(1 AS BIGINT) AS rolling_stable
             FROM documents
+        """,
+        "augment_stats": """
+            SELECT doc_id, CAST(0 AS BIGINT) AS variant_id,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT),
+                   CAST(length(text) - FLOOR(length(text) * 0.2) AS BIGINT)
+            FROM documents WHERE length(text) > 5
+            UNION ALL
+            SELECT doc_id,
+                   CAST(CASE WHEN length(text) > 5 THEN 2 ELSE 1 END AS BIGINT),
+                   CAST(length(text) + FLOOR(length(text) * 0.32) AS BIGINT)
+            FROM documents WHERE FLOOR(length(text) * 0.32) >= 1
         """,
         "media_frames": """
             WITH m AS (

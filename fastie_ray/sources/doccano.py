@@ -22,11 +22,13 @@ Phase 2 (embarrassingly parallel): per-document conversion —
   ``{object}的{predicate}`` prompts with empty results, skipping any
   that is actually a positive prompt (``utils.py:389-395,440+``).
 
-Scope note: aspect-level classification examples (``##``-separated
-cls labels) and the full doccano <1.7 format matrix are not ported;
-both supported input shapes are the modern ones:
-``{text, label: [[start, end, label], ...]}`` and
-``{text, entities: [...], relations: [...]}``.
+Supported input shapes: ``{text, label: [[start, end, label], ...]}``
+(doccano ≥1.7), ``{text, entities: [...], relations: [...]}``
+(relation export), and ``{text, label: {entities, relations}}``
+(doccano <1.7). Aspect-level classification labels
+(``##``-separated, ``utils.py:322-345``) emit ``entity_cls`` examples;
+doc-level classification exports go through ``convert_cls_examples``
+(``utils.py:210-228``).
 """
 
 from __future__ import annotations
@@ -42,15 +44,84 @@ if TYPE_CHECKING:
 
 
 def _normalize(row: dict) -> tuple[str, list[dict], list[dict]]:
-    """Either doccano shape → (text, entities, relations)."""
+    """Any doccano shape → (text, entities, relations): the ≥1.7 entity
+    list ``{text, label: [[s, e, lb], ...]}``, the relation export
+    ``{text, entities, relations}``, and the <1.7 dict shape
+    ``{text, label: {entities, relations}}`` (``utils.py:283-295``)."""
     text = row["text"]
     if "entities" in row and row["entities"] is not None:
         return text, list(row["entities"]), list(row.get("relations") or [])
+    label = row.get("label")
+    if isinstance(label, dict):  # doccano < 1.7 exports a dict under "label"
+        return text, list(label.get("entities") or []), list(label.get("relations") or [])
     ents = [
         {"id": i, "start_offset": s, "end_offset": e, "label": lb}
-        for i, (s, e, lb) in enumerate(row.get("label") or [])
+        for i, (s, e, lb) in enumerate(label or [])
     ]
     return text, ents, []
+
+
+def _sep_cls_label(label: str, separator: str = "##") -> tuple[str, list[str] | None]:
+    """``LOC##正向`` → (``LOC``, [``正向``]); plain labels → (label, None)
+    (``utils.py:322-326``)."""
+    parts = label.split(separator)
+    if len(parts) == 1:
+        return parts[0], None
+    return parts[0], parts[1:]
+
+
+def generate_cls_example(
+    text: str,
+    labels: list[str],
+    prompt_prefix: str,
+    options: list[str],
+    rng=None,
+) -> dict:
+    """Classification example with the reference's in-prompt span
+    convention (``utils.py:195-207``): options are shuffled into the
+    prompt (seeded rng here instead of the global ``random``), and each
+    gold label's span is NEGATIVE — relative to the prompt end — so the
+    decoder's ``end < 0 → slice the prompt`` branch recovers it."""
+    import numpy as np
+
+    rng = rng or np.random.default_rng(0)
+    options = list(options)
+    rng.shuffle(options)
+    prompt = f"{prompt_prefix}[{','.join(options)}]"
+    result_list = []
+    for label in labels:
+        start = prompt.rfind(label) - len(prompt) - 1
+        result_list.append({"text": label, "start": start, "end": start + len(label)})
+    return {"content": text, "result_list": result_list, "prompt": prompt}
+
+
+def convert_cls_examples(
+    ds: "ray.data.Dataset",
+    prompt_prefix: str = "情感倾向",
+    options: list[str] | None = None,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """Doc-level classification conversion (``utils.py:210-228``):
+    rows ``{text | data, label: [..]}`` → one cls example per doc.
+    Per-row rng derived from the text so output is partitioning-
+    independent."""
+    from fastie_ray.functions.hashing import key_rng
+
+    options = options or ["正向", "负向"]
+
+    def convert(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in df.iterrows():
+            d = r.to_dict()
+            text = d.get("data") if d.get("data") is not None else d["text"]
+            ex = generate_cls_example(
+                text, list(d.get("label") or []), prompt_prefix, options,
+                rng=key_rng(text, seed),
+            )
+            rows.append((ex["content"], ex["prompt"], ex["result_list"], "cls"))
+        return pd.DataFrame(rows, columns=["content", "prompt", "result_list", "kind"])
+
+    return ds.map_batches(convert, batch_format="pandas")
 
 
 def doccano_vocab(ds: "ray.data.Dataset") -> tuple[list[str], list[str]]:
@@ -77,10 +148,19 @@ def doccano_to_uie(
     negative_ratio: int = 5,
     schema_lang: str = "ch",
     seed: int = 42,
+    prompt_prefix: str = "情感倾向",
+    options: list[str] | None = None,
+    separator: str = "##",
 ) -> "ray.data.Dataset":
     """doccano rows → UIE example rows
     (content, prompt, result_list, kind). Vocab is computed once and
-    broadcast (closure capture of a small list)."""
+    broadcast (closure capture of a small list). Aspect-level cls
+    labels (``LOC##正向``) additionally emit one ``entity_cls`` example
+    per annotated entity with the ``{entity}的{prompt_prefix}[opts]``
+    prompt (``utils.py:322-345``)."""
+    from fastie_ray.functions.hashing import key_rng
+
+    options = options or ["正向", "负向"]
     entity_label_set, _ = doccano_vocab(ds)
 
     def prompt_of(subject: str, predicate: str) -> str:
@@ -99,9 +179,20 @@ def doccano_to_uie(
                 entity_map[e["id"]] = {
                     "name": name, "start": e["start_offset"], "end": e["end_offset"]
                 }
-                ent_examples.setdefault(e["label"], []).append(
+                base_label, cls_labels = _sep_cls_label(e["label"], separator)
+                ent_examples.setdefault(base_label, []).append(
                     {"text": name, "start": e["start_offset"], "end": e["end_offset"]}
                 )
+                if cls_labels is not None:  # aspect-level classification
+                    prefix = (
+                        f"{name}的{prompt_prefix}" if schema_lang == "ch"
+                        else f"{prompt_prefix} of {name}"
+                    )
+                    ex = generate_cls_example(
+                        text, cls_labels, prefix, options,
+                        rng=key_rng(text + name, seed),
+                    )
+                    rows.append((text, ex["prompt"], ex["result_list"], "entity_cls"))
             for label, results in ent_examples.items():
                 rows.append((text, label, results, "entity_pos"))
 

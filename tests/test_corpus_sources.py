@@ -179,3 +179,49 @@ def test_doccano_to_uie(ray_session):
     # english prompt construction
     out_en = doccano_to_uie(ds, negative_ratio=0, schema_lang="en").to_pandas()
     assert "works_for of Anna" in set(out_en[out_en.kind == "relation_pos"].prompt)
+
+
+def test_doccano_cls_and_aspect_level(ray_session):
+    """M16 completion: doc-level cls conversion (utils.py:210-228),
+    aspect-level ##-labels (utils.py:322-345), and the <1.7 dict
+    format — in-prompt negative spans must slice the prompt."""
+    import ray.data
+
+    from fastie_ray.sources.doccano import (
+        convert_cls_examples,
+        doccano_to_uie,
+        generate_cls_example,
+    )
+
+    # generate_cls_example: negative offsets recover the label from the prompt
+    ex = generate_cls_example("some text", ["正向"], "情感倾向", ["正向", "负向"])
+    r = ex["result_list"][0]
+    s, e = r["start"] + len(ex["prompt"]) + 1, r["end"] + len(ex["prompt"]) + 1
+    assert ex["prompt"][s:e] == "正向" == r["text"]
+
+    # doc-level cls conversion
+    ds = ray.data.from_items(
+        [{"text": "这家店很好", "label": ["正向"]}, {"data": "太差了", "label": ["负向"]}]
+    )
+    out = convert_cls_examples(ds).to_pandas()
+    assert len(out) == 2 and (out.kind == "cls").all()
+    assert all(p.startswith("情感倾向[") for p in out.prompt)
+
+    # aspect-level ## labels + <1.7 dict format
+    row = {
+        "text": "Acme is great",
+        "label": {
+            "entities": [
+                {"id": 0, "start_offset": 0, "end_offset": 4, "label": "ORG##正向"}
+            ],
+            "relations": [],
+        },
+    }
+    out = doccano_to_uie(ray.data.from_items([row]), negative_ratio=0).to_pandas()
+    kinds = set(out.kind)
+    assert "entity_cls" in kinds and "entity_pos" in kinds
+    pos = out[out.kind == "entity_pos"].iloc[0]
+    assert pos.prompt == "ORG"  # base label, cls suffix stripped
+    cls_row = out[out.kind == "entity_cls"].iloc[0]
+    assert cls_row.prompt.startswith("Acme的情感倾向[")
+    assert cls_row.result_list[0]["text"] == "正向"

@@ -278,3 +278,27 @@ def test_tumbling_window_and_topk(ray_session):
     top = top_k_by_sum(ds, k=2)
     assert top.user_id.tolist() == [3, 1]  # 8.0, then 1+4=5.0
     assert top["rank"].tolist() == [1, 2]
+
+
+def test_minhash_estimate_mode_recalls_exact_pairs(ray_session):
+    """verify="estimate" (the 100-TB constant-payload mode): same
+    banding → same candidate set; signature-agreement verification must
+    keep every exact pair at a margin below the threshold and estimate
+    jaccard within the num_perm sampling error."""
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    exact = (
+        minhash_lsh_dups(docs, threshold=0.7, concurrency=2, verify="exact")
+        .to_pandas()
+    )
+    est = (
+        minhash_lsh_dups(docs, threshold=0.55, concurrency=2, verify="estimate")
+        .to_pandas()
+    )
+    got = set(zip(est.doc_a, est.doc_b))
+    want = set(zip(exact.doc_a, exact.doc_b))
+    assert want <= got  # every true pair recalled at the slack threshold
+    # estimates are close to exact jaccard on the true pairs
+    ex = exact.set_index(["doc_a", "doc_b"])["jaccard_e6"]
+    es = est.set_index(["doc_a", "doc_b"])["jaccard_e6"]
+    for k in want:
+        assert abs(es[k] - ex[k]) < 150_000  # |est - true| < 0.15 (128 perms)

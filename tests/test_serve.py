@@ -1,0 +1,81 @@
+"""Serving endpoint (A16): worker predict semantics + the HTTP
+protocol envelope of ``api/app.py:65-95`` / ``api/protocol.py``."""
+
+import json
+import threading
+import urllib.request
+
+from fastie_ray.serve import _IEWorkerImpl, make_handler, ner_set2json, serve
+from fastie_ray.synth import build_world
+
+
+def _world_and_fact():
+    w = build_world()
+    return w, w.facts[0]
+
+
+def test_worker_ner_set2json_shape():
+    w, f = _world_and_fact()
+    text = "lead. " + f.sentence("en") + " tail."
+    out = _IEWorkerImpl("ner", world=w).predict([text])
+    assert len(out) == 1
+    labels = out[0]
+    ents = {e["text"] for lst in labels.values() for e in lst}
+    assert f.subj.name in ents and f.obj.name in ents
+    for lst in labels.values():
+        for e in lst:
+            assert text[e["start"] : e["end"]] == e["text"]
+
+
+def test_worker_rel_and_event_and_multichunk_offsets():
+    w, f = _world_and_fact()
+    pad = "z" * 600  # push the fact into the second chunk
+    text = pad + f.sentence("en")
+    rel = _IEWorkerImpl("rel", world=w).predict([text])[0]
+    assert rel == {f.predicate: [{"subject": f.subj.name, "object": f.obj.name}]}
+    ev = _IEWorkerImpl("event", world=w).predict([text])[0]
+    assert len(ev) == 1 and ev[0]["event_type"] == f.predicate
+    roles = {a["role"]: a["argument"] for a in ev[0]["arguments"]}
+    assert roles == {"subject": f.subj.name, "object": f.obj.name}
+
+
+def test_worker_uie_with_schema():
+    w, f = _world_and_fact()
+    text = f.sentence("en")
+    out = _IEWorkerImpl("uie", world=w).predict(
+        [text], schema={f.subj.label: [f.predicate]}
+    )[0]
+    lvl2 = [r for r in out if r["level"] == 2]
+    assert any(r["text"] == f.obj.name for r in lvl2)
+
+
+def test_http_endpoint_roundtrip(ray_session):
+    w, f = _world_and_fact()
+    httpd = serve(task="rel", port=0, n_workers=1, world=w)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/ie",
+            data=json.dumps({"texts": [f.sentence("en")]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            body = json.loads(resp.read())
+        assert body["object"] == "relation-extraction"
+        assert body["model"] == "fastie_ray/rel"
+        assert body["labels"] == [
+            {f.predicate: [{"subject": f.subj.name, "object": f.obj.name}]}
+        ]
+        assert body["id"].startswith("rel-") and "created" in body
+    finally:
+        httpd.shutdown()
+
+
+def test_ner_set2json_sorted_groups():
+    labels = {("PER", 0, 3, "abc"), ("PER", 5, 8, "def"), ("ORG", 1, 2, "x")}
+    out = ner_set2json(labels)
+    assert list(out["PER"][0].keys()) == ["start", "end", "text"]
+    assert [e["start"] for e in out["PER"]] == [0, 5]
+    assert set(out) == {"PER", "ORG"}

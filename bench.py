@@ -59,7 +59,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
     qs = e.queries()
     for name in ("extract_text", "chunk_stats", "kg_triples", "kg_events",
                  "uie", "dedup_docs", "minhash_dups", "knn",
-                 "events_by_type", "q1_lineitem"):
+                 "events_by_type", "q1_lineitem",
+                 "simhash_dups", "embed_neardup", "kg_edges", "augment_stats"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

@@ -38,11 +38,61 @@ if TYPE_CHECKING:
 _MERSENNE = (1 << 61) - 1
 
 
+def _pool_size(requested: int) -> int:
+    """Cap an actor-pool size below the cluster's CPUs: a pool that
+    claims every CPU starves its own downstream shuffle tasks (measured
+    in this sandbox: a 4-actor pool + groupby at num_cpus=4 deadlocks).
+    Leaves ≥2 CPUs of headroom; scales up with the cluster."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(1, min(requested, cpus - 2))
+
+
 def _token_shingles(text: str, k: int) -> list[str]:
     toks = text.strip().split()
     if len(toks) < k:
         return [" ".join(toks)] if toks else []
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _shingle_hashes(
+    text: str, k: int, cache: dict[str, int]
+) -> np.ndarray:
+    """Sorted distinct 64-bit hashes of the k-token shingles of
+    ``text`` — semantically identical to hashing the joined shingle
+    strings (``_token_shingles``), but vectorized: each DISTINCT token
+    is hashed once (cached across the actor's batches — Zipf token
+    distributions make this a >90% hit rate), then consecutive token
+    hashes are combined positionally (h_i·C_1 ⊕ h_{i+1}·C_2 ⊕ …,
+    distinct odd constants so order matters) and finalized with
+    splitmix64. Collisions are ~2^-64; exact-Jaccard verification is
+    over these hash sets either way."""
+    toks = text.strip().split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter(
+        (
+            cache[t] if t in cache else cache.setdefault(t, stable_hash64(t))
+            for t in toks
+        ),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    with np.errstate(over="ignore"):
+        if len(toks) < k:
+            acc = np.uint64(0)
+            for j in range(len(toks)):
+                acc ^= th[j] * _POS_MIX[j % len(_POS_MIX)]
+            return _splitmix64(np.asarray([acc], dtype=np.uint64))
+        m = len(toks) - k + 1
+        acc = th[:m] * _POS_MIX[0]
+        for j in range(1, k):
+            acc = acc ^ (th[j : m + j] * _POS_MIX[j % len(_POS_MIX)])
+    return np.unique(_splitmix64(acc))
 
 
 def _perm_params(num_perm: int, seed: int) -> np.ndarray:
@@ -58,6 +108,11 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
         x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         return x ^ (x >> np.uint64(31))
+
+
+# odd 64-bit mixing constants for positional token-hash combination
+# (seeded family, forced odd so multiplication is a bijection mod 2^64)
+_POS_MIX = _perm_params(8, seed=987) | np.uint64(1)
 
 
 def minhash_signature(shingle_hashes: np.ndarray, seeds: np.ndarray) -> np.ndarray:
@@ -92,11 +147,12 @@ class MinHashBander:
         self.rows_per_band = num_perm // bands
         self.seeds = _perm_params(num_perm, seed)
         self.carry = carry
+        self._tok_cache: dict[str, int] = {}  # per-actor, cross-batch
 
     def __call__(self, batch) -> "pa.Table":
         # Arrow in/out: the verification payload rides the shuffle as a
-        # list<uint64> column (fast columnar serialization), not pandas
-        # object arrays (row-pickled, ~10x slower through the sort).
+        # list<uint64> column (fast columnar serialization, built with
+        # ListArray.from_arrays — no per-element Python objects).
         # carry="shingles" ships the doc's full shingle-hash set (exact
         # verification downstream, payload grows with doc length);
         # carry="signature" ships the fixed num_perm×8-byte MinHash
@@ -105,26 +161,47 @@ class MinHashBander:
 
         ids = batch[self.id_col].to_pylist() if isinstance(batch, pa.Table) else list(batch[self.id_col])
         texts = batch[self.text_col].to_pylist() if isinstance(batch, pa.Table) else list(batch[self.text_col])
-        out_id, out_band, out_key, out_sh = [], [], [], []
-        for doc_id, text in zip(ids, texts):
-            sh = sorted({stable_hash64(s) for s in _token_shingles(text, self.shingle_k)})
-            sh_arr = np.asarray(sh, dtype=np.uint64)
-            sig = minhash_signature(sh_arr, self.seeds)
-            payload = sh_arr if self.carry == "shingles" else sig
-            for band in range(self.bands):
-                rows = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                key = stable_hash64(rows.tobytes())
-                out_id.append(doc_id)
-                out_band.append(band)
-                out_key.append(np.int64(key % (1 << 62)))
-                out_sh.append(payload)
+        if len(self._tok_cache) > 1_000_000:  # bound actor memory
+            self._tok_cache.clear()
+        b, r = self.bands, self.rows_per_band
+        n = len(ids)
+        key_parts: list[np.ndarray] = []
+        payloads: list[np.ndarray] = []
+        lengths = np.empty(n, dtype=np.int64)
+        for i, text in enumerate(texts):
+            sh = _shingle_hashes(text, self.shingle_k, self._tok_cache)
+            sig = minhash_signature(sh, self.seeds)
+            # per-band key: positional mix of the band's signature rows
+            # (vectorized across bands; replaces 32 blake2 calls/doc)
+            R = sig.reshape(b, r)
+            with np.errstate(over="ignore"):
+                mixed = _splitmix64(
+                    np.bitwise_xor.reduce(R * _POS_MIX[:r][None, :], axis=1)
+                )
+            key_parts.append((mixed & np.uint64((1 << 62) - 1)).astype(np.int64))
+            payload = sh if self.carry == "shingles" else sig
+            payloads.append(payload)
+            lengths[i] = len(payload)
         col = "shingles" if self.carry == "shingles" else "sig"
+        counts = np.repeat(lengths, b)
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        values = (
+            np.concatenate([np.tile(p, b) for p in payloads])
+            if n
+            else np.empty(0, dtype=np.uint64)
+        )
+        list_arr = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(values, pa.uint64())
+        )
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.int64()),
-                col: pa.array([a.tolist() for a in out_sh], pa.list_(pa.uint64())),
+                "doc_id": pa.array(np.repeat(np.asarray(ids, dtype=np.int64), b)),
+                "band": pa.array(np.tile(np.arange(b, dtype=np.int32), n)),
+                "key": pa.array(
+                    np.concatenate(key_parts) if n else np.empty(0, np.int64)
+                ),
+                col: list_arr,
             }
         )
 
@@ -139,23 +216,28 @@ def _pairs_in_partition(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
     out = []
     sizes = g.groupby(["band", "key"])["doc_id"].transform("size")
     cand = g[sizes >= 2]
+    # near-dup pairs co-bucket in MANY bands — collect the unique
+    # candidate pairs (and one payload per doc) first so each pair is
+    # verified once per partition, not once per shared band.
+    payload: dict[int, np.ndarray] = {}
+    pairs: set[tuple[int, int]] = set()
     for (_, _), grp in cand.groupby(["band", "key"]):
-        ids = grp["doc_id"].to_numpy()
-        shingles = [np.asarray(x, dtype=np.uint64) for x in grp["shingles"]]
-        order = np.argsort(ids)
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                i, j = order[ii], order[jj]
-                if ids[i] == ids[j]:
-                    continue
-                A, B = shingles[i], shingles[j]
-                inter = len(np.intersect1d(A, B, assume_unique=True))
-                union = len(A) + len(B) - inter
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    # integer-scaled jaccard: exactly reproducible in
-                    # SQL (floor(inter*1e6/union)), no rounding skew
-                    out.append((int(ids[i]), int(ids[j]), inter * 1_000_000 // union))
+        gids = grp["doc_id"].to_numpy()
+        for did, sh in zip(gids, grp["shingles"]):
+            if did not in payload:
+                payload[int(did)] = np.asarray(sh, dtype=np.uint64)
+        uids = np.unique(gids)
+        for ii in range(len(uids)):
+            for jj in range(ii + 1, len(uids)):
+                pairs.add((int(uids[ii]), int(uids[jj])))
+    for a, b in sorted(pairs):
+        A, B = payload[a], payload[b]
+        inter = len(np.intersect1d(A, B, assume_unique=True))
+        union = len(A) + len(B) - inter
+        if union and inter / union >= threshold:
+            # integer-scaled jaccard: exactly reproducible in
+            # SQL (floor(inter*1e6/union)), no rounding skew
+            out.append((a, b, inter * 1_000_000 // union))
     return pd.DataFrame(
         {
             "doc_a": pd.Series([r[0] for r in out], dtype="int64"),
@@ -170,19 +252,29 @@ def _est_pairs_in_partition(g: pd.DataFrame, threshold: float, num_perm: int) ->
     estimated Jaccard = matching signature components / num_perm. The
     payload per row is the FIXED num_perm×8-byte signature, so the
     shuffle stays 100-TB-safe regardless of doc length."""
-    out: list[tuple[int, int, int]] = []
     sizes = g.groupby(["band", "key"])["doc_id"].transform("size")
     cand = g[sizes >= 2]
+    # unique pairs / one signature per doc (see _pairs_in_partition)
+    sig_of: dict[int, np.ndarray] = {}
+    pairs: set[tuple[int, int]] = set()
     for _, grp in cand.groupby(["band", "key"]):
-        ids = grp["doc_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        S = np.stack([np.asarray(s, dtype=np.uint64) for s in grp["sig"]])[order]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        matches = (S[ii] == S[jj]).sum(axis=1)
-        keep = (matches * 1.0 / num_perm >= threshold) & (ids[ii] != ids[jj])
-        for x, y, m in zip(ii[keep], jj[keep], matches[keep]):
-            out.append((int(ids[x]), int(ids[y]), int(m) * 1_000_000 // num_perm))
+        gids = grp["doc_id"].to_numpy()
+        for did, s in zip(gids, grp["sig"]):
+            if did not in sig_of:
+                sig_of[int(did)] = np.asarray(s, dtype=np.uint64)
+        uids = np.unique(gids)
+        for ii in range(len(uids)):
+            for jj in range(ii + 1, len(uids)):
+                pairs.add((int(uids[ii]), int(uids[jj])))
+    out: list[tuple[int, int, int]] = []
+    if pairs:
+        plist = sorted(pairs)
+        A = np.stack([sig_of[a] for a, _ in plist])
+        B = np.stack([sig_of[b] for _, b in plist])
+        matches = (A == B).sum(axis=1)
+        for (a, b), m in zip(plist, matches):
+            if m / num_perm >= threshold:
+                out.append((a, b, int(m) * 1_000_000 // num_perm))
     return pd.DataFrame(
         {
             "doc_a": pd.Series([r[0] for r in out], dtype="int64"),
@@ -228,7 +320,7 @@ def minhash_lsh_dups(
             carry="shingles" if verify == "exact" else "signature",
         ),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=_pool_size(concurrency),
     )
 
     def add_part(t):
@@ -386,7 +478,7 @@ def simhash_dups(
         SimHasher,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, n_bands=n_bands),
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=_pool_size(concurrency),
     )
     cand = banded.groupby("__part").map_groups(
         lambda g: _simhash_pairs_in_partition(
@@ -533,7 +625,7 @@ def embedding_neardup(
             n_planes=n_planes, n_tables=n_tables, seed=seed,
         ),
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=_pool_size(concurrency),
     )
     pairs = banded.groupby("__part").map_groups(
         lambda g: _emb_pairs_in_partition(g.drop(columns="__part"), threshold),

@@ -395,11 +395,14 @@ class SimHasher:
     across batches (the stateful-stage shape)."""
 
     def __init__(
-        self, id_col: str = "doc_id", text_col: str = "text", n_bands: int = 8
+        self, id_col: str = "doc_id", text_col: str = "text", n_bands: int = 8,
+        emit: str = "bands",
     ):
+        assert emit in ("bands", "sigs")
         self.id_col, self.text_col, self.n_bands = id_col, text_col, n_bands
         assert 64 % n_bands == 0
         self.band_bits = 64 // n_bands
+        self.emit = emit
         self._cache: dict[str, int] = {}
 
     @staticmethod
@@ -410,6 +413,13 @@ class SimHasher:
         sigs = simhash64_batch(list(df[self.text_col]), cache=self._cache)
         if len(self._cache) > 1_000_000:  # bound actor memory
             self._cache.clear()
+        if self.emit == "sigs":  # one (doc_id, sig) row per doc
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(df[self.id_col].to_numpy(), dtype="int64"),
+                    "sig": pd.Series(sigs.view(np.int64), dtype="int64"),
+                }
+            )
         n = len(df)
         nb = self.n_bands
         mask = np.uint64((1 << self.band_bits) - 1)
@@ -434,27 +444,51 @@ def _simhash_pairs_in_partition(g: pd.DataFrame, hamming_thresh: int) -> pd.Data
     """Popcount verification within one COARSE partition: filter to
     (band, key) buckets with ≥2 docs, then vectorized pairwise XOR +
     popcount per bucket (same shape as ``_pairs_in_partition``)."""
-    out_a: list[int] = []
-    out_b: list[int] = []
-    out_h: list[int] = []
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64"),
+        }
+    )
     sizes = g.groupby(["band", "key"])["doc_id"].transform("size")
     cand = g[sizes >= 2]
+    if not len(cand):
+        return empty
+    # Dense corpora have big near-dup clusters: the same id set shows
+    # up as a bucket in several bands of this partition (an exact-dup
+    # cluster shares ALL band keys). Dedup buckets by content, encode
+    # pairs as single int64 codes over the partition's unique-id index
+    # (np.unique on 1-D codes ≫ faster than a 2-column lexsort), and
+    # popcount each surviving pair once via vectorized sig lookup.
+    ids_all = cand["doc_id"].to_numpy()
+    uid, first_idx = np.unique(ids_all, return_index=True)
+    usig = cand["sig"].to_numpy()[first_idx].view(np.uint64)
+    n_uid = np.int64(len(uid))
+    seen_buckets: set[int] = set()
+    code_parts: list[np.ndarray] = []
     for _, grp in cand.groupby(["band", "key"]):
-        ids = grp["doc_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        sigs = grp["sig"].to_numpy()[order].view(np.uint64)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        ham = popcount64(sigs[ii] ^ sigs[jj])
-        keep = (ham <= hamming_thresh) & (ids[ii] != ids[jj])
-        out_a.extend(ids[ii[keep]].tolist())
-        out_b.extend(ids[jj[keep]].tolist())
-        out_h.extend(ham[keep].astype(np.int64).tolist())
+        u = np.unique(grp["doc_id"].to_numpy())
+        if len(u) < 2:
+            continue
+        bkey = hash(u.tobytes())
+        if bkey in seen_buckets:
+            continue
+        seen_buckets.add(bkey)
+        idx = np.searchsorted(uid, u).astype(np.int64)
+        ii, jj = np.triu_indices(len(idx), k=1)
+        code_parts.append(idx[ii] * n_uid + idx[jj])
+    if not code_parts:
+        return empty
+    codes = np.unique(np.concatenate(code_parts))
+    ai, bi = codes // n_uid, codes % n_uid
+    ham = popcount64(usig[ai] ^ usig[bi])
+    keep = ham <= hamming_thresh
     return pd.DataFrame(
         {
-            "doc_a": pd.Series(out_a, dtype="int64"),
-            "doc_b": pd.Series(out_b, dtype="int64"),
-            "hamming": pd.Series(out_h, dtype="int64"),
+            "doc_a": pd.Series(uid[ai[keep]], dtype="int64"),
+            "doc_b": pd.Series(uid[bi[keep]], dtype="int64"),
+            "hamming": pd.Series(ham[keep].astype(np.int64), dtype="int64"),
         }
     )
 
@@ -471,22 +505,157 @@ def simhash_dups(
     → (doc_a, doc_b, hamming). With ``n_bands`` bit-slice bands any
     pair at hamming ≤ n_bands-1 shares at least one exact band
     (pigeonhole), so recall is 1 for ``hamming_thresh ≤ n_bands-1``;
-    popcount verification makes precision 1. ONE shuffle, on the coarse
-    64-way ``__part`` key (never a ``map_groups`` call per fine
-    bucket)."""
-    banded = ds.map_batches(
+    popcount verification makes precision 1.
+
+    Co-bucketing under bit-slice banding depends ONLY on the signature
+    VALUES, so pair discovery runs over DISTINCT signatures: per-doc
+    sigs → groupby sig (ids per signature) → band + verify the distinct
+    sigs (tiny: ``d ≤ docs``, far smaller on dup-heavy corpora — the
+    whole point of the op) → expand value pairs back to id pairs. A
+    dup-heavy corpus (cluster of m same-sig docs) costs O(d²/bucket) +
+    the inherent O(output) expansion instead of O(m²) per band; and
+    because each doc has exactly one signature, expanded pairs are
+    already unique — the output needs NO dedup shuffle."""
+    sig_rows = ds.map_batches(
         SimHasher,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, n_bands=n_bands),
-        batch_format="pandas",
-        concurrency=_pool_size(concurrency),
-    )
-    cand = banded.groupby("__part").map_groups(
-        lambda g: _simhash_pairs_in_partition(
-            g.drop(columns="__part"), hamming_thresh
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, n_bands=n_bands, emit="sigs"
         ),
         batch_format="pandas",
+        concurrency=_pool_size(concurrency),
+    ).materialize()  # (doc_id, sig), 16 B/row; read by 3 branches below
+
+    distinct_sigs = dedup_exact(
+        sig_rows.map_batches(
+            lambda df: df[["sig"]].drop_duplicates(), batch_format="pandas"
+        ),
+        ["sig"],
     )
-    return dedup_exact(cand, ["doc_a", "doc_b"])
+
+    # band the DISTINCT sigs and find value pairs (reuses the partition
+    # verifier with sig standing in for doc_id)
+    def band_sigs(df: pd.DataFrame) -> pd.DataFrame:
+        sigs = df["sig"].to_numpy()
+        n = len(df)
+        band_bits = 64 // n_bands
+        mask = np.uint64((1 << band_bits) - 1)
+        bands = np.tile(np.arange(n_bands, dtype=np.int64), n)
+        rep = np.repeat(sigs, n_bands)
+        keys = (rep.view(np.uint64) >> (bands.astype(np.uint64) * np.uint64(band_bits))) & mask
+        with np.errstate(over="ignore"):
+            part = _splitmix64(keys * np.uint64(n_bands) + bands.astype(np.uint64)) & np.uint64(63)
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(rep, dtype="int64"),  # the sig, as id
+                "band": pd.Series(bands, dtype="int64"),
+                "key": pd.Series(keys.astype(np.int64), dtype="int64"),
+                "sig": pd.Series(rep, dtype="int64"),
+                "__part": pd.Series(part.astype(np.int64), dtype="int64"),
+            }
+        )
+
+    def vp_schema(df: pd.DataFrame):
+        # groupby/sort stages can emit zero-row PANDAS blocks with
+        # EMPTY schemas (Ray sentinel blocks); the Acero hash join then
+        # fails per-partition ("no match for key field"). Emit ARROW
+        # blocks with an explicit schema — empty Arrow tables keep it.
+        import pyarrow as pa
+
+        out = df.reindex(columns=["sig_a", "sig_b", "hamming"]).astype(
+            {"sig_a": "int64", "sig_b": "int64", "hamming": "int64"}
+        )
+        schema = pa.schema(
+            [("sig_a", pa.int64()), ("sig_b", pa.int64()), ("hamming", pa.int64())]
+        )
+        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+    import ray.data
+
+    value_pairs = (
+        distinct_sigs.map_batches(band_sigs, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(
+            lambda g: _simhash_pairs_in_partition(
+                g.drop(columns="__part"), hamming_thresh
+            ).rename(columns={"doc_a": "sig_a", "doc_b": "sig_b"}),
+            batch_format="pandas",
+        )
+        .map_batches(vp_schema, batch_format="pandas")
+    )
+    # a value pair agreeing on several bands is discovered once per
+    # partition holding one of those bands — dedup BEFORE expansion
+    # (value level: tiny), so the expanded output needs no dedup.
+    # Materialize to count — ds.join crashes outright on a fully-empty
+    # input dataset (measured: ArrowInvalid "no match for FieldRef"),
+    # so the no-cross-pairs case must skip the joins entirely.
+    value_pairs = dedup_exact(value_pairs, ["sig_a", "sig_b"]).materialize()
+
+    from fastie_ray.stages.canonicalize import join_partitions
+
+    # join partitions sized to the measured input: every partition
+    # costs one aggregator ACTOR per join (spawn ≈ seconds of fixed
+    # overhead) — small corpora want 1-2, web scale wants the cap
+    n_docs = sig_rows.count()
+    np_join = max(1, min(join_partitions(64), n_docs // 100_000 + 1))
+
+    # self pairs (hamming 0): sig_rows self-join on sig, ordered
+    selfj = sig_rows.join(
+        sig_rows.map_batches(
+            lambda df: df.rename(columns={"doc_id": "doc_id_b"}),
+            batch_format="pandas",
+        ),
+        join_type="inner", num_partitions=np_join, on=("sig",),
+        right_on=("sig",), right_suffix="_r",
+    )
+
+    def self_order(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["doc_id"] < df["doc_id_b"]
+        d = df[m]
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(d["doc_id"].to_numpy(), dtype="int64"),
+                "doc_b": pd.Series(d["doc_id_b"].to_numpy(), dtype="int64"),
+                "hamming": pd.Series(np.zeros(int(m.sum()), dtype=np.int64)),
+            }
+        )
+
+    self_pairs = selfj.map_batches(self_order, batch_format="pandas")
+
+    if value_pairs.count() == 0:  # no cross-sig pairs at this threshold
+        return self_pairs
+
+    # cross pairs: the hash join's natural fan-out IS the expansion —
+    # every doc of sig_a pairs with every doc of sig_b
+    j1 = value_pairs.join(
+        sig_rows.map_batches(
+            lambda df: df.rename(columns={"doc_id": "ida"}),
+            batch_format="pandas",
+        ),
+        join_type="inner", num_partitions=np_join, on=("sig_a",),
+        right_on=("sig",), right_suffix="_r",
+    ).select_columns(["sig_b", "hamming", "ida"])
+    j = j1.join(
+        sig_rows.map_batches(
+            lambda df: df.rename(columns={"doc_id": "idb"}),
+            batch_format="pandas",
+        ),
+        join_type="inner", num_partitions=np_join, on=("sig_b",),
+        right_on=("sig",), right_suffix="_r",
+    ).select_columns(["hamming", "ida", "idb"])
+
+    def cross_order(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["ida"].to_numpy()
+        b = df["idb"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(np.minimum(a, b), dtype="int64"),
+                "doc_b": pd.Series(np.maximum(a, b), dtype="int64"),
+                "hamming": pd.Series(df["hamming"].to_numpy(), dtype="int64"),
+            }
+        )
+
+    cross_pairs = j.map_batches(cross_order, batch_format="pandas")
+    return self_pairs.union(cross_pairs)
 
 
 # ------------------------------------------------------------- jaccard

@@ -302,3 +302,29 @@ def test_minhash_estimate_mode_recalls_exact_pairs(ray_session):
     es = est.set_index(["doc_a", "doc_b"])["jaccard_e6"]
     for k in want:
         assert abs(es[k] - ex[k]) < 150_000  # |est - true| < 0.15 (128 perms)
+
+
+def test_simhash_dups_matches_bruteforce(ray_session):
+    """Full-pair semantics of the value-level design: output equals
+    brute-force pairwise popcount at hamming ≤ n_bands-1 (pigeonhole
+    recall), with no duplicate pairs."""
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = simhash_dups(docs, hamming_thresh=3, concurrency=2).to_pandas()
+    assert not got.duplicated(["doc_a", "doc_b"]).any()
+
+    from fastie_ray.ops.neardup import popcount64, simhash64_batch
+
+    pdf = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    sigs = simhash64_batch(list(pdf["text"]))
+    ids = pdf["doc_id"].to_numpy()
+    order = np.argsort(ids)
+    ids, sigs = ids[order], sigs[order]
+    ii, jj = np.triu_indices(len(ids), k=1)
+    ham = popcount64(sigs[ii] ^ sigs[jj]).astype(np.int64)
+    keep = ham <= 3
+    exp = pd.DataFrame(
+        {"doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]], "hamming": ham[keep]}
+    )
+    g = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    e = exp.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g.astype("int64"), e.astype("int64"))

@@ -35,6 +35,19 @@ def _pages(sf_dir: str):
     return pages_from_documents(sf_dir, _world())
 
 
+def _conc(requested: int = 16) -> int:
+    """Scorer-pool size for the pipeline queries: scale to the session's
+    CPUs (the driver runs 32, tests 4) leaving headroom for the
+    downstream shuffle tasks."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(2, min(requested, cpus - 2))
+
+
 # ----------------------------------------------------------------- entry
 
 
@@ -90,7 +103,7 @@ def _q_kg_mentions(sf_dir: str):
     from fastie_ray.pipelines.kg import extract_triples
 
     world_ref = ray.put(_world())
-    mentions, _ = extract_triples(_pages(sf_dir), world_ref=world_ref, concurrency=8)
+    mentions, _ = extract_triples(_pages(sf_dir), world_ref=world_ref, concurrency=_conc())
     return mentions
 
 
@@ -100,13 +113,13 @@ def _q_kg_triples(sf_dir: str):
     from fastie_ray.pipelines.kg import doc_triples
 
     world_ref = ray.put(_world())
-    return doc_triples(_pages(sf_dir), world_ref=world_ref, concurrency=8)
+    return doc_triples(_pages(sf_dir), world_ref=world_ref, concurrency=_conc())
 
 
 def _q_kg_edges(sf_dir: str):
     from fastie_ray.pipelines.kg import graph_tables
 
-    t = graph_tables(_pages(sf_dir), world=_world(), concurrency=8)
+    t = graph_tables(_pages(sf_dir), world=_world(), concurrency=_conc())
     return t["edges"].select_columns(
         ["subject_id", "predicate", "object_id", "n_support"]
     )
@@ -115,7 +128,7 @@ def _q_kg_edges(sf_dir: str):
 def _q_kg_nodes(sf_dir: str):
     from fastie_ray.pipelines.kg import graph_tables
 
-    t = graph_tables(_pages(sf_dir), world=_world(), concurrency=8)
+    t = graph_tables(_pages(sf_dir), world=_world(), concurrency=_conc())
     return t["nodes"]
 
 
@@ -125,7 +138,7 @@ def _q_kg_events(sf_dir: str):
     from fastie_ray.pipelines.kg import doc_events
 
     world_ref = ray.put(_world())
-    return doc_events(_pages(sf_dir), world_ref=world_ref, concurrency=8)
+    return doc_events(_pages(sf_dir), world_ref=world_ref, concurrency=_conc())
 
 
 def _q_uie(sf_dir: str):
@@ -134,7 +147,7 @@ def _q_uie(sf_dir: str):
     from fastie_ray.pipelines.uie import uie_extract
 
     world_ref = ray.put(_world())
-    return uie_extract(_pages(sf_dir), world_ref=world_ref, concurrency=8)
+    return uie_extract(_pages(sf_dir), world_ref=world_ref, concurrency=_conc())
 
 
 def _q_lang_counts(sf_dir: str):
@@ -547,7 +560,7 @@ def _q_extraction_f1(sf_dir: str):
 
     world_ref = ray.put(_world())
     from fastie_ray.pipelines.kg import doc_triples as _dt
-    triples = _dt(_pages(sf_dir), world_ref=world_ref, concurrency=8)
+    triples = _dt(_pages(sf_dir), world_ref=world_ref, concurrency=_conc())
     gold = _q_kg_triples_gold(sf_dir)
     m = extraction_score(gold, triples, keys=["url", "predicate", "subject", "object"])
     return pd.DataFrame(

@@ -41,15 +41,26 @@ def _headline(sf_dir: str) -> dict:
     pages = pages_from_documents(sf_dir, world, repeat=repeat)
     n_pages = pages.count()  # warm page-cache + actor-free read
 
-    t0 = time.monotonic()
-    triples = doc_triples(
-        pages_from_documents(sf_dir, world, repeat=repeat),
-        world_ref=world_ref,
-        concurrency=max(2, ncpu - 2),
-    )
-    n_triples = triples.count()
-    headline = time.monotonic() - t0
-    return {"sec": headline, "n_triples": n_triples, "n_pages": n_pages}
+    # warmup at tiny repeat: fault in plasma pages, spawn the actor
+    # pool once — first-execution transients after a fresh ray.init
+    # measured up to 3-4x on this box (cold /dev/shm + scheduler JIT)
+    doc_triples(
+        pages_from_documents(sf_dir, world, repeat=2),
+        world_ref=world_ref, concurrency=max(2, ncpu - 2),
+    ).count()
+
+    runs = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        triples = doc_triples(
+            pages_from_documents(sf_dir, world, repeat=repeat),
+            world_ref=world_ref,
+            concurrency=max(2, ncpu - 2),
+        )
+        n_triples = triples.count()
+        runs.append(round(time.monotonic() - t0, 3))
+    headline = min(runs)  # steady-state; both runs reported
+    return {"sec": headline, "runs": runs, "n_triples": n_triples, "n_pages": n_pages}
 
 
 def _query_timings(sf_dir: str) -> dict[str, float]:
@@ -93,6 +104,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf_dir,
         "num_cpus": ncpu,
+        "runs": head["runs"],
         "n_triples": head["n_triples"],
         "n_pages": head["n_pages"],
         "repeat": int(os.environ.get("GRAFT_REPEAT", 64)),

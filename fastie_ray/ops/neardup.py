@@ -530,6 +530,7 @@ def simhash_dups(
             lambda df: df[["sig"]].drop_duplicates(), batch_format="pandas"
         ),
         ["sig"],
+        n_buckets=8,  # tiny table; fewer groups = less fixed shuffle cost
     )
 
     # band the DISTINCT sigs and find value pairs (reuses the partition
@@ -588,7 +589,7 @@ def simhash_dups(
     # Materialize to count — ds.join crashes outright on a fully-empty
     # input dataset (measured: ArrowInvalid "no match for FieldRef"),
     # so the no-cross-pairs case must skip the joins entirely.
-    value_pairs = dedup_exact(value_pairs, ["sig_a", "sig_b"]).materialize()
+    value_pairs = dedup_exact(value_pairs, ["sig_a", "sig_b"], n_buckets=8).materialize()
 
     from fastie_ray.stages.canonicalize import join_partitions
 

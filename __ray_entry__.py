@@ -455,6 +455,33 @@ def _plant_lang_text(lang: str) -> str:
     return " ".join(sorted(_STOPWORDS[lang]))
 
 
+def _q_ivf_knn(sf_dir: str):
+    """Planted-neighbor construction (like lsh_knn): each query vector
+    gets a scaled (×2.0) copy at id+1e6 — identical direction means the
+    same Voronoi cell under the cosine-trained centroids and cosine
+    exactly 1.0, so IVF MUST return it at rank 1. Recall vs brute force
+    is asserted in pytest."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.similarity import ivf_knn
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["vec_id"].isin([0, 1, 2, 3])].copy()
+        d["vec_id"] = d["vec_id"] + 1_000_000
+        d["embedding"] = [
+            (np.asarray(e, dtype=np.float32) * 2.0).tolist() for e in d["embedding"]
+        ]
+        return pd.concat([df, d], ignore_index=True)
+
+    out = ivf_knn(ds.map_batches(plant, batch_format="pandas"),
+                  query_ids=[0, 1, 2, 3], k=5, n_centroids=8, nprobe=2)
+    return out[out["rank"] == 1][["query_id", "neighbor_id", "rank"]]
+
+
 def _q_lang_id(sf_dir: str):
     """Planted-stopword construction (the synth `lang` column is
     independent of the synthetic token text, so the oracle plants
@@ -614,6 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_prefix": _q_jaccard_prefix,
         "embed_neardup": _q_embed_neardup,
         "lsh_knn": _q_lsh_knn,
+        "ivf_knn": _q_ivf_knn,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
         "fingerprints": _q_fingerprints,
@@ -703,6 +731,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 5 = 0
         """,
         "lsh_knn": """
+            SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+                   CAST(1 AS BIGINT) AS rank
+            FROM embeddings WHERE vec_id IN (0, 1, 2, 3)
+        """,
+        "ivf_knn": """
             SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
                    CAST(1 AS BIGINT) AS rank
             FROM embeddings WHERE vec_id IN (0, 1, 2, 3)

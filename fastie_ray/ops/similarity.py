@@ -201,3 +201,92 @@ def lsh_knn(
     topk["rank"] = topk.groupby("query_id").cumcount() + 1
     topk["score"] = topk["score"].round(6)
     return topk
+
+
+# --------------------------------------------------------------- IVF
+
+
+def _kmeans(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
+            seed: int = 42) -> np.ndarray:
+    """Small deterministic Lloyd's k-means on a driver-side SAMPLE
+    (normalized rows; cosine ≈ dot). The sample is bounded (never the
+    corpus); centroids are the broadcast index."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    C = sample[rng.choice(n, size=min(n_centroids, n), replace=False)].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ C.T, axis=1)
+        for c in range(len(C)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    C[c] = m / nrm
+    return C
+
+
+def ivf_knn(
+    ds: "ray.data.Dataset",
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF approximate top-k — the inverted-file scale path beside
+    ``lsh_knn``: k-means centroids trained once on a bounded sample
+    (driver), broadcast; every vector is assigned to its nearest
+    centroid inside ``map_batches`` (one matmul per batch); each query
+    probes its ``nprobe`` nearest centroid lists and scores ONLY
+    vectors assigned there. The only driver-sized structures are the
+    [C, dim] centroid matrix and the final ``n_batches × nq × k``
+    merge; the corpus itself never leaves the batch stream.
+
+    Recall is governed by nprobe/n_centroids (cells are Voronoi regions
+    of the centroid set); exact-direction duplicates of a query always
+    share its cell, so their recall is 1."""
+    import ray
+
+    # bounded sample for training (deterministic: first blocks)
+    sample_rows = ds.limit(sample_size).to_pandas()
+    S = _norm_rows(np.asarray(list(sample_rows["embedding"]), dtype=np.float32))
+    C = _kmeans(S, n_centroids, seed=seed)
+
+    qset = set(query_ids)
+    q_rows = ds.map_batches(
+        lambda df: df[df["vec_id"].isin(qset)], batch_format="pandas"
+    ).to_pandas().sort_values("vec_id")
+    qids = q_rows["vec_id"].to_numpy()
+    Q = _norm_rows(np.asarray(list(q_rows["embedding"]), dtype=np.float32))
+    # per-query probe cells: nprobe nearest centroids
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # [nq, nprobe]
+    ref = ray.put((qids, Q, C, probe))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_, C_, probe_ = ray.get(ref)
+        M = _norm_rows(np.asarray(list(df["embedding"]), dtype=np.float32))
+        ids = df["vec_id"].to_numpy()
+        cell = np.argmax(M @ C_.T, axis=1)  # IVF assignment
+        out = []
+        for j, qid in enumerate(qids_):
+            mask = np.isin(cell, probe_[j]) & (ids != qid)
+            if not mask.any():
+                continue
+            idx = np.flatnonzero(mask)
+            scores = M[idx] @ Q_[j]
+            kk = min(k, len(idx))
+            top = np.argpartition(-scores, kk - 1)[:kk] if len(idx) > kk else np.arange(len(idx))
+            for i in top:
+                out.append((int(qid), int(ids[idx[i]]), float(scores[i])))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "score"])
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+    )
+    topk = partials.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    topk["rank"] = topk.groupby("query_id").cumcount() + 1
+    topk["score"] = topk["score"].round(6)
+    return topk

@@ -62,18 +62,20 @@ def fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Content fingerprint (md5 hex — matches SQL ``md5(text)``) plus a
     64-bit rolling-window fingerprint (min-hash of 8-token windows,
     Rabin-Karp style) for near-dup prefiltering."""
+    from fastie_ray.ops.neardup import _shingle_hashes
+
+    cache = getattr(fingerprint_batch, "_tok_cache", None)
+    if cache is None or len(cache) > 1_000_000:
+        cache = {}
+        fingerprint_batch._tok_cache = cache  # process-local token-hash memo
     fps, rolls = [], []
     for t in df[text_col]:
         fps.append(hashlib.md5(t.encode("utf-8")).hexdigest())
-        toks = _WS.split(t.strip()) if t.strip() else []
-        if len(toks) < 8:
-            rolls.append(stable_hash64(" ".join(toks)) if toks else 0)
-        else:
-            best = None
-            for i in range(len(toks) - 7):
-                h = stable_hash64(" ".join(toks[i : i + 8]))
-                best = h if best is None or h < best else best
-            rolls.append(best)
+        # vectorized rolling fingerprint: min over 8-token window hashes
+        # (positional token-hash mix — the same kernel the MinHash
+        # shingler uses; replaces one blake2 call per window)
+        sh = _shingle_hashes(t, 8, cache)
+        rolls.append(int(sh[0]) if len(sh) else 0)
     return pd.DataFrame(
         {
             "doc_id": df["doc_id"],

@@ -328,3 +328,30 @@ def test_simhash_dups_matches_bruteforce(ray_session):
     g = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     e = exp.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(g.astype("int64"), e.astype("int64"))
+
+
+def test_ivf_knn_recall_vs_bruteforce(ray_session):
+    """IVF with generous nprobe recalls most exact neighbors; planted
+    exact-direction copies are always recalled (same Voronoi cell)."""
+    from fastie_ray.ops.similarity import ivf_knn, knn_bruteforce
+
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    exact = knn_bruteforce(emb, query_ids=[0, 1, 2, 3], k=5)
+    approx = ivf_knn(emb, query_ids=[0, 1, 2, 3], k=5,
+                     n_centroids=8, nprobe=4)
+    got = set(zip(approx.query_id, approx.neighbor_id))
+    want = set(zip(exact.query_id, exact.neighbor_id))
+    assert len(got & want) / len(want) >= 0.6  # recall at nprobe=C/2
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["vec_id"].isin([0, 1])].copy()
+        d["vec_id"] = d["vec_id"] + 1_000_000
+        d["embedding"] = [
+            (np.asarray(e, dtype=np.float32) * 2.0).tolist() for e in d["embedding"]
+        ]
+        return pd.concat([df, d], ignore_index=True)
+
+    planted = ivf_knn(emb.map_batches(plant, batch_format="pandas"),
+                      query_ids=[0, 1], k=3, n_centroids=8, nprobe=2)
+    r1 = planted[planted["rank"] == 1]
+    assert dict(zip(r1.query_id, r1.neighbor_id)) == {0: 1_000_000, 1: 1_000_001}

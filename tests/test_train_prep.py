@@ -102,3 +102,101 @@ def test_load_ner_train_dev_dataset_end_to_end(ray_session):
     # exploded gold rows; 5 docs in the val split, some with 2 entities
     assert all({"text", "label", "start", "end", "entity"} <= set(r) for r in dv)
     assert len(dv) in range(0, 11)
+
+
+def test_rel_features_and_collator(ray_session):
+    import ray.data
+
+    from fastie_ray.hf_backend import WordPieceTokenizer
+    from fastie_ray.pipelines.train_prep import (
+        collate_gplinker_rel,
+        rel_convert_to_features,
+    )
+
+    text = "Helix Group0007 was founded by Avery Quon0042 ."
+    # char spans: subject [0,15) tail-inclusive 14; object [31,45) tail 44
+    df = pd.DataFrame({"text": [text], "spo_list": [[[0, 14, "founded_by", 31, 44]]]})
+    feats = rel_convert_to_features(
+        ray.data.from_pandas(df), {"founded_by": 0}
+    ).take_all()
+    (sh, st, p, oh, ot), = feats[0]["labels"]
+    enc = WordPieceTokenizer(256).encode(text.replace(" ", "-"))
+    assert enc.offsets[sh][0] == 0 and enc.offsets[st][1] == 15
+    assert enc.offsets[oh][0] == 31 and enc.offsets[ot][1] == 45
+    assert p == 0
+    batch = collate_gplinker_rel(feats, num_labels=1)
+    assert batch["entity_labels"].shape == (1, 2, 1, 2)
+    assert tuple(batch["entity_labels"][0, 0, 0]) == (sh, st)
+    assert tuple(batch["head_labels"][0, 0, 0]) == (sh, oh)
+    assert tuple(batch["tail_labels"][0, 0, 0]) == (st, ot)
+
+
+def test_ee_features_pairwise_links(ray_session):
+    import ray.data
+
+    from fastie_ray.pipelines.train_prep import ee_convert_to_features
+
+    text = "Ann hired Bob today ."
+    # one event, two arguments (char spans, tail exclusive)
+    ev = [["hire", "subject", "Ann", 0, 3], ["hire", "object", "Bob", 10, 13]]
+    df = pd.DataFrame({"text": [text], "events": [[ev]]})
+    l2i = {"hire@subject": 0, "hire@object": 1}
+    feats = ee_convert_to_features(ray.data.from_pandas(df), l2i).take_all()
+    f = feats[0]
+    # argu lists start with the tag id then flattened (h, t) pairs
+    tags = {a[0] for a in f["argu_labels"]}
+    assert tags == {0, 1}
+    assert len(f["head_labels"]) == 1 and len(f["tail_labels"]) == 1
+    (h_lo, h_hi), = f["head_labels"]
+    assert h_lo <= h_hi  # min/max ordering of the pairwise link
+    # empty docs get the reference sentinels
+    empt = ee_convert_to_features(
+        ray.data.from_pandas(pd.DataFrame({"text": ["x"], "events": [[]]})), l2i
+    ).take_all()[0]
+    assert empt["argu_labels"] == [[0, 0, 0]]
+    assert empt["head_labels"] == [[0, 0]] and empt["tail_labels"] == [[0, 0]]
+
+
+def test_cls_features_single_and_pair(ray_session):
+    import ray.data
+
+    from fastie_ray.pipelines.train_prep import cls_convert_to_features
+
+    rows = [{"text": "good stuff", "text_b": "bad stuff", "label": 1}]
+    single = cls_convert_to_features(ray.data.from_items(rows)).take_all()[0]
+    assert single["labels"] == 1
+    assert single["input_ids"][0] == 101 and single["input_ids"][-1] == 102
+    assert set(single["token_type_ids"]) == {0}
+    pair = cls_convert_to_features(
+        ray.data.from_items(rows), input_feature_fields=["text", "text_b"]
+    ).take_all()[0]
+    assert 1 in set(pair["token_type_ids"])  # second segment marked
+    assert len(pair["input_ids"]) == len(pair["token_type_ids"])
+
+
+def test_evaluate_ner_eval_loop(ray_session):
+    import ray.data
+
+    from fastie_ray.pipelines.train_prep import evaluate_ner
+    from fastie_ray.synth import build_world
+
+    w = build_world()
+    e0, e1 = w.entities[0], w.entities[1]
+    good = {
+        "text": f"intro {e0.name} outro.",
+        "entities": [
+            {"start_offset": 6, "end_offset": 6 + len(e0.name),
+             "label": e0.label, "entity": e0.name}
+        ],
+    }
+    missed = {  # gold entity the gazetteer scorer can't see
+        "text": "nothing to find here",
+        "entities": [
+            {"start_offset": 0, "end_offset": 7, "label": "ORG", "entity": "nothing"}
+        ],
+    }
+    ds = ray.data.from_items([good, missed])
+    m = evaluate_ner(ds, world=w, concurrency=2)
+    assert m["eval_tp"] == 1 and m["eval_true_sum"] == 2
+    assert m["eval_pred_sum"] == 1  # no false positives on the miss doc
+    assert m["eval_precision"] == 1.0 and m["eval_recall"] == 0.5

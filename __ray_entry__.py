@@ -249,6 +249,62 @@ def _q_windowed_events(sf_dir: str):
     return tumbling_window_agg(ds, freq="1h")
 
 
+def _q_hopping_events(sf_dir: str):
+    import ray.data
+
+    from fastie_ray.ops.windows import hopping_window_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return hopping_window_agg(ds, size="1h", hop="30min")
+
+
+def _q_session_stats(sf_dir: str):
+    import ray.data
+
+    from fastie_ray.ops.windows import session_window_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+    return session_window_agg(ds, gap="30min")
+
+
+def _q_asof_clicks(sf_dir: str):
+    """As-of join demo: every click joined to the latest prior view of
+    the same user (event_id_r null when none)."""
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.windows import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    clicks = ev.map_batches(
+        lambda df: df[df.event_type == "click"][["event_id", "ts", "user_id"]],
+        batch_format="pandas",
+    )
+    views = ev.map_batches(
+        lambda df: df[df.event_type == "view"][["event_id", "ts", "user_id"]],
+        batch_format="pandas",
+    )
+    out = asof_join(clicks, views, key_col="user_id", ts_col="ts",
+                    right_cols=["event_id"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "view_event_id": df["event_id_r"].fillna(-1).astype("int64"),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _q_top_users(sf_dir: str):
     import ray.data
 
@@ -663,6 +719,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _q_knn,
         "events_by_type": _q_events_by_type,
         "windowed_events": _q_windowed_events,
+        "hopping_events": _q_hopping_events,
+        "session_stats": _q_session_stats,
+        "asof_clicks": _q_asof_clicks,
         "top_users": _q_top_users,
         "q1_lineitem": _q_q1_lineitem,
         "orders_by_segment": _q_orders_by_segment,
@@ -935,6 +994,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "hopping_events": """
+            SELECT time_bucket(INTERVAL '30 minutes', ts)
+                     - i * INTERVAL '30 minutes' AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events CROSS JOIN range(2) t(i)
+            GROUP BY 1, 2
+        """,
+        "session_stats": """
+            WITH x AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), y AS (
+                SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+                FROM x
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM y GROUP BY user_id, sess
+        """,
+        "asof_clicks": """
+            SELECT c.event_id, c.user_id,
+                   coalesce((
+                       SELECT v.event_id FROM events v
+                       WHERE v.user_id = c.user_id AND v.event_type = 'view'
+                             AND v.ts <= c.ts
+                       ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+                   ), -1) AS view_event_id
+            FROM events c WHERE c.event_type = 'click'
         """,
         "top_users": """
             SELECT user_id, round(sum(value), 4) AS sum_value,

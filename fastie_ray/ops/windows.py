@@ -114,3 +114,169 @@ def top_k_by_sum(
     cand["sum_value"] = cand["sum_value"].round(4)
     cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
     return cand.reset_index(drop=True)
+
+
+def hopping_window_agg(
+    ds: "ray.data.Dataset",
+    size: str = "1h",
+    hop: str = "30min",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Hopping (sliding) window counts/sums per (window_start, key):
+    every event belongs to ``size/hop`` overlapping windows — the
+    replication happens INSIDE the partial combiner (vectorized
+    repeat + offset), so the shuffle still sees one row per
+    (window, key) per batch, never the replicated event stream."""
+    size_td, hop_td = pd.Timedelta(size), pd.Timedelta(hop)
+    assert size_td % hop_td == pd.Timedelta(0), "hop must divide size"
+    n_rep = size_td // hop_td
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[ts_col].dt.floor(hop)
+        frames = []
+        for i in range(n_rep):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "window_start": (base - i * hop_td).astype("datetime64[us]"),
+                        key_col: df[key_col],
+                        value_col: df[value_col],
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby(["window_start", key_col], as_index=False).agg(
+            n_events=(value_col, "count"), sum_value=(value_col, "sum")
+        )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["window_start"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(
+            ["window_start", key_col], as_index=False
+        ).agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        out["sum_value"] = out["sum_value"].round(4)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def session_window_agg(
+    ds: "ray.data.Dataset",
+    gap: str = "30min",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Gap-based sessionization per key: a new session starts when the
+    key's inter-event gap EXCEEDS ``gap``. One shuffle co-locates each
+    key's rows (coarse hash partition — all rows of a key land in one
+    partition task, the op's partitioning assumption); within the
+    partition, session ids are a vectorized sort + diff + cumsum per
+    key. Emits (key, session_start, n_events, sum_value)."""
+    gap_td = pd.Timedelta(gap)
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key_col, ts_col, value_col]].copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").sort_values([key_col, ts_col])
+        new_key = g[key_col] != g[key_col].shift()
+        gap_brk = (g[ts_col] - g[ts_col].shift()) > gap_td
+        g = g.assign(__sess=(new_key | gap_brk).cumsum())
+        out = g.groupby([key_col, "__sess"], as_index=False).agg(
+            session_start=(ts_col, "min"),
+            n_events=(ts_col, "count"),
+            sum_value=(value_col, "sum"),
+        )
+        out["sum_value"] = out["sum_value"].round(4)
+        return out.drop(columns="__sess")
+
+    return (
+        ds.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """As-of join (a wide op Ray Data lacks): for every left row, the
+    LATEST right row of the same key with ``ts_right <= ts_left``.
+    Composition: tag both sides into a common schema, ONE hash shuffle
+    on the key (co-locating each key's rows — the partitioning
+    assumption), then a per-partition vectorized ``pd.merge_asof``
+    (global sort within the partition only). Right payload columns come
+    back suffixed; left rows with no prior right row keep nulls."""
+    right_cols = right_cols or []
+    l_schema = list(left.schema().names)
+    r_needed = list(dict.fromkeys([key_col, ts_col] + right_cols))
+    super_cols = list(dict.fromkeys(l_schema + r_needed))
+
+    def pad(side: str, keep: list[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[keep].copy()
+            for c in super_cols:
+                if c not in out.columns:
+                    out[c] = pd.NA
+            out = out[super_cols]
+            out["__side"] = side
+            if len(out):
+                h = pd.util.hash_pandas_object(out[key_col], index=False).to_numpy()
+                out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            else:
+                out["__b"] = np.array([], dtype=np.int64)
+            return out
+
+        return fn
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        lg = g[g["__side"] == "l"][l_schema].sort_values(ts_col)
+        # deterministic tie-break among equal (key, ts) right rows:
+        # merge_asof takes the LAST matching row, so a full stable sort
+        # makes that the max of the payload columns (mirrors SQL
+        # ORDER BY ts DESC, payload DESC LIMIT 1)
+        rg = g[g["__side"] == "r"][r_needed].sort_values(
+            [ts_col] + [c for c in r_needed if c != ts_col]
+        )
+        return pd.merge_asof(
+            lg, rg, on=ts_col, by=key_col, suffixes=("", suffix),
+            direction="backward",
+        )
+
+    import ray.data  # noqa: F401
+
+    both = left.map_batches(pad("l", l_schema), batch_format="pandas").union(
+        right.map_batches(pad("r", r_needed), batch_format="pandas")
+    )
+    return both.groupby("__b").map_groups(merge, batch_format="pandas")

@@ -355,3 +355,49 @@ def test_ivf_knn_recall_vs_bruteforce(ray_session):
                       query_ids=[0, 1], k=3, n_centroids=8, nprobe=2)
     r1 = planted[planted["rank"] == 1]
     assert dict(zip(r1.query_id, r1.neighbor_id)) == {0: 1_000_000, 1: 1_000_001}
+
+
+def test_hopping_session_asof_windows(ray_session):
+    """New wide ops: hopping windows double-count each event across
+    overlapping windows; sessions split on gaps; as-of join picks the
+    latest prior right row per key."""
+    import pandas as pd
+
+    from fastie_ray.ops.windows import (
+        asof_join,
+        hopping_window_agg,
+        session_window_agg,
+    )
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:05", "2024-01-01 00:40", "2024-01-01 02:00"]
+    ).astype("datetime64[us]")
+    ev = pd.DataFrame(
+        {"ts": ts, "event_type": ["a", "a", "a"], "user_id": [1, 1, 1],
+         "value": [1.0, 2.0, 4.0]}
+    )
+    ds = ray.data.from_pandas(ev)
+
+    hop = hopping_window_agg(ds, size="1h", hop="30min").to_pandas()
+    # every event appears in exactly 2 windows
+    assert hop["n_events"].sum() == 6
+    w = hop.set_index("window_start")["n_events"]
+    assert w[pd.Timestamp("2024-01-01 00:00")] == 2  # 00:05 and 00:40
+    assert w[pd.Timestamp("2023-12-31 23:30")] == 1  # 00:05 only
+
+    sess = session_window_agg(ds, gap="30min").to_pandas()
+    # 00:05→00:40 gap is 35min > 30min → three singleton sessions
+    assert len(sess) == 3 and (sess["n_events"] == 1).all()
+    sess2 = session_window_agg(ds, gap="36min").to_pandas()
+    assert sorted(sess2["n_events"]) == [1, 2]
+
+    clicks = ray.data.from_pandas(
+        pd.DataFrame({"event_id": [10], "ts": [ts[2]], "user_id": [1]})
+    )
+    views = ray.data.from_pandas(
+        pd.DataFrame({"event_id": [1, 2, 99], "ts": list(ts),
+                      "user_id": [1, 1, 2]})
+    )
+    j = asof_join(clicks, views, key_col="user_id", ts_col="ts",
+                  right_cols=["event_id"]).to_pandas()
+    assert len(j) == 1 and j.iloc[0]["event_id_r"] == 2  # latest prior view

@@ -273,3 +273,65 @@ def uie_extract(
     return dedup_exact(
         scored, ["url", "level", "prompt", "argument", "start", "end"], n_buckets
     )
+
+
+def extract_nested(scorer: UieDocScorer, text: str) -> dict:
+    """Reference-shaped nested results for ONE document
+    (``decode_utils.py:_multi_stage_predict`` output: ``{node_name:
+    [{text, start, end, probability, relations: {child: [...]}}]}``) —
+    the serving format. Runs the same chunk-local scoring as the batch
+    traversal; used by the request-facing endpoint where per-doc
+    latency, not throughput, matters."""
+    from fastie_ray.functions.textnorm import space_to_dash
+
+    scorer._cache = {}
+    chunks = split_text(text, scorer.max_length - 2)
+    offs = np.cumsum([0] + [len(c) for c in chunks[:-1]]).tolist()
+    dashed = [space_to_dash(c) for c in chunks]
+
+    def run_node(prompt: str) -> list[dict]:
+        copt = _CLS_OPT_RE.search(prompt)
+        if copt is not None:
+            opts = [o.strip() for o in re.split("[,，]", copt.group(1))]
+            return [
+                dict(r) for r in cls_majority_vote(
+                    [scorer._cls_predict(opts, c) for c in chunks]
+                )
+            ]
+        out = []
+        for chunk, off, dsh in zip(chunks, offs, dashed):
+            seq_len = min(len(chunk), scorer.max_length - 2) + 2
+            for ts, te in scorer._chunk_spans(prompt, dsh, seq_len):
+                cs, ce = ts - 1, te
+                out.append(
+                    {
+                        "text": chunk[cs:ce],
+                        "start": cs + off,
+                        "end": ce + off,
+                        "probability": 1.0,
+                    }
+                )
+        return out
+
+    def traverse(nid: int, prompt: str) -> list[dict]:
+        results = run_node(prompt)
+        node = scorer.nodes[nid]
+        if node.children:
+            for r in results:
+                relations: dict[str, list] = {}
+                for child in node.children:
+                    sub = traverse(
+                        child, f"{r['text']}的{scorer.nodes[child].name}"
+                    )
+                    if sub:
+                        relations[scorer.nodes[child].name] = sub
+                if relations:
+                    r["relations"] = relations
+        return results
+
+    out: dict[str, list] = {}
+    for rid in scorer.roots:
+        res = traverse(rid, scorer.nodes[rid].name)
+        if res:
+            out[scorer.nodes[rid].name] = res
+    return out

@@ -127,31 +127,13 @@ class _IEWorkerImpl:
         return out
 
     def _predict_uie(self, texts: list[str], schema) -> list[Any]:
-        import pyarrow as pa
+        # reference-shaped nested results ({node: [{text, start, end,
+        # probability, relations: {...}}]}, decode_utils.py:220-323)
+        from fastie_ray.pipelines.uie import build_schema_nodes, extract_nested
 
         if schema is not None:
-            from fastie_ray.pipelines.uie import build_schema_nodes
-
             self.scorer.nodes, self.scorer.roots = build_schema_nodes(schema)
-        batch = pa.table(
-            {
-                "url": pa.array([str(i) for i in range(len(texts))], pa.string()),
-                "text": pa.array(texts, pa.string()),
-            }
-        )
-        t = self.scorer(batch)
-        by_doc: dict[str, list] = {str(i): [] for i in range(len(texts))}
-        for row in t.to_pylist():
-            by_doc[row["url"]].append(
-                {
-                    "level": row["level"],
-                    "prompt": row["prompt"],
-                    "text": row["argument"],
-                    "start": row["start"],
-                    "end": row["end"],
-                }
-            )
-        return [by_doc[str(i)] for i in range(len(texts))]
+        return [extract_nested(self.scorer, t) for t in texts]
 
 
 def start_pool(task: str, n_workers: int = 2, world=None, **kw):

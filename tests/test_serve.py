@@ -39,14 +39,20 @@ def test_worker_rel_and_event_and_multichunk_offsets():
     assert roles == {"subject": f.subj.name, "object": f.obj.name}
 
 
-def test_worker_uie_with_schema():
+def test_worker_uie_with_schema_nested():
     w, f = _world_and_fact()
     text = f.sentence("en")
     out = _IEWorkerImpl("uie", world=w).predict(
         [text], schema={f.subj.label: [f.predicate]}
     )[0]
-    lvl2 = [r for r in out if r["level"] == 2]
-    assert any(r["text"] == f.obj.name for r in lvl2)
+    # reference nested shape: root results carry child results under
+    # "relations" keyed by the child node name
+    assert f.subj.label in out
+    subj = next(r for r in out[f.subj.label] if r["text"] == f.subj.name)
+    assert text[subj["start"] : subj["end"]] == f.subj.name
+    rel = subj["relations"][f.predicate]
+    assert rel[0]["text"] == f.obj.name
+    assert text[rel[0]["start"] : rel[0]["end"]] == f.obj.name
 
 
 def test_http_endpoint_roundtrip(ray_session):

@@ -150,11 +150,15 @@ def graph_tables(
     # edges: link triple endpoints, relabel both endpoints to component
     # ids by hash join, aggregate support
     ltriples = link_triples(triples, alias_ref, concurrency=max(2, concurrency // 2))
+    # left_cols passed explicitly: schema inference would execute the
+    # scorer lineage just to read column names
+    lt_cols = ["url", "predicate", "subject", "object", "subject_id", "object_id"]
     edge_rows = relabel_column(
-        relabel_column(ltriples, "subject_id", ent_comp, n_buckets),
+        relabel_column(ltriples, "subject_id", ent_comp, n_buckets, left_cols=lt_cols),
         "object_id",
         ent_comp,
         n_buckets,
+        left_cols=lt_cols,
     ).select_columns(["subject_id", "predicate", "object_id", "url"])
 
     def edge_partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -302,27 +302,58 @@ def relabel_column(
     col: str,
     ent_labels: "ray.data.Dataset",
     n_buckets: int = 64,
+    left_cols: list[str] | None = None,
 ) -> "ray.data.Dataset":
-    """Replace ``col`` values by their component id via a hash join
-    against (entity_id, component_id); unmatched rows keep their value
-    (the ``comp_m.get(e, e)`` semantics of the old broadcast dict)."""
-    j = ds.join(
-        ent_labels,
-        join_type="left_outer",
-        num_partitions=join_partitions(n_buckets),
-        on=(col,),
-        right_on=("entity_id",),
-        right_suffix="_r",
+    """Replace ``col`` values by their component id via a BUCKETED hash
+    join against (entity_id, component_id); unmatched rows keep their
+    value (the ``comp_m.get(e, e)`` semantics of the old broadcast
+    dict). Implemented as tag-union → one coarse groupby shuffle →
+    per-partition pandas map: same exchange volume as ``ds.join`` but
+    task-based — no per-partition aggregator ACTORS to spawn (measured
+    ~1-2 s fixed cost per join operator on this box).
+
+    Pass ``left_cols`` when the left lineage is expensive —
+    ``ds.schema()`` EXECUTES part of the upstream pipeline to infer it
+    (measured: two schema probes re-ran the scorer chain)."""
+    left_cols = list(left_cols) if left_cols is not None else list(ds.schema().names)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__cmp"] = pd.NA
+        out["__side"] = "l"
+        out["__b"] = (
+            (pd.util.hash_pandas_object(out[col], index=False).to_numpy()
+             % np.uint64(n_buckets)).astype(np.int64)
+            if len(out) else np.array([], dtype=np.int64)
+        )
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({col: df["entity_id"], "__cmp": df["component_id"]})
+        for c in left_cols:
+            if c not in out.columns:
+                out[c] = pd.NA
+        out["__side"] = "r"
+        out["__b"] = (
+            (pd.util.hash_pandas_object(out[col], index=False).to_numpy()
+             % np.uint64(n_buckets)).astype(np.int64)
+            if len(out) else np.array([], dtype=np.int64)
+        )
+        return out[left_cols + ["__cmp", "__side", "__b"]]
+
+    def apply_map(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        lg = g[g["__side"] == "l"][left_cols + ["__cmp"]].drop(columns="__cmp")
+        rg = g[g["__side"] == "r"][[col, "__cmp"]]
+        mapping = dict(zip(rg[col], rg["__cmp"]))
+        lg = lg.copy()
+        lg[col] = lg[col].map(lambda v: mapping.get(v, v))
+        return lg
+
+    both = ds.map_batches(tag_left, batch_format="pandas").union(
+        ent_labels.map_batches(tag_right, batch_format="pandas")
     )
-
-    def fix(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        comp_col = "component_id_r" if "component_id_r" in df.columns else "component_id"
-        ent_col = "entity_id_r" if "entity_id_r" in df.columns else "entity_id"
-        df[col] = df[comp_col].fillna(df[col])
-        return df.drop(columns=[c for c in (comp_col, ent_col) if c in df.columns])
-
-    return j.map_batches(fix, batch_format="pandas")
+    return both.groupby("__b").map_groups(apply_map, batch_format="pandas")
 
 
 def component_map(labels: pd.DataFrame) -> dict[str, str]:

@@ -679,6 +679,34 @@ def _q_kg_triples_gold(sf_dir: str):
     return docs.map_batches(gold, batch_format="pandas")
 
 
+def _q_media_neardup(sf_dir: str):
+    """Multimodal composition: synth media → actor-pool image
+    featurization (deterministic fake codec: identical payloads →
+    identical features) → LSH embedding near-dup. Every 4th item is
+    re-planted with id+1e6 and the SAME payload, so its feature is an
+    exact-direction duplicate (cosine 1.0, recalled w.p. 1); random
+    64-dim features make natural pairs at ≥0.95 impossible, so the
+    output is exactly the planted set."""
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.multimodal import featurize_images, synth_media_table
+    from fastie_ray.ops.neardup import embedding_neardup
+
+    media = ray.data.from_arrow(synth_media_table(256))
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["media_id"] % 4 == 0].copy()
+        d["media_id"] = d["media_id"] + 1_000_000
+        return pd.concat([df, d], ignore_index=True)
+
+    feats = featurize_images(media.map_batches(plant, batch_format="pandas"))
+    pairs = embedding_neardup(
+        feats, threshold=0.95, id_col="media_id", emb_col="feature", dim=64
+    )
+    return pairs.select_columns(["id_a", "id_b"])
+
+
 def _q_media_frames(sf_dir: str):
     import ray.data
 
@@ -704,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_stats": _q_augment,
         "extraction_f1": _q_extraction_f1,
         "media_frames": _q_media_frames,
+        "media_neardup": _q_media_neardup,
         "extract_text": _q_extract_text,
         "chunk_stats": _q_chunk_stats,
         "kg_mentions": _q_kg_mentions,
@@ -824,6 +853,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN length(text) > 5 THEN 2 ELSE 1 END AS BIGINT),
                    CAST(length(text) + FLOOR(length(text) * 0.32) AS BIGINT)
             FROM documents WHERE FLOOR(length(text) * 0.32) >= 1
+        """,
+        "media_neardup": """
+            SELECT i AS id_a, i + 1000000 AS id_b
+            FROM range(256) t(i) WHERE i % 4 = 0
         """,
         "media_frames": """
             WITH m AS (

@@ -71,7 +71,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
     for name in ("extract_text", "chunk_stats", "kg_triples", "kg_events",
                  "uie", "dedup_docs", "minhash_dups", "knn",
                  "events_by_type", "q1_lineitem",
-                 "simhash_dups", "embed_neardup", "kg_edges", "augment_stats"):
+                 "simhash_dups", "embed_neardup", "kg_edges", "augment_stats",
+                 "hopping_events", "session_stats", "asof_clicks"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

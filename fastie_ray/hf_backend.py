@@ -162,6 +162,47 @@ class DeterministicDenseBackend:
         return enc, entity, head, tail
 
 
+    def ee_forward(
+        self, dashed: str
+    ) -> tuple[SubwordEncoding, np.ndarray, np.ndarray, np.ndarray, dict[int, str]]:
+        """→ (encoding, argu [T, L, L], head [1, L, L], tail [1, L, L],
+        id2label) — the GPLinker-EE heads (``event_extraction/gplinker``,
+        label space = ``event_type@role``); each assertion's argument
+        group is fully linked (the complete-subgraph shape the clique
+        decode expects)."""
+        from fastie_ray.kernels.event_ee import TRIGGER_ROLE
+
+        enc = self.tokenizer.encode(dashed)
+        L = enc.seq_len
+        roles = [TRIGGER_ROLE, "subject", "object"]
+        labels = sorted(
+            f"{p}@{r}" for p in self.feat.id2predicate.values() for r in roles
+        )
+        l2i = {lb: i for i, lb in enumerate(labels)}
+        argu = np.full((len(labels), L, L), -1.0, dtype=np.float32)
+        head = np.full((1, L, L), -1.0, dtype=np.float32)
+        tail = np.full((1, L, L), -1.0, dtype=np.float32)
+        for r in self.feat.relation_hits(dashed):
+            et = self.feat.id2predicate[r.pred_id]
+            spans = [  # char spans: trigger = connective, then subj/obj
+                (TRIGGER_ROLE, r.s_ce, r.o_cs),
+                ("subject", r.s_cs, r.s_ce),
+                ("object", r.o_cs, r.o_ce),
+            ]
+            toks = []
+            for role, cs, ce in spans:
+                t = self._project(enc, cs, ce)
+                if t is not None:
+                    argu[l2i[f"{et}@{role}"], t[0], t[1]] = 1.0
+                    toks.append(t)
+            for i1 in range(len(toks)):
+                for i2 in range(i1 + 1, len(toks)):
+                    (h1, t1), (h2, t2) = toks[i1], toks[i2]
+                    head[0, min(h1, h2), max(h1, h2)] = 1.0
+                    tail[0, min(t1, t2), max(t1, t2)] = 1.0
+        return enc, argu, head, tail, {i: lb for lb, i in l2i.items()}
+
+
 class TorchDenseBackend:
     """Real pretrained path, import-gated. Loads an HF fast tokenizer
     and a checkpoint whose state dict carries the reference heads

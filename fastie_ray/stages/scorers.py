@@ -428,8 +428,18 @@ class EventScorer(_ScorerBase):
                  "argument", "start", "end")}
         for url, cid, coff, text in zip(urls, cids, offs, texts):
             dashed, seq_len, mapping = self._seq(text)
-            argus, links = self.feat.event_hits(dashed)
-            events = decode_event_sparse(argus, links, seq_len, text, mapping)
+            if self.backend == "hf":
+                # dense GPLinker-EE heads under the subword encoding →
+                # line-for-line dense decode (modeling_gplinker.py:176-218)
+                from fastie_ray.kernels.event_ee import decode_event_dense
+
+                enc, argu, head, tail, id2l = self.dense.ee_forward(dashed)
+                events = decode_event_dense(
+                    argu, head, tail, enc.seq_len, text, enc.offsets, id2l
+                )
+            else:
+                argus, links = self.feat.event_hits(dashed)
+                events = decode_event_sparse(argus, links, seq_len, text, mapping)
             for ev in events:
                 for et, role, arg, cs, ce in ev:
                     rows["url"].append(url)

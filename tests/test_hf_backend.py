@@ -147,3 +147,36 @@ def test_grte_sparse_equals_dense_random():
         ]
         assert decode_grte(table, L, text, mapping, id2pred) == \
             decode_grte_sparse(cells, L, text, mapping, id2pred)
+
+
+def test_event_hf_dense_matches_sparse():
+    import pyarrow as pa
+
+    from fastie_ray.stages.scorers import EventScorer
+    from fastie_ray.synth import gen_doc
+    from fastie_ray.stages.chunk import auto_splitter
+
+    w = build_world()
+    urls, cids, coffs, ctexts = [], [], [], []
+    for i in range(30):
+        d = gen_doc(i, w)
+        chunks, _ = auto_splitter([d["_gold_text"]], max_text_len=510)
+        for j, c in enumerate(chunks):
+            urls.append(d["url"]); cids.append(j)
+            coffs.append(sum(len(x) for x in chunks[:j])); ctexts.append(c)
+    batch = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "chunk_id": pa.array(np.asarray(cids, dtype=np.int32)),
+            "chunk_offset": pa.array(np.asarray(coffs, dtype=np.int32)),
+            "chunk_text": pa.array(ctexts, pa.string()),
+        }
+    )
+    def rowset(t):
+        return set(zip(t["url"].to_pylist(), t["chunk_id"].to_pylist(),
+                       t["event_type"].to_pylist(), t["role"].to_pylist(),
+                       t["argument"].to_pylist(), t["start"].to_pylist(),
+                       t["end"].to_pylist()))
+    a = rowset(EventScorer(world_ref=w)(batch))
+    b = rowset(EventScorer(world_ref=w, backend="hf")(batch))
+    assert a == b and len(a) > 0

@@ -85,15 +85,31 @@ def decode_gplinker_sparse(
     for p, st, ot in tail_hits:
         tails.setdefault((st, ot), set()).add(p)
 
+    # head-hit-driven iteration: the dense port's cartesian product
+    # over subjects × objects (itertools.product) only ever emits when
+    # a head hit exists for (sh, oh), so iterating the (sparse) head
+    # hits and expanding to the matching span tails is the identical
+    # set at O(head_hits · tails-per-span) instead of O(|S|·|O|) —
+    # measured ~50% of scorer CPU on dense-mention chunks.
+    subj_by_head: dict[int, list[int]] = {}
+    for h, t in subjects:
+        subj_by_head.setdefault(h, []).append(t)
+    obj_by_head: dict[int, list[int]] = {}
+    for h, t in objects:
+        obj_by_head.setdefault(h, []).append(t)
+
     spoes = set()
-    for (sh, st), (oh, ot) in itertools.product(subjects, objects):
-        ps = heads.get((sh, oh), set()) & tails.get((st, ot), set())
-        for p in ps:
-            spoes.add(
-                (
-                    id2predicate[int(p)],
-                    text[offset_mapping[sh][0] : offset_mapping[st][1]],
-                    text[offset_mapping[oh][0] : offset_mapping[ot][1]],
-                )
-            )
+    empty: set[int] = set()
+    for (sh, oh), ps_h in heads.items():
+        for st in subj_by_head.get(sh, ()):
+            for ot in obj_by_head.get(oh, ()):
+                ps = ps_h & tails.get((st, ot), empty)
+                for p in ps:
+                    spoes.add(
+                        (
+                            id2predicate[int(p)],
+                            text[offset_mapping[sh][0] : offset_mapping[st][1]],
+                            text[offset_mapping[oh][0] : offset_mapping[ot][1]],
+                        )
+                    )
     return spoes

@@ -235,7 +235,7 @@ def _q_events_by_type(sf_dir: str):
         out["sum_value"] = out["sum_value"].round(4)
         return out
 
-    return _bucketed_groupby(partial_ds := ds.map_batches(partial, batch_format="pandas"), "event_type", final, 8)
+    return _bucketed_groupby(ds.map_batches(partial, batch_format="pandas"), "event_type", final, 8)
 
 
 def _q_windowed_events(sf_dir: str):

@@ -116,10 +116,15 @@ class UieDocScorer(_ScorerBase):
     # ---- per-(prompt, chunk) scoring ---------------------------------
 
     def _chunk_spans(self, prompt: str, dashed: str, seq_len: int):
-        """Start/end probability rows for one (prompt, chunk) →
-        reference decode: threshold scan + nearest-end pairing."""
-        starts = np.zeros(seq_len, dtype=np.float32)
-        ends = np.zeros(seq_len, dtype=np.float32)
+        """CHAR spans for one (prompt, chunk) → reference decode:
+        threshold scan + nearest-end pairing (``get_bool_ids_greater_
+        than`` + ``get_span``) over start/end probability rows. Under
+        ``backend="hf"`` the rows live in SUBWORD-token space (hits
+        projected via ``char_to_token``, spans mapped back through the
+        encoding's offset_mapping) — the shape a transformer UIE
+        checkpoint produces; the default char path is the identity
+        mapping of the char tokenizer."""
+        char_hits: list[tuple[int, int]] = []  # (cs, ce) char spans
         mhits, rhits = self._hits(dashed)
         if "的" in prompt:
             parent, pred = prompt.rsplit("的", 1)
@@ -133,19 +138,43 @@ class UieDocScorer(_ScorerBase):
                         continue
                     if dashed[r.s_cs : r.s_ce] != parent_d:
                         continue
-                    if r.o_ce < seq_len - 1:
-                        starts[r.o_cs + 1] = 1.0
-                        ends[r.o_ce] = 1.0
+                    char_hits.append((r.o_cs, r.o_ce))
         else:
             lid = self.feat.label2id.get(prompt)
             if lid is not None:
-                for h in mhits:
-                    if h.label_id == lid and h.ce < seq_len - 1:
-                        starts[h.cs + 1] = 1.0
-                        ends[h.ce] = 1.0
+                char_hits = [
+                    (h.cs, h.ce) for h in mhits if h.label_id == lid
+                ]
+
+        if self.backend == "hf":
+            enc = self._cache.setdefault(
+                ("__enc__", dashed), None
+            ) or self.dense.tokenizer.encode(dashed)
+            self._cache[("__enc__", dashed)] = enc
+            L = enc.seq_len
+            starts = np.zeros(L, dtype=np.float32)
+            ends = np.zeros(L, dtype=np.float32)
+            for cs, ce in char_hits:
+                h, t = enc.char_to_token(cs), enc.char_to_token(ce - 1)
+                if h is not None and t is not None:
+                    starts[h] = 1.0
+                    ends[t] = 1.0
+            s_ids = get_bool_ids_greater_than(starts, 0.5)
+            e_ids = get_bool_ids_greater_than(ends, 0.5)
+            return sorted(
+                (enc.offsets[ts][0], enc.offsets[te][1])
+                for ts, te in get_span(s_ids, e_ids)
+            )
+
+        starts = np.zeros(seq_len, dtype=np.float32)
+        ends = np.zeros(seq_len, dtype=np.float32)
+        for cs, ce in char_hits:
+            if ce < seq_len - 1:
+                starts[cs + 1] = 1.0
+                ends[ce] = 1.0
         s_ids = get_bool_ids_greater_than(starts, 0.5)
         e_ids = get_bool_ids_greater_than(ends, 0.5)
-        return sorted(get_span(s_ids, e_ids))
+        return sorted((ts - 1, te) for ts, te in get_span(s_ids, e_ids))
 
     def _cls_predict(self, options: list[str], text: str) -> list[dict]:
         """Deterministic classification stand-in (the role of the
@@ -221,8 +250,7 @@ class UieDocScorer(_ScorerBase):
                 else:
                     for chunk, off, dsh in zip(chunks, offs, dashed):
                         seq_len = min(len(chunk), self.max_length - 2) + 2
-                        for ts, te in self._chunk_spans(prompt, dsh, seq_len):
-                            cs, ce = ts - 1, te  # char offset mapping
+                        for cs, ce in self._chunk_spans(prompt, dsh, seq_len):
                             emit(url, level, prompt, chunk[cs:ce], cs + off, ce + off)
                             args.append(chunk[cs:ce])
                 if node.children and args:
@@ -301,8 +329,7 @@ def extract_nested(scorer: UieDocScorer, text: str) -> dict:
         out = []
         for chunk, off, dsh in zip(chunks, offs, dashed):
             seq_len = min(len(chunk), scorer.max_length - 2) + 2
-            for ts, te in scorer._chunk_spans(prompt, dsh, seq_len):
-                cs, ce = ts - 1, te
+            for cs, ce in scorer._chunk_spans(prompt, dsh, seq_len):
                 out.append(
                     {
                         "text": chunk[cs:ce],

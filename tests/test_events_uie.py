@@ -127,3 +127,27 @@ def test_uie_cls_majority_vote(ray_session):
     assert out.iloc[0].argument == "pos"
     assert out.iloc[0].start == -1 and out.iloc[0].end == -1
     assert out.iloc[0].prompt == "sentiment[pos,neg]"
+
+
+def test_uie_hf_backend_parity(ray_session):
+    """UIE under the subword hf backend: identical rows to the char
+    path on the synth corpus (token boundaries align with span
+    boundaries; offset mapping roundtrips)."""
+    import ray.data
+
+    from fastie_ray.pipelines.uie import uie_extract
+
+    w = build_world()
+    pages = pages_from_documents(SF, w)
+    a = (
+        uie_extract(pages, world_ref=ray.put(w), concurrency=2)
+        .to_pandas().sort_values(["url", "level", "prompt", "start"]).reset_index(drop=True)
+    )
+    b = (
+        uie_extract(pages, world_ref=ray.put(w), concurrency=2, backend="hf")
+        .to_pandas().sort_values(["url", "level", "prompt", "start"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0

@@ -279,16 +279,16 @@ def _q_asof_clicks(sf_dir: str):
 
     from fastie_ray.ops.windows import asof_join
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    import pyarrow.compute as pc
+
+    # predicate pushdown: only the needed event types leave storage
+    clicks = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"],
+        filter=pc.field("event_type") == "click",
     )
-    clicks = ev.map_batches(
-        lambda df: df[df.event_type == "click"][["event_id", "ts", "user_id"]],
-        batch_format="pandas",
-    )
-    views = ev.map_batches(
-        lambda df: df[df.event_type == "view"][["event_id", "ts", "user_id"]],
-        batch_format="pandas",
+    views = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"],
+        filter=pc.field("event_type") == "view",
     )
     out = asof_join(clicks, views, key_col="user_id", ts_col="ts",
                     right_cols=["event_id"])

@@ -261,14 +261,18 @@ def _q_hopping_events(sf_dir: str):
 
 
 def _q_session_stats(sf_dir: str):
+    """Two-phase scalable sessionization (phase 1 partitions by
+    (key, time bucket) so hot keys split across partitions; phase 2
+    merges only boundary sessions) — output identical to the
+    single-shuffle version (equality-tested in pytest)."""
     import ray.data
 
-    from fastie_ray.ops.windows import session_window_agg
+    from fastie_ray.ops.windows import session_window_agg_scalable
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
     )
-    return session_window_agg(ds, gap="30min")
+    return session_window_agg_scalable(ds, gap="30min", bucket="1d")
 
 
 def _q_asof_clicks(sf_dir: str):

@@ -280,3 +280,109 @@ def asof_join(
         right.map_batches(pad("r", r_needed), batch_format="pandas")
     )
     return both.groupby("__b").map_groups(merge, batch_format="pandas")
+
+
+def session_window_agg_scalable(
+    ds: "ray.data.Dataset",
+    gap: str = "30min",
+    bucket: str = "1d",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Two-phase sessionization — lifts ``session_window_agg``'s
+    all-rows-of-a-key-in-one-partition assumption (a hot key with
+    billions of events blows a partition at web scale):
+
+    phase 1 partitions by (key, coarse TIME bucket) and sessionizes
+    within each bucket — event volume is split across time, so no
+    partition holds more than one key-bucket of rows; phase 2 re-groups
+    only the BOUNDARY sessions (gap-reachable from a bucket edge — at
+    most 2 per (key, bucket), bounded by keys × buckets, never by
+    events) per key and merges chains whose inter-session gap ≤
+    ``gap``. Interior sessions cannot merge with anything (their
+    distance to the bucket edge already exceeds the gap) and pass
+    through phase 1 untouched.
+
+    Output and semantics are identical to the single-shuffle
+    ``session_window_agg`` (asserted by test)."""
+    gap_td, bucket_td = pd.Timedelta(gap), pd.Timedelta(bucket)
+    assert gap_td < bucket_td, "bucket must exceed the session gap"
+
+    def add_kb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key_col, ts_col, value_col]].copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        tb = df[ts_col].dt.floor(bucket)
+        h = (
+            pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+            ^ pd.util.hash_pandas_object(tb, index=False).to_numpy()
+        )
+        df["__tb"] = tb
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def sessions_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").sort_values([key_col, "__tb", ts_col])
+        new_grp = (g[key_col] != g[key_col].shift()) | (
+            g["__tb"] != g["__tb"].shift()
+        )
+        gap_brk = (g[ts_col] - g[ts_col].shift()) > gap_td
+        g = g.assign(__sess=(new_grp | gap_brk).cumsum())
+        out = g.groupby([key_col, "__tb", "__sess"], as_index=False).agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "count"),
+            sum_value=(value_col, "sum"),
+        )
+        out["boundary"] = (
+            (out["session_end"] > out["__tb"] + bucket_td - gap_td)
+            | (out["session_start"] < out["__tb"] + gap_td)
+        )
+        return out.drop(columns="__sess")
+
+    phase1 = (
+        ds.map_batches(add_kb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(sessions_in_bucket, batch_format="pandas")
+        .materialize()  # session-count-sized, read by both branches
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key_col, "session_start", "n_events", "sum_value"]].copy()
+        out["sum_value"] = out["sum_value"].round(4)
+        return out
+
+    interior = phase1.map_batches(
+        lambda df: finish(df[~df["boundary"]]), batch_format="pandas"
+    )
+
+    def add_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["boundary"]].copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df.drop(columns=["boundary", "__tb"])
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df.drop(columns=["boundary", "__tb"])
+
+    def merge_chains(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").sort_values([key_col, "session_start"])
+        new_key = g[key_col] != g[key_col].shift()
+        brk = (g["session_start"] - g["session_end"].shift()) > gap_td
+        g = g.assign(__chain=(new_key | brk).cumsum())
+        out = g.groupby([key_col, "__chain"], as_index=False).agg(
+            session_start=("session_start", "min"),
+            n_events=("n_events", "sum"),
+            sum_value=("sum_value", "sum"),
+        )
+        return finish(out)
+
+    boundary = (
+        phase1.map_batches(add_k, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(merge_chains, batch_format="pandas")
+    )
+    return interior.union(boundary)

@@ -401,3 +401,41 @@ def test_hopping_session_asof_windows(ray_session):
     j = asof_join(clicks, views, key_col="user_id", ts_col="ts",
                   right_cols=["event_id"]).to_pandas()
     assert len(j) == 1 and j.iloc[0]["event_id_r"] == 2  # latest prior view
+
+
+def test_session_two_phase_equals_single_shuffle(ray_session):
+    """The scalable two-phase sessionization must emit EXACTLY the
+    sessions of the single-shuffle version — including sessions that
+    span time-bucket boundaries."""
+    import pandas as pd
+
+    from fastie_ray.ops.windows import session_window_agg, session_window_agg_scalable
+
+    # crafted cross-midnight chain: 23:50 → 00:10 → 00:25 is ONE session
+    ts = pd.to_datetime(
+        ["2024-01-01 23:50", "2024-01-02 00:10", "2024-01-02 00:25",
+         "2024-01-02 09:00", "2024-01-01 12:00"]
+    ).astype("datetime64[us]")
+    crafted = pd.DataFrame(
+        {"ts": ts, "user_id": [7, 7, 7, 7, 8], "value": [1.0, 2.0, 3.0, 4.0, 5.0]}
+    )
+    ds = ray.data.from_pandas(crafted)
+    a = session_window_agg(ds, gap="30min").to_pandas()
+    b = session_window_agg_scalable(ds, gap="30min", bucket="1d").to_pandas()
+    key = ["user_id", "session_start"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    u7 = b[b.user_id == 7]
+    assert 3 in set(u7.n_events)  # the cross-midnight chain merged
+
+    # full events table equality
+    ev = ray.data.read_parquet(f"{SF}/events.parquet",
+                               columns=["ts", "user_id", "value"])
+    a = session_window_agg(ev, gap="30min").to_pandas()
+    b = session_window_agg_scalable(ev, gap="30min", bucket="6h").to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )

@@ -1,0 +1,168 @@
+"""Property-based tests (hypothesis) over the decode kernels and text
+functions: random inputs against the dense line-for-line ports and
+reference invariants — the fuzzing layer on top of the example-based
+suite."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fastie_ray.kernels.gp_ner import decode_gp_dense, decode_gp_sparse
+from fastie_ray.kernels.gplinker_re import (
+    decode_gplinker_dense,
+    decode_gplinker_sparse,
+)
+from fastie_ray.kernels.uie_span import get_bool_ids_greater_than, get_span
+
+
+@st.composite
+def gp_case(draw):
+    L = draw(st.integers(min_value=3, max_value=24))
+    C = draw(st.integers(min_value=1, max_value=4))
+    n_hits = draw(st.integers(min_value=0, max_value=12))
+    hits = [
+        (
+            draw(st.integers(0, C - 1)),
+            draw(st.integers(0, L - 1)),
+            draw(st.integers(0, L - 1)),
+            1.0,
+        )
+        for _ in range(n_hits)
+    ]
+    return L, C, hits
+
+
+@settings(max_examples=80, deadline=None)
+@given(gp_case())
+def test_gp_sparse_equals_dense_property(case):
+    L, C, hits = case
+    text = "x" * (L - 2)
+    mapping = [(0, 0)] + [(i, i + 1) for i in range(L - 2)] + [(0, 0)]
+    id2label = {i: f"L{i}" for i in range(C)}
+    logits = np.full((C, L, L), -1.0, dtype=np.float32)
+    for c, h, t, _ in hits:
+        logits[c, h, t] = 1.0
+    dense = decode_gp_dense(logits, L, text, mapping, id2label)
+    sparse = decode_gp_sparse(hits, L, text, mapping, id2label)
+    assert dense == sparse
+
+
+@st.composite
+def gplinker_case(draw):
+    L = draw(st.integers(min_value=4, max_value=20))
+    P = draw(st.integers(min_value=1, max_value=3))
+    spans = draw(
+        st.lists(
+            st.tuples(st.integers(1, L - 2), st.integers(1, L - 2)),
+            min_size=0, max_size=6,
+        )
+    )
+    spans = [(min(h, t), max(h, t)) for h, t in spans]
+    n_rel = draw(st.integers(min_value=0, max_value=6))
+    rels = []
+    for _ in range(n_rel):
+        if not spans:
+            break
+        s = draw(st.sampled_from(spans))
+        o = draw(st.sampled_from(spans))
+        p = draw(st.integers(0, P - 1))
+        rels.append((p, s, o))
+    return L, P, spans, rels
+
+
+@settings(max_examples=60, deadline=None)
+@given(gplinker_case())
+def test_gplinker_sparse_equals_dense_property(case):
+    L, P, spans, rels = case
+    text = "x" * (L - 2)
+    mapping = [(0, 0)] + [(i, i + 1) for i in range(L - 2)] + [(0, 0)]
+    id2pred = {i: f"P{i}" for i in range(P)}
+    entity = np.full((2, L, L), -1.0, dtype=np.float32)
+    head = np.full((P, L, L), -1.0, dtype=np.float32)
+    tail = np.full((P, L, L), -1.0, dtype=np.float32)
+    for h, t in spans:
+        entity[0, h, t] = 1.0
+        entity[1, h, t] = 1.0
+    head_hits, tail_hits = [], []
+    for p, (sh, st_), (oh, ot) in rels:
+        head[p, sh, oh] = 1.0
+        tail[p, st_, ot] = 1.0
+        head_hits.append((p, sh, oh))
+        tail_hits.append((p, st_, ot))
+    dense = decode_gplinker_dense(entity, head, tail, L, text, mapping, id2pred)
+    sparse = decode_gplinker_sparse(
+        spans, spans, head_hits, tail_hits, L, text, mapping, id2pred
+    )
+    assert dense == sparse
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(0, 1), min_size=0, max_size=40),
+       st.lists(st.floats(0, 1), min_size=0, max_size=40))
+def test_get_span_properties(sp, ep):
+    """Invariants of the nearest-end pairing (decode_utils.py:38-87):
+    every span has start ≤ end, endpoints come from the threshold
+    survivors, and no start or end index appears in two spans with a
+    conflicting order."""
+    s_ids = get_bool_ids_greater_than(np.asarray(sp, dtype=np.float32), 0.5)
+    e_ids = get_bool_ids_greater_than(np.asarray(ep, dtype=np.float32), 0.5)
+    spans = get_span(s_ids, e_ids)
+    for s, e in spans:
+        assert s <= e
+        assert s in s_ids and e in e_ids
+    ordered = sorted(spans)
+    for (s1, e1), (s2, e2) in zip(ordered, ordered[1:]):
+        assert s1 <= s2  # sorted by construction of the scan
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="ab 。！？!?\n中文", max_size=60))
+def test_cut_chinese_sent_reconstruction(text):
+    """The sentence splitter loses only trailing whitespace: joining
+    the pieces reproduces the rstripped paragraph (the reference quirk
+    stages/chunk documents)."""
+    from fastie_ray.functions.textnorm import cut_chinese_sent
+
+    from tests.reference_port import ref_cut_chinese_sent
+
+    assert cut_chinese_sent(text) == ref_cut_chinese_sent(text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="abc 中。", max_size=80), max_size=5),
+       st.integers(5, 30), st.booleans())
+def test_auto_splitter_matches_reference_port(texts, width, split_sentence):
+    from fastie_ray.stages.chunk import auto_splitter
+
+    from tests.reference_port import ref_auto_splitter
+
+    assert auto_splitter(texts, width, split_sentence) == ref_auto_splitter(
+        texts, width, split_sentence
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(st.tuples(st.text(max_size=4), st.floats(0.01, 1.0)),
+                         max_size=3), max_size=5))
+def test_cls_majority_vote_properties(chunks):
+    """Vote invariants: winner is a predicted option; its chunk-count is
+    maximal; probability is the mean over its votes."""
+    from fastie_ray.functions.uie_prep import cls_majority_vote
+
+    chunk_results = [
+        [{"text": t, "probability": p} for t, p in ch] for ch in chunks
+    ]
+    out = cls_majority_vote(chunk_results)
+    firsts = [ch[0] for ch in chunk_results if ch]
+    if not firsts:
+        assert out == []
+        return
+    assert len(out) == 1
+    win = out[0]["text"]
+    counts = {}
+    probs = {}
+    for r in firsts:
+        counts[r["text"]] = counts.get(r["text"], 0) + 1
+        probs.setdefault(r["text"], []).append(r["probability"])
+    assert counts[win] == max(counts.values())
+    assert abs(out[0]["probability"] - sum(probs[win]) / counts[win]) < 1e-9

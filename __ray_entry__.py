@@ -309,6 +309,40 @@ def _q_asof_clicks(sf_dir: str):
     return out.map_batches(fin, batch_format="pandas")
 
 
+def _q_range_clicks(sf_dir: str):
+    """Range join demo: every click x every view of the same user in
+    the preceding hour (both ends inclusive)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from fastie_ray.ops.windows import range_join
+
+    clicks = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"],
+        filter=pc.field("event_type") == "click",
+    )
+    views = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"],
+        filter=pc.field("event_type") == "view",
+    )
+    out = range_join(
+        clicks, views, window="1h", bucket="1d", right_cols=["event_id"],
+        left_cols=["event_id", "ts", "user_id"],
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "view_event_id": df["event_id_r"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _q_top_users(sf_dir: str):
     import ray.data
 
@@ -755,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_events": _q_hopping_events,
         "session_stats": _q_session_stats,
         "asof_clicks": _q_asof_clicks,
+        "range_clicks": _q_range_clicks,
         "top_users": _q_top_users,
         "q1_lineitem": _q_q1_lineitem,
         "orders_by_segment": _q_orders_by_segment,
@@ -1065,6 +1100,13 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
                    ), -1) AS view_event_id
             FROM events c WHERE c.event_type = 'click'
+        """,
+        "range_clicks": """
+            SELECT c.event_id, c.user_id, v.event_id AS view_event_id
+            FROM events c JOIN events v
+              ON v.user_id = c.user_id AND v.event_type = 'view'
+             AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL '1 hour'
+            WHERE c.event_type = 'click'
         """,
         "top_users": """
             SELECT user_id, round(sum(value), 4) AS sum_value,

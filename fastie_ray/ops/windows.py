@@ -386,3 +386,128 @@ def session_window_agg_scalable(
         .map_groups(merge_chains, batch_format="pandas")
     )
     return interior.union(boundary)
+
+
+def range_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    window: str = "1h",
+    bucket: str = "1d",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    left_cols: list[str] | None = None,
+    suffix: str = "_r",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Interval (range) join: every left row × every right row of the
+    same key with ``ts_left - window <= ts_right <= ts_left`` (both
+    ends inclusive). Scalable by construction: both sides partition by
+    (key, coarse TIME bucket); right rows whose window reaches into the
+    NEXT bucket are replicated once (≤2 copies, requires window ≤
+    bucket), so every left row finds all matches locally and no
+    partition ever holds more than a key-bucket of rows — hot keys
+    split across time. Per-partition matching is a sorted searchsorted
+    range expansion, never a cross join."""
+    window_td, bucket_td = pd.Timedelta(window), pd.Timedelta(bucket)
+    assert window_td <= bucket_td, "window must not exceed the time bucket"
+    right_cols = right_cols or []
+    l_cols = list(left_cols) if left_cols else list(left.schema().names)
+    r_needed = list(dict.fromkeys([key_col, ts_col] + right_cols))
+    super_cols = list(dict.fromkeys(l_cols + [f"__r_{c}" for c in r_needed]))
+
+    def _bucketed(df: pd.DataFrame, tb: pd.Series) -> np.ndarray:
+        h = (
+            pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+            ^ pd.util.hash_pandas_object(tb, index=False).to_numpy()
+        )
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+    def pad_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[l_cols].copy()
+        for c in super_cols:
+            if c not in out.columns:
+                out[c] = pd.NA
+        out = out[super_cols]
+        out["__side"] = "l"
+        if len(out):
+            tb = df[ts_col].dt.floor(bucket).astype("datetime64[us]")
+            out["__tb"] = tb
+            out["__b"] = _bucketed(df, tb)
+        else:
+            out["__tb"] = pd.Series([], dtype="datetime64[us]")
+            out["__b"] = np.array([], dtype=np.int64)
+        return out
+
+    def pad_right(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[r_needed].copy()
+        frames = []
+        tb0 = df[ts_col].dt.floor(bucket).astype("datetime64[us]")
+        tb1 = (df[ts_col] + window_td).dt.floor(bucket).astype("datetime64[us]")
+        for tb, mask in ((tb0, np.ones(len(df), dtype=bool)),
+                         (tb1, (tb1 != tb0).to_numpy())):
+            part = base[mask].copy()
+            if not len(part):
+                continue
+            part["__tb"] = tb[mask]
+            frames.append(part)
+        if not frames:
+            out = pd.DataFrame(columns=r_needed + ["__tb"])
+        else:
+            out = pd.concat(frames, ignore_index=True)
+        out = out.rename(columns={c: f"__r_{c}" for c in r_needed})
+        for c in super_cols:
+            if c not in out.columns:
+                out[c] = pd.NA
+        out["__side"] = "r"
+        if len(out):
+            kdf = pd.DataFrame({key_col: out[f"__r_{key_col}"]})
+            out["__b"] = _bucketed(kdf, out["__tb"])
+        else:
+            out["__tb"] = pd.Series([], dtype="datetime64[us]")
+            out["__b"] = np.array([], dtype=np.int64)
+        return out[super_cols + ["__side", "__tb", "__b"]]
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        lg = g[g["__side"] == "l"][l_cols + ["__tb"]]
+        rg = g[g["__side"] == "r"][[f"__r_{c}" for c in r_needed] + ["__tb"]]
+        outs = []
+        rgroups = {k: v for k, v in rg.groupby([f"__r_{key_col}", "__tb"], sort=False)}
+        for (key, tb), lk in lg.groupby([key_col, "__tb"], sort=False):
+            rk = rgroups.get((key, tb))
+            if rk is None:
+                continue
+            rk = rk.sort_values(f"__r_{ts_col}")
+            rts = rk[f"__r_{ts_col}"].to_numpy()
+            lts = lk[ts_col].to_numpy()
+            lo = np.searchsorted(rts, lts - window_td.to_timedelta64(), side="left")
+            hi = np.searchsorted(rts, lts, side="right")
+            counts = hi - lo
+            if counts.sum() == 0:
+                continue
+            l_idx = np.repeat(np.arange(len(lk)), counts)
+            # flat right indices: concatenated ranges lo[i]..hi[i]
+            r_idx = np.concatenate(
+                [np.arange(a, b) for a, b in zip(lo, hi) if b > a]
+            )
+            le = lk.iloc[l_idx].drop(columns="__tb").reset_index(drop=True)
+            re_ = rk.iloc[r_idx].drop(columns="__tb").reset_index(drop=True)
+            re_.columns = [c[len("__r_"):] for c in re_.columns]
+            re_ = re_.drop(columns=[key_col])
+            re_ = re_.rename(
+                columns={c: (c + suffix if c in le.columns else c) for c in re_.columns}
+            )
+            outs.append(pd.concat([le, re_], axis=1))
+        if not outs:
+            cols = l_cols + [
+                (c + suffix if c in l_cols else c)
+                for c in r_needed if c != key_col
+            ]
+            return pd.DataFrame(columns=cols)
+        return pd.concat(outs, ignore_index=True)
+
+    both = left.map_batches(pad_left, batch_format="pandas").union(
+        right.map_batches(pad_right, batch_format="pandas")
+    )
+    return both.groupby("__b").map_groups(match, batch_format="pandas")

@@ -439,3 +439,31 @@ def test_session_two_phase_equals_single_shuffle(ray_session):
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_range_join_cross_bucket_boundary(ray_session):
+    """Right rows within the window but in the PREVIOUS time bucket are
+    replicated across the boundary; out-of-window rows never match."""
+    import pandas as pd
+
+    from fastie_ray.ops.windows import range_join
+
+    ts_l = pd.to_datetime(["2024-01-02 00:20"]).astype("datetime64[us]")
+    left = ray.data.from_pandas(
+        pd.DataFrame({"event_id": [100], "ts": ts_l, "user_id": [1]})
+    )
+    ts_r = pd.to_datetime(
+        ["2024-01-01 23:40",  # prev bucket, within 1h window → match
+         "2024-01-01 22:00",  # prev bucket, outside window → no match
+         "2024-01-02 00:10",  # same bucket, within → match
+         "2024-01-02 00:30"]  # after the left ts → no match
+    ).astype("datetime64[us]")
+    right = ray.data.from_pandas(
+        pd.DataFrame({"event_id": [1, 2, 3, 4], "ts": ts_r, "user_id": [1] * 4})
+    )
+    out = range_join(
+        left, right, window="1h", bucket="1d", right_cols=["event_id"],
+        left_cols=["event_id", "ts", "user_id"],
+    ).to_pandas()
+    assert sorted(out["event_id_r"]) == [1, 3]
+    assert (out["event_id"] == 100).all()

@@ -147,19 +147,14 @@ def graph_tables(
 
     nodes = nodes_j.map_batches(node_decorate, batch_format="pandas")
 
-    # edges: link triple endpoints, relabel both endpoints to component
-    # ids by hash join, aggregate support
+    # edges: link triple endpoints, AGGREGATE FIRST on the original
+    # entity ids (per-batch combiner + one bucketed shuffle — the only
+    # corpus-sized exchange), THEN relabel endpoints to component ids on
+    # the aggregated table (rows ≈ distinct (s,p,o), ≪ corpus) and merge
+    # rows whose endpoints collapsed. The old order (relabel the raw
+    # triple stream, then aggregate) pushed corpus-sized rows through
+    # THREE shuffles; this pushes them through one.
     ltriples = link_triples(triples, alias_ref, concurrency=max(2, concurrency // 2))
-    # left_cols passed explicitly: schema inference would execute the
-    # scorer lineage just to read column names
-    lt_cols = ["url", "predicate", "subject", "object", "subject_id", "object_id"]
-    edge_rows = relabel_column(
-        relabel_column(ltriples, "subject_id", ent_comp, n_buckets, left_cols=lt_cols),
-        "object_id",
-        ent_comp,
-        n_buckets,
-        left_cols=lt_cols,
-    ).select_columns(["subject_id", "predicate", "object_id", "url"])
 
     def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(
@@ -171,10 +166,28 @@ def graph_tables(
             n_support=("n_support", "sum"),
             urls=("urls", lambda s: sorted({u for lst in s for u in lst})[:8]),
         )
+        # blocks that crossed a relabel exchange carry NA-padded right
+        # rows, which degrade n_support to object dtype — restore int64
+        out["n_support"] = out["n_support"].astype("int64")
         return out
 
-    edge_partials = edge_rows.map_batches(edge_partial, batch_format="pandas")
-    edges = _bucketed_groupby(edge_partials, "subject_id", edge_final, n_buckets)
+    edge_partials = ltriples.map_batches(edge_partial, batch_format="pandas")
+    pre_edges = _bucketed_groupby(edge_partials, "subject_id", edge_final, n_buckets)
+    # left_cols passed explicitly: schema inference would execute the
+    # scorer lineage just to read column names
+    pre_cols = ["subject_id", "predicate", "object_id", "n_support", "urls"]
+    # the collapse-merge rides inside the SECOND relabel's exchange
+    # (post=edge_final): once both endpoints are component ids, rows
+    # with equal (s,p,o) share object_id and hence its hash bucket, so
+    # the in-partition merge is complete — no extra shuffle needed.
+    edges = relabel_column(
+        relabel_column(pre_edges, "subject_id", ent_comp, n_buckets, left_cols=pre_cols),
+        "object_id",
+        ent_comp,
+        n_buckets,
+        left_cols=pre_cols,
+        post=edge_final,
+    )
 
     return {
         "nodes": nodes,

@@ -147,6 +147,23 @@ def _distributed_cc_ds(
             .groupby("__b")
             .map_groups(partial_min_grouped, batch_format="pandas")
         ).materialize()
+        # pointer doubling: comp ← comp(comp). Every comp value is itself
+        # a node id (init comp=node; mins of node ids stay node ids), so
+        # the self-join is total. Combined with the min-propagation step
+        # this converges in ~O(log diameter) rounds instead of O(diameter)
+        # — long alias chains stop being the round-count worst case.
+        jumped = new_labels.join(
+            new_labels,
+            join_type="inner",
+            num_partitions=join_partitions(n_buckets),
+            on=("comp",),
+            right_on=("node",),
+            right_suffix="_r",
+        )
+        new_labels = jumped.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"], "comp": df["comp_r"]}),
+            batch_format="pandas",
+        ).materialize()
         # converged? (cheap: count of changed labels)
         changed = (
             labels.join(
@@ -303,6 +320,7 @@ def relabel_column(
     ent_labels: "ray.data.Dataset",
     n_buckets: int = 64,
     left_cols: list[str] | None = None,
+    post=None,
 ) -> "ray.data.Dataset":
     """Replace ``col`` values by their component id via a BUCKETED hash
     join against (entity_id, component_id); unmatched rows keep their
@@ -314,7 +332,13 @@ def relabel_column(
 
     Pass ``left_cols`` when the left lineage is expensive —
     ``ds.schema()`` EXECUTES part of the upstream pipeline to infer it
-    (measured: two schema probes re-ran the scorer chain)."""
+    (measured: two schema probes re-ran the scorer chain).
+
+    ``post``, if given, runs on each relabeled partition frame before it
+    is emitted — use it to fold a follow-up merge/aggregate into this
+    exchange when the merge key's rows are guaranteed co-partitioned by
+    ``col`` (e.g. merging edges after their LAST endpoint is relabeled),
+    saving a whole extra shuffle."""
     left_cols = list(left_cols) if left_cols is not None else list(ds.schema().names)
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
@@ -348,7 +372,7 @@ def relabel_column(
         mapping = dict(zip(rg[col], rg["__cmp"]))
         lg = lg.copy()
         lg[col] = lg[col].map(lambda v: mapping.get(v, v))
-        return lg
+        return post(lg) if post is not None else lg
 
     both = ds.map_batches(tag_left, batch_format="pandas").union(
         ent_labels.map_batches(tag_right, batch_format="pandas")

@@ -120,3 +120,32 @@ def ref_predict_rel(texts, world, max_length=512, split_sentence=False):
             )
         )
     return ref_auto_joiner_rel(outputs, mapping)
+
+
+def ref_auto_joiner_cls(short_results, input_mapping):
+    """UIEDecoder._auto_joiner classification arm, line-for-line from
+    fastie/models/uie/decode_utils.py:484-507 (is_cls_task branch)."""
+    concat_results = []
+    for k, vs in input_mapping.items():
+        cls_options = {}
+        for v in vs:
+            if len(short_results[v]) == 0:
+                continue
+            if short_results[v][0]["text"] in cls_options:
+                cls_options[short_results[v][0]["text"]][0] += 1
+                cls_options[short_results[v][0]["text"]][1] += short_results[v][0][
+                    "probability"
+                ]
+            else:
+                cls_options[short_results[v][0]["text"]] = [
+                    1,
+                    short_results[v][0]["probability"],
+                ]
+        if cls_options:
+            cls_res, cls_info = max(cls_options.items(), key=lambda x: x[1])
+            concat_results.append(
+                [{"text": cls_res, "probability": cls_info[1] / cls_info[0]}]
+            )
+        else:
+            concat_results.append([])
+    return concat_results

@@ -166,3 +166,24 @@ def test_cls_majority_vote_properties(chunks):
         probs.setdefault(r["text"], []).append(r["probability"])
     assert counts[win] == max(counts.values())
     assert abs(out[0]["probability"] - sum(probs[win]) / counts[win]) < 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                                   st.sampled_from([0.25, 0.5])),
+                         max_size=2), min_size=0, max_size=6))
+def test_cls_majority_vote_tie_semantics_match_reference(chunks):
+    """NOTES r2 #5: a doc straddling >2 chunks whose cls votes tie
+    EXACTLY on (count, prob_sum) must resolve identically to the
+    reference ``_auto_joiner`` (first-seen insertion order wins in
+    Python's max over dict items). Labels and probabilities are drawn
+    from tiny discrete sets so exact ties actually occur."""
+    from fastie_ray.functions.uie_prep import cls_majority_vote
+
+    from tests.reference_port import ref_auto_joiner_cls
+
+    chunk_results = [
+        [{"text": t, "probability": p} for t, p in ch] for ch in chunks
+    ]
+    want = ref_auto_joiner_cls(chunk_results, {0: list(range(len(chunk_results)))})[0]
+    assert cls_majority_vote(chunk_results) == want

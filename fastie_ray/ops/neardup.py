@@ -498,7 +498,7 @@ def simhash_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     hamming_thresh: int = 7,
-    n_bands: int = 8,
+    n_bands: int | None = None,
     concurrency: int = 4,
 ) -> "ray.data.Dataset":
     """Document pairs with SimHash hamming distance ≤ ``hamming_thresh``
@@ -506,6 +506,13 @@ def simhash_dups(
     pair at hamming ≤ n_bands-1 shares at least one exact band
     (pigeonhole), so recall is 1 for ``hamming_thresh ≤ n_bands-1``;
     popcount verification makes precision 1.
+
+    ``n_bands`` defaults to the SMALLEST band count whose pigeonhole
+    guarantee covers ``hamming_thresh`` — fewer bands mean wider band
+    keys, and candidate collisions fall roughly quadratically with key
+    width. On a template-heavy corpus this is the difference between
+    ~30M and ~100k candidate pairs for the same 80k true pairs
+    (measured at sf0.1, thresh=3: 8-bit keys vs 16-bit keys).
 
     Co-bucketing under bit-slice banding depends ONLY on the signature
     VALUES, so pair discovery runs over DISTINCT signatures: per-doc
@@ -516,6 +523,8 @@ def simhash_dups(
     the inherent O(output) expansion instead of O(m²) per band; and
     because each doc has exactly one signature, expanded pairs are
     already unique — the output needs NO dedup shuffle."""
+    if n_bands is None:
+        n_bands = next(b for b in (2, 4, 8, 16, 32, 64) if b - 1 >= hamming_thresh)
     sig_rows = ds.map_batches(
         SimHasher,
         fn_constructor_kwargs=dict(
@@ -525,20 +534,27 @@ def simhash_dups(
         concurrency=_pool_size(concurrency),
     ).materialize()  # (doc_id, sig), 16 B/row; read by 3 branches below
 
-    distinct_sigs = dedup_exact(
-        sig_rows.map_batches(
-            lambda df: df[["sig"]].drop_duplicates(), batch_format="pandas"
-        ),
-        ["sig"],
-        n_buckets=8,  # tiny table; fewer groups = less fixed shuffle cost
-    )
+    import pyarrow as pa
 
-    # band the DISTINCT sigs and find value pairs (reuses the partition
-    # verifier with sig standing in for doc_id)
-    def band_sigs(df: pd.DataFrame) -> pd.DataFrame:
-        sigs = df["sig"].to_numpy()
-        n = len(df)
-        band_bits = 64 // n_bands
+    # THREE exchanges total (each ~seconds of fixed cost on this box —
+    # operator count, not data volume, dominates small-corpus runs and
+    # sets the per-stage floor at scale):
+    #  1. discovery: band NEAR-distinct sig rows (batch-local dedup
+    #     here, in-partition np.unique completes it — no dedicated
+    #     distinct-sig shuffle) -> verified (sig_a, sig_b, hamming)
+    #     value pairs;
+    #  2. expansion step 1, bucketed on sig_a: pair dedup (multi-band
+    #     rediscoveries share sig_a, hence the bucket), sig_a -> doc
+    #     fan-out, AND self pairs (all docs of one sig share its
+    #     bucket) — three jobs, one exchange;
+    #  3. expansion step 2, bucketed on sig_b: fan-out to doc_b;
+    #     finished self rows pass through untouched.
+    band_bits = 64 // n_bands
+
+    def band_local_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[["sig"]].drop_duplicates()
+        sigs = u["sig"].to_numpy()
+        n = len(u)
         mask = np.uint64((1 << band_bits) - 1)
         bands = np.tile(np.arange(n_bands, dtype=np.int64), n)
         rep = np.repeat(sigs, n_bands)
@@ -555,108 +571,161 @@ def simhash_dups(
             }
         )
 
-    def vp_schema(df: pd.DataFrame):
-        # groupby/sort stages can emit zero-row PANDAS blocks with
-        # EMPTY schemas (Ray sentinel blocks); the Acero hash join then
-        # fails per-partition ("no match for key field"). Emit ARROW
-        # blocks with an explicit schema — empty Arrow tables keep it.
-        import pyarrow as pa
-
-        out = df.reindex(columns=["sig_a", "sig_b", "hamming"]).astype(
-            {"sig_a": "int64", "sig_b": "int64", "hamming": "int64"}
-        )
+    def discover(g: pd.DataFrame):
+        out = _simhash_pairs_in_partition(
+            g.drop(columns="__part"), hamming_thresh
+        ).rename(columns={"doc_a": "sig_a", "doc_b": "sig_b"})
         schema = pa.schema(
             [("sig_a", pa.int64()), ("sig_b", pa.int64()), ("hamming", pa.int64())]
         )
-        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
-
-    import ray.data
+        return pa.Table.from_pandas(
+            out.astype({"sig_a": "int64", "sig_b": "int64", "hamming": "int64"}),
+            schema=schema, preserve_index=False,
+        )
 
     value_pairs = (
-        distinct_sigs.map_batches(band_sigs, batch_format="pandas")
+        sig_rows.map_batches(band_local_distinct, batch_format="pandas")
         .groupby("__part")
-        .map_groups(
-            lambda g: _simhash_pairs_in_partition(
-                g.drop(columns="__part"), hamming_thresh
-            ).rename(columns={"doc_a": "sig_a", "doc_b": "sig_b"}),
-            batch_format="pandas",
-        )
-        .map_batches(vp_schema, batch_format="pandas")
-    )
-    # a value pair agreeing on several bands is discovered once per
-    # partition holding one of those bands — dedup BEFORE expansion
-    # (value level: tiny), so the expanded output needs no dedup.
-    # Materialize to count — ds.join crashes outright on a fully-empty
-    # input dataset (measured: ArrowInvalid "no match for FieldRef"),
-    # so the no-cross-pairs case must skip the joins entirely.
-    value_pairs = dedup_exact(value_pairs, ["sig_a", "sig_b"], n_buckets=8).materialize()
-
-    from fastie_ray.stages.canonicalize import join_partitions
-
-    # join partitions sized to the measured input: every partition
-    # costs one aggregator ACTOR per join (spawn ≈ seconds of fixed
-    # overhead) — small corpora want 1-2, web scale wants the cap
-    n_docs = sig_rows.count()
-    np_join = max(1, min(join_partitions(64), n_docs // 100_000 + 1))
-
-    # self pairs (hamming 0): sig_rows self-join on sig, ordered
-    selfj = sig_rows.join(
-        sig_rows.map_batches(
-            lambda df: df.rename(columns={"doc_id": "doc_id_b"}),
-            batch_format="pandas",
-        ),
-        join_type="inner", num_partitions=np_join, on=("sig",),
-        right_on=("sig",), right_suffix="_r",
+        .map_groups(discover, batch_format="pandas")
     )
 
-    def self_order(df: pd.DataFrame) -> pd.DataFrame:
-        m = df["doc_id"] < df["doc_id_b"]
-        d = df[m]
-        return pd.DataFrame(
+    nb_x = 16
+
+    def _bucket_on(vals) -> pd.Series:
+        h = _splitmix64(np.asarray(vals, dtype=np.int64).view(np.uint64)) % np.uint64(nb_x)
+        return pd.Series(h.astype(np.int64))
+
+    X1 = pa.schema(
+        [("ida", pa.int64()), ("v2", pa.int64()), ("hamming", pa.int64()),
+         ("fin", pa.int64())]
+    )
+
+    def tag_pairs1(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
             {
-                "doc_a": pd.Series(d["doc_id"].to_numpy(), dtype="int64"),
-                "doc_b": pd.Series(d["doc_id_b"].to_numpy(), dtype="int64"),
-                "hamming": pd.Series(np.zeros(int(m.sum()), dtype=np.int64)),
+                "__k": df["sig_a"].astype("int64"),
+                "v2": df["sig_b"].astype("int64"),
+                "hamming": df["hamming"].astype("int64"),
+                "doc": np.int64(0),
+                "__side": "l",
             }
         )
+        out["__b"] = _bucket_on(out["__k"]) if len(out) else pd.Series([], dtype="int64")
+        return out
 
-    self_pairs = selfj.map_batches(self_order, batch_format="pandas")
-
-    if value_pairs.count() == 0:  # no cross-sig pairs at this threshold
-        return self_pairs
-
-    # cross pairs: the hash join's natural fan-out IS the expansion —
-    # every doc of sig_a pairs with every doc of sig_b
-    j1 = value_pairs.join(
-        sig_rows.map_batches(
-            lambda df: df.rename(columns={"doc_id": "ida"}),
-            batch_format="pandas",
-        ),
-        join_type="inner", num_partitions=np_join, on=("sig_a",),
-        right_on=("sig",), right_suffix="_r",
-    ).select_columns(["sig_b", "hamming", "ida"])
-    j = j1.join(
-        sig_rows.map_batches(
-            lambda df: df.rename(columns={"doc_id": "idb"}),
-            batch_format="pandas",
-        ),
-        join_type="inner", num_partitions=np_join, on=("sig_b",),
-        right_on=("sig",), right_suffix="_r",
-    ).select_columns(["hamming", "ida", "idb"])
-
-    def cross_order(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["ida"].to_numpy()
-        b = df["idb"].to_numpy()
-        return pd.DataFrame(
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
             {
-                "doc_a": pd.Series(np.minimum(a, b), dtype="int64"),
-                "doc_b": pd.Series(np.maximum(a, b), dtype="int64"),
-                "hamming": pd.Series(df["hamming"].to_numpy(), dtype="int64"),
+                "__k": df["sig"].astype("int64"),
+                "v2": np.int64(0),
+                "hamming": np.int64(0),
+                "doc": df["doc_id"].astype("int64"),
+                "__side": "r",
             }
         )
+        out["__b"] = _bucket_on(out["__k"]) if len(out) else pd.Series([], dtype="int64")
+        return out
 
-    cross_pairs = j.map_batches(cross_order, batch_format="pandas")
-    return self_pairs.union(cross_pairs)
+    def apply1(g: pd.DataFrame):
+        rg = g[g["__side"] == "r"][["__k", "doc"]]
+        lg = g[g["__side"] == "l"][["__k", "v2", "hamming"]].drop_duplicates()
+        # self pairs: every two docs sharing a signature (hamming 0)
+        m = rg.merge(rg, on="__k")
+        m = m[m["doc_x"] < m["doc_y"]]
+        selfp = pd.DataFrame(
+            {
+                "ida": m["doc_x"].astype("int64").to_numpy(),
+                "v2": m["doc_y"].astype("int64").to_numpy(),
+                "hamming": np.zeros(len(m), dtype=np.int64),
+                "fin": np.ones(len(m), dtype=np.int64),
+            }
+        )
+        # cross partials: sig_a -> its docs
+        c = lg.merge(rg, on="__k")
+        crossp = pd.DataFrame(
+            {
+                "ida": c["doc"].astype("int64").to_numpy(),
+                "v2": c["v2"].astype("int64").to_numpy(),
+                "hamming": c["hamming"].astype("int64").to_numpy(),
+                "fin": np.zeros(len(c), dtype=np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            pd.concat([selfp, crossp], ignore_index=True), schema=X1,
+            preserve_index=False,
+        )
+
+    stage1 = (
+        value_pairs.map_batches(tag_pairs1, batch_format="pandas")
+        .union(sig_rows.map_batches(tag_docs, batch_format="pandas"))
+        .groupby("__b")
+        .map_groups(apply1, batch_format="pandas")
+    )
+
+    OUT = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+    )
+
+    def tag_partials2(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "__k": df["v2"].astype("int64"),
+                "ida": df["ida"].astype("int64"),
+                "hamming": df["hamming"].astype("int64"),
+                "fin": df["fin"].astype("int64"),
+                "doc": np.int64(0),
+                "__side": "l",
+            }
+        )
+        out["__b"] = _bucket_on(out["__k"]) if len(out) else pd.Series([], dtype="int64")
+        return out
+
+    def tag_docs2(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "__k": df["sig"].astype("int64"),
+                "ida": np.int64(0),
+                "hamming": np.int64(0),
+                "fin": np.int64(0),
+                "doc": df["doc_id"].astype("int64"),
+                "__side": "r",
+            }
+        )
+        out["__b"] = _bucket_on(out["__k"]) if len(out) else pd.Series([], dtype="int64")
+        return out
+
+    def apply2(g: pd.DataFrame):
+        lg = g[g["__side"] == "l"]
+        rg = g[g["__side"] == "r"][["__k", "doc"]]
+        fin = lg[lg["fin"] == 1]
+        done = pd.DataFrame(
+            {
+                "doc_a": fin["ida"].astype("int64").to_numpy(),
+                "doc_b": fin["__k"].astype("int64").to_numpy(),
+                "hamming": fin["hamming"].astype("int64").to_numpy(),
+            }
+        )
+        c = lg[lg["fin"] == 0][["__k", "ida", "hamming"]].merge(rg, on="__k")
+        a = c["ida"].to_numpy()
+        b = c["doc"].to_numpy()
+        cross = pd.DataFrame(
+            {
+                "doc_a": np.minimum(a, b).astype(np.int64),
+                "doc_b": np.maximum(a, b).astype(np.int64),
+                "hamming": c["hamming"].astype("int64").to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(
+            pd.concat([done, cross], ignore_index=True), schema=OUT,
+            preserve_index=False,
+        )
+
+    return (
+        stage1.map_batches(tag_partials2, batch_format="pandas")
+        .union(sig_rows.map_batches(tag_docs2, batch_format="pandas"))
+        .groupby("__b")
+        .map_groups(apply2, batch_format="pandas")
+    )
 
 
 # ------------------------------------------------------------- jaccard

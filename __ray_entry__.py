@@ -205,6 +205,73 @@ def _q_dedup_docs(sf_dir: str):
     return dedup_docs_exact(ds.union(dup_ds))
 
 
+def _q_fuzzy_dedup(sf_dir: str):
+    """Cluster-level fuzzy dedup (pairs -> connected components -> keep
+    min id per cluster). Planted construction: every 5th doc gains two
+    verbatim copies (+1e6, +2e6); pair generation here is exact-dup
+    STAR pairs per content fingerprint so the SQL oracle can reproduce
+    clusters as text-equality groups (GROUP BY text) — transitive-chain
+    CC semantics are pytest-covered on constructed graphs."""
+    import pandas as pd
+    import numpy as np
+    import ray.data
+
+    from fastie_ray.ops.dedup import fuzzy_dedup_keep_one
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d1 = df[df["doc_id"] % 5 == 0].copy()
+        d1["doc_id"] = d1["doc_id"] + 1_000_000
+        d2 = df[df["doc_id"] % 5 == 0].copy()
+        d2["doc_id"] = d2["doc_id"] + 2_000_000
+        return pd.concat([df, d1, d2], ignore_index=True)
+
+    planted = ds.map_batches(plant, batch_format="pandas")
+
+    # star pairs per content fingerprint (bucketed on the fingerprint
+    # so each text-equality group is co-located)
+    import hashlib
+
+    def fp_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "fp": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]],
+                "doc_id": df["doc_id"].astype("int64"),
+            }
+        )
+        if len(out) == 0:
+            out["__b"] = np.array([], dtype=np.int64)
+            return out
+        out["__b"] = (
+            pd.util.hash_pandas_object(out["fp"], index=False).to_numpy()
+            % np.uint64(64)
+        ).astype(np.int64)
+        return out
+
+    def stars(g: pd.DataFrame):
+        import pyarrow as pa
+
+        g = g.sort_values("doc_id")
+        m = g.groupby("fp")["doc_id"].transform("min")
+        d = g[g["doc_id"] != m.to_numpy()]
+        out = pd.DataFrame(
+            {
+                "doc_a": m[g["doc_id"] != m.to_numpy()].astype("int64").to_numpy(),
+                "doc_b": d["doc_id"].astype("int64").to_numpy(),
+            }
+        )
+        schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+        return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+    pairs = (
+        planted.map_batches(fp_rows, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(stars, batch_format="pandas")
+    )
+    return fuzzy_dedup_keep_one(planted, pairs)
+
+
 def _q_knn(sf_dir: str):
     import ray.data
 
@@ -783,6 +850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "doc_stats": _q_doc_stats,
         "dedup_docs": _q_dedup_docs,
+        "fuzzy_dedup_docs": _q_fuzzy_dedup,
         "knn": _q_knn,
         "events_by_type": _q_events_by_type,
         "windowed_events": _q_windowed_events,
@@ -1030,6 +1098,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
                    length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct
             FROM documents
+        """,
+        "fuzzy_dedup_docs": """
+            WITH planted AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT min(doc_id) AS doc_id, count(*) AS cluster_size
+            FROM planted GROUP BY text
         """,
         "dedup_docs": """
             WITH corpus AS (

@@ -97,3 +97,111 @@ def dedup_docs_exact(
         .groupby("__b")
         .map_groups(lambda g: final(g.drop(columns="__b")), batch_format="pandas")
     )
+
+
+def fuzzy_dedup_keep_one(
+    docs: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Cluster-level dedup over a near-duplicate PAIR graph: connected
+    components over (doc_a, doc_b), keep the minimum-id doc per
+    cluster; docs in no pair are singleton clusters and always kept.
+    Returns (doc_id, cluster_size) for KEPT docs only — the standard
+    training-corpus fuzzy-dedup step downstream of ``minhash_lsh_dups``
+    / ``simhash_dups`` / ``embedding_neardup`` (any of which supplies
+    ``pairs``).
+
+    Scale shape: CC via ``connected_components_ds`` (skew-safe dedup →
+    driver union-find or distributed min-label propagation by measured
+    edge count; labels stay a dataset); cluster sizes by partial→
+    bucketed-final aggregate; keeper/singleton resolution by ONE
+    task-based tag-union exchange on the doc id (no Acero join, no
+    driver structures)."""
+    import pyarrow as pa
+
+    from fastie_ray.stages.canonicalize import connected_components_ds
+
+    def to_uv(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["doc_a"], "v": df["doc_b"]})
+
+    # (node, component_id); min-id root in both CC implementations
+    labels = connected_components_ds(
+        pairs.map_batches(to_uv, batch_format="pandas"), n_buckets=n_buckets
+    ).materialize()  # read twice below
+
+    # cluster sizes keyed by the keeper id (component_id == min member)
+    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("component_id", as_index=False).agg(n=("node", "count"))
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        df["__b"] = (
+            pd.util.hash_pandas_object(df["component_id"], index=False).to_numpy()
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return df
+
+    def size_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("component_id", as_index=False)["n"].sum()
+        return out
+
+    sizes = (
+        labels.map_batches(size_partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(size_final, batch_format="pandas")
+    )
+
+    # one tag-union exchange on the doc id resolves keeper status:
+    #  'd' rows = corpus docs; 'm' rows = paired nodes (membership);
+    #  's' rows = (keeper id, cluster size). A doc is kept iff it is
+    #  not a paired node (singleton, size 1) or it IS a keeper id.
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"id": df[id_col], "n": np.int64(0), "__side": "d"})
+        return _id_bucket(out, n_buckets)
+
+    def tag_members(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"id": df["node"], "n": np.int64(0), "__side": "m"})
+        return _id_bucket(out, n_buckets)
+
+    def tag_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"id": df["component_id"], "n": df["n"], "__side": "s"})
+        return _id_bucket(out, n_buckets)
+
+    def resolve(g: pd.DataFrame):
+        d = g[g["__side"] == "d"]["id"]
+        members = set(g[g["__side"] == "m"]["id"])
+        s = g[g["__side"] == "s"][["id", "n"]]
+        size_map = dict(zip(s["id"], s["n"]))
+        ids = d.to_numpy()
+        keep = np.array([i not in members or i in size_map for i in ids], dtype=bool)
+        kept = ids[keep]
+        sizes_out = np.array([size_map.get(i, 1) for i in kept], dtype=np.int64)
+        out = pd.DataFrame({"doc_id": kept, "cluster_size": sizes_out})
+        schema = pa.schema([("doc_id", pa.int64()), ("cluster_size", pa.int64())])
+        return pa.Table.from_pandas(
+            out.astype({"doc_id": "int64"}), schema=schema, preserve_index=False
+        )
+
+    both = (
+        docs.map_batches(tag_docs, batch_format="pandas")
+        .union(labels.map_batches(tag_members, batch_format="pandas"))
+        .union(sizes.map_batches(tag_sizes, batch_format="pandas"))
+    )
+    return both.groupby("__b").map_groups(resolve, batch_format="pandas")
+
+
+def _id_bucket(df: pd.DataFrame, n_buckets: int) -> pd.DataFrame:
+    if len(df) == 0:
+        df["__b"] = np.array([], dtype=np.int64)
+        return df
+    df["__b"] = (
+        pd.util.hash_pandas_object(df["id"], index=False).to_numpy()
+        % np.uint64(n_buckets)
+    ).astype(np.int64)
+    return df

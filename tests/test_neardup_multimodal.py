@@ -467,3 +467,29 @@ def test_range_join_cross_bucket_boundary(ray_session):
     ).to_pandas()
     assert sorted(out["event_id_r"]) == [1, 3]
     assert (out["event_id"] == 100).all()
+
+
+def test_fuzzy_dedup_keep_one_chain_and_singletons():
+    """Keep-one semantics over a pair graph: transitive chains collapse
+    to one cluster (1-2, 2-3 => {1,2,3} kept=1), disjoint pairs keep
+    their min, unpaired docs are singletons of size 1."""
+    import ray.data
+
+    from fastie_ray.ops.dedup import fuzzy_dedup_keep_one
+
+    docs = ray.data.from_items([{"doc_id": i} for i in [1, 2, 3, 10, 11, 42, 99]])
+    pairs = ray.data.from_items(
+        [
+            {"doc_a": 1, "doc_b": 2},
+            {"doc_a": 2, "doc_b": 3},
+            {"doc_a": 10, "doc_b": 11},
+        ]
+    )
+    out = (
+        fuzzy_dedup_keep_one(docs, pairs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["doc_id"], out["cluster_size"]))
+    assert got == {1: 3, 10: 2, 42: 1, 99: 1}

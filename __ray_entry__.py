@@ -119,7 +119,7 @@ def _q_kg_triples(sf_dir: str):
 def _q_kg_edges(sf_dir: str):
     from fastie_ray.pipelines.kg import graph_tables
 
-    t = graph_tables(_pages(sf_dir), world=_world(), concurrency=_conc())
+    t = graph_tables(_pages(sf_dir), world=_world(), concurrency=_conc(), want=("edges",))
     return t["edges"].select_columns(
         ["subject_id", "predicate", "object_id", "n_support"]
     )
@@ -128,7 +128,7 @@ def _q_kg_edges(sf_dir: str):
 def _q_kg_nodes(sf_dir: str):
     from fastie_ray.pipelines.kg import graph_tables
 
-    t = graph_tables(_pages(sf_dir), world=_world(), concurrency=_conc())
+    t = graph_tables(_pages(sf_dir), world=_world(), concurrency=_conc(), want=("nodes",))
     return t["nodes"]
 
 

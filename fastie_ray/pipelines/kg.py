@@ -18,9 +18,7 @@ import pandas as pd
 
 from fastie_ray.ops.dedup import dedup_exact
 from fastie_ray.stages.canonicalize import (
-    connected_components_ds,
-    entity_component_labels,
-    join_partitions,
+    entity_components_from_edges,
     mention_edges,
     relabel_column,
 )
@@ -86,9 +84,14 @@ def graph_tables(
     world: World | None = None,
     concurrency: int = 8,
     n_buckets: int = 64,
+    want: tuple[str, ...] = ("nodes", "edges", "linked"),
     **scorer_kw: Any,
 ) -> dict[str, Any]:
-    """pages → {nodes, edges, linked, triples} datasets (no writes)."""
+    """pages → {nodes, edges, linked, triples, mentions} datasets (no
+    writes). ``want`` names the tables the caller will actually consume
+    more than once: ``linked`` is materialized only when the nodes
+    branch (or the caller) re-reads it — an edges-only caller streams
+    the link pool straight into the CC dedup and saves one execution."""
     import ray
 
     world = world or build_world()
@@ -99,61 +102,72 @@ def graph_tables(
         pages, world_ref=world_ref, concurrency=concurrency, n_buckets=n_buckets, **scorer_kw
     )
 
-    linked = link_mentions(mentions, alias_ref, concurrency=max(2, concurrency // 2)).materialize()
+    linked = link_mentions(mentions, alias_ref, concurrency=max(2, concurrency // 2))
+    if "nodes" in want or "linked" in want:
+        # consumed twice (CC edges + node counts) — pin it once
+        linked = linked.materialize()
 
-    # canonicalization: CC over the (deduped) surface↔entity graph.
-    # The component labels stay a DATASET end-to-end (VERDICT r1 #8):
-    # NIL ids grow with distinct unlinked surfaces, so at web scale the
-    # label table is not vocab-bounded and must never become a driver
-    # dict — relabeling is done with hash joins instead.
-    labels = connected_components_ds(mention_edges(linked), n_buckets=n_buckets)
-    ent_comp = entity_component_labels(labels, n_buckets).materialize()
+    # canonicalization: CC over the (deduped) surface↔entity graph →
+    # (entity_id, component_id). The label table stays off the driver
+    # on the at-scale path (VERDICT r1 #8: NIL ids grow with distinct
+    # unlinked surfaces, not vocab-bounded); the small path projects
+    # entity labels where CC already ran (driver union-find).
+    ent_comp = entity_components_from_edges(mention_edges(linked), n_buckets=n_buckets)
 
     # canonical display names ARE vocab-bounded (world entity list), so
     # a ray.put broadcast is the right call for them.
     id2name = {e.entity_id: e.name for e in world.entities}
     name_ref = ray.put(id2name)
 
+    # nodes: per-batch combiner on entity_id, then ONE task-based
+    # exchange that (a) finishes the count aggregate (rows sharing
+    # entity_id are co-partitioned — the relabel buckets on the
+    # pre-relabel component_id, which is initialized to entity_id) and
+    # (b) maps component_id via ent_comp, unmatched entities keeping
+    # their own id. Replaces the old bucketed-groupby shuffle + Acero
+    # left-outer join (two operators, one of them actor-based).
     def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("entity_id", as_index=False).agg(n_mentions=("url", "count"))
+        g["component_id"] = g["entity_id"]
         return g
 
     node_partials = linked.map_batches(to_nodes, batch_format="pandas")
 
     def node_final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("entity_id", as_index=False)["n_mentions"].sum()
+        out = g.groupby(["entity_id", "component_id"], as_index=False)["n_mentions"].sum()
+        out["n_mentions"] = out["n_mentions"].astype("int64")
+        return out
 
-    node_counts = _bucketed_groupby(node_partials, "entity_id", node_final, n_buckets)
-    nodes_j = node_counts.join(
-        ent_comp,
-        join_type="left_outer",
-        num_partitions=join_partitions(n_buckets),
-        on=("entity_id",),
-        right_on=("entity_id",),
-        right_suffix="_r",
+    node_cols = ["entity_id", "component_id", "n_mentions"]
+    nodes_rel = relabel_column(
+        node_partials, "component_id", ent_comp, n_buckets,
+        left_cols=node_cols, pre=node_final,
     )
 
     def node_decorate(df: pd.DataFrame) -> pd.DataFrame:
         names = ray.get(name_ref)
-        comp_col = "component_id_r" if "component_id_r" in df.columns else "component_id"
         return pd.DataFrame(
             {
                 "entity_id": df["entity_id"],
                 "canonical_name": df["entity_id"].map(lambda e: names.get(e, "")),
-                "component_id": df[comp_col].fillna(df["entity_id"]),
-                "n_mentions": df["n_mentions"],
+                "component_id": df["component_id"],
+                "n_mentions": df["n_mentions"].astype("int64"),
             }
         )
 
-    nodes = nodes_j.map_batches(node_decorate, batch_format="pandas")
+    nodes = nodes_rel.map_batches(node_decorate, batch_format="pandas")
 
     # edges: link triple endpoints, AGGREGATE FIRST on the original
-    # entity ids (per-batch combiner + one bucketed shuffle — the only
-    # corpus-sized exchange), THEN relabel endpoints to component ids on
-    # the aggregated table (rows ≈ distinct (s,p,o), ≪ corpus) and merge
-    # rows whose endpoints collapsed. The old order (relabel the raw
-    # triple stream, then aggregate) pushed corpus-sized rows through
-    # THREE shuffles; this pushes them through one.
+    # entity ids (per-batch combiner; corpus-sized rows never cross more
+    # than one exchange), THEN relabel endpoints to component ids and
+    # merge rows whose endpoints collapsed. Both halves of the final
+    # aggregate ride INSIDE the relabel exchanges: the first relabel
+    # buckets on subject_id, which determines the (s,p,o) group, so
+    # pre=edge_final completes the support aggregate there; the second
+    # relabel buckets on object_id — after subject relabeling, rows with
+    # equal (s,p,o) share object_id and hence its hash bucket, so
+    # post=edge_final completes the collapse-merge. Two exchanges total
+    # (was: aggregate shuffle + two relabels).
     ltriples = link_triples(triples, alias_ref, concurrency=max(2, concurrency // 2))
 
     def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -172,16 +186,14 @@ def graph_tables(
         return out
 
     edge_partials = ltriples.map_batches(edge_partial, batch_format="pandas")
-    pre_edges = _bucketed_groupby(edge_partials, "subject_id", edge_final, n_buckets)
     # left_cols passed explicitly: schema inference would execute the
     # scorer lineage just to read column names
     pre_cols = ["subject_id", "predicate", "object_id", "n_support", "urls"]
-    # the collapse-merge rides inside the SECOND relabel's exchange
-    # (post=edge_final): once both endpoints are component ids, rows
-    # with equal (s,p,o) share object_id and hence its hash bucket, so
-    # the in-partition merge is complete — no extra shuffle needed.
     edges = relabel_column(
-        relabel_column(pre_edges, "subject_id", ent_comp, n_buckets, left_cols=pre_cols),
+        relabel_column(
+            edge_partials, "subject_id", ent_comp, n_buckets,
+            left_cols=pre_cols, pre=edge_final,
+        ),
         "object_id",
         ent_comp,
         n_buckets,

@@ -314,6 +314,40 @@ def entity_component_labels(
     return j.map_batches(strip, batch_format="pandas")
 
 
+def entity_components_from_edges(
+    edges: "ray.data.Dataset",
+    n_buckets: int = 64,
+    driver_threshold: int = 500_000,
+    max_rounds: int = 6,
+) -> "ray.data.Dataset":
+    """(u, v) mention edges → (entity_id, component_id) directly, with
+    the same size-based algorithm selection as ``connected_components``.
+
+    When the deduped edge set fits the driver threshold, the CC labels
+    are ALREADY driver-resident (``_driver_cc``'s union-find dict), so
+    projecting entity labels in pandas adds no new driver-side exposure
+    and skips the three distributed exchanges (combiner shuffle + Acero
+    join) that ``entity_component_labels`` pays — measured ~2-4 s of
+    fixed operator cost per query on this box. Above the threshold the
+    fully-distributed path runs unchanged."""
+    import ray.data
+
+    uniq = dedup_exact(edges, ["u", "v"], n_buckets).materialize()
+    if uniq.count() <= driver_threshold:
+        labels = _driver_cc(uniq)
+        ents = labels[labels["node"].str.startswith("e:")]
+        min_ent = ents.groupby("component_id")["node"].min()
+        out = pd.DataFrame(
+            {
+                "entity_id": ents["node"].str[2:].to_numpy(),
+                "component_id": ents["component_id"].map(min_ent).str[2:].to_numpy(),
+            }
+        )
+        return ray.data.from_pandas(out)
+    labels_ds = _distributed_cc_ds(uniq, n_buckets, max_rounds)
+    return entity_component_labels(labels_ds, n_buckets).materialize()
+
+
 def relabel_column(
     ds: "ray.data.Dataset",
     col: str,
@@ -321,6 +355,7 @@ def relabel_column(
     n_buckets: int = 64,
     left_cols: list[str] | None = None,
     post=None,
+    pre=None,
 ) -> "ray.data.Dataset":
     """Replace ``col`` values by their component id via a BUCKETED hash
     join against (entity_id, component_id); unmatched rows keep their
@@ -338,7 +373,14 @@ def relabel_column(
     is emitted — use it to fold a follow-up merge/aggregate into this
     exchange when the merge key's rows are guaranteed co-partitioned by
     ``col`` (e.g. merging edges after their LAST endpoint is relabeled),
-    saving a whole extra shuffle."""
+    saving a whole extra shuffle.
+
+    ``pre``, if given, runs on the assembled left partition frame BEFORE
+    the mapping is applied — use it to fold the FINAL aggregate of an
+    upstream partial-combine into this exchange: rows sharing the
+    grouping key are co-partitioned here whenever the key determines
+    ``col`` (e.g. grouping on (s,p,o) while relabeling subject_id),
+    which makes a separate ``_bucketed_groupby`` shuffle redundant."""
     left_cols = list(left_cols) if left_cols is not None else list(ds.schema().names)
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
@@ -370,6 +412,8 @@ def relabel_column(
         lg = g[g["__side"] == "l"][left_cols + ["__cmp"]].drop(columns="__cmp")
         rg = g[g["__side"] == "r"][[col, "__cmp"]]
         mapping = dict(zip(rg[col], rg["__cmp"]))
+        if pre is not None:
+            lg = pre(lg)
         lg = lg.copy()
         lg[col] = lg[col].map(lambda v: mapping.get(v, v))
         return post(lg) if post is not None else lg

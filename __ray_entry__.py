@@ -272,6 +272,74 @@ def _q_fuzzy_dedup(sf_dir: str):
     return fuzzy_dedup_keep_one(planted, pairs)
 
 
+_STRAT_RATES = {"en": 0.3, "zh": 0.8, "es": 0.5, "de": 1.0}
+
+
+def _stratified_sample_sql() -> str:
+    from fastie_ray.ops.sampling import rate_threshold
+
+    whens = " ".join(
+        f"WHEN '{s}' THEN '{rate_threshold(r)}'" for s, r in _STRAT_RATES.items()
+    )
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              < CASE lang {whens} ELSE '0000' END
+    """
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic per-language downsample (md5-prefix thresholds —
+    the selection predicate is the same lexicographic hex comparison in
+    Python and SQL, so the oracle reproduces the exact row set)."""
+    import ray.data
+
+    from fastie_ray.ops.sampling import stratified_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(ds, _STRAT_RATES, stratum_col="lang", id_col="doc_id")
+
+
+def _q_grouped_topk(sf_dir: str):
+    """Top-5 longest docs per language (rank ties broken by doc_id)."""
+    import ray.data
+
+    from fastie_ray.ops.sampling import grouped_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return grouped_topk(ds, k=5, group_col="lang", value_col="n_chars", id_col="doc_id")
+
+
+def _q_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment against the deterministic init
+    centroids (the k smallest vec_ids) — the inner kernel of Lloyd's,
+    SQL-reproducible via DuckDB list_distance."""
+    import ray.data
+
+    from fastie_ray.ops.clustering import init_centroids, kmeans_assign
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cids, cents = init_centroids(ds, k=10)
+    return kmeans_assign(ds, cids, cents).select_columns(["vec_id", "cluster_id"])
+
+
+def _q_kmeans_clusters(sf_dir: str):
+    """Full Lloyd's (8 iterations) → cluster sizes. Iterative centroid
+    averages are not SQL-expressible — rows-only driver check; the
+    algorithm is pytest-oracled against a single-process numpy
+    reference."""
+    import ray.data
+
+    from fastie_ray.ops.clustering import kmeans_cluster_sizes
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_cluster_sizes(ds, k=10, iters=8)
+
+
 def _q_knn(sf_dir: str):
     import ray.data
 
@@ -851,6 +919,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "dedup_docs": _q_dedup_docs,
         "fuzzy_dedup_docs": _q_fuzzy_dedup,
+        "stratified_sample": _q_stratified_sample,
+        "grouped_topk": _q_grouped_topk,
+        "kmeans_assign": _q_kmeans_assign,
+        "kmeans_clusters": _q_kmeans_clusters,
         "knn": _q_knn,
         "events_by_type": _q_events_by_type,
         "windowed_events": _q_windowed_events,
@@ -1109,6 +1181,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, count(*) AS cluster_size
             FROM planted GROUP BY text
+        """,
+        "stratified_sample": _stratified_sample_sql(),
+        "grouped_topk": """
+            SELECT doc_id, lang, n_chars, rank FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                       ) AS rank
+                FROM documents
+            ) WHERE rank <= 5
+        """,
+        "kmeans_assign": """
+            WITH cent AS (
+                SELECT vec_id AS cid, embedding AS cvec
+                FROM embeddings ORDER BY vec_id LIMIT 10
+            ), d AS (
+                SELECT e.vec_id, c.cid, list_distance(e.embedding, c.cvec) AS dist
+                FROM embeddings e CROSS JOIN cent c
+            ), r AS (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d
+            )
+            SELECT vec_id, cid AS cluster_id FROM r WHERE rn = 1
         """,
         "dedup_docs": """
             WITH corpus AS (

@@ -1,0 +1,143 @@
+"""Deterministic sampling and per-group selection operators for
+training-corpus curation (engine-side additions; the reference has no
+sampling surface beyond UIE negative sampling, `fastie/data/uie/`).
+
+Design points for 100-TB inputs:
+- sampling is HASH-deterministic (md5 of the id), never RNG-state
+  dependent — a resumed or re-sharded run selects the identical rows,
+  and the selection is reproducible in ANSI SQL for auditing;
+- stratified rates ride in a broadcast dict (strata are vocabulary-
+  bounded: language, source, quality bin), so the filter is one
+  embarrassingly-parallel `map_batches` with NO shuffle;
+- grouped top-k is per-batch local top-k (combiner) → one bucketed
+  exchange on the group key → per-group final top-k: the exchange
+  carries at most ``k × n_groups_per_batch`` rows per input batch,
+  never the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    import ray.data
+
+# md5-prefix width used for rate thresholds: 4 hex chars = 16 bits.
+_PREFIX_BITS = 16
+_PREFIX_CHARS = 4
+
+
+def rate_threshold(rate: float) -> str:
+    """Hex-string threshold T such that ``md5(id)[:4] < T`` keeps a
+    ``rate`` fraction of uniformly-hashed ids (granularity 1/65536).
+    String comparison of lowercase hex is identical in Python and SQL,
+    so the same predicate is expressible in DuckDB for the oracle."""
+    ticks = int(round(rate * (1 << _PREFIX_BITS)))
+    ticks = max(0, min(1 << _PREFIX_BITS, ticks))
+    if ticks >= 1 << _PREFIX_BITS:
+        return "g"  # sorts after every 4-char hex string: keep-all
+    return format(ticks, "04x")
+
+
+def _md5_prefix(ids: pd.Series) -> np.ndarray:
+    return np.array(
+        [hashlib.md5(s.encode("utf-8")).hexdigest()[:_PREFIX_CHARS]
+         for s in ids.astype(str)],
+        dtype=object,
+    )
+
+
+def hash_sample(
+    ds: "ray.data.Dataset",
+    rate: float,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Uniform deterministic sample: keep rows with
+    ``md5(str(id))[:4] < rate_threshold(rate)``. Shuffle-free."""
+    thr = rate_threshold(rate)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        pref = _md5_prefix(df[id_col])
+        return df[pref < thr].reset_index(drop=True)
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> "ray.data.Dataset":
+    """Per-stratum deterministic sample (e.g. downsample head languages,
+    keep all of tail ones): ``rates`` maps stratum value → keep rate.
+    Strata are vocab-bounded, so the thresholds travel as a plain
+    closure-captured dict (broadcast with the task); no shuffle."""
+    thr = {s: rate_threshold(r) for s, r in rates.items()}
+    thr_default = rate_threshold(default_rate)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        pref = _md5_prefix(df[id_col])
+        limits = df[stratum_col].map(lambda s: thr.get(s, thr_default)).to_numpy()
+        return df[pref < limits].reset_index(drop=True)
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def grouped_topk(
+    ds: "ray.data.Dataset",
+    k: int,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Top-k rows per group by ``value_col`` desc (ties broken by
+    ``id_col`` asc — deterministic, SQL ``row_number()`` reproducible).
+
+    Combiner-first: each batch emits its own per-group top-k, the
+    bucketed exchange on the group key sees ≤ k rows per (group, batch),
+    and the per-bucket final re-ranks exactly. Output columns:
+    group, id, value (+ extra_cols), rank (1-based)."""
+    cols = [group_col, id_col, value_col] + list(extra_cols or [])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].sort_values(
+            [group_col, value_col, id_col], ascending=[True, False, True]
+        )
+        return df.groupby(group_col, as_index=False, sort=False).head(k)
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").sort_values(
+            [group_col, value_col, id_col], ascending=[True, False, True]
+        )
+        out = g.groupby(group_col, as_index=False, sort=False).head(k).copy()
+        out["rank"] = out.groupby(group_col, sort=False).cumcount() + 1
+        out["rank"] = out["rank"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

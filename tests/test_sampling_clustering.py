@@ -1,0 +1,169 @@
+"""Oracles for the sampling and clustering operators
+(`fastie_ray/ops/sampling.py`, `fastie_ray/ops/clustering.py`):
+single-process references computed on the same rows, plus determinism
+across block layouts."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from fastie_ray.ops.clustering import (
+    init_centroids,
+    kmeans_assign,
+    kmeans_cluster_sizes,
+    kmeans_fit,
+)
+from fastie_ray.ops.sampling import (
+    grouped_topk,
+    hash_sample,
+    rate_threshold,
+    stratified_sample,
+)
+
+
+def _docs(n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(["en", "zh", "de"], size=n, p=[0.6, 0.3, 0.1]),
+            "n_chars": rng.integers(10, 5000, size=n).astype(np.int64),
+        }
+    )
+
+
+def test_rate_threshold_bounds():
+    assert rate_threshold(0.0) == "0000"
+    assert rate_threshold(1.0) == "g"  # sorts after all hex
+    assert rate_threshold(0.5) == "8000"
+
+
+def test_hash_sample_matches_python_reference():
+    df = _docs()
+    out = hash_sample(ray.data.from_pandas(df), rate=0.25).to_pandas()
+    thr = rate_threshold(0.25)
+    want = df[
+        [hashlib.md5(str(i).encode()).hexdigest()[:4] < thr for i in df["doc_id"]]
+    ]
+    assert sorted(out["doc_id"]) == sorted(want["doc_id"])
+    # deterministic: independent of block layout
+    out8 = hash_sample(
+        ray.data.from_pandas(df).repartition(8), rate=0.25
+    ).to_pandas()
+    assert sorted(out8["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_stratified_sample_rates_and_default():
+    df = _docs()
+    rates = {"en": 0.1, "zh": 1.0}  # de falls to default_rate=0 → dropped
+    out = stratified_sample(
+        ray.data.from_pandas(df), rates, stratum_col="lang", id_col="doc_id"
+    ).to_pandas()
+    assert set(out["lang"]) <= {"en", "zh"}
+    assert (out[out["lang"] == "zh"].shape[0]) == (df["lang"] == "zh").sum()
+    thr = rate_threshold(0.1)
+    want_en = df[
+        (df["lang"] == "en")
+        & [hashlib.md5(str(i).encode()).hexdigest()[:4] < thr for i in df["doc_id"]]
+    ]
+    assert sorted(out[out["lang"] == "en"]["doc_id"]) == sorted(want_en["doc_id"])
+
+
+def test_grouped_topk_matches_window_reference():
+    df = _docs()
+    out = (
+        grouped_topk(
+            ray.data.from_pandas(df).repartition(8),
+            k=5,
+            group_col="lang",
+            value_col="n_chars",
+            id_col="doc_id",
+        )
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(
+        ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    want = want.groupby("lang", sort=True).head(5).copy()
+    want["rank"] = want.groupby("lang").cumcount() + 1
+    want = want.reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["lang", "doc_id", "n_chars"]], want[["lang", "doc_id", "n_chars"]]
+    )
+    assert (out["rank"].to_numpy() == want["rank"].to_numpy()).all()
+
+
+def _emb(n=300, dim=16, k=6, seed=3):
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(k, dim)) * 3
+    labels = rng.integers(0, k, size=n)
+    x = cents[labels] + rng.normal(size=(n, dim)) * 0.4
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(x.astype(np.float32)),
+        }
+    )
+
+
+def _reference_lloyd(df, k, iters):
+    """Single-process Lloyd's mirroring the distributed kernel's
+    float64 per-cluster sums and first-minimum tie-break."""
+    x = np.array(list(df["embedding"]), dtype=np.float64)
+    cents = x[np.argsort(df["vec_id"].to_numpy())[:k]].copy()
+    for _ in range(iters):
+        d = (x * x).sum(1)[:, None] - 2.0 * (x @ cents.T) + (cents * cents).sum(1)[None, :]
+        a = d.argmin(1)
+        for j in range(k):
+            if (a == j).any():
+                cents[j] = x[a == j].sum(0) / (a == j).sum()
+    d = (x * x).sum(1)[:, None] - 2.0 * (x @ cents.T) + (cents * cents).sum(1)[None, :]
+    return cents, d.argmin(1)
+
+
+def test_kmeans_single_block_bitwise_matches_reference():
+    df = _emb()
+    ds = ray.data.from_pandas(df)  # one block → identical reduce order
+    cids, cents = kmeans_fit(ds, k=6, iters=5)
+    ref_cents, ref_a = _reference_lloyd(df, k=6, iters=5)
+    assert np.array_equal(cids, np.arange(6))
+    assert np.array_equal(cents, ref_cents)
+    out = kmeans_assign(ds, cids, cents).to_pandas().sort_values("vec_id")
+    assert np.array_equal(out["cluster_id"].to_numpy(), ref_a)
+
+
+def test_kmeans_block_layout_invariance():
+    df = _emb(seed=11)
+    s1 = kmeans_cluster_sizes(ray.data.from_pandas(df), k=6, iters=5)
+    s8 = kmeans_cluster_sizes(ray.data.from_pandas(df).repartition(8), k=6, iters=5)
+    pd.testing.assert_frame_equal(s1, s8)
+    assert s1["n_members"].sum() == len(df)
+
+
+def test_kmeans_assign_duplicate_centroid_tie_breaks_low_id():
+    df = pd.DataFrame(
+        {
+            "vec_id": np.array([5, 9], dtype=np.int64),
+            "embedding": [np.zeros(4, dtype=np.float32)] * 2,
+        }
+    )
+    cents = np.zeros((2, 4))
+    out = (
+        kmeans_assign(ray.data.from_pandas(df), np.array([9, 3]), cents)
+        .to_pandas()
+    )
+    assert (out["cluster_id"] == 3).all()
+
+
+def test_init_centroids_smallest_ids():
+    df = _emb(n=50)
+    ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=0)).repartition(4)
+    cids, cents = init_centroids(ds, k=3)
+    assert list(cids) == [0, 1, 2]
+    want = np.array(list(df.sort_values("vec_id")["embedding"][:3]), dtype=np.float64)
+    assert np.array_equal(cents, want)

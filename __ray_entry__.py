@@ -340,6 +340,29 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_cluster_sizes(ds, k=10, iters=8)
 
 
+def _q_doc_frequency(sf_dir: str):
+    """(token, df) over the corpus — ASCII-exact tokenization so the
+    DuckDB regexp_extract_all oracle reproduces the token stream."""
+    import ray.data
+
+    from fastie_ray.ops.text_index import doc_frequency
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return doc_frequency(ds)
+
+
+def _q_tfidf_terms(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms; ranks cut on the rounded score so
+    the SQL window oracle is exact."""
+    import ray.data
+
+    from fastie_ray.ops.text_index import tfidf_top_terms
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = ds.count()
+    return tfidf_top_terms(ds, n_docs=n_docs, k=3, min_df=2)
+
+
 def _q_knn(sf_dir: str):
     import ray.data
 
@@ -923,6 +946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk": _q_grouped_topk,
         "kmeans_assign": _q_kmeans_assign,
         "kmeans_clusters": _q_kmeans_clusters,
+        "doc_frequency": _q_doc_frequency,
+        "tfidf_terms": _q_tfidf_terms,
         "knn": _q_knn,
         "events_by_type": _q_events_by_type,
         "windowed_events": _q_windowed_events,
@@ -1205,6 +1230,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM d
             )
             SELECT vec_id, cid AS cluster_id FROM r WHERE rn = 1
+        """,
+        "doc_frequency": """
+            SELECT token, count(DISTINCT doc_id) AS df FROM (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS token
+                FROM documents
+            ) GROUP BY token
+        """,
+        "tfidf_terms": """
+            WITH tok AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS token
+                FROM documents
+            ), dfq AS (
+                SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+            ), nd AS (
+                SELECT count(*) AS n FROM documents
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+            ), s AS (
+                SELECT tf.doc_id, tf.token, tf.tf,
+                       round(tf.tf * (ln((nd.n + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS score
+                FROM tf JOIN dfq USING (token) CROSS JOIN nd
+                WHERE dfq.df >= 2
+            ), r AS (
+                SELECT s.*, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, token
+                ) AS rank FROM s
+            )
+            SELECT doc_id, token, tf, score, rank FROM r WHERE rank <= 3
         """,
         "dedup_docs": """
             WITH corpus AS (

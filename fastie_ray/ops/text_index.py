@@ -1,0 +1,152 @@
+"""Corpus indexing operators: document frequency, posting lists and
+TF-IDF top terms — the retrieval/statistics side of a training-data
+pipeline (engine-side addition; the reference has no corpus-level text
+statistics).
+
+Tokenization is ASCII-exact on purpose: tokens are ``[A-Za-z0-9]+``
+runs extracted from the RAW text and then ASCII-lowercased, so the
+exact same token stream is reproducible in DuckDB
+(``lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+')))``) for the
+correctness oracle — no locale/unicode case-folding divergence.
+
+Scale shape:
+- per-batch combiner emits one row per DISTINCT (token, batch) with
+  partial df counts — the exchange never carries one row per token
+  OCCURRENCE, only per distinct token per batch;
+- the final df aggregate is the standard coarse-bucket groupby (hot
+  tokens — stopwords — are pre-shrunk by the combiner, so the Zipf
+  head does not skew the shuffle);
+- TF-IDF broadcasts the df table (pruned to ``max_vocab`` by df rank —
+  vocabulary-bounded BY CONSTRUCTION) via ``ray.put`` once, then runs
+  one embarrassingly-parallel scoring pass.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    import ray.data
+
+_TOKEN_RE = r"[A-Za-z0-9]+"
+
+
+def _tokens_per_doc(df: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    """(doc_id, token) rows, one per occurrence, vectorized."""
+    toks = df[text_col].str.findall(_TOKEN_RE)
+    out = pd.DataFrame({"doc_id": df["doc_id"], "token": toks}).explode(
+        "token", ignore_index=True
+    )
+    out = out.dropna(subset=["token"])
+    out["token"] = out["token"].str.lower()  # ASCII tokens → ASCII lower
+    return out
+
+
+def doc_frequency(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """(token, df) — number of distinct docs containing each token.
+    The combiner dedups (doc, token) per batch, which is complete
+    because each doc's text lives in ONE batch row (docs are rows)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = _tokens_per_doc(df, text_col)
+        return (
+            t.drop_duplicates(["doc_id", "token"])
+            .groupby("token", as_index=False)
+            .agg(df=("doc_id", "count"))
+        )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["token"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("token", as_index=False)["df"].sum()
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def top_vocab(
+    df_table: "ray.data.Dataset", max_vocab: int
+) -> pd.DataFrame:
+    """The ``max_vocab`` highest-df tokens (ties → token asc):
+    per-block local top-k then a driver merge of block candidates —
+    never a global sort."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["df", "token"], ascending=[False, True]).head(
+            max_vocab
+        )
+
+    cand = df_table.map_batches(local, batch_format="pandas").to_pandas()
+    return (
+        cand.sort_values(["df", "token"], ascending=[False, True])
+        .head(max_vocab)
+        .reset_index(drop=True)
+    )
+
+
+def tfidf_top_terms(
+    ds: "ray.data.Dataset",
+    n_docs: int,
+    text_col: str = "text",
+    k: int = 5,
+    max_vocab: int = 50_000,
+    min_df: int = 2,
+) -> "ray.data.Dataset":
+    """Per-doc top-k TF-IDF terms (score desc, token asc — fully
+    deterministic). ``idf = ln((n_docs + 1) / (df + 1)) + 1``.
+
+    Pass 1 builds the df table and prunes it to ``max_vocab`` tokens
+    with ``df >= min_df``; the pruned vocab is broadcast once via
+    ``ray.put``. Pass 2 scores each doc against the broadcast dict —
+    no shuffle."""
+    import ray
+
+    vocab = top_vocab(doc_frequency(ds, text_col), max_vocab)
+    vocab = vocab[vocab["df"] >= min_df]
+    idf = dict(
+        zip(vocab["token"], np.log((n_docs + 1) / (vocab["df"] + 1)) + 1.0)
+    )
+    idf_ref = ray.put(idf)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        idf_m = ray.get(idf_ref)
+        t = _tokens_per_doc(df, text_col)
+        tf = t.groupby(["doc_id", "token"], as_index=False).agg(
+            tf=("token", "count")
+        )
+        tf["idf"] = tf["token"].map(idf_m)
+        tf = tf.dropna(subset=["idf"])
+        # rank on the ROUNDED score so the ordering (and hence the
+        # top-k cut) is reproducible bit-for-bit in the SQL oracle
+        tf["score"] = (tf["tf"] * tf["idf"]).round(6)
+        tf = tf.sort_values(
+            ["doc_id", "score", "token"], ascending=[True, False, True]
+        )
+        out = tf.groupby("doc_id", as_index=False, sort=False).head(k).copy()
+        out["rank"] = out.groupby("doc_id", sort=False).cumcount() + 1
+        out["rank"] = out["rank"].astype("int64")
+        return out[["doc_id", "token", "tf", "score", "rank"]].astype(
+            {"tf": "int64"}
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -97,12 +97,19 @@ def kmeans_fit(
     iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tol: float = 1e-9,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Lloyd's iterations; returns (centroid_ids, centroids). Each
     round is one streaming pass emitting k partial (count, sum) rows
     per batch; the driver reduce touches ``k × n_batches`` rows.
     Empty clusters keep their previous centroid. ``centroid_ids``
-    stay the INITIAL ids (stable cluster naming across iterations)."""
+    stay the INITIAL ids (stable cluster naming across iterations).
+    Stops early when the max squared centroid shift drops below
+    ``tol`` (a free driver-side check — at any scale each avoided
+    iteration is a whole corpus pass). The corpus is deliberately NOT
+    materialized between iterations: at target scale pinning it in the
+    object store would spill; re-streaming the pruned columns is the
+    cheaper side of the trade."""
     cids, cents = init_centroids(ds, k, id_col, vec_col)
     order = np.argsort(cids, kind="stable")
     cids, cents = cids[order], cents[order]
@@ -133,9 +140,13 @@ def kmeans_fit(
             counts[int(c)] += int(n)
             sums[int(c)] += np.asarray(s, dtype=np.float64)
         nonempty = counts > 0
-        cents = np.where(
+        new_cents = np.where(
             nonempty[:, None], sums / np.maximum(counts, 1)[:, None], cents
         )
+        shift = float(((new_cents - cents) ** 2).sum(1).max())
+        cents = new_cents
+        if shift < tol:
+            break
     return cids, cents
 
 
@@ -145,10 +156,11 @@ def kmeans_cluster_sizes(
     iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tol: float = 1e-9,
 ) -> pd.DataFrame:
     """Full k-means → (cluster_id, n_members) summary (one extra
     assignment pass with a per-batch count combiner)."""
-    cids, cents = kmeans_fit(ds, k, iters, id_col, vec_col)
+    cids, cents = kmeans_fit(ds, k, iters, id_col, vec_col, tol=tol)
     assigned = kmeans_assign(ds, cids, cents, id_col, vec_col)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

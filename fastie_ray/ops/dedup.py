@@ -175,13 +175,18 @@ def fuzzy_dedup_keep_one(
 
     def resolve(g: pd.DataFrame):
         d = g[g["__side"] == "d"]["id"]
-        members = set(g[g["__side"] == "m"]["id"])
+        members = g[g["__side"] == "m"]["id"].to_numpy()
         s = g[g["__side"] == "s"][["id", "n"]]
-        size_map = dict(zip(s["id"], s["n"]))
         ids = d.to_numpy()
-        keep = np.array([i not in members or i in size_map for i in ids], dtype=bool)
-        kept = ids[keep]
-        sizes_out = np.array([size_map.get(i, 1) for i in kept], dtype=np.int64)
+        is_member = np.isin(ids, members)
+        is_keeper = np.isin(ids, s["id"].to_numpy())
+        kept = ids[~is_member | is_keeper]
+        sizes_out = (
+            pd.Series(kept).map(pd.Series(s["n"].to_numpy(), index=s["id"]))
+            .fillna(1)
+            .to_numpy()
+            .astype(np.int64)
+        )
         out = pd.DataFrame({"doc_id": kept, "cluster_size": sizes_out})
         schema = pa.schema([("doc_id", pa.int64()), ("cluster_size", pa.int64())])
         return pa.Table.from_pandas(

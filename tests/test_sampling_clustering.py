@@ -129,7 +129,7 @@ def _reference_lloyd(df, k, iters):
 def test_kmeans_single_block_bitwise_matches_reference():
     df = _emb()
     ds = ray.data.from_pandas(df)  # one block → identical reduce order
-    cids, cents = kmeans_fit(ds, k=6, iters=5)
+    cids, cents = kmeans_fit(ds, k=6, iters=5, tol=0.0)
     ref_cents, ref_a = _reference_lloyd(df, k=6, iters=5)
     assert np.array_equal(cids, np.arange(6))
     assert np.array_equal(cents, ref_cents)
@@ -139,8 +139,10 @@ def test_kmeans_single_block_bitwise_matches_reference():
 
 def test_kmeans_block_layout_invariance():
     df = _emb(seed=11)
-    s1 = kmeans_cluster_sizes(ray.data.from_pandas(df), k=6, iters=5)
-    s8 = kmeans_cluster_sizes(ray.data.from_pandas(df).repartition(8), k=6, iters=5)
+    s1 = kmeans_cluster_sizes(ray.data.from_pandas(df), k=6, iters=5, tol=0.0)
+    s8 = kmeans_cluster_sizes(
+        ray.data.from_pandas(df).repartition(8), k=6, iters=5, tol=0.0
+    )
     pd.testing.assert_frame_equal(s1, s8)
     assert s1["n_members"].sum() == len(df)
 

@@ -363,6 +363,21 @@ def _q_tfidf_terms(sf_dir: str):
     return tfidf_top_terms(ds, n_docs=n_docs, k=3, min_df=2)
 
 
+_QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _q_len_quantiles(sf_dir: str):
+    """Exact discrete quantiles of doc length: value-count aggregate
+    (bounded by the distinct-length domain) + driver cumsum — no
+    global sort, no sketch; matches SQL quantile_disc exactly."""
+    import ray.data
+
+    from fastie_ray.ops.stats import exact_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return exact_quantiles(ds, "n_chars", _QUANTILE_QS)
+
+
 def _q_knn(sf_dir: str):
     import ray.data
 
@@ -948,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "doc_frequency": _q_doc_frequency,
         "tfidf_terms": _q_tfidf_terms,
+        "len_quantiles": _q_len_quantiles,
         "knn": _q_knn,
         "events_by_type": _q_events_by_type,
         "windowed_events": _q_windowed_events,
@@ -1208,6 +1224,11 @@ def oracle_sql() -> dict[str, str]:
             FROM planted GROUP BY text
         """,
         "stratified_sample": _stratified_sample_sql(),
+        "len_quantiles": " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q, "
+            f"quantile_disc(n_chars, {q}) AS value FROM documents"
+            for q in _QUANTILE_QS
+        ),
         "grouped_topk": """
             SELECT doc_id, lang, n_chars, rank FROM (
                 SELECT doc_id, lang, n_chars,

@@ -1,0 +1,36 @@
+"""Oracles for `fastie_ray/ops/stats.py`: numpy references and
+percentile_disc boundary semantics."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from fastie_ray.ops.stats import exact_quantiles, value_counts
+
+
+def test_value_counts_matches_reference_any_layout():
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"v": rng.integers(0, 40, size=1000).astype(np.int64)})
+    want = df["v"].value_counts().to_dict()
+    for parts in (1, 7):
+        out = value_counts(
+            ray.data.from_pandas(df).repartition(parts), "v"
+        ).to_pandas()
+        assert dict(zip(out["v"], out["n"])) == want
+
+
+def test_exact_quantiles_boundary_cases():
+    # n=20, q=0.3 → k=6 exactly (float 0.3*20 = 6.000000000000001 would
+    # ceil to 7 — the Fraction arithmetic must not)
+    df = pd.DataFrame({"v": np.arange(1, 21, dtype=np.int64)})
+    out = exact_quantiles(ray.data.from_pandas(df).repartition(3), "v", [0.3, 0.5, 1.0])
+    got = dict(zip(out["q"], out["value"]))
+    assert got == {0.3: 6, 0.5: 10, 1.0: 20}
+
+
+def test_exact_quantiles_with_duplicates_matches_cume_rule():
+    vals = np.array([1, 2, 2, 3, 7, 9, 9, 9, 10, 50], dtype=np.int64)
+    df = pd.DataFrame({"v": vals})
+    out = exact_quantiles(ray.data.from_pandas(df), "v", [0.25, 0.5, 0.75, 0.9])
+    got = dict(zip(out["q"], out["value"]))
+    assert got == {0.25: 2, 0.5: 7, 0.75: 9, 0.9: 10}

@@ -600,6 +600,49 @@ def _q_orders_by_segment(sf_dir: str):
     )
 
 
+def _q_lineitem_orders(sf_dir: str):
+    """Big⋈big equi-join via the task-based hash_join primitive, then
+    revenue per order priority (partial→bucketed-final aggregate)."""
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.join import hash_join
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_extendedprice", "l_discount"],
+        right_cols=["o_orderkey", "o_orderpriority"],
+        n_buckets=16,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rev"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("rev", "count"), revenue=("rev", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("n_items", "sum"), revenue=("revenue", "sum")
+        )
+        out["n_items"] = out["n_items"].astype("int64")
+        out["revenue"] = out["revenue"].round(4)
+        return out
+
+    return _bucketed_groupby(
+        j.map_batches(partial, batch_format="pandas"), "o_orderpriority", final, 4
+    )
+
+
 def _q_minhash_dups(sf_dir: str):
     import ray.data
 
@@ -974,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": _q_top_users,
         "q1_lineitem": _q_q1_lineitem,
         "orders_by_segment": _q_orders_by_segment,
+        "lineitem_orders": _q_lineitem_orders,
     }
 
 
@@ -1224,6 +1268,12 @@ def oracle_sql() -> dict[str, str]:
             FROM planted GROUP BY text
         """,
         "stratified_sample": _stratified_sample_sql(),
+        "lineitem_orders": """
+            SELECT o_orderpriority, count(*) AS n_items,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
         "len_quantiles": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS q, "
             f"quantile_disc(n_chars, {q}) AS value FROM documents"

@@ -1,0 +1,110 @@
+"""General equi-join between two LARGE datasets as one task-based
+tag-union exchange — the engine's relational join primitive when
+neither side fits a ``ray.put`` broadcast (for a small side, broadcast
++ ``map_batches`` lookup is strictly better — see the
+orders_by_segment pattern).
+
+Why not ``ds.join``: Ray Data's hash join spawns ``num_partitions``
+aggregator ACTORS that must all schedule before progress (measured
+deadlock when partitions > cluster CPUs, ~1-2 s fixed spawn cost
+otherwise, and a crash on fully-empty inputs — NOTES.md r2 facts 1-2).
+This primitive is pure tasks on the same exchange volume: tag rows
+with their side, hash-bucket on the join key, per-partition pandas
+merge.
+
+Skew: all rows of one key land in one bucket — the standard hash-join
+contract. For Zipf-headed keys prefer pre-aggregation before the join
+or a broadcast of the dimension side; ``n_buckets`` only spreads
+DISTINCT keys, not a single hot key.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    n_buckets: int = 32,
+    suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """Equi-join ``left`` ⋈ ``right`` on ``on`` (= ``right_on`` on the
+    right side). ``how`` ∈ {inner, left}. Pass ``left_cols`` /
+    ``right_cols`` explicitly when a side's lineage is expensive —
+    ``ds.schema()`` executes upstream stages to infer names.
+
+    Right-side columns colliding with left names get ``suffix``. The
+    right join key column is dropped from the output (it equals the
+    left key by construction)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    right_on = right_on or on
+    left_cols = list(left_cols) if left_cols is not None else list(left.schema().names)
+    right_cols = (
+        list(right_cols) if right_cols is not None else list(right.schema().names)
+    )
+    # output naming for right columns (join key under right_on's name)
+    right_out = {
+        c: (c + suffix if c in left_cols else c) for c in right_cols
+    }
+    out_cols = left_cols + [right_out[c] for c in right_cols if c != right_on]
+    all_cols = left_cols + [right_out[c] for c in right_cols]
+
+    def _bucket(keys: pd.Series) -> np.ndarray:
+        if len(keys) == 0:
+            return np.array([], dtype=np.int64)
+        h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[left_cols].copy()
+        for c in all_cols:
+            if c not in out.columns:
+                out[c] = pd.NA
+        out["__side"] = "l"
+        out["__b"] = _bucket(out[on])
+        return out[all_cols + ["__side", "__b"]]
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[right_cols].rename(columns=right_out)
+        for c in all_cols:
+            if c not in out.columns:
+                out[c] = pd.NA
+        out["__side"] = "r"
+        out["__b"] = _bucket(out[right_out[right_on]])
+        return out[all_cols + ["__side", "__b"]]
+
+    r_key = right_out[right_on]
+    r_val_cols = [right_out[c] for c in right_cols if c != right_on]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][left_cols]
+        rg = g[g["__side"] == "r"][[r_key] + r_val_cols]
+        out = lg.merge(
+            rg,
+            how=how,
+            left_on=on,
+            right_on=r_key,
+            sort=False,
+        )
+        if r_key != on and r_key not in out_cols:
+            out = out.drop(columns=[r_key])
+        # union-block concat degrades numerics to object; restore
+        return out[out_cols].infer_objects()
+
+    both = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
+    )
+    return both.groupby("__b").map_groups(merge, batch_format="pandas")

@@ -16,10 +16,8 @@ from typing import TYPE_CHECKING, Any
 import numpy as np
 import pandas as pd
 
-from fastie_ray.ops.dedup import dedup_exact
 from fastie_ray.stages.canonicalize import (
-    entity_components_from_edges,
-    mention_edges,
+    entity_components_from_surfaces,
     relabel_column,
 )
 from fastie_ray.stages.chunk import chunk_pages
@@ -98,21 +96,27 @@ def graph_tables(
     world_ref = ray.put(world)
     alias_ref = ray.put(alias_table(world))
 
-    mentions, triples = extract_triples(
-        pages, world_ref=world_ref, concurrency=concurrency, n_buckets=n_buckets, **scorer_kw
-    )
+    chunks = chunk_pages(extract_text(pages))
+    scored = score_joint(
+        chunks, world_ref=world_ref, concurrency=concurrency, **scorer_kw
+    ).materialize()
+    m_raw, t_raw = split_scored(scored)
+    mentions, triples = rejoin_mentions(m_raw, n_buckets), rejoin_triples(t_raw, n_buckets)
 
     linked = link_mentions(mentions, alias_ref, concurrency=max(2, concurrency // 2))
-    if "nodes" in want or "linked" in want:
-        # consumed twice (CC edges + node counts) — pin it once
+    if "linked" in want:
+        # the caller re-reads it — pin once (the nodes branch alone
+        # consumes it a single time and can stream)
         linked = linked.materialize()
 
-    # canonicalization: CC over the (deduped) surface↔entity graph →
-    # (entity_id, component_id). The label table stays off the driver
-    # on the at-scale path (VERDICT r1 #8: NIL ids grow with distinct
-    # unlinked surfaces, not vocab-bounded); the small path projects
-    # entity labels where CC already ran (driver union-find).
-    ent_comp = entity_components_from_edges(mention_edges(linked), n_buckets=n_buckets)
+    # canonicalization: CC over the surface↔entity graph →
+    # (entity_id, component_id), with the edge set built from DISTINCT
+    # mention surfaces off the RAW chunk-mention stream — one small
+    # exchange with in-task linking; no rejoin-dedup shuffle and no
+    # corpus-sized link pool on this lineage (linking is bounded by
+    # surface vocabulary, not corpus). The label table stays off the
+    # driver on the at-scale path (VERDICT r1 #8).
+    ent_comp = entity_components_from_surfaces(m_raw, alias_ref, n_buckets=n_buckets)
 
     # canonical display names ARE vocab-bounded (world entity list), so
     # a ray.put broadcast is the right call for them.

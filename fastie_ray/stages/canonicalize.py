@@ -314,6 +314,18 @@ def entity_component_labels(
     return j.map_batches(strip, batch_format="pandas")
 
 
+def _project_entity_labels_driver(labels: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side entity-label projection (labels already resident)."""
+    ents = labels[labels["node"].str.startswith("e:")]
+    min_ent = ents.groupby("component_id")["node"].min()
+    return pd.DataFrame(
+        {
+            "entity_id": ents["node"].str[2:].to_numpy(),
+            "component_id": ents["component_id"].map(min_ent).str[2:].to_numpy(),
+        }
+    )
+
+
 def entity_components_from_edges(
     edges: "ray.data.Dataset",
     n_buckets: int = 64,
@@ -334,16 +346,88 @@ def entity_components_from_edges(
 
     uniq = dedup_exact(edges, ["u", "v"], n_buckets).materialize()
     if uniq.count() <= driver_threshold:
-        labels = _driver_cc(uniq)
-        ents = labels[labels["node"].str.startswith("e:")]
-        min_ent = ents.groupby("component_id")["node"].min()
-        out = pd.DataFrame(
-            {
-                "entity_id": ents["node"].str[2:].to_numpy(),
-                "component_id": ents["component_id"].map(min_ent).str[2:].to_numpy(),
-            }
-        )
-        return ray.data.from_pandas(out)
+        return ray.data.from_pandas(_project_entity_labels_driver(_driver_cc(uniq)))
+    labels_ds = _distributed_cc_ds(uniq, n_buckets, max_rounds)
+    return entity_component_labels(labels_ds, n_buckets).materialize()
+
+
+_LINKER_CACHE: dict = {}
+
+
+def _cached_linker(alias_ref):
+    """One EntityLinker index per (worker process, alias table) — bucket
+    tasks reuse it instead of rebuilding per task."""
+    from fastie_ray.stages.link import EntityLinker
+
+    key = alias_ref.hex() if hasattr(alias_ref, "hex") else id(alias_ref)
+    linker = _LINKER_CACHE.get(key)
+    if linker is None:
+        linker = EntityLinker(alias_ref=alias_ref)
+        _LINKER_CACHE.clear()  # one alias table per job; don't pin old ones
+        _LINKER_CACHE[key] = linker
+    return linker
+
+
+def entity_components_from_surfaces(
+    mentions: "ray.data.Dataset",
+    alias_ref,
+    n_buckets: int = 64,
+    driver_threshold: int = 500_000,
+    max_rounds: int = 6,
+    link_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Mention stream (pre- or post-rejoin; only the ``mention`` column
+    is read) → (entity_id, component_id), building the CC edge set from
+    DISTINCT mention surfaces.
+
+    Per-batch distinct surfaces (combiner) → ONE hash-bucketed exchange
+    whose final task finishes the distinct AND links each surface
+    (alias index cached once per worker from the broadcast table) →
+    (u, v) edge rows, one per distinct surface. Replaces the CC
+    lineage's rejoin-dedup shuffle → corpus-sized link actor pool →
+    edge-dedup shuffle with one small exchange: the linker only ever
+    sees vocabulary-sized input (Zipf: distinct surfaces ≪ mention
+    occurrences), which is also the 100-TB-correct shape — linking work
+    is bounded by vocabulary, not corpus. Linking semantics are
+    EntityLinker.link_surface verbatim, so results match the pooled
+    path bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    def distinct_surf(batch: pa.Table) -> pa.Table:
+        return pa.table({"mention": pc.unique(batch["mention"])})
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["mention"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(link_buckets)).astype(np.int64)
+        return df
+
+    def link_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["mention"])
+        linker = _cached_linker(alias_ref)
+        surfaces = g["mention"].tolist()
+        us = ["s:" + s.lower() for s in surfaces]
+        vs = ["e:" + linker.link_surface(s)[0] for s in surfaces]
+        # case variants of one surface may collapse to the same (u, v)
+        return pd.DataFrame({"u": us, "v": vs}).drop_duplicates()
+
+    uniq = (
+        mentions.map_batches(distinct_surf, batch_format="pyarrow")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(lambda g: link_bucket(g.drop(columns="__b")), batch_format="pandas")
+        .materialize()
+    )
+    if uniq.count() <= driver_threshold:
+        return ray.data.from_pandas(_project_entity_labels_driver(_driver_cc(uniq)))
+    # duplicate-free by construction (per-bucket drop_duplicates over a
+    # surface-partitioned key) — label propagation runs directly
     labels_ds = _distributed_cc_ds(uniq, n_buckets, max_rounds)
     return entity_component_labels(labels_ds, n_buckets).materialize()
 

@@ -120,3 +120,40 @@ def test_mention_edges_and_cc_end_to_end():
     m = dict(zip(labels.node, labels.component_id))
     # both surfaces and the entity share one component
     assert m["s:" + e0.name.lower()] == m["e:" + e0.entity_id]
+
+
+def test_entity_components_from_surfaces_matches_pooled_path():
+    """The distinct-surface CC lineage (one exchange, in-task linking)
+    must reproduce entity_components_from_edges over the pooled-link
+    edge set exactly — same linker, same CC, different plumbing."""
+    from fastie_ray.stages.canonicalize import (
+        entity_components_from_edges,
+        entity_components_from_surfaces,
+    )
+    from fastie_ray.synth import synth_pages_dataset
+    from fastie_ray.stages.extract import extract_text
+    from fastie_ray.stages.chunk import chunk_pages
+    from fastie_ray.stages.scorers import score_joint, split_scored
+    from fastie_ray.stages.rejoin import rejoin_mentions
+
+    world = build_world()
+    world_ref = ray.put(world)
+    alias_ref = ray.put(alias_table(world))
+    chunks = chunk_pages(extract_text(synth_pages_dataset(200)))
+    scored = score_joint(chunks, world_ref=world_ref, concurrency=2).materialize()
+    m_raw, _ = split_scored(scored)
+
+    linked = link_mentions(rejoin_mentions(m_raw, 8), alias_ref, concurrency=2)
+    want = (
+        entity_components_from_edges(mention_edges(linked), n_buckets=8)
+        .to_pandas()
+        .sort_values(["entity_id", "component_id"])
+        .reset_index(drop=True)
+    )
+    got = (
+        entity_components_from_surfaces(m_raw, alias_ref, n_buckets=8)
+        .to_pandas()
+        .sort_values(["entity_id", "component_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -643,6 +643,48 @@ def _q_lineitem_orders(sf_dir: str):
     )
 
 
+def _q_cust_no_orders(sf_dir: str):
+    """Anti-join (customers with no HIGH-VALUE orders) via hash_join
+    how="anti", then segment rollup — the existence-filter shape used
+    to drop flagged duplicates from a corpus. The price predicate is
+    pushed to the parquet scan."""
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.join import hash_join
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 300000.0")
+    no_orders = hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", how="anti",
+        left_cols=["c_custkey", "c_mktsegment", "c_acctbal"],
+        n_buckets=16,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("c_custkey", "count"), sum_acctbal=("c_acctbal", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("n_customers", "sum"), sum_acctbal=("sum_acctbal", "sum")
+        )
+        out["n_customers"] = out["n_customers"].astype("int64")
+        out["sum_acctbal"] = out["sum_acctbal"].round(2)
+        return out
+
+    return _bucketed_groupby(
+        no_orders.map_batches(partial, batch_format="pandas"), "c_mktsegment", final, 4
+    )
+
+
 def _q_minhash_dups(sf_dir: str):
     import ray.data
 
@@ -1018,6 +1060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem": _q_q1_lineitem,
         "orders_by_segment": _q_orders_by_segment,
         "lineitem_orders": _q_lineitem_orders,
+        "cust_no_orders": _q_cust_no_orders,
     }
 
 
@@ -1273,6 +1316,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "cust_no_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+            )
+            GROUP BY c_mktsegment
         """,
         "len_quantiles": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS q, "

@@ -41,17 +41,24 @@ def hash_join(
     suffix: str = "_r",
 ) -> "ray.data.Dataset":
     """Equi-join ``left`` ⋈ ``right`` on ``on`` (= ``right_on`` on the
-    right side). ``how`` ∈ {inner, left}. Pass ``left_cols`` /
-    ``right_cols`` explicitly when a side's lineage is expensive —
-    ``ds.schema()`` executes upstream stages to infer names.
+    right side). ``how`` ∈ {inner, left, semi, anti}: semi keeps left
+    rows WITH a right match (no right columns, no 1:N fan-out), anti
+    keeps left rows WITHOUT one — the scale shape for existence filters
+    (drop flagged dups, keep unmatched) where a broadcast set would be
+    corpus-bounded. Pass ``left_cols`` / ``right_cols`` explicitly when
+    a side's lineage is expensive — ``ds.schema()`` executes upstream
+    stages to infer names.
 
     Right-side columns colliding with left names get ``suffix``. The
     right join key column is dropped from the output (it equals the
     left key by construction)."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left, got {how!r}")
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
     right_on = right_on or on
     left_cols = list(left_cols) if left_cols is not None else list(left.schema().names)
+    if how in ("semi", "anti"):
+        # only the right key participates; payload columns never ship
+        right_cols = [right_on]
     right_cols = (
         list(right_cols) if right_cols is not None else list(right.schema().names)
     )
@@ -79,6 +86,9 @@ def hash_join(
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         out = df[right_cols].rename(columns=right_out)
+        if how in ("semi", "anti"):
+            # existence only — per-batch distinct shrinks the shuffle
+            out = out.drop_duplicates()
         for c in all_cols:
             if c not in out.columns:
                 out[c] = pd.NA
@@ -91,6 +101,10 @@ def hash_join(
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "l"][left_cols]
+        if how in ("semi", "anti"):
+            mask = lg[on].isin(g[g["__side"] == "r"][r_key].to_numpy())
+            out = lg[mask if how == "semi" else ~mask]
+            return out.reset_index(drop=True).infer_objects()
         rg = g[g["__side"] == "r"][[r_key] + r_val_cols]
         out = lg.merge(
             rg,

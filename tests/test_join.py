@@ -81,3 +81,26 @@ def test_collision_suffix_and_key_dedup():
     assert sorted(out.columns) == ["k", "v", "v_r"]
     assert list(out["v"]) == ["L1", "L2"]
     assert list(out["v_r"]) == ["R1", "R2"]
+
+
+def test_semi_and_anti_join():
+    left = pd.DataFrame(
+        {
+            "k": np.array([1, 1, 2, 3], dtype=np.int64),
+            "x": np.array([10, 11, 20, 30], dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame({"rk": np.array([1, 1, 4], dtype=np.int64), "y": ["a", "b", "c"]})
+    lds = ray.data.from_pandas(left).repartition(2)
+    rds = ray.data.from_pandas(right).repartition(2)
+    semi = (
+        hash_join(lds, rds, on="k", right_on="rk", how="semi", n_buckets=4)
+        .to_pandas().sort_values("x").reset_index(drop=True)
+    )
+    # no fan-out: both k=1 left rows kept ONCE despite two right matches
+    assert list(semi["x"]) == [10, 11] and list(semi.columns) == ["k", "x"]
+    anti = (
+        hash_join(lds, rds, on="k", right_on="rk", how="anti", n_buckets=4)
+        .to_pandas().sort_values("x").reset_index(drop=True)
+    )
+    assert list(anti["x"]) == [20, 30]

@@ -643,6 +643,26 @@ def _q_lineitem_orders(sf_dir: str):
     )
 
 
+def _q_heavy_tokens(sf_dir: str):
+    """Exact heavy-hitter tokens (≥0.2% of all occurrences) via
+    two-pass Misra-Gries sketch-then-verify — never shuffles the full
+    vocabulary."""
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.stats import heavy_hitters
+    from fastie_ray.ops.text_index import _TOKEN_RE
+
+    def items(df: pd.DataFrame) -> pd.Series:
+        return df["text"].str.findall(_TOKEN_RE).explode().dropna().str.lower()
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = heavy_hitters(ds, min_share=0.002, item_fn=items)
+    return out.map_batches(
+        lambda df: df.rename(columns={"item": "token"}), batch_format="pandas"
+    )
+
+
 def _q_cust_no_orders(sf_dir: str):
     """Anti-join (customers with no HIGH-VALUE orders) via hash_join
     how="anti", then segment rollup — the existence-filter shape used
@@ -1061,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "lineitem_orders": _q_lineitem_orders,
         "cust_no_orders": _q_cust_no_orders,
+        "heavy_tokens": _q_heavy_tokens,
     }
 
 
@@ -1326,6 +1347,14 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
             )
             GROUP BY c_mktsegment
+        """,
+        "heavy_tokens": """
+            WITH tok AS (
+                SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS token
+                FROM documents
+            )
+            SELECT token, count(*) AS n_occ FROM tok GROUP BY token
+            HAVING count(*) >= ceil(0.002 * (SELECT count(*) FROM tok))
         """,
         "len_quantiles": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS q, "

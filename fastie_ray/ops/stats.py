@@ -87,3 +87,130 @@ def exact_quantiles(
         out_q.append(float(q))
         out_v.append(counts[col].iloc[idx])
     return pd.DataFrame({"q": np.array(out_q, dtype=np.float64), "value": out_v})
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    min_share: float,
+    item_fn,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """EXACT heavy hitters over an unbounded-vocabulary item stream:
+    every item whose occurrence count is ≥ ceil(min_share · N), with
+    its exact count — without ever shuffling the full vocabulary.
+
+    ``item_fn(batch: pd.DataFrame) -> pd.Series`` expands a batch into
+    its item occurrences (e.g. tokens of a text column).
+
+    Two passes (the classic sketch-then-verify shape):
+
+    1. Per-batch Misra-Gries compression with k = ceil(2/min_share)
+       counters: exact local counts, then subtract the (k+1)-th
+       largest count so ≤ k survive — per-batch undercount ≤
+       batch_n/(k+1). Summaries merge by a bucketed per-item sum (an
+       exchange bounded by batches × k, never vocabulary), and the
+       driver keeps candidates whose estimate + total undercount bound
+       U reaches the threshold. U ≤ N/(k+1) < min_share·N/2, so every
+       true heavy hitter survives (superset guarantee).
+    2. Candidates (≤ 2/min_share + slack items) broadcast via
+       ``ray.put``; one counting pass restricted to candidate items →
+       bucketed exact final → threshold filter.
+
+    The threshold uses exact decimal arithmetic (``Fraction``) so a
+    SQL ``HAVING count(*) >= ceil(min_share * N)`` oracle matches
+    bit-for-bit."""
+    import ray
+    import ray.data
+
+    frac = Fraction(str(min_share))
+    k = int(-(-2 * frac.denominator // frac.numerator))  # ceil(2/min_share)
+
+    def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        items = item_fn(df)
+        n_batch = len(items)
+        if n_batch == 0:
+            return pd.DataFrame(
+                {"item": pd.Series([], dtype="object"),
+                 "est": pd.Series([], dtype="int64"),
+                 "meta_n": pd.Series([], dtype="int64")}
+            )
+        counts = items.value_counts()
+        if len(counts) > k:
+            offset = int(counts.iloc[k])  # (k+1)-th largest
+            counts = (counts - offset).iloc[:k]
+            counts = counts[counts > 0]
+        else:
+            offset = 0
+        out = pd.DataFrame(
+            {"item": counts.index.astype(object), "est": counts.to_numpy().astype("int64")}
+        )
+        out["meta_n"] = np.int64(0)
+        # marker row: batch size in meta_n, undercount offset in est
+        marker = pd.DataFrame(
+            {"item": [None], "est": [np.int64(offset)], "meta_n": [np.int64(n_batch)]}
+        )
+        return pd.concat([out, marker], ignore_index=True)
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(
+            df["item"].fillna("\0marker"), index=False
+        ).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        out = g.groupby("item", as_index=False, dropna=False).agg(
+            est=("est", "sum"), meta_n=("meta_n", "sum")
+        )
+        return out
+
+    merged = (
+        ds.map_batches(mg_partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(merge_partials, batch_format="pandas")
+        .to_pandas()  # ≤ batches × k rows pre-merge; candidates after
+    )
+    markers = merged[merged["item"].isna()]
+    total_n = int(markers["meta_n"].sum())
+    undercount = int(markers["est"].sum())
+    thr = int(-(-(frac.numerator * total_n) // frac.denominator))  # ceil, exact
+    cand = merged[~merged["item"].isna()]
+    cand = cand[cand["est"] + undercount >= thr]
+    cand_ref = ray.put(set(cand["item"]))
+
+    def count_cand(df: pd.DataFrame) -> pd.DataFrame:
+        items = item_fn(df)
+        cands = ray.get(cand_ref)
+        items = items[items.isin(cands)]
+        vc = items.value_counts()
+        return pd.DataFrame(
+            {"item": vc.index.astype(object), "n_occ": vc.to_numpy().astype("int64")}
+        )
+
+    def add_b2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["item"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("item", as_index=False)["n_occ"].sum()
+        out = out[out["n_occ"] >= thr]
+        out["n_occ"] = out["n_occ"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(count_cand, batch_format="pandas")
+        .map_batches(add_b2, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

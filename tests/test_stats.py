@@ -34,3 +34,43 @@ def test_exact_quantiles_with_duplicates_matches_cume_rule():
     out = exact_quantiles(ray.data.from_pandas(df), "v", [0.25, 0.5, 0.75, 0.9])
     got = dict(zip(out["q"], out["value"]))
     assert got == {0.25: 2, 0.5: 7, 0.75: 9, 0.9: 10}
+
+
+def test_heavy_hitters_exact_on_skewed_stream(ray_session):
+    """MG compression must actually trigger (vocab >> k) and the
+    verify pass must return EXACTLY the brute-force heavy hitters."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.stats import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # 3 planted hot items + 20k-long Zipf-ish cold tail
+    hot = np.repeat(["alpha", "beta", "gamma"], [4000, 2500, 1200])
+    cold = np.array([f"t{int(i)}" for i in rng.integers(0, 20000, size=42000)])
+    items = np.concatenate([hot, cold])
+    rng.shuffle(items)
+    df = pd.DataFrame({"text": items})
+    ds = ray.data.from_pandas(df).repartition(8)
+
+    min_share = 0.02  # k = 100 counters << 20k vocab
+    out = (
+        heavy_hitters(ds, min_share=min_share, item_fn=lambda d: d["text"])
+        .to_pandas()
+        .sort_values("item")
+        .reset_index(drop=True)
+    )
+    vc = pd.Series(items).value_counts()
+    import math
+    thr = math.ceil(min_share * len(items))
+    want = (
+        vc[vc >= thr]
+        .rename_axis("item")
+        .reset_index(name="n_occ")
+        .sort_values("item")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"n_occ": "int64"}), want.astype({"n_occ": "int64"})
+    )

@@ -28,11 +28,17 @@ def dedup_exact(
     ds: "ray.data.Dataset",
     keys: Sequence[str],
     n_buckets: int = 64,
+    post=None,
 ) -> "ray.data.Dataset":
     """Distinct rows by ``keys`` (first-wins); other columns carried.
 
     ``n_buckets`` bounds shuffle fan-out — size it ≈ cluster cores at
     real scale so each bucket is one vectorized pandas task.
+
+    ``post``, if given, runs on each deduped partition frame before it
+    is emitted — fold a follow-up per-row transform into this exchange
+    (e.g. entity linking of the deduped surfaces) instead of paying a
+    separate pipeline stage or actor pool for it.
     """
     keys = list(keys)
 
@@ -47,7 +53,8 @@ def dedup_exact(
         return df.drop_duplicates(subset=keys)
 
     def drop_dupes(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=keys)
+        out = g.drop_duplicates(subset=keys)
+        return post(out) if post is not None else out
 
     out = (
         ds.map_batches(add_bucket, batch_format="pandas")

@@ -17,12 +17,12 @@ import numpy as np
 import pandas as pd
 
 from fastie_ray.stages.canonicalize import (
+    _cached_linker,
     entity_components_from_surfaces,
     relabel_column,
 )
 from fastie_ray.stages.chunk import chunk_pages
 from fastie_ray.stages.extract import extract_text
-from fastie_ray.stages.link import link_mentions, link_triples
 from fastie_ray.stages.materialize import write_partitioned
 from fastie_ray.stages.rejoin import rejoin_mentions, rejoin_triples
 from fastie_ray.stages.scorers import score_joint, split_scored
@@ -77,6 +77,43 @@ def extract_triples(
     return rejoin_mentions(m, n_buckets), rejoin_triples(t, n_buckets)
 
 
+def _link_mentions_post(alias_ref):
+    """Per-partition entity linking fused into the rejoin-dedup exchange:
+    link each DISTINCT surface once via the worker-cached alias index
+    (``_cached_linker``) and map back — ``EntityLinker.link_surface``
+    verbatim, so output matches the pooled ``link_mentions`` stage."""
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        linker = _cached_linker(alias_ref)
+        uniq = {m: linker.link_surface(m) for m in pd.unique(df["mention"])}
+        df = df.copy()
+        df["entity_id"] = df["mention"].map(lambda m: uniq[m][0])
+        df["link_score"] = (
+            df["mention"].map(lambda m: uniq[m][1]).astype(np.float32)
+        )
+        return df
+
+    return post
+
+
+def _link_triples_post(alias_ref):
+    """Same fused shape for triple endpoints (pooled ``link_triples``
+    semantics: subject/object surfaces → entity ids, no score column)."""
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        linker = _cached_linker(alias_ref)
+        surfaces = pd.unique(
+            pd.concat([df["subject"], df["object"]], ignore_index=True)
+        )
+        uniq = {s: linker.link_surface(s)[0] for s in surfaces}
+        df = df.copy()
+        df["subject_id"] = df["subject"].map(uniq)
+        df["object_id"] = df["object"].map(uniq)
+        return df
+
+    return post
+
+
 def graph_tables(
     pages: "ray.data.Dataset",
     world: World | None = None,
@@ -103,7 +140,13 @@ def graph_tables(
     m_raw, t_raw = split_scored(scored)
     mentions, triples = rejoin_mentions(m_raw, n_buckets), rejoin_triples(t_raw, n_buckets)
 
-    linked = link_mentions(mentions, alias_ref, concurrency=max(2, concurrency // 2))
+    # linking rides INSIDE the rejoin-dedup exchange (dedup_exact post
+    # hook, linker index cached once per worker): per partition the
+    # distinct surfaces are linked once and mapped back — no separate
+    # EntityLinker/TripleLinker actor pool to spawn, one fewer pipeline
+    # stage on both graph branches. Semantics are the pooled linkers'
+    # link_surface verbatim.
+    linked = rejoin_mentions(m_raw, n_buckets, post=_link_mentions_post(alias_ref))
     if "linked" in want:
         # the caller re-reads it — pin once (the nodes branch alone
         # consumes it a single time and can stream)
@@ -161,7 +204,8 @@ def graph_tables(
 
     nodes = nodes_rel.map_batches(node_decorate, batch_format="pandas")
 
-    # edges: link triple endpoints, AGGREGATE FIRST on the original
+    # edges: endpoints linked inside the triple rejoin exchange (same
+    # fused-post shape as the mentions branch), AGGREGATE FIRST on the original
     # entity ids (per-batch combiner; corpus-sized rows never cross more
     # than one exchange), THEN relabel endpoints to component ids and
     # merge rows whose endpoints collapsed. Both halves of the final
@@ -172,7 +216,7 @@ def graph_tables(
     # equal (s,p,o) share object_id and hence its hash bucket, so
     # post=edge_final completes the collapse-merge. Two exchanges total
     # (was: aggregate shuffle + two relabels).
-    ltriples = link_triples(triples, alias_ref, concurrency=max(2, concurrency // 2))
+    ltriples = rejoin_triples(t_raw, n_buckets, post=_link_triples_post(alias_ref))
 
     def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(

@@ -43,16 +43,26 @@ def _rebase(batch: pa.Table) -> pa.Table:
     )
 
 
-def rejoin_mentions(ds_mentions: "ray.data.Dataset", n_buckets: int = 64) -> "ray.data.Dataset":
-    """chunk mentions → document mentions (url, label, start, end, mention)."""
+def rejoin_mentions(
+    ds_mentions: "ray.data.Dataset", n_buckets: int = 64, post=None
+) -> "ray.data.Dataset":
+    """chunk mentions → document mentions (url, label, start, end, mention).
+    ``post`` folds a per-partition transform (e.g. entity linking of the
+    deduped surfaces) into the dedup exchange."""
     rebased = ds_mentions.map_batches(_rebase, batch_format="pyarrow")
-    return dedup_exact(rebased, ["url", "label", "start", "end", "mention"], n_buckets)
+    return dedup_exact(
+        rebased, ["url", "label", "start", "end", "mention"], n_buckets, post=post
+    )
 
 
-def rejoin_triples(ds_triples: "ray.data.Dataset", n_buckets: int = 64) -> "ray.data.Dataset":
+def rejoin_triples(
+    ds_triples: "ray.data.Dataset", n_buckets: int = 64, post=None
+) -> "ray.data.Dataset":
     """chunk triples → document triples (url, predicate, subject, object)."""
     proj = ds_triples.select_columns(["url", "predicate", "subject", "object"])
-    return dedup_exact(proj, ["url", "predicate", "subject", "object"], n_buckets)
+    return dedup_exact(
+        proj, ["url", "predicate", "subject", "object"], n_buckets, post=post
+    )
 
 
 def rejoin_events(ds_events: "ray.data.Dataset", n_buckets: int = 64) -> "ray.data.Dataset":

@@ -157,3 +157,49 @@ def test_entity_components_from_surfaces_matches_pooled_path():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_fused_link_post_matches_pooled_linkers():
+    """graph_tables fuses linking into the rejoin-dedup exchange via
+    dedup_exact(post=...); the fused frames must match the pooled
+    EntityLinker / TripleLinker stages row-for-row (incl. link_score
+    dtype) — same link_surface, different plumbing."""
+    import numpy as np
+
+    from fastie_ray.pipelines.kg import _link_mentions_post, _link_triples_post
+    from fastie_ray.stages.link import link_triples
+    from fastie_ray.stages.rejoin import rejoin_mentions, rejoin_triples
+    from fastie_ray.stages.chunk import chunk_pages
+    from fastie_ray.stages.extract import extract_text
+    from fastie_ray.stages.scorers import score_joint, split_scored
+    from fastie_ray.synth import synth_pages_dataset
+
+    world = build_world()
+    world_ref = ray.put(world)
+    alias_ref = ray.put(alias_table(world))
+    chunks = chunk_pages(extract_text(synth_pages_dataset(150)))
+    scored = score_joint(chunks, world_ref=world_ref, concurrency=2).materialize()
+    m_raw, t_raw = split_scored(scored)
+
+    m_keys = ["url", "label", "start", "end", "mention"]
+    want_m = (
+        link_mentions(rejoin_mentions(m_raw, 8), alias_ref, concurrency=2)
+        .to_pandas().sort_values(m_keys).reset_index(drop=True)
+    )
+    got_m = (
+        rejoin_mentions(m_raw, 8, post=_link_mentions_post(alias_ref))
+        .to_pandas().sort_values(m_keys).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_m, want_m)
+    assert got_m["link_score"].dtype == np.float32
+
+    t_keys = ["url", "predicate", "subject", "object"]
+    want_t = (
+        link_triples(rejoin_triples(t_raw, 8), alias_ref, concurrency=2)
+        .to_pandas().sort_values(t_keys).reset_index(drop=True)
+    )
+    got_t = (
+        rejoin_triples(t_raw, 8, post=_link_triples_post(alias_ref))
+        .to_pandas().sort_values(t_keys).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_t, want_t)

@@ -920,6 +920,62 @@ def _q_fingerprints(sf_dir: str):
     return ds.map_batches(fp, batch_format="pandas")
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII scrub stats over the corpus with deterministically planted
+    PII (the synth corpus carries none): every 3rd doc gets an email,
+    an IP and a phone suffix derived from doc_id, reproduced verbatim
+    in the SQL oracle. RE2-safe patterns → DuckDB regexp_* reproduces
+    counts and redacted lengths exactly."""
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.pii import pii_scrub
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        m = d["doc_id"] % 3 == 0
+        sfx = (
+            " contact u" + d["doc_id"].astype(str) + "@ex.com from 10.0."
+            + (d["doc_id"] % 200).astype(str) + ".7 call 555-0142"
+        )
+        d.loc[m, "text"] = d.loc[m, "text"] + sfx[m]
+        return d
+
+    return pii_scrub(ds.map_batches(plant, batch_format="pandas"))
+
+
+def _q_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (dup-token fraction,
+    top-bigram fraction), integer-scaled for SQL exactness."""
+    import ray.data
+
+    from fastie_ray.ops.text_analysis import repetition_scores
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_scores(ds)
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 37 == 0 act as the
+    held-out eval set; every corpus doc is scored for distinct-8-gram
+    overlap against the broadcast eval gram set. The eval docs
+    themselves (and any true near-dups) come back contaminated=1."""
+    import ray.data
+
+    from fastie_ray.ops.decontaminate import collect_test_ngrams, decontaminate
+
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    test_ds = ds.map_batches(
+        lambda df: df[df["doc_id"] % 37 == 0], batch_format="pandas"
+    )
+    grams_ref = collect_test_ngrams(test_ds, n=8)
+    return decontaminate(ds, grams_ref, n=8)
+
+
 def _q_augment(sf_dir: str):
     """Text augmentation (M17: delete/repeat variants per doc). The
     SQL-checkable invariants are the exact variant counts and lengths:
@@ -1045,6 +1101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "quality": _q_quality,
         "fingerprints": _q_fingerprints,
+        "pii_scrub": _q_pii_scrub,
+        "repetition": _q_repetition,
+        "decontaminate": _q_decontaminate,
         "augment_stats": _q_augment,
         "extraction_f1": _q_extraction_f1,
         "media_frames": _q_media_frames,
@@ -1167,6 +1226,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS fingerprint,
                    CAST(1 AS BIGINT) AS rolling_stable
             FROM documents
+        """,
+        "pii_scrub": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN text || ' contact u' || doc_id || '@ex.com from 10.0.'
+                                 || (doc_id % 200) || '.7 call 555-0142'
+                            ELSE text END AS text
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+                FROM p),
+            s2 AS (
+                SELECT doc_id, n_emails,
+                       len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+                       regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+                FROM s),
+            s3 AS (
+                SELECT doc_id, n_emails, n_ips,
+                       len(regexp_extract_all(t2, '\b\d{3}-\d{4}\b')) AS n_phones,
+                       regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS t3
+                FROM s2)
+            SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+                   CAST(n_ips AS BIGINT) AS n_ips,
+                   CAST(n_phones AS BIGINT) AS n_phones,
+                   CAST(n_emails + n_ips + n_phones AS BIGINT) AS n_pii,
+                   CAST(length(t3) AS BIGINT) AS redacted_len
+            FROM s3
+        """,
+        "repetition": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                FROM documents),
+            base AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       len(list_distinct(toks)) AS n_distinct_tokens,
+                       CASE WHEN len(toks) > 1
+                            THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                            ELSE CAST([] AS VARCHAR[]) END AS bigrams
+                FROM d),
+            bc AS (
+                SELECT doc_id, g, count(*) AS c
+                FROM (SELECT doc_id, unnest(bigrams) AS g FROM base)
+                GROUP BY doc_id, g),
+            top AS (SELECT doc_id, max(c) AS top_c FROM bc GROUP BY doc_id)
+            SELECT base.doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+                   CAST((n_tokens - n_distinct_tokens) * 1000000 // greatest(n_tokens, 1) AS BIGINT) AS dup_token_frac_e6,
+                   CAST(coalesce(top_c, 0) AS BIGINT) AS top_bigram_count,
+                   CAST(coalesce(top_c, 0) * 1000000 // greatest(n_tokens - 1, 1) AS BIGINT) AS top_bigram_frac_e6
+            FROM base LEFT JOIN top USING (doc_id)
+        """,
+        "decontaminate": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id, unnest(
+                         CASE WHEN len(toks) >= 8
+                              THEN list_transform(range(1, len(toks) - 6),
+                                                  i -> array_to_string(toks[i:i+7], ' '))
+                              ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM d),
+            dg AS (SELECT DISTINCT doc_id, gram FROM g),
+            test AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 37 = 0),
+            agg AS (
+                SELECT dg.doc_id, count(*) AS n_grams,
+                       sum(CASE WHEN test.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+                FROM dg LEFT JOIN test ON dg.gram = test.gram
+                GROUP BY dg.doc_id)
+            SELECT d.doc_id, CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(agg.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   CAST(CASE WHEN coalesce(agg.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM d LEFT JOIN agg USING (doc_id)
         """,
         "augment_stats": """
             SELECT doc_id, CAST(0 AS BIGINT) AS variant_id,

@@ -120,6 +120,53 @@ class LangId:
         )
 
 
+def repetition_batch(
+    df: pd.DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """Gopher-style repetition signals per doc: duplicate-token fraction
+    and top-bigram fraction (the C4/Gopher "repetitive document" quality
+    filters). Fully vectorized: one explode + pandas groupbys across the
+    whole batch — no per-row Python loop. Integer-scaled (floor ×1e6) so
+    the DuckDB oracle reproduces values exactly."""
+    t = df[text_col].reset_index(drop=True)
+    toks = t.str.split()  # Python str.split semantics (ws runs, strips)
+    n_tokens = toks.str.len().astype("int64")
+    ex = toks.explode().dropna()
+    exf = pd.DataFrame({"i": ex.index.to_numpy(), "tok": ex.to_numpy()})
+    nd = exf.groupby("i")["tok"].nunique()
+    # bigrams: pair each token with the next token of the SAME doc
+    exf["nxt"] = exf["tok"].shift(-1)
+    same = exf["i"] == pd.Series(exf["i"].to_numpy()).shift(-1)
+    bi = exf[same.to_numpy()].copy()
+    bi["g"] = bi["tok"] + " " + bi["nxt"]
+    bc = bi.groupby(["i", "g"], sort=False).size()
+    top = bc.groupby(level=0).max()
+    nbi = bi.groupby("i").size()
+
+    idx = pd.RangeIndex(len(df))
+    n_distinct = nd.reindex(idx, fill_value=0).astype("int64")
+    top_c = top.reindex(idx, fill_value=0).astype("int64")
+    n_bigrams = nbi.reindex(idx, fill_value=0).astype("int64")
+    return pd.DataFrame(
+        {
+            id_col: df[id_col].to_numpy(),
+            "n_tokens": n_tokens,
+            "n_distinct_tokens": n_distinct,
+            "dup_token_frac_e6": (
+                (n_tokens - n_distinct) * 1_000_000 // n_tokens.clip(lower=1)
+            ).astype("int64"),
+            "top_bigram_count": top_c,
+            "top_bigram_frac_e6": (
+                top_c * 1_000_000 // n_bigrams.clip(lower=1)
+            ).astype("int64"),
+        }
+    )
+
+
+def repetition_scores(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(repetition_batch, batch_format="pandas")
+
+
 def token_counts(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(token_count_batch, batch_format="pandas")
 

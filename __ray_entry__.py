@@ -976,6 +976,43 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(ds, grams_ref, n=8)
 
 
+def _q_corpus_clean(sf_dir: str):
+    """Flagship pre-training corpus-cleaning composition (PII redact →
+    repetition/length filters → decontamination vs the doc_id%37==0
+    eval split → exact dedup), with exact duplicates planted (every
+    7th doc re-appears with id+2e6) so the dedup stage does real work.
+    One streaming map + one hash-bucketed exchange; value-exact SQL
+    oracle reproduces the full chain."""
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.decontaminate import collect_test_ngrams
+    from fastie_ray.ops.pii import pii_redact_batch
+    from fastie_ray.pipelines.clean import clean_corpus
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    test_ds = ds.map_batches(
+        lambda df: pii_redact_batch(df[df["doc_id"] % 37 == 0]),
+        batch_format="pandas",
+    )
+    grams_ref = collect_test_ngrams(test_ds, n=8)
+
+    def plant_dups(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] % 7 == 0].copy()
+        d["doc_id"] = d["doc_id"] + 2_000_000
+        return pd.concat([df, d], ignore_index=True)
+
+    planted = ds.map_batches(plant_dups, batch_format="pandas")
+    return clean_corpus(
+        planted,
+        grams_ref,
+        n=8,
+        min_tokens=20,
+        max_dup_frac_e6=650_000,
+        max_top_bigram_frac_e6=100_000,
+    )
+
+
 def _q_augment(sf_dir: str):
     """Text augmentation (M17: delete/repeat variants per doc). The
     SQL-checkable invariants are the exact variant counts and lengths:
@@ -1104,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition": _q_repetition,
         "decontaminate": _q_decontaminate,
+        "corpus_clean": _q_corpus_clean,
         "augment_stats": _q_augment,
         "extraction_f1": _q_extraction_f1,
         "media_frames": _q_media_frames,
@@ -1307,6 +1345,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.n_overlap, 0) AS BIGINT) AS n_overlap,
                    CAST(CASE WHEN coalesce(agg.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
             FROM d LEFT JOIN agg USING (doc_id)
+        """,
+        "corpus_clean": r"""
+            WITH raw AS (SELECT doc_id, text FROM documents),
+            planted AS (
+                SELECT doc_id, text FROM raw
+                UNION ALL
+                SELECT doc_id + 2000000 AS doc_id, text FROM raw WHERE doc_id % 7 = 0),
+            red AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                           '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS text
+                FROM planted),
+            tok AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                FROM red),
+            sig AS (
+                SELECT doc_id, text, toks, len(toks) AS n_tokens,
+                       len(list_distinct(toks)) AS n_distinct,
+                       CASE WHEN len(toks) > 1
+                            THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                            ELSE CAST([] AS VARCHAR[]) END AS bigrams
+                FROM tok),
+            top AS (
+                SELECT doc_id, max(c) AS top_c
+                FROM (SELECT doc_id, g, count(*) AS c
+                      FROM (SELECT doc_id, unnest(bigrams) AS g FROM sig)
+                      GROUP BY doc_id, g)
+                GROUP BY doc_id),
+            filt AS (
+                SELECT s.doc_id, s.text, s.toks, s.n_tokens
+                FROM sig s LEFT JOIN top USING (doc_id)
+                WHERE s.n_tokens >= 20
+                  AND (s.n_tokens - s.n_distinct) * 1000000 // greatest(s.n_tokens, 1) < 650000
+                  AND coalesce(top.top_c, 0) * 1000000 // greatest(s.n_tokens - 1, 1) < 100000),
+            testg AS (
+                SELECT DISTINCT gram FROM (
+                    SELECT unnest(CASE WHEN len(toks) >= 8
+                                       THEN list_transform(range(1, len(toks) - 6),
+                                                           i -> array_to_string(toks[i:i+7], ' '))
+                                       ELSE CAST([] AS VARCHAR[]) END) AS gram
+                    FROM tok WHERE doc_id % 37 = 0 AND doc_id < 2000000)),
+            docg AS (
+                SELECT doc_id, unnest(CASE WHEN n_tokens >= 8
+                                           THEN list_transform(range(1, n_tokens - 6),
+                                                               i -> array_to_string(toks[i:i+7], ' '))
+                                           ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM filt),
+            contam AS (SELECT DISTINCT d.doc_id FROM docg d JOIN testg USING (gram)),
+            clean AS (SELECT * FROM filt WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM clean GROUP BY md5(text)
         """,
         "augment_stats": """
             SELECT doc_id, CAST(0 AS BIGINT) AS variant_id,

@@ -132,3 +132,50 @@ def test_decontaminate_flags_only_overlapping_docs(ray_session):
     # n_grams counts DISTINCT grams: 12 equal tokens → 1 distinct 8-gram
     assert out["n_grams"].tolist()[2:] == [1] * len(base)
     assert out.loc[0, "n_overlap"] == 1 and out.loc[0, "n_grams"] == 3
+
+
+def test_clean_corpus_composition(ray_session):
+    from fastie_ray.pipelines.clean import clean_corpus
+
+    texts = {
+        0: "tok0 tok1 tok2 tok3 tok4 tok5 tok6 tok7 tok8 tok9 "
+           "tokA tokB tokC tokD tokE tokF tokG tokH tokI tokJ",  # keeper
+        1: "short doc",  # dropped: < 20 tokens
+        2: "dup " * 25,  # dropped: all-duplicate tokens
+        3: "tok0 tok1 tok2 tok3 tok4 tok5 tok6 tok7 tok8 tok9 "
+           "tokA tokB tokC tokD tokE tokF tokG tokH tokI tokJ",  # exact copy of 0
+        4: " ".join(f"w{i}" for i in range(40)),  # keeper, unique
+    }
+    df = pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}
+    )
+    out = (
+        clean_corpus(ray.data.from_pandas(df).repartition(2), None)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [0, 4]
+    assert out["n_copies"].tolist() == [2, 1]
+    assert out["n_tokens"].tolist() == [20, 40]
+
+    # decontamination: an eval gram inside doc 4 kills it
+    ref = collect_test_ngrams(
+        ray.data.from_pandas(pd.DataFrame({"text": ["w10 w11 w12 w13 w14 w15 w16 w17"]})),
+        n=8,
+    )
+    out2 = clean_corpus(ray.data.from_pandas(df), ref).to_pandas()
+    assert out2["doc_id"].tolist() == [0]
+
+    # keep_text returns the redacted surviving content
+    df2 = df.copy()
+    df2.loc[0, "text"] += " mail me a@b.io"
+    df2.loc[3, "text"] += " mail me a@b.io"
+    out3 = (
+        clean_corpus(ray.data.from_pandas(df2), None, keep_text=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out3.loc[0, "text"].endswith("mail me <EMAIL>")
+    assert out3["n_copies"].tolist() == [2, 1]

@@ -976,6 +976,21 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(ds, grams_ref, n=8)
 
 
+def _q_dup_spans(sf_dir: str):
+    """Exact duplicated-substring stats (Lee et al. exact substring
+    dedup, hashed-8-gram formulation): per doc the count of tokens
+    covered by any corpus-duplicated 8-gram. key="gram" carries the
+    literal n-gram so the dup set is bit-for-bit the SQL oracle's;
+    the at-scale key="rolling" (u64 hash payload) is parity-tested in
+    tests/."""
+    import ray.data
+
+    from fastie_ray.ops.substring_dedup import dup_span_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_span_stats(ds, n=8, min_count=2, key="gram")
+
+
 def _q_corpus_clean(sf_dir: str):
     """Flagship pre-training corpus-cleaning composition (PII redact →
     repetition/length filters → decontamination vs the doc_id%37==0
@@ -1141,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition": _q_repetition,
         "decontaminate": _q_decontaminate,
+        "dup_spans": _q_dup_spans,
         "corpus_clean": _q_corpus_clean,
         "augment_stats": _q_augment,
         "extraction_f1": _q_extraction_f1,
@@ -1345,6 +1361,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(agg.n_overlap, 0) AS BIGINT) AS n_overlap,
                    CAST(CASE WHEN coalesce(agg.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
             FROM d LEFT JOIN agg USING (doc_id)
+        """,
+        "dup_spans": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_transform(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                                      t -> lower(t)) AS ts
+                FROM documents),
+            grams AS (
+                SELECT doc_id, i AS pos, array_to_string(ts[i:i+7], ' ') AS gram
+                FROM toks, UNNEST(range(1, len(ts) - 8 + 2)) AS t(i)),
+            dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+            covered AS (
+                SELECT DISTINCT g.doc_id, g.pos + j AS ti
+                FROM grams g JOIN dup USING (gram), UNNEST(range(0, 8)) AS t(j))
+            SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(c.n_dup, 0) AS BIGINT) AS n_dup_tokens
+            FROM toks t LEFT JOIN (
+                SELECT doc_id, count(*) AS n_dup FROM covered GROUP BY doc_id
+            ) c USING (doc_id)
         """,
         "corpus_clean": r"""
             WITH raw AS (SELECT doc_id, text FROM documents),

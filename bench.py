@@ -73,7 +73,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "events_by_type", "q1_lineitem",
                  "simhash_dups", "embed_neardup", "kg_edges", "augment_stats",
                  "hopping_events", "session_stats", "asof_clicks", "range_clicks",
-                 "fuzzy_dedup_docs", "kmeans_clusters", "tfidf_terms"):
+                 "fuzzy_dedup_docs", "kmeans_clusters", "tfidf_terms",
+                 "dup_spans"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

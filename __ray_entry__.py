@@ -991,6 +991,20 @@ def _q_dup_spans(sf_dir: str):
     return dup_span_stats(ds, n=8, min_count=2, key="gram")
 
 
+def _q_pack_docs(sf_dir: str):
+    """Sequence packing (concat-and-chunk into 512-token training
+    contexts): the exploded (window_id, doc_id, seg_start, seg_len)
+    loader plan. The global prefix sum runs as a two-pass distributed
+    scan (range totals → broadcast exclusive offsets → one
+    range-bucketed local cumsum)."""
+    import ray.data
+
+    from fastie_ray.ops.packing import pack_segments
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_segments(ds, ctx_len=512, range_size=100)
+
+
 def _q_corpus_clean(sf_dir: str):
     """Flagship pre-training corpus-cleaning composition (PII redact →
     repetition/length filters → decontamination vs the doc_id%37==0
@@ -1157,6 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": _q_repetition,
         "decontaminate": _q_decontaminate,
         "dup_spans": _q_dup_spans,
+        "pack_docs": _q_pack_docs,
         "corpus_clean": _q_corpus_clean,
         "augment_stats": _q_augment,
         "extraction_f1": _q_extraction_f1,
@@ -1380,6 +1395,29 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN (
                 SELECT doc_id, count(*) AS n_dup FROM covered GROUP BY doc_id
             ) c USING (doc_id)
+        """,
+        "pack_docs": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+                FROM documents),
+            o AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                           AS start_offset
+                FROM c),
+            w AS (
+                SELECT doc_id, n_tokens, start_offset,
+                       start_offset // 512 AS fw,
+                       (start_offset + n_tokens - 1) // 512 AS lw
+                FROM o WHERE n_tokens > 0)
+            SELECT CAST(fw + j AS BIGINT) AS window_id, doc_id,
+                   CAST(greatest((fw + j) * 512 - start_offset, 0) AS BIGINT) AS seg_start,
+                   CAST(least((fw + j + 1) * 512, start_offset + n_tokens)
+                        - start_offset
+                        - greatest((fw + j) * 512 - start_offset, 0) AS BIGINT) AS seg_len
+            FROM w, UNNEST(range(0, lw - fw + 1)) AS t(j)
         """,
         "corpus_clean": r"""
             WITH raw AS (SELECT doc_id, text FROM documents),

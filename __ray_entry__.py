@@ -1005,6 +1005,22 @@ def _q_pack_docs(sf_dir: str):
     return pack_segments(ds, ctx_len=512, range_size=100)
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental dedup of a new shard against an existing corpus:
+    ref = docs with doc_id % 3 == 0, new = docs with doc_id % 2 == 0
+    (overlap at % 6 plus the synth corpus's natural exact dups). Bloom
+    prefilter is exact by construction (no false negatives; positives
+    verified by anti-join), so the result matches NOT EXISTS in SQL."""
+    import ray.data
+
+    from fastie_ray.ops.dedup import dedup_against
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ref = ds.map_batches(lambda df: df[df["doc_id"] % 3 == 0], batch_format="pandas")
+    new = ds.map_batches(lambda df: df[df["doc_id"] % 2 == 0], batch_format="pandas")
+    return dedup_against(new, ref)
+
+
 def _q_corpus_clean(sf_dir: str):
     """Flagship pre-training corpus-cleaning composition (PII redact →
     repetition/length filters → decontamination vs the doc_id%37==0
@@ -1172,6 +1188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "dup_spans": _q_dup_spans,
         "pack_docs": _q_pack_docs,
+        "dedup_incremental": _q_dedup_incremental,
         "corpus_clean": _q_corpus_clean,
         "augment_stats": _q_augment,
         "extraction_f1": _q_extraction_f1,
@@ -1395,6 +1412,15 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN (
                 SELECT doc_id, count(*) AS n_dup FROM covered GROUP BY doc_id
             ) c USING (doc_id)
+        """,
+        "dedup_incremental": r"""
+            WITH ref AS (
+                SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 = 0),
+            nw AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)
+            SELECT n.doc_id, md5(n.text) AS fingerprint
+            FROM nw n
+            WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.fp = md5(n.text))
         """,
         "pack_docs": r"""
             WITH c AS (

@@ -106,6 +106,133 @@ def dedup_docs_exact(
     )
 
 
+def _md5_hash_pair(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hashes per text from its md5 digest
+    (double hashing: bit i = (h1 + i*h2) % m)."""
+    import hashlib
+
+    h1 = np.empty(len(texts), dtype=np.uint64)
+    h2 = np.empty(len(texts), dtype=np.uint64)
+    for j, t in enumerate(texts):
+        d = hashlib.md5(t.encode("utf-8")).hexdigest()
+        h1[j] = int(d[:16], 16)
+        h2[j] = int(d[16:32], 16) | 1  # odd → full-period stride
+    return h1, h2
+
+
+def build_bloom(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 7,
+) -> np.ndarray:
+    """Bloom filter over md5(text) of every row: per-batch bitmaps
+    (fixed m_bits/8 bytes each, independent of batch rows) OR-reduced
+    on the driver — the reduce payload is batches × filter-size, never
+    corpus-sized. Returns the uint64 word array."""
+    n_words = m_bits // 64
+
+    def bitmap(df: pd.DataFrame) -> pd.DataFrame:
+        words = np.zeros(n_words, dtype=np.uint64)
+        if len(df):
+            h1, h2 = _md5_hash_pair(df[text_col])
+            for i in range(k):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                np.bitwise_or.at(
+                    words, (idx >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (idx & np.uint64(63)),
+                )
+        return pd.DataFrame({"bm": [words.tobytes()]})
+
+    parts = ds.map_batches(bitmap, batch_format="pandas").to_pandas()
+    out = np.zeros(n_words, dtype=np.uint64)
+    for b in parts["bm"]:
+        out |= np.frombuffer(b, dtype=np.uint64)
+    return out
+
+
+def dedup_against(
+    new_ds: "ray.data.Dataset",
+    ref_ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 7,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Incremental dedup of a NEW shard against an EXISTING corpus —
+    exact semantics (every emitted row's text is absent from ref),
+    bloom-prefiltered for scale:
+
+    1. ``build_bloom(ref)`` — one pass over ref, fixed-size reduce;
+    2. every new row tests the broadcast filter: "definitely absent"
+       rows (no false negatives) are emitted WITHOUT touching any
+       exchange — for a mostly-new shard that is almost everything;
+    3. only the bloom-positive CANDIDATES pay the exact
+       anti-join against the ref fingerprint table (task-based
+       ``hash_join``; right side ships one distinct key per ref text).
+
+    Output: (id_col, fingerprint) per surviving new row. At real scale
+    the ref fingerprint table would live as hash-bucketed parquet so
+    step 3 reads only the buckets candidates hash into; here it is a
+    second pass over ref."""
+    import hashlib
+
+    import ray
+
+    from fastie_ray.ops.join import hash_join
+
+    bloom_ref = ray.put(build_bloom(ref_ds, text_col, m_bits, k))
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        fp = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in df[text_col]
+        ]
+        out = pd.DataFrame(
+            {id_col: df[id_col].astype("int64"), "fingerprint": fp}
+        )
+        if len(df):
+            words = ray.get(bloom_ref)
+            h1, h2 = _md5_hash_pair(df[text_col])
+            maybe = np.ones(len(df), dtype=bool)
+            for i in range(k):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                bit = (
+                    words[(idx >> np.uint64(6)).astype(np.int64)]
+                    >> (idx & np.uint64(63))
+                ) & np.uint64(1)
+                maybe &= bit.astype(bool)
+            out["maybe"] = maybe
+        else:
+            out["maybe"] = np.array([], dtype=bool)
+        return out
+
+    # consumed by both branches: pin the (id, fp, flag) rows — text is
+    # already dropped, so this holds ~40 bytes/row, not the shard
+    classified = new_ds.map_batches(classify, batch_format="pandas").materialize()
+    fresh = classified.map_batches(
+        lambda df: df[~df["maybe"]][[id_col, "fingerprint"]],
+        batch_format="pandas",
+    )
+    cand = classified.map_batches(
+        lambda df: df[df["maybe"]][[id_col, "fingerprint"]],
+        batch_format="pandas",
+    )
+
+    def ref_fp(df: pd.DataFrame) -> pd.DataFrame:
+        fp = [
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in df[text_col]
+        ]
+        return pd.DataFrame({"fingerprint": fp}).drop_duplicates()
+
+    ref_keys = ref_ds.map_batches(ref_fp, batch_format="pandas")
+    survivors = hash_join(
+        cand, ref_keys, on="fingerprint", how="anti",
+        left_cols=[id_col, "fingerprint"], n_buckets=n_buckets,
+    )
+    return fresh.union(survivors)
+
+
 def fuzzy_dedup_keep_one(
     docs: "ray.data.Dataset",
     pairs: "ray.data.Dataset",

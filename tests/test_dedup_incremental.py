@@ -1,0 +1,95 @@
+"""Bloom-prefiltered incremental dedup (`ops/dedup.py:dedup_against`):
+brute-force reference, and a deliberately TINY filter (m_bits=64) that
+forces heavy false positives to prove the anti-join verification keeps
+the result exact regardless of bloom sizing."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from fastie_ray.ops.dedup import build_bloom, dedup_against
+
+
+def _docs(texts, ids=None):
+    ids = ids if ids is not None else np.arange(len(texts))
+    return pd.DataFrame(
+        {"doc_id": np.asarray(ids, dtype=np.int64), "text": texts}
+    )
+
+
+REF = ["shared one", "shared two", "ref only alpha", "ref only beta"]
+NEW = [
+    "shared one",          # exact dup of ref → dropped
+    "brand new doc x",
+    "shared two",          # dup → dropped
+    "brand new doc y",
+    "brand new doc x",     # dup WITHIN new but not in ref → kept (both rows)
+]
+
+
+def _ref_result(new, ref):
+    ref_fp = {hashlib.md5(t.encode()).hexdigest() for t in ref}
+    rows = [
+        (i, hashlib.md5(t.encode()).hexdigest())
+        for i, t in enumerate(new)
+        if hashlib.md5(t.encode()).hexdigest() not in ref_fp
+    ]
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "fingerprint"])
+        .astype({"doc_id": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_dedup_against_bruteforce(ray_session):
+    new = ray.data.from_pandas(_docs(NEW))
+    ref = ray.data.from_pandas(_docs(REF, ids=np.arange(100, 100 + len(REF))))
+    got = (
+        dedup_against(new, ref, n_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _ref_result(NEW, REF))
+    assert list(got["doc_id"]) == [1, 3, 4]  # within-new dups both kept
+
+
+def test_tiny_bloom_stays_exact(ray_session):
+    # m_bits=64 with k=7 saturates → ~everything is a candidate; the
+    # anti-join must still produce the exact answer
+    new = ray.data.from_pandas(_docs(NEW))
+    ref = ray.data.from_pandas(_docs(REF, ids=np.arange(100, 100 + len(REF))))
+    got = (
+        dedup_against(new, ref, m_bits=64, k=7, n_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _ref_result(NEW, REF))
+
+
+def test_bloom_no_false_negatives(ray_session):
+    ref = ray.data.from_pandas(_docs(REF))
+    words = build_bloom(ref, m_bits=1 << 12, k=5)
+    from fastie_ray.ops.dedup import _md5_hash_pair
+
+    h1, h2 = _md5_hash_pair(REF)
+    for j in range(len(REF)):
+        for i in range(5):
+            idx = (h1[j] + np.uint64(i) * h2[j]) % np.uint64(1 << 12)
+            assert (
+                words[int(idx) >> 6] >> np.uint64(int(idx) & 63)
+            ) & np.uint64(1)
+
+
+def test_all_new_shard_skips_join(ray_session):
+    # disjoint shard: every row is bloom-definite-new (with a roomy
+    # filter, false positives are ~0 here) and the result is the shard
+    new_texts = [f"totally unique doc {i} zzz" for i in range(20)]
+    new = ray.data.from_pandas(_docs(new_texts))
+    ref = ray.data.from_pandas(_docs(REF, ids=np.arange(100, 104)))
+    got = dedup_against(new, ref).to_pandas()
+    assert len(got) == 20

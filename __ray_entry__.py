@@ -1021,6 +1021,25 @@ def _q_dedup_incremental(sf_dir: str):
     return dedup_against(new, ref)
 
 
+_BM25_QUERIES = {
+    "q1": "customer order query plan",
+    "q2": "hash join merge sort",
+    "q3": "stream window filter batch",
+}
+
+
+def _q_bm25(sf_dir: str):
+    """BM25 top-10 retrieval for three fixed queries. Per-term
+    contributions are integer-scaled before summing so the score is
+    order-independent and bit-exact vs the SQL oracle."""
+    import ray.data
+
+    from fastie_ray.ops.retrieval import bm25_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(ds, _BM25_QUERIES, k=10)
+
+
 def _q_corpus_clean(sf_dir: str):
     """Flagship pre-training corpus-cleaning composition (PII redact →
     repetition/length filters → decontamination vs the doc_id%37==0
@@ -1189,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "pack_docs": _q_pack_docs,
         "dedup_incremental": _q_dedup_incremental,
+        "bm25_topk": _q_bm25,
         "corpus_clean": _q_corpus_clean,
         "augment_stats": _q_augment,
         "extraction_f1": _q_extraction_f1,
@@ -1412,6 +1432,37 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN (
                 SELECT doc_id, count(*) AS n_dup FROM covered GROUP BY doc_id
             ) c USING (doc_id)
+        """,
+        "bm25_topk": r"""
+            WITH qterms(qid, token) AS (VALUES
+                ('q1','customer'),('q1','order'),('q1','query'),('q1','plan'),
+                ('q2','hash'),('q2','join'),('q2','merge'),('q2','sort'),
+                ('q3','stream'),('q3','window'),('q3','filter'),('q3','batch')),
+            toks AS (
+                SELECT doc_id, unnest(list_transform(
+                    regexp_extract_all(text,'[A-Za-z0-9]+'), t -> lower(t))) AS token
+                FROM documents),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                             (SELECT count(*) FROM toks) AS tot),
+            dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+                    WHERE token IN (SELECT token FROM qterms) GROUP BY token),
+            tf AS (SELECT t.doc_id, q.qid, t.token, count(*) AS tf
+                   FROM toks t JOIN qterms q USING (token) GROUP BY 1,2,3),
+            scored AS (
+                SELECT tf.qid, tf.doc_id,
+                       SUM(CAST(round(ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5))
+                           * tf.tf*(1.2+1.0)
+                           / (tf.tf + 1.2*(1.0-0.75+0.75*dl.dl/(s.tot*1.0/s.n)))
+                           * 1e6) AS BIGINT)) AS score_scaled
+                FROM tf JOIN dft d USING (token) JOIN dl USING (doc_id), stats s
+                GROUP BY 1,2),
+            ranked AS (SELECT qid, doc_id, score_scaled,
+                              row_number() OVER (PARTITION BY qid
+                                  ORDER BY score_scaled DESC, doc_id) AS rnk
+                       FROM scored)
+            SELECT qid, doc_id, score_scaled, CAST(rnk AS BIGINT) AS rank
+            FROM ranked WHERE rnk <= 10
         """,
         "dedup_incremental": r"""
             WITH ref AS (

@@ -1040,6 +1040,34 @@ def _q_bm25(sf_dir: str):
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
+def _q_pagerank(sf_dir: str):
+    """Fixed-point PageRank (3 iterations, d=0.85) over the distinct
+    customer→supplier graph derived from orders⋈lineitem. Integer
+    arithmetic end-to-end makes the iterative algorithm bit-exact vs
+    the unrolled SQL oracle (one CTE pair per iteration)."""
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import pagerank
+    from fastie_ray.ops.join import hash_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_suppkey"], right_cols=["o_orderkey", "o_custkey"],
+    )
+    edges = j.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": "c" + df["o_custkey"].astype(str),
+             "dst": "s" + df["l_suppkey"].astype(str)}
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+    return pagerank(dedup_exact(edges, ["src", "dst"], n_buckets=16), n_iter=3)
+
+
 def _q_corpus_clean(sf_dir: str):
     """Flagship pre-training corpus-cleaning composition (PII redact →
     repetition/length filters → decontamination vs the doc_id%37==0
@@ -1209,6 +1237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs": _q_pack_docs,
         "dedup_incremental": _q_dedup_incremental,
         "bm25_topk": _q_bm25,
+        "pagerank": _q_pagerank,
         "corpus_clean": _q_corpus_clean,
         "augment_stats": _q_augment,
         "extraction_f1": _q_extraction_f1,
@@ -1432,6 +1461,44 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN (
                 SELECT doc_id, count(*) AS n_dup FROM covered GROUP BY doc_id
             ) c USING (doc_id)
+        """,
+        "pagerank": r"""
+            WITH edges AS (
+                SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+            deg AS (SELECT node, CAST(coalesce(d.d, 0) AS BIGINT) AS outdeg
+                    FROM nodes LEFT JOIN (
+                        SELECT src AS node, count(*) AS d FROM edges GROUP BY 1
+                    ) d USING (node)),
+            params AS (SELECT count(*) AS n FROM nodes),
+            r0 AS (SELECT node, outdeg, CAST(1000000000000 // p.n AS BIGINT) AS rank
+                   FROM deg, params p),
+            d1 AS (SELECT coalesce(sum(rank), 0) AS dang FROM r0 WHERE outdeg = 0),
+            c1 AS (SELECT e.dst AS node, sum(r.rank // r.outdeg) AS contrib
+                   FROM edges e JOIN r0 r ON e.src = r.node GROUP BY 1),
+            r1 AS (SELECT r.node, r.outdeg,
+                          CAST(((100-85) * (1000000000000 // p.n)
+                              + 85 * (coalesce(c.contrib, 0) + d.dang // p.n)) // 100
+                              AS BIGINT) AS rank
+                   FROM r0 r LEFT JOIN c1 c USING (node), params p, d1 d),
+            d2 AS (SELECT coalesce(sum(rank), 0) AS dang FROM r1 WHERE outdeg = 0),
+            c2 AS (SELECT e.dst AS node, sum(r.rank // r.outdeg) AS contrib
+                   FROM edges e JOIN r1 r ON e.src = r.node GROUP BY 1),
+            r2 AS (SELECT r.node, r.outdeg,
+                          CAST(((100-85) * (1000000000000 // p.n)
+                              + 85 * (coalesce(c.contrib, 0) + d.dang // p.n)) // 100
+                              AS BIGINT) AS rank
+                   FROM r1 r LEFT JOIN c2 c USING (node), params p, d2 d),
+            d3 AS (SELECT coalesce(sum(rank), 0) AS dang FROM r2 WHERE outdeg = 0),
+            c3 AS (SELECT e.dst AS node, sum(r.rank // r.outdeg) AS contrib
+                   FROM edges e JOIN r2 r ON e.src = r.node GROUP BY 1),
+            r3 AS (SELECT r.node, r.outdeg,
+                          CAST(((100-85) * (1000000000000 // p.n)
+                              + 85 * (coalesce(c.contrib, 0) + d.dang // p.n)) // 100
+                              AS BIGINT) AS rank
+                   FROM r2 r LEFT JOIN c3 c USING (node), params p, d3 d)
+            SELECT node, rank AS rank_scaled FROM r3
         """,
         "bm25_topk": r"""
             WITH qterms(qid, token) AS (VALUES

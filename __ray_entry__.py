@@ -1068,6 +1068,22 @@ def _q_pagerank(sf_dir: str):
     return pagerank(dedup_exact(edges, ["src", "dst"], n_buckets=16), n_iter=3)
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Domain-mixture budget sampling: even-numbered sources capped at
+    600 tokens, others at 900 — docs taken in doc_id order per source
+    while the running total stays within budget (grouped two-pass
+    distributed prefix scan)."""
+    import ray.data
+
+    from fastie_ray.ops.mixture import budget_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    budgets = {f"src{i}": 600 for i in range(0, 20, 2)}
+    return budget_sample(ds, budgets, default_budget=900, range_size=100)
+
+
 def _q_corpus_clean(sf_dir: str):
     """Flagship pre-training corpus-cleaning composition (PII redact →
     repetition/length filters → decontamination vs the doc_id%37==0
@@ -1238,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "bm25_topk": _q_bm25,
         "pagerank": _q_pagerank,
+        "mixture_sample": _q_mixture_sample,
         "corpus_clean": _q_corpus_clean,
         "augment_stats": _q_augment,
         "extraction_f1": _q_extraction_f1,
@@ -1461,6 +1478,21 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN (
                 SELECT doc_id, count(*) AS n_dup FROM covered GROUP BY doc_id
             ) c USING (doc_id)
+        """,
+        "mixture_sample": r"""
+            WITH c AS (
+                SELECT doc_id, source,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+                FROM documents),
+            r AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                            AS BIGINT) AS running
+                FROM c)
+            SELECT doc_id, source, n_tokens, running FROM r
+            WHERE running <= CASE
+                WHEN CAST(replace(source, 'src', '') AS INT) % 2 = 0 THEN 600
+                ELSE 900 END
         """,
         "pagerank": r"""
             WITH edges AS (

@@ -1084,6 +1084,31 @@ def _q_mixture_sample(sf_dir: str):
     return budget_sample(ds, budgets, default_budget=900, range_size=100)
 
 
+def _q_grouped_quantiles(sf_dir: str):
+    """Per-event-type exact value quantiles — fully distributed grouped
+    quantile_disc (per-batch (group,value) combiner → one group-bucketed
+    exchange → vectorized per-group cut; no driver step)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.stats import grouped_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    # quantize to cents so the value domain is discrete (the op's
+    # stated contract for continuous columns) and SQL-reproducible
+    cents = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"event_type": df["event_type"],
+             # floor(x*100 + 0.5): identical IEEE ops in numpy and SQL
+             # (pandas .round half-even vs SQL round half-away diverge)
+             "cents": np.floor(df["value"] * 100 + 0.5).astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    return grouped_quantiles(cents, "event_type", "cents", _QUANTILE_QS)
+
+
 def _q_corpus_clean(sf_dir: str):
     """Flagship pre-training corpus-cleaning composition (PII redact →
     repetition/length filters → decontamination vs the doc_id%37==0
@@ -1255,6 +1280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25,
         "pagerank": _q_pagerank,
         "mixture_sample": _q_mixture_sample,
+        "grouped_quantiles": _q_grouped_quantiles,
         "corpus_clean": _q_corpus_clean,
         "augment_stats": _q_augment,
         "extraction_f1": _q_extraction_f1,
@@ -1843,6 +1869,12 @@ def oracle_sql() -> dict[str, str]:
         "len_quantiles": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS q, "
             f"quantile_disc(n_chars, {q}) AS value FROM documents"
+            for q in _QUANTILE_QS
+        ),
+        "grouped_quantiles": " UNION ALL ".join(
+            f"SELECT event_type, CAST({q} AS DOUBLE) AS q, "
+            f"quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), {q}) AS value "
+            f"FROM events GROUP BY event_type"
             for q in _QUANTILE_QS
         ),
         "grouped_topk": """

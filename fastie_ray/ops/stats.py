@@ -89,6 +89,63 @@ def exact_quantiles(
     return pd.DataFrame({"q": np.array(out_q, dtype=np.float64), "value": out_v})
 
 
+def grouped_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    qs: list[float],
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """(group, q, value) exact discrete quantiles PER GROUP — the
+    grouped variant of ``exact_quantiles`` with NO driver step: the
+    per-batch (group, value) count combiner bounds the exchange by
+    group-domain size, all of a group's rows co-locate in one bucket
+    (the hash-agg contract), and the quantile cut runs vectorized
+    inside the final task. Boundary k = ceil(q·n_g) in exact integer
+    arithmetic per group (SQL quantile_disc semantics)."""
+    fracs = [(float(q), Fraction(str(q))) for q in qs]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby([group_col, col], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.drop(columns="__b")
+            .groupby([group_col, col], as_index=False)["n"]
+            .sum()
+            .sort_values([group_col, col])
+        )
+        rows = []
+        for key, grp in g.groupby(group_col, sort=False):
+            cum = grp["n"].cumsum().to_numpy()
+            n = int(cum[-1])
+            vals = grp[col].to_numpy()
+            for qf, f in fracs:
+                k = -(-(f.numerator * n) // f.denominator)  # ceil(q·n)
+                k = min(max(1, k), n)
+                rows.append((key, qf, vals[np.searchsorted(cum, k, side="left")]))
+        out = pd.DataFrame(rows, columns=[group_col, "q", "value"])
+        out["q"] = out["q"].astype("float64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def heavy_hitters(
     ds: "ray.data.Dataset",
     min_share: float,

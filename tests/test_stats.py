@@ -74,3 +74,48 @@ def test_heavy_hitters_exact_on_skewed_stream(ray_session):
     pd.testing.assert_frame_equal(
         out.astype({"n_occ": "int64"}), want.astype({"n_occ": "int64"})
     )
+
+
+def test_grouped_quantiles_bruteforce(ray_session):
+    """Grouped quantile_disc semantics: per-group ceil(q·n) cut,
+    including singleton groups and heavy ties."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.stats import grouped_quantiles
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], size=200),
+            "v": rng.integers(0, 12, size=200).astype("int64"),
+        }
+    )
+    df = pd.concat(
+        [df, pd.DataFrame({"g": ["solo"], "v": [np.int64(5)]})],
+        ignore_index=True,
+    )
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = (
+        grouped_quantiles(ray.data.from_pandas(df), "g", "v", qs, n_buckets=4)
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for key, grp in df.groupby("g"):
+        vals = np.sort(grp["v"].to_numpy())
+        for q in qs:
+            from fractions import Fraction
+
+            f = Fraction(str(q))
+            k = -(-(f.numerator * len(vals)) // f.denominator)
+            k = min(max(1, k), len(vals))
+            rows.append((key, float(q), vals[k - 1]))
+    ref = pd.DataFrame(rows, columns=["g", "q", "v"]).rename(
+        columns={"v": "value"}
+    )
+    ref = ref.sort_values(["g", "q"]).reset_index(drop=True)
+    ref["value"] = ref["value"].astype("int64")
+    pd.testing.assert_frame_equal(got, ref)

@@ -1260,6 +1260,95 @@ def _q_media_frames(sf_dir: str):
     )
 
 
+def _q_doc_ranks(sf_dir: str):
+    """Global ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+    without a total-order sort barrier: coarse value-range partition +
+    two-pass distributed prefix count (``ops.rank.global_rank``)."""
+    import ray.data
+
+    from fastie_ray.ops.rank import global_rank
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return global_rank(
+        ds, key_col="n_chars", tie_col="doc_id", descending=True,
+        range_size=64, keep_cols=["doc_id", "n_chars"],
+    )
+
+
+def _q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup over a deterministic capture table: every
+    doc is fetched three ways (https+www+slash / bare http / https
+    with a utm query) at staggered timestamps; keep the earliest
+    capture per canonical URL (``ops.urlnorm.url_dedup``)."""
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.urlnorm import url_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        base = "example-" + (d % 50).astype(str) + ".com/p/" + d.astype(str)
+        forms = [
+            ("https://www." + base + "/", 0),
+            ("http://" + base, 1),
+            ("https://" + base + "?utm_source=feed", 2),
+        ]
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {"url": u, "warc_ts": ((d * 7 + 13 * j) % 101).astype("int64")}
+                )
+                for u, j in forms
+            ],
+            ignore_index=True,
+        )
+
+    return url_dedup(ds.map_batches(variants, batch_format="pandas"))
+
+
+def _q_corpus_diff(sf_dir: str):
+    """Snapshot diff v1→v2 (added/removed/changed) in one tag-union
+    exchange shipping only md5 fingerprints (``ops.diff.corpus_diff``).
+    v2 is a deterministic edit of v1: drop doc_id%17==0, append
+    ' [rev2]' when doc_id%13==0, add a new doc per doc_id%19==0."""
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.diff import corpus_diff
+
+    v1 = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def v2_of(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["doc_id"] % 17 != 0].copy()
+        chg = keep["doc_id"] % 13 == 0
+        keep.loc[chg, "text"] = keep.loc[chg, "text"] + " [rev2]"
+        add = df[df["doc_id"] % 19 == 0].copy()
+        add["doc_id"] = add["doc_id"] + 1_000_000
+        add["text"] = "new " + add["doc_id"].astype(str)
+        return pd.concat([keep, add], ignore_index=True)
+
+    v2 = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(v2_of, batch_format="pandas")
+    return corpus_diff(v1, v2)
+
+
+def _q_cooc_pairs(sf_dir: str):
+    """Top-100 co-occurring token pairs (lexicographic per-doc cap of
+    16 distinct tokens bounds pair volume at O(docs);
+    ``ops.cooc.cooc_pairs``)."""
+    import ray.data
+
+    from fastie_ray.ops.cooc import cooc_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return cooc_pairs(ds, k=100, per_doc_cap=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -1319,6 +1408,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders": _q_lineitem_orders,
         "cust_no_orders": _q_cust_no_orders,
         "heavy_tokens": _q_heavy_tokens,
+        "doc_ranks": _q_doc_ranks,
+        "url_dedup": _q_url_dedup,
+        "corpus_diff": _q_corpus_diff,
+        "cooc_pairs": _q_cooc_pairs,
     }
 
 
@@ -1326,6 +1419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from fastie_ray.ops.urlnorm import canonical_url_sql as _canon_url_sql
     from fastie_ray.sources.pages import URL_SQL, facts_cte
 
     w = _world()
@@ -2025,5 +2119,82 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o.o_totalprice), 4) AS sum_price
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "doc_ranks": """
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+            FROM documents
+        """,
+        "url_dedup": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       'example-' || CAST(doc_id % 50 AS VARCHAR) || '.com/p/'
+                       || CAST(doc_id AS VARCHAR) AS base
+                FROM documents
+            ), pages AS (
+                SELECT 'https://www.' || base || '/' AS url,
+                       (doc_id * 7) % 101 AS warc_ts FROM b
+                UNION ALL
+                SELECT 'http://' || base, (doc_id * 7 + 13) % 101 FROM b
+                UNION ALL
+                SELECT 'https://' || base || '?utm_source=feed',
+                       (doc_id * 7 + 26) % 101 FROM b
+            ), norm AS (
+                SELECT {_canon_url_sql('url')} AS canon_url, url,
+                       CAST(warc_ts AS BIGINT) AS warc_ts
+                FROM pages
+            ), ranked AS (
+                SELECT canon_url, url, warc_ts,
+                       row_number() OVER (
+                           PARTITION BY canon_url ORDER BY warc_ts, url
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY canon_url) AS n_captures
+                FROM norm
+            )
+            SELECT canon_url, url, warc_ts,
+                   CAST(n_captures AS BIGINT) AS n_captures
+            FROM ranked WHERE rn = 1
+        """,
+        "corpus_diff": """
+            WITH v2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 17 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       'new ' || CAST(doc_id + 1000000 AS VARCHAR)
+                FROM documents WHERE doc_id % 19 = 0
+            )
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+        """,
+        "cooc_pairs": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS tok
+                    FROM documents
+                )
+            ), kept AS (
+                SELECT doc_id, tok FROM (
+                    SELECT doc_id, tok,
+                           row_number() OVER (
+                               PARTITION BY doc_id ORDER BY tok
+                           ) AS rn
+                    FROM tok
+                ) WHERE rn <= 16
+            ), pairs AS (
+                SELECT a.tok AS tok_a, b.tok AS tok_b
+                FROM kept a JOIN kept b
+                  ON a.doc_id = b.doc_id AND a.tok < b.tok
+            )
+            SELECT tok_a, tok_b, count(*) AS n_docs FROM pairs
+            GROUP BY tok_a, tok_b
+            ORDER BY n_docs DESC, tok_a, tok_b LIMIT 100
         """,
     }

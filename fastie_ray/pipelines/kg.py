@@ -24,7 +24,12 @@ from fastie_ray.stages.canonicalize import (
 from fastie_ray.stages.chunk import chunk_pages
 from fastie_ray.stages.extract import extract_text
 from fastie_ray.stages.materialize import write_partitioned
-from fastie_ray.stages.rejoin import rejoin_mentions, rejoin_triples
+from fastie_ray.stages.rejoin import (
+    rejoin_mentions,
+    rejoin_mentions_local,
+    rejoin_triples,
+    rejoin_triples_local,
+)
 from fastie_ray.stages.scorers import score_joint, split_scored
 from fastie_ray.synth import World, alias_table, build_world
 
@@ -42,10 +47,15 @@ def doc_triples(
 ) -> "ray.data.Dataset":
     """pages → deduplicated document triples, ONE streaming pass.
 
-    The headline KG path: no materialize barrier — scoring overlaps the
-    rejoin shuffle under the streaming executor, and only triple rows
-    (not mention rows) flow into the shuffle. Use ``extract_triples``
-    when BOTH mentions and triples are consumed."""
+    The headline KG path. With the default ``batch_size=None`` the
+    whole pipeline is ONE fused streaming operator with NO exchange:
+    the reference's chunk→doc set union is document-local and chunks
+    stay co-located through the fused pass, so the dedup is a per-batch
+    ``drop_duplicates`` (``rejoin_triples_local``; contract in
+    ``stages/rejoin.py``). An explicit ``batch_size`` re-slices the
+    chunk stream mid-document, so that path keeps the hash-bucketed
+    dedup exchange. Use ``extract_triples`` when BOTH mentions and
+    triples are consumed."""
     from fastie_ray.stages.scorers import score_relations
 
     chunks = chunk_pages(extract_text(pages))
@@ -53,6 +63,8 @@ def doc_triples(
         chunks, world_ref=world_ref, concurrency=concurrency,
         batch_size=batch_size, **scorer_kw,
     )
+    if batch_size is None:
+        return rejoin_triples_local(scored)
     return rejoin_triples(scored, n_buckets)
 
 
@@ -68,12 +80,16 @@ def extract_triples(
 
     The scored union table is materialized ONCE (it is ~1-2 orders of
     magnitude smaller than the page stream) so the mention and triple
-    branches don't re-execute the scan."""
+    branches don't re-execute the scan. Materialized blocks are the
+    scorer tasks' outputs, so url co-location survives and the default
+    path uses the exchange-free local rejoins."""
     chunks = chunk_pages(extract_text(pages))
     scored = score_joint(
         chunks, world_ref=world_ref, concurrency=concurrency, batch_size=batch_size, **scorer_kw
     ).materialize()
     m, t = split_scored(scored)
+    if batch_size is None:
+        return rejoin_mentions_local(m), rejoin_triples_local(t)
     return rejoin_mentions(m, n_buckets), rejoin_triples(t, n_buckets)
 
 
@@ -138,15 +154,26 @@ def graph_tables(
         chunks, world_ref=world_ref, concurrency=concurrency, **scorer_kw
     ).materialize()
     m_raw, t_raw = split_scored(scored)
-    mentions, triples = rejoin_mentions(m_raw, n_buckets), rejoin_triples(t_raw, n_buckets)
+    # document-local rejoins (no exchange; co-location contract in
+    # stages/rejoin.py — the materialized blocks are scorer outputs,
+    # which never split a url). Falls back to the exchange when an
+    # explicit scorer batch_size re-slices the chunk stream.
+    local = scorer_kw.get("batch_size") is None
+    _rj_m = rejoin_mentions_local if local else (
+        lambda d, post=None: rejoin_mentions(d, n_buckets, post=post)
+    )
+    _rj_t = rejoin_triples_local if local else (
+        lambda d, post=None: rejoin_triples(d, n_buckets, post=post)
+    )
+    mentions, triples = _rj_m(m_raw), _rj_t(t_raw)
 
-    # linking rides INSIDE the rejoin-dedup exchange (dedup_exact post
-    # hook, linker index cached once per worker): per partition the
-    # distinct surfaces are linked once and mapped back — no separate
+    # linking rides INSIDE the rejoin-dedup stage (post hook, linker
+    # index cached once per worker): per batch/partition the distinct
+    # surfaces are linked once and mapped back — no separate
     # EntityLinker/TripleLinker actor pool to spawn, one fewer pipeline
     # stage on both graph branches. Semantics are the pooled linkers'
     # link_surface verbatim.
-    linked = rejoin_mentions(m_raw, n_buckets, post=_link_mentions_post(alias_ref))
+    linked = _rj_m(m_raw, post=_link_mentions_post(alias_ref))
     if "linked" in want:
         # the caller re-reads it — pin once (the nodes branch alone
         # consumes it a single time and can stream)
@@ -216,7 +243,7 @@ def graph_tables(
     # equal (s,p,o) share object_id and hence its hash bucket, so
     # post=edge_final completes the collapse-merge. Two exchanges total
     # (was: aggregate shuffle + two relabels).
-    ltriples = rejoin_triples(t_raw, n_buckets, post=_link_triples_post(alias_ref))
+    ltriples = _rj_t(t_raw, post=_link_triples_post(alias_ref))
 
     def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(
@@ -325,12 +352,15 @@ def doc_events(
     **scorer_kw: Any,
 ) -> "ray.data.Dataset":
     """pages → document event-argument rows (GPLinker-EE semantics A13),
-    one streaming pass — same shape as doc_triples."""
-    from fastie_ray.stages.rejoin import rejoin_events
+    one streaming pass — same shape as doc_triples (exchange-free
+    document-local union on the default fused path)."""
+    from fastie_ray.stages.rejoin import rejoin_events, rejoin_events_local
     from fastie_ray.stages.scorers import score_events
 
     chunks = chunk_pages(extract_text(pages))
     scored = score_events(
         chunks, world_ref=world_ref, concurrency=concurrency, **scorer_kw
     )
+    if scorer_kw.get("batch_size") is None:
+        return rejoin_events_local(scored)
     return rejoin_events(scored, n_buckets)

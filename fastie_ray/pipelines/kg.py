@@ -59,12 +59,17 @@ def doc_triples(
     from fastie_ray.stages.scorers import score_relations
 
     chunks = chunk_pages(extract_text(pages))
+    if batch_size is None:
+        # union folded into the scorer call: the WHOLE pipeline is one
+        # actor-pool operator — no downstream task op, no exchange
+        return score_relations(
+            chunks, world_ref=world_ref, concurrency=concurrency,
+            emit="doc_triples", **scorer_kw,
+        )
     scored = score_relations(
         chunks, world_ref=world_ref, concurrency=concurrency,
         batch_size=batch_size, **scorer_kw,
     )
-    if batch_size is None:
-        return rejoin_triples_local(scored)
     return rejoin_triples(scored, n_buckets)
 
 

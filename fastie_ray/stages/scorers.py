@@ -250,13 +250,49 @@ class RelScorer(_ScorerBase):
     Backends: ``gplinker`` (product-∩ decode A7, default), ``casrel``
     (cascade pointer A8), ``onerel`` (tag-cube A9), ``tplinker``
     (handshaking A10), ``pfn`` (A11), ``grte`` (table-filling tag
-    pairs A12), ``hf`` (subword + dense GPLinker heads, M9/A16)."""
+    pairs A12), ``hf`` (subword + dense GPLinker heads, M9/A16).
+
+    ``emit="doc_triples"`` folds the chunk→doc set union INTO the
+    scorer call (a per-url seen-set while appending): output is the
+    deduplicated (url, predicate, subject, object) table directly —
+    zero downstream operators on the fused headline path. Valid under
+    the same co-location contract as ``rejoin_triples_local``
+    (``stages/rejoin.py``)."""
+
+    def __init__(self, *a, emit: str = "chunk", **kw):
+        super().__init__(*a, **kw)
+        if emit not in ("chunk", "doc_triples"):
+            raise ValueError(f"unknown emit mode: {emit!r}")
+        self.emit = emit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         cids = batch["chunk_id"].to_pylist()
         offs = batch["chunk_offset"].to_pylist()
         texts = batch["chunk_text"].to_pylist()
+
+        if self.emit == "doc_triples":
+            seen: set = set()
+            o_url, o_p, o_s, o_o = [], [], [], []
+            for url, text in zip(urls, texts):
+                dashed, seq_len, mapping = self._seq(text)
+                for p, s, o in self._decode_triples(dashed, seq_len, text, mapping):
+                    k = (url, p, s, o)
+                    if k in seen:
+                        continue
+                    seen.add(k)
+                    o_url.append(url)
+                    o_p.append(p)
+                    o_s.append(s)
+                    o_o.append(o)
+            return pa.table(
+                {
+                    "url": pa.array(o_url, pa.string()),
+                    "predicate": pa.array(o_p, pa.string()),
+                    "subject": pa.array(o_s, pa.string()),
+                    "object": pa.array(o_o, pa.string()),
+                }
+            )
 
         o_url, o_cid, o_off, o_p, o_s, o_o = [], [], [], [], [], []
         for url, cid, coff, text in zip(urls, cids, offs, texts):

@@ -81,3 +81,21 @@ def test_doc_triples_default_path_is_local_and_correct():
     # one fact per page, repeated in two chunks → exactly one row per url
     assert df["url"].is_unique
     assert len(df) == 25
+
+
+def test_doc_triples_local_equals_exchange_path():
+    from fastie_ray.pipelines.kg import doc_triples
+
+    world = build_world()
+    cols = ["url", "predicate", "subject", "object"]
+    local = _sorted(
+        doc_triples(_dup_pages(world), world_ref=world, concurrency=2), cols
+    )
+    exch = _sorted(
+        doc_triples(
+            _dup_pages(world), world_ref=world, concurrency=2,
+            batch_size=4096, n_buckets=8,
+        ),
+        cols,
+    )
+    pd.testing.assert_frame_equal(local, exch)

@@ -73,6 +73,13 @@ class GazetteerFeaturizer:
                 f"({'|'.join(re.escape(s) for s in obj_surfaces)})"
             )
             self._rel_res.append((self.pred2id[p], re.compile(pat)))
+        # every relation pattern contains its predicate phrase as a
+        # mandatory literal — a C-speed substring test over the chunk
+        # prunes whole regex scans on phrase-free chunks (most of a
+        # real crawl) with exactly-equal output
+        self._dash_phrases = [
+            space_to_dash(PREDICATES[p][2]) for p in preds
+        ]
 
     # ---- "forward passes" -------------------------------------------------
 
@@ -82,9 +89,14 @@ class GazetteerFeaturizer:
             for m in self._mention_re.finditer(dashed_text)
         ]
 
+    def has_relation_phrase(self, dashed_text: str) -> bool:
+        return any(ph in dashed_text for ph in self._dash_phrases)
+
     def relation_hits(self, dashed_text: str) -> list[RelationHit]:
         out: list[RelationHit] = []
-        for pid, rx in self._rel_res:
+        for (pid, rx), ph in zip(self._rel_res, self._dash_phrases):
+            if ph not in dashed_text:
+                continue
             for m in rx.finditer(dashed_text):
                 out.append(
                     RelationHit(pid, m.start(1), m.end(1), m.start(2), m.end(2))

@@ -163,6 +163,10 @@ class _ScorerBase:
             # sigmoid probabilities (kernels.pfn_re); the featurizer's
             # unit-score hits clear both thresholds, so the sparse
             # production path is shared.
+            if not self.feat.has_relation_phrase(dashed):
+                # no phrase → no head/tail hits → the product-∩ decode
+                # is empty regardless of spans; skip the mention scan
+                return []
             mhits = self.feat.mention_hits(dashed)
             spans = [(h.cs + 1, h.ce) for h in mhits]
             rhits = self.feat.relation_hits(dashed)

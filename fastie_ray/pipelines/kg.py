@@ -359,13 +359,17 @@ def doc_events(
     """pages → document event-argument rows (GPLinker-EE semantics A13),
     one streaming pass — same shape as doc_triples (exchange-free
     document-local union on the default fused path)."""
-    from fastie_ray.stages.rejoin import rejoin_events, rejoin_events_local
+    from fastie_ray.stages.rejoin import rejoin_events
     from fastie_ray.stages.scorers import score_events
 
     chunks = chunk_pages(extract_text(pages))
+    if scorer_kw.get("batch_size") is None:
+        # rejoin folded into the scorer call — one actor-pool operator
+        return score_events(
+            chunks, world_ref=world_ref, concurrency=concurrency,
+            emit="doc_events", **scorer_kw,
+        )
     scored = score_events(
         chunks, world_ref=world_ref, concurrency=concurrency, **scorer_kw
     )
-    if scorer_kw.get("batch_size") is None:
-        return rejoin_events_local(scored)
     return rejoin_events(scored, n_buckets)

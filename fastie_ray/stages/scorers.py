@@ -453,7 +453,19 @@ def split_scored(ds_scored):
 class EventScorer(_ScorerBase):
     """chunks → chunk-level event-argument rows (GPLinker-EE decode
     semantics A13: threshold argus + link set + clique_search grouping,
-    trigger-less cliques dropped). One row per (event, argument)."""
+    trigger-less cliques dropped). One row per (event, argument).
+
+    ``emit="doc_events"`` folds the chunk→doc rejoin INTO the scorer
+    call: offsets are rebased by ``chunk_offset`` while appending and
+    the per-url set union is a seen-set — output is the deduplicated
+    (url, event_type, role, argument, start, end) table directly, same
+    co-location contract as ``rejoin_events_local``."""
+
+    def __init__(self, *a, emit: str = "chunk", **kw):
+        super().__init__(*a, **kw)
+        if emit not in ("chunk", "doc_events"):
+            raise ValueError(f"unknown emit mode: {emit!r}")
+        self.emit = emit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from fastie_ray.kernels.event_ee import decode_event_sparse
@@ -490,6 +502,34 @@ class EventScorer(_ScorerBase):
                     rows["argument"].append(arg)
                     rows["start"].append(cs)
                     rows["end"].append(ce)
+        if self.emit == "doc_events":
+            seen: set = set()
+            out = {k: [] for k in
+                   ("url", "event_type", "role", "argument", "start", "end")}
+            for url, coff, et, role, arg, cs, ce in zip(
+                rows["url"], rows["chunk_offset"], rows["event_type"],
+                rows["role"], rows["argument"], rows["start"], rows["end"],
+            ):
+                k = (url, et, role, arg, cs + coff, ce + coff)
+                if k in seen:
+                    continue
+                seen.add(k)
+                out["url"].append(url)
+                out["event_type"].append(et)
+                out["role"].append(role)
+                out["argument"].append(arg)
+                out["start"].append(cs + coff)
+                out["end"].append(ce + coff)
+            return pa.table(
+                {
+                    "url": pa.array(out["url"], pa.string()),
+                    "event_type": pa.array(out["event_type"], pa.string()),
+                    "role": pa.array(out["role"], pa.string()),
+                    "argument": pa.array(out["argument"], pa.string()),
+                    "start": pa.array(np.asarray(out["start"], dtype=np.int32)),
+                    "end": pa.array(np.asarray(out["end"], dtype=np.int32)),
+                }
+            )
         return pa.table(
             {
                 "url": pa.array(rows["url"], pa.string()),

@@ -83,6 +83,25 @@ def test_doc_triples_default_path_is_local_and_correct():
     assert len(df) == 25
 
 
+def test_doc_events_local_equals_exchange_path():
+    from fastie_ray.pipelines.kg import doc_events
+
+    world = build_world()
+    cols = ["url", "event_type", "role", "argument", "start", "end"]
+    local = _sorted(
+        doc_events(_dup_pages(world), world_ref=world, concurrency=2), cols
+    )
+    exch = _sorted(
+        doc_events(
+            _dup_pages(world), world_ref=world, concurrency=2,
+            batch_size=4096, n_buckets=8,
+        ),
+        cols,
+    )
+    pd.testing.assert_frame_equal(local, exch)
+    assert len(local) > 0
+
+
 def test_doc_triples_local_equals_exchange_path():
     from fastie_ray.pipelines.kg import doc_triples
 

@@ -1337,6 +1337,21 @@ def _q_corpus_diff(sf_dir: str):
     return corpus_diff(v1, v2)
 
 
+def _q_kg_negatives(sf_dir: str):
+    """TransE-style corrupted triples for KG-embedding training:
+    negative object = successor of the true object in the predicate's
+    sorted distinct-object vocabulary
+    (``pipelines.train_prep.kg_negative_samples``)."""
+    import ray
+
+    from fastie_ray.pipelines.kg import doc_triples
+    from fastie_ray.pipelines.train_prep import kg_negative_samples
+
+    world_ref = ray.put(_world())
+    triples = doc_triples(_pages(sf_dir), world_ref=world_ref, concurrency=_conc())
+    return kg_negative_samples(triples)
+
+
 def _q_cooc_pairs(sf_dir: str):
     """Top-100 co-occurring token pairs (lexicographic per-doc cap of
     16 distinct tokens bounds pair volume at O(docs);
@@ -1412,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "corpus_diff": _q_corpus_diff,
         "cooc_pairs": _q_cooc_pairs,
+        "kg_negatives": _q_kg_negatives,
     }
 
 
@@ -2172,6 +2188,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status
             FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
             WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+        """,
+        "kg_negatives": f"""
+            WITH {FACTS},
+            d AS (
+                SELECT DISTINCT f.predicate AS predicate,
+                       f.subject AS subject, f.object AS object
+                FROM documents doc JOIN facts f ON f.i = doc.doc_id % {NF}
+            ),
+            vocab AS (
+                SELECT DISTINCT predicate, object FROM d
+            ),
+            succ AS (
+                SELECT predicate, object,
+                       COALESCE(
+                           lead(object) OVER (
+                               PARTITION BY predicate ORDER BY object
+                           ),
+                           min(object) OVER (PARTITION BY predicate)
+                       ) AS neg_object
+                FROM vocab
+            )
+            SELECT d.subject, d.predicate, d.object, s.neg_object
+            FROM d JOIN succ s
+              ON s.predicate = d.predicate AND s.object = d.object
+            WHERE s.neg_object <> d.object
         """,
         "cooc_pairs": """
             WITH tok AS (

@@ -385,3 +385,63 @@ def evaluate_ner(
         gold, pred, keys=["text", "label", "start", "end", "entity"]
     )
     return {f"{metric_key_prefix}_{k}": v for k, v in metrics.items()}
+
+
+# ------------------------------------------------- KG-embedding negatives
+
+
+def kg_negative_samples(
+    triples: "ray.data.Dataset", n_buckets: int = 32
+) -> "ray.data.Dataset":
+    """Deterministic negative sampling for KG-embedding training
+    (TransE-style corrupted triples): for each DISTINCT (subject,
+    predicate, object), the negative object is the SUCCESSOR of the
+    true object in the predicate's sorted distinct-object vocabulary
+    (cyclic — the lexicographic minimum follows the maximum). Triples
+    whose predicate has a single object produce no negative.
+
+    Distributed shape: per-batch distinct combiner → ONE hash-bucketed
+    exchange for the global distinct; the per-predicate object vocab is
+    VOCAB-BOUNDED, so it is reduced to the driver and broadcast once
+    (``ray.put``) — never a second corpus-sized exchange. The successor
+    rule is bit-for-bit `lead(object) OVER (PARTITION BY predicate
+    ORDER BY object)` with a `min(object)` wrap, so the whole operator
+    is SQL-reproducible."""
+    import ray
+
+    from fastie_ray.ops.dedup import dedup_exact
+
+    keys = ["predicate", "subject", "object"]
+    distinct = dedup_exact(
+        triples.select_columns(keys), keys, n_buckets=n_buckets
+    ).materialize()
+
+    def po(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["predicate", "object"]].drop_duplicates()
+
+    vocab = (
+        distinct.map_batches(po, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+        .sort_values(["predicate", "object"])
+    )
+    succ: dict[tuple[str, str], str] = {}
+    for pred, g in vocab.groupby("predicate", sort=False):
+        objs = g["object"].tolist()
+        if len(objs) < 2:
+            continue
+        for a, b in zip(objs, objs[1:] + objs[:1]):
+            succ[(pred, a)] = b
+    succ_ref = ray.put(succ)
+
+    def corrupt(df: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(succ_ref)
+        neg = [
+            s.get((p, o)) for p, o in zip(df["predicate"], df["object"])
+        ]
+        out = df.assign(neg_object=neg)
+        return out[out["neg_object"].notna()][
+            ["subject", "predicate", "object", "neg_object"]
+        ]
+
+    return distinct.map_batches(corrupt, batch_format="pandas")

@@ -200,3 +200,34 @@ def test_evaluate_ner_eval_loop(ray_session):
     assert m["eval_tp"] == 1 and m["eval_true_sum"] == 2
     assert m["eval_pred_sum"] == 1  # no false positives on the miss doc
     assert m["eval_precision"] == 1.0 and m["eval_recall"] == 0.5
+
+
+def test_kg_negative_samples_successor_rule():
+    import pandas as pd
+    import numpy as np
+    import ray.data
+
+    from fastie_ray.pipelines.train_prep import kg_negative_samples
+
+    triples = pd.DataFrame(
+        {
+            "url": ["u1", "u2", "u3", "u4", "u5"],
+            "predicate": ["p", "p", "p", "q", "q"],
+            "subject": ["s1", "s2", "s3", "s4", "s4"],
+            # p has objects {a, b, c}; q has a single object {z} twice
+            "object": ["a", "b", "c", "z", "z"],
+        }
+    )
+    ds = ray.data.from_pandas([p for p in np.array_split(triples, 2)])
+    got = (
+        kg_negative_samples(ds, n_buckets=4)
+        .to_pandas()
+        .sort_values(["predicate", "object"])
+        .reset_index(drop=True)
+    )
+    # successor in sorted object vocab, cyclic wrap c -> a
+    assert list(zip(got["object"], got["neg_object"])) == [
+        ("a", "b"), ("b", "c"), ("c", "a")
+    ]
+    # single-object predicate q emits no negative
+    assert (got["predicate"] == "q").sum() == 0

@@ -1337,6 +1337,25 @@ def _q_corpus_diff(sf_dir: str):
     return corpus_diff(v1, v2)
 
 
+def _q_mention_contexts(sf_dir: str):
+    """KWIC context windows per mention (±40 chunk-local chars) for
+    entity-disambiguation reranking — computed inside the scorer call,
+    where the chunk text still exists
+    (``NerScorer(emit="doc_mentions_ctx")``)."""
+    import ray
+
+    from fastie_ray.stages.chunk import chunk_pages
+    from fastie_ray.stages.extract import extract_text
+    from fastie_ray.stages.scorers import score_mentions
+
+    world_ref = ray.put(_world())
+    chunks = chunk_pages(extract_text(_pages(sf_dir)))
+    return score_mentions(
+        chunks, world_ref=world_ref, concurrency=_conc(),
+        emit="doc_mentions_ctx",
+    )
+
+
 def _q_kg_negatives(sf_dir: str):
     """TransE-style corrupted triples for KG-embedding training:
     negative object = successor of the true object in the predicate's
@@ -1428,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": _q_corpus_diff,
         "cooc_pairs": _q_cooc_pairs,
         "kg_negatives": _q_kg_negatives,
+        "mention_contexts": _q_mention_contexts,
     }
 
 
@@ -2188,6 +2208,29 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status
             FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
             WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+        """,
+        "mention_contexts": f"""
+            WITH {FACTS},
+            m AS (
+                SELECT {URL} AS url, f.sub_label AS label,
+                       {BASE} AS start, {BASE} + f.sub_len AS "end",
+                       f.subject AS mention, {BASE} AS cstart,
+                       {PTXT} AS ptxt
+                {JOIN}
+                UNION ALL
+                SELECT {URL} AS url, f.obj_label AS label,
+                       {BASE} + f.sub_len + f.pre_len AS start,
+                       {BASE} + f.sub_len + f.pre_len + f.obj_len AS "end",
+                       f.object AS mention, {BASE} AS cstart,
+                       {PTXT} AS ptxt
+                {JOIN}
+            )
+            SELECT url, label, start, "end", mention,
+                   substr(ptxt, greatest(start - 40, cstart) + 1,
+                          start - greatest(start - 40, cstart)) AS left_ctx,
+                   substr(ptxt, "end" + 1,
+                          least(40, cstart + 510 - "end")) AS right_ctx
+            FROM m
         """,
         "kg_negatives": f"""
             WITH {FACTS},

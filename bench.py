@@ -74,7 +74,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "simhash_dups", "embed_neardup", "kg_edges", "augment_stats",
                  "hopping_events", "session_stats", "asof_clicks", "range_clicks",
                  "fuzzy_dedup_docs", "kmeans_clusters", "tfidf_terms",
-                 "dup_spans"):
+                 "dup_spans", "url_dedup", "corpus_diff", "doc_ranks",
+                 "cooc_pairs", "kg_negatives"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

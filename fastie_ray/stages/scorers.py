@@ -216,13 +216,62 @@ class NerScorer(_ScorerBase):
     (start/end pointer pairing A4), ``w2ner`` (sparse word-grid walk
     A2), ``tplinker`` (shaking spots A5), ``cnn`` (biaffine span +
     clash filter A6), ``hf`` (subword tokenization + dense-logit
-    decode — the transformer shape, M9/A16)."""
+    decode — the transformer shape, M9/A16).
+
+    ``emit="doc_mentions_ctx"`` folds the chunk→doc rejoin into the
+    scorer call (same co-location contract as
+    ``rejoin_mentions_local``) and carries each mention's chunk-local
+    KWIC context windows (``context_chars`` on each side, clamped to
+    the chunk) — the disambiguation-context shape an entity-linking
+    reranker consumes. Contexts can only be computed HERE: the chunk
+    text never leaves the scorer task."""
+
+    def __init__(self, *a, emit: str = "chunk", context_chars: int = 40, **kw):
+        super().__init__(*a, **kw)
+        if emit not in ("chunk", "doc_mentions_ctx"):
+            raise ValueError(f"unknown emit mode: {emit!r}")
+        self.emit = emit
+        self.context_chars = context_chars
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         cids = batch["chunk_id"].to_pylist()
         offs = batch["chunk_offset"].to_pylist()
         texts = batch["chunk_text"].to_pylist()
+
+        if self.emit == "doc_mentions_ctx":
+            w = self.context_chars
+            seen: set = set()
+            out = {k: [] for k in
+                   ("url", "label", "start", "end", "mention", "left_ctx",
+                    "right_ctx")}
+            for url, coff, text in zip(urls, offs, texts):
+                dashed, seq_len, mapping = self._seq(text)
+                for label, cs, ce, mention in self._decode_mentions(
+                    dashed, seq_len, text, mapping
+                ):
+                    k = (url, label, cs + coff, ce + coff, mention)
+                    if k in seen:
+                        continue
+                    seen.add(k)
+                    out["url"].append(url)
+                    out["label"].append(label)
+                    out["start"].append(cs + coff)
+                    out["end"].append(ce + coff)
+                    out["mention"].append(mention)
+                    out["left_ctx"].append(text[max(0, cs - w):cs])
+                    out["right_ctx"].append(text[ce:ce + w])
+            return pa.table(
+                {
+                    "url": pa.array(out["url"], pa.string()),
+                    "label": pa.array(out["label"], pa.string()),
+                    "start": pa.array(np.asarray(out["start"], dtype=np.int32)),
+                    "end": pa.array(np.asarray(out["end"], dtype=np.int32)),
+                    "mention": pa.array(out["mention"], pa.string()),
+                    "left_ctx": pa.array(out["left_ctx"], pa.string()),
+                    "right_ctx": pa.array(out["right_ctx"], pa.string()),
+                }
+            )
 
         o_url, o_cid, o_off, o_lab, o_s, o_e, o_m = [], [], [], [], [], [], []
         for url, cid, coff, text in zip(urls, cids, offs, texts):

@@ -1337,6 +1337,39 @@ def _q_corpus_diff(sf_dir: str):
     return corpus_diff(v1, v2)
 
 
+def _q_triangles(sf_dir: str):
+    """Exact triangle count of the supplier co-supply graph (edge =
+    two suppliers sharing an order) via degree-oriented wedge
+    generation (``ops.graph.triangle_count``)."""
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import triangle_count
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def distinct_os(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_1", "_2"))
+        m = m[m["l_suppkey_1"] < m["l_suppkey_2"]]
+        out = pd.DataFrame({"a": m["l_suppkey_1"], "b": m["l_suppkey_2"]})
+        return out.drop_duplicates()
+
+    per_order = _bucketed_groupby(
+        li.map_batches(distinct_os, batch_format="pandas"),
+        "l_orderkey", pairs, 16,
+    )
+    edges = dedup_exact(per_order, ["a", "b"], n_buckets=16)
+    return triangle_count(edges, n_buckets=16)
+
+
 def _q_mention_contexts(sf_dir: str):
     """KWIC context windows per mention (±40 chunk-local chars) for
     entity-disambiguation reranking — computed inside the scorer call,
@@ -1448,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooc_pairs": _q_cooc_pairs,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
+        "triangles": _q_triangles,
     }
 
 
@@ -2208,6 +2242,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status
             FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
             WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+        """,
+        "triangles": """
+            WITH os AS (
+                SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+            ), e AS (
+                SELECT DISTINCT x.s AS a, y.s AS b
+                FROM os x JOIN os y ON x.o = y.o AND x.s < y.s
+            )
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
         """,
         "mention_contexts": f"""
             WITH {FACTS},

@@ -94,3 +94,43 @@ def test_pagerank_iteration_count_matters(ray_session):
     pd.testing.assert_frame_equal(
         r1.reset_index(drop=True), _ref_pagerank(GRAPH, n_iter=1)
     )
+
+
+def test_triangle_count_known_graph():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge (no new ones)
+    edges = pd.DataFrame(
+        {"a": [1, 1, 1, 2, 2, 3, 4], "b": [2, 3, 4, 3, 4, 4, 5]}
+    ).astype("int64")
+    ds = ray.data.from_pandas([p for p in np.array_split(edges, 3)])
+    got = triangle_count(ds, n_buckets=4)
+    assert got["n_triangles"].tolist() == [4]
+
+
+def test_triangle_count_random_vs_bruteforce():
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.graph import triangle_count
+
+    rng = np.random.default_rng(3)
+    n = 25
+    pairs = [(a, b) for a, b in itertools.combinations(range(n), 2)
+             if rng.random() < 0.3]
+    adj = set(pairs)
+    brute = sum(
+        1 for x, y, z in itertools.combinations(range(n), 3)
+        if (x, y) in adj and (x, z) in adj and (y, z) in adj
+    )
+    edges = pd.DataFrame(pairs, columns=["a", "b"]).astype("int64")
+    ds = ray.data.from_pandas([p for p in np.array_split(edges, 4)])
+    got = triangle_count(ds, n_buckets=4)
+    assert got["n_triangles"].tolist() == [brute]

@@ -711,6 +711,10 @@ def _q_minhash_dups(sf_dir: str):
     from fastie_ray.ops.neardup import minhash_lsh_dups
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # verify="exact" carries shingles through the band shuffle — the
+    # fastest mode at sandbox scale (fewest exchange floors). At 100 TB
+    # use verify="join" (16-byte band rows, shingles cross ONE exchange
+    # at 1x corpus payload) — bit-identical output, parity-tested.
     return minhash_lsh_dups(docs, threshold=0.7, concurrency=4)
 
 

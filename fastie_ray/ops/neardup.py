@@ -141,7 +141,7 @@ class MinHashBander:
         carry: str = "shingles",
     ):
         assert num_perm % bands == 0
-        assert carry in ("shingles", "signature")
+        assert carry in ("shingles", "signature", "none")
         self.id_col, self.text_col = id_col, text_col
         self.shingle_k, self.num_perm, self.bands = shingle_k, num_perm, bands
         self.rows_per_band = num_perm // bands
@@ -179,31 +179,31 @@ class MinHashBander:
                     np.bitwise_xor.reduce(R * _POS_MIX[:r][None, :], axis=1)
                 )
             key_parts.append((mixed & np.uint64((1 << 62) - 1)).astype(np.int64))
-            payload = sh if self.carry == "shingles" else sig
-            payloads.append(payload)
-            lengths[i] = len(payload)
-        col = "shingles" if self.carry == "shingles" else "sig"
-        counts = np.repeat(lengths, b)
-        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        values = (
-            np.concatenate([np.tile(p, b) for p in payloads])
-            if n
-            else np.empty(0, dtype=np.uint64)
-        )
-        list_arr = pa.LargeListArray.from_arrays(
-            pa.array(offsets, pa.int64()), pa.array(values, pa.uint64())
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(np.repeat(np.asarray(ids, dtype=np.int64), b)),
-                "band": pa.array(np.tile(np.arange(b, dtype=np.int32), n)),
-                "key": pa.array(
-                    np.concatenate(key_parts) if n else np.empty(0, np.int64)
-                ),
-                col: list_arr,
-            }
-        )
+            if self.carry != "none":
+                payload = sh if self.carry == "shingles" else sig
+                payloads.append(payload)
+                lengths[i] = len(payload)
+        cols = {
+            "doc_id": pa.array(np.repeat(np.asarray(ids, dtype=np.int64), b)),
+            "band": pa.array(np.tile(np.arange(b, dtype=np.int32), n)),
+            "key": pa.array(
+                np.concatenate(key_parts) if n else np.empty(0, np.int64)
+            ),
+        }
+        if self.carry != "none":
+            col = "shingles" if self.carry == "shingles" else "sig"
+            counts = np.repeat(lengths, b)
+            offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            values = (
+                np.concatenate([np.tile(p, b) for p in payloads])
+                if n
+                else np.empty(0, dtype=np.uint64)
+            )
+            cols[col] = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()), pa.array(values, pa.uint64())
+            )
+        return pa.table(cols)
 
 
 def _pairs_in_partition(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
@@ -284,6 +284,185 @@ def _est_pairs_in_partition(g: pd.DataFrame, threshold: float, num_perm: int) ->
     )
 
 
+def _cand_pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs (no verification) within one coarse partition —
+    the pair-generation half of ``_pairs_in_partition`` for the
+    join-verify mode, over payload-free band rows."""
+    sizes = g.groupby(["band", "key"])["doc_id"].transform("size")
+    cand = g[sizes >= 2]
+    pairs: set[tuple[int, int]] = set()
+    for _, grp in cand.groupby(["band", "key"]):
+        uids = np.unique(grp["doc_id"].to_numpy())
+        for ii in range(len(uids)):
+            for jj in range(ii + 1, len(uids)):
+                pairs.add((int(uids[ii]), int(uids[jj])))
+    plist = sorted(pairs)
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series([p[0] for p in plist], dtype="int64"),
+            "doc_b": pd.Series([p[1] for p in plist], dtype="int64"),
+        }
+    )
+
+
+class ShingleEmitter:
+    """Stateful map_batches stage: (doc_id, shingle-hash set) rows —
+    the 1× corpus-payload side of the join-verify exchange."""
+
+    def __init__(self, id_col: str, text_col: str, shingle_k: int):
+        self.id_col, self.text_col, self.k = id_col, text_col, shingle_k
+        self._tok_cache: dict[str, int] = {}
+
+    def __call__(self, batch) -> "pa.Table":
+        import pyarrow as pa
+
+        if len(self._tok_cache) > 1_000_000:
+            self._tok_cache.clear()
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        payloads = [
+            _shingle_hashes(t, self.k, self._tok_cache) for t in texts
+        ]
+        offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in payloads], out=offsets[1:])
+        values = (
+            np.concatenate(payloads) if ids else np.empty(0, dtype=np.uint64)
+        )
+        neg = np.full(len(ids), -1, dtype=np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(np.asarray(ids, dtype=np.int64)),
+                "a": pa.array(neg),
+                "b": pa.array(neg),
+                "sh": pa.LargeListArray.from_arrays(
+                    pa.array(offsets, pa.int64()), pa.array(values, pa.uint64())
+                ),
+            }
+        )
+
+
+def _verify_pairs_join(
+    ds: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    threshold: float,
+    concurrency: int,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Exact-Jaccard verification of candidate ``pairs`` WITHOUT
+    shipping shingles through the band shuffle: the shingle stream is
+    recomputed once (pruned read, actor pool) and crosses exactly ONE
+    doc-bucketed exchange at 1× corpus payload; need-rows (two per
+    pair) pick up their doc's shingles in-partition, then ONE
+    pair-bucketed exchange computes Jaccard with both sides present.
+    Bit-identical to ``verify="exact"`` (same candidates, same
+    intersect arithmetic) — parity-tested."""
+    import pyarrow as pa
+
+    def needs(df: pd.DataFrame) -> "pa.Table":
+        doc = np.concatenate([df["doc_a"].to_numpy(), df["doc_b"].to_numpy()])
+        a = np.tile(df["doc_a"].to_numpy(), 2)
+        b = np.tile(df["doc_b"].to_numpy(), 2)
+        empty = pa.LargeListArray.from_arrays(
+            pa.array(np.zeros(len(doc) + 1, dtype=np.int64), pa.int64()),
+            pa.array(np.empty(0, dtype=np.uint64), pa.uint64()),
+        )
+        return pa.table(
+            {
+                "doc": pa.array(doc.astype(np.int64)),
+                "a": pa.array(a.astype(np.int64)),
+                "b": pa.array(b.astype(np.int64)),
+                "sh": empty,
+            }
+        )
+
+    shingles = ds.map_batches(
+        ShingleEmitter,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, shingle_k=shingle_k
+        ),
+        batch_format="pyarrow",
+        concurrency=_pool_size(concurrency),
+    )
+    tagged = pairs.map_batches(needs, batch_format="pandas").union(shingles)
+
+    def add_doc_b(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        part = pc.cast(
+            pc.bit_wise_and(t["doc"], np.int64(n_buckets - 1)), pa.int32()
+        )
+        return t.append_column("__p", part)
+
+    def attach(g: pd.DataFrame) -> "pa.Table":
+        is_sh = g["a"].to_numpy() == -1
+        sh_of = {
+            int(d): np.asarray(s, dtype=np.uint64)
+            for d, s in zip(g["doc"][is_sh], g["sh"][is_sh])
+        }
+        need = g[~is_sh]
+        docs = need["doc"].to_numpy()
+        payloads = [sh_of.get(int(d), np.empty(0, np.uint64)) for d in docs]
+        offsets = np.zeros(len(docs) + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in payloads], out=offsets[1:])
+        values = (
+            np.concatenate(payloads) if len(docs) else np.empty(0, np.uint64)
+        )
+        return pa.table(
+            {
+                "a": pa.array(need["a"].to_numpy().astype(np.int64)),
+                "b": pa.array(need["b"].to_numpy().astype(np.int64)),
+                "sh": pa.LargeListArray.from_arrays(
+                    pa.array(offsets, pa.int64()), pa.array(values, pa.uint64())
+                ),
+            }
+        )
+
+    def add_pair_b(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        part = pc.cast(
+            pc.bit_wise_and(
+                pc.add(pc.multiply(t["a"], np.int64(1_000_003)), t["b"]),
+                np.int64(n_buckets - 1),
+            ),
+            pa.int32(),
+        )
+        return t.append_column("__p", part)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        out: list[tuple[int, int, int]] = []
+        for (a, b), grp in g.groupby(["a", "b"]):
+            shs = [np.asarray(s, dtype=np.uint64) for s in grp["sh"]]
+            if len(shs) != 2:
+                continue
+            A, B = shs
+            inter = len(np.intersect1d(A, B, assume_unique=True))
+            union = len(A) + len(B) - inter
+            if union and inter / union >= threshold:
+                out.append((int(a), int(b), inter * 1_000_000 // union))
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([r[0] for r in out], dtype="int64"),
+                "doc_b": pd.Series([r[1] for r in out], dtype="int64"),
+                "jaccard_e6": pd.Series([r[2] for r in out], dtype="int64"),
+            }
+        )
+
+    attached = (
+        tagged.map_batches(add_doc_b, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(attach, batch_format="pandas")
+    )
+    return (
+        attached.map_batches(add_pair_b, batch_format="pyarrow")
+        .groupby("__p")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+
 def minhash_lsh_dups(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",
@@ -310,14 +489,20 @@ def minhash_lsh_dups(
     ``verify="estimate"``: band rows carry only the fixed
     num_perm×8-byte signature; Jaccard is estimated by signature
     agreement (stderr ≈ sqrt(J(1-J)/num_perm) ≈ 0.04 at J=0.7). The
-    100-TB mode: constant shuffle payload per row."""
-    assert verify in ("exact", "estimate")
+    constant-payload mode.
+    ``verify="join"``: band rows carry NOTHING (16 bytes/row through
+    the band shuffle); candidate pairs are generated first, then
+    verified by exact Jaccard via ``_verify_pairs_join`` — the shingle
+    stream crosses ONE exchange at 1× corpus payload instead of
+    ``bands``×. Bit-identical results to ``verify="exact"``
+    (parity-tested); the 100-TB EXACT mode."""
+    assert verify in ("exact", "estimate", "join")
+    carry = {"exact": "shingles", "estimate": "signature", "join": "none"}[verify]
     banded = ds.map_batches(
         MinHashBander,
         fn_constructor_kwargs=dict(
             id_col=id_col, text_col=text_col, shingle_k=shingle_k,
-            num_perm=num_perm, bands=bands, seed=seed,
-            carry="shingles" if verify == "exact" else "signature",
+            num_perm=num_perm, bands=bands, seed=seed, carry=carry,
         ),
         batch_format="pyarrow",
         concurrency=_pool_size(concurrency),
@@ -329,6 +514,20 @@ def minhash_lsh_dups(
 
         part = pc.cast(pc.bit_wise_and(t["key"], 63), pa.int32())
         return t.append_column("__part", part)
+
+    if verify == "join":
+        cands = (
+            banded.map_batches(add_part, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(
+                lambda g: _cand_pairs_in_partition(g.drop(columns="__part")),
+                batch_format="pandas",
+            )
+        )
+        pairs = dedup_exact(cands, ["doc_a", "doc_b"])
+        return _verify_pairs_join(
+            ds, pairs, id_col, text_col, shingle_k, threshold, concurrency
+        )
 
     if verify == "exact":
         in_partition = lambda g: _pairs_in_partition(g.drop(columns="__part"), threshold)  # noqa: E731

@@ -493,3 +493,41 @@ def test_fuzzy_dedup_keep_one_chain_and_singletons():
     )
     got = dict(zip(out["doc_id"], out["cluster_size"]))
     assert got == {1: 3, 10: 2, 42: 1, 99: 1}
+
+
+def test_minhash_join_mode_matches_exact():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.neardup import minhash_lsh_dups
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    texts, ids = [], []
+    for i in range(120):
+        toks = list(rng.choice(vocab, size=60))
+        ids.append(i)
+        texts.append(" ".join(toks))
+        if i % 4 == 0:
+            # near-dup: drop two tokens
+            ids.append(1000 + i)
+            texts.append(" ".join(toks[:-2]))
+    docs = pd.DataFrame({"doc_id": ids, "text": texts})
+    ds = ray.data.from_pandas([p for p in np.array_split(docs, 4)])
+
+    cols = ["doc_a", "doc_b", "jaccard_e6"]
+    exact = (
+        minhash_lsh_dups(ds, threshold=0.7, concurrency=2, verify="exact")
+        .to_pandas()
+        .sort_values(cols[:2])
+        .reset_index(drop=True)[cols]
+    )
+    joined = (
+        minhash_lsh_dups(ds, threshold=0.7, concurrency=2, verify="join")
+        .to_pandas()
+        .sort_values(cols[:2])
+        .reset_index(drop=True)[cols]
+    )
+    assert len(exact) >= 30  # the planted near-dups were recalled
+    pd.testing.assert_frame_equal(exact, joined)

@@ -1341,10 +1341,113 @@ def _q_corpus_diff(sf_dir: str):
     return corpus_diff(v1, v2)
 
 
+def _q_sales_cube(sf_dir: str):
+    """GROUPING SETS ((flag, status), (flag), ()) in ONE corpus pass:
+    the per-batch combiner emits partial rows for every grouping level
+    ('ALL' sentinel), so the exchange carries 3×groups rows instead of
+    3 corpus scans. Revenue in integer cents — sums are exact int64,
+    no float-order skew."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "cents": np.floor(
+                    df["l_extendedprice"] * 100 + 0.5
+                ).astype("int64"),
+            }
+        )
+        levels = []
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n_rows=("cents", "count"), sum_cents=("cents", "sum")
+        )
+        levels.append(g)
+        g1 = df.groupby("l_returnflag", as_index=False).agg(
+            n_rows=("cents", "count"), sum_cents=("cents", "sum")
+        )
+        g1["l_linestatus"] = "ALL"
+        levels.append(g1)
+        tot = pd.DataFrame(
+            {
+                "l_returnflag": ["ALL"],
+                "l_linestatus": ["ALL"],
+                "n_rows": [len(df)],
+                "sum_cents": [int(df["cents"].sum())],
+            }
+        )
+        levels.append(tot)
+        out = pd.concat(levels, ignore_index=True)
+        out["__k"] = out["l_returnflag"] + "|" + out["l_linestatus"]
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            n_rows=("n_rows", "sum"), sum_cents=("sum_cents", "sum")
+        )
+        out["n_rows"] = out["n_rows"].astype("int64")
+        out["sum_cents"] = out["sum_cents"].astype("int64")
+        return out
+
+    return _bucketed_groupby(
+        li.map_batches(partial, batch_format="pandas"), "__k", final, 8
+    )
+
+
+def _q_value_moments(sf_dir: str):
+    """Exact distributed moments per event type: (n, Σcents, Σcents²)
+    via the textbook sum/sum-of-squares combiner — all int64-exact
+    (mean/variance derive on the consumer side without another corpus
+    pass)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["value"] * 100 + 0.5).astype("int64")
+        t = pd.DataFrame(
+            {"event_type": df["event_type"], "c": c, "c2": c * c}
+        )
+        return t.groupby("event_type", as_index=False).agg(
+            n=("c", "count"), sum_cents=("c", "sum"), sumsq_cents=("c2", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), sum_cents=("sum_cents", "sum"),
+            sumsq_cents=("sumsq_cents", "sum"),
+        )
+        for col in ("n", "sum_cents", "sumsq_cents"):
+            out[col] = out[col].astype("int64")
+        return out
+
+    return _bucketed_groupby(
+        ev.map_batches(partial, batch_format="pandas"), "event_type", final, 4
+    )
+
+
 def _q_triangles(sf_dir: str):
     """Exact triangle count of the supplier co-supply graph (edge =
-    two suppliers sharing an order) via degree-oriented wedge
-    generation (``ops.graph.triangle_count``)."""
+    two suppliers sharing an order, over the l_orderkey%20 order
+    subsample — the unfiltered co-supply graph is near-complete, which
+    is a degenerate benchmark: 124M triangles at sf0.1) via
+    degree-oriented wedge generation (``ops.graph.triangle_count``)."""
     import pandas as pd
     import ray.data
 
@@ -1357,7 +1460,7 @@ def _q_triangles(sf_dir: str):
     )
 
     def distinct_os(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+        return df[df["l_orderkey"] % 20 == 0].drop_duplicates()
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates()
@@ -1486,6 +1589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
+        "sales_cube": _q_sales_cube,
+        "value_moments": _q_value_moments,
     }
 
 
@@ -2247,9 +2352,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
             WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
         """,
+        "sales_cube": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM lineitem
+            GROUP BY GROUPING SETS (
+                (l_returnflag, l_linestatus), (l_returnflag), ()
+            )
+        """,
+        "value_moments": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents,
+                   CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents
+            FROM c GROUP BY event_type
+        """,
         "triangles": """
             WITH os AS (
                 SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+                WHERE l_orderkey % 20 = 0
             ), e AS (
                 SELECT DISTINCT x.s AS a, y.s AS b
                 FROM os x JOIN os y ON x.o = y.o AND x.s < y.s

@@ -41,11 +41,12 @@ def _headline(sf_dir: str) -> dict:
     pages = pages_from_documents(sf_dir, world, repeat=repeat)
     n_pages = pages.count()  # warm page-cache + actor-free read
 
-    # warmup at tiny repeat: fault in plasma pages, spawn the actor
-    # pool once — first-execution transients after a fresh ray.init
-    # measured up to 3-4x on this box (cold /dev/shm + scheduler JIT)
+    # warmup: fault in plasma pages, spawn the actor pool once —
+    # first-execution transients after a fresh ray.init measured up to
+    # 3-4x on this box (cold /dev/shm + scheduler JIT). repeat=8 so the
+    # warmup actually touches every actor and a real page volume.
     doc_triples(
-        pages_from_documents(sf_dir, world, repeat=2),
+        pages_from_documents(sf_dir, world, repeat=8),
         world_ref=world_ref, concurrency=max(2, ncpu - 2),
     ).count()
 
@@ -75,7 +76,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "hopping_events", "session_stats", "asof_clicks", "range_clicks",
                  "fuzzy_dedup_docs", "kmeans_clusters", "tfidf_terms",
                  "dup_spans", "url_dedup", "corpus_diff", "doc_ranks",
-                 "cooc_pairs", "kg_negatives"):
+                 "cooc_pairs", "kg_negatives", "mention_contexts",
+                 "sales_cube", "value_moments"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

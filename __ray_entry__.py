@@ -1341,6 +1341,65 @@ def _q_corpus_diff(sf_dir: str):
     return corpus_diff(v1, v2)
 
 
+def _q_window_uniques(sf_dir: str):
+    """Exact distinct-user count per hour window — the two-level
+    distinct-then-count shape: level 1 dedups (window, user) inside one
+    hash-bucketed exchange and emits per-partition window counts (each
+    pair lands in exactly one partition, so counts sum exactly);
+    level 2 is a tiny windows-sized aggregate. Never shuffles raw
+    event rows — the per-batch distinct combiner shrinks the exchange
+    to near-distinct pairs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "window_start": df["ts"].dt.floor("h"),
+                "user_id": df["user_id"].astype("int64"),
+            }
+        )
+        return out.drop_duplicates()
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(
+            df[["window_start", "user_id"]], index=False
+        ).to_numpy()
+        df["__b"] = (h % np.uint64(32)).astype(np.int64)
+        return df
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").drop_duplicates()
+        return g.groupby("window_start", as_index=False).agg(
+            n_users=("user_id", "count")
+        )
+
+    partials = (
+        ev.map_batches(distinct, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(count_part, batch_format="pandas")
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("window_start", as_index=False)["n_users"].sum()
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return _bucketed_groupby(partials, "window_start", final, 4)
+
+
 def _q_sales_cube(sf_dir: str):
     """GROUPING SETS ((flag, status), (flag), ()) in ONE corpus pass:
     the per-batch combiner emits partial rows for every grouping level
@@ -1591,6 +1650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": _q_triangles,
         "sales_cube": _q_sales_cube,
         "value_moments": _q_value_moments,
+        "window_uniques": _q_window_uniques,
     }
 
 
@@ -2351,6 +2411,11 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status
             FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
             WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text
+        """,
+        "window_uniques": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
         """,
         "sales_cube": """
             SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,

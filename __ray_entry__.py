@@ -195,14 +195,17 @@ def _q_dedup_docs(sf_dir: str):
     from fastie_ray.ops.dedup import dedup_docs_exact
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    # deterministic duplicated corpus: every 5th doc re-appears with id+1e6
-    def dup(df: pd.DataFrame) -> pd.DataFrame:
+
+    # deterministic duplicated corpus: every 5th doc re-appears with
+    # id+1e6 — originals and replicas emitted from ONE map over ONE
+    # read (a read + union doubled block/task counts for no reason:
+    # ~550 scheduled tasks → ~280)
+    def with_dups(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df["doc_id"] % 5 == 0].copy()
         d["doc_id"] = d["doc_id"] + 1_000_000
-        return d
+        return pd.concat([df, d], ignore_index=True)
 
-    dup_ds = ds.map_batches(dup, batch_format="pandas")
-    return dedup_docs_exact(ds.union(dup_ds))
+    return dedup_docs_exact(ds.map_batches(with_dups, batch_format="pandas"))
 
 
 def _q_fuzzy_dedup(sf_dir: str):

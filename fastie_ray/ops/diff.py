@@ -68,7 +68,11 @@ def corpus_diff(
         ).astype(np.int64)
         return df
 
-    def classify(g: pd.DataFrame) -> pd.DataFrame:
+    def classify(g: pd.DataFrame) -> "pa.Table":
+        # typed Arrow out: zero-row pandas blocks lose their schema
+        # (Ray sentinel blocks) and break downstream consumers
+        import pyarrow as pa
+
         p = g.pivot_table(
             index="doc_id", columns="side", values="fp", aggfunc="first"
         )
@@ -77,12 +81,35 @@ def corpus_diff(
         status = np.where(
             f1.isna(), "added", np.where(f2.isna(), "removed", "changed")
         )
-        out = pd.DataFrame({"doc_id": p.index.astype("int64"), "status": status})
         keep = ~(f1.notna() & f2.notna() & (f1 == f2)).to_numpy()
-        return out[keep].reset_index(drop=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    p.index.to_numpy()[keep].astype(np.int64), pa.int64()
+                ),
+                "status": pa.array(status[keep], pa.string()),
+            }
+        )
 
-    return (
+    out = (
         tagged.map_batches(add_b, batch_format="pandas")
         .groupby("__b")
         .map_groups(classify, batch_format="pandas")
     )
+
+    def pin_schema(t) -> "object":
+        # empty sort groups surface as schema-less sentinel pandas
+        # blocks (NOTES r2 fact 3); re-type them so an all-unchanged
+        # diff still yields (doc_id, status)
+        import pyarrow as pa
+
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "status": pa.array([], pa.string()),
+                }
+            )
+        return t
+
+    return out.map_batches(pin_schema, batch_format="pyarrow")

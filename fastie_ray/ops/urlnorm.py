@@ -33,7 +33,7 @@ _NORM_RULES: list[tuple[str, str]] = [
     (r"^https?://", ""),
     (r"^www\.", ""),
     (r"\?.*$", ""),
-    (r"/$", ""),
+    (r"/+$", ""),
 ]
 
 

@@ -35,6 +35,22 @@ def _pages(sf_dir: str):
     return pages_from_documents(sf_dir, _world())
 
 
+def _read(sf_dir: str, table: str, columns=None):
+    """Table read with block count tracking DATA VOLUME, not CPU count:
+    Ray's default splits even a 5k-row file into 64 blocks, and on
+    multi-exchange corpus ops every downstream operator inherits that
+    fan-out — ~1000 scheduled tasks against the ~50 tasks/s driver
+    dispatch ceiling (measured: simhash_dups 18 s → 2.2 s at sf0.1
+    from this change alone). At real scale the shard list itself
+    provides the parallelism; 16 blocks per small file keeps every
+    stage busy without drowning the driver."""
+    import ray.data
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, override_num_blocks=16
+    )
+
+
 def _conc(requested: int = 16) -> int:
     """Scorer-pool size for the pipeline queries: scale to the session's
     CPUs (the driver runs 32, tests 4) leaving headroom for the
@@ -154,7 +170,7 @@ def _q_lang_counts(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    ds = _read(sf_dir, "documents", columns=["lang"])
     return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
 
 
@@ -163,7 +179,7 @@ def _q_token_counts(sf_dir: str):
 
     from fastie_ray.ops.text_analysis import token_counts
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return token_counts(ds)
 
 
@@ -173,7 +189,7 @@ def _q_doc_stats(sf_dir: str):
     import pandas as pd
     import ray.data
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -194,7 +210,7 @@ def _q_dedup_docs(sf_dir: str):
 
     from fastie_ray.ops.dedup import dedup_docs_exact
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     # deterministic duplicated corpus: every 5th doc re-appears with
     # id+1e6 — originals and replicas emitted from ONE map over ONE
@@ -221,7 +237,7 @@ def _q_fuzzy_dedup(sf_dir: str):
 
     from fastie_ray.ops.dedup import fuzzy_dedup_keep_one
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def plant(df: pd.DataFrame) -> pd.DataFrame:
         d1 = df[df["doc_id"] % 5 == 0].copy()
@@ -299,9 +315,7 @@ def _q_stratified_sample(sf_dir: str):
 
     from fastie_ray.ops.sampling import stratified_sample
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
-    )
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
     return stratified_sample(ds, _STRAT_RATES, stratum_col="lang", id_col="doc_id")
 
 
@@ -311,9 +325,7 @@ def _q_grouped_topk(sf_dir: str):
 
     from fastie_ray.ops.sampling import grouped_topk
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
-    )
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
     return grouped_topk(ds, k=5, group_col="lang", value_col="n_chars", id_col="doc_id")
 
 
@@ -325,7 +337,7 @@ def _q_kmeans_assign(sf_dir: str):
 
     from fastie_ray.ops.clustering import init_centroids, kmeans_assign
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read(sf_dir, "embeddings")
     cids, cents = init_centroids(ds, k=10)
     return kmeans_assign(ds, cids, cents).select_columns(["vec_id", "cluster_id"])
 
@@ -339,7 +351,7 @@ def _q_kmeans_clusters(sf_dir: str):
 
     from fastie_ray.ops.clustering import kmeans_cluster_sizes
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read(sf_dir, "embeddings")
     return kmeans_cluster_sizes(ds, k=10, iters=8)
 
 
@@ -350,7 +362,7 @@ def _q_doc_frequency(sf_dir: str):
 
     from fastie_ray.ops.text_index import doc_frequency
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return doc_frequency(ds)
 
 
@@ -361,7 +373,7 @@ def _q_tfidf_terms(sf_dir: str):
 
     from fastie_ray.ops.text_index import tfidf_top_terms
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = ds.count()
     return tfidf_top_terms(ds, n_docs=n_docs, k=3, min_df=2)
 
@@ -377,7 +389,7 @@ def _q_len_quantiles(sf_dir: str):
 
     from fastie_ray.ops.stats import exact_quantiles
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
     return exact_quantiles(ds, "n_chars", _QUANTILE_QS)
 
 
@@ -386,7 +398,7 @@ def _q_knn(sf_dir: str):
 
     from fastie_ray.ops.similarity import knn_bruteforce
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read(sf_dir, "embeddings")
     out = knn_bruteforce(ds, query_ids=[0, 1, 2, 3], k=5)
     return out[["query_id", "neighbor_id", "rank"]]
 
@@ -397,7 +409,7 @@ def _q_events_by_type(sf_dir: str):
 
     from fastie_ray.pipelines.kg import _bucketed_groupby
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("event_type", as_index=False).agg(
@@ -419,9 +431,7 @@ def _q_windowed_events(sf_dir: str):
 
     from fastie_ray.ops.windows import tumbling_window_agg
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
-    )
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
     return tumbling_window_agg(ds, freq="1h")
 
 
@@ -430,9 +440,7 @@ def _q_hopping_events(sf_dir: str):
 
     from fastie_ray.ops.windows import hopping_window_agg
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
-    )
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
     return hopping_window_agg(ds, size="1h", hop="30min")
 
 
@@ -445,9 +453,7 @@ def _q_session_stats(sf_dir: str):
 
     from fastie_ray.ops.windows import session_window_agg_scalable
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
-    )
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "value"])
     return session_window_agg_scalable(ds, gap="30min", bucket="1d")
 
 
@@ -464,11 +470,11 @@ def _q_asof_clicks(sf_dir: str):
     # predicate pushdown: only the needed event types leave storage
     clicks = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"],
-        filter=pc.field("event_type") == "click",
+        filter=pc.field("event_type") == "click", override_num_blocks=16,
     )
     views = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"],
-        filter=pc.field("event_type") == "view",
+        filter=pc.field("event_type") == "view", override_num_blocks=16,
     )
     out = asof_join(clicks, views, key_col="user_id", ts_col="ts",
                     right_cols=["event_id"])
@@ -496,11 +502,11 @@ def _q_range_clicks(sf_dir: str):
 
     clicks = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"],
-        filter=pc.field("event_type") == "click",
+        filter=pc.field("event_type") == "click", override_num_blocks=16,
     )
     views = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"],
-        filter=pc.field("event_type") == "view",
+        filter=pc.field("event_type") == "view", override_num_blocks=16,
     )
     out = range_join(
         clicks, views, window="1h", bucket="1d", right_cols=["event_id"],
@@ -524,9 +530,7 @@ def _q_top_users(sf_dir: str):
 
     from fastie_ray.ops.windows import top_k_by_sum
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
-    )
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
     return top_k_by_sum(ds, k=10)
 
 
@@ -536,10 +540,7 @@ def _q_q1_lineitem(sf_dir: str):
 
     from fastie_ray.pipelines.kg import _bucketed_groupby
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
-    )
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -575,13 +576,9 @@ def _q_orders_by_segment(sf_dir: str):
 
     from fastie_ray.pipelines.kg import _bucketed_groupby
 
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
     cust_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         seg = ray.get(cust_ref)
@@ -612,13 +609,8 @@ def _q_lineitem_orders(sf_dir: str):
     from fastie_ray.ops.join import hash_join
     from fastie_ray.pipelines.kg import _bucketed_groupby
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"],
-    )
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
-    )
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     j = hash_join(
         li, orders, on="l_orderkey", right_on="o_orderkey",
         left_cols=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -659,7 +651,7 @@ def _q_heavy_tokens(sf_dir: str):
     def items(df: pd.DataFrame) -> pd.Series:
         return df["text"].str.findall(_TOKEN_RE).explode().dropna().str.lower()
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _read(sf_dir, "documents", columns=["text"])
     out = heavy_hitters(ds, min_share=0.002, item_fn=items)
     return out.map_batches(
         lambda df: df.rename(columns={"item": "token"}), batch_format="pandas"
@@ -677,13 +669,8 @@ def _q_cust_no_orders(sf_dir: str):
     from fastie_ray.ops.join import hash_join
     from fastie_ray.pipelines.kg import _bucketed_groupby
 
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
-    )
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-    ).filter(expr="o_totalprice > 300000.0")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).filter(expr="o_totalprice > 300000.0")
     no_orders = hash_join(
         cust, orders, on="c_custkey", right_on="o_custkey", how="anti",
         left_cols=["c_custkey", "c_mktsegment", "c_acctbal"],
@@ -713,7 +700,7 @@ def _q_minhash_dups(sf_dir: str):
 
     from fastie_ray.ops.neardup import minhash_lsh_dups
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     # verify="exact" carries shingles through the band shuffle — the
     # fastest mode at sandbox scale (fewest exchange floors). At 100 TB
     # use verify="join" (16-byte band rows, shingles cross ONE exchange
@@ -733,7 +720,14 @@ def _q_simhash_dups(sf_dir: str):
 
     from fastie_ray.ops.neardup import simhash_dups
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # 16 blocks: this query is 3 chained exchanges whose per-block work
+    # is trivial — at Ray's default 64-way split the ~1000 scheduled
+    # tasks hit the ~50 tasks/s driver dispatch ceiling (NOTES #11);
+    # block count should track data volume, not CPU count
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=16,
+    )
 
     def plant(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df["doc_id"] % 5 == 0].copy()
@@ -757,7 +751,7 @@ def _q_jaccard_prefix(sf_dir: str):
 
     from fastie_ray.ops.neardup import jaccard_pairs_batch
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -779,7 +773,7 @@ def _q_embed_neardup(sf_dir: str):
 
     from fastie_ray.ops.neardup import embedding_neardup
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _read(sf_dir, "embeddings")
 
     def plant(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df["vec_id"] % 5 == 0].copy()
@@ -805,7 +799,7 @@ def _q_lsh_knn(sf_dir: str):
 
     from fastie_ray.ops.similarity import lsh_knn
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read(sf_dir, "embeddings")
 
     def plant(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df["vec_id"].isin([0, 1, 2, 3])].copy()
@@ -846,7 +840,7 @@ def _q_ivf_knn(sf_dir: str):
 
     from fastie_ray.ops.similarity import ivf_knn
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read(sf_dir, "embeddings")
 
     def plant(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df["vec_id"].isin([0, 1, 2, 3])].copy()
@@ -872,7 +866,7 @@ def _q_lang_id(sf_dir: str):
 
     from fastie_ray.ops.text_analysis import lang_id
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def plant(df: pd.DataFrame) -> pd.DataFrame:
         d = df[df["doc_id"] % 5 == 0].copy()
@@ -895,7 +889,7 @@ def _q_quality(sf_dir: str):
 
     from fastie_ray.ops.text_analysis import quality_scores
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return quality_scores(ds)
 
 
@@ -909,7 +903,7 @@ def _q_fingerprints(sf_dir: str):
 
     from fastie_ray.ops.text_analysis import fingerprint_batch
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
         a = fingerprint_batch(df)
@@ -938,7 +932,7 @@ def _q_pii_scrub(sf_dir: str):
 
     from fastie_ray.ops.pii import pii_scrub
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def plant(df: pd.DataFrame) -> pd.DataFrame:
         d = df.copy()
@@ -960,7 +954,7 @@ def _q_repetition(sf_dir: str):
 
     from fastie_ray.ops.text_analysis import repetition_scores
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return repetition_scores(ds)
 
 
@@ -975,7 +969,7 @@ def _q_decontaminate(sf_dir: str):
 
     import pandas as pd
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     test_ds = ds.map_batches(
         lambda df: df[df["doc_id"] % 37 == 0], batch_format="pandas"
     )
@@ -994,7 +988,7 @@ def _q_dup_spans(sf_dir: str):
 
     from fastie_ray.ops.substring_dedup import dup_span_stats
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return dup_span_stats(ds, n=8, min_count=2, key="gram")
 
 
@@ -1008,7 +1002,7 @@ def _q_pack_docs(sf_dir: str):
 
     from fastie_ray.ops.packing import pack_segments
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return pack_segments(ds, ctx_len=512, range_size=100)
 
 
@@ -1022,7 +1016,7 @@ def _q_dedup_incremental(sf_dir: str):
 
     from fastie_ray.ops.dedup import dedup_against
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ref = ds.map_batches(lambda df: df[df["doc_id"] % 3 == 0], batch_format="pandas")
     new = ds.map_batches(lambda df: df[df["doc_id"] % 2 == 0], batch_format="pandas")
     return dedup_against(new, ref)
@@ -1043,7 +1037,7 @@ def _q_bm25(sf_dir: str):
 
     from fastie_ray.ops.retrieval import bm25_topk
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return bm25_topk(ds, _BM25_QUERIES, k=10)
 
 
@@ -1059,8 +1053,8 @@ def _q_pagerank(sf_dir: str):
     from fastie_ray.ops.graph import pagerank
     from fastie_ray.ops.join import hash_join
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
     j = hash_join(
         li, orders, on="l_orderkey", right_on="o_orderkey",
         left_cols=["l_orderkey", "l_suppkey"], right_cols=["o_orderkey", "o_custkey"],
@@ -1084,9 +1078,7 @@ def _q_mixture_sample(sf_dir: str):
 
     from fastie_ray.ops.mixture import budget_sample
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
-    )
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
     budgets = {f"src{i}": 600 for i in range(0, 20, 2)}
     return budget_sample(ds, budgets, default_budget=900, range_size=100)
 
@@ -1101,7 +1093,7 @@ def _q_grouped_quantiles(sf_dir: str):
 
     from fastie_ray.ops.stats import grouped_quantiles
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
     # quantize to cents so the value domain is discrete (the op's
     # stated contract for continuous columns) and SQL-reproducible
     cents = ds.map_batches(
@@ -1130,7 +1122,7 @@ def _q_corpus_clean(sf_dir: str):
     from fastie_ray.ops.pii import pii_redact_batch
     from fastie_ray.pipelines.clean import clean_corpus
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     test_ds = ds.map_batches(
         lambda df: pii_redact_batch(df[df["doc_id"] % 37 == 0]),
         batch_format="pandas",
@@ -1165,7 +1157,7 @@ def _q_augment(sf_dir: str):
 
     from fastie_ray.functions.augment import augment_docs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = augment_docs(ds, methods=("delete", "repeat"))
 
     def stats(df: pd.DataFrame) -> pd.DataFrame:
@@ -1212,7 +1204,7 @@ def _q_kg_triples_gold(sf_dir: str):
 
     w = _world()
     nf = len(w.facts)
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
 
     from fastie_ray.synth import doc_url
 
@@ -1275,9 +1267,7 @@ def _q_doc_ranks(sf_dir: str):
 
     from fastie_ray.ops.rank import global_rank
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
-    )
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
     return global_rank(
         ds, key_col="n_chars", tie_col="doc_id", descending=True,
         range_size=64, keep_cols=["doc_id", "n_chars"],
@@ -1294,7 +1284,7 @@ def _q_url_dedup(sf_dir: str):
 
     from fastie_ray.ops.urlnorm import url_dedup
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def variants(df: pd.DataFrame) -> pd.DataFrame:
         d = df["doc_id"].astype("int64")
@@ -1327,7 +1317,7 @@ def _q_corpus_diff(sf_dir: str):
 
     from fastie_ray.ops.diff import corpus_diff
 
-    v1 = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    v1 = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def v2_of(df: pd.DataFrame) -> pd.DataFrame:
         keep = df[df["doc_id"] % 17 != 0].copy()
@@ -1338,9 +1328,7 @@ def _q_corpus_diff(sf_dir: str):
         add["text"] = "new " + add["doc_id"].astype(str)
         return pd.concat([keep, add], ignore_index=True)
 
-    v2 = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(v2_of, batch_format="pandas")
+    v2 = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(v2_of, batch_format="pandas")
     return corpus_diff(v1, v2)
 
 
@@ -1358,9 +1346,7 @@ def _q_window_uniques(sf_dir: str):
 
     from fastie_ray.pipelines.kg import _bucketed_groupby
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
-    )
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
 
     def distinct(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -1415,10 +1401,7 @@ def _q_sales_cube(sf_dir: str):
 
     from fastie_ray.pipelines.kg import _bucketed_groupby
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
-    )
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = pd.DataFrame(
@@ -1477,9 +1460,7 @@ def _q_value_moments(sf_dir: str):
 
     from fastie_ray.pipelines.kg import _bucketed_groupby
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
-    )
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         c = np.floor(df["value"] * 100 + 0.5).astype("int64")
@@ -1517,9 +1498,7 @@ def _q_triangles(sf_dir: str):
     from fastie_ray.ops.graph import triangle_count
     from fastie_ray.pipelines.kg import _bucketed_groupby
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
-    )
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
 
     def distinct_os(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["l_orderkey"] % 20 == 0].drop_duplicates()
@@ -1581,7 +1560,7 @@ def _q_cooc_pairs(sf_dir: str):
 
     from fastie_ray.ops.cooc import cooc_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return cooc_pairs(ds, k=100, per_doc_cap=16)
 
 

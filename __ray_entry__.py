@@ -32,7 +32,9 @@ def _world():
 def _pages(sf_dir: str):
     from fastie_ray.sources.pages import pages_from_documents
 
-    return pages_from_documents(sf_dir, _world())
+    # 16 read blocks: same task-dispatch discipline as _read — the kg
+    # queries chain an actor pool + exchanges off this source
+    return pages_from_documents(sf_dir, _world(), override_num_blocks=16)
 
 
 def _read(sf_dir: str, table: str, columns=None):

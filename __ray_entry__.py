@@ -1334,6 +1334,30 @@ def _q_corpus_diff(sf_dir: str):
     return corpus_diff(v1, v2)
 
 
+def _q_kg_edges_delta(sf_dir: str):
+    """Incremental KG maintenance: replica-0 pages are the
+    checkpointed base graph, replica-1 pages the new crawl increment;
+    ``merge_edge_aggregates`` folds the increment's edge aggregate into
+    the base state with one graph-sized exchange. The oracle is the
+    FULL-BATCH graph over both replicas (n_support exactly doubles) —
+    incremental must equal batch bit-for-bit."""
+    from fastie_ray.pipelines.kg import graph_tables, merge_edge_aggregates
+    from fastie_ray.sources.pages import pages_from_documents
+
+    w = _world()
+    base = graph_tables(
+        pages_from_documents(sf_dir, w, override_num_blocks=16, replica=0),
+        world=w, concurrency=_conc(), want=("edges",),
+    )["edges"]
+    delta = graph_tables(
+        pages_from_documents(sf_dir, w, override_num_blocks=16, replica=1),
+        world=w, concurrency=_conc(), want=("edges",),
+    )["edges"]
+    return merge_edge_aggregates(base, delta).select_columns(
+        ["subject_id", "predicate", "object_id", "n_support"]
+    )
+
+
 def _q_window_uniques(sf_dir: str):
     """Exact distinct-user count per hour window — the two-level
     distinct-then-count shape: level 1 dedups (window, user) inside one
@@ -1635,6 +1659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sales_cube": _q_sales_cube,
         "value_moments": _q_value_moments,
         "window_uniques": _q_window_uniques,
+        "kg_edges_delta": _q_kg_edges_delta,
     }
 
 
@@ -2075,6 +2100,15 @@ def oracle_sql() -> dict[str, str]:
             WITH {FACTS}, {EIDS}
             SELECT e.sub_eid AS subject_id, f.predicate AS predicate,
                    e.obj_eid AS object_id, count(*) AS n_support
+            FROM documents d
+            JOIN facts f ON f.i = d.doc_id % {NF}
+            JOIN eids e ON e.i = f.i
+            GROUP BY 1, 2, 3
+        """,
+        "kg_edges_delta": f"""
+            WITH {FACTS}, {EIDS}
+            SELECT e.sub_eid AS subject_id, f.predicate AS predicate,
+                   e.obj_eid AS object_id, count(*) * 2 AS n_support
             FROM documents d
             JOIN facts f ON f.i = d.doc_id % {NF}
             JOIN eids e ON e.i = f.i

@@ -52,15 +52,16 @@ def pages_from_documents(
     world: World,
     override_num_blocks: int | None = None,
     repeat: int = 1,
+    replica: int = 0,
 ) -> "ray.data.Dataset":
     """documents.parquet → pages (url, warc_ts, html, text, lang).
 
     ``repeat > 1`` emits that many deterministic replicas of the corpus
     with distinct urls (``…/rNN/``) — the bench's way of scaling the
     stream so compute dominates fixed scheduling costs, standing in for
-    a larger shard list at constant per-page work."""
-    import ray.data
-
+    a larger shard list at constant per-page work. ``replica`` selects
+    which single replica to render when ``repeat == 1`` (replica 1+ is
+    the "new crawl increment" of the incremental-maintenance query)."""
     import ray.data
 
     facts = world.facts  # captured; small (vocab-bounded)
@@ -73,7 +74,7 @@ def pages_from_documents(
         )
 
         def to_pages(batch: pa.Table) -> pa.Table:
-            return _pages_table(batch, facts, 0)
+            return _pages_table(batch, facts, replica)
 
         return ds.map_batches(to_pages, batch_format="pyarrow")
 

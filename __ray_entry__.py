@@ -1334,6 +1334,40 @@ def _q_corpus_diff(sf_dir: str):
     return corpus_diff(v1, v2)
 
 
+def _q_clean_pack(sf_dir: str):
+    """End-to-end training-data assembly: the full corpus_clean chain
+    (PII redact → quality filters → decontamination → exact dedup,
+    keep_text=True) feeds sequence packing into 512-token contexts —
+    clean and pack compose as streaming stages; only the pack's
+    two-pass prefix scan touches an exchange. Oracle chains both SQL
+    reconstructions over the survivors."""
+    import pandas as pd
+
+    from fastie_ray.ops.decontaminate import collect_test_ngrams
+    from fastie_ray.ops.packing import pack_segments
+    from fastie_ray.ops.pii import pii_redact_batch
+    from fastie_ray.pipelines.clean import clean_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    test_ds = ds.map_batches(
+        lambda df: pii_redact_batch(df[df["doc_id"] % 37 == 0]),
+        batch_format="pandas",
+    )
+    grams_ref = collect_test_ngrams(test_ds, n=8)
+
+    def plant_dups(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] % 7 == 0].copy()
+        d["doc_id"] = d["doc_id"] + 2_000_000
+        return pd.concat([df, d], ignore_index=True)
+
+    cleaned = clean_corpus(
+        ds.map_batches(plant_dups, batch_format="pandas"),
+        grams_ref, n=8, min_tokens=20, max_dup_frac_e6=650_000,
+        max_top_bigram_frac_e6=100_000, keep_text=True,
+    )
+    return pack_segments(cleaned, ctx_len=512, range_size=100)
+
+
 def _q_kg_edges_delta(sf_dir: str):
     """Incremental KG maintenance: replica-0 pages are the
     checkpointed base graph, replica-1 pages the new crawl increment;
@@ -1660,10 +1694,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_moments": _q_value_moments,
         "window_uniques": _q_window_uniques,
         "kg_edges_delta": _q_kg_edges_delta,
+        "clean_pack": _q_clean_pack,
     }
 
 
 # ----------------------------------------------------------------- oracles
+
+
+_CLEAN_CTES = r"""
+            WITH raw AS (SELECT doc_id, text FROM documents),
+            planted AS (
+                SELECT doc_id, text FROM raw
+                UNION ALL
+                SELECT doc_id + 2000000 AS doc_id, text FROM raw WHERE doc_id % 7 = 0),
+            red AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                           '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS text
+                FROM planted),
+            tok AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                FROM red),
+            sig AS (
+                SELECT doc_id, text, toks, len(toks) AS n_tokens,
+                       len(list_distinct(toks)) AS n_distinct,
+                       CASE WHEN len(toks) > 1
+                            THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                            ELSE CAST([] AS VARCHAR[]) END AS bigrams
+                FROM tok),
+            top AS (
+                SELECT doc_id, max(c) AS top_c
+                FROM (SELECT doc_id, g, count(*) AS c
+                      FROM (SELECT doc_id, unnest(bigrams) AS g FROM sig)
+                      GROUP BY doc_id, g)
+                GROUP BY doc_id),
+            filt AS (
+                SELECT s.doc_id, s.text, s.toks, s.n_tokens
+                FROM sig s LEFT JOIN top USING (doc_id)
+                WHERE s.n_tokens >= 20
+                  AND (s.n_tokens - s.n_distinct) * 1000000 // greatest(s.n_tokens, 1) < 650000
+                  AND coalesce(top.top_c, 0) * 1000000 // greatest(s.n_tokens - 1, 1) < 100000),
+            testg AS (
+                SELECT DISTINCT gram FROM (
+                    SELECT unnest(CASE WHEN len(toks) >= 8
+                                       THEN list_transform(range(1, len(toks) - 6),
+                                                           i -> array_to_string(toks[i:i+7], ' '))
+                                       ELSE CAST([] AS VARCHAR[]) END) AS gram
+                    FROM tok WHERE doc_id % 37 = 0 AND doc_id < 2000000)),
+            docg AS (
+                SELECT doc_id, unnest(CASE WHEN n_tokens >= 8
+                                           THEN list_transform(range(1, n_tokens - 6),
+                                                               i -> array_to_string(toks[i:i+7], ' '))
+                                           ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM filt),
+            contam AS (SELECT DISTINCT d.doc_id FROM docg d JOIN testg USING (gram)),
+            clean AS (SELECT * FROM filt WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1963,62 +2053,40 @@ def oracle_sql() -> dict[str, str]:
                         - greatest((fw + j) * 512 - start_offset, 0) AS BIGINT) AS seg_len
             FROM w, UNNEST(range(0, lw - fw + 1)) AS t(j)
         """,
-        "corpus_clean": r"""
-            WITH raw AS (SELECT doc_id, text FROM documents),
-            planted AS (
-                SELECT doc_id, text FROM raw
-                UNION ALL
-                SELECT doc_id + 2000000 AS doc_id, text FROM raw WHERE doc_id % 7 = 0),
-            red AS (
-                SELECT doc_id,
-                       regexp_replace(regexp_replace(regexp_replace(text,
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-                           '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS text
-                FROM planted),
-            tok AS (
-                SELECT doc_id, text,
-                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                            ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-                FROM red),
-            sig AS (
-                SELECT doc_id, text, toks, len(toks) AS n_tokens,
-                       len(list_distinct(toks)) AS n_distinct,
-                       CASE WHEN len(toks) > 1
-                            THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-                            ELSE CAST([] AS VARCHAR[]) END AS bigrams
-                FROM tok),
-            top AS (
-                SELECT doc_id, max(c) AS top_c
-                FROM (SELECT doc_id, g, count(*) AS c
-                      FROM (SELECT doc_id, unnest(bigrams) AS g FROM sig)
-                      GROUP BY doc_id, g)
-                GROUP BY doc_id),
-            filt AS (
-                SELECT s.doc_id, s.text, s.toks, s.n_tokens
-                FROM sig s LEFT JOIN top USING (doc_id)
-                WHERE s.n_tokens >= 20
-                  AND (s.n_tokens - s.n_distinct) * 1000000 // greatest(s.n_tokens, 1) < 650000
-                  AND coalesce(top.top_c, 0) * 1000000 // greatest(s.n_tokens - 1, 1) < 100000),
-            testg AS (
-                SELECT DISTINCT gram FROM (
-                    SELECT unnest(CASE WHEN len(toks) >= 8
-                                       THEN list_transform(range(1, len(toks) - 6),
-                                                           i -> array_to_string(toks[i:i+7], ' '))
-                                       ELSE CAST([] AS VARCHAR[]) END) AS gram
-                    FROM tok WHERE doc_id % 37 = 0 AND doc_id < 2000000)),
-            docg AS (
-                SELECT doc_id, unnest(CASE WHEN n_tokens >= 8
-                                           THEN list_transform(range(1, n_tokens - 6),
-                                                               i -> array_to_string(toks[i:i+7], ' '))
-                                           ELSE CAST([] AS VARCHAR[]) END) AS gram
-                FROM filt),
-            contam AS (SELECT DISTINCT d.doc_id FROM docg d JOIN testg USING (gram)),
-            clean AS (SELECT * FROM filt WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+        "corpus_clean": _CLEAN_CTES + """
             SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
                    CAST(min(n_tokens) AS BIGINT) AS n_tokens,
                    CAST(count(*) AS BIGINT) AS n_copies
             FROM clean GROUP BY md5(text)
+        """,
+        "clean_pack": _CLEAN_CTES + """
+            , survivors AS (
+                SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text
+                FROM clean GROUP BY text),
+            c AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+                           AS n_tokens
+                FROM survivors),
+            o AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS start_offset
+                FROM c),
+            w AS (
+                SELECT doc_id, n_tokens, start_offset,
+                       start_offset // 512 AS fw,
+                       (start_offset + n_tokens - 1) // 512 AS lw
+                FROM o WHERE n_tokens > 0)
+            SELECT CAST(fw + j AS BIGINT) AS window_id, doc_id,
+                   CAST(greatest((fw + j) * 512 - start_offset, 0) AS BIGINT)
+                       AS seg_start,
+                   CAST(least((fw + j + 1) * 512, start_offset + n_tokens)
+                        - start_offset
+                        - greatest((fw + j) * 512 - start_offset, 0) AS BIGINT)
+                       AS seg_len
+            FROM w, UNNEST(range(0, lw - fw + 1)) AS t(j)
         """,
         "augment_stats": """
             SELECT doc_id, CAST(0 AS BIGINT) AS variant_id,

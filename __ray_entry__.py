@@ -1071,6 +1071,43 @@ def _q_pagerank(sf_dir: str):
     return pagerank(dedup_exact(edges, ["src", "dst"], n_buckets=16), n_iter=3)
 
 
+def _q_khop_reach(sf_dir: str):
+    """3-hop BFS levels over the undirected customer↔supplier graph
+    (orders⋈lineitem distinct pairs), seeded at nation-0 customers.
+    Per hop: frontier semi-join + one bucketed visited-merge exchange
+    (Pregel superstep, no driver-side sets); oracle is a recursive CTE
+    with UNION-dedup and MIN(hop) = BFS level."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import khop_reachability
+    from fastie_ray.ops.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_suppkey"], right_cols=["o_orderkey", "o_custkey"],
+    )
+    edges = dedup_exact(
+        j.map_batches(
+            lambda df: pd.DataFrame(
+                {"src": "c" + df["o_custkey"].astype(str),
+                 "dst": "s" + df["l_suppkey"].astype(str)}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["src", "dst"], n_buckets=16,
+    )
+    seeds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"node": "c" + df.loc[df["c_nationkey"] == 0, "c_custkey"].astype(str)}
+        ),
+        batch_format="pandas",
+    )
+    return khop_reachability(edges, seeds, k=3, n_buckets=16)
+
+
 def _q_mixture_sample(sf_dir: str):
     """Domain-mixture budget sampling: even-numbered sources capped at
     600 tokens, others at 900 — docs taken in doc_id order per source
@@ -1643,6 +1680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "bm25_topk": _q_bm25,
         "pagerank": _q_pagerank,
+        "khop_reach": _q_khop_reach,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
         "corpus_clean": _q_corpus_clean,
@@ -1989,6 +2027,24 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) AS rank
                    FROM r2 r LEFT JOIN c3 c USING (node), params p, d3 d)
             SELECT node, rank AS rank_scaled FROM r3
+        """,
+        "khop_reach": r"""
+            WITH RECURSIVE pair AS (
+                SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            edges AS (
+                SELECT c AS src, s AS dst FROM pair
+                UNION ALL
+                SELECT s AS src, c AS dst FROM pair),
+            seeds AS (
+                SELECT 'c' || c_custkey AS node FROM customer WHERE c_nationkey = 0),
+            reach(node, hop) AS (
+                SELECT node, CAST(0 AS BIGINT) FROM seeds
+                UNION
+                SELECT e.dst, r.hop + 1
+                FROM reach r JOIN edges e ON e.src = r.node
+                WHERE r.hop < 3)
+            SELECT node, MIN(hop) AS hop FROM reach GROUP BY node
         """,
         "bm25_topk": r"""
             WITH qterms(qid, token) AS (VALUES

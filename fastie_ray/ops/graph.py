@@ -36,6 +36,7 @@ from typing import TYPE_CHECKING
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from fastie_ray.ops.join import hash_join
 
@@ -280,3 +281,129 @@ def triangle_count(
     )
     n = closed.count()
     return pd.DataFrame({"n_triangles": pd.array([n], dtype="int64")})
+
+
+def khop_reachability(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    n_buckets: int = 32,
+    broadcast_limit: int = 4_000_000,
+) -> "ray.data.Dataset":
+    """BFS levels: ``(node, hop)`` for every node within ``k`` hops of
+    the seed set — the engine's seeded-neighborhood primitive (KG
+    entity expansion: "everything within 3 hops of these entities").
+
+    Per hop, a Pregel superstep without a vertex-program framework.
+    Neighbor generation picks its join strategy by frontier size (the
+    count is already on the driver for the early-exit check):
+
+    - frontier ≤ ``broadcast_limit`` rows (the common seeded-BFS case,
+      bounded by ONE level of the neighborhood): ``ray.put`` the node
+      id array once and filter the adjacency table IN PLACE with a
+      vectorized ``isin`` — the edge table never leaves its
+      partitioning and the hop costs NO edge-sized exchange;
+    - larger frontiers fall back to a task-based ``hash_join`` SEMI
+      join on ``src`` (only node ids ship, never edge payload) — the
+      component-sized-frontier shape, at the price of re-bucketing
+      the edge table for that hop.
+
+    Either way the hop then runs ONE bucketed tag-union exchange on
+    ``node`` that merges candidate neighbors with the visited
+    accumulator: per bucket ``new = distinct(candidates) − visited``
+    is stamped ``hop=i`` and the bucket emits ``visited ∪ new`` — the
+    accumulator update and the next frontier come out of the same
+    exchange (the frontier is a block-local ``hop == i`` filter).
+
+    The visited table is node-sized and materialized once per hop; the
+    adjacency table is materialized once. The visited set is never a
+    driver structure (component-sized at web scale); only the per-hop
+    frontier — one BFS level — may be, and only under the explicit
+    ``broadcast_limit``. First-visit level == min-hop, so the result
+    matches the SQL ``WITH RECURSIVE … GROUP BY node → MIN(hop)``
+    oracle exactly.
+
+    ``seeds`` is a dataset with a ``node`` column; seeds missing from
+    the edge table still appear with ``hop = 0``.
+    """
+    import ray
+    if not directed:
+        rev = edges.map_batches(
+            lambda df, s=src, d=dst: pd.DataFrame({s: df[d], d: df[s]}),
+            batch_format="pandas",
+        )
+        adj = edges.select_columns([src, dst]).union(rev)
+    else:
+        adj = edges.select_columns([src, dst])
+    adj = adj.materialize()
+
+    def seed_init(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["node"]].drop_duplicates().copy()
+        out["hop"] = np.int64(0)
+        return out
+
+    visited = seeds.map_batches(seed_init, batch_format="pandas").materialize()
+
+    for i in range(1, k + 1):
+        prev = i - 1
+        frontier = visited.map_batches(
+            lambda df, h=prev: df[df["hop"] == h][["node"]],
+            batch_format="pandas",
+        )
+        fcount = frontier.count()
+        if fcount == 0:
+            break
+        if fcount <= broadcast_limit:
+            fref = ray.put(frontier.to_pandas()["node"].to_numpy())
+
+            def nbr_filter(df: pd.DataFrame, s=src, d=dst, r=fref) -> pd.DataFrame:
+                keep = df[d][df[s].isin(ray.get(r))]
+                return pd.DataFrame({"node": keep.drop_duplicates()})
+
+            nbrs = adj.map_batches(nbr_filter, batch_format="pandas")
+        else:
+            nbrs = hash_join(
+                adj, frontier, on=src, right_on="node", how="semi",
+                left_cols=[src, dst], n_buckets=n_buckets,
+            ).map_batches(
+                lambda df, d=dst: pd.DataFrame({"node": df[d].drop_duplicates()}),
+                batch_format="pandas",
+            )
+
+        def tag(new: bool, hop_val: int):
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                out = pd.DataFrame({"node": df["node"]})
+                out["hop"] = (
+                    np.full(len(df), hop_val, dtype=np.int64)
+                    if new
+                    else df["hop"].to_numpy(dtype=np.int64)
+                )
+                out["_new"] = new
+                out["__b"] = _bucket(out["node"], n_buckets)
+                return out
+
+            return fn
+
+        def merge(g: pd.DataFrame) -> "pa.Table":
+            vis = g[~g["_new"]]
+            cand = g[g["_new"]].drop_duplicates(subset=["node"])
+            new = cand[~cand["node"].isin(vis["node"])]
+            out = pd.concat([vis, new], ignore_index=True)[["node", "hop"]]
+            # typed Arrow out: zero-row pandas blocks lose their schema
+            # (NOTES fact 3) and the next hop's semi-join consumes this
+            return pa.Table.from_pandas(
+                out, schema=pa.schema([("node", pa.string()), ("hop", pa.int64())]),
+                preserve_index=False,
+            )
+
+        visited = (
+            nbrs.map_batches(tag(True, i), batch_format="pandas")
+            .union(visited.map_batches(tag(False, i), batch_format="pandas"))
+            .groupby("__b")
+            .map_groups(merge, batch_format="pandas")
+            .materialize()
+        )
+    return visited

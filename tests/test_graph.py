@@ -134,3 +134,92 @@ def test_triangle_count_random_vs_bruteforce():
     ds = ray.data.from_pandas([p for p in np.array_split(edges, 4)])
     got = triangle_count(ds, n_buckets=4)
     assert got["n_triangles"].tolist() == [brute]
+
+
+# ---------------------------------------------------------------- khop
+
+
+def _ref_bfs(pairs, seeds, k, directed=False):
+    """Plain-Python BFS levels, the oracle for khop_reachability."""
+    adj: dict = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    hop = {v: 0 for v in seeds}
+    frontier = set(seeds)
+    for i in range(1, k + 1):
+        nxt = set()
+        for v in frontier:
+            for w in adj.get(v, ()):
+                if w not in hop:
+                    hop[w] = i
+                    nxt.add(w)
+        frontier = nxt
+    return hop
+
+
+def _run_khop(pairs, seeds, k, directed=False):
+    from fastie_ray.ops.graph import khop_reachability
+
+    edges = ray.data.from_pandas(_edges(pairs))
+    seed_ds = ray.data.from_pandas(pd.DataFrame({"node": seeds}))
+    got = khop_reachability(
+        edges, seed_ds, k, directed=directed, n_buckets=4
+    ).to_pandas()
+    return dict(zip(got["node"], got["hop"]))
+
+
+def test_khop_chain_undirected():
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    for k in (0, 1, 2, 3):
+        assert _run_khop(pairs, ["a"], k) == _ref_bfs(pairs, ["a"], k)
+
+
+def test_khop_directed_vs_undirected():
+    pairs = [("a", "b"), ("c", "b"), ("c", "d")]
+    # directed: b unreachable-from can't hop back to c
+    assert _run_khop(pairs, ["a"], 3, directed=True) == _ref_bfs(
+        pairs, ["a"], 3, directed=True
+    ) == {"a": 0, "b": 1}
+    assert _run_khop(pairs, ["a"], 3) == _ref_bfs(pairs, ["a"], 3)
+
+
+def test_khop_isolated_seed_and_multi_seed():
+    pairs = [("a", "b"), ("b", "c")]
+    # seed 'z' has no edges: kept at hop 0; multi-seed min-hop wins
+    got = _run_khop(pairs, ["z", "c"], 2)
+    assert got == _ref_bfs(pairs, ["z", "c"], 2) == {"z": 0, "c": 0, "b": 1, "a": 2}
+
+
+def test_khop_random_graphs_match_bfs():
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n = 40
+        pairs = [
+            (f"n{rng.integers(n)}", f"n{rng.integers(n)}") for _ in range(120)
+        ]
+        pairs = [(s, d) for s, d in pairs if s != d]
+        seeds = [f"n{rng.integers(n)}" for _ in range(3)]
+        for directed in (False, True):
+            assert _run_khop(pairs, seeds, 3, directed) == _ref_bfs(
+                pairs, seeds, 3, directed
+            )
+
+
+def test_khop_semi_join_fallback_matches_broadcast():
+    """broadcast_limit=0 forces the hash_join SEMI path every hop —
+    both neighbor-generation strategies must agree exactly."""
+    from fastie_ray.ops.graph import khop_reachability
+
+    rng = np.random.default_rng(11)
+    pairs = [(f"n{rng.integers(30)}", f"n{rng.integers(30)}") for _ in range(80)]
+    pairs = [(s, d) for s, d in pairs if s != d]
+    edges = ray.data.from_pandas(_edges(pairs))
+    seeds = ray.data.from_pandas(pd.DataFrame({"node": ["n0", "n7"]}))
+    a = khop_reachability(edges, seeds, 3, n_buckets=4).to_pandas()
+    b = khop_reachability(
+        edges, seeds, 3, n_buckets=4, broadcast_limit=0
+    ).to_pandas()
+    assert dict(zip(a["node"], a["hop"])) == dict(zip(b["node"], b["hop"]))
+    assert dict(zip(a["node"], a["hop"])) == _ref_bfs(pairs, ["n0", "n7"], 3)

@@ -895,6 +895,19 @@ def _q_quality(sf_dir: str):
     return quality_scores(ds)
 
 
+def _q_quantile_filter(sf_dir: str):
+    """Quality-floor curation: keep docs at/above the global P10 of
+    the mean-token-length score — exact two-pass quantile threshold
+    (value-count histogram → scalar → streaming filter), no global
+    sort. Matches SQL ``score >= quantile_disc(score, 0.10)``."""
+    from fastie_ray.ops.stats import filter_by_quantile
+    from fastie_ray.ops.text_analysis import quality_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = quality_scores(ds).materialize()
+    return filter_by_quantile(scored, "mean_token_len_e6", 0.10, keep="ge")
+
+
 def _q_fingerprints(sf_dir: str):
     """md5 content fingerprint (SQL-reproducible: md5(text)) plus a
     SQL-checkable semantic invariant of the rolling-min-hash: it is
@@ -1671,6 +1684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": _q_ivf_knn,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
+        "quantile_filter": _q_quantile_filter,
         "fingerprints": _q_fingerprints,
         "pii_scrub": _q_pii_scrub,
         "repetition": _q_repetition,
@@ -2185,6 +2199,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(n_punct * 1000000.0 / greatest(n_chars, 1)) AS BIGINT) AS punct_ratio_e6,
                    CAST(floor(non_space * 1000000.0 / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_e6
             FROM q
+        """,
+        "quantile_filter": """
+            WITH q AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                       length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+                       length(regexp_replace(text, '\\s', '', 'g')) AS non_space
+                FROM documents),
+            scored AS (
+                SELECT doc_id, n_chars, n_tokens,
+                       CAST(floor(n_punct * 1000000.0 / greatest(n_chars, 1)) AS BIGINT) AS punct_ratio_e6,
+                       CAST(floor(non_space * 1000000.0 / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_e6
+                FROM q),
+            t AS (SELECT quantile_disc(mean_token_len_e6, 0.10) AS th FROM scored)
+            SELECT scored.* FROM scored, t WHERE mean_token_len_e6 >= t.th
         """,
         "extraction_f1": """
             SELECT CAST(1000000 AS BIGINT) AS precision_e6,

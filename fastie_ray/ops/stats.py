@@ -271,3 +271,42 @@ def heavy_hitters(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def filter_by_quantile(
+    ds: "ray.data.Dataset",
+    col: str,
+    q: float,
+    keep: str = "ge",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Two-pass global-quantile threshold filter — the quality-floor
+    curation step ("drop the bottom decile by score") expressed
+    without a global sort:
+
+    pass 1 computes the EXACT discrete quantile of ``col`` via the
+    value-count aggregate (``exact_quantiles``: the driver holds only
+    the distinct-value histogram, which is domain-bounded — integer
+    scores, not corpus rows); pass 2 streams the corpus through a
+    vectorized scalar comparison. ``keep`` ∈ {ge, gt, le, lt} is
+    applied against ``quantile_disc(col, q)`` semantics, so
+    ``keep="ge"`` reproduces SQL
+    ``WHERE col >= (SELECT quantile_disc(col, q) FROM t)`` exactly,
+    ties at the threshold included.
+
+    ``ds`` is executed twice (threshold pass + filter pass) — pass a
+    materialized dataset when the upstream lineage is expensive.
+    """
+    if keep not in ("ge", "gt", "le", "lt"):
+        raise ValueError(f"keep must be ge|gt|le|lt, got {keep!r}")
+    thresh = exact_quantiles(ds, col, [q], n_buckets)["value"].iloc[0]
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col]
+        mask = {
+            "ge": v >= thresh, "gt": v > thresh,
+            "le": v <= thresh, "lt": v < thresh,
+        }[keep]
+        return df[mask]
+
+    return ds.map_batches(flt, batch_format="pandas")

@@ -119,3 +119,27 @@ def test_grouped_quantiles_bruteforce(ray_session):
     ref = ref.sort_values(["g", "q"]).reset_index(drop=True)
     ref["value"] = ref["value"].astype("int64")
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_filter_by_quantile_modes_and_ties():
+    import ray.data
+
+    from fastie_ray.ops.stats import filter_by_quantile
+
+    # values with heavy ties straddling the P25 threshold
+    vals = [1, 2, 2, 2, 3, 4, 5, 5, 6, 7, 8, 9]
+    ds = ray.data.from_pandas(pd.DataFrame({"x": np.array(vals, dtype="int64")}))
+    n = len(vals)
+    # quantile_disc(0.25): k = ceil(0.25 * 12) = 3 → sorted[2] = 2
+    th = 2
+    for keep, op in (("ge", lambda v: v >= th), ("gt", lambda v: v > th),
+                     ("le", lambda v: v <= th), ("lt", lambda v: v < th)):
+        got = sorted(
+            filter_by_quantile(ds, "x", 0.25, keep=keep).to_pandas()["x"]
+        )
+        assert got == sorted(v for v in vals if op(v)), keep
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        filter_by_quantile(ds, "x", 0.25, keep="eq")

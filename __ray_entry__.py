@@ -895,6 +895,53 @@ def _q_quality(sf_dir: str):
     return quality_scores(ds)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style within-cluster cosine pruning (EXISTS-earlier
+    semantics, integer-quantized cosine so the SQL oracle is exact).
+    Near-dups are planted deterministically inside ONE map over ONE
+    read: vec_id%50==0 gets a LATER-id 1.001-scaled copy (the copy is
+    pruned), vec_id%70==0 an EARLIER (negative) id copy (the ORIGINAL
+    is pruned) — both prune directions exercised."""
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.neardup import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings")
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        # one consistent element type (float64) across original and
+        # planted rows — values unchanged, and the quantization both
+        # here and in the SQL oracle runs in double anyway
+        df = df.assign(
+            embedding=[np.asarray(v, dtype=np.float64) for v in df["embedding"]]
+        )
+        outs = [df]
+        later = df[df["vec_id"] % 50 == 0]
+        if len(later):
+            outs.append(pd.DataFrame({
+                "vec_id": later["vec_id"] + 100_000,
+                "embedding": [
+                    (np.asarray(v, dtype=np.float64) * 1.001).astype(np.float64)
+                    for v in later["embedding"]
+                ],
+                "label": later["label"],
+            }))
+        earlier = df[df["vec_id"] % 70 == 0]
+        if len(earlier):
+            outs.append(pd.DataFrame({
+                "vec_id": -(earlier["vec_id"] + 1),
+                "embedding": [
+                    (np.asarray(v, dtype=np.float64) * 1.001).astype(np.float64)
+                    for v in earlier["embedding"]
+                ],
+                "label": earlier["label"],
+            }))
+        return pd.concat(outs, ignore_index=True)[["vec_id", "embedding", "label"]]
+
+    return semantic_dedup(ds.map_batches(plant, batch_format="pandas"))
+
+
 def _q_quantile_filter(sf_dir: str):
     """Quality-floor curation: keep docs at/above the global P10 of
     the mean-token-length score — exact two-pass quantile threshold
@@ -1680,6 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups": _q_simhash_dups,
         "jaccard_prefix": _q_jaccard_prefix,
         "embed_neardup": _q_embed_neardup,
+        "semantic_dedup": _q_semantic_dedup,
         "lsh_knn": _q_lsh_knn,
         "ivf_knn": _q_ivf_knn,
         "lang_id": _q_lang_id,
@@ -2199,6 +2247,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(n_punct * 1000000.0 / greatest(n_chars, 1)) AS BIGINT) AS punct_ratio_e6,
                    CAST(floor(non_space * 1000000.0 / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_e6
             FROM q
+        """,
+        "semantic_dedup": """
+            WITH base AS (
+                SELECT vec_id, label, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, label,
+                       list_transform(embedding, x -> x * 1.001)
+                FROM embeddings WHERE vec_id % 50 = 0
+                UNION ALL
+                SELECT -(vec_id + 1), label,
+                       list_transform(embedding, x -> x * 1.001)
+                FROM embeddings WHERE vec_id % 70 = 0),
+            q AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(floor(x * 100) AS BIGINT)) AS qe
+                FROM base),
+            n AS (
+                SELECT vec_id, label, qe,
+                       CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nn
+                FROM q),
+            p AS (
+                SELECT b.vec_id AS drop_id
+                FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE list_dot_product(a.qe, b.qe) > 0
+                  AND 10000 * list_dot_product(a.qe, b.qe) ** 2 >= 9025 * a.nn * b.nn)
+            SELECT vec_id, label FROM n WHERE vec_id NOT IN (SELECT drop_id FROM p)
         """,
         "quantile_filter": """
             WITH q AS (

@@ -1070,3 +1070,80 @@ def embedding_neardup(
         batch_format="pandas",
     )
     return dedup_exact(pairs, ["id_a", "id_b"])
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    thresh_num: int = 95,
+    thresh_den: int = 100,
+    scale: int = 100,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic dedup: within each cluster, drop a
+    vector when ANY lower-id vector of the same cluster is cosine-
+    similar above ``thresh_num/thresh_den`` (the order-independent
+    EXISTS semantics — exactly SQL-checkable, unlike the sequential
+    greedy chain). ``group_col`` is the cluster id — at scale the
+    output of ``kmeans_assign`` (SemDeDup's design: k-means buckets
+    the corpus so the quadratic step runs per cluster); here the
+    embeddings table's ``label`` column stands in.
+
+    Exactness: embeddings are quantized to ``floor(x·scale)`` int64
+    and the cosine test is cross-multiplied —
+    ``dot > 0 AND den²·dot² ≥ num²·|u|²|v|²`` — so every comparison is
+    integer arithmetic, bit-equal between numpy and the DuckDB oracle
+    (all magnitudes < 2⁵³, exact in SQL doubles too). No float
+    boundary flakiness at the threshold.
+
+    Shape: ONE bucketed exchange on the cluster id co-locates each
+    cluster; per cluster a single int64 Gram matmul + lower-triangle
+    scan. Cluster sizes are the k-means granularity knob — the same
+    skew contract as SemDeDup's; pick k so clusters fit a task.
+    Output: the KEPT ``(id, group)`` rows.
+    """
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    num2 = thresh_num * thresh_num
+    den2 = thresh_den * thresh_den
+
+    def prune(part: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        keep_ids, keep_grp = [], []
+        for gval, g in part.groupby(group_col, sort=False):
+            g = g.sort_values(id_col)
+            q = np.floor(
+                np.stack(g[vec_col].to_numpy()).astype(np.float64) * scale
+            ).astype(np.int64)
+            d = q @ q.T  # int64 Gram matrix
+            nn = np.diag(d)
+            # dup[i, j] (i earlier than j): cosine ≥ threshold, exact
+            dup = (d > 0) & (den2 * d * d >= num2 * np.outer(nn, nn))
+            # drop column j when ANY row i < j (earlier id) is similar:
+            # strict upper triangle holds exactly the (earlier, later)
+            # pairs after the id sort
+            drop = np.triu(dup, k=1).any(axis=0)
+            keep_ids.extend(g[id_col].to_numpy()[~drop])
+            keep_grp.extend([gval] * int((~drop).sum()))
+        return pa.Table.from_pydict(
+            {id_col: np.array(keep_ids, dtype=np.int64),
+             group_col: np.array(keep_grp)},
+            schema=pa.schema([(id_col, pa.int64()), (group_col, pa.int32())]),
+        ).to_pandas()
+
+    return (
+        ds.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(prune, batch_format="pandas")
+    )

@@ -531,3 +531,59 @@ def test_minhash_join_mode_matches_exact():
     )
     assert len(exact) >= 30  # the planted near-dups were recalled
     pd.testing.assert_frame_equal(exact, joined)
+
+
+def test_semantic_dedup_exists_semantics_and_groups():
+    """EXISTS-earlier pruning vs a brute-force reference, including the
+    chain case (b near a, c near b but not a): EXISTS drops BOTH b and
+    c — order-independent, unlike greedy keep-first."""
+    import ray.data
+
+    from fastie_ray.ops.neardup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+
+    def ref(rows, num=95, den=100, scale=100):
+        kept = []
+        by_g = {}
+        for vid, g, v in rows:
+            by_g.setdefault(g, []).append((vid, v))
+        for g, items in by_g.items():
+            items.sort()
+            qs = {vid: np.floor(np.asarray(v) * scale).astype(np.int64)
+                  for vid, v in items}
+            for j, (vj, _) in enumerate(items):
+                dropped = False
+                for vi, _ in items[:j]:
+                    d = int(qs[vi] @ qs[vj])
+                    if d > 0 and den * den * d * d >= num * num * int(
+                        qs[vi] @ qs[vi]
+                    ) * int(qs[vj] @ qs[vj]):
+                        dropped = True
+                        break
+                if not dropped:
+                    kept.append(vj)
+        return sorted(kept)
+
+    base = rng.normal(size=(6, 16))
+    rows = []
+    vid = 0
+    for g in (0, 1):
+        for b in base:
+            rows.append((vid, g, b / np.linalg.norm(b))); vid += 1
+    # chain: b = a rotated slightly, c = b rotated slightly
+    a = base[0] / np.linalg.norm(base[0])
+    for eps in (0.02, 0.04):
+        v = a + eps * base[1] / np.linalg.norm(base[1])
+        rows.append((vid, 0, v / np.linalg.norm(v))); vid += 1
+    df = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "label": np.array([r[1] for r in rows], dtype=np.int32),
+         "embedding": [r[2] for r in rows]}
+    )
+    got = semantic_dedup(
+        ray.data.from_pandas(df), n_buckets=4
+    ).to_pandas()
+    assert sorted(got["vec_id"]) == ref(
+        [(r[0], r[1], r[2]) for r in rows]
+    )

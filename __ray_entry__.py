@@ -895,6 +895,16 @@ def _q_quality(sf_dir: str):
     return quality_scores(ds)
 
 
+def _q_winnow(sf_dir: str):
+    """Winnowing fingerprint selection (k=8 grams, w=4 windows) — one
+    shuffle-free map; oracle recomputes grams via generate_series +
+    md5, window MIN, rightmost tie by max pos."""
+    from fastie_ray.ops.text_analysis import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return winnow_fingerprints(ds, k=8, w=4)
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup-style within-cluster cosine pruning (EXISTS-earlier
     semantics, integer-quantized cosine so the SQL oracle is exact).
@@ -1728,6 +1738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_prefix": _q_jaccard_prefix,
         "embed_neardup": _q_embed_neardup,
         "semantic_dedup": _q_semantic_dedup,
+        "winnow_prints": _q_winnow,
         "lsh_knn": _q_lsh_knn,
         "ivf_knn": _q_ivf_knn,
         "lang_id": _q_lang_id,
@@ -2247,6 +2258,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(n_punct * 1000000.0 / greatest(n_chars, 1)) AS BIGINT) AS punct_ratio_e6,
                    CAST(floor(non_space * 1000000.0 / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_e6
             FROM q
+        """,
+        "winnow_prints": """
+            WITH grams AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       md5(substr(text, CAST(i AS INT), 8)) AS h
+                FROM (SELECT doc_id, text,
+                             unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+                      FROM documents)),
+            win AS (
+                SELECT doc_id, pos AS s,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+                FROM grams)
+            SELECT DISTINCT g.doc_id, max(g.pos) AS pos, w.wmin AS fp
+            FROM win w
+            JOIN grams g ON g.doc_id = w.doc_id
+                        AND g.pos BETWEEN w.s AND w.s + 3
+                        AND g.h = w.wmin
+            GROUP BY g.doc_id, w.doc_id, w.s, w.wmin
         """,
         "semantic_dedup": """
             WITH base AS (

@@ -183,3 +183,63 @@ def lang_id(ds: "ray.data.Dataset", concurrency: int = 4) -> "ray.data.Dataset":
     return ds.map_batches(
         LangId, batch_format="pandas", concurrency=concurrency, batch_size=2048
     )
+
+
+def _winnow_doc(text: str, k: int, w: int):
+    """Winnowing (Schleimer et al., MOSS): hash every k-gram, slide a
+    w-window over the hash sequence, keep the RIGHTMOST minimal hash
+    per window. Hashes are md5 hex strings — fixed-width hex orders
+    lexicographically == numerically, so ``MIN()`` in SQL picks the
+    same gram (ties only on identical k-grams, resolved rightmost both
+    sides). Returns distinct (pos_1based, hash)."""
+    n = len(text)
+    starts = range(max(n - k + 1, 1))
+    # object dtype: np.minimum has no <U32 loop but does have an object
+    # loop (Python str comparison == lexicographic == numeric for hex)
+    hs = np.array(
+        [hashlib.md5(text[i : i + k].encode("utf-8")).hexdigest() for i in starts],
+        dtype=object,
+    )
+    m = len(hs)
+    wmin = hs.copy()
+    for off in range(1, w):
+        if m - off <= 0:
+            break
+        np.minimum(wmin[: m - off], hs[off:], out=wmin[: m - off])
+    pos = np.arange(m)
+    for off in range(w):  # ascending overwrite ⇒ rightmost tie wins
+        if m - off <= 0:
+            break
+        mask = hs[off:] == wmin[: m - off]
+        pos[: m - off][mask] = np.arange(off, m)[mask]
+    sel = {}
+    for s in range(m):
+        sel[int(pos[s])] = wmin[s]
+    return [(p + 1, h) for p, h in sorted(sel.items())]
+
+
+def winnow_fingerprints(
+    ds: "ray.data.Dataset", k: int = 8, w: int = 4, text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Document fingerprinting by winnowing — the plagiarism/overlap
+    detection selection scheme: guaranteed to share a fingerprint with
+    any copied run ≥ w+k-1 chars, density 2/(w+1). Purely document-
+    local (one map, NO shuffle); downstream overlap joins group on the
+    fingerprint hash. The md5-per-gram kernel here is the SQL-exact
+    mode; at 100 TB swap the gram hash for the integer rolling hash in
+    ``fingerprint_batch`` (same selection logic, no md5 per window)."""
+
+    def batch(df: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, fps = [], [], []
+        for doc_id, text in zip(df["doc_id"], df[text_col]):
+            for p, h in _winnow_doc(text, k, w):
+                ids.append(doc_id)
+                poss.append(p)
+                fps.append(h)
+        return pd.DataFrame(
+            {"doc_id": np.array(ids, dtype=np.int64),
+             "pos": np.array(poss, dtype=np.int64),
+             "fp": np.array(fps, dtype=object)}
+        )
+
+    return ds.map_batches(batch, batch_format="pandas")

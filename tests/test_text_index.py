@@ -88,3 +88,39 @@ def test_tfidf_top_terms_matches_reference():
     # every rank sequence is 1..k' per doc
     for _, g in out.groupby("doc_id"):
         assert list(g["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_winnowing_guarantee_and_ties():
+    """Two docs sharing a run ≥ w+k-1 chars must share a fingerprint
+    hash (the winnowing guarantee); repeated-char text exercises the
+    rightmost-tie rule; short/empty docs degrade to one gram."""
+    import ray.data
+
+    from fastie_ray.ops.text_analysis import _winnow_doc, winnow_fingerprints
+
+    k, w = 8, 4
+    shared = "The quick brown fox jumps over it"  # 33 > w+k-1 = 11
+    df = pd.DataFrame(
+        {"doc_id": np.array([1, 2, 3, 4], dtype="int64"),
+         "text": ["AAA " + shared + " tail one",
+                  "completely other prefix " + shared,
+                  "aaaaaaaaaaaaaaaaaaaa",  # all grams identical → ties
+                  "hi"]}  # shorter than k
+    )
+    out = winnow_fingerprints(
+        ray.data.from_pandas(df), k=k, w=w
+    ).to_pandas()
+    f1 = set(out.loc[out.doc_id == 1, "fp"])
+    f2 = set(out.loc[out.doc_id == 2, "fp"])
+    assert f1 & f2, "winnowing guarantee violated"
+    # all-identical grams: every window min is the same hash and the
+    # rightmost rule advances the kept position — selection is sparse
+    d3 = out[out.doc_id == 3]
+    assert d3["fp"].nunique() == 1 and len(d3) < 20 - k + 1
+    # doc shorter than k: exactly one gram fingerprint at pos 1
+    d4 = out[out.doc_id == 4]
+    assert list(d4["pos"]) == [1] and len(d4) == 1
+    # density sanity on real-ish text: ~2/(w+1) of gram count
+    sel = _winnow_doc(shared * 8, k, w)
+    n_grams = len(shared * 8) - k + 1
+    assert len(sel) <= n_grams

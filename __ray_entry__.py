@@ -905,6 +905,17 @@ def _q_winnow(sf_dir: str):
     return winnow_fingerprints(ds, k=8, w=4)
 
 
+def _q_winnow_overlap(sf_dir: str):
+    """MOSS-style overlap pairs: docs sharing ≥3 rare winnowing
+    fingerprints (fp degree capped at 8 to drop boilerplate-hot
+    prints). Two bucketed exchanges after a shuffle-free fingerprint
+    map."""
+    from fastie_ray.ops.text_analysis import winnow_overlap_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return winnow_overlap_pairs(ds, k=8, w=4, max_fp_docs=8, min_shared=3)
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup-style within-cluster cosine pruning (EXISTS-earlier
     semantics, integer-quantized cosine so the SQL oracle is exact).
@@ -1739,6 +1750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": _q_embed_neardup,
         "semantic_dedup": _q_semantic_dedup,
         "winnow_prints": _q_winnow,
+        "winnow_overlap": _q_winnow_overlap,
         "lsh_knn": _q_lsh_knn,
         "ivf_knn": _q_ivf_knn,
         "lang_id": _q_lang_id,
@@ -2258,6 +2270,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(n_punct * 1000000.0 / greatest(n_chars, 1)) AS BIGINT) AS punct_ratio_e6,
                    CAST(floor(non_space * 1000000.0 / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_e6
             FROM q
+        """,
+        "winnow_overlap": """
+            WITH grams AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       md5(substr(text, CAST(i AS INT), 8)) AS h
+                FROM (SELECT doc_id, text,
+                             unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+                      FROM documents)),
+            win AS (
+                SELECT doc_id, pos AS s,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+                FROM grams),
+            fps AS (
+                SELECT DISTINCT w.doc_id, w.wmin AS fp
+                FROM win w),
+            ok AS (
+                SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 8),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(count(*) AS BIGINT) AS shared
+                FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                WHERE a.fp IN (SELECT fp FROM ok)
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= 3
         """,
         "winnow_prints": """
             WITH grams AS (

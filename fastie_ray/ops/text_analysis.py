@@ -243,3 +243,90 @@ def winnow_fingerprints(
         )
 
     return ds.map_batches(batch, batch_format="pandas")
+
+
+def winnow_overlap_pairs(
+    ds: "ray.data.Dataset",
+    k: int = 8,
+    w: int = 4,
+    max_fp_docs: int = 8,
+    min_shared: int = 3,
+    n_buckets: int = 32,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Cross-document overlap detection by shared winnowing
+    fingerprints (the MOSS pipeline, distributed): docs sharing ≥
+    ``min_shared`` RARE fingerprints are reported as an overlap pair.
+
+    Shape: fingerprinting is one shuffle-free map (with doc-local
+    (doc_id, fp) dedup folded in); then TWO bucketed exchanges —
+    (1) on fp: per fingerprint, docs with degree in [2, max_fp_docs]
+    pair up (the degree cap drops boilerplate-hot fingerprints, which
+    would otherwise go quadratic — the standard winnowing-index move;
+    the cap is part of the op's CONTRACT and the SQL oracle applies
+    the same HAVING), (2) on the (doc_a, doc_b) pair: sum shared
+    counts and threshold. Pair volume is bounded by
+    fps × max_fp_docs²/2, never corpus²."""
+
+    fps = winnow_fingerprints(ds, k=k, w=w, text_col=text_col).map_batches(
+        lambda df: df[["doc_id", "fp"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+
+    def add_bfp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["fp"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+
+        deg = g.groupby("fp")["doc_id"].transform("size")
+        g = g[(deg >= 2) & (deg <= max_fp_docs)]
+        m = g.merge(g, on="fp", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = (
+            m.groupby(["doc_id_a", "doc_id_b"], as_index=False)
+            .size()
+            .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b",
+                             "size": "shared"})
+        )
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                              ("shared", pa.int64())]),
+            preserve_index=False,
+        ).to_pandas()
+
+    per_fp = (
+        fps.map_batches(add_bfp, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+    def add_bpair(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(
+            df[["doc_a", "doc_b"]], index=False
+        ).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_a", "doc_b"], as_index=False)["shared"].sum()
+        out = out[out["shared"] >= min_shared]
+        out["shared"] = out["shared"].astype("int64")
+        return out
+
+    return (
+        per_fp.map_batches(add_bpair, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(total, batch_format="pandas")
+    )

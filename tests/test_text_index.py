@@ -124,3 +124,22 @@ def test_winnowing_guarantee_and_ties():
     sel = _winnow_doc(shared * 8, k, w)
     n_grams = len(shared * 8) - k + 1
     assert len(sel) <= n_grams
+
+
+def test_winnow_overlap_pairs_planted():
+    import ray.data
+
+    from fastie_ray.ops.text_analysis import winnow_overlap_pairs
+
+    shared = "a very distinctive shared passage that is long enough to winnow " * 3
+    df = pd.DataFrame(
+        {"doc_id": np.array([1, 2, 3], dtype="int64"),
+         "text": ["intro. " + shared + " outro one",
+                  "different opening text here. " + shared,
+                  "entirely unrelated content with nothing in common whatsoever"]}
+    )
+    out = winnow_overlap_pairs(
+        ray.data.from_pandas(df), min_shared=3, n_buckets=4
+    ).to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(1, 2)}
+    assert int(out["shared"].iloc[0]) >= 3

@@ -905,6 +905,48 @@ def _q_winnow(sf_dir: str):
     return winnow_fingerprints(ds, k=8, w=4)
 
 
+def _q_graph_components(sf_dir: str):
+    """Connected components over the undirected customer↔supplier
+    graph, FORCED onto the distributed min-label-propagation path
+    (driver_threshold=0 — the 100-TB shape, labels never a driver
+    structure); component id = min reachable node id, oracle is a
+    recursive CTE with MIN(comp)."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.join import hash_join
+    from fastie_ray.stages.canonicalize import connected_components_ds
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_suppkey"], right_cols=["o_orderkey", "o_custkey"],
+    )
+    edges = dedup_exact(
+        j.map_batches(
+            lambda df: pd.DataFrame(
+                {"u": "c" + df["o_custkey"].astype(str),
+                 "v": "s" + df["l_suppkey"].astype(str)}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["u", "v"], n_buckets=16,
+    )
+    return connected_components_ds(
+        edges, n_buckets=16, driver_threshold=0, max_rounds=8
+    )
+
+
+def _q_embed_quantize(sf_dir: str):
+    """SQ8 scalar quantization of the embeddings table: global per-dim
+    min/max (tiny driver reduce) then streaming integer codes;
+    IEEE-double op order matches the SQL oracle bit-for-bit."""
+    from fastie_ray.ops.similarity import scalar_quantize
+
+    return scalar_quantize(_read(sf_dir, "embeddings"))
+
+
 def _q_winnow_overlap(sf_dir: str):
     """MOSS-style overlap pairs: docs sharing ≥3 rare winnowing
     fingerprints (fp degree capped at 8 to drop boilerplate-hot
@@ -1766,6 +1808,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25,
         "pagerank": _q_pagerank,
         "khop_reach": _q_khop_reach,
+        "graph_components": _q_graph_components,
+        "embed_quantize": _q_embed_quantize,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
         "corpus_clean": _q_corpus_clean,
@@ -2112,6 +2156,41 @@ def oracle_sql() -> dict[str, str]:
                               AS BIGINT) AS rank
                    FROM r2 r LEFT JOIN c3 c USING (node), params p, d3 d)
             SELECT node, rank AS rank_scaled FROM r3
+        """,
+        "graph_components": r"""
+            WITH RECURSIVE pair AS (
+                SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            nodes AS (SELECT c AS node FROM pair UNION SELECT s FROM pair),
+            sym AS (
+                SELECT c AS a, s AS b FROM pair
+                UNION ALL
+                SELECT s AS a, c AS b FROM pair),
+            r(node, comp) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT s.b, r.comp FROM r JOIN sym s ON s.a = r.node)
+            SELECT node, MIN(comp) AS component_id FROM r GROUP BY node
+        """,
+        "embed_quantize": r"""
+            WITH ex AS (
+                SELECT vec_id,
+                       unnest(range(1, len(embedding) + 1)) AS dim,
+                       embedding AS e
+                FROM embeddings),
+            el AS (
+                SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+                       CAST(e[CAST(dim AS INT)] AS DOUBLE) AS x
+                FROM ex),
+            mm AS (
+                SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY dim)
+            SELECT el.vec_id, el.dim,
+                   CASE WHEN mm.mx = mm.mn THEN CAST(-127 AS BIGINT)
+                        ELSE CAST(least(greatest(
+                            floor((el.x - mm.mn) * 254.0 / (mm.mx - mm.mn)) - 127,
+                            -127), 127) AS BIGINT)
+                   END AS q
+            FROM el JOIN mm USING (dim)
         """,
         "khop_reach": r"""
             WITH RECURSIVE pair AS (

@@ -290,3 +290,58 @@ def ivf_knn(
     topk["rank"] = topk.groupby("query_id").cumcount() + 1
     topk["score"] = topk["score"].round(6)
     return topk
+
+
+def scalar_quantize(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """FAISS-SQ8-style scalar quantization of an embedding column —
+    the storage-compression prep for ANN at 100 TB (4× smaller than
+    float32, 8× than float64): two passes,
+
+    1. global per-DIMENSION min/max — per-batch elementwise reduce to
+       one (dim, mn, mx) frame per batch, merged on the driver (64–4k
+       doubles, a scalar broadcast, never corpus rows);
+    2. streaming quantize: ``floor((x − mn) · 254.0 / (mx − mn)) − 127``
+       per element, clipped to [−127, 127]. The expression is evaluated
+       in IEEE double in exactly this operation order, so the SQL
+       oracle reproduces every code bit-for-bit; a zero-span dimension
+       quantizes to −127 both sides.
+
+    Output is the UNNESTED (id, dim_1based, q) long form — integer
+    values, hash-exact, and directly joinable for ADC-style scoring.
+    """
+
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"dim": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+             "mn": m.min(axis=0), "mx": m.max(axis=0)}
+        )
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("dim", as_index=False)
+        .agg(mn=("mn", "min"), mx=("mx", "max"))
+        .sort_values("dim")
+    )
+    mn = mm["mn"].to_numpy()
+    span = mm["mx"].to_numpy() - mn
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((m - mn) * 254.0 / span) - 127.0
+        q = np.where(span == 0, -127.0, q)
+        q = np.clip(q, -127, 127).astype(np.int64)
+        n, d = q.shape
+        return pd.DataFrame(
+            {id_col: np.repeat(df[id_col].to_numpy(), d),
+             "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+             "q": q.reshape(-1)}
+        )
+
+    return ds.map_batches(quant, batch_format="pandas")

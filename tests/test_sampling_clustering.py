@@ -169,3 +169,33 @@ def test_init_centroids_smallest_ids():
     assert list(cids) == [0, 1, 2]
     want = np.array(list(df.sort_values("vec_id")["embedding"][:3]), dtype=np.float64)
     assert np.array_equal(cents, want)
+
+
+def test_scalar_quantize_roundtrip_and_edges():
+    """SQ8 codes: range, monotonicity per dim, zero-span dim, and
+    reconstruction error bounded by one step."""
+    import ray.data
+
+    from fastie_ray.ops.similarity import scalar_quantize
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 6))
+    vecs[:, 3] = 2.5  # zero-span dimension
+    df = pd.DataFrame(
+        {"vec_id": np.arange(40, dtype="int64"), "embedding": list(vecs)}
+    )
+    out = scalar_quantize(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 40 * 6
+    assert out["q"].between(-127, 127).all()
+    assert (out.loc[out["dim"] == 4, "q"] == -127).all()
+    # per-dim: min value → -127, max value → 127
+    for d in (1, 2, 3, 5, 6):
+        col = vecs[:, d - 1]
+        sub = out[out["dim"] == d].set_index("vec_id")["q"]
+        assert sub[int(np.argmin(col))] == -127
+        assert sub[int(np.argmax(col))] == 127
+        # reconstruction within one quantization step
+        mn, mx = col.min(), col.max()
+        step = (mx - mn) / 254.0
+        recon = mn + (sub.loc[np.arange(40)].to_numpy() + 127.5) * step
+        assert np.abs(recon - col[np.arange(40)]).max() <= step * 1.01

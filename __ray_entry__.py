@@ -1018,6 +1018,18 @@ def _q_quantile_filter(sf_dir: str):
     return filter_by_quantile(scored, "mean_token_len_e6", 0.10, keep="ge")
 
 
+def _q_lm_familiarity(sf_dir: str):
+    """CCNet-style LM filter: train a pruned bigram count model on the
+    corpus itself (one bucketed exchange over the bigram vocab), then
+    stream-score every doc against the broadcast model — n_bigrams,
+    covered, familiarity (integer count-sum) and coverage_e6. Exact vs
+    the SQL self-join + HAVING + LEFT JOIN oracle."""
+    from fastie_ray.ops.lm_filter import lm_familiarity_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return lm_familiarity_pipeline(ds, min_count=16)
+
+
 def _q_fingerprints(sf_dir: str):
     """md5 content fingerprint (SQL-reproducible: md5(text)) plus a
     SQL-checkable semantic invariant of the rolling-min-hash: it is
@@ -1798,6 +1810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "quality": _q_quality,
         "quantile_filter": _q_quantile_filter,
+        "lm_familiarity": _q_lm_familiarity,
         "fingerprints": _q_fingerprints,
         "pii_scrub": _q_pii_scrub,
         "repetition": _q_repetition,
@@ -2435,6 +2448,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM q),
             t AS (SELECT quantile_disc(mean_token_len_e6, 0.10) AS th FROM scored)
             SELECT scored.* FROM scored, t WHERE mean_token_len_e6 >= t.th
+        """,
+        "lm_familiarity": """
+            WITH docs AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS i
+                FROM docs
+            ), big AS (
+                SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ), model AS (
+                SELECT bigram, count(*) AS c FROM big
+                GROUP BY bigram HAVING count(*) >= 16
+            ), scored AS (
+                SELECT b.doc_id, count(*) AS n_bigrams, count(m.bigram) AS covered,
+                       CAST(coalesce(sum(m.c), 0) AS BIGINT) AS familiarity
+                FROM big b LEFT JOIN model m USING (bigram)
+                GROUP BY b.doc_id
+            )
+            SELECT doc_id, n_bigrams, covered, familiarity,
+                   CAST(floor(1000000.0 * covered / n_bigrams) AS BIGINT) AS coverage_e6
+            FROM scored
         """,
         "extraction_f1": """
             SELECT CAST(1000000 AS BIGINT) AS precision_e6,

@@ -383,6 +383,35 @@ def _q_tfidf_terms(sf_dir: str):
 _QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
+def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
+    """Unrolled k-core peel oracle (one degree+filter CTE pair per
+    round) over the per-customer chain/cycle order graph — mirrors
+    ``_q_kcore`` exactly."""
+    ctes = [
+        """o AS (SELECT o_custkey AS c, o_orderkey AS ok,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+            count(*) OVER (PARTITION BY o_custkey) AS n FROM orders)""",
+        """chain AS (SELECT 'o' || a.ok AS a, 'o' || b.ok AS b
+            FROM o a JOIN o b ON a.c = b.c AND b.rn = a.rn + 1)""",
+        """cyc AS (SELECT 'o' || l.ok AS a, 'o' || f.ok AS b
+            FROM o l JOIN o f ON l.c = f.c AND l.rn = l.n AND f.rn = 1
+            AND l.n >= 2 AND l.c % 2 = 0)""",
+        "j AS (SELECT a, b FROM chain UNION SELECT a, b FROM cyc)",
+        "e0 AS (SELECT a AS src, b AS dst FROM j UNION SELECT b AS src, a AS dst FROM j)",
+    ]
+    for r in range(rounds):
+        ctes.append(f"d{r} AS (SELECT src, count(*) AS deg FROM e{r} GROUP BY src)")
+        ctes.append(
+            f"""e{r + 1} AS (SELECT e.src, e.dst FROM e{r} e
+            JOIN d{r} a ON e.src = a.src JOIN d{r} b ON e.dst = b.src
+            WHERE a.deg >= {k} AND b.deg >= {k})"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src AS node, count(*) AS deg FROM e{rounds} GROUP BY src"
+    )
+
+
 def _q_len_quantiles(sf_dir: str):
     """Exact discrete quantiles of doc length: value-count aggregate
     (bounded by the distinct-length domain) + driver cumsum — no
@@ -1243,6 +1272,49 @@ def _q_khop_reach(sf_dir: str):
     return khop_reachability(edges, seeds, k=3, n_buckets=16)
 
 
+def _q_kcore(sf_dir: str):
+    """Bounded-round k-core peeling (k=2, 4 synchronized rounds) over a
+    chain/cycle graph built from per-customer order sequences
+    (consecutive orders chained; even custkeys closed into cycles so
+    the core is non-empty while odd chains cascade-peel end-inward).
+    Per round: node-sized degree exchange + two semi-joins; oracle is
+    the unrolled per-round CTE pair."""
+    import pandas as pd
+
+    from fastie_ray.ops.graph import kcore_peel
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (df["o_custkey"].to_numpy() % 16).astype("int64")
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+        ok = "o" + g["o_orderkey"].astype(str)
+        same = (g["o_custkey"] == g["o_custkey"].shift(-1)).to_numpy()
+        chain = pd.DataFrame(
+            {"src": ok.to_numpy()[same], "dst": ok.shift(-1).to_numpy()[same]}
+        )
+        agg = g.groupby("o_custkey")["o_orderkey"].agg(["first", "last", "count"])
+        agg = agg[(agg["count"] >= 2) & (agg.index % 2 == 0)]
+        cyc = pd.DataFrame(
+            {
+                "src": "o" + agg["last"].astype(str),
+                "dst": "o" + agg["first"].astype(str),
+            }
+        )
+        return pd.concat([chain, cyc], ignore_index=True)
+
+    edges = (
+        orders.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return kcore_peel(edges, k=2, rounds=4, n_buckets=16)
+
+
 def _q_mixture_sample(sf_dir: str):
     """Domain-mixture budget sampling: even-numbered sources capped at
     600 tokens, others at 900 — docs taken in doc_id order per source
@@ -1821,6 +1893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": _q_bm25,
         "pagerank": _q_pagerank,
         "khop_reach": _q_khop_reach,
+        "kcore": _q_kcore,
         "graph_components": _q_graph_components,
         "embed_quantize": _q_embed_quantize,
         "mixture_sample": _q_mixture_sample,
@@ -2170,6 +2243,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM r2 r LEFT JOIN c3 c USING (node), params p, d3 d)
             SELECT node, rank AS rank_scaled FROM r3
         """,
+        "kcore": _kcore_sql(k=2, rounds=4),
         "graph_components": r"""
             WITH RECURSIVE pair AS (
                 SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s

@@ -407,3 +407,74 @@ def khop_reachability(
             .materialize()
         )
     return visited
+
+
+def kcore_peel(
+    edges: "ray.data.Dataset",
+    k: int = 2,
+    rounds: int = 4,
+    n_buckets: int = 16,
+    symmetrize: bool = True,
+) -> "ray.data.Dataset":
+    """``rounds`` synchronized rounds of k-core peeling over an
+    undirected edge table → (node, deg) of the survivors.
+
+    Per round: degree table (ONE bucketed node-sized exchange via
+    ``node_table`` — on a symmetrized edge set outdeg IS degree), keep
+    set = nodes with ``deg >= k``, then the edge set shrinks by two
+    task-based SEMI-joins (src then dst against the keep set — semi
+    ships only distinct keys, never a broadcast of a possibly
+    graph-sized survivor set). The edge set is materialized per round
+    so lineage doesn't re-execute; it is graph-sized (the KG node/edge
+    tables are vocabulary-bounded, orders of magnitude below the page
+    corpus), never corpus-sized.
+
+    Bounded-round semantics (like ``pagerank``'s fixed n_iter) keep the
+    op reproducible in an unrolled SQL oracle: the result after R
+    rounds is deterministic whether or not the peel has converged; run
+    with ``rounds >= max cascade depth`` for the true k-core (the
+    fixpoint case is pinned by test). Degenerate inputs (everything
+    peels) yield an empty dataset."""
+    if symmetrize:
+
+        def both(df: pd.DataFrame) -> pd.DataFrame:
+            fwd = df[["src", "dst"]]
+            rev = df.rename(columns={"src": "dst", "dst": "src"})[["src", "dst"]]
+            return pd.concat([fwd, rev], ignore_index=True)
+
+        from fastie_ray.ops.dedup import dedup_exact
+
+        edges = dedup_exact(
+            edges.map_batches(both, batch_format="pandas"),
+            ["src", "dst"],
+            n_buckets=n_buckets,
+        )
+    # block discipline: every exchange emits ≈ as many blocks as it
+    # consumes, and per round the edge set passes THREE exchanges — left
+    # unchecked the block count triples per round (measured 48→1296 at
+    # sf0.01, turning round 3's sorts into minutes of tiny-task
+    # dispatch). Re-coalescing to ``n_buckets`` blocks at each round's
+    # materialize keeps every sort O(n_buckets) tasks.
+    e = edges.repartition(n_buckets).materialize()
+    for _ in range(rounds):
+        deg = node_table(e, n_buckets=n_buckets)
+        keep = (
+            deg.map_batches(
+                lambda df: df.loc[df["outdeg"] >= k, ["node"]],
+                batch_format="pandas",
+            )
+            .repartition(n_buckets)
+            .materialize()
+        )  # node-sized; consumed by BOTH semi-joins
+        e = hash_join(
+            e, keep, on="src", right_on="node", how="semi",
+            left_cols=["src", "dst"], n_buckets=n_buckets,
+        )
+        e = hash_join(
+            e, keep, on="dst", right_on="node", how="semi",
+            left_cols=["src", "dst"], n_buckets=n_buckets,
+        ).repartition(n_buckets).materialize()
+    deg = node_table(e, n_buckets=n_buckets)
+    return deg.map_batches(
+        lambda df: df.rename(columns={"outdeg": "deg"}), batch_format="pandas"
+    )

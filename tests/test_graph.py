@@ -223,3 +223,81 @@ def test_khop_semi_join_fallback_matches_broadcast():
     ).to_pandas()
     assert dict(zip(a["node"], a["hop"])) == dict(zip(b["node"], b["hop"]))
     assert dict(zip(a["node"], a["hop"])) == _ref_bfs(pairs, ["n0", "n7"], 3)
+
+
+def _peel_reference(edges: pd.DataFrame, k: int, rounds: int) -> pd.DataFrame:
+    """Driver-side peel: symmetrize-distinct, then R rounds of
+    degree-filter — the kcore_peel contract."""
+    e = pd.concat(
+        [edges, edges.rename(columns={"src": "dst", "dst": "src"})],
+        ignore_index=True,
+    ).drop_duplicates()
+    for _ in range(rounds):
+        deg = e.groupby("src").size()
+        keep = set(deg[deg >= k].index)
+        e = e[e["src"].isin(keep) & e["dst"].isin(keep)]
+    out = e.groupby("src", as_index=False).size()
+    out.columns = ["node", "deg"]
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def test_kcore_peel_cycle_with_tails():
+    from fastie_ray.ops.graph import kcore_peel
+
+    # a 4-cycle (the 2-core) with chains hanging off two of its nodes:
+    # chains cascade-peel inward, the cycle survives with deg 2
+    edges = pd.DataFrame(
+        {
+            "src": ["a", "b", "c", "d", "a", "t1", "t2", "c", "u1"],
+            "dst": ["b", "c", "d", "a", "t1", "t2", "t3", "u1", "u2"],
+        }
+    )
+    want = _peel_reference(edges, k=2, rounds=3)
+    got = (
+        kcore_peel(ray.data.from_pandas(edges).repartition(3), k=2, rounds=3, n_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype({"deg": "int64"}), want.astype({"deg": "int64"}))
+    assert set(got["node"]) == {"a", "b", "c", "d"}
+    assert (got["deg"] == 2).all()
+    # bounded-round == fixpoint here: one more round changes nothing
+    again = kcore_peel(ray.data.from_pandas(edges), k=2, rounds=4, n_buckets=4).to_pandas()
+    assert set(again["node"]) == {"a", "b", "c", "d"}
+
+
+def test_kcore_peel_full_peel_yields_empty():
+    from fastie_ray.ops.graph import kcore_peel
+
+    # a pure path has no 2-core
+    edges = pd.DataFrame(
+        {"src": ["a", "b", "c", "d"], "dst": ["b", "c", "d", "e"]}
+    )
+    got = kcore_peel(ray.data.from_pandas(edges), k=2, rounds=3, n_buckets=4)
+    assert got.count() == 0
+
+
+def test_kcore_peel_random_vs_reference():
+    from fastie_ray.ops.graph import kcore_peel
+
+    rng = np.random.default_rng(11)
+    n = 60
+    edges = pd.DataFrame(
+        {
+            "src": [f"n{i}" for i in rng.integers(0, n, 300)],
+            "dst": [f"n{i}" for i in rng.integers(0, n, 300)],
+        }
+    )
+    edges = edges[edges["src"] != edges["dst"]].drop_duplicates()
+    for k, rounds in ((2, 2), (3, 3), (5, 2)):
+        want = _peel_reference(edges, k=k, rounds=rounds)
+        got = (
+            kcore_peel(ray.data.from_pandas(edges).repartition(4), k=k, rounds=rounds, n_buckets=4)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"deg": "int64"}), want.astype({"deg": "int64"})
+        )

@@ -1315,6 +1315,28 @@ def _q_kcore(sf_dir: str):
     return kcore_peel(edges, k=2, rounds=4, n_buckets=16)
 
 
+def _q_leakage_split(sf_dir: str):
+    """Leakage-safe train/val/test assignment keyed on a site group
+    (source + doc_id%61 — the url-host stand-in for the synth corpus):
+    md5-bucket the GROUP so same-site near-dups can never straddle a
+    split. Pure streaming pass; SQL-exact via md5 hex→int."""
+    import pandas as pd
+
+    from fastie_ray.ops.splits import leakage_safe_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def site(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "site": df["source"] + "/" + (df["doc_id"] % 61).astype(str),
+            }
+        )
+
+    return leakage_safe_split(ds.map_batches(site, batch_format="pandas"), "site")
+
+
 def _q_mixture_sample(sf_dir: str):
     """Domain-mixture budget sampling: even-numbered sources capped at
     600 tokens, others at 900 — docs taken in doc_id order per source
@@ -1896,6 +1918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": _q_kcore,
         "graph_components": _q_graph_components,
         "embed_quantize": _q_embed_quantize,
+        "leakage_split": _q_leakage_split,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
         "corpus_clean": _q_corpus_clean,
@@ -2189,6 +2212,23 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN (
                 SELECT doc_id, count(*) AS n_dup FROM covered GROUP BY doc_id
             ) c USING (doc_id)
+        """,
+        "leakage_split": """
+            WITH s AS (
+                SELECT doc_id,
+                       source || '/' || CAST(doc_id % 61 AS VARCHAR) AS site
+                FROM documents
+            ), b AS (
+                SELECT doc_id, site,
+                       CAST(('0x' || substr(md5('split:' || site), 1, 8)) AS BIGINT)
+                           % 10000 AS split_bucket
+                FROM s
+            )
+            SELECT doc_id, site, split_bucket,
+                   CASE WHEN split_bucket < 9000 THEN 'train'
+                        WHEN split_bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "mixture_sample": r"""
             WITH c AS (

@@ -1,0 +1,58 @@
+"""Oracles for `fastie_ray/ops/splits.py`: group-atomicity (the whole
+point), fraction calibration, determinism across partitionings, and
+threshold boundary semantics."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from fastie_ray.ops.splits import GRANULARITY, leakage_safe_split
+
+
+def _docs(n=2000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "site": [f"site-{i}" for i in rng.integers(0, 150, n)],
+        }
+    )
+
+
+def test_groups_never_straddle_splits_any_partitioning():
+    df = _docs()
+    outs = []
+    for parts in (1, 6):
+        out = leakage_safe_split(
+            ray.data.from_pandas(df).repartition(parts), "site"
+        ).to_pandas()
+        per_site = out.groupby("site")["split"].nunique()
+        assert (per_site == 1).all()
+        outs.append(out.sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_buckets_match_md5_reference_and_fractions_roughly_hold():
+    df = _docs(5000)
+    out = leakage_safe_split(ray.data.from_pandas(df), "site").to_pandas()
+    want = df["site"].map(
+        lambda g: int(hashlib.md5(("split:" + g).encode()).hexdigest()[:8], 16)
+        % GRANULARITY
+    )
+    assert (out.sort_values("doc_id")["split_bucket"].to_numpy() == want.to_numpy()).all()
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.80 < frac.get("train", 0) < 0.97  # group-level hashing is lumpy
+
+
+def test_threshold_boundaries_exact():
+    # plant groups whose buckets straddle the 9000/9500 thresholds
+    df = pd.DataFrame({"doc_id": [0], "site": ["x"]})
+    out = leakage_safe_split(
+        ray.data.from_pandas(df),
+        "site",
+        fractions={"a": 0.5, "b": 0.5},
+    ).to_pandas()
+    b = out["split_bucket"].iloc[0]
+    assert out["split"].iloc[0] == ("a" if b < GRANULARITY // 2 else "b")

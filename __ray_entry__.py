@@ -739,6 +739,21 @@ def _q_minhash_dups(sf_dir: str):
     return minhash_lsh_dups(docs, threshold=0.7, concurrency=4)
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Dedup statistics (the FineWeb/CCNet dup-cluster-size report):
+    MinHash near-dup pairs → distributed CC over the pair graph →
+    (cluster_size, n_clusters) histogram with the singleton row filled
+    from the corpus count. Oracle: exact pairwise Jaccard + recursive
+    CTE CC + GROUP BY size."""
+    from fastie_ray.ops.dedup import dup_cluster_histogram
+    from fastie_ray.ops.neardup import minhash_lsh_dups
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_dups(docs, threshold=0.7, concurrency=4)
+    n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    return dup_cluster_histogram(pairs, total_docs=n_docs)
+
+
 def _q_simhash_dups(sf_dir: str):
     """Planted-duplicate construction: every 5th doc re-appears
     verbatim with id+1e6 (simhash distance 0 by construction, so the
@@ -1893,6 +1908,7 @@ def _q_cooc_pairs(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
+        "dup_clusters": _q_dup_clusters,
         "simhash_dups": _q_simhash_dups,
         "jaccard_prefix": _q_jaccard_prefix,
         "embed_neardup": _q_embed_neardup,
@@ -2070,6 +2086,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    CAST(floor(inter * 1000000.0 / uni) AS BIGINT) AS jaccard_e6
             FROM p WHERE inter * 1.0 / uni >= 0.7
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            tri AS (SELECT doc_id, {TRI} AS g FROM t),
+            p AS (
+                SELECT CAST(a.doc_id AS VARCHAR) AS a, CAST(b.doc_id AS VARCHAR) AS b
+                FROM tri a JOIN tri b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.g, b.g)) * 1.0
+                      / len(list_distinct(list_concat(a.g, b.g))) >= 0.7
+            ),
+            sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+            nodes AS (SELECT DISTINCT a AS node FROM sym),
+            r(node, comp) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT s.b, r.comp FROM r JOIN sym s ON s.a = r.node
+            ),
+            lab AS (SELECT node, MIN(comp) AS comp FROM r GROUP BY node),
+            szs AS (SELECT comp, count(*) AS sz FROM lab GROUP BY comp),
+            hist AS (
+                SELECT sz AS cluster_size, count(*) AS n_clusters
+                FROM szs GROUP BY sz
+                UNION ALL
+                SELECT 1, (SELECT count(*) FROM documents)
+                          - (SELECT count(*) FROM lab)
+            )
+            SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+            FROM hist GROUP BY cluster_size
         """,
         "jaccard_prefix": f"""
             WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),

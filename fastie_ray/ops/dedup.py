@@ -344,3 +344,100 @@ def _id_bucket(df: pd.DataFrame, n_buckets: int) -> pd.DataFrame:
         % np.uint64(n_buckets)
     ).astype(np.int64)
     return df
+
+
+def dup_cluster_histogram(
+    pairs: "ray.data.Dataset",
+    total_docs: int,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """FineWeb-style dedup statistics: near-dup pairs → connected
+    components → (cluster_size, n_clusters) histogram, with the
+    singleton row filled in from ``total_docs``.
+
+    Composition of existing distributed pieces: the CC labels come from
+    ``connected_components_ds`` (min-label propagation, labels never a
+    driver structure), component sizes finish in ONE bucketed exchange
+    on component_id, and the histogram itself is cluster-count-bounded
+    — per-batch partials then a driver merge of at most
+    ``n_buckets × distinct_sizes`` rows (cluster sizes are tiny
+    integers; the histogram is the small result by construction)."""
+    from fastie_ray.stages.canonicalize import connected_components_ds
+
+    def to_uv(df: pd.DataFrame):
+        import pyarrow as pa
+
+        # typed Arrow out: most pair blocks are empty (pairs ≪ blocks)
+        # and zero-row pandas blocks lose their schema (NOTES fact 3),
+        # which crashes the CC label-propagation join downstream
+        return pa.Table.from_pandas(
+            pd.DataFrame({"u": df[a_col].astype(str), "v": df[b_col].astype(str)}),
+            schema=pa.schema([("u", pa.string()), ("v", pa.string())]),
+            preserve_index=False,
+        )
+
+    # pairs are dup-bounded (≪ corpus); pin once — consumed by the
+    # empty-guard count (CC label propagation joins crash on a fully
+    # empty input, NOTES fact 2) and the CC pass.
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pd.DataFrame(
+            {"cluster_size": [1], "n_clusters": [total_docs]}
+        ).astype({"cluster_size": "int64", "n_clusters": "int64"})
+    # compact away zero-row PANDAS blocks (schema-less sentinels, NOTES
+    # fact 12) that sparse pair streams carry — the CC joins crash on
+    # them and a map can't fix them (map_batches never sees empty
+    # blocks). Block count must stay ≤ row count or the repartition
+    # mints NEW empties; cap ~10k pairs per block at scale.
+    k = min(n_buckets, max(1, -(-n_pairs // 10_000)))
+    pairs = pairs.repartition(k).materialize()
+
+    labels = connected_components_ds(
+        pairs.map_batches(to_uv, batch_format="pandas"),
+        n_buckets=n_buckets,
+        driver_threshold=0,
+        max_rounds=8,
+    ).materialize()
+
+    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("component_id", as_index=False).agg(sz=("node", "count"))
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["component_id"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def hist_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.drop(columns="__b").groupby("component_id", as_index=False)["sz"].sum()
+        out = sz.groupby("sz", as_index=False).agg(n_clusters=("component_id", "count"))
+        return out.rename(columns={"sz": "cluster_size"})
+
+    parts = (
+        labels.map_batches(size_partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(hist_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        hist = pd.DataFrame({"cluster_size": [], "n_clusters": []})
+    else:
+        hist = parts.groupby("cluster_size", as_index=False)["n_clusters"].sum()
+    n_in_clusters = int(labels.count())
+    singleton = pd.DataFrame(
+        {"cluster_size": [1], "n_clusters": [total_docs - n_in_clusters]}
+    )
+    out = (
+        pd.concat([hist, singleton], ignore_index=True)
+        .groupby("cluster_size", as_index=False)["n_clusters"]
+        .sum()
+    )
+    out = out.astype({"cluster_size": "int64", "n_clusters": "int64"})
+    return out.sort_values("cluster_size").reset_index(drop=True)

@@ -103,21 +103,32 @@ def _distributed_cc_ds(
     DATASET (renamed to component_id) — never collected to the driver."""
     import ray.data  # noqa: F401
 
-    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    import pyarrow as pa
+
+    # typed Arrow out of both pandas maps: a sparse edge set leaves
+    # most blocks empty, zero-row pandas blocks lose their schema
+    # (NOTES fact 3), and the Acero joins below crash on the resulting
+    # schema-less sentinels. Node ids are strings by contract (every
+    # caller keys on string node ids).
+    _sym_schema = pa.schema([("node", pa.string()), ("nbr", pa.string())])
+    _lab_schema = pa.schema([("node", pa.string()), ("comp", pa.string())])
+
+    def both_dirs(df: pd.DataFrame) -> "pa.Table":
+        out = pd.DataFrame(
             {
                 "node": pd.concat([df["u"], df["v"]], ignore_index=True),
                 "nbr": pd.concat([df["v"], df["u"]], ignore_index=True),
             }
         )
+        return pa.Table.from_pandas(out, schema=_sym_schema, preserve_index=False)
 
     sym = edges.map_batches(both_dirs, batch_format="pandas")
 
     # labels: start with comp = node (nodes from the edge list)
-    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+    def init_labels(df: pd.DataFrame) -> "pa.Table":
         out = pd.DataFrame({"node": df["node"].unique()})
         out["comp"] = out["node"]
-        return out
+        return pa.Table.from_pandas(out, schema=_lab_schema, preserve_index=False)
 
     labels = dedup_exact(
         sym.map_batches(init_labels, batch_format="pandas"), ["node"], n_buckets

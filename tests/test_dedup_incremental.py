@@ -93,3 +93,27 @@ def test_all_new_shard_skips_join(ray_session):
     ref = ray.data.from_pandas(_docs(REF, ids=np.arange(100, 104)))
     got = dedup_against(new, ref).to_pandas()
     assert len(got) == 20
+
+
+def test_dup_cluster_histogram_known_graph():
+    import ray.data
+
+    from fastie_ray.ops.dedup import dup_cluster_histogram
+
+    # pairs: {1,2,3} via chain, {7,8}; 10 docs total → 5 singletons
+    pairs = pd.DataFrame({"doc_a": [1, 2, 7], "doc_b": [2, 3, 8]})
+    out = dup_cluster_histogram(ray.data.from_pandas(pairs).repartition(4), total_docs=10)
+    got = dict(zip(out["cluster_size"], out["n_clusters"]))
+    assert got == {1: 5, 2: 1, 3: 1}
+
+
+def test_dup_cluster_histogram_no_pairs():
+    import ray.data
+
+    from fastie_ray.ops.dedup import dup_cluster_histogram
+
+    pairs = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64")})
+    out = dup_cluster_histogram(ray.data.from_pandas(pairs), total_docs=7)
+    assert out["cluster_size"].tolist() == [1]
+    assert out["n_clusters"].tolist() == [7]

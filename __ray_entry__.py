@@ -1330,6 +1330,27 @@ def _q_kcore(sf_dir: str):
     return kcore_peel(edges, k=2, rounds=4, n_buckets=16)
 
 
+def _q_dsir_select(sf_dir: str):
+    """DSIR importance resampling: hashed-bigram feature counts over
+    the corpus (target = lang 'en'), Laplace-smoothed integer
+    target/raw ratio LUT broadcast once, streaming per-doc importance,
+    keep the top-2-deciles by exact global quantile threshold."""
+    import pandas as pd
+
+    from fastie_ray.ops.dsir import dsir_select
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def mask(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["is_en"] = (df["lang"] == "en").astype("int64")
+        return df
+
+    return dsir_select(
+        ds.map_batches(mask, batch_format="pandas"), "is_en", keep_quantile=0.8
+    )
+
+
 def _q_leakage_split(sf_dir: str):
     """Leakage-safe train/val/test assignment keyed on a site group
     (source + doc_id%61 — the url-host stand-in for the synth corpus):
@@ -1934,6 +1955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": _q_kcore,
         "graph_components": _q_graph_components,
         "embed_quantize": _q_embed_quantize,
+        "dsir_select": _q_dsir_select,
         "leakage_split": _q_leakage_split,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -2256,6 +2278,33 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN (
                 SELECT doc_id, count(*) AS n_dup FROM covered GROUP BY doc_id
             ) c USING (doc_id)
+        """,
+        "dsir_select": """
+            WITH docs AS (
+                SELECT doc_id, lang,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, lang, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS i
+                FROM docs
+            ), big AS (
+                SELECT a.doc_id,
+                       CAST(('0x' || substr(md5(a.tok || ' ' || b.tok), 1, 8))
+                            AS BIGINT) % 256 AS bucket,
+                       CASE WHEN a.lang = 'en' THEN 1 ELSE 0 END AS is_t
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ), cnt AS (
+                SELECT bucket, count(*) AS n_raw, sum(is_t) AS n_target
+                FROM big GROUP BY bucket
+            ), sc AS (
+                SELECT bucket, (1000000 * (n_target + 1)) // (n_raw + 1) AS score
+                FROM cnt
+            ), imp AS (
+                SELECT b.doc_id, CAST(sum(s.score) AS BIGINT) AS importance
+                FROM big b JOIN sc s USING (bucket) GROUP BY b.doc_id
+            ), th AS (SELECT quantile_disc(importance, 0.8) AS t FROM imp)
+            SELECT doc_id, importance FROM imp, th WHERE importance >= t
         """,
         "leakage_split": """
             WITH s AS (

@@ -1330,6 +1330,17 @@ def _q_kcore(sf_dir: str):
     return kcore_peel(edges, k=2, rounds=4, n_buckets=16)
 
 
+def _q_resample_docs(sf_dir: str):
+    """Systematic importance resampling by integer weight (n_chars —
+    token-budget-proportional selection): two-pass distributed prefix
+    scan, copies = floor-difference of scaled cumulative weights;
+    oracle is a SQL window prefix sum."""
+    from fastie_ray.ops.sampling import systematic_resample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return systematic_resample(ds, "n_chars", m=1000)
+
+
 def _q_dsir_select(sf_dir: str):
     """DSIR importance resampling: hashed-bigram feature counts over
     the corpus (target = lang 'en'), Laplace-smoothed integer
@@ -1956,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": _q_graph_components,
         "embed_quantize": _q_embed_quantize,
         "dsir_select": _q_dsir_select,
+        "resample_docs": _q_resample_docs,
         "leakage_split": _q_leakage_split,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -2278,6 +2290,20 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN (
                 SELECT doc_id, count(*) AS n_dup FROM covered GROUP BY doc_id
             ) c USING (doc_id)
+        """,
+        "resample_docs": """
+            WITH c AS (
+                SELECT doc_id, n_chars AS w,
+                       sum(n_chars) OVER (ORDER BY doc_id) AS cum,
+                       (SELECT sum(n_chars) FROM documents) AS grand
+                FROM documents
+            ), k AS (
+                SELECT doc_id, CAST(w AS BIGINT) AS weight,
+                       CAST((cum * 1000) // grand
+                            - ((cum - w) * 1000) // grand AS BIGINT) AS n_copies
+                FROM c
+            )
+            SELECT doc_id, weight, n_copies FROM k WHERE n_copies > 0
         """,
         "dsir_select": """
             WITH docs AS (

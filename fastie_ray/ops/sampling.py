@@ -141,3 +141,86 @@ def grouped_topk(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def systematic_resample(
+    ds: "ray.data.Dataset",
+    weight_col: str,
+    m: int,
+    id_col: str = "doc_id",
+    range_size: int = 1000,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Deterministic systematic resampling (the selection step of
+    importance resampling): over docs in ``id_col`` order with integer
+    weights ``w``, doc i receives
+
+        n_copies = floor(cum_i * m / W) - floor((cum_i - w_i) * m / W)
+
+    copies (``cum_i`` = inclusive weight prefix sum, ``W`` = total) —
+    the zero-offset systematic sampler: expected multiplicity
+    proportional to weight, integer-exact, reproducible as a SQL
+    window function ``sum(w) OVER (ORDER BY id)``.
+
+    Distributed shape = the two-pass prefix scan (``ops.packing``):
+    pass 1 reduces per-RANGE weight totals (range count is a knob, not
+    data-sized — the driver table is the bounded-small-side pattern),
+    pass 2 buckets ranges and finishes local cumsums in parallel; rows
+    with ``n_copies = 0`` are dropped in-task. No global sort.
+    Requires non-negative integer weights and ids unique per row."""
+    import ray
+
+    def wpartial(df: pd.DataFrame) -> pd.DataFrame:
+        c = pd.DataFrame(
+            {
+                "rid": (df[id_col] // range_size).astype("int64"),
+                "w": df[weight_col].astype("int64"),
+            }
+        )
+        return c.groupby("rid", as_index=False)["w"].sum()
+
+    totals = (
+        ds.map_batches(wpartial, batch_format="pandas")
+        .to_pandas()
+        .groupby("rid", as_index=False)["w"]
+        .sum()
+        .sort_values("rid")
+    )
+    grand = int(totals["w"].sum())
+    if grand <= 0:
+        raise ValueError("systematic_resample needs positive total weight")
+    excl = np.concatenate([[0], np.cumsum(totals["w"].to_numpy())[:-1]])
+    off_ref = ray.put(dict(zip(totals["rid"].astype(int), excl.astype(int))))
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        c = pd.DataFrame(
+            {
+                id_col: df[id_col].astype("int64"),
+                "w": df[weight_col].astype("int64"),
+            }
+        )
+        c["rid"] = (c[id_col] // range_size).astype("int64")
+        if len(c):
+            h = pd.util.hash_pandas_object(c["rid"], index=False).to_numpy()
+            c["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        else:
+            c["__b"] = np.array([], dtype=np.int64)
+        return c
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.drop(columns="__b").sort_values(["rid", id_col])
+        local = g.groupby("rid", sort=False)["w"].cumsum()
+        cum = (local + g["rid"].map(offs)).to_numpy(dtype=np.int64)
+        w = g["w"].to_numpy(dtype=np.int64)
+        n = (cum * m) // grand - ((cum - w) * m) // grand
+        out = pd.DataFrame(
+            {id_col: g[id_col], "weight": w, "n_copies": n.astype("int64")}
+        )
+        return out[out["n_copies"] > 0]
+
+    return (
+        ds.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(scan, batch_format="pandas")
+    )

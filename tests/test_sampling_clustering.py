@@ -199,3 +199,44 @@ def test_scalar_quantize_roundtrip_and_edges():
         step = (mx - mn) / 254.0
         recon = mn + (sub.loc[np.arange(40)].to_numpy() + 127.5) * step
         assert np.abs(recon - col[np.arange(40)]).max() <= step * 1.01
+
+
+def test_systematic_resample_matches_window_reference():
+    from fastie_ray.ops.sampling import systematic_resample
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(500), "w": rng.integers(0, 50, 500).astype("int64")}
+    )
+    m = 120
+    cum = df["w"].cumsum().to_numpy()
+    grand = int(cum[-1])
+    n = (cum * m) // grand - ((cum - df["w"].to_numpy()) * m) // grand
+    want = pd.DataFrame(
+        {"doc_id": df["doc_id"], "weight": df["w"], "n_copies": n.astype("int64")}
+    )
+    want = want[want["n_copies"] > 0].reset_index(drop=True)
+    for parts in (1, 7):
+        got = (
+            systematic_resample(
+                ray.data.from_pandas(df).repartition(parts), "w", m=m,
+                range_size=64, n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    # multiplicity budget: total copies == m exactly (floor telescope)
+    assert want["n_copies"].sum() == m
+
+
+def test_systematic_resample_zero_weight_docs_never_selected():
+    from fastie_ray.ops.sampling import systematic_resample
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3], "w": [0, 10, 0, 10]})
+    got = systematic_resample(
+        ray.data.from_pandas(df), "w", m=4, range_size=2, n_buckets=2
+    ).to_pandas()
+    assert set(got["doc_id"]) <= {1, 3}
+    assert got["n_copies"].sum() == 4

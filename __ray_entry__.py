@@ -383,6 +383,40 @@ def _q_tfidf_terms(sf_dir: str):
 _QUANTILE_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 
+def _topic_sql() -> str:
+    """Keyword-topic oracle generated from the SAME lexicon as
+    ``_q_topic_labels`` — substring counts via the replace-length
+    identity, full-condition argmax CASE (first match = lexicographic
+    tie-break)."""
+    topics = sorted(_TOPIC_LEXICON)
+
+    def cnt(p: str) -> str:
+        return (
+            f"(length(lower(text)) - length(replace(lower(text), '{p}', '')))"
+            f" // {len(p)}"
+        )
+
+    cols = ",\n".join(
+        f"CAST({' + '.join(cnt(p) for p in _TOPIC_LEXICON[t])} AS BIGINT) AS s_{t}"
+        for t in topics
+    )
+    allmax = "greatest(" + ", ".join(f"s_{t}" for t in topics) + ")"
+    whens = "\n".join(
+        f"WHEN {' AND '.join(f's_{t} >= s_{u}' for u in topics if u != t)} "
+        f"THEN '{t}'"
+        for t in topics
+    )
+    return f"""
+        WITH s AS (SELECT doc_id, {cols} FROM documents)
+        SELECT doc_id,
+               CASE WHEN {allmax} = 0 THEN 'other'
+               {whens}
+               END AS topic,
+               {allmax} AS score
+        FROM s
+    """
+
+
 def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
     """Unrolled k-core peel oracle (one degree+filter CTE pair per
     round) over the per-customer chain/cycle order graph — mirrors
@@ -1330,6 +1364,24 @@ def _q_kcore(sf_dir: str):
     return kcore_peel(edges, k=2, rounds=4, n_buckets=16)
 
 
+_TOPIC_LEXICON = {
+    "exec": ["scan", "sort", "merge", "hash", "join"],
+    "storage": ["table", "row", "column", "part"],
+    "stream": ["window", "batch", "stream"],
+}
+
+
+def _q_topic_labels(sf_dir: str):
+    """Weak-supervision taxonomy tagging: per-topic summed substring
+    counts from a fixed keyword lexicon, argmax label with
+    lexicographic tie-break, 'other' on zero hits. Oracle uses the
+    replace-length counting identity."""
+    from fastie_ray.ops.text_analysis import keyword_topics
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return keyword_topics(ds, _TOPIC_LEXICON)
+
+
 def _q_resample_docs(sf_dir: str):
     """Systematic importance resampling by integer weight (n_chars —
     token-budget-proportional selection): two-pass distributed prefix
@@ -1968,6 +2020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_quantize": _q_embed_quantize,
         "dsir_select": _q_dsir_select,
         "resample_docs": _q_resample_docs,
+        "topic_labels": _q_topic_labels,
         "leakage_split": _q_leakage_split,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -2291,6 +2344,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, count(*) AS n_dup FROM covered GROUP BY doc_id
             ) c USING (doc_id)
         """,
+        "topic_labels": _topic_sql(),
         "resample_docs": """
             WITH c AS (
                 SELECT doc_id, n_chars AS w,

@@ -330,3 +330,49 @@ def winnow_overlap_pairs(
         .groupby("__b")
         .map_groups(total, batch_format="pandas")
     )
+
+
+def keyword_topics(
+    ds: "ray.data.Dataset",
+    lexicon: dict[str, list[str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Weak-supervision topic labeling from a keyword lexicon (the
+    taxonomy-tagging pass of corpus curation): per doc, each topic
+    scores the summed non-overlapping substring counts of its phrases
+    (case-insensitive); the label is the argmax, ties broken by
+    lexicographically smallest topic, zero-hit docs labeled 'other'.
+
+    Streaming and exchange-free; the lexicon is a fixed artifact
+    shipped in the closure (vocab-bounded). Vectorized pandas
+    ``str.count`` per phrase — cost is O(phrases × batch), never per
+    row. Counts are SQL-reproducible via the replace-length identity
+    ``(len(s) - len(replace(s, p, ''))) // len(p)``."""
+    import re
+
+    topics = sorted(lexicon)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        low = df[text_col].str.lower()
+        scores = {}
+        for t in topics:
+            s = None
+            for p in lexicon[t]:
+                c = low.str.count(re.escape(p.lower()))
+                s = c if s is None else s + c
+            scores[t] = s.astype("int64")
+        sc = pd.DataFrame(scores)
+        # idxmax ties resolve to the FIRST column; columns are sorted,
+        # so ties go to the lexicographically smallest topic
+        best = sc.idxmax(axis=1)
+        bscore = sc.max(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "topic": best.where(bscore > 0, "other"),
+                "score": bscore.astype("int64"),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pandas")

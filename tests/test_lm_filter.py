@@ -95,3 +95,38 @@ def test_sub_bigram_docs_are_dropped_and_empty_model_scores_zero():
     assert got["covered"].tolist() == [0]
     assert got["familiarity"].tolist() == [0]
     assert got["n_bigrams"].tolist() == [2]
+
+
+def test_keyword_topics_argmax_ties_and_other():
+    from fastie_ray.ops.text_analysis import keyword_topics
+
+    lex = {"b_topic": ["cat"], "a_topic": ["dog"], "c_topic": ["fish"]}
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "dog dog cat",        # a_topic wins 2-1
+                "cat dog",            # tie 1-1 → lexicographic: a_topic
+                "no animals here",    # zero hits → other
+                "FISH Fish fish",     # case-insensitive, c_topic 3
+            ],
+        }
+    )
+    out = (
+        keyword_topics(ray.data.from_pandas(df), lex)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["topic"].tolist() == ["a_topic", "a_topic", "other", "c_topic"]
+    assert out["score"].tolist() == [2, 1, 0, 3]
+
+
+def test_keyword_topics_substring_count_semantics():
+    from fastie_ray.ops.text_analysis import keyword_topics
+
+    # non-overlapping counts: "aa" in "aaaa" = 2 (matches the SQL
+    # replace-length identity)
+    lex = {"x": ["aa"]}
+    df = pd.DataFrame({"doc_id": [0], "text": ["aaaa"]})
+    out = keyword_topics(ray.data.from_pandas(df), lex).to_pandas()
+    assert out["score"].tolist() == [2]

@@ -417,6 +417,43 @@ def _topic_sql() -> str:
     """
 
 
+def _kcenter_sql(k: int = 5) -> str:
+    """Unrolled Gonzalez farthest-first oracle: one (pick, min-dist
+    update) CTE pair per center, integer-grid distances."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+        )
+
+    ctes = [
+        "iv AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(1000 * CAST(x AS DOUBLE)) AS BIGINT)) AS v FROM embeddings)",
+        "c0 AS (SELECT v FROM iv WHERE vec_id = (SELECT min(vec_id) FROM iv))",
+        f"m1 AS (SELECT a.vec_id, a.v, {dist('a.v', 'c0.v')} AS mind FROM iv a, c0)",
+    ]
+    for i in range(1, k):
+        ctes.append(
+            f"p{i} AS (SELECT vec_id, v, mind FROM m{i} "
+            f"ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if i < k - 1:
+            ctes.append(
+                f"m{i + 1} AS (SELECT m.vec_id, m.v, "
+                f"least(m.mind, {dist('m.v', 'p.v')}) AS mind "
+                f"FROM m{i} m, p{i} p)"
+            )
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS rank, "
+        "(SELECT min(vec_id) FROM iv) AS vec_id, CAST(0 AS BIGINT) AS dist"
+    ] + [
+        f"SELECT CAST({i} AS BIGINT), vec_id, CAST(mind AS BIGINT) FROM p{i}"
+        for i in range(1, k)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
     """Unrolled k-core peel oracle (one degree+filter CTE pair per
     round) over the per-customer chain/cycle order graph — mirrors
@@ -1371,6 +1408,16 @@ _TOPIC_LEXICON = {
 }
 
 
+def _q_kcenter(sf_dir: str):
+    """Greedy k-center coreset (diversity sampling over embeddings):
+    integer-grid distances, one streaming min-dist pass + local-argmax
+    reduce per center; unrolled farthest-first SQL oracle."""
+    from fastie_ray.ops.clustering import kcenter_coreset
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kcenter_coreset(ds, k=5)
+
+
 def _q_topic_labels(sf_dir: str):
     """Weak-supervision taxonomy tagging: per-topic summed substring
     counts from a fixed keyword lexicon, argmax label with
@@ -2021,6 +2068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir_select,
         "resample_docs": _q_resample_docs,
         "topic_labels": _q_topic_labels,
+        "kcenter": _q_kcenter,
         "leakage_split": _q_leakage_split,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -2345,6 +2393,7 @@ def oracle_sql() -> dict[str, str]:
             ) c USING (doc_id)
         """,
         "topic_labels": _topic_sql(),
+        "kcenter": _kcenter_sql(k=5),
         "resample_docs": """
             WITH c AS (
                 SELECT doc_id, n_chars AS w,

@@ -170,3 +170,79 @@ def kmeans_cluster_sizes(
     out = parts.groupby("cluster_id", as_index=False)["n_members"].sum()
     out["n_members"] = out["n_members"].astype("int64")
     return out.sort_values("cluster_id").reset_index(drop=True)
+
+
+def kcenter_coreset(
+    ds: "ray.data.Dataset",
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> pd.DataFrame:
+    """Greedy k-center coreset selection (Gonzalez farthest-first) —
+    the diversity-sampling pass of embedding curation: pick the
+    min-id vector, then k-1 times the vector FARTHEST from the chosen
+    set (squared-euclidean; ties by smallest id).
+
+    Integer-exact: vectors are scaled to ``floor(scale * x)`` int64
+    grids first, so distances are exact integers and the argmax is
+    reproducible in an unrolled SQL oracle (float reductions would be
+    order-dependent).
+
+    Scale shape per iteration: ONE streaming pass updates the running
+    min-distance-to-set column against the newest center (broadcast —
+    one vector), and a per-batch local argmax reduces to
+    ``n_blocks`` candidate rows merged on the driver. The
+    (id, intvec, mind) state table is materialized per iteration —
+    corpus-row-sized but narrow, exactly the PageRank rank-table
+    pattern. No shuffle anywhere.
+
+    Returns a k-row DataFrame (rank, vec_id, dist) where ``dist`` is
+    the max-min distance at pick time (rank 0 → 0)."""
+    import ray.data  # noqa: F401
+
+    def to_int(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.floor(
+            scale * np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        ).astype(np.int64)
+        return pd.DataFrame({id_col: df[id_col].astype("int64"), "v": list(m)})
+
+    iv = ds.map_batches(to_int, batch_format="pandas").materialize()
+
+    first_id = int(iv.min(id_col))
+    c0 = (
+        iv.filter(lambda r, fid=first_id: r[id_col] == fid)
+        .take(1)[0]["v"]
+    )
+    center = np.asarray(c0, dtype=np.int64)
+    picks = [(0, first_id, 0)]
+
+    # state: (id, v, mind); mind vs the chosen set so far
+    state = None
+    for rank in range(1, k):
+        cvec = center  # rebound per iteration for the closure
+
+        def update(df: pd.DataFrame, cvec=cvec) -> pd.DataFrame:
+            m = np.stack(df["v"].to_numpy()).astype(np.int64)
+            d = ((m - cvec) ** 2).sum(axis=1)
+            if "mind" in df.columns:
+                d = np.minimum(d, df["mind"].to_numpy(dtype=np.int64))
+            out = pd.DataFrame(
+                {id_col: df[id_col], "v": df["v"], "mind": d.astype(np.int64)}
+            )
+            return out
+
+        state = (state if state is not None else iv).map_batches(
+            update, batch_format="pandas"
+        ).materialize()
+
+        def local_best(df: pd.DataFrame) -> pd.DataFrame:
+            i = np.lexsort((df[id_col].to_numpy(), -df["mind"].to_numpy()))[0]
+            return df.iloc[[i]]
+
+        cands = state.map_batches(local_best, batch_format="pandas").to_pandas()
+        best = cands.sort_values(["mind", id_col], ascending=[False, True]).iloc[0]
+        picks.append((rank, int(best[id_col]), int(best["mind"])))
+        center = np.asarray(best["v"], dtype=np.int64)
+
+    return pd.DataFrame(picks, columns=["rank", id_col, "dist"]).astype("int64")

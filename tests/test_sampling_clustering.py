@@ -240,3 +240,40 @@ def test_systematic_resample_zero_weight_docs_never_selected():
     ).to_pandas()
     assert set(got["doc_id"]) <= {1, 3}
     assert got["n_copies"].sum() == 4
+
+
+def test_kcenter_coreset_matches_numpy_reference():
+    from fastie_ray.ops.clustering import kcenter_coreset
+
+    rng = np.random.default_rng(23)
+    n, d, k = 120, 8, 6
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(emb)})
+
+    iv = np.floor(1000 * emb.astype(np.float64)).astype(np.int64)
+    picks = [(0, 0, 0)]
+    mind = ((iv - iv[0]) ** 2).sum(axis=1)
+    for r in range(1, k):
+        order = np.lexsort((np.arange(n), -mind))
+        b = order[0]
+        picks.append((r, int(b), int(mind[b])))
+        mind = np.minimum(mind, ((iv - iv[b]) ** 2).sum(axis=1))
+    want = pd.DataFrame(picks, columns=["rank", "vec_id", "dist"]).astype("int64")
+
+    for parts in (1, 5):
+        got = kcenter_coreset(
+            ray.data.from_pandas(df).repartition(parts), k=k
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_kcenter_first_pick_is_min_id_and_dists_decrease():
+    from fastie_ray.ops.clustering import kcenter_coreset
+
+    rng = np.random.default_rng(5)
+    emb = rng.normal(size=(60, 4)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(10, 70), "embedding": list(emb)})
+    got = kcenter_coreset(ray.data.from_pandas(df), k=4)
+    assert got["vec_id"].iloc[0] == 10 and got["dist"].iloc[0] == 0
+    d = got["dist"].iloc[1:].to_numpy()
+    assert (np.diff(d) <= 0).all()  # farthest-first radii are non-increasing

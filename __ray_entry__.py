@@ -417,6 +417,46 @@ def _topic_sql() -> str:
     """
 
 
+def _perceptron_sql(n_iter: int = 3, n_features: int = 64) -> str:
+    """Unrolled full-batch integer-perceptron oracle: hashed-bigram
+    features, one (score, violations, gradient, weights) CTE group per
+    iteration — mirrors ``ops.linear_train.perceptron_train``."""
+    ctes = [
+        """docs AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)""",
+        """tok AS (SELECT doc_id, y, unnest(toks) AS tok,
+            generate_subscripts(toks, 1) AS i FROM docs)""",
+        f"""f AS (SELECT a.doc_id AS doc, a.y,
+            CAST(('0x' || substr(md5(a.tok || ' ' || b.tok), 1, 8)) AS BIGINT)
+                % {n_features} AS bucket,
+            CAST(count(*) AS BIGINT) AS cnt
+            FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            GROUP BY 1, 2, 3)""",
+        f"""w0 AS (SELECT CAST(range AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w
+            FROM range({n_features}))""",
+    ]
+    for t in range(n_iter):
+        ctes.append(
+            f"""s{t} AS (SELECT f.doc, any_value(f.y) AS y,
+            sum(f.cnt * w{t}.w) AS total
+            FROM f JOIN w{t} USING (bucket) GROUP BY f.doc)"""
+        )
+        ctes.append(f"v{t} AS (SELECT doc FROM s{t} WHERE y * total <= 0)")
+        ctes.append(
+            f"""g{t} AS (SELECT f.bucket, sum(f.y * f.cnt) AS g
+            FROM f JOIN v{t} USING (doc) GROUP BY f.bucket)"""
+        )
+        ctes.append(
+            f"""w{t + 1} AS (SELECT w{t}.bucket,
+            w{t}.w + coalesce(g{t}.g, 0) AS w
+            FROM w{t} LEFT JOIN g{t} USING (bucket))"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT bucket, CAST(w AS BIGINT) AS weight FROM w{n_iter}"
+    )
+
+
 def _kcenter_sql(k: int = 5) -> str:
     """Unrolled Gonzalez farthest-first oracle: one (pick, min-dist
     update) CTE pair per center, integer-grid distances."""
@@ -1408,6 +1448,27 @@ _TOPIC_LEXICON = {
 }
 
 
+def _q_perceptron(sf_dir: str):
+    """Distributed full-batch integer perceptron (lang=='en' vs rest)
+    over hashed-bigram features: feature table materialized once, one
+    streaming gradient pass per iteration, order-independent integer
+    all-reduce; oracle is the unrolled 3-iteration SQL."""
+    import pandas as pd
+
+    from fastie_ray.ops.linear_train import perceptron_train
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def lab(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["y"] = (df["lang"] == "en").map({True: 1, False: -1}).astype("int64")
+        return df
+
+    return perceptron_train(
+        ds.map_batches(lab, batch_format="pandas"), "y", n_iter=3, n_features=64
+    )
+
+
 def _q_kcenter(sf_dir: str):
     """Greedy k-center coreset (diversity sampling over embeddings):
     integer-grid distances, one streaming min-dist pass + local-argmax
@@ -2069,6 +2130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_docs": _q_resample_docs,
         "topic_labels": _q_topic_labels,
         "kcenter": _q_kcenter,
+        "perceptron": _q_perceptron,
         "leakage_split": _q_leakage_split,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -2394,6 +2456,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "topic_labels": _topic_sql(),
         "kcenter": _kcenter_sql(k=5),
+        "perceptron": _perceptron_sql(n_iter=3, n_features=64),
         "resample_docs": """
             WITH c AS (
                 SELECT doc_id, n_chars AS w,

@@ -1,0 +1,139 @@
+"""Distributed linear-classifier training over hashed text features —
+the data-parallel training loop of the curation stack (quality / domain
+classifiers are trained exactly like this at corpus scale: fastText-
+style hashed features, full-batch updates, gradient all-reduce).
+
+Integer-exact full-batch perceptron so the iterative algorithm is
+reproducible bit-for-bit in an unrolled SQL oracle (the PageRank
+pattern, one CTE group per iteration):
+
+- features: bigrams hashed into ``n_features`` md5 buckets
+  (``ops.dsir`` feature space); per doc, integer bucket counts;
+- labels: ``y ∈ {+1, -1}`` from a caller column;
+- iteration t: ``score(d) = Σ_b cnt(d,b) · w_t[b]``; docs with
+  ``y · score <= 0`` violate; ``w_{t+1} = w_t + Σ_violations y · cnt``
+  (lr = 1, integer weights forever).
+
+The gradient is a SUM of per-doc integer vectors — order-independent,
+so the cross-partition reduce is exact no matter how Ray schedules it
+(a float SGD loop would not be; and *sequential* SGD is inherently
+serial — full-batch is the honest data-parallel formulation).
+
+Scale shape: the (doc, bucket, cnt, y) feature table is built ONCE and
+materialized (bigram-bounded rows, narrow ints); each iteration is one
+streaming pass — broadcast w (``n_features`` ints via closure capture
+of a driver array), per-batch local gradient partial (numpy bincount),
+driver adds ``n_blocks`` partial vectors. No shuffle at any point.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+from fastie_ray.ops.dsir import _feature_buckets
+from fastie_ray.ops.lm_filter import _doc_bigrams
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+def feature_table(
+    ds: "ray.data.Dataset",
+    label_col: str,
+    n_features: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """(doc, y, bucket, cnt) hashed-bigram feature rows; docs without
+    bigrams contribute nothing (no feature evidence)."""
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        big = _doc_bigrams(df, text_col, id_col)
+        if len(big) == 0:
+            return pd.DataFrame(
+                {
+                    "doc": pd.Series([], dtype="int64"),
+                    "y": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        b = pd.DataFrame(
+            {
+                "doc": big["doc"].to_numpy(),
+                "bucket": _feature_buckets(big["bigram"], n_features),
+            }
+        )
+        out = b.groupby(["doc", "bucket"], as_index=False).agg(cnt=("bucket", "count"))
+        ymap = dict(zip(df[id_col], df[label_col].astype("int64")))
+        out["y"] = out["doc"].map(ymap).astype("int64")
+        return out[["doc", "y", "bucket", "cnt"]].astype("int64")
+
+    return ds.map_batches(feats, batch_format="pandas")
+
+
+def perceptron_train(
+    ds: "ray.data.Dataset",
+    label_col: str,
+    n_iter: int = 3,
+    n_features: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Full-batch integer perceptron; returns the final weight table
+    (bucket, weight) plus per-iteration violation counts folded in as
+    a second output frame via attribute access is avoided — callers
+    needing diagnostics re-score with the returned weights."""
+    feats = feature_table(
+        ds, label_col, n_features=n_features, text_col=text_col, id_col=id_col
+    ).materialize()
+
+    w = np.zeros(n_features, dtype=np.int64)
+    for _ in range(n_iter):
+        w_t = w.copy()
+
+        def grad_partial(df: pd.DataFrame, w_t=w_t) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {
+                        "bucket": pd.Series([], dtype="int64"),
+                        "g": pd.Series([], dtype="int64"),
+                    }
+                )
+            score = df["cnt"].to_numpy() * w_t[df["bucket"].to_numpy()]
+            s = df.assign(sc=score).groupby("doc").agg(
+                y=("y", "first"), total=("sc", "sum")
+            )
+            viol = s[s["y"] * s["total"] <= 0].index
+            v = df[df["doc"].isin(viol)]
+            if len(v) == 0:
+                return pd.DataFrame(
+                    {
+                        "bucket": pd.Series([], dtype="int64"),
+                        "g": pd.Series([], dtype="int64"),
+                    }
+                )
+            g = np.bincount(
+                v["bucket"].to_numpy(),
+                weights=(v["y"] * v["cnt"]).to_numpy(),
+                minlength=len(w_t),
+            ).astype(np.int64)
+            nz = np.nonzero(g)[0]
+            return pd.DataFrame({"bucket": nz.astype("int64"), "g": g[nz]})
+
+        # batch_size=None → whole blocks: a doc's feature rows were
+        # emitted together by one feature_table task and must not be
+        # re-sliced mid-doc (the violation test is per-doc)
+        parts = feats.map_batches(
+            grad_partial, batch_format="pandas", batch_size=None
+        ).to_pandas()
+        if len(parts):
+            upd = parts.groupby("bucket")["g"].sum()
+            w[upd.index.to_numpy()] += upd.to_numpy(dtype=np.int64)
+
+    return pd.DataFrame(
+        {"bucket": np.arange(n_features, dtype=np.int64), "weight": w}
+    )

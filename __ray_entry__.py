@@ -457,6 +457,22 @@ def _perceptron_sql(n_iter: int = 3, n_features: int = 64) -> str:
     )
 
 
+def _classifier_sql(n_iter: int = 3, n_features: int = 64) -> str:
+    """Train-then-infer oracle: the perceptron unroll plus one scoring
+    CTE over the final weights."""
+    base = _perceptron_sql(n_iter=n_iter, n_features=n_features)
+    head, _, _ = base.rpartition("\nSELECT")
+    return (
+        head
+        + f""",
+        sf AS (SELECT f.doc, sum(f.cnt * w{n_iter}.w) AS score
+               FROM f JOIN w{n_iter} USING (bucket) GROUP BY f.doc)
+        SELECT doc AS doc_id, CAST(score AS BIGINT) AS score,
+               CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred
+        FROM sf"""
+    )
+
+
 def _kcenter_sql(k: int = 5) -> str:
     """Unrolled Gonzalez farthest-first oracle: one (pick, min-dist
     update) CTE pair per center, integer-grid distances."""
@@ -1469,6 +1485,26 @@ def _q_perceptron(sf_dir: str):
     )
 
 
+def _q_classifier_preds(sf_dir: str):
+    """Train→infer composition: the integer perceptron's final weights
+    applied in a streaming inference pass (score, ±1 prediction per
+    doc). Oracle = the training unroll + one scoring CTE."""
+    import pandas as pd
+
+    from fastie_ray.ops.linear_train import perceptron_score, perceptron_train
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def lab(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["y"] = (df["lang"] == "en").map({True: 1, False: -1}).astype("int64")
+        return df
+
+    labeled = ds.map_batches(lab, batch_format="pandas")
+    w = perceptron_train(labeled, "y", n_iter=3, n_features=64)
+    return perceptron_score(ds, w["weight"].to_numpy(), n_features=64)
+
+
 def _q_kcenter(sf_dir: str):
     """Greedy k-center coreset (diversity sampling over embeddings):
     integer-grid distances, one streaming min-dist pass + local-argmax
@@ -2131,6 +2167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topic_labels": _q_topic_labels,
         "kcenter": _q_kcenter,
         "perceptron": _q_perceptron,
+        "classifier_preds": _q_classifier_preds,
         "leakage_split": _q_leakage_split,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -2457,6 +2494,7 @@ def oracle_sql() -> dict[str, str]:
         "topic_labels": _topic_sql(),
         "kcenter": _kcenter_sql(k=5),
         "perceptron": _perceptron_sql(n_iter=3, n_features=64),
+        "classifier_preds": _classifier_sql(n_iter=3, n_features=64),
         "resample_docs": """
             WITH c AS (
                 SELECT doc_id, n_chars AS w,

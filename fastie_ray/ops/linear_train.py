@@ -84,9 +84,9 @@ def perceptron_train(
     id_col: str = "doc_id",
 ) -> pd.DataFrame:
     """Full-batch integer perceptron; returns the final weight table
-    (bucket, weight) plus per-iteration violation counts folded in as
-    a second output frame via attribute access is avoided — callers
-    needing diagnostics re-score with the returned weights."""
+    (bucket, weight). Callers needing diagnostics (violation counts,
+    accuracy) re-score with the returned weights via
+    ``perceptron_score``."""
     feats = feature_table(
         ds, label_col, n_features=n_features, text_col=text_col, id_col=id_col
     ).materialize()
@@ -137,3 +137,40 @@ def perceptron_train(
     return pd.DataFrame(
         {"bucket": np.arange(n_features, dtype=np.int64), "weight": w}
     )
+
+
+def perceptron_score(
+    ds: "ray.data.Dataset",
+    weights: np.ndarray,
+    n_features: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Inference pass for a trained integer linear model: per doc,
+    ``score = Σ cnt(b) · w[b]`` and ``pred = 1 if score > 0 else -1``.
+    Streaming and exchange-free; the weight vector ships in the
+    closure (``n_features`` ints). Docs without bigrams are dropped
+    (no feature evidence), matching training."""
+    w = np.asarray(weights, dtype=np.int64)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        big = _doc_bigrams(df, text_col, id_col)
+        if len(big) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="int64"),
+                    "pred": pd.Series([], dtype="int64"),
+                }
+            )
+        b = _feature_buckets(big["bigram"], len(w))
+        out = (
+            pd.DataFrame({id_col: big["doc"].to_numpy(), "s": w[b]})
+            .groupby(id_col, as_index=False)["s"]
+            .sum()
+            .rename(columns={"s": "score"})
+        )
+        out["pred"] = np.where(out["score"].to_numpy() > 0, 1, -1)
+        return out.astype({id_col: "int64", "score": "int64", "pred": "int64"})
+
+    return ds.map_batches(score, batch_format="pandas")

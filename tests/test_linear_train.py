@@ -87,3 +87,30 @@ def test_docs_without_bigrams_do_not_affect_training():
         "y", n_iter=2, n_features=NF,
     )
     pd.testing.assert_frame_equal(w1, w2)
+
+
+def test_perceptron_score_agrees_with_training_violation_rule():
+    from fastie_ray.ops.linear_train import perceptron_score
+
+    df = _corpus(40)
+    w = perceptron_train(ray.data.from_pandas(df), "y", n_iter=4, n_features=NF)
+    out = (
+        perceptron_score(
+            ray.data.from_pandas(df).repartition(3),
+            w["weight"].to_numpy(),
+            n_features=NF,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # reference scores
+    big = _doc_bigrams(df, "text", "doc_id")
+    b = _feature_buckets(big["bigram"], NF)
+    wv = w["weight"].to_numpy()
+    ref = (
+        pd.DataFrame({"doc_id": big["doc"].to_numpy(), "s": wv[b]})
+        .groupby("doc_id", as_index=False)["s"].sum()
+    )
+    assert (out["score"].to_numpy() == ref["s"].to_numpy()).all()
+    assert (out["pred"].to_numpy() == np.where(out["score"] > 0, 1, -1)).all()

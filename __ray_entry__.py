@@ -1485,6 +1485,17 @@ def _q_perceptron(sf_dir: str):
     )
 
 
+def _q_infer_batches(sf_dir: str):
+    """Length-bucketed inference batch plan (padding-minimizing model
+    serving): power-of-two token buckets, deterministic rank within
+    bucket via grouped two-pass prefix scan → (batch_id, slot).
+    Oracle is a window ROW_NUMBER per bucket."""
+    from fastie_ray.ops.batching import length_bucketed_batches
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return length_bucketed_batches(ds, batch_size=16)
+
+
 def _q_classifier_preds(sf_dir: str):
     """Train→infer composition: the integer perceptron's final weights
     applied in a streaming inference pass (score, ±1 prediction per
@@ -2168,6 +2179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter": _q_kcenter,
         "perceptron": _q_perceptron,
         "classifier_preds": _q_classifier_preds,
+        "infer_batches": _q_infer_batches,
         "leakage_split": _q_leakage_split,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -2495,6 +2507,27 @@ def oracle_sql() -> dict[str, str]:
         "kcenter": _kcenter_sql(k=5),
         "perceptron": _perceptron_sql(n_iter=3, n_features=64),
         "classifier_preds": _classifier_sql(n_iter=3, n_features=64),
+        "infer_batches": """
+            WITH c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+                FROM documents
+            ), b AS (
+                SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                       CAST(greatest(ceil(log2(greatest(n_tokens, 1) / 8.0)), 0)
+                            AS BIGINT) AS len_bucket
+                FROM c
+            ), r AS (
+                SELECT b.*, row_number() OVER (
+                    PARTITION BY len_bucket ORDER BY doc_id
+                ) - 1 AS rank
+                FROM b
+            )
+            SELECT doc_id, n_tokens, len_bucket,
+                   CAST(len_bucket * 1000000 + rank // 16 AS BIGINT) AS batch_id,
+                   CAST(rank % 16 AS BIGINT) AS slot
+            FROM r
+        """,
         "resample_docs": """
             WITH c AS (
                 SELECT doc_id, n_chars AS w,

@@ -457,6 +457,43 @@ def _perceptron_sql(n_iter: int = 3, n_features: int = 64) -> str:
     )
 
 
+def _pagerank_sql_over(edges_cte: str, n_iter: int = 3) -> str:
+    """Unrolled fixed-point integer-PageRank oracle over any
+    ``edges(src, dst)`` DISTINCT edge CTE (same arithmetic as the
+    hand-written customer-supplier pagerank oracle)."""
+    ctes = [
+        edges_cte,
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        """deg AS (SELECT node, CAST(coalesce(d.d, 0) AS BIGINT) AS outdeg
+            FROM nodes LEFT JOIN (
+                SELECT src AS node, count(*) AS d FROM edges GROUP BY 1
+            ) d USING (node))""",
+        "params AS (SELECT count(*) AS n FROM nodes)",
+        """r0 AS (SELECT node, outdeg, CAST(1000000000000 // p.n AS BIGINT) AS rank
+            FROM deg, params p)""",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"d{t} AS (SELECT coalesce(sum(rank), 0) AS dang "
+            f"FROM r{t - 1} WHERE outdeg = 0)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT e.dst AS node, sum(r.rank // r.outdeg) AS contrib "
+            f"FROM edges e JOIN r{t - 1} r ON e.src = r.node GROUP BY 1)"
+        )
+        ctes.append(
+            f"""r{t} AS (SELECT r.node, r.outdeg,
+            CAST(((100-85) * (1000000000000 // p.n)
+                + 85 * (coalesce(c.contrib, 0) + d.dang // p.n)) // 100
+                AS BIGINT) AS rank
+            FROM r{t - 1} r LEFT JOIN c{t} c USING (node), params p, d{t} d)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank AS rank_scaled FROM r{n_iter}"
+    )
+
+
 def _classifier_sql(n_iter: int = 3, n_features: int = 64) -> str:
     """Train-then-infer oracle: the perceptron unroll plus one scoring
     CTE over the final weights."""
@@ -1485,6 +1522,29 @@ def _q_perceptron(sf_dir: str):
     )
 
 
+def _q_entity_salience(sf_dir: str):
+    """Entity salience: PageRank over the extracted KG edge graph
+    (distinct subject→object entity pairs from the full extraction
+    path) — KG construction composed with the iterative graph family.
+    Oracle: facts-plan edges + the unrolled integer-PageRank CTEs."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import pagerank
+    from fastie_ray.pipelines.kg import graph_tables
+
+    t = graph_tables(
+        _pages(sf_dir), world=_world(), concurrency=_conc(), want=("edges",)
+    )["edges"]
+    edges = t.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["subject_id"], "dst": df["object_id"]}
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+    return pagerank(dedup_exact(edges, ["src", "dst"], n_buckets=16), n_iter=3)
+
+
 def _q_infer_batches(sf_dir: str):
     """Length-bucketed inference batch plan (padding-minimizing model
     serving): power-of-two token buckets, deterministic rank within
@@ -2180,6 +2240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perceptron": _q_perceptron,
         "classifier_preds": _q_classifier_preds,
         "infer_batches": _q_infer_batches,
+        "entity_salience": _q_entity_salience,
         "leakage_split": _q_leakage_split,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -2986,6 +3047,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN eids e ON e.i = f.i
             GROUP BY 1, 2, 3
         """,
+        "entity_salience": _pagerank_sql_over(
+            f"""{FACTS}, {EIDS},
+            edges AS (SELECT DISTINCT e.sub_eid AS src, e.obj_eid AS dst
+                      FROM documents d
+                      JOIN facts f ON f.i = d.doc_id % {NF}
+                      JOIN eids e ON e.i = f.i)""",
+            n_iter=3,
+        ),
         "kg_edges_delta": f"""
             WITH {FACTS}, {EIDS}
             SELECT e.sub_eid AS subject_id, f.predicate AS predicate,

@@ -1545,6 +1545,38 @@ def _q_entity_salience(sf_dir: str):
     return pagerank(dedup_exact(edges, ["src", "dst"], n_buckets=16), n_iter=3)
 
 
+def _q_kg_violations(sf_dir: str):
+    """KG consistency check: functional-constraint violations —
+    (subject, predicate) pairs with >1 distinct object in the
+    extracted edge aggregate. One subject-bucketed exchange over the
+    graph-sized edge table."""
+    from fastie_ray.ops.kg_quality import functional_violations
+    from fastie_ray.pipelines.kg import graph_tables
+
+    t = graph_tables(
+        _pages(sf_dir), world=_world(), concurrency=_conc(), want=("edges",)
+    )["edges"]
+    return functional_violations(t)
+
+
+def _q_kg_paths(sf_dir: str):
+    """Rule-mining census: 2-hop relation compositions (p1, p2,
+    n_paths) via one mid-node self-join of the distinct KG edge set."""
+    import pandas as pd
+
+    from fastie_ray.ops.kg_quality import relation_path_census
+    from fastie_ray.pipelines.kg import graph_tables
+
+    t = graph_tables(
+        _pages(sf_dir), world=_world(), concurrency=_conc(), want=("edges",)
+    )["edges"]
+    edges = t.map_batches(
+        lambda df: df[["subject_id", "predicate", "object_id"]],
+        batch_format="pandas",
+    )
+    return relation_path_census(edges)
+
+
 def _q_infer_batches(sf_dir: str):
     """Length-bucketed inference batch plan (padding-minimizing model
     serving): power-of-two token buckets, deterministic rank within
@@ -2241,6 +2273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_preds": _q_classifier_preds,
         "infer_batches": _q_infer_batches,
         "entity_salience": _q_entity_salience,
+        "kg_violations": _q_kg_violations,
+        "kg_paths": _q_kg_paths,
         "leakage_split": _q_leakage_split,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -3046,6 +3080,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN facts f ON f.i = d.doc_id % {NF}
             JOIN eids e ON e.i = f.i
             GROUP BY 1, 2, 3
+        """,
+        "kg_violations": f"""
+            WITH {FACTS}, {EIDS},
+            edges AS (
+                SELECT e.sub_eid AS s, f.predicate AS p, e.obj_eid AS o,
+                       count(*) AS n
+                FROM documents d
+                JOIN facts f ON f.i = d.doc_id % {NF}
+                JOIN eids e ON e.i = f.i
+                GROUP BY 1, 2, 3
+            ),
+            v AS (
+                SELECT s AS subject_id, p AS predicate,
+                       CAST(count(*) AS BIGINT) AS n_objects,
+                       CAST(sum(n) AS BIGINT) AS total_support
+                FROM edges GROUP BY 1, 2
+            )
+            SELECT * FROM v WHERE n_objects > 1
+        """,
+        "kg_paths": f"""
+            WITH {FACTS}, {EIDS},
+            edges AS (
+                SELECT DISTINCT e.sub_eid AS s, f.predicate AS p, e.obj_eid AS o
+                FROM documents d
+                JOIN facts f ON f.i = d.doc_id % {NF}
+                JOIN eids e ON e.i = f.i
+            )
+            SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS n_paths
+            FROM edges a JOIN edges b ON a.o = b.s
+            GROUP BY 1, 2
         """,
         "entity_salience": _pagerank_sql_over(
             f"""{FACTS}, {EIDS},

@@ -301,3 +301,43 @@ def test_kcore_peel_random_vs_reference():
         pd.testing.assert_frame_equal(
             got.astype({"deg": "int64"}), want.astype({"deg": "int64"})
         )
+
+
+def test_functional_violations_and_path_census():
+    import ray
+
+    from fastie_ray.ops.kg_quality import functional_violations, relation_path_census
+
+    edges = pd.DataFrame(
+        {
+            "subject_id": ["a", "a", "a", "b", "c", "c"],
+            "predicate":  ["p", "p", "q", "p", "q", "q"],
+            "object_id":  ["x", "y", "x", "x", "y", "z"],
+            "n_support":  [3, 1, 2, 5, 1, 1],
+        }
+    )
+    ds = ray.data.from_pandas(edges).repartition(3)
+    v = functional_violations(ds, n_buckets=4).to_pandas().sort_values(
+        ["subject_id", "predicate"]
+    ).reset_index(drop=True)
+    # a/p has objects {x,y}; c/q has {y,z}
+    assert list(zip(v["subject_id"], v["predicate"])) == [("a", "p"), ("c", "q")]
+    assert v["n_objects"].tolist() == [2, 2]
+    assert v["total_support"].tolist() == [4, 2]
+    # restricted to predicate q only
+    vq = functional_violations(ds, predicates=["q"], n_buckets=4).to_pandas()
+    assert set(vq["subject_id"]) == {"c"}
+
+    # paths: a-p->x ... who has subject x? none; a-p->y, c-q->y: none from y;
+    # add chainable rows
+    edges2 = pd.DataFrame(
+        {
+            "subject_id": ["a", "x", "x", "y"],
+            "predicate":  ["p", "q", "p", "q"],
+            "object_id":  ["x", "y", "z", "w"],
+        }
+    )
+    cen = relation_path_census(ray.data.from_pandas(edges2).repartition(2), n_buckets=4)
+    # paths: a-p->x-q->y, a-p->x-p->z, x-q->y-q->w
+    got = {(r.p1, r.p2): r.n_paths for r in cen.itertuples()}
+    assert got == {("p", "q"): 1, ("p", "p"): 1, ("q", "q"): 1}

@@ -1545,6 +1545,75 @@ def _q_entity_salience(sf_dir: str):
     return pagerank(dedup_exact(edges, ["src", "dst"], n_buckets=16), n_iter=3)
 
 
+def _q_source_ttr(sf_dir: str):
+    """Per-source vocabulary richness: total tokens, distinct token
+    types (two-level distinct-then-count — (source, token) deduped in
+    a bucketed exchange, then per-source sums), and integer-scaled
+    type-token ratio."""
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            pd.DataFrame(
+                {
+                    "source": df["source"].to_numpy(),
+                    "token": df["text"].str.lower().str.findall(r"[a-z0-9]+"),
+                }
+            )
+            .explode("token")
+            .dropna(subset=["token"])
+        )
+        return t
+
+    tok = ds.map_batches(toks, batch_format="pandas")
+
+    # totals per source: per-batch combiner → driver merge (sources
+    # are a bounded domain)
+    totals = (
+        tok.map_batches(
+            lambda df: df.groupby("source", as_index=False).agg(
+                n_tokens=("token", "count")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("source", as_index=False)["n_tokens"]
+        .sum()
+    )
+    # distinct types per source: batch-local drop_duplicates combiner,
+    # exact dedup exchange on (source, token), then a bounded count
+    types = (
+        dedup_exact(
+            tok.map_batches(
+                lambda df: df.drop_duplicates(), batch_format="pandas"
+            ),
+            ["source", "token"],
+            n_buckets=16,
+        )
+        .map_batches(
+            lambda df: df.groupby("source", as_index=False).agg(
+                n_types=("token", "count")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("source", as_index=False)["n_types"]
+        .sum()
+    )
+    out = totals.merge(types, on="source")
+    out["ttr_e6"] = (
+        out["n_types"].to_numpy() * 1_000_000 // out["n_tokens"].to_numpy()
+    ).astype("int64")
+    return out.astype(
+        {"n_tokens": "int64", "n_types": "int64"}
+    ).sort_values("source").reset_index(drop=True)
+
+
 def _q_kg_violations(sf_dir: str):
     """KG consistency check: functional-constraint violations —
     (subject, predicate) pairs with >1 distinct object in the
@@ -2275,6 +2344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_salience": _q_entity_salience,
         "kg_violations": _q_kg_violations,
         "kg_paths": _q_kg_paths,
+        "source_ttr": _q_source_ttr,
         "leakage_split": _q_leakage_split,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -3080,6 +3150,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN facts f ON f.i = d.doc_id % {NF}
             JOIN eids e ON e.i = f.i
             GROUP BY 1, 2, 3
+        """,
+        "source_ttr": """
+            WITH tok AS (
+                SELECT source,
+                       lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS token
+                FROM documents
+            ), t AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(count(DISTINCT token) AS BIGINT) AS n_types
+                FROM tok GROUP BY source
+            )
+            SELECT source, n_tokens, n_types,
+                   CAST(1000000 * n_types // n_tokens AS BIGINT) AS ttr_e6
+            FROM t
         """,
         "kg_violations": f"""
             WITH {FACTS}, {EIDS},

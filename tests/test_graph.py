@@ -341,3 +341,54 @@ def test_functional_violations_and_path_census():
     # paths: a-p->x-q->y, a-p->x-p->z, x-q->y-q->w
     got = {(r.p1, r.p2): r.n_paths for r in cen.itertuples()}
     assert got == {("p", "q"): 1, ("p", "p"): 1, ("q", "q"): 1}
+
+
+def test_pagerank_checkpoint_resume_bit_identical(tmp_path):
+    import ray
+
+    from fastie_ray.ops.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    edges = pd.DataFrame(
+        {
+            "src": [f"n{i}" for i in rng.integers(0, 40, 150)],
+            "dst": [f"n{i}" for i in rng.integers(0, 40, 150)],
+        }
+    ).drop_duplicates()
+    ds = ray.data.from_pandas(edges)
+
+    straight = pagerank(ds, n_iter=3).to_pandas().sort_values("node").reset_index(drop=True)
+
+    ck = str(tmp_path / "pr")
+    # "crashed" run: completes only 2 of 3 iterations
+    pagerank(ds, n_iter=2, checkpoint_dir=ck).to_pandas()
+    # resumed run picks up from iter 2 and runs only iter 3
+    resumed = (
+        pagerank(ds, n_iter=3, checkpoint_dir=ck, resume=True)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(resumed, straight)
+
+
+def test_pagerank_checkpoint_ignores_incomplete(tmp_path):
+    import os
+
+    import ray
+
+    from fastie_ray.ops.graph import _pagerank_ckpt_latest, pagerank
+
+    edges = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "c"]})
+    ds = ray.data.from_pandas(edges)
+    ck = str(tmp_path / "pr")
+    pagerank(ds, n_iter=2, checkpoint_dir=ck).to_pandas()
+    # simulate a mid-write crash at iter 3: directory without marker
+    os.makedirs(os.path.join(ck, "iter_0003"))
+    assert _pagerank_ckpt_latest(ck, 3) == 2
+    straight = pagerank(ds, n_iter=3).to_pandas().sort_values("node").reset_index(drop=True)
+    resumed = (
+        pagerank(ds, n_iter=3, checkpoint_dir=ck, resume=True)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(resumed, straight)

@@ -1545,6 +1545,57 @@ def _q_entity_salience(sf_dir: str):
     return pagerank(dedup_exact(edges, ["src", "dst"], n_buckets=16), n_iter=3)
 
 
+def _q_bucketed_join(sf_dir: str):
+    """Storage-co-located join: both tables hash-bucketed on the join
+    key at WRITE time (one exchange each, md5 bucket function), then
+    joined bucket-by-bucket with NO exchange — one column-pruned
+    read+merge task per bucket. Rollup: per-customer item count and
+    integer quantity total."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.bucketed_io import bucketed_join, write_bucketed
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    base = tempfile.mkdtemp(prefix="bjoin_", dir="/tmp")
+    write_bucketed(li, "l_orderkey", 8, base + "/li")
+    write_bucketed(orders, "o_orderkey", 8, base + "/ord")
+    j = bucketed_join(
+        base + "/li", base + "/ord", "l_orderkey", "o_orderkey",
+        ["l_orderkey", "l_quantity"], ["o_orderkey", "o_custkey"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(q=df["l_quantity"].astype("int64"))
+        return df.groupby("o_custkey", as_index=False).agg(
+            n_items=("q", "count"), sum_qty=("q", "sum")
+        )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        df["__b"] = (df["o_custkey"].to_numpy() % 8).astype("int64")
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("o_custkey", as_index=False)[
+            ["n_items", "sum_qty"]
+        ].sum()
+        return out.astype({"n_items": "int64", "sum_qty": "int64"})
+
+    return (
+        j.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def _q_source_ttr(sf_dir: str):
     """Per-source vocabulary richness: total tokens, distinct token
     types (two-level distinct-then-count — (source, token) deduped in
@@ -2345,6 +2396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_violations": _q_kg_violations,
         "kg_paths": _q_kg_paths,
         "source_ttr": _q_source_ttr,
+        "bucketed_join": _q_bucketed_join,
         "leakage_split": _q_leakage_split,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -3150,6 +3202,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN facts f ON f.i = d.doc_id % {NF}
             JOIN eids e ON e.i = f.i
             GROUP BY 1, 2, 3
+        """,
+        "bucketed_join": """
+            SELECT o.o_custkey,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey
         """,
         "source_ttr": """
             WITH tok AS (

@@ -1,0 +1,114 @@
+"""Bucketed storage layout — pay the shuffle ONCE at write time, then
+join co-located tables forever without an exchange (the Hive/Iceberg
+bucketing contract, and the concrete form of "pick ONE partitioning
+key and reuse it across stages").
+
+``write_bucketed`` hash-buckets rows by a key column (md5-based so the
+bucket function is engine-independent and SQL-reproducible) and writes
+one parquet directory per bucket. ``bucketed_join`` then joins two
+tables bucketed with the SAME key function bucket-by-bucket: each
+bucket pair is read and joined inside one task — the only data
+movement is the column-pruned read itself. At cluster scale each
+bucket-join task schedules wherever its bucket files are; no
+repartition, no shuffle, no aggregator actors.
+
+Bucket function: ``int(md5(str(key))[:8], 16) % n_buckets`` — the same
+grid ``ops.splits`` uses, hashed once per DISTINCT key per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+def _key_bucket(keys: pd.Series, n_buckets: int) -> pd.Series:
+    uniq = pd.unique(keys)
+    lut = {
+        k: int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % n_buckets
+        for k in uniq
+    }
+    return keys.map(lut)
+
+
+def write_bucketed(
+    ds: "ray.data.Dataset", key: str, n_buckets: int, path: str
+) -> dict:
+    """Write ``ds`` as ``path/bucket=NN/*.parquet`` hash-bucketed on
+    ``key``; a ``_bucketing.json`` manifest records the contract so
+    readers can verify key/bucket-count compatibility."""
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = _key_bucket(df[key], n_buckets).astype("int64")
+        return df
+
+    bucketed = ds.map_batches(add_b, batch_format="pandas")
+    bucketed.write_parquet(path, partition_cols=["__bucket"])
+    meta = {"key": key, "n_buckets": n_buckets}
+    with open(os.path.join(path, "_bucketing.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def bucketed_join(
+    path_a: str,
+    path_b: str,
+    key_a: str,
+    key_b: str,
+    cols_a: list[str],
+    cols_b: list[str],
+    suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """Inner-join two bucketed tables bucket-by-bucket with NO
+    exchange: one flat_map task per bucket reads both sides' bucket
+    directory (column-pruned) and merges locally. Both tables must
+    share ``n_buckets`` (verified from the manifests) and be bucketed
+    on the join key."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    with open(os.path.join(path_a, "_bucketing.json")) as fh:
+        ma = json.load(fh)
+    with open(os.path.join(path_b, "_bucketing.json")) as fh:
+        mb = json.load(fh)
+    if ma["n_buckets"] != mb["n_buckets"]:
+        raise ValueError(
+            f"bucket count mismatch: {ma['n_buckets']} vs {mb['n_buckets']}"
+        )
+    if ma["key"] != key_a or mb["key"] != key_b:
+        raise ValueError("tables are not bucketed on the requested join keys")
+    n = ma["n_buckets"]
+
+    out_cols_b = {c: (c + suffix if c in cols_a else c) for c in cols_b}
+
+    def join_bucket(row: dict) -> list[dict]:
+        b = int(row["bucket"])
+        da = os.path.join(path_a, f"__bucket={b}")
+        db = os.path.join(path_b, f"__bucket={b}")
+        if not (os.path.isdir(da) and os.path.isdir(db)):
+            return []
+        a = pq.read_table(da, columns=cols_a).to_pandas()
+        bt = pq.read_table(db, columns=cols_b).to_pandas()
+        m = a.merge(
+            bt.rename(columns=out_cols_b),
+            left_on=key_a,
+            right_on=out_cols_b[key_b],
+        )
+        if out_cols_b[key_b] != key_a:
+            m = m.drop(columns=[out_cols_b[key_b]])
+        return m.to_dict("records")
+
+    # one task per bucket: the bucket list is the parallelism unit,
+    # exactly like a shard list at scale
+    buckets = ray.data.from_items(
+        [{"bucket": i} for i in range(n)]
+    ).repartition(n)
+    return buckets.flat_map(join_bucket)

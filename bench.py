@@ -77,7 +77,9 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "fuzzy_dedup_docs", "kmeans_clusters", "tfidf_terms",
                  "dup_spans", "url_dedup", "corpus_diff", "doc_ranks",
                  "cooc_pairs", "kg_negatives", "mention_contexts",
-                 "sales_cube", "value_moments"):
+                 "sales_cube", "value_moments",
+                 "lm_familiarity", "dsir_select", "perceptron",
+                 "bucketed_join"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

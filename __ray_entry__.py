@@ -1545,6 +1545,28 @@ def _q_entity_salience(sf_dir: str):
     return pagerank(dedup_exact(edges, ["src", "dst"], n_buckets=16), n_iter=3)
 
 
+def _q_blocking_pairs(sf_dir: str):
+    """ER blocking: sorted-neighborhood candidate pairs over the
+    distinct site-key vocabulary — successors in global sort order
+    sharing a ≥4-char prefix (same-site near-ids). First-char
+    bucketing makes the pass exchange-clean (module docstring proof);
+    oracle is LEAD() + an unrolled prefix-indicator sum."""
+    import pandas as pd
+
+    from fastie_ray.ops.blocking import sorted_neighborhood_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def sites(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": df["source"] + "/" + (df["doc_id"] % 61).astype(str)}
+        )
+
+    return sorted_neighborhood_pairs(
+        ds.map_batches(sites, batch_format="pandas"), "v", min_prefix=4
+    )
+
+
 def _q_bucketed_join(sf_dir: str):
     """Storage-co-located join: both tables hash-bucketed on the join
     key at WRITE time (one exchange each, md5 bucket function), then
@@ -2397,6 +2419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_paths": _q_kg_paths,
         "source_ttr": _q_source_ttr,
         "bucketed_join": _q_bucketed_join,
+        "blocking_pairs": _q_blocking_pairs,
         "leakage_split": _q_leakage_split,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -3202,6 +3225,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN facts f ON f.i = d.doc_id % {NF}
             JOIN eids e ON e.i = f.i
             GROUP BY 1, 2, 3
+        """,
+        "blocking_pairs": f"""
+            WITH u AS (
+                SELECT DISTINCT
+                       source || '/' || CAST(doc_id % 61 AS VARCHAR) AS v
+                FROM documents
+            ), s AS (
+                SELECT v, lead(v) OVER (ORDER BY v) AS nxt FROM u
+            ), p AS (
+                SELECT v AS a, nxt AS b,
+                       CAST({" + ".join(
+                           f"CASE WHEN substr(v, 1, {i}) = substr(nxt, 1, {i}) "
+                           f"AND length(v) >= {i} AND length(nxt) >= {i} "
+                           f"THEN 1 ELSE 0 END"
+                           for i in range(1, 33)
+                       )} AS BIGINT) AS prefix_len
+                FROM s WHERE nxt IS NOT NULL
+            )
+            SELECT a, b, prefix_len FROM p WHERE prefix_len >= 4
         """,
         "bucketed_join": """
             SELECT o.o_custkey,

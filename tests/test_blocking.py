@@ -1,0 +1,65 @@
+"""Oracles for `fastie_ray/ops/blocking.py`: pandas LEAD reference,
+the first-char-bucketing equivalence (the module's correctness proof),
+and partition invariance."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from fastie_ray.ops.blocking import _common_prefix, sorted_neighborhood_pairs
+
+
+def _reference(values, min_prefix):
+    v = sorted(set(x for x in values if x))
+    rows = []
+    for a, b in zip(v[:-1], v[1:]):
+        p = len(_common_prefix(a, b))
+        if p >= min_prefix:
+            rows.append((a, b, p))
+    return pd.DataFrame(rows, columns=["a", "b", "prefix_len"])
+
+
+def test_pairs_match_global_lead_reference_any_partitioning():
+    rng = np.random.default_rng(47)
+    values = [
+        f"{p}{rng.integers(0, 99)}"
+        for p in ["acme-corp-", "acme-inc-", "zeta-", "beta-", "b-"]
+        for _ in range(40)
+    ]
+    df = pd.DataFrame({"v": values})
+    want = _reference(values, 4).sort_values(["a", "b"]).reset_index(drop=True)
+    for parts in (1, 5):
+        got = (
+            sorted_neighborhood_pairs(
+                ray.data.from_pandas(df).repartition(parts), "v",
+                min_prefix=4, n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"prefix_len": "int64"}),
+            want.astype({"prefix_len": "int64"}),
+        )
+
+
+def test_cross_first_char_successors_never_qualify():
+    # global successors spanning a first-char boundary share no prefix;
+    # the bucketed pass must produce the same set as the global scan
+    values = ["aaa1", "aaa2", "abz", "baa1", "baa2", "zzz"]
+    got = sorted_neighborhood_pairs(
+        ray.data.from_pandas(pd.DataFrame({"v": values})), "v", min_prefix=3
+    ).to_pandas()
+    want = _reference(values, 3)
+    assert set(map(tuple, got[["a", "b"]].to_numpy())) == set(
+        map(tuple, want[["a", "b"]].to_numpy())
+    )
+
+
+def test_empty_and_null_values_ignored():
+    df = pd.DataFrame({"v": ["", None, "abcd1", "abcd2"]})
+    got = sorted_neighborhood_pairs(
+        ray.data.from_pandas(df), "v", min_prefix=4
+    ).to_pandas()
+    assert got[["a", "b"]].values.tolist() == [["abcd1", "abcd2"]]

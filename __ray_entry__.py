@@ -1567,6 +1567,30 @@ def _q_blocking_pairs(sf_dir: str):
     )
 
 
+def _q_er_matches(sf_dir: str):
+    """End-to-end ER: sorted-neighborhood blocking → edit-distance
+    verification of the candidate-bounded set (Levenshtein ≤ 2).
+    The quadratic comparison never touches the full cross product."""
+    import pandas as pd
+
+    from fastie_ray.ops.blocking import (
+        sorted_neighborhood_pairs,
+        verify_pairs_edit_distance,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def sites(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": df["source"] + "/" + (df["doc_id"] % 61).astype(str)}
+        )
+
+    cands = sorted_neighborhood_pairs(
+        ds.map_batches(sites, batch_format="pandas"), "v", min_prefix=4
+    )
+    return verify_pairs_edit_distance(cands, max_dist=2)
+
+
 def _q_bucketed_join(sf_dir: str):
     """Storage-co-located join: both tables hash-bucketed on the join
     key at WRITE time (one exchange each, md5 bucket function), then
@@ -2420,6 +2444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ttr": _q_source_ttr,
         "bucketed_join": _q_bucketed_join,
         "blocking_pairs": _q_blocking_pairs,
+        "er_matches": _q_er_matches,
         "leakage_split": _q_leakage_split,
         "mixture_sample": _q_mixture_sample,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -3244,6 +3269,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM s WHERE nxt IS NOT NULL
             )
             SELECT a, b, prefix_len FROM p WHERE prefix_len >= 4
+        """,
+        "er_matches": """
+            WITH u AS (
+                SELECT DISTINCT
+                       source || '/' || CAST(doc_id % 61 AS VARCHAR) AS v
+                FROM documents
+            ), s AS (
+                SELECT v, lead(v) OVER (ORDER BY v) AS nxt FROM u
+            ), p AS (
+                SELECT v AS a, nxt AS b,
+                       CAST(""" + " + ".join(
+                           f"CASE WHEN substr(v, 1, {i}) = substr(nxt, 1, {i}) "
+                           f"AND length(v) >= {i} AND length(nxt) >= {i} "
+                           f"THEN 1 ELSE 0 END"
+                           for i in range(1, 33)
+                       ) + """ AS BIGINT) AS prefix_len
+                FROM s WHERE nxt IS NOT NULL
+            )
+            SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS edit_dist
+            FROM p WHERE prefix_len >= 4 AND levenshtein(a, b) <= 2
         """,
         "bucketed_join": """
             SELECT o.o_custkey,

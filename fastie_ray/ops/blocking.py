@@ -100,3 +100,58 @@ def _common_prefix(x: str, y: str) -> str:
     while i < n and x[i] == y[i]:
         i += 1
     return x[:i]
+
+
+def _levenshtein(x: str, y: str) -> int:
+    """Classic DP edit distance — candidate pairs are blocking-bounded
+    (≪ corpus) and surfaces are short, so the per-pair loop is cheap."""
+    if x == y:
+        return 0
+    if len(x) < len(y):
+        x, y = y, x
+    prev = list(range(len(y) + 1))
+    for i, cx in enumerate(x, 1):
+        cur = [i]
+        for j, cy in enumerate(y, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cx != cy)))
+        prev = cur
+    return prev[-1]
+
+
+def verify_pairs_edit_distance(
+    pairs: "ray.data.Dataset",
+    max_dist: int = 2,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> "ray.data.Dataset":
+    """ER match verification: keep candidate pairs with Levenshtein
+    distance ≤ ``max_dist``, emitting (a, b, edit_dist). Streaming and
+    exchange-free — the expensive quadratic comparison runs only on the
+    blocking-bounded candidate set, never all O(n²) pairs (the whole
+    point of blocking). SQL-exact via DuckDB ``levenshtein``."""
+
+    def verify(df: pd.DataFrame):
+        import pyarrow as pa
+
+        d = np.fromiter(
+            (_levenshtein(x, y) for x, y in zip(df[a_col], df[b_col])),
+            dtype=np.int64,
+            count=len(df),
+        )
+        keep = d <= max_dist
+        out = pd.DataFrame(
+            {a_col: df[a_col].to_numpy()[keep], b_col: df[b_col].to_numpy()[keep],
+             "edit_dist": d[keep]}
+        )
+        # typed Arrow out: candidate blocks are sparse and zero-row
+        # pandas blocks lose their schema (NOTES fact 3/12)
+        return pa.Table.from_pandas(
+            out,
+            schema=pa.schema(
+                [(a_col, pa.string()), (b_col, pa.string()),
+                 ("edit_dist", pa.int64())]
+            ),
+            preserve_index=False,
+        )
+
+    return pairs.map_batches(verify, batch_format="pandas")

@@ -63,3 +63,28 @@ def test_empty_and_null_values_ignored():
         ray.data.from_pandas(df), "v", min_prefix=4
     ).to_pandas()
     assert got[["a", "b"]].values.tolist() == [["abcd1", "abcd2"]]
+
+
+def test_edit_distance_verification_matches_reference():
+    from fastie_ray.ops.blocking import _levenshtein, verify_pairs_edit_distance
+
+    # hand-checked distances
+    assert _levenshtein("kitten", "sitting") == 3
+    assert _levenshtein("abc", "abc") == 0
+    assert _levenshtein("", "ab") == 2
+    pairs = pd.DataFrame(
+        {
+            "a": ["acme corp", "acme corp", "zeta", "same"],
+            "b": ["acme corps", "acme incorporated", "zetb", "same"],
+        }
+    )
+    got = (
+        verify_pairs_edit_distance(
+            ray.data.from_pandas(pairs).repartition(3), max_dist=2
+        )
+        .to_pandas()
+        .sort_values("a")
+        .reset_index(drop=True)
+    )
+    assert got["a"].tolist() == ["acme corp", "same", "zeta"]
+    assert got["edit_dist"].tolist() == [1, 0, 1]

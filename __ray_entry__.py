@@ -1238,6 +1238,33 @@ def _q_lm_familiarity(sf_dir: str):
     return lm_familiarity_pipeline(ds, min_count=16)
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail assignment: score docs with the
+    self-trained bigram LM (lm_familiarity), then bucket by the exact
+    tercile thresholds of the integer familiarity score (head = top
+    third). Composition: LM scoring → exact quantiles → streaming
+    CASE. Matches SQL quantile_disc terciles."""
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.lm_filter import lm_familiarity_pipeline
+    from fastie_ray.ops.stats import exact_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = lm_familiarity_pipeline(ds, min_count=16).materialize()
+    qs = exact_quantiles(scored, "familiarity", [1.0 / 3.0, 2.0 / 3.0])
+    t1, t2 = int(qs["value"].iloc[0]), int(qs["value"].iloc[1])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        f = df["familiarity"].to_numpy()
+        lab = np.where(f > t2, "head", np.where(f > t1, "middle", "tail"))
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "familiarity": f, "ccnet_bucket": lab}
+        )
+
+    return scored.map_batches(bucket, batch_format="pandas")
+
+
 def _q_fingerprints(sf_dir: str):
     """md5 content fingerprint (SQL-reproducible: md5(text)) plus a
     SQL-checkable semantic invariant of the rolling-min-hash: it is
@@ -2418,6 +2445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "quantile_filter": _q_quantile_filter,
         "lm_familiarity": _q_lm_familiarity,
+        "ccnet_buckets": _q_ccnet_buckets,
         "fingerprints": _q_fingerprints,
         "pii_scrub": _q_pii_scrub,
         "repetition": _q_repetition,
@@ -3183,6 +3211,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM q),
             t AS (SELECT quantile_disc(mean_token_len_e6, 0.10) AS th FROM scored)
             SELECT scored.* FROM scored, t WHERE mean_token_len_e6 >= t.th
+        """,
+        "ccnet_buckets": """
+            WITH docs AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS i
+                FROM docs
+            ), big AS (
+                SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ), model AS (
+                SELECT bigram, count(*) AS c FROM big
+                GROUP BY bigram HAVING count(*) >= 16
+            ), fam AS (
+                SELECT b.doc_id,
+                       CAST(coalesce(sum(m.c), 0) AS BIGINT) AS familiarity
+                FROM big b LEFT JOIN model m USING (bigram)
+                GROUP BY b.doc_id
+            ), th AS (
+                SELECT quantile_disc(familiarity, 1.0/3.0) AS t1,
+                       quantile_disc(familiarity, 2.0/3.0) AS t2
+                FROM fam
+            )
+            SELECT doc_id, familiarity,
+                   CASE WHEN familiarity > t2 THEN 'head'
+                        WHEN familiarity > t1 THEN 'middle'
+                        ELSE 'tail' END AS ccnet_bucket
+            FROM fam, th
         """,
         "lm_familiarity": """
             WITH docs AS (

@@ -460,11 +460,19 @@ def kcore_peel(
     rounds: int = 4,
     n_buckets: int = 16,
     symmetrize: bool = True,
+    broadcast_threshold: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """``rounds`` synchronized rounds of k-core peeling over an
     undirected edge table → (node, deg) of the survivors.
 
-    Per round: degree table (ONE bucketed node-sized exchange via
+    Removal hybrid (the khop frontier pattern): the per-round removal
+    set is usually tiny after round 1, so when it is ≤
+    ``broadcast_threshold`` nodes the round is ONE degree exchange +
+    a streaming broadcast filter; larger removal sets fall back to
+    task-based semi-joins against the keep set. An empty removal set
+    short-circuits (identity rounds — bit-identical to running them).
+
+    Per round (fallback path): degree table (ONE bucketed node-sized exchange via
     ``node_table`` — on a symmetrized edge set outdeg IS degree), keep
     set = nodes with ``deg >= k``, then the edge set shrinks by two
     task-based SEMI-joins (src then dst against the keep set — semi
@@ -494,31 +502,56 @@ def kcore_peel(
             ["src", "dst"],
             n_buckets=n_buckets,
         )
+    import ray
+
     # block discipline: every exchange emits ≈ as many blocks as it
-    # consumes, and per round the edge set passes THREE exchanges — left
-    # unchecked the block count triples per round (measured 48→1296 at
-    # sf0.01, turning round 3's sorts into minutes of tiny-task
-    # dispatch). Re-coalescing to ``n_buckets`` blocks at each round's
-    # materialize keeps every sort O(n_buckets) tasks.
+    # consumes, and per round the edge set passes up to three exchanges
+    # — left unchecked the block count triples per round (measured
+    # 48→1296 at sf0.01, turning round 3's sorts into minutes of
+    # tiny-task dispatch). Re-coalescing to ``n_buckets`` blocks at each
+    # round's materialize keeps every sort O(n_buckets) tasks.
     e = edges.repartition(n_buckets).materialize()
     for _ in range(rounds):
-        deg = node_table(e, n_buckets=n_buckets)
-        keep = (
-            deg.map_batches(
-                lambda df: df.loc[df["outdeg"] >= k, ["node"]],
-                batch_format="pandas",
+        deg = node_table(e, n_buckets=n_buckets).materialize()
+        removed = deg.map_batches(
+            lambda df: df.loc[df["outdeg"] < k, ["node"]],
+            batch_format="pandas",
+        ).materialize()
+        n_removed = removed.count()
+        if n_removed == 0:
+            break  # fixpoint: further rounds are identity
+        if n_removed <= broadcast_threshold:
+            # khop-style hybrid: the per-round removal set is usually
+            # tiny after round 1 — broadcast it once and the whole
+            # round is ONE degree exchange + a streaming filter (no
+            # edge re-shuffle at all)
+            rm_ref = ray.put(set(removed.to_pandas()["node"]))
+
+            def drop(df: pd.DataFrame, rm_ref=rm_ref) -> pd.DataFrame:
+                rm = ray.get(rm_ref)
+                m = ~(df["src"].isin(rm) | df["dst"].isin(rm))
+                return df[m]
+
+            e = e.map_batches(drop, batch_format="pandas").materialize()
+        else:
+            # scale fallback: removal set unbounded → task-based
+            # semi-joins against the keep set (ships only distinct keys)
+            keep = (
+                deg.map_batches(
+                    lambda df: df.loc[df["outdeg"] >= k, ["node"]],
+                    batch_format="pandas",
+                )
+                .repartition(n_buckets)
+                .materialize()
             )
-            .repartition(n_buckets)
-            .materialize()
-        )  # node-sized; consumed by BOTH semi-joins
-        e = hash_join(
-            e, keep, on="src", right_on="node", how="semi",
-            left_cols=["src", "dst"], n_buckets=n_buckets,
-        )
-        e = hash_join(
-            e, keep, on="dst", right_on="node", how="semi",
-            left_cols=["src", "dst"], n_buckets=n_buckets,
-        ).repartition(n_buckets).materialize()
+            e = hash_join(
+                e, keep, on="src", right_on="node", how="semi",
+                left_cols=["src", "dst"], n_buckets=n_buckets,
+            )
+            e = hash_join(
+                e, keep, on="dst", right_on="node", how="semi",
+                left_cols=["src", "dst"], n_buckets=n_buckets,
+            ).repartition(n_buckets).materialize()
     deg = node_table(e, n_buckets=n_buckets)
     return deg.map_batches(
         lambda df: df.rename(columns={"outdeg": "deg"}), batch_format="pandas"

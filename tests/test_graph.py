@@ -392,3 +392,26 @@ def test_pagerank_checkpoint_ignores_incomplete(tmp_path):
         .to_pandas().sort_values("node").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(resumed, straight)
+
+
+def test_kcore_broadcast_and_semijoin_paths_agree():
+    import ray
+
+    from fastie_ray.ops.graph import kcore_peel
+
+    rng = np.random.default_rng(53)
+    edges = pd.DataFrame(
+        {
+            "src": [f"n{i}" for i in rng.integers(0, 50, 260)],
+            "dst": [f"n{i}" for i in rng.integers(0, 50, 260)],
+        }
+    )
+    edges = edges[edges["src"] != edges["dst"]].drop_duplicates()
+    ds = ray.data.from_pandas(edges)
+    a = kcore_peel(ds, k=3, rounds=3, n_buckets=4).to_pandas().sort_values(
+        "node"
+    ).reset_index(drop=True)
+    b = kcore_peel(
+        ds, k=3, rounds=3, n_buckets=4, broadcast_threshold=0  # force semi-join
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

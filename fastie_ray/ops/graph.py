@@ -256,6 +256,12 @@ def triangle_count(
     rows only. Returns a one-row DataFrame (n_triangles)."""
     from fastie_ray.ops.join import hash_join
 
+    # pin once: consumed by the degree pass, the orientation relabels
+    # and the wedge-match join — unmaterialized, each consumer re-runs
+    # the upstream edge-building lineage (NOTES fact: same disease as
+    # pagerank's 39 s). Edge-sized.
+    edges = edges.repartition(n_buckets).materialize()
+
     # degrees: per-batch combiner over both endpoints -> one exchange
     def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
         both = pd.concat([df["a"], df["b"]], ignore_index=True)

@@ -89,26 +89,54 @@ def bucketed_join(
 
     out_cols_b = {c: (c + suffix if c in cols_a else c) for c in cols_b}
 
-    def join_bucket(row: dict) -> list[dict]:
-        b = int(row["bucket"])
-        da = os.path.join(path_a, f"__bucket={b}")
-        db = os.path.join(path_b, f"__bucket={b}")
-        if not (os.path.isdir(da) and os.path.isdir(db)):
-            return []
-        a = pq.read_table(da, columns=cols_a).to_pandas()
-        bt = pq.read_table(db, columns=cols_b).to_pandas()
-        m = a.merge(
-            bt.rename(columns=out_cols_b),
-            left_on=key_a,
-            right_on=out_cols_b[key_b],
-        )
-        if out_cols_b[key_b] != key_a:
-            m = m.drop(columns=[out_cols_b[key_b]])
-        return m.to_dict("records")
+    # output schema derived from the parquet footers once on the driver
+    # — per-task empty results stay TYPED (schema-less zero-row blocks
+    # break downstream consumers, NOTES fact 3/12)
+    import pyarrow as pa
+
+    sa = pq.read_schema(_first_parquet(path_a))
+    sb = pq.read_schema(_first_parquet(path_b))
+    fields = [(c, sa.field(c).type) for c in cols_a] + [
+        (out_cols_b[c], sb.field(c).type) for c in cols_b if c != key_b
+    ]
+    out_schema = pa.schema(fields)
+    out_names = [f[0] for f in fields]
+
+    def join_buckets(batch: pd.DataFrame) -> "pa.Table":
+        frames = []
+        for b in batch["bucket"]:
+            da = os.path.join(path_a, f"__bucket={int(b)}")
+            db = os.path.join(path_b, f"__bucket={int(b)}")
+            if not (os.path.isdir(da) and os.path.isdir(db)):
+                continue
+            a = pq.read_table(da, columns=cols_a).to_pandas()
+            bt = pq.read_table(db, columns=cols_b).to_pandas()
+            m = a.merge(
+                bt.rename(columns=out_cols_b),
+                left_on=key_a,
+                right_on=out_cols_b[key_b],
+            )
+            if out_cols_b[key_b] != key_a:
+                m = m.drop(columns=[out_cols_b[key_b]])
+            frames.append(m[out_names])
+        if not frames:
+            return out_schema.empty_table()
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     # one task per bucket: the bucket list is the parallelism unit,
     # exactly like a shard list at scale
     buckets = ray.data.from_items(
         [{"bucket": i} for i in range(n)]
     ).repartition(n)
-    return buckets.flat_map(join_bucket)
+    return buckets.map_batches(
+        join_buckets, batch_format="pandas", batch_size=None
+    )
+
+
+def _first_parquet(root: str) -> str:
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return os.path.join(dirpath, f)
+    raise FileNotFoundError(f"no parquet files under {root}")

@@ -168,3 +168,52 @@ def test_build_graph_resume_equals_clean(tmp_path):
     got_e = read_graph_table(partial, "edges").to_pandas().sort_values(
         ["subject_id", "predicate", "object_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_e, want_e)
+
+
+def test_zone_map_pruning_range_layout(tmp_path):
+    import numpy as np
+
+    from fastie_ray.stages.materialize import (
+        prune_partitions,
+        read_pruned,
+        write_partitioned,
+    )
+
+    df = pd.DataFrame(
+        {"k": np.arange(800, dtype=np.int64), "v": np.arange(800, dtype=np.int64) * 7}
+    )
+    out = str(tmp_path / "lake")
+
+    def by_range(d, width=100, n=8):
+        return np.minimum(d["k"].to_numpy() // width, n - 1)
+
+    m = write_partitioned(
+        ray.data.from_pandas(df).repartition(4), out, "t",
+        part_key="k", sort_keys=["k"], n_partitions=8, partitioner=by_range,
+    )
+    assert len(m) == 8 and "zone" in m.columns
+    # a narrow range must open only the overlapping partitions
+    files = prune_partitions(out, "t", "k", 150, 260)
+    assert len(files) == 2  # parts covering [100,200) and [200,300)
+    got = read_pruned(out, "t", "k", 150, 260).to_pandas().sort_values("k")
+    want = df[(df["k"] >= 150) & (df["k"] <= 260)]
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["v"].tolist() == want["v"].tolist()
+    # disjoint range → typed empty dataset
+    empty = read_pruned(out, "t", "k", 10_000, 20_000).to_pandas()
+    assert len(empty) == 0
+
+
+def test_zone_maps_under_hash_layout_do_not_break_reads(tmp_path):
+    import numpy as np
+
+    from fastie_ray.stages.materialize import read_pruned, write_partitioned
+
+    df = pd.DataFrame({"k": np.arange(200, dtype=np.int64), "v": np.zeros(200, dtype=np.int64)})
+    out = str(tmp_path / "lake")
+    write_partitioned(
+        ray.data.from_pandas(df), out, "t", part_key="k", sort_keys=["k"],
+        n_partitions=4,
+    )
+    got = read_pruned(out, "t", "k", 50, 60).to_pandas()
+    assert sorted(got["k"].tolist()) == list(range(50, 61))

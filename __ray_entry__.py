@@ -997,6 +997,24 @@ def _q_embed_neardup(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def _q_triplet_mining(sf_dir: str):
+    """Unsupervised contrastive training-pair mining (the SimCSE-style
+    pseudo-labeling pass): per anchor, the nearest corpus vector is the
+    mined positive and the next-nearest are hard negatives (ranks 2-4).
+    Brute-force path: broadcast anchor matrix, per-batch local top-k,
+    driver merges blocks × k rows."""
+    import numpy as np
+
+    from fastie_ray.ops.similarity import knn_bruteforce
+
+    emb = _read(sf_dir, "embeddings")
+    anchors = list(range(0, 500, 50))
+    out = knn_bruteforce(emb, query_ids=anchors, k=4)
+    out = out.rename(columns={"query_id": "anchor_id", "neighbor_id": "pair_id"})
+    out["role"] = np.where(out["rank"] == 1, "pos", "neg")
+    return out[["anchor_id", "pair_id", "role", "rank"]]
+
+
 def _q_lsh_knn(sf_dir: str):
     """Planted-neighbor construction: each query vector gets a scaled
     (×1.01) copy at id+1e6 — identical direction means identical LSH
@@ -2440,6 +2458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_prints": _q_winnow,
         "winnow_overlap": _q_winnow_overlap,
         "lsh_knn": _q_lsh_knn,
+        "triplet_mining": _q_triplet_mining,
         "ivf_knn": _q_ivf_knn,
         "lang_id": _q_lang_id,
         "quality": _q_quality,
@@ -3592,6 +3611,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS fingerprint, min(doc_id) AS first_doc_id,
                    count(*) AS n_copies
             FROM corpus GROUP BY md5(text)
+        """,
+        "triplet_mining": f"""
+            WITH q AS (SELECT vec_id AS anchor_id, embedding AS qe
+                       FROM embeddings
+                       WHERE vec_id IN ({", ".join(str(i) for i in range(0, 500, 50))})),
+            scored AS (
+                SELECT q.anchor_id, e.vec_id AS pair_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS score
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id != q.anchor_id
+            ),
+            ranked AS (
+                SELECT anchor_id, pair_id,
+                       row_number() OVER (PARTITION BY anchor_id
+                                          ORDER BY score DESC, pair_id ASC) AS rank
+                FROM scored
+            )
+            SELECT anchor_id, pair_id,
+                   CASE WHEN rank = 1 THEN 'pos' ELSE 'neg' END AS role, rank
+            FROM ranked WHERE rank <= 4
         """,
         "knn": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2,3)),

@@ -133,6 +133,13 @@ def _distributed_cc_ds(
     labels = dedup_exact(
         sym.map_batches(init_labels, batch_format="pandas"), ["node"], n_buckets
     ).materialize()
+    # compaction width for the per-round label table: blocks ≤ rows so
+    # schema-less zero-row pandas sentinels (which BYPASS map functions
+    # — map_batches/map_groups never see empty blocks, NOTES fact 12 —
+    # and crash the Acero comp-key joins) merge into typed blocks.
+    n_nodes = labels.count()
+    k_blocks = max(1, min(join_partitions(n_buckets), n_nodes))
+    labels = labels.repartition(k_blocks).materialize()
 
     for _ in range(max_rounds):
         # comp of each neighbor: join sym(nbr) with labels(node)
@@ -157,6 +164,7 @@ def _distributed_cc_ds(
             merged.map_batches(_bucketize("node", n_buckets), batch_format="pandas")
             .groupby("__b")
             .map_groups(partial_min_grouped, batch_format="pandas")
+            .repartition(k_blocks)  # fold empty sentinels into typed blocks
         ).materialize()
         # pointer doubling: comp ← comp(comp). Every comp value is itself
         # a node id (init comp=node; mins of node ids stay node ids), so
@@ -172,9 +180,13 @@ def _distributed_cc_ds(
             right_suffix="_r",
         )
         new_labels = jumped.map_batches(
-            lambda df: pd.DataFrame({"node": df["node"], "comp": df["comp_r"]}),
+            lambda df: pa.Table.from_pandas(
+                pd.DataFrame({"node": df["node"], "comp": df["comp_r"]}),
+                schema=_lab_schema,
+                preserve_index=False,
+            ),
             batch_format="pandas",
-        ).materialize()
+        ).repartition(k_blocks).materialize()
         # converged? (cheap: count of changed labels)
         changed = (
             labels.join(
@@ -217,10 +229,19 @@ def _bucketize(col: str, n_buckets: int):
     return fn
 
 
-def partial_min_grouped(g: pd.DataFrame) -> pd.DataFrame:
+def partial_min_grouped(g: pd.DataFrame):
+    import pyarrow as pa
+
     out = g.groupby("node", as_index=False)["comp"].min()
-    out["__b"] = g["__b"].iloc[0] if len(g) else 0
-    return out.drop(columns="__b")
+    # typed Arrow out: map_groups runs one task per post-sort BLOCK
+    # (NOTES fact 10) and empty range blocks yield zero-row pandas
+    # frames whose schema is lost — the downstream comp-key joins crash
+    # on the schema-less sentinels (observed flakily under load)
+    return pa.Table.from_pandas(
+        out[["node", "comp"]],
+        schema=pa.schema([("node", pa.string()), ("comp", pa.string())]),
+        preserve_index=False,
+    )
 
 
 def connected_components(

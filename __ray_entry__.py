@@ -1244,6 +1244,16 @@ def _q_quantile_filter(sf_dir: str):
     return filter_by_quantile(scored, "mean_token_len_e6", 0.10, keep="ge")
 
 
+def _q_passages(sf_dir: str):
+    """RAG passage windowing: 256-char windows at stride 128 (overlap
+    coverage), md5 per passage — pure streaming expansion, no exchange.
+    Oracle: unnest(range) + substr + md5."""
+    from fastie_ray.ops.passages import passage_windows
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return passage_windows(ds, size=256, stride=128, emit="hash")
+
+
 def _q_lm_familiarity(sf_dir: str):
     """CCNet-style LM filter: train a pruned bigram count model on the
     corpus itself (one bucketed exchange over the bigram vocab), then
@@ -2465,6 +2475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter": _q_quantile_filter,
         "lm_familiarity": _q_lm_familiarity,
         "ccnet_buckets": _q_ccnet_buckets,
+        "passages": _q_passages,
         "fingerprints": _q_fingerprints,
         "pii_scrub": _q_pii_scrub,
         "repetition": _q_repetition,
@@ -3230,6 +3241,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM q),
             t AS (SELECT quantile_disc(mean_token_len_e6, 0.10) AS th FROM scored)
             SELECT scored.* FROM scored, t WHERE mean_token_len_e6 >= t.th
+        """,
+        "passages": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       greatest(CAST(ceil(length(text) / 128.0) AS BIGINT), 1) AS nw
+                FROM documents
+            ), e AS (
+                SELECT doc_id, unnest(range(0, nw)) AS win_id, text FROM w
+            )
+            SELECT doc_id, CAST(win_id AS BIGINT) AS win_id,
+                   CAST(win_id * 128 AS BIGINT) AS start,
+                   CAST(length(substr(text, CAST(win_id * 128 + 1 AS INT), 256))
+                        AS BIGINT) AS n_chars,
+                   md5(substr(text, CAST(win_id * 128 + 1 AS INT), 256)) AS passage_md5
+            FROM e
         """,
         "ccnet_buckets": """
             WITH docs AS (

@@ -1244,6 +1244,33 @@ def _q_quantile_filter(sf_dir: str):
     return filter_by_quantile(scored, "mean_token_len_e6", 0.10, keep="ge")
 
 
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "props"]
+
+
+def _q_table_profile(sf_dir: str):
+    """Data-quality audit of the events table: per-column row/null
+    counts, exact distinct counts (one tag-union distinct exchange),
+    native-compare min/max stringified in the report."""
+    from fastie_ray.ops.profile import table_profile
+
+    ds = _read(sf_dir, "events", columns=_PROFILE_COLS)
+    return table_profile(ds, _PROFILE_COLS)
+
+
+def _profile_sql() -> str:
+    arms = []
+    for c in _PROFILE_COLS:
+        arms.append(
+            f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+            CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+            CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+            CAST(min({c}) AS VARCHAR) AS min_val,
+            CAST(max({c}) AS VARCHAR) AS max_val
+            FROM events"""
+        )
+    return "\nUNION ALL ".join(arms)
+
+
 def _q_passages(sf_dir: str):
     """RAG passage windowing: 256-char windows at stride 128 (overlap
     coverage), md5 per passage — pure streaming expansion, no exchange.
@@ -2476,6 +2503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_familiarity": _q_lm_familiarity,
         "ccnet_buckets": _q_ccnet_buckets,
         "passages": _q_passages,
+        "table_profile": _q_table_profile,
         "fingerprints": _q_fingerprints,
         "pii_scrub": _q_pii_scrub,
         "repetition": _q_repetition,
@@ -3242,6 +3270,7 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT quantile_disc(mean_token_len_e6, 0.10) AS th FROM scored)
             SELECT scored.* FROM scored, t WHERE mean_token_len_e6 >= t.th
         """,
+        "table_profile": _profile_sql(),
         "passages": """
             WITH w AS (
                 SELECT doc_id, text,

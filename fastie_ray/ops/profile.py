@@ -1,0 +1,112 @@
+"""Table profiling — the data-quality audit pass (Deequ/GE-style) a
+production lake runs on every ingested table: per column, row count,
+null count, exact distinct count, and min/max.
+
+Scale shape: null/min/max reduce per batch and merge on the driver
+(columns × blocks rows); the exact distinct count is ONE tag-union
+hash-bucketed exchange over the DISTINCT (column, value) pairs —
+per-batch ``drop_duplicates`` combiner first, so the exchange carries
+per-column vocabularies, never the corpus.
+
+Determinism notes: min/max are carried NATIVELY through the per-batch
+partials and the driver merge (string comparison would order "10"
+before "9") and stringified only in the final report, and only for
+int64/string columns — float formatting differs across engines, so
+float/timestamp min/max are left empty rather than risking a repr
+mismatch. The distinct-count exchange stringifies values for its key,
+which is injective for the supported dtypes.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+def table_profile(
+    ds: "ray.data.Dataset",
+    columns: list[str],
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_val, max_val) — one
+    row per profiled column; min/max as strings for int64/string
+    dtypes, '' otherwise."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in columns:
+            s = df[c]
+            keep = s.dropna()
+            mm_ok = len(keep) > 0 and (
+                keep.dtype.kind in "iu" or keep.dtype == object
+            )
+            rows.append(
+                {
+                    "column": c,
+                    "n_rows": int(len(s)),
+                    "n_nulls": int(s.isna().sum()),
+                    "mn": keep.min() if mm_ok else None,
+                    "mx": keep.max() if mm_ok else None,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+
+    def merge_col(g: pd.DataFrame) -> pd.Series:
+        mns = [v for v in g["mn"] if v is not None]
+        mxs = [v for v in g["mx"] if v is not None]
+        return pd.Series(
+            {
+                "n_rows": int(g["n_rows"].sum()),
+                "n_nulls": int(g["n_nulls"].sum()),
+                "min_val": str(min(mns)) if mns else "",
+                "max_val": str(max(mxs)) if mxs else "",
+            }
+        )
+
+    stats = parts.groupby("column").apply(merge_col).reset_index()
+
+    def dist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in columns:
+            v = df[c].dropna().astype(str).drop_duplicates()
+            frames.append(pd.DataFrame({"column": c, "value": v}))
+        return pd.concat(frames, ignore_index=True)
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(
+            df["column"] + "\x00" + df["value"], index=False
+        ).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def count_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop(columns="__b").drop_duplicates()
+        return u.groupby("column", as_index=False).agg(n_distinct=("value", "count"))
+
+    dist = (
+        ds.map_batches(dist_partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(count_in_bucket, batch_format="pandas")
+        .to_pandas()
+        .groupby("column", as_index=False)["n_distinct"]
+        .sum()
+    )
+    out = stats.merge(dist, on="column", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype("int64")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_nulls"] = out["n_nulls"].astype("int64")
+    return out.sort_values("column").reset_index(drop=True)[
+        ["column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"]
+    ]

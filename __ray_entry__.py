@@ -1247,6 +1247,17 @@ def _q_quantile_filter(sf_dir: str):
 _PROFILE_COLS = ["event_id", "user_id", "event_type", "props"]
 
 
+def _q_hll_users(sf_dir: str):
+    """Mergeable HLL distinct-count sketch over event users: per-batch
+    fixed-size register partials, driver max-merge — the sketch STATE
+    is integer-exact and SQL-verified (the float estimate is pinned by
+    pytest instead)."""
+    from fastie_ray.ops.sketch import hll_registers
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    return hll_registers(ds, "user_id", n_registers=256)
+
+
 def _q_table_profile(sf_dir: str):
     """Data-quality audit of the events table: per-column row/null
     counts, exact distinct counts (one tag-union distinct exchange),
@@ -2504,6 +2515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "passages": _q_passages,
         "table_profile": _q_table_profile,
+        "hll_users": _q_hll_users,
         "fingerprints": _q_fingerprints,
         "pii_scrub": _q_pii_scrub,
         "repetition": _q_repetition,
@@ -3271,6 +3283,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT scored.* FROM scored, t WHERE mean_token_len_e6 >= t.th
         """,
         "table_profile": _profile_sql(),
+        "hll_users": """
+            WITH v AS (
+                SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events
+                WHERE user_id IS NOT NULL
+            ), h AS (
+                SELECT CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS x FROM v
+            ), r AS (
+                SELECT x % 256 AS register, x // 256 AS rest FROM h
+            ), q AS (
+                SELECT register,
+                       CASE WHEN rest = 0 THEN 61
+                            ELSE bit_count((rest & -rest) - 1) + 1 END AS rho
+                FROM r
+            )
+            SELECT CAST(register AS BIGINT) AS register,
+                   CAST(max(rho) AS BIGINT) AS max_rho
+            FROM q GROUP BY register
+        """,
         "passages": """
             WITH w AS (
                 SELECT doc_id, text,

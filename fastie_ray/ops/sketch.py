@@ -1,0 +1,104 @@
+"""Mergeable distinct-count sketch (HyperLogLog registers) — the
+canonical 100-TB cardinality pattern: per shard a FIXED-SIZE register
+array, merged by element-wise max, estimate computed once at the end.
+An exact distinct count shuffles the vocabulary; the sketch ships
+``n_registers`` bytes per shard regardless of corpus size.
+
+Determinism / oracle design: the registers themselves are
+integer-exact and engine-independent (md5-derived hash, trailing-zero
+rank), so the SKETCH STATE is SQL-verifiable bit-for-bit:
+
+    h        = int(md5(value)[:15 hex], 16)        (60-bit, positive)
+    register = h % n_registers
+    rho      = trailing_zeros(h // n_registers) + 1
+               (SQL: bit_count((x & -x) - 1) + 1)
+
+and the oracle is ``GROUP BY register → max(rho)``. The float HLL
+ESTIMATE (harmonic mean + bias constant) is derived from the state on
+the driver and pinned by pytest to ≤ a few % relative error — it is
+deliberately NOT part of the driver-compared output (cross-engine
+float formatting).
+
+Per-batch combiner: values hash vectorized once per DISTINCT value,
+registers reduce with ``np.maximum.at``; partial register arrays are
+``n_registers`` ints each and merge on the driver (blocks × registers
+rows — the bounded-small-side pattern).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+def _hash60(values) -> np.ndarray:
+    return np.fromiter(
+        (int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) for v in values),
+        dtype=np.int64,
+        count=len(values),
+    )
+
+
+def hll_registers(
+    ds: "ray.data.Dataset",
+    col: str,
+    n_registers: int = 256,
+) -> pd.DataFrame:
+    """(register, max_rho) sketch state for the distinct values of
+    ``col`` — registers never hit by any value are absent (max_rho
+    would be 0), matching the SQL GROUP BY."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = pd.unique(df[col].dropna().astype(str))
+        if len(v) == 0:
+            return pd.DataFrame(
+                {"register": pd.Series([], dtype="int64"),
+                 "max_rho": pd.Series([], dtype="int64")}
+            )
+        h = _hash60(v)
+        reg = h % n_registers
+        rest = h // n_registers
+        rho = np.zeros(len(v), dtype=np.int64)
+        nz = rest != 0
+        low = rest[nz] & -rest[nz]
+        # trailing zeros + 1 via log2 of the isolated lowest bit (exact
+        # for powers of two)
+        rho[nz] = np.log2(low.astype(np.float64)).astype(np.int64) + 1
+        rho[~nz] = 61  # all-zero remainder: maximal rank for 60-bit hash
+        regs = np.zeros(n_registers, dtype=np.int64)
+        np.maximum.at(regs, reg, rho)
+        idx = np.nonzero(regs)[0]
+        return pd.DataFrame(
+            {"register": idx.astype("int64"), "max_rho": regs[idx]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"register": pd.Series([], dtype="int64"),
+             "max_rho": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby("register", as_index=False)["max_rho"].max()
+    return out.astype("int64").sort_values("register").reset_index(drop=True)
+
+
+def hll_estimate(registers: pd.DataFrame, n_registers: int = 256) -> float:
+    """Standard HLL estimate from the register state (driver-side
+    float; pinned by tests, not by the SQL oracle)."""
+    m = n_registers
+    rho = np.zeros(m, dtype=np.int64)
+    if len(registers):
+        rho[registers["register"].to_numpy()] = registers["max_rho"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-rho.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int((rho == 0).sum())
+        if zeros:
+            est = m * np.log(m / zeros)
+    return float(est)

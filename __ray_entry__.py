@@ -1247,6 +1247,88 @@ def _q_quantile_filter(sf_dir: str):
 _PROFILE_COLS = ["event_id", "user_id", "event_type", "props"]
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention analytics: users cohorted by first-event week,
+    cells = distinct users active per (cohort_week, weeks_since).
+    Three exchanges: per-user first-event aggregate, events⋈cohort
+    hash join, then a (cohort, week, user)-distinct dedup whose output
+    counts combine per batch and merge on the driver (cells are a
+    bounded grid)."""
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.join import hash_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_week(df: pd.DataFrame) -> pd.DataFrame:
+        days = df["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+        return pd.DataFrame(
+            {"user_id": df["user_id"].astype("int64"), "week": days // 7}
+        )
+
+    weeks = ev.map_batches(to_week, batch_format="pandas")
+
+    def first_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(cohort_week=("week", "min"))
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        df["__b"] = (df["user_id"].to_numpy() % 16).astype("int64")
+        return df
+
+    def first_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("user_id", as_index=False)[
+            "cohort_week"
+        ].min()
+        return out.astype({"user_id": "int64", "cohort_week": "int64"})
+
+    cohorts = (
+        weeks.map_batches(first_partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(first_final, batch_format="pandas")
+    )
+    j = hash_join(
+        weeks, cohorts, on="user_id",
+        left_cols=["user_id", "week"], right_cols=["user_id", "cohort_week"],
+        n_buckets=16,
+    )
+
+    def cell(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cohort_week": df["cohort_week"].astype("int64"),
+                "weeks_since": (df["week"] - df["cohort_week"]).astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+            }
+        )
+
+    uniq = dedup_exact(
+        j.map_batches(cell, batch_format="pandas"),
+        ["cohort_week", "weeks_since", "user_id"],
+        n_buckets=16,
+    )
+    counts = (
+        uniq.map_batches(
+            lambda df: df.groupby(
+                ["cohort_week", "weeks_since"], as_index=False
+            ).agg(n_users=("user_id", "count")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["cohort_week", "weeks_since"], as_index=False)["n_users"]
+        .sum()
+    )
+    return counts.astype("int64").sort_values(
+        ["cohort_week", "weeks_since"]
+    ).reset_index(drop=True)
+
+
 def _q_hll_users(sf_dir: str):
     """Mergeable HLL distinct-count sketch over event users: per-batch
     fixed-size register partials, driver max-merge — the sketch STATE
@@ -2516,6 +2598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passages": _q_passages,
         "table_profile": _q_table_profile,
         "hll_users": _q_hll_users,
+        "cohort_retention": _q_cohort_retention,
         "fingerprints": _q_fingerprints,
         "pii_scrub": _q_pii_scrub,
         "repetition": _q_repetition,
@@ -3283,6 +3366,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT scored.* FROM scored, t WHERE mean_token_len_e6 >= t.th
         """,
         "table_profile": _profile_sql(),
+        "cohort_retention": """
+            WITH w AS (
+                SELECT user_id,
+                       date_diff('day', TIMESTAMP '1970-01-01', ts) // 7 AS week
+                FROM events
+            ), c AS (
+                SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id
+            )
+            SELECT c.cohort_week, w.week - c.cohort_week AS weeks_since,
+                   CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+            FROM w JOIN c USING (user_id)
+            GROUP BY 1, 2
+        """,
         "hll_users": """
             WITH v AS (
                 SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events

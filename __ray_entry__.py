@@ -1329,6 +1329,60 @@ def _q_cohort_retention(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _q_funnel(sf_dir: str):
+    """Ordered funnel analytics (view → click → purchase, strict ts
+    order): ONE user-bucketed exchange co-locates each user's events;
+    the three step times compute vectorized inside the bucket
+    (filter → groupby-min → merge chain), and the per-bucket step
+    counts merge on the driver. The SQL oracle needs two correlated
+    joins — the engine shape is one exchange."""
+    import numpy as np
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        df["__b"] = (df["user_id"].to_numpy() % 16).astype("int64")
+        return df
+
+    def steps(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = (
+            g[g["event_type"] == "view"]
+            .groupby("user_id", as_index=False)["ts"].min()
+            .rename(columns={"ts": "t1"})
+        )
+        c = g[g["event_type"] == "click"].merge(t1, on="user_id")
+        t2 = (
+            c[c["ts"] > c["t1"]]
+            .groupby("user_id", as_index=False)["ts"].min()
+            .rename(columns={"ts": "t2"})
+        )
+        p = g[g["event_type"] == "purchase"].merge(t2, on="user_id")
+        t3 = p[p["ts"] > p["t2"]].groupby("user_id", as_index=False)["ts"].min()
+        return pd.DataFrame(
+            {
+                "step": np.array([1, 2, 3], dtype="int64"),
+                "event_type": ["view", "click", "purchase"],
+                "n_users": np.array([len(t1), len(t2), len(t3)], dtype="int64"),
+            }
+        )
+
+    parts = (
+        ev.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(steps, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["step", "event_type"], as_index=False)["n_users"].sum()
+    return out.astype({"step": "int64", "n_users": "int64"}).sort_values(
+        "step"
+    ).reset_index(drop=True)
+
+
 def _q_hll_users(sf_dir: str):
     """Mergeable HLL distinct-count sketch over event users: per-batch
     fixed-size register partials, driver max-merge — the sketch STATE
@@ -2599,6 +2653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": _q_table_profile,
         "hll_users": _q_hll_users,
         "cohort_retention": _q_cohort_retention,
+        "funnel": _q_funnel,
         "fingerprints": _q_fingerprints,
         "pii_scrub": _q_pii_scrub,
         "repetition": _q_repetition,
@@ -3366,6 +3421,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT scored.* FROM scored, t WHERE mean_token_len_e6 >= t.th
         """,
         "table_profile": _profile_sql(),
+        "funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN v USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > v.t1
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN c USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                   CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+        """,
         "cohort_retention": """
             WITH w AS (
                 SELECT user_id,

@@ -1394,6 +1394,15 @@ def _q_hll_users(sf_dir: str):
     return hll_registers(ds, "user_id", n_registers=256)
 
 
+def _q_hll_by_type(sf_dir: str):
+    """Grouped HLL sketch: one distinct-user register array per event
+    type (integer-exact state; the grouped form of hll_users)."""
+    from fastie_ray.ops.sketch import hll_registers_grouped
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return hll_registers_grouped(ds, "user_id", "event_type", n_registers=64)
+
+
 def _q_table_profile(sf_dir: str):
     """Data-quality audit of the events table: per-column row/null
     counts, exact distinct counts (one tag-union distinct exchange),
@@ -2652,6 +2661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passages": _q_passages,
         "table_profile": _q_table_profile,
         "hll_users": _q_hll_users,
+        "hll_by_type": _q_hll_by_type,
         "cohort_retention": _q_cohort_retention,
         "funnel": _q_funnel,
         "fingerprints": _q_fingerprints,
@@ -3440,6 +3450,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
             UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
             UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+        """,
+        "hll_by_type": """
+            WITH v AS (
+                SELECT DISTINCT event_type AS grp,
+                       CAST(user_id AS VARCHAR) AS s
+                FROM events WHERE user_id IS NOT NULL
+            ), h AS (
+                SELECT grp,
+                       CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS x
+                FROM v
+            ), r AS (
+                SELECT grp, x % 64 AS register, x // 64 AS rest FROM h
+            ), q AS (
+                SELECT grp, register,
+                       CASE WHEN rest = 0 THEN 61
+                            ELSE bit_count((rest & -rest) - 1) + 1 END AS rho
+                FROM r
+            )
+            SELECT grp AS "group", CAST(register AS BIGINT) AS register,
+                   CAST(max(rho) AS BIGINT) AS max_rho
+            FROM q GROUP BY grp, register
         """,
         "cohort_retention": """
             WITH w AS (

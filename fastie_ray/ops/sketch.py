@@ -102,3 +102,54 @@ def hll_estimate(registers: pd.DataFrame, n_registers: int = 256) -> float:
         if zeros:
             est = m * np.log(m / zeros)
     return float(est)
+
+
+def hll_registers_grouped(
+    ds: "ray.data.Dataset",
+    col: str,
+    group_col: str,
+    n_registers: int = 256,
+) -> pd.DataFrame:
+    """(group, register, max_rho) — one sketch per group value. The
+    per-batch partial is groups × registers ints; the merge is a
+    driver max over blocks × groups × registers rows (group domains
+    are bounded; for unbounded groups swap the driver merge for one
+    bucketed exchange keyed on (group, register))."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df[[group_col, col]].dropna().astype(str).drop_duplicates()
+        if len(pairs) == 0:
+            return pd.DataFrame(
+                {"group": pd.Series([], dtype=object),
+                 "register": pd.Series([], dtype="int64"),
+                 "max_rho": pd.Series([], dtype="int64")}
+            )
+        h = _hash60(pairs[col])
+        rest = h // n_registers
+        rho = np.full(len(h), 61, dtype=np.int64)
+        nz = rest != 0
+        low = rest[nz] & -rest[nz]
+        rho[nz] = np.log2(low.astype(np.float64)).astype(np.int64) + 1
+        out = pd.DataFrame(
+            {
+                "group": pairs[group_col].to_numpy(),
+                "register": h % n_registers,
+                "rho": rho,
+            }
+        )
+        g = out.groupby(["group", "register"], as_index=False)["rho"].max()
+        return g.rename(columns={"rho": "max_rho"}).astype(
+            {"register": "int64", "max_rho": "int64"}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"group": pd.Series([], dtype=object),
+             "register": pd.Series([], dtype="int64"),
+             "max_rho": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby(["group", "register"], as_index=False)["max_rho"].max()
+    return out.astype({"register": "int64", "max_rho": "int64"}).sort_values(
+        ["group", "register"]
+    ).reset_index(drop=True)

@@ -51,3 +51,22 @@ def test_empty_and_null_inputs():
     regs = hll_registers(ray.data.from_pandas(df), "u")
     assert len(regs) == 0
     assert hll_estimate(regs) < 1.0
+
+
+def test_grouped_registers_match_per_group_reference():
+    rng = np.random.default_rng(71)
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 900, 4000),
+            "g": rng.choice(["a", "b", "c"], 4000),
+        }
+    )
+    from fastie_ray.ops.sketch import hll_registers_grouped
+
+    got = hll_registers_grouped(
+        ray.data.from_pandas(df).repartition(5), "u", "g", n_registers=M
+    )
+    for grp in ("a", "b", "c"):
+        want = _reference_registers(df.loc[df["g"] == grp, "u"])
+        sub = got[got["group"] == grp][["register", "max_rho"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(sub, want)

@@ -1329,13 +1329,13 @@ def _q_cohort_retention(sf_dir: str):
     ).reset_index(drop=True)
 
 
-def _q_funnel(sf_dir: str):
+def _funnel_query(sf_dir: str, max_gap: "pd.Timedelta | None" = None):
     """Ordered funnel analytics (view → click → purchase, strict ts
-    order): ONE user-bucketed exchange co-locates each user's events;
-    the three step times compute vectorized inside the bucket
-    (filter → groupby-min → merge chain), and the per-bucket step
-    counts merge on the driver. The SQL oracle needs two correlated
-    joins — the engine shape is one exchange."""
+    order, optional per-step deadline): ONE user-bucketed exchange
+    co-locates each user's events; the three step times compute
+    vectorized inside the bucket (filter → groupby-min → merge chain),
+    and the per-bucket step counts merge on the driver. The SQL oracle
+    needs two correlated joins — the engine shape is one exchange."""
     import numpy as np
     import pandas as pd
 
@@ -1356,13 +1356,19 @@ def _q_funnel(sf_dir: str):
             .rename(columns={"ts": "t1"})
         )
         c = g[g["event_type"] == "click"].merge(t1, on="user_id")
+        ok_c = c["ts"] > c["t1"]
+        if max_gap is not None:
+            ok_c &= c["ts"] <= c["t1"] + max_gap
         t2 = (
-            c[c["ts"] > c["t1"]]
+            c[ok_c]
             .groupby("user_id", as_index=False)["ts"].min()
             .rename(columns={"ts": "t2"})
         )
         p = g[g["event_type"] == "purchase"].merge(t2, on="user_id")
-        t3 = p[p["ts"] > p["t2"]].groupby("user_id", as_index=False)["ts"].min()
+        ok_p = p["ts"] > p["t2"]
+        if max_gap is not None:
+            ok_p &= p["ts"] <= p["t2"] + max_gap
+        t3 = p[ok_p].groupby("user_id", as_index=False)["ts"].min()
         return pd.DataFrame(
             {
                 "step": np.array([1, 2, 3], dtype="int64"),
@@ -1381,6 +1387,18 @@ def _q_funnel(sf_dir: str):
     return out.astype({"step": "int64", "n_users": "int64"}).sort_values(
         "step"
     ).reset_index(drop=True)
+
+
+def _q_funnel(sf_dir: str):
+    return _funnel_query(sf_dir, max_gap=None)
+
+
+def _q_funnel_windowed(sf_dir: str):
+    """Deadline funnel: each next step must land within 7 days of the
+    previous step's time (same one-exchange engine shape)."""
+    import pandas as pd
+
+    return _funnel_query(sf_dir, max_gap=pd.Timedelta(days=7))
 
 
 def _q_hll_users(sf_dir: str):
@@ -2664,6 +2682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_by_type": _q_hll_by_type,
         "cohort_retention": _q_cohort_retention,
         "funnel": _q_funnel,
+        "funnel_windowed": _q_funnel_windowed,
         "fingerprints": _q_fingerprints,
         "pii_scrub": _q_pii_scrub,
         "repetition": _q_repetition,
@@ -3431,6 +3450,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT scored.* FROM scored, t WHERE mean_token_len_e6 >= t.th
         """,
         "table_profile": _profile_sql(),
+        "funnel_windowed": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN v USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > v.t1
+                  AND e.ts <= v.t1 + INTERVAL 7 DAY
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN c USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                  AND e.ts <= c.t2 + INTERVAL 7 DAY
+                GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                   CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p)
+        """,
         "funnel": """
             WITH v AS (
                 SELECT user_id, min(ts) AS t1 FROM events

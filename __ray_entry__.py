@@ -1247,6 +1247,32 @@ def _q_quantile_filter(sf_dir: str):
 _PROFILE_COLS = ["event_id", "user_id", "event_type", "props"]
 
 
+def _q_json_stats(sf_dir: str):
+    """JSON field extraction + grouped aggregate: pull props.$.k
+    (vectorized regex on the engine side — one pattern scan per batch,
+    no per-row json.loads) and reduce per event_type. Oracle uses
+    DuckDB's json_extract."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k":\s*(-?\d+)', expand=False).astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"], "k": k}).groupby(
+            "event_type", as_index=False
+        ).agg(n=("k", "count"), sum_k=("k", "sum"), min_k=("k", "min"), max_k=("k", "max"))
+        return g
+
+    parts = ev.map_batches(agg, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), sum_k=("sum_k", "sum"),
+        min_k=("min_k", "min"), max_k=("max_k", "max"),
+    )
+    return out.astype(
+        {"n": "int64", "sum_k": "int64", "min_k": "int64", "max_k": "int64"}
+    ).sort_values("event_type").reset_index(drop=True)
+
+
 def _q_cohort_retention(sf_dir: str):
     """Cohort retention analytics: users cohorted by first-event week,
     cells = distinct users active per (cohort_week, weeks_since).
@@ -2681,6 +2707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": _q_hll_users,
         "hll_by_type": _q_hll_by_type,
         "cohort_retention": _q_cohort_retention,
+        "json_stats": _q_json_stats,
         "funnel": _q_funnel,
         "funnel_windowed": _q_funnel_windowed,
         "fingerprints": _q_fingerprints,
@@ -3450,6 +3477,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT scored.* FROM scored, t WHERE mean_token_len_e6 >= t.th
         """,
         "table_profile": _profile_sql(),
+        "json_stats": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+                   CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type
+        """,
         "funnel_windowed": """
             WITH v AS (
                 SELECT user_id, min(ts) AS t1 FROM events

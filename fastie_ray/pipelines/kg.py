@@ -20,6 +20,7 @@ from fastie_ray.stages.canonicalize import (
     _cached_linker,
     entity_components_from_surfaces,
     relabel_column,
+    relabel_columns_replicated,
 )
 from fastie_ray.stages.chunk import chunk_pages
 from fastie_ray.stages.extract import extract_text
@@ -239,15 +240,17 @@ def graph_tables(
     # edges: endpoints linked inside the triple rejoin exchange (same
     # fused-post shape as the mentions branch), AGGREGATE FIRST on the original
     # entity ids (per-batch combiner; corpus-sized rows never cross more
-    # than one exchange), THEN relabel endpoints to component ids and
-    # merge rows whose endpoints collapsed. Both halves of the final
-    # aggregate ride INSIDE the relabel exchanges: the first relabel
-    # buckets on subject_id, which determines the (s,p,o) group, so
-    # pre=edge_final completes the support aggregate there; the second
-    # relabel buckets on object_id — after subject relabeling, rows with
-    # equal (s,p,o) share object_id and hence its hash bucket, so
-    # post=edge_final completes the collapse-merge. Two exchanges total
-    # (was: aggregate shuffle + two relabels).
+    # than one exchange), THEN relabel BOTH endpoints in one replicated
+    # exchange and merge rows whose endpoints collapsed. The replicated
+    # relabel buckets on the pre-relabel subject_id, which determines
+    # the (s,p,o) group, so pre=edge_final completes the support
+    # aggregate there; the follow-up merge buckets on the POST-relabel
+    # subject_id, so edges whose keys only collide after relabeling
+    # still co-locate — a COMPLETE collapse-merge, unlike the previous
+    # chained relabel whose object-bucketed post-merge silently missed
+    # rows when two distinct pre-object ids collapsed to one component.
+    # Two exchanges total, same as before; the label table (vocab-
+    # bounded) is replicated to every bucket instead of shuffled twice.
     ltriples = _rj_t(t_raw, post=_link_triples_post(alias_ref))
 
     def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -269,17 +272,11 @@ def graph_tables(
     # left_cols passed explicitly: schema inference would execute the
     # scorer lineage just to read column names
     pre_cols = ["subject_id", "predicate", "object_id", "n_support", "urls"]
-    edges = relabel_column(
-        relabel_column(
-            edge_partials, "subject_id", ent_comp, n_buckets,
-            left_cols=pre_cols, pre=edge_final,
-        ),
-        "object_id",
-        ent_comp,
-        n_buckets,
-        left_cols=pre_cols,
-        post=edge_final,
+    edges_rel = relabel_columns_replicated(
+        edge_partials, ["subject_id", "object_id"], ent_comp, n_buckets,
+        left_cols=pre_cols, bucket_col="subject_id", pre=edge_final,
     )
+    edges = _bucketed_groupby(edges_rel, "subject_id", edge_final, n_buckets)
 
     return {
         "nodes": nodes,

@@ -540,6 +540,92 @@ def relabel_column(
     return both.groupby("__b").map_groups(apply_map, batch_format="pandas")
 
 
+def relabel_columns_replicated(
+    ds: "ray.data.Dataset",
+    cols: list[str],
+    ent_labels: "ray.data.Dataset",
+    n_buckets: int = 64,
+    left_cols: list[str] | None = None,
+    bucket_col: str | None = None,
+    pre=None,
+) -> "ray.data.Dataset":
+    """Relabel SEVERAL columns to their component ids in ONE exchange by
+    REPLICATING the (entity_id, component_id) label table to every
+    bucket, instead of one ``relabel_column`` exchange per column.
+
+    Payload math: one exchange ships E + B·L rows (E = left rows,
+    L = label rows, B = n_buckets) vs k·(E + L) for k chained
+    ``relabel_column`` calls — a win whenever the label table is small
+    relative to the left side (it is: labels are surface-vocab-bounded,
+    edges are graph-sized). More importantly it removes the chained
+    path's completeness caveat: after BOTH endpoints are relabeled
+    map-side, a follow-up merge exchange can bucket on the POST-relabel
+    key, so rows whose keys only collide after relabeling still
+    co-locate. (The chained path's ``post=`` merge buckets on the
+    PRE-relabel value and silently misses merges when two distinct
+    pre-ids collapse to one component — see
+    ``pipelines/kg.py`` edge path, which pairs this with a
+    ``_bucketed_groupby`` on the post-relabel subject.)
+
+    ``bucket_col`` picks which left column distributes rows (default
+    ``cols[0]``); ``pre`` runs on the assembled left partition BEFORE
+    the mapping, to finish an upstream partial-aggregate whose grouping
+    key determines ``bucket_col`` (same contract as ``relabel_column``'s
+    ``pre``). Unmatched values keep themselves, as everywhere."""
+    cols = list(cols)
+    bucket_col = bucket_col or cols[0]
+    left_cols = list(left_cols) if left_cols is not None else list(ds.schema().names)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__eid"] = pd.NA
+        out["__cmp"] = pd.NA
+        out["__side"] = "l"
+        out["__b"] = (
+            (pd.util.hash_pandas_object(out[bucket_col], index=False).to_numpy()
+             % np.uint64(n_buckets)).astype(np.int64)
+            if len(out) else np.array([], dtype=np.int64)
+        )
+        return out[left_cols + ["__eid", "__cmp", "__side", "__b"]]
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            out = pd.DataFrame({"__eid": [], "__cmp": []})
+            out["__side"] = pd.Series([], dtype=object)
+            out["__b"] = np.array([], dtype=np.int64)
+        else:
+            # replicate every label row to every bucket (vocab-bounded)
+            out = pd.DataFrame(
+                {
+                    "__eid": np.tile(df["entity_id"].to_numpy(), n_buckets),
+                    "__cmp": np.tile(df["component_id"].to_numpy(), n_buckets),
+                    "__b": np.repeat(np.arange(n_buckets, dtype=np.int64), n),
+                }
+            )
+            out["__side"] = "r"
+        for c in left_cols:
+            out[c] = pd.NA
+        return out[left_cols + ["__eid", "__cmp", "__side", "__b"]]
+
+    def apply_map(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        lg = g[g["__side"] == "l"][left_cols]
+        rg = g[g["__side"] == "r"][["__eid", "__cmp"]]
+        mapping = dict(zip(rg["__eid"], rg["__cmp"]))
+        if pre is not None:
+            lg = pre(lg)
+        lg = lg.copy()
+        for c in cols:
+            lg[c] = lg[c].map(lambda v: mapping.get(v, v))
+        return lg
+
+    both = ds.map_batches(tag_left, batch_format="pandas").union(
+        ent_labels.map_batches(tag_right, batch_format="pandas")
+    )
+    return both.groupby("__b").map_groups(apply_map, batch_format="pandas")
+
+
 def component_map(labels: pd.DataFrame) -> dict[str, str]:
     """entity node → component id (surface nodes dropped; component ids
     re-keyed to the smallest member entity id when one exists)."""

@@ -203,3 +203,128 @@ def test_fused_link_post_matches_pooled_linkers():
         .to_pandas().sort_values(t_keys).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got_t, want_t)
+
+
+def test_relabel_columns_replicated_complete_merge():
+    """The one-exchange double relabel + a post-relabel-keyed merge must
+    merge edges whose endpoints only collide AFTER relabeling — the case
+    the chained relabel_column(post=...) path can miss when two distinct
+    pre-object ids collapse to one component (they hash to different
+    buckets, so the in-partition merge never sees both rows)."""
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+    from fastie_ray.stages.canonicalize import relabel_columns_replicated
+
+    # e:a1/e:a2 collapse to c:A, e:b1/e:b2 collapse to c:B
+    labels = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "entity_id": ["e:a1", "e:a2", "e:b1", "e:b2"],
+                "component_id": ["c:A", "c:A", "c:B", "c:B"],
+            }
+        )
+    )
+    edges = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "subject_id": ["e:a1", "e:a2", "e:a1", "e:x"],
+                "predicate": ["p", "p", "q", "p"],
+                "object_id": ["e:b1", "e:b2", "e:b1", "e:b2"],
+                "n_support": [1, 2, 4, 8],
+                "urls": [["u1"], ["u2"], ["u3"], ["u4"]],
+            }
+        )
+    )
+
+    def edge_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(
+            ["subject_id", "predicate", "object_id"], as_index=False
+        ).agg(
+            n_support=("n_support", "sum"),
+            urls=("urls", lambda s: sorted({u for lst in s for u in lst})[:8]),
+        )
+        out["n_support"] = out["n_support"].astype("int64")
+        return out
+
+    cols = ["subject_id", "predicate", "object_id", "n_support", "urls"]
+    rel = relabel_columns_replicated(
+        edges, ["subject_id", "object_id"], labels, n_buckets=16,
+        left_cols=cols, bucket_col="subject_id", pre=edge_final,
+    )
+    got = (
+        _bucketed_groupby(rel, "subject_id", edge_final, 16)
+        .to_pandas()
+        .sort_values(["subject_id", "predicate", "object_id"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "subject_id": ["c:A", "c:A", "e:x"],
+            "predicate": ["p", "q", "p"],
+            "object_id": ["c:B", "c:B", "c:B"],
+            "n_support": [3, 4, 8],
+            "urls": [["u1", "u2"], ["u3"], ["u4"]],
+        }
+    )
+    want["n_support"] = want["n_support"].astype("int64")
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_relabel_columns_replicated_matches_pandas_reference():
+    """Randomized parity: replicated double-relabel + merge equals a
+    driver-side pandas map-then-group on the same data."""
+    import numpy as np
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+    from fastie_ray.stages.canonicalize import relabel_columns_replicated
+
+    rng = np.random.default_rng(7)
+    ents = [f"e:{i}" for i in range(40)]
+    comp = {e: f"c:{rng.integers(0, 12)}" for e in ents if rng.random() < 0.7}
+    n = 300
+    df = pd.DataFrame(
+        {
+            "subject_id": rng.choice(ents, n),
+            "predicate": rng.choice(["p", "q", "r"], n),
+            "object_id": rng.choice(ents, n),
+            "n_support": rng.integers(1, 5, n),
+            "urls": [[f"u{rng.integers(0, 9)}"] for _ in range(n)],
+        }
+    )
+    df["n_support"] = df["n_support"].astype("int64")
+    labels = ray.data.from_pandas(
+        pd.DataFrame(
+            {"entity_id": list(comp), "component_id": [comp[e] for e in comp]}
+        )
+    )
+
+    def edge_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(
+            ["subject_id", "predicate", "object_id"], as_index=False
+        ).agg(
+            n_support=("n_support", "sum"),
+            urls=("urls", lambda s: sorted({u for lst in s for u in lst})[:8]),
+        )
+        out["n_support"] = out["n_support"].astype("int64")
+        return out
+
+    cols = ["subject_id", "predicate", "object_id", "n_support", "urls"]
+    rel = relabel_columns_replicated(
+        ray.data.from_pandas(df).repartition(6),
+        ["subject_id", "object_id"], labels, n_buckets=8,
+        left_cols=cols, bucket_col="subject_id", pre=edge_final,
+    )
+    got = (
+        _bucketed_groupby(rel, "subject_id", edge_final, 8)
+        .to_pandas()
+        .sort_values(["subject_id", "predicate", "object_id"])
+        .reset_index(drop=True)
+    )
+
+    ref = df.copy()
+    ref["subject_id"] = ref["subject_id"].map(lambda v: comp.get(v, v))
+    ref["object_id"] = ref["object_id"].map(lambda v: comp.get(v, v))
+    want = (
+        edge_final(ref)
+        .sort_values(["subject_id", "predicate", "object_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)

@@ -28,6 +28,10 @@ import pandas as pd
 
 from fastie_ray.ops.dedup import dedup_exact
 
+# per-block row cap for CC label-table compaction (~100 MB of two short
+# string columns); keeps k_blocks growing with label volume at scale
+_LABEL_ROWS_PER_BLOCK = 1_000_000
+
 if TYPE_CHECKING:
     import ray.data
 
@@ -136,9 +140,16 @@ def _distributed_cc_ds(
     # compaction width for the per-round label table: blocks ≤ rows so
     # schema-less zero-row pandas sentinels (which BYPASS map functions
     # — map_batches/map_groups never see empty blocks, NOTES fact 12 —
-    # and crash the Acero comp-key joins) merge into typed blocks.
+    # and crash the Acero comp-key joins) merge into typed blocks. The
+    # width also grows with the label-table SIZE: a fixed cpu-derived
+    # count would pack a 10⁹-node label table into a handful of
+    # multi-GB blocks; cap blocks at ~1M label rows (~100 MB of two
+    # short string columns) so per-round compaction stays spillable.
     n_nodes = labels.count()
-    k_blocks = max(1, min(join_partitions(n_buckets), n_nodes))
+    k_blocks = max(
+        1,
+        min(n_nodes, max(join_partitions(n_buckets), -(-n_nodes // _LABEL_ROWS_PER_BLOCK))),
+    )
     labels = labels.repartition(k_blocks).materialize()
 
     for _ in range(max_rounds):

@@ -1447,6 +1447,30 @@ def _q_hll_by_type(sf_dir: str):
     return hll_registers_grouped(ds, "user_id", "event_type", n_registers=64)
 
 
+def _q_cms_tokens(sf_dir: str):
+    """Count-min sketch over the document token stream: fixed
+    depth×width counter grid per shard merged by element-wise sum —
+    the mergeable COUNTER sketch (point-frequency upper bounds) beside
+    the HLL distinct sketch. Register state is integer-exact and
+    SQL-verified; the min-over-rows estimate is pinned by pytest."""
+    from fastie_ray.ops.sketch import cms_token_registers
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return cms_token_registers(ds, "text", depth=4, width=512)
+
+
+def _q_bpe_pairs(sf_dir: str):
+    """BPE tokenizer-training statistics: exact adjacent character-pair
+    frequencies over the token stream (the statistic ranking the first
+    BPE merge). Combiner extracts overlapping 2-grams from DISTINCT
+    tokens per batch weighted by count; partials are bounded by the
+    pair domain and merge on the driver."""
+    from fastie_ray.ops.bpe import pair_counts
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return pair_counts(ds, "text")
+
+
 def _q_table_profile(sf_dir: str):
     """Data-quality audit of the events table: per-column row/null
     counts, exact distinct counts (one tag-union distinct exchange),
@@ -2706,6 +2730,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": _q_table_profile,
         "hll_users": _q_hll_users,
         "hll_by_type": _q_hll_by_type,
+        "cms_tokens": _q_cms_tokens,
+        "bpe_pairs": _q_bpe_pairs,
         "cohort_retention": _q_cohort_retention,
         "json_stats": _q_json_stats,
         "funnel": _q_funnel,
@@ -3560,6 +3586,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
             FROM w JOIN c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "cms_tokens": """
+            WITH tok AS (
+                SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS token
+                FROM documents
+            ), cnt AS (
+                SELECT token, count(*) AS n FROM tok GROUP BY token
+            ), cells AS (
+                SELECT CAST(d AS BIGINT) AS d,
+                       CAST(('0x' || substr(md5(d || ':' || token), 1, 15)) AS BIGINT)
+                           % 512 AS cell,
+                       n
+                FROM cnt, (SELECT unnest(range(4)) AS d) ds
+            )
+            SELECT d, cell, CAST(sum(n) AS BIGINT) AS count
+            FROM cells GROUP BY d, cell
+        """,
+        "bpe_pairs": """
+            WITH tok AS (
+                SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS token
+                FROM documents
+            ), pairs AS (
+                SELECT substr(token, CAST(i AS INT), 2) AS pair
+                FROM tok, LATERAL (SELECT unnest(range(1, length(token))) AS i) r
+                WHERE length(token) >= 2
+            )
+            SELECT pair, count(*) AS n_occ FROM pairs GROUP BY pair
         """,
         "hll_users": """
             WITH v AS (

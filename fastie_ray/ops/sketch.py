@@ -153,3 +153,94 @@ def hll_registers_grouped(
     return out.astype({"register": "int64", "max_rho": "int64"}).sort_values(
         ["group", "register"]
     ).reset_index(drop=True)
+
+
+# ----------------------------------------------------------- count-min
+
+def cms_token_registers(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 512,
+) -> pd.DataFrame:
+    """Count-min sketch over the token stream of ``text_col`` — the
+    mergeable COUNTER sketch complementing the HLL distinct sketch: a
+    fixed ``depth × width`` integer grid per shard, merged by
+    element-wise SUM, point-frequency estimated as the min over depth
+    rows. At 100 TB each shard ships ``depth*width`` ints regardless
+    of vocabulary size; an exact token count shuffles the vocabulary.
+
+    Tokenization matches the repo-wide oracle convention
+    (``lower(regexp_extract_all(text, '[A-Za-z0-9]+'))``). Register
+    state is integer-exact and SQL-verifiable:
+
+        cell(d, token) = int(md5(f"{d}:{token}")[:15 hex], 16) % width
+        register[d][cell] = Σ count(token) over tokens mapping there
+
+    The float-free ESTIMATE (min over rows) is derived on the driver
+    and pinned by pytest (upper bound; exact while rows are sparse).
+
+    Per-batch combiner: tokenize vectorized, count with
+    ``value_counts``, hash each DISTINCT token depth times, scatter-add
+    with ``np.add.at``; partials are (d, cell, count) rows bounded by
+    ``depth × width`` per batch and groupby-sum on the driver (the
+    bounded-small-side pattern, same as ``hll_registers``)."""
+
+    import re
+
+    token_re = re.compile(r"[A-Za-z0-9]+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].dropna().str.lower().str.findall(token_re).explode()
+        toks = toks.dropna()
+        if len(toks) == 0:
+            return pd.DataFrame(
+                {"d": pd.Series([], dtype="int64"),
+                 "cell": pd.Series([], dtype="int64"),
+                 "count": pd.Series([], dtype="int64")}
+            )
+        counts = toks.value_counts()
+        vals = counts.index.to_numpy()
+        n = counts.to_numpy(dtype=np.int64)
+        frames = []
+        for d in range(depth):
+            h = _hash60([f"{d}:{v}" for v in vals]) % width
+            grid = np.zeros(width, dtype=np.int64)
+            np.add.at(grid, h, n)
+            idx = np.nonzero(grid)[0]
+            frames.append(pd.DataFrame(
+                {"d": np.full(len(idx), d, dtype=np.int64),
+                 "cell": idx.astype("int64"),
+                 "count": grid[idx]}
+            ))
+        return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"d": pd.Series([], dtype="int64"),
+             "cell": pd.Series([], dtype="int64"),
+             "count": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby(["d", "cell"], as_index=False)["count"].sum()
+    return out.astype("int64").sort_values(["d", "cell"]).reset_index(drop=True)
+
+
+def cms_estimate(
+    registers: pd.DataFrame,
+    tokens,
+    depth: int = 4,
+    width: int = 512,
+) -> dict:
+    """Point-frequency estimates (min over depth rows) from the sketch
+    state — driver-side, pinned by tests, not driver-compared."""
+    grid = np.zeros((depth, width), dtype=np.int64)
+    if len(registers):
+        grid[registers["d"].to_numpy(), registers["cell"].to_numpy()] = (
+            registers["count"].to_numpy()
+        )
+    out = {}
+    for tok in tokens:
+        cells = _hash60([f"{d}:{tok}" for d in range(depth)]) % width
+        out[tok] = int(grid[np.arange(depth), cells].min())
+    return out

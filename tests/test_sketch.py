@@ -70,3 +70,64 @@ def test_grouped_registers_match_per_group_reference():
         want = _reference_registers(df.loc[df["g"] == grp, "u"])
         sub = got[got["group"] == grp][["register", "max_rho"]].reset_index(drop=True)
         pd.testing.assert_frame_equal(sub, want)
+
+
+# ----------------------------------------------------------- count-min
+
+
+def _cms_reference(texts, depth=4, width=512):
+    import re
+
+    grid = np.zeros((depth, width), dtype=np.int64)
+    counts = {}
+    for t in texts:
+        for tok in re.findall(r"[A-Za-z0-9]+", t.lower()):
+            counts[tok] = counts.get(tok, 0) + 1
+    for tok, n in counts.items():
+        for d in range(depth):
+            h = int(hashlib.md5(f"{d}:{tok}".encode()).hexdigest()[:15], 16)
+            grid[d, h % width] += n
+    rows = [
+        (d, c, grid[d, c])
+        for d in range(depth)
+        for c in np.nonzero(grid[d])[0]
+    ]
+    return (
+        pd.DataFrame(rows, columns=["d", "cell", "count"])
+        .astype("int64")
+        .sort_values(["d", "cell"])
+        .reset_index(drop=True)
+    ), counts
+
+
+def test_cms_registers_match_reference_any_partitioning():
+    from fastie_ray.ops.sketch import cms_estimate, cms_token_registers
+
+    rng = np.random.default_rng(71)
+    words = ["alpha", "beta", "gamma", "delta", "x9", "longword"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(3, 12)))
+        for _ in range(400)
+    ]
+    want, counts = _cms_reference(texts)
+    df = pd.DataFrame({"text": texts})
+    for parts in (1, 8):
+        got = cms_token_registers(
+            ray.data.from_pandas(df).repartition(parts), "text"
+        )
+        pd.testing.assert_frame_equal(got, want)
+    # point estimates: exact upper bounds, exact when rows are sparse
+    est = cms_estimate(got, list(counts) + ["absenttoken"])
+    assert est["absenttoken"] >= 0
+    for tok, n in counts.items():
+        assert est[tok] >= n
+
+
+def test_cms_empty_input():
+    from fastie_ray.ops.sketch import cms_token_registers
+
+    got = cms_token_registers(
+        ray.data.from_pandas(pd.DataFrame({"text": pd.Series([], dtype=str)})),
+        "text",
+    )
+    assert len(got) == 0 and list(got.columns) == ["d", "cell", "count"]

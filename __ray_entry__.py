@@ -1471,6 +1471,17 @@ def _q_bpe_pairs(sf_dir: str):
     return pair_counts(ds, "text")
 
 
+def _q_event_transitions(sf_dir: str):
+    """Markov transition counts over the per-user event stream via the
+    two-phase shape (in-bucket pairs local, one boundary record per
+    (user, day) across the second exchange) — no key ever co-locates
+    all its rows; parity-tested against the single-exchange form."""
+    from fastie_ray.ops.sequence import transition_counts_scalable
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    return transition_counts_scalable(ds, bucket="1d")
+
+
 def _q_table_profile(sf_dir: str):
     """Data-quality audit of the events table: per-column row/null
     counts, exact distinct counts (one tag-union distinct exchange),
@@ -2732,6 +2743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_by_type": _q_hll_by_type,
         "cms_tokens": _q_cms_tokens,
         "bpe_pairs": _q_bpe_pairs,
+        "event_transitions": _q_event_transitions,
         "cohort_retention": _q_cohort_retention,
         "json_stats": _q_json_stats,
         "funnel": _q_funnel,
@@ -3586,6 +3598,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
             FROM w JOIN c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "event_transitions": """
+            WITH s AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            )
+            SELECT prev AS prev_type, event_type AS next_type,
+                   count(*) AS n_trans
+            FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type
         """,
         "cms_tokens": """
             WITH tok AS (

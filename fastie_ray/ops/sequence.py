@@ -1,0 +1,200 @@
+"""Event-sequence transition mining: per-key Markov transition counts
+(prev event type → next event type) over a timestamp-ordered event
+stream — the clickstream / user-journey statistic behind next-event
+prediction and funnel discovery (no reference counterpart; completes
+the funnel / cohort / session family in this repo).
+
+Ordering is deterministic: (ts, id) within a key, matching SQL
+``lag(type) OVER (PARTITION BY key ORDER BY ts, id)``.
+
+Two implementations with identical output (parity-tested):
+
+- ``transition_counts``: ONE exchange on hash(key) — every row of a
+  key co-located, vectorized sort + shift per bucket. The right shape
+  when no key is pathologically hot.
+
+- ``transition_counts_scalable``: the two-phase trick shared with
+  ``ops.windows.session_window_agg_scalable`` — phase 1 partitions by
+  (key, coarse TIME bucket), counts in-bucket adjacent pairs locally
+  and emits one (first_type, last_type) boundary record per
+  (key, bucket); phase 2 re-groups only the boundary records (bounded
+  by keys × buckets, never by events) per key and counts the
+  cross-bucket transitions last(b) → first(next occupied b'). A hot
+  key with billions of events never concentrates in one partition.
+
+Both return a driver DataFrame: the output is bounded by the event-type
+domain squared (types², the bounded-small-side pattern)."""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    import ray.data
+
+_OUT_COLS = ["prev_type", "next_type", "n_trans"]
+
+
+def _empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"prev_type": pd.Series([], dtype=object),
+         "next_type": pd.Series([], dtype=object),
+         "n_trans": pd.Series([], dtype="int64")}
+    )
+
+
+def _finalize(parts: pd.DataFrame) -> pd.DataFrame:
+    if len(parts) == 0:
+        return _empty()
+    out = parts.groupby(["prev_type", "next_type"], as_index=False)["n_trans"].sum()
+    out["n_trans"] = out["n_trans"].astype("int64")
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+def _pair_counts(prev: pd.Series, nxt: pd.Series) -> pd.DataFrame:
+    d = pd.DataFrame({"prev_type": prev.to_numpy(), "next_type": nxt.to_numpy()})
+    out = d.groupby(["prev_type", "next_type"], as_index=False).size()
+    return out.rename(columns={"size": "n_trans"})
+
+
+def transition_counts(
+    ds: "ray.data.Dataset",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """(prev_type, next_type, n_trans) over consecutive events per key,
+    ordered by (ts, id) — one key-bucketed exchange."""
+    cols = [key_col, ts_col, type_col, id_col]
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def count_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col])
+        same = (g[key_col] == g[key_col].shift()).to_numpy()
+        if not same.any():
+            return _empty()
+        return _pair_counts(g[type_col].shift()[same], g[type_col][same])
+
+    parts = (
+        ds.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(count_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return _finalize(parts)
+
+
+def transition_counts_scalable(
+    ds: "ray.data.Dataset",
+    bucket: str = "1d",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Same output as ``transition_counts`` without ever co-locating
+    all rows of a key: in-bucket pairs count locally; only one
+    (first_type, last_type) record per (key, time-bucket) crosses the
+    second exchange."""
+    cols = [key_col, ts_col, type_col, id_col]
+    bucket_td = pd.Timedelta(bucket)
+
+    def add_kb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            df["__tb"] = pd.Series([], dtype="datetime64[us]")
+            return df
+        tb = df[ts_col].dt.floor(bucket_td)
+        h = (
+            pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+            ^ pd.util.hash_pandas_object(tb, index=False).to_numpy()
+        )
+        df["__tb"] = tb
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Emit in-bucket pair counts (kind='pair') and one boundary
+        record per (key, tb) (kind='edge') as a single typed frame."""
+        g = g.sort_values([key_col, "__tb", ts_col, id_col])
+        same = (
+            (g[key_col] == g[key_col].shift())
+            & (g["__tb"] == g["__tb"].shift())
+        ).to_numpy()
+        pairs = (
+            _pair_counts(g[type_col].shift()[same], g[type_col][same])
+            if same.any()
+            else _empty()
+        )
+        heads = g.groupby([key_col, "__tb"], as_index=False, sort=False).agg(
+            first_type=(type_col, "first"), last_type=(type_col, "last")
+        )
+        out = pd.DataFrame(
+            {
+                "kind": ["pair"] * len(pairs) + ["edge"] * len(heads),
+                "prev_type": list(pairs["prev_type"]) + list(heads["last_type"]),
+                "next_type": list(pairs["next_type"]) + list(heads["first_type"]),
+                "n_trans": list(pairs["n_trans"]) + [0] * len(heads),
+                "key": [None] * len(pairs) + list(heads[key_col]),
+                "tb": [pd.NaT] * len(pairs) + list(heads["__tb"]),
+            }
+        )
+        out["n_trans"] = out["n_trans"].astype("int64")
+        out["tb"] = pd.to_datetime(out["tb"])
+        return out
+
+    phase1 = (
+        ds.map_batches(add_kb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(in_bucket, batch_format="pandas")
+        .materialize()  # bounded: pairs ≤ types² per bucket + one edge per (key, tb)
+    )
+
+    in_pairs = phase1.map_batches(
+        lambda df: df[df["kind"] == "pair"][_OUT_COLS], batch_format="pandas"
+    ).to_pandas()
+
+    def add_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["kind"] == "edge"][["key", "tb", "prev_type", "next_type"]].copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["key"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def cross_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # prev_type column holds last_type of the bucket, next_type its
+        # first_type; consecutive occupied buckets of one key chain
+        # last(b) → first(b')
+        g = g.sort_values(["key", "tb"])
+        same = (g["key"] == g["key"].shift()).to_numpy()
+        if not same.any():
+            return _empty()
+        return _pair_counts(g["prev_type"].shift()[same], g["next_type"][same])
+
+    cross = (
+        phase1.map_batches(add_k, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(cross_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    frames = [f for f in (in_pairs, cross) if len(f)]
+    if not frames:
+        return _empty()
+    return _finalize(pd.concat(frames, ignore_index=True))

@@ -1471,6 +1471,19 @@ def _q_bpe_pairs(sf_dir: str):
     return pair_counts(ds, "text")
 
 
+def _q_entity_comentions(sf_dir: str):
+    """Entity co-mention graph: per unordered entity pair, the number
+    of documents mentioning both — distinct-(url, mention) combiner,
+    ONE url-bucketed exchange whose final task links surfaces via the
+    worker-cached alias index and enumerates per-doc pairs."""
+    import ray
+
+    from fastie_ray.pipelines.kg import comention_counts
+
+    world_ref = ray.put(_world())
+    return comention_counts(_pages(sf_dir), world_ref=world_ref, concurrency=_conc())
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition counts over the per-user event stream via the
     two-phase shape (in-bucket pairs local, one boundary record per
@@ -2744,6 +2757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_tokens": _q_cms_tokens,
         "bpe_pairs": _q_bpe_pairs,
         "event_transitions": _q_event_transitions,
+        "entity_comentions": _q_entity_comentions,
         "cohort_retention": _q_cohort_retention,
         "json_stats": _q_json_stats,
         "funnel": _q_funnel,
@@ -3758,6 +3772,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT {URL} AS url, f.predicate AS predicate,
                    f.subject AS subject, f.object AS object
             {JOIN}
+        """,
+        "entity_comentions": f"""
+            WITH {FACTS}, {EIDS}
+            SELECT least(e.sub_eid, e.obj_eid) AS eid_a,
+                   greatest(e.sub_eid, e.obj_eid) AS eid_b,
+                   count(*) AS n_docs
+            FROM documents d
+            JOIN facts f ON f.i = d.doc_id % {NF}
+            JOIN eids e ON e.i = f.i
+            WHERE e.sub_eid <> e.obj_eid
+            GROUP BY 1, 2
         """,
         "kg_edges": f"""
             WITH {FACTS}, {EIDS}

@@ -399,3 +399,86 @@ def doc_events(
         chunks, world_ref=world_ref, concurrency=concurrency, **scorer_kw
     )
     return rejoin_events(scored, n_buckets)
+
+
+def comention_counts(
+    pages: "ray.data.Dataset",
+    world_ref=None,
+    concurrency: int = 8,
+    link_buckets: int = 16,
+    **scorer_kw: Any,
+) -> pd.DataFrame:
+    """Entity co-mention graph: (eid_a, eid_b, n_docs) counting, per
+    unordered entity pair, the documents in which both entities are
+    mentioned — the co-occurrence edge layer of a KG (relatedness
+    priors, link-prediction features; no reference counterpart — the
+    reference emits per-document sets only).
+
+    Scale shape: the mention stream shrinks to DISTINCT (url, mention)
+    per batch (combiner), ONE url-bucketed exchange co-locates each
+    document's mention set, and the final task links each distinct
+    surface once via the worker-cached alias index, takes the per-url
+    distinct entity set, and enumerates its C(n, 2) lexicographic
+    pairs. Per-bucket pair counts are bounded by the entity vocabulary
+    squared — the driver merge is the bounded-small-side pattern (for
+    truly open vocabularies swap it for one more bucketed exchange)."""
+    import pyarrow as pa
+
+    from fastie_ray.stages.scorers import score_mentions
+
+    chunks = chunk_pages(extract_text(pages))
+    scored = score_mentions(
+        chunks, world_ref=world_ref, concurrency=concurrency, **scorer_kw
+    )
+    import ray
+
+    world = ray.get(world_ref) if world_ref is not None else build_world()
+    alias_ref = ray.put(alias_table(world))
+
+    def distinct_um(batch: pa.Table) -> pa.Table:
+        df = batch.select(["url", "mention"]).to_pandas().drop_duplicates()
+        return pa.table(
+            {"url": pa.array(df["url"], pa.string()),
+             "mention": pa.array(df["mention"], pa.string())}
+        )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["url"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(link_buckets)).astype(np.int64)
+        return df
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").drop_duplicates()
+        linker = _cached_linker(alias_ref)
+        uniq = {m: linker.link_surface(m)[0] for m in pd.unique(g["mention"])}
+        g = g.assign(eid=g["mention"].map(uniq)).drop_duplicates(
+            subset=["url", "eid"]
+        )
+        p = g.merge(g, on="url", suffixes=("_a", "_b"))
+        p = p[p["eid_a"] < p["eid_b"]]
+        out = p.groupby(["eid_a", "eid_b"], as_index=False).agg(
+            n_docs=("url", "nunique")
+        )
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out[["eid_a", "eid_b", "n_docs"]]
+
+    parts = (
+        scored.map_batches(distinct_um, batch_format="pyarrow")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"eid_a": pd.Series([], dtype=object),
+             "eid_b": pd.Series([], dtype=object),
+             "n_docs": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby(["eid_a", "eid_b"], as_index=False)["n_docs"].sum()
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["eid_a", "eid_b"]).reset_index(drop=True)

@@ -1471,6 +1471,29 @@ def _q_bpe_pairs(sf_dir: str):
     return pair_counts(ds, "text")
 
 
+def _q_lang_heavy_tokens(sf_dir: str):
+    """Per-language heavy-hitter tokens (≥0.2% of the language's token
+    occurrences): grouped Misra-Gries sketch-then-verify with the
+    undercount bound carried per group — never shuffles the full
+    vocabulary. Threshold is integer-exact (500·n ≥ N_lang)."""
+    import pandas as pd
+
+    from fastie_ray.ops.stats import grouped_heavy_hitters
+    from fastie_ray.ops.text_index import _TOKEN_RE
+
+    def pair_fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.DataFrame(
+            {"group": df["lang"], "item": df["text"].str.findall(_TOKEN_RE)}
+        ).explode("item")
+        toks = toks.dropna(subset=["item"])
+        toks["item"] = toks["item"].str.lower()
+        return toks
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    out = grouped_heavy_hitters(ds, 0.002, pair_fn).to_pandas()
+    return out.rename(columns={"group": "lang", "item": "token"})
+
+
 def _q_entity_comentions(sf_dir: str):
     """Entity co-mention graph: per unordered entity pair, the number
     of documents mentioning both — distinct-(url, mention) combiner,
@@ -2758,6 +2781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": _q_bpe_pairs,
         "event_transitions": _q_event_transitions,
         "entity_comentions": _q_entity_comentions,
+        "lang_heavy_tokens": _q_lang_heavy_tokens,
         "cohort_retention": _q_cohort_retention,
         "json_stats": _q_json_stats,
         "funnel": _q_funnel,
@@ -3612,6 +3636,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
             FROM w JOIN c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "lang_heavy_tokens": """
+            WITH tok AS (
+                SELECT lang,
+                       lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS token
+                FROM documents
+            ), tot AS (
+                SELECT lang, count(*) AS n FROM tok GROUP BY lang
+            ), c AS (
+                SELECT lang, token, count(*) AS n_occ
+                FROM tok GROUP BY lang, token
+            )
+            SELECT c.lang, c.token, c.n_occ
+            FROM c JOIN tot USING (lang)
+            WHERE 500 * c.n_occ >= tot.n
         """,
         "event_transitions": """
             WITH s AS (

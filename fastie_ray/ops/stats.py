@@ -310,3 +310,168 @@ def filter_by_quantile(
         return df[mask]
 
     return ds.map_batches(flt, batch_format="pandas")
+
+
+def grouped_heavy_hitters(
+    ds: "ray.data.Dataset",
+    min_share: float,
+    pair_fn,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """EXACT heavy hitters PER GROUP: every (group, item) whose count
+    is ≥ ceil(min_share · N_group) — the per-language stopword /
+    boilerplate-token profile of a multilingual corpus — with the same
+    sketch-then-verify shape as ``heavy_hitters`` and the Misra-Gries
+    math carried per group (per-(batch, group) undercount markers, so
+    U_g ≤ N_g/(k+1) < min_share·N_g/2 and the candidate superset
+    guarantee holds within every group independently).
+
+    ``pair_fn(batch: pd.DataFrame) -> pd.DataFrame`` with columns
+    (group, item), one row per item OCCURRENCE.
+
+    The threshold is exact integer arithmetic: with min_share = p/q,
+    count ≥ ceil(p·N_g/q) ⟺ q·count ≥ p·N_g for integer counts — the
+    form a SQL oracle can reproduce without float-boundary risk."""
+    import ray
+    import ray.data
+
+    frac = Fraction(str(min_share))
+    p_, q_ = frac.numerator, frac.denominator
+    k = int(-(-2 * q_ // p_))  # ceil(2/min_share)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {"group": pd.Series([], dtype=object),
+             "item": pd.Series([], dtype=object),
+             "est": pd.Series([], dtype="int64"),
+             "meta_n": pd.Series([], dtype="int64")}
+        )
+
+    def mg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = pair_fn(df)
+        if len(pairs) == 0:
+            return _empty()
+        vc = (
+            pairs.groupby(["group", "item"]).size().reset_index(name="cnt")
+            .sort_values(["group", "cnt"], ascending=[True, False])
+        )
+        vc["rk"] = vc.groupby("group", sort=False).cumcount()
+        off = vc[vc["rk"] == k][["group", "cnt"]].rename(columns={"cnt": "off"})
+        vc = vc.merge(off, on="group", how="left")
+        vc["off"] = vc["off"].fillna(0).astype("int64")
+        vc["est"] = (vc["cnt"] - vc["off"]).astype("int64")
+        keep = vc[(vc["rk"] < k) & (vc["est"] > 0)]
+        out = pd.DataFrame(
+            {"group": keep["group"].astype(object),
+             "item": keep["item"].astype(object),
+             "est": keep["est"],
+             "meta_n": np.zeros(len(keep), dtype=np.int64)}
+        )
+        # one marker row per (batch, group): undercount offset in est,
+        # group occurrence count in meta_n
+        g_n = pairs.groupby("group").size()
+        g_off = vc.drop_duplicates("group").set_index("group")["off"]
+        marker = pd.DataFrame(
+            {"group": g_n.index.astype(object),
+             "item": [None] * len(g_n),
+             "est": g_off.reindex(g_n.index).fillna(0).to_numpy(dtype=np.int64),
+             "meta_n": g_n.to_numpy(dtype=np.int64)}
+        )
+        return pd.concat([out, marker], ignore_index=True)
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = (
+            pd.util.hash_pandas_object(df["group"], index=False).to_numpy()
+            ^ pd.util.hash_pandas_object(df["item"].fillna("\0marker"), index=False).to_numpy()
+        )
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns="__b").groupby(
+            ["group", "item"], as_index=False, dropna=False
+        ).agg(est=("est", "sum"), meta_n=("meta_n", "sum"))
+
+    merged = (
+        ds.map_batches(mg_partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(merge_partials, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(merged) == 0 or "item" not in merged.columns:
+        # all-empty blocks: to_pandas() loses the schema (NOTES fact 12)
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"group": pd.Series([], dtype=object),
+                 "item": pd.Series([], dtype=object),
+                 "n_occ": pd.Series([], dtype="int64")}
+            )
+        )
+    markers = merged[merged["item"].isna()]
+    tot = markers.set_index("group")["meta_n"].to_dict()       # N_g
+    under = markers.set_index("group")["est"].to_dict()        # U_g
+    cand = merged[~merged["item"].isna()].copy()
+    # q·(est + U_g) ≥ p·N_g keeps every true heavy hitter of the group
+    keep = [
+        q_ * (e + under.get(g, 0)) >= p_ * tot.get(g, 0)
+        for g, e in zip(cand["group"], cand["est"])
+    ]
+    cand = cand[np.asarray(keep, dtype=bool)] if len(cand) else cand
+    cand_ref = ray.put(
+        {g: set(s["item"]) for g, s in cand.groupby("group")}
+    )
+    tot_ref = ray.put(tot)
+
+    def count_cand(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = pair_fn(df)
+        cands = ray.get(cand_ref)
+        if len(pairs) == 0 or not cands:
+            return pd.DataFrame(
+                {"group": pd.Series([], dtype=object),
+                 "item": pd.Series([], dtype=object),
+                 "n_occ": pd.Series([], dtype="int64")}
+            )
+        mask = [
+            i in cands.get(g, ()) for g, i in zip(pairs["group"], pairs["item"])
+        ]
+        pairs = pairs[np.asarray(mask, dtype=bool)]
+        vc = pairs.groupby(["group", "item"]).size().reset_index(name="n_occ")
+        vc["n_occ"] = vc["n_occ"].astype("int64")
+        return vc.astype({"group": object, "item": object})
+
+    def add_b2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = (
+            pd.util.hash_pandas_object(df["group"], index=False).to_numpy()
+            ^ pd.util.hash_pandas_object(df["item"], index=False).to_numpy()
+        )
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(
+            ["group", "item"], as_index=False
+        )["n_occ"].sum()
+        tot_m = ray.get(tot_ref)
+        ok = [
+            q_ * n >= p_ * tot_m.get(grp, 0)
+            for grp, n in zip(out["group"], out["n_occ"])
+        ]
+        out = out[np.asarray(ok, dtype=bool)] if len(out) else out
+        out["n_occ"] = out["n_occ"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(count_cand, batch_format="pandas")
+        .map_batches(add_b2, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

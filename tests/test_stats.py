@@ -143,3 +143,51 @@ def test_filter_by_quantile_modes_and_ties():
 
     with pytest.raises(ValueError):
         filter_by_quantile(ds, "x", 0.25, keep="eq")
+
+
+def test_grouped_heavy_hitters_matches_brute_force():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.stats import grouped_heavy_hitters
+
+    rng = np.random.default_rng(89)
+    # zipfy items, three groups of very different sizes
+    groups = rng.choice(["en", "de", "fr"], size=30_000, p=[0.7, 0.2, 0.1])
+    items = np.array([f"w{int(x)}" for x in rng.zipf(1.5, 30_000) % 200])
+    df = pd.DataFrame({"g": groups, "i": items})
+
+    def pair_fn(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"group": b["g"], "item": b["i"]})
+
+    share = 0.01  # p/q = 1/100
+    brute = df.groupby(["g", "i"]).size().reset_index(name="n")
+    tot = df.groupby("g").size()
+    brute = brute[100 * brute["n"] >= tot.reindex(brute["g"]).to_numpy()]
+    want = {
+        (g, i): int(n) for g, i, n in brute.itertuples(index=False)
+    }
+    for parts in (1, 8):
+        out = grouped_heavy_hitters(
+            ray.data.from_pandas(df).repartition(parts), share, pair_fn
+        ).to_pandas()
+        got = {
+            (g, i): int(n)
+            for g, i, n in out[["group", "item", "n_occ"]].itertuples(index=False)
+        }
+        assert got == want
+
+
+def test_grouped_heavy_hitters_empty():
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.stats import grouped_heavy_hitters
+
+    df = pd.DataFrame({"g": pd.Series([], dtype=str), "i": pd.Series([], dtype=str)})
+    out = grouped_heavy_hitters(
+        ray.data.from_pandas(df), 0.01,
+        lambda b: pd.DataFrame({"group": b["g"], "item": b["i"]}),
+    ).to_pandas()
+    assert len(out) == 0

@@ -1471,6 +1471,21 @@ def _q_bpe_pairs(sf_dir: str):
     return pair_counts(ds, "text")
 
 
+def _q_bpe_encode(sf_dir: str):
+    """Full BPE pipeline: learn 64 merges from the corpus vocab table
+    (one corpus-sized aggregate; the merge loop is vocabulary-bounded,
+    how production BPE trainers scale), broadcast the merge list, and
+    encode every document — (id, n_tokens, n_subwords). Rows-only by
+    design: the iterative merge loop is not SQL-expressible (the
+    pair-count statistic it consumes IS oracle-checked via bpe_pairs);
+    encode semantics are pytest-pinned."""
+    from fastie_ray.ops.bpe import bpe_encode_docs, learn_bpe, token_vocab
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = learn_bpe(token_vocab(docs, "text"), n_merges=64)
+    return bpe_encode_docs(docs, merges)
+
+
 def _q_lang_heavy_tokens(sf_dir: str):
     """Per-language heavy-hitter tokens (≥0.2% of the language's token
     occurrences): grouped Misra-Gries sketch-then-verify with the
@@ -2782,6 +2797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "entity_comentions": _q_entity_comentions,
         "lang_heavy_tokens": _q_lang_heavy_tokens,
+        "bpe_encode": _q_bpe_encode,
         "cohort_retention": _q_cohort_retention,
         "json_stats": _q_json_stats,
         "funnel": _q_funnel,

@@ -163,3 +163,39 @@ def apply_bpe(token: str, merges: list[tuple[str, str]]) -> list[str]:
         _, i = min(ranked)
         syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2:]
     return syms
+
+
+def bpe_encode_docs(
+    ds: "ray.data.Dataset",
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Encode every document with a learned merge list — the
+    inference half of BPE at corpus scale: the merge table broadcasts
+    once via ``ray.put`` (read by reference in every task, never
+    re-shipped per batch) and each batch segments only its DISTINCT
+    tokens (Zipf: distinct ≪ occurrences), mapping counts back.
+    Emits (id, n_tokens, n_subwords) per document — the
+    sequence-length planning statistic for packing/batching."""
+    import ray
+
+    merges_ref = ray.put(list(merges))
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        ms = ray.get(merges_ref)
+        # fillna keeps row alignment with id_col (null text → 0 tokens)
+        toks = df[text_col].fillna("").str.lower().str.findall(_TOKEN_RE)
+        uniq = {t for lst in toks for t in lst}
+        n_sub = {t: len(apply_bpe(t, ms)) for t in uniq}
+        return pd.DataFrame(
+            {
+                "id": df[id_col].to_numpy(),
+                "n_tokens": toks.map(len).fillna(0).astype("int64"),
+                "n_subwords": toks.map(
+                    lambda lst: sum(n_sub[t] for t in lst)
+                ).fillna(0).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pandas")

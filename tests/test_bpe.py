@@ -8,7 +8,13 @@ import numpy as np
 import pandas as pd
 import ray.data
 
-from fastie_ray.ops.bpe import apply_bpe, learn_bpe, pair_counts, token_vocab
+from fastie_ray.ops.bpe import (
+    apply_bpe,
+    bpe_encode_docs,
+    learn_bpe,
+    pair_counts,
+    token_vocab,
+)
 
 
 def _brute_pairs(texts):
@@ -75,3 +81,20 @@ def test_token_vocab_exact():
     ds = ray.data.from_pandas(pd.DataFrame({"text": texts})).repartition(2)
     v = token_vocab(ds, "text")
     assert dict(zip(v["token"], v["n_occ"])) == {"a": 2, "b": 2, "c": 1}
+
+
+def test_bpe_encode_docs_counts():
+    texts = ["lowest newest", "low"]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": texts})
+    )
+    merges = [("e", "s"), ("es", "t"), ("l", "o")]
+    out = (
+        bpe_encode_docs(ds, merges)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # lowest -> [lo,w,est] (3), newest -> [n,e,w,est] (4); low -> [lo,w] (2)
+    assert out["n_tokens"].tolist() == [2, 1]
+    assert out["n_subwords"].tolist() == [7, 2]

@@ -1471,6 +1471,50 @@ def _q_bpe_pairs(sf_dir: str):
     return pair_counts(ds, "text")
 
 
+def _q_cdc_state(sf_dir: str):
+    """CDC MERGE (lakehouse upsert/delete): the latest order per
+    customer is a change record — status F ⇒ delete, else upsert of the
+    order's total as the new balance — applied to the customer base
+    in ONE tag-union exchange (latest-change-per-key reduced in the
+    bucket task; no Acero join actors, no driver materialization)."""
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.cdc import cdc_apply
+
+    base = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).map_batches(
+        lambda df: df.rename(columns={"c_custkey": "custkey", "c_acctbal": "acctbal"}),
+        batch_format="pandas",
+    )
+    chg = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus", "o_totalprice"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "custkey": df["o_custkey"],
+                "acctbal": df["o_totalprice"],
+                "ts": df["o_orderdate"],
+                "seq": df["o_orderkey"].astype("int64"),
+                "op": np.where(df["o_orderstatus"] == "F", "delete", "upsert"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return cdc_apply(base, chg, "custkey", ["acctbal"])
+
+
+def _q_scd2_intervals(sf_dir: str):
+    """SCD2 validity intervals from the event log: each event row gains
+    valid_to = the key's next event timestamp (open interval → NULL) —
+    one key-bucketed exchange, vectorized lead."""
+    from fastie_ray.ops.sequence import validity_intervals
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    return validity_intervals(ds)
+
+
 def _q_bpe_encode(sf_dir: str):
     """Full BPE pipeline: learn 64 merges from the corpus vocab table
     (one corpus-sized aggregate; the merge loop is vocabulary-bounded,
@@ -2798,6 +2842,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_comentions": _q_entity_comentions,
         "lang_heavy_tokens": _q_lang_heavy_tokens,
         "bpe_encode": _q_bpe_encode,
+        "cdc_state": _q_cdc_state,
+        "scd2_intervals": _q_scd2_intervals,
         "cohort_retention": _q_cohort_retention,
         "json_stats": _q_json_stats,
         "funnel": _q_funnel,
@@ -3652,6 +3698,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
             FROM w JOIN c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "cdc_state": """
+            WITH chg AS (
+                SELECT o_custkey AS k, o_totalprice AS val,
+                       CASE WHEN o_orderstatus = 'F' THEN 'delete'
+                            ELSE 'upsert' END AS op,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders
+            ), last AS (SELECT k, val, op FROM chg WHERE rn = 1)
+            SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal
+            FROM customer c LEFT JOIN last l ON l.k = c.c_custkey
+            WHERE l.k IS NULL
+            UNION ALL
+            SELECT l.k AS custkey, l.val AS acctbal
+            FROM last l WHERE l.op = 'upsert'
+        """,
+        "scd2_intervals": """
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS valid_to
+            FROM events
         """,
         "lang_heavy_tokens": """
             WITH tok AS (

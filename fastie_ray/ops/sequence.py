@@ -198,3 +198,53 @@ def transition_counts_scalable(
     if not frames:
         return _empty()
     return _finalize(pd.concat(frames, ignore_index=True))
+
+
+def validity_intervals(
+    ds: "ray.data.Dataset",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """SCD2 validity intervals from a change log: each event becomes a
+    (key, value, valid_from, valid_to) row where valid_to is the NEXT
+    event's timestamp for the key (open interval → NaT) — the
+    slowly-changing-dimension reconstruction step of an incremental
+    warehouse, SQL ``lead(ts) OVER (PARTITION BY key ORDER BY ts, id)``.
+
+    One key-bucketed exchange; the per-bucket lead is a vectorized
+    sort + shift(-1). (For pathologically hot keys apply the same
+    (key, time-bucket) two-phase trick as ``transition_counts_scalable``
+    — only the LAST row per bucket needs the next bucket's first ts.)"""
+    cols = [key_col, ts_col, type_col, id_col]
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def lead_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").sort_values([key_col, ts_col, id_col])
+        nxt = g[ts_col].shift(-1)
+        same = (g[key_col] == g[key_col].shift(-1)).to_numpy()
+        out = pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy(),
+                type_col: g[type_col].to_numpy(),
+                "valid_from": g[ts_col].to_numpy(),
+                "valid_to": nxt.where(same).to_numpy(),
+            }
+        )
+        return out
+
+    return (
+        ds.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(lead_in_bucket, batch_format="pandas")
+    )

@@ -1,0 +1,85 @@
+"""Oracles for `fastie_ray/ops/cdc.py` and
+`fastie_ray.ops.sequence.validity_intervals`: brute-force parity under
+any partitioning, tie-breaking, delete/insert/pass-through semantics."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from fastie_ray.ops.cdc import cdc_apply
+from fastie_ray.ops.sequence import validity_intervals
+
+
+def test_cdc_apply_semantics():
+    base = pd.DataFrame({"k": [1, 2, 3, 4], "v": [10.0, 20.0, 30.0, 40.0]})
+    changes = pd.DataFrame(
+        {
+            "k": [2, 2, 3, 5, 5],
+            "v": [21.0, 22.0, 0.0, 50.0, 51.0],
+            "ts": pd.to_datetime(
+                ["2024-01-02", "2024-01-03", "2024-01-01", "2024-01-01", "2024-01-01"]
+            ),
+            "seq": np.array([1, 2, 3, 4, 5], dtype="int64"),
+            "op": ["upsert", "upsert", "delete", "upsert", "delete"],
+        }
+    )
+    out = (
+        cdc_apply(
+            ray.data.from_pandas(base).repartition(3),
+            ray.data.from_pandas(changes).repartition(2),
+            "k",
+            ["v"],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=1,4 pass through; k=2 latest upsert 22.0; k=3 deleted;
+    # k=5 latest change (seq=5) is delete → not inserted
+    assert out["k"].tolist() == [1, 2, 4]
+    assert out["v"].tolist() == [10.0, 22.0, 40.0]
+
+
+def test_cdc_apply_insert_new_key():
+    base = pd.DataFrame({"k": [1], "v": [1.0]})
+    changes = pd.DataFrame(
+        {
+            "k": [9],
+            "v": [9.0],
+            "ts": pd.to_datetime(["2024-01-01"]),
+            "seq": np.array([1], dtype="int64"),
+            "op": ["upsert"],
+        }
+    )
+    out = cdc_apply(
+        ray.data.from_pandas(base), ray.data.from_pandas(changes), "k", ["v"]
+    ).to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 9]
+
+
+def test_validity_intervals_match_lead_window():
+    rng = np.random.default_rng(97)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.integers(0, 40, n).astype("int64"),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10 * 24 * 3600, n), unit="s"),
+            "event_type": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    want = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    want["valid_from"] = want["ts"]
+    want["valid_to"] = want.groupby("user_id")["ts"].shift(-1)
+    want = want[["user_id", "event_type", "valid_from", "valid_to"]].reset_index(
+        drop=True
+    )
+    for parts in (1, 8):
+        got = (
+            validity_intervals(ray.data.from_pandas(df).repartition(parts))
+            .to_pandas()
+            .sort_values(["user_id", "valid_from"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

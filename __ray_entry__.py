@@ -1471,6 +1471,27 @@ def _q_bpe_pairs(sf_dir: str):
     return pair_counts(ds, "text")
 
 
+def _q_windowed_delta(sf_dir: str):
+    """Incremental window maintenance: even-id events are the committed
+    base aggregate (unrounded sums), odd-id events arrive late and fold
+    in via one tag-union exchange on the window key — cost O(base
+    cells + delta events), never O(base events). The oracle is the
+    full-batch aggregate: incremental must equal batch."""
+    import pandas as pd
+
+    from fastie_ray.ops.windows import merge_tumbling_aggregates, tumbling_window_agg
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
+    base_ev = ev.map_batches(
+        lambda df: df[df["event_id"] % 2 == 0], batch_format="pandas"
+    )
+    late_ev = ev.map_batches(
+        lambda df: df[df["event_id"] % 2 == 1], batch_format="pandas"
+    )
+    base = tumbling_window_agg(base_ev, freq="1h", round_output=False)
+    return merge_tumbling_aggregates(base, late_ev, freq="1h")
+
+
 def _q_cdc_state(sf_dir: str):
     """CDC MERGE (lakehouse upsert/delete): the latest order per
     customer is a change record — status F ⇒ delete, else upsert of the
@@ -2843,6 +2864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_heavy_tokens": _q_lang_heavy_tokens,
         "bpe_encode": _q_bpe_encode,
         "cdc_state": _q_cdc_state,
+        "windowed_delta": _q_windowed_delta,
         "scd2_intervals": _q_scd2_intervals,
         "cohort_retention": _q_cohort_retention,
         "json_stats": _q_json_stats,
@@ -3698,6 +3720,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
             FROM w JOIN c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "windowed_delta": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "cdc_state": """
             WITH chg AS (

@@ -26,13 +26,75 @@ def tumbling_window_agg(
     key_col: str = "event_type",
     value_col: str = "value",
     n_buckets: int = 16,
+    round_output: bool = True,
 ) -> "ray.data.Dataset":
     """Tumbling-window counts and sums per (window_start, key):
     window assignment is a vectorized ``dt.floor`` inside the partial
     combiner — the shuffle only ever sees one row per (window, key)
-    per batch."""
+    per batch.
+
+    ``round_output=False`` keeps raw float sums — required when the
+    result is a BASE state that ``merge_tumbling_aggregates`` will fold
+    deltas into (rounding must happen once, at the final read)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "window_start": df[ts_col].dt.floor(freq),
+                key_col: df[key_col],
+                value_col: df[value_col],
+            }
+        )
+        return out.groupby(["window_start", key_col], as_index=False).agg(
+            n_events=(value_col, "count"), sum_value=(value_col, "sum")
+        )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["window_start"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(
+            ["window_start", key_col], as_index=False
+        ).agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        if round_output:
+            out["sum_value"] = out["sum_value"].round(4)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def merge_tumbling_aggregates(
+    base: "ray.data.Dataset",
+    late_events: "ray.data.Dataset",
+    freq: str = "1h",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Incremental view maintenance for tumbling windows: fold LATE /
+    newly-arrived events into a committed (window, key) aggregate state
+    WITHOUT recomputing the base — the watermark-reconciliation step of
+    a streaming warehouse. ``base`` must carry unrounded sums
+    (``tumbling_window_agg(..., round_output=False)``).
+
+    One tag-union exchange on the window key: base cells and the
+    delta's per-batch partials co-locate per bucket and sum; cells
+    untouched by the delta pass through with their stored values. Cost
+    is O(base cells + delta events), never O(base events)."""
+
+    def delta_partial(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
             {
                 "window_start": df[ts_col].dt.floor(freq),
@@ -60,12 +122,12 @@ def tumbling_window_agg(
         out["sum_value"] = out["sum_value"].round(4)
         return out
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .map_batches(add_b, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(final, batch_format="pandas")
+    tagged = base.map_batches(add_b, batch_format="pandas").union(
+        late_events.map_batches(delta_partial, batch_format="pandas").map_batches(
+            add_b, batch_format="pandas"
+        )
     )
+    return tagged.groupby("__b").map_groups(final, batch_format="pandas")
 
 
 def top_k_by_sum(

@@ -83,3 +83,43 @@ def test_validity_intervals_match_lead_window():
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_merge_tumbling_aggregates_equals_full_recompute():
+    from fastie_ray.ops.windows import merge_tumbling_aggregates, tumbling_window_agg
+
+    rng = np.random.default_rng(101)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 3 * 24 * 3600, n), unit="s"),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "value": rng.random(n) * 100,
+        }
+    )
+    full = (
+        tumbling_window_agg(ray.data.from_pandas(df), freq="1h")
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    base = tumbling_window_agg(
+        ray.data.from_pandas(df[df["event_id"] % 2 == 0]),
+        freq="1h",
+        round_output=False,
+    )
+    inc = (
+        merge_tumbling_aggregates(
+            base, ray.data.from_pandas(df[df["event_id"] % 2 == 1]), freq="1h"
+        )
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert inc["n_events"].tolist() == full["n_events"].tolist()
+    assert np.allclose(inc["sum_value"], full["sum_value"], atol=1e-3)
+    pd.testing.assert_frame_equal(
+        inc[["window_start", "event_type"]], full[["window_start", "event_type"]]
+    )

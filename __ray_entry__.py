@@ -1471,6 +1471,40 @@ def _q_bpe_pairs(sf_dir: str):
     return pair_counts(ds, "text")
 
 
+def _q_skew_join(sf_dir: str):
+    """Skew-defusing salted join: ~70% of left rows share one planted
+    hot key (linenumber > 1 → key 1); the hot-key pre-pass flags it,
+    hot left rows spread across 8 salts and their right matches
+    replicate per salt, so no partition holds the hot key's full
+    fan-in. Cold keys pay nothing."""
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.join import salted_join
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "k": np.where(df["l_linenumber"] > 1, 1, df["l_partkey"]).astype("int64"),
+                "orderkey": df["l_orderkey"].astype("int64"),
+                "linenumber": df["l_linenumber"].astype("int32"),
+                "qty": df["l_quantity"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    return salted_join(
+        li, part, on="k", right_on="p_partkey", how="left",
+        n_salts=8, hot_share=0.05,
+        left_cols=["k", "orderkey", "linenumber", "qty"],
+        right_cols=["p_partkey", "p_brand"],
+    )
+
+
 def _q_windowed_delta(sf_dir: str):
     """Incremental window maintenance: even-id events are the committed
     base aggregate (unrounded sums), odd-id events arrive late and fold
@@ -2865,6 +2899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": _q_bpe_encode,
         "cdc_state": _q_cdc_state,
         "windowed_delta": _q_windowed_delta,
+        "skew_join": _q_skew_join,
         "scd2_intervals": _q_scd2_intervals,
         "cohort_retention": _q_cohort_retention,
         "json_stats": _q_json_stats,
@@ -3720,6 +3755,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
             FROM w JOIN c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "skew_join": """
+            WITH l AS (
+                SELECT CASE WHEN l_linenumber > 1 THEN 1
+                            ELSE l_partkey END AS k,
+                       l_orderkey AS orderkey,
+                       l_linenumber AS linenumber,
+                       l_quantity AS qty
+                FROM lineitem
+            )
+            SELECT l.k, l.orderkey, l.linenumber, l.qty, p.p_brand
+            FROM l LEFT JOIN part p ON p.p_partkey = l.k
         """,
         "windowed_delta": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -104,3 +104,72 @@ def test_semi_and_anti_join():
         .to_pandas().sort_values("x").reset_index(drop=True)
     )
     assert list(anti["x"]) == [20, 30]
+
+
+def test_salted_join_parity_with_planted_hot_key():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.join import salted_join
+
+    rng = np.random.default_rng(103)
+    # 70% of left rows share one hot key
+    keys = np.where(rng.random(5000) < 0.7, 7, rng.integers(0, 200, 5000))
+    left = pd.DataFrame({"k": keys.astype("int64"), "lv": np.arange(5000, dtype="int64")})
+    right = pd.DataFrame(
+        {"k": np.arange(0, 200, dtype="int64"),
+         "rv": np.arange(1000, 1200, dtype="int64")}
+    )
+    # drop some right keys so left-join NULL rows exist
+    right = right[right["k"] % 7 != 3]
+
+    for how in ("inner", "left"):
+        got = (
+            salted_join(
+                ray.data.from_pandas(left).repartition(4),
+                ray.data.from_pandas(right).repartition(2),
+                on="k",
+                how=how,
+                n_salts=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.merge(right, on="k", how=how)
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        assert got["lv"].tolist() == want["lv"].tolist()
+        pd.testing.assert_series_equal(
+            got["rv"].astype("float64"), want["rv"].astype("float64")
+        )
+
+
+def test_salted_join_no_hot_keys_matches_hash_join():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.join import hash_join, salted_join
+
+    rng = np.random.default_rng(107)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 500, 2000).astype("int64"),
+         "lv": np.arange(2000, dtype="int64")}
+    )
+    right = pd.DataFrame(
+        {"k": np.arange(500, dtype="int64"), "rv": rng.random(500)}
+    )
+    a = (
+        salted_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="k")
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    b = (
+        hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="k")
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

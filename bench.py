@@ -79,7 +79,9 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "cooc_pairs", "kg_negatives", "mention_contexts",
                  "sales_cube", "value_moments",
                  "lm_familiarity", "dsir_select", "perceptron",
-                 "bucketed_join"):
+                 "bucketed_join",
+                 "cdc_state", "windowed_delta", "event_transitions",
+                 "skew_join", "lang_heavy_tokens", "cms_tokens"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

@@ -151,7 +151,9 @@ def salted_join(
     and belong on ``hash_join``).
 
     Cost: right rows for hot keys ship ``n_salts``× (hot keys are few
-    by construction); everything else is ``hash_join`` volume."""
+    by construction); everything else is ``hash_join`` volume. The
+    pre-pass re-executes the left lineage once (key column only) —
+    ``materialize()`` an expensive left first (NOTES fact 19)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     right_on = right_on or on

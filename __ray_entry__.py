@@ -1471,6 +1471,19 @@ def _q_bpe_pairs(sf_dir: str):
     return pair_counts(ds, "text")
 
 
+def _q_embed_moments(sf_dir: str):
+    """Distributed PCA's moment exchange: the exact second-moment
+    matrix Σ x_i·x_j as (i, j, sum_xy) — each batch ships a FIXED d²
+    partial (one X.T@X matmul) regardless of corpus size; the driver
+    merge is blocks × d² rows. The eigendecomposition/projection half
+    (pca_model/pca_project) is pytest-pinned (eigenvector sign/order
+    aren't SQL-comparable)."""
+    from fastie_ray.ops.pca import embedding_moments
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    return embedding_moments(ds)
+
+
 def _q_skew_join(sf_dir: str):
     """Skew-defusing salted join: ~70% of left rows share one planted
     hot key (linenumber > 1 → key 1); the hot-key pre-pass flags it,
@@ -2900,6 +2913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_state": _q_cdc_state,
         "windowed_delta": _q_windowed_delta,
         "skew_join": _q_skew_join,
+        "embed_moments": _q_embed_moments,
         "scd2_intervals": _q_scd2_intervals,
         "cohort_retention": _q_cohort_retention,
         "json_stats": _q_json_stats,
@@ -3754,6 +3768,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cohort_week, w.week - c.cohort_week AS weeks_since,
                    CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
             FROM w JOIN c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "embed_moments": """
+            WITH x AS (
+                SELECT vec_id, CAST(i AS INT) AS i,
+                       CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS xi
+                FROM embeddings,
+                     LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r
+            )
+            SELECT CAST(a.i - 1 AS BIGINT) AS i, CAST(b.i - 1 AS BIGINT) AS j,
+                   round(sum(a.xi * b.xi), 4) AS sum_xy
+            FROM x a JOIN x b USING (vec_id)
             GROUP BY 1, 2
         """,
         "skew_join": """

@@ -1471,6 +1471,24 @@ def _q_bpe_pairs(sf_dir: str):
     return pair_counts(ds, "text")
 
 
+def _q_trend_by_type(sf_dir: str):
+    """Per-event-type value trend (slope + intercept of value vs days
+    since 2024-01-01): distributed OLS from five sufficient statistics
+    per group per batch — one pass, no shuffle. Oracle: DuckDB's
+    native regr_slope/regr_intercept."""
+    import pandas as pd
+
+    from fastie_ray.ops.linear_train import grouped_ols
+
+    def xy_fn(df: pd.DataFrame) -> pd.DataFrame:
+        x = (df["ts"] - pd.Timestamp("2024-01-01")).dt.total_seconds() / 86400.0
+        return pd.DataFrame({"group": df["event_type"], "x": x, "y": df["value"]})
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = grouped_ols(ds, xy_fn)
+    return out.rename(columns={"group": "event_type"})
+
+
 def _q_embed_moments(sf_dir: str):
     """Distributed PCA's moment exchange: the exact second-moment
     matrix Σ x_i·x_j as (i, j, sum_xy) — each batch ships a FIXED d²
@@ -2914,6 +2932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_delta": _q_windowed_delta,
         "skew_join": _q_skew_join,
         "embed_moments": _q_embed_moments,
+        "trend_by_type": _q_trend_by_type,
         "scd2_intervals": _q_scd2_intervals,
         "cohort_retention": _q_cohort_retention,
         "json_stats": _q_json_stats,
@@ -3769,6 +3788,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
             FROM w JOIN c USING (user_id)
             GROUP BY 1, 2
+        """,
+        "trend_by_type": """
+            SELECT event_type,
+                   round(regr_slope(value,
+                       epoch(ts - TIMESTAMP '2024-01-01') / 86400.0), 4) AS slope,
+                   round(regr_intercept(value,
+                       epoch(ts - TIMESTAMP '2024-01-01') / 86400.0), 4) AS intercept
+            FROM events GROUP BY event_type
         """,
         "embed_moments": """
             WITH x AS (

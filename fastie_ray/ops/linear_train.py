@@ -174,3 +174,64 @@ def perceptron_score(
         return out.astype({id_col: "int64", "score": "int64", "pred": "int64"})
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def grouped_ols(
+    ds: "ray.data.Dataset",
+    xy_fn,
+    round_dp: int = 4,
+) -> pd.DataFrame:
+    """Per-group simple linear regression (slope + intercept) from
+    SUFFICIENT STATISTICS — the distributed-OLS shape: each batch
+    contributes five numbers per group (n, Σx, Σy, Σxy, Σx²), partials
+    merge by sum (bounded by the group domain, the bounded-small-side
+    pattern), and the driver solves the 1-D normal equations. One pass,
+    no shuffle; the trend-monitoring / drift-detection statistic of a
+    pipeline observability layer.
+
+    ``xy_fn(batch: pd.DataFrame) -> pd.DataFrame`` with columns
+    (group, x, y). Center x near the data (e.g. days since a fixed
+    epoch) — the caller owns the scale; sufficient-statistic
+    cancellation is benign for centered x.
+
+    SQL oracle: ``regr_slope(y, x)`` / ``regr_intercept(y, x)`` per
+    group, both rounded to ``round_dp``."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = xy_fn(df)
+        if len(p) == 0:
+            return pd.DataFrame(
+                {"group": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64"),
+                 "sx": pd.Series([], dtype="float64"),
+                 "sy": pd.Series([], dtype="float64"),
+                 "sxy": pd.Series([], dtype="float64"),
+                 "sxx": pd.Series([], dtype="float64")}
+            )
+        p = p.assign(xy=p["x"] * p["y"], xx=p["x"] * p["x"])
+        g = p.groupby("group", as_index=False).agg(
+            n=("x", "count"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"),
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"group": pd.Series([], dtype=object),
+             "slope": pd.Series([], dtype="float64"),
+             "intercept": pd.Series([], dtype="float64")}
+        )
+    s = parts.groupby("group", as_index=False).sum()
+    n = s["n"].to_numpy(dtype=np.float64)
+    den = n * s["sxx"].to_numpy() - s["sx"].to_numpy() ** 2
+    slope = np.where(
+        den != 0, (n * s["sxy"].to_numpy() - s["sx"].to_numpy() * s["sy"].to_numpy()) / den, 0.0
+    )
+    intercept = (s["sy"].to_numpy() - slope * s["sx"].to_numpy()) / n
+    out = pd.DataFrame(
+        {"group": s["group"], "slope": np.round(slope, round_dp),
+         "intercept": np.round(intercept, round_dp)}
+    )
+    return out.sort_values("group").reset_index(drop=True)

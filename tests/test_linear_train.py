@@ -114,3 +114,35 @@ def test_perceptron_score_agrees_with_training_violation_rule():
     )
     assert (out["score"].to_numpy() == ref["s"].to_numpy()).all()
     assert (out["pred"].to_numpy() == np.where(out["score"] > 0, 1, -1)).all()
+
+
+def test_grouped_ols_matches_polyfit_any_partitioning():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.linear_train import grouped_ols
+
+    rng = np.random.default_rng(113)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "x": rng.random(n) * 30,
+            "y": rng.random(n) * 10,
+        }
+    )
+    df["y"] += np.where(df["g"] == "a", 2.5 * df["x"], -0.7 * df["x"])
+
+    def xy_fn(b):
+        return pd.DataFrame({"group": b["g"], "x": b["x"], "y": b["y"]})
+
+    want = {}
+    for g, gd in df.groupby("g"):
+        sl, ic = np.polyfit(gd["x"], gd["y"], 1)
+        want[g] = (round(sl, 4), round(ic, 4))
+    for parts in (1, 8):
+        got = grouped_ols(ray.data.from_pandas(df).repartition(parts), xy_fn)
+        for g, sl, ic in got.itertuples(index=False):
+            assert abs(sl - want[g][0]) <= 2e-4, (g, sl, want[g])
+            assert abs(ic - want[g][1]) <= 2e-4, (g, ic, want[g])

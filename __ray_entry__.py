@@ -2900,6 +2900,27 @@ def _q_cooc_pairs(sf_dir: str):
     return cooc_pairs(ds, k=100, per_doc_cap=16)
 
 
+def _q_host_links(sf_dir: str):
+    """Host-level web link graph from the raw ``html`` column: regex
+    link extraction per page (``ops.web_graph.extract_links``), then
+    in-link stats per target host — per-batch combiner, one
+    host-bucketed exchange. The synth corpus plants out-links by pure
+    modular arithmetic on the doc id (``synth.planted_links``), so the
+    oracle reproduces the plan in SQL."""
+    from fastie_ray.ops.web_graph import host_links
+
+    return host_links(_pages(sf_dir))
+
+
+def _q_anchor_texts(sf_dir: str):
+    """Anchor-text corpus per target host (the IR artifact: anchor text
+    describes the *target* page): (dst_host, anchor, n) counts via the
+    same combiner → one-exchange shape."""
+    from fastie_ray.ops.web_graph import anchor_texts
+
+    return anchor_texts(_pages(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3010,6 +3031,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "corpus_diff": _q_corpus_diff,
         "cooc_pairs": _q_cooc_pairs,
+        "host_links": _q_host_links,
+        "anchor_texts": _q_anchor_texts,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -4600,5 +4623,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok_a, tok_b, count(*) AS n_docs FROM pairs
             GROUP BY tok_a, tok_b
             ORDER BY n_docs DESC, tok_a, tok_b LIMIT 100
+        """,
+        # Link plan (synth.planted_links): html-only pages (doc_id%7=3)
+        # carry 2 + doc_id%3 anchors; link j targets host
+        # h{(doc_id*31 + (j//2)*17) % 97}.example.net with anchor
+        # ('ref '|'see ') || host tag.
+        "host_links": """
+            WITH j(j) AS (VALUES (0), (1), (2), (3)),
+            links AS (
+                SELECT d.doc_id,
+                       (d.doc_id * 31 + (j.j // 2) * 17) % 97 AS h
+                FROM documents d CROSS JOIN j
+                WHERE d.doc_id % 7 = 3 AND j.j < 2 + d.doc_id % 3
+            )
+            SELECT 'h' || lpad(CAST(h AS VARCHAR), 2, '0') || '.example.net'
+                       AS dst_host,
+                   count(*) AS n_links,
+                   count(DISTINCT doc_id) AS n_pages
+            FROM links GROUP BY 1 ORDER BY 1
+        """,
+        "anchor_texts": """
+            WITH j(j) AS (VALUES (0), (1), (2), (3)),
+            links AS (
+                SELECT d.doc_id, j.j,
+                       (d.doc_id * 31 + (j.j // 2) * 17) % 97 AS h
+                FROM documents d CROSS JOIN j
+                WHERE d.doc_id % 7 = 3 AND j.j < 2 + d.doc_id % 3
+            )
+            SELECT 'h' || lpad(CAST(h AS VARCHAR), 2, '0') || '.example.net'
+                       AS dst_host,
+                   (CASE WHEN j % 2 = 0 THEN 'ref' ELSE 'see' END)
+                       || ' h' || lpad(CAST(h AS VARCHAR), 2, '0') AS anchor,
+                   count(*) AS n
+            FROM links GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

@@ -158,11 +158,39 @@ def doc_url(doc_id: int, lang: str) -> str:
     return f"https://example.org/{lang}/{doc_id:06d}"
 
 
+def planted_links(url: str) -> list[tuple[str, str]]:
+    """Deterministic out-links for an html page: ``(href, anchor)`` pairs.
+
+    Pure modular arithmetic on the doc id (the trailing digits of the
+    url path) so a DuckDB oracle can reproduce the plan exactly:
+
+    - ``n_links = 2 + doc_id % 3`` (2–4 anchors)
+    - link *j* targets host ``h{(doc_id*31 + (j//2)*17) % 97:02d}.example.net``
+      (consecutive j share a host, so link count > distinct-page count)
+    - anchor text alternates ``ref``/``see`` + the host tag.
+    """
+    tail = url.rsplit("/", 1)[-1]
+    did = int(tail) if tail.isdigit() else 0
+    out = []
+    for j in range(2 + did % 3):
+        h = (did * 31 + (j // 2) * 17) % 97
+        href = f"https://h{h:02d}.example.net/d/{did:06d}-{j}"
+        anchor = f"{'ref' if j % 2 == 0 else 'see'} h{h:02d}"
+        out.append((href, anchor))
+    return out
+
+
 def wrap_html(text: str, url: str) -> bytes:
     paras = "".join(f"<p>{_html.escape(p)}</p>" for p in text.split("\n"))
+    nav = "".join(
+        f'<a href="{href}">{_html.escape(anchor)}</a>'
+        for href, anchor in planted_links(url)
+    )
+    # The <nav> block sits OUTSIDE every <p>, so html_to_text (which
+    # collects only <p> bodies) is unchanged — byte-identity per url holds.
     return (
         f"<html><head><title>{_html.escape(url)}</title></head>"
-        f"<body>{paras}</body></html>"
+        f"<body><nav>{nav}</nav>{paras}</body></html>"
     ).encode("utf-8")
 
 

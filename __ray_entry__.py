@@ -2921,6 +2921,42 @@ def _q_anchor_texts(sf_dir: str):
     return anchor_texts(_pages(sf_dir))
 
 
+def _q_zorder_layout(sf_dir: str):
+    """OPTIMIZE ZORDER BY (user, hour) over events: Morton-code the two
+    dims, global-rank (no full sort barrier — ``ops.rank.global_rank``),
+    cut fixed 512-row blocks, emit per-block zone maps
+    (``ops.layout.zorder_blocks``). Blocks get small bounding boxes in
+    BOTH dims, so 2-D predicates prune reads."""
+    import pandas as pd
+
+    from fastie_ray.ops.layout import zorder_blocks
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "x": (df["user_id"] % 256).astype("int64"),
+                "y": (
+                    (
+                        df["ts"].astype("datetime64[us]").astype("int64")
+                        // 3_600_000_000
+                    )
+                    % 256
+                ).astype("int64"),
+            }
+        )
+
+    return zorder_blocks(
+        ev.map_batches(prep, batch_format="pandas"),
+        x_col="x",
+        y_col="y",
+        tie_col="event_id",
+        block_size=512,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3033,6 +3069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooc_pairs": _q_cooc_pairs,
         "host_links": _q_host_links,
         "anchor_texts": _q_anchor_texts,
+        "zorder_layout": _q_zorder_layout,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -4656,5 +4693,33 @@ def oracle_sql() -> dict[str, str]:
                        || ' h' || lpad(CAST(h AS VARCHAR), 2, '0') AS anchor,
                    count(*) AS n
             FROM links GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Morton code: x takes even bit positions, y odd (8 bits each);
+        # block = ROW_NUMBER() OVER (ORDER BY z, event_id) cut at 512.
+        "zorder_layout": """
+            WITH j(j) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+            base AS (
+                SELECT event_id,
+                       user_id % 256 AS x,
+                       (epoch_us(ts) // 3600000000) % 256 AS y
+                FROM events
+            ),
+            z AS (
+                SELECT event_id, x, y,
+                       CAST(SUM((((x >> j) & 1) << (2 * j))
+                              + (((y >> j) & 1) << (2 * j + 1))) AS BIGINT) AS zv
+                FROM base CROSS JOIN j GROUP BY event_id, x, y
+            ),
+            r AS (
+                SELECT event_id, x, y, zv,
+                       row_number() OVER (ORDER BY zv, event_id) AS rn
+                FROM z
+            )
+            SELECT CAST((rn - 1) // 512 AS BIGINT) AS block,
+                   count(*) AS n,
+                   min(x) AS min_x, max(x) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y,
+                   min(zv) AS min_z, max(zv) AS max_z
+            FROM r GROUP BY 1 ORDER BY 1
         """,
     }

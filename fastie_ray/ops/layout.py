@@ -1,0 +1,148 @@
+"""Z-order (Morton-curve) data layout — multi-dimensional clustering
+for zone-map pruning, the third layout primitive next to
+``ops/bucketed_io`` (hash layout: exchange-free joins) and
+``stages/materialize`` (1-D range layout: single-key pruned reads).
+
+Why: a table range-laid-out on one key prunes reads on that key only;
+queries filtering the OTHER dimension scan everything. Sorting by the
+interleaved-bit Morton code of two keys gives every fixed-size block a
+small bounding box in BOTH dimensions, so per-block min/max zone maps
+prune two-dimensional point/range predicates (the Delta/Iceberg
+``OPTIMIZE ZORDER BY`` operation).
+
+Shape at 100 TB:
+
+- the Morton code is a vectorized per-batch bit-interleave (no shuffle);
+- the total order comes from ``ops.rank.global_rank`` — per-range count
+  combiner + driver exclusive scan + ONE rid-bucketed exchange (never a
+  full sort barrier); its partitioning assumption (no coarse z-range
+  dwarfs a worker) is inherited;
+- block zone maps reduce with a per-batch combiner and finish in one
+  block-bucketed exchange carrying ~n_blocks rows (corpus/block_size —
+  at real scale this IS the manifest table, written not collected).
+
+Deterministic: rank ties break on ``tie_col``, so block assignment is
+``ROW_NUMBER() OVER (ORDER BY z, tie)`` — bit-for-bit SQL-reproducible.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+def interleave2(x: np.ndarray, y: np.ndarray, bits: int = 8) -> np.ndarray:
+    """Morton code of two non-negative int arrays (< 2**bits): x takes
+    the even bit positions, y the odd."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    z = np.zeros(x.shape, dtype=np.int64)
+    for j in range(bits):
+        z |= ((x >> j) & 1) << (2 * j)
+        z |= ((y >> j) & 1) << (2 * j + 1)
+    return z
+
+
+def zorder_blocks(
+    ds: "ray.data.Dataset",
+    x_col: str,
+    y_col: str,
+    tie_col: str,
+    block_size: int = 512,
+    bits: int = 8,
+    range_size: int = 64,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Assign every row to a fixed-size block of the z-order layout and
+    return the block zone-map table:
+    ``(block, n, min_x, max_x, min_y, max_y, min_z, max_z)`` sorted by
+    block. ``x_col``/``y_col`` must already be integers in
+    ``[0, 2**bits)``; ``tie_col`` breaks rank ties."""
+    from fastie_ray.ops.rank import global_rank
+
+    def add_z(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[x_col, y_col, tie_col]].copy()
+        out["z"] = interleave2(
+            df[x_col].to_numpy(), df[y_col].to_numpy(), bits=bits
+        )
+        return out
+
+    ranked = global_rank(
+        ds.map_batches(add_z, batch_format="pandas"),
+        key_col="z",
+        tie_col=tie_col,
+        range_size=range_size,
+        n_buckets=n_buckets,
+        keep_cols=[x_col, y_col, tie_col, "z"],
+    )
+
+    agg = {
+        "n": (tie_col, "count"),
+        "min_x": (x_col, "min"),
+        "max_x": (x_col, "max"),
+        "min_y": (y_col, "min"),
+        "max_y": (y_col, "max"),
+        "min_z": ("z", "min"),
+        "max_z": ("z", "max"),
+    }
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["block"] = (df["rank"] - 1) // block_size
+        out = df.groupby("block", as_index=False).agg(**agg)
+        return out
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        b = df["block"].to_numpy() if len(df) else np.array([], dtype=np.int64)
+        df["__b"] = (b.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop(columns="__b")
+            .groupby("block", as_index=False)
+            .agg(
+                n=("n", "sum"),
+                min_x=("min_x", "min"),
+                max_x=("max_x", "max"),
+                min_y=("min_y", "min"),
+                max_y=("max_y", "max"),
+                min_z=("min_z", "min"),
+                max_z=("max_z", "max"),
+            )
+        )
+
+    out = (
+        ranked.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    cols = ["block", "n", "min_x", "max_x", "min_y", "max_y", "min_z", "max_z"]
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = out[cols].astype({c: "int64" for c in cols})
+    return out.sort_values("block").reset_index(drop=True)
+
+
+def prune_fraction(
+    blocks: pd.DataFrame, x_lo: int, x_hi: int, y_lo: int, y_hi: int
+) -> float:
+    """Fraction of blocks a 2-D range predicate must read under the
+    given zone maps (the layout-quality metric: lower is better)."""
+    if len(blocks) == 0:
+        return 0.0
+    hit = (
+        (blocks["max_x"] >= x_lo)
+        & (blocks["min_x"] <= x_hi)
+        & (blocks["max_y"] >= y_lo)
+        & (blocks["min_y"] <= y_hi)
+    )
+    return float(hit.sum()) / float(len(blocks))

@@ -2957,6 +2957,157 @@ def _q_zorder_layout(sf_dir: str):
     )
 
 
+def _q_q3_topk(sf_dir: str):
+    """TPC-H Q3 shape: segment filter → semi-join orders to BUILDING
+    customers (keys only ship) → big⋈big lineitem join with scan-pushed
+    date predicates → per-order revenue (combiner + one orderkey-bucketed
+    exchange with in-bucket top-k) → driver merges buckets × 10 rows."""
+    import datetime as _dt
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from fastie_ray.ops.join import hash_join
+
+    cut = _dt.datetime(1997, 1, 1)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
+        lambda r: r["c_mktsegment"] == "BUILDING"
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < cut,
+        override_num_blocks=16,
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pc.field("l_shipdate") > cut,
+        override_num_blocks=16,
+    )
+    kept = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", how="semi",
+        left_cols=["o_orderkey", "o_custkey", "o_orderdate"],
+        n_buckets=16,
+    )
+    j = hash_join(
+        li, kept, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_extendedprice", "l_discount"],
+        right_cols=["o_orderkey", "o_orderdate"],
+        n_buckets=16,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        return df.groupby(["l_orderkey", "o_orderdate"], as_index=False).agg(
+            revenue=("revenue", "sum")
+        )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        k = df["l_orderkey"].to_numpy() if len(df) else np.array([], dtype=np.int64)
+        df["__b"] = (k.astype(np.uint64) % np.uint64(8)).astype(np.int64)
+        return df
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(
+            ["l_orderkey", "o_orderdate"], as_index=False
+        )["revenue"].sum()
+        out["revenue"] = out["revenue"].round(4)
+        return out.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True]
+        ).head(10)
+
+    cand = (
+        j.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(local_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = cand.sort_values(
+        ["revenue", "l_orderkey"], ascending=[False, True]
+    ).head(10)
+    return out.reset_index(drop=True)
+
+
+def _q_region_revenue(sf_dir: str):
+    """TPC-H Q5 shape: the nation/region dimensions are broadcast-small
+    (mapped per batch, never shuffled); the two big⋈big joins
+    (orders⋈customer, lineitem⋈orders) are task-based hash joins;
+    revenue per nation finishes in a tiny bucketed final."""
+    import datetime as _dt
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from fastie_ray.ops.join import hash_join
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    asia = set(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"])
+    nation_name = {
+        int(k): n
+        for k, n, rk in zip(nat["n_nationkey"], nat["n_name"], nat["n_regionkey"])
+        if rk in asia
+    }
+
+    def tag_customer(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_name"] = df["c_nationkey"].map(nation_name)
+        return df.dropna(subset=["n_name"])[["c_custkey", "n_name"]]
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        tag_customer, batch_format="pandas"
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= _dt.datetime(1996, 1, 1))
+        & (pc.field("o_orderdate") < _dt.datetime(1997, 1, 1)),
+        override_num_blocks=16,
+    )
+    oc = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        left_cols=["o_orderkey", "o_custkey"],
+        right_cols=["c_custkey", "n_name"],
+        n_buckets=16,
+    )
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    j = hash_join(
+        li, oc, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_extendedprice", "l_discount"],
+        right_cols=["o_orderkey", "n_name"],
+        n_buckets=16,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        return df.groupby("n_name", as_index=False).agg(
+            n_items=("revenue", "count"), revenue=("revenue", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("n_name", as_index=False).agg(
+            n_items=("n_items", "sum"), revenue=("revenue", "sum")
+        )
+        out["n_items"] = out["n_items"].astype("int64")
+        out["revenue"] = out["revenue"].round(4)
+        return out
+
+    return _bucketed_groupby(
+        j.map_batches(partial, batch_format="pandas"), "n_name", final, 4
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3070,6 +3221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_links": _q_host_links,
         "anchor_texts": _q_anchor_texts,
         "zorder_layout": _q_zorder_layout,
+        "q3_topk": _q_q3_topk,
+        "region_revenue": _q_region_revenue,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -4721,5 +4874,34 @@ def oracle_sql() -> dict[str, str]:
                    min(y) AS min_y, max(y) AS max_y,
                    min(zv) AS min_z, max(zv) AS max_z
             FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "q3_topk": """
+            SELECT l.l_orderkey,
+                   o.o_orderdate,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND l.l_shipdate > TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+        """,
+        "region_revenue": """
+            SELECT n.n_name,
+                   count(*) AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue
+            FROM region r
+            JOIN nation n ON n.n_regionkey = r.r_regionkey
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
         """,
     }

@@ -81,7 +81,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "lm_familiarity", "dsir_select", "perceptron",
                  "bucketed_join",
                  "cdc_state", "windowed_delta", "event_transitions",
-                 "skew_join", "lang_heavy_tokens", "cms_tokens"):
+                 "skew_join", "lang_heavy_tokens", "cms_tokens",
+                 "host_links", "zorder_layout", "q3_topk", "region_revenue"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

@@ -161,12 +161,37 @@ def _read_manifests(out_dir: str, table: str, only: set[int] | None = None) -> p
     return pd.DataFrame(rows)
 
 
+def _tombstones(out_dir: str, table: str) -> set[int]:
+    """Partition ids superseded by a compaction: any id listed in some
+    committed manifest's ``compacted_from``. Readers must skip them —
+    their rows live in the merged partition (lakehouse snapshot
+    semantics: the new manifest is the commit, the old files are
+    garbage awaiting ``vacuum``)."""
+    mdir = os.path.join(out_dir, "manifests")
+    if not os.path.isdir(mdir):
+        return set()
+    dead: set[int] = set()
+    for f in os.listdir(mdir):
+        if f.startswith(f"{table}-") and f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                m = json.load(fh)
+            if m.get("status") == "committed":
+                dead.update(int(p) for p in m.get("compacted_from", []))
+    return dead
+
+
+def _live_parts(out_dir: str, table: str) -> list[int]:
+    return sorted(_committed(out_dir, table) - _tombstones(out_dir, table))
+
+
 def read_graph_table(out_dir: str, table: str) -> pa.Table:
-    """Read back a partitioned table (for tests / inspection)."""
-    base = os.path.join(out_dir, table)
+    """Read back a partitioned table (for tests / inspection).
+    Manifest-driven: only committed, non-tombstoned partitions — a
+    crash between a compaction's commit and its cleanup never yields
+    duplicate rows."""
     parts = []
-    for d in sorted(os.listdir(base)):
-        f = os.path.join(base, d, "data.parquet")
+    for p in _live_parts(out_dir, table):
+        f = os.path.join(out_dir, table, f"part={p}", "data.parquet")
         if os.path.exists(f):
             parts.append(pq.read_table(f))
     return pa.concat_tables(parts) if parts else None
@@ -180,6 +205,7 @@ def prune_partitions(
     manifest scan is partition-count-bounded driver work — the 100-TB
     point is that the READ fans out only to overlapping partitions."""
     mdir = os.path.join(out_dir, "manifests")
+    dead = _tombstones(out_dir, table)
     files = []
     for f in sorted(os.listdir(mdir)):
         if not (f.startswith(f"{table}-") and f.endswith(".json")):
@@ -187,6 +213,8 @@ def prune_partitions(
         with open(os.path.join(mdir, f)) as fh:
             m = json.load(fh)
         if m.get("status") != "committed":
+            continue
+        if int(m["partition_id"].split("=")[-1]) in dead:
             continue
         z = m.get("zone", {}).get(key)
         if z is None or (z["min"] <= hi and z["max"] >= lo):
@@ -221,6 +249,139 @@ def read_pruned(
         return df[(df[key] >= lo) & (df[key] <= hi)]
 
     return ds.map_batches(residual, batch_format="pandas")
+
+
+def compact_partitions(
+    out_dir: str,
+    table: str,
+    sort_keys: list[str],
+    target_rows: int = 1_000_000,
+) -> pd.DataFrame:
+    """OPTIMIZE: merge small adjacent partitions into ~``target_rows``
+    partitions (the small-files compaction every partitioned layout
+    needs — a 100-TB job's straggler tail leaves a long tail of tiny
+    files that then dominates read fan-out and manifest size).
+
+    Plan: greedy in partition-id order (for a RANGE layout ids follow
+    key order, so merged zone maps stay tight); a group is one new
+    partition with a FRESH id (> every existing id). Each group merges
+    in its own Ray task: read members, re-sort on ``sort_keys``, write
+    atomically, commit a manifest carrying ``compacted_from`` — the
+    tombstone list that makes readers skip the members. Crash-safe at
+    every step for a single writer: before the new manifest lands,
+    nothing changed; after it lands, members are invisible to every
+    reader (``_tombstones``) even if their files still exist; cleanup
+    (member manifests, then data) is garbage collection, finishable any
+    time via ``vacuum``. Singleton groups are left untouched.
+
+    Run only on a COMPLETED table: vacuum drops member manifests, so a
+    later ``write_partitioned(resume=True)`` would no longer see those
+    hash slots as done (standard lakehouse rule — OPTIMIZE after the
+    write commits, never concurrently with ingest).
+
+    Returns the manifest frame of the partitions written."""
+    import ray.data
+
+    mani = _read_manifests(out_dir, table)
+    if len(mani) == 0:
+        return pd.DataFrame()
+    dead = _tombstones(out_dir, table)
+    mani = mani[mani["status"] == "committed"].copy()
+    mani["part"] = mani["partition_id"].str.split("=").str[-1].astype(int)
+    mani = mani[~mani["part"].isin(dead)].sort_values("part")
+
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_rows = 0
+    for part, rows in zip(mani["part"], mani["row_count"]):
+        if cur and cur_rows + rows > target_rows:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(int(part))
+        cur_rows += int(rows)
+    if cur:
+        groups.append(cur)
+    merge_groups = [g for g in groups if len(g) > 1]
+    if not merge_groups:
+        return pd.DataFrame()
+
+    next_id = int(mani["part"].max()) + 1
+    plan = [
+        {"new_part": next_id + i, "members": json.dumps(g)}
+        for i, g in enumerate(merge_groups)
+    ]
+
+    def merge_one(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in df.iterrows():
+            t0 = time.monotonic()
+            members = json.loads(row["members"])
+            new_part = int(row["new_part"])
+            tbl = pa.concat_tables(
+                pq.read_table(
+                    os.path.join(out_dir, table, f"part={p}", "data.parquet")
+                )
+                for p in members
+            )
+            g = tbl.to_pandas().sort_values(sort_keys, kind="mergesort")
+            pdir = os.path.join(out_dir, table, f"part={new_part}")
+            os.makedirs(pdir, exist_ok=True)
+            tmp = os.path.join(pdir, ".data.parquet.tmp")
+            pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+            final = os.path.join(pdir, "data.parquet")
+            os.replace(tmp, final)
+            zone = {
+                k: {"min": _json_scalar(g[k].min()), "max": _json_scalar(g[k].max())}
+                for k in sort_keys
+                if len(g)
+            }
+            manifest = {
+                "partition_id": f"{table}/part={new_part}",
+                "row_count": int(len(g)),
+                "latency_ms": (time.monotonic() - t0) * 1000.0,
+                "n_bytes": int(os.path.getsize(final)),
+                "zone": zone,
+                "status": "committed",
+                "compacted_from": [int(p) for p in members],
+            }
+            mdir = os.path.join(out_dir, "manifests")
+            mtmp = os.path.join(mdir, f".{table}-{new_part}.json.tmp")
+            with open(mtmp, "w") as fh:
+                json.dump(manifest, fh)
+            # THE commit: from here readers see the merged partition
+            # and tombstone the members.
+            os.replace(mtmp, os.path.join(mdir, f"{table}-{new_part}.json"))
+            out.append({k: v for k, v in manifest.items() if k != "zone"})
+        return pd.DataFrame(out)
+
+    manifests = (
+        ray.data.from_items(plan, override_num_blocks=len(plan))
+        .map_batches(merge_one, batch_format="pandas", batch_size=1)
+        .to_pandas()
+    )
+    vacuum(out_dir, table)
+    return manifests
+
+
+def vacuum(out_dir: str, table: str) -> int:
+    """Garbage-collect tombstoned partitions (manifest first, then
+    data — the reverse of commit order, so a crash mid-vacuum leaves
+    only unreferenced files, never a visible-but-deleted partition).
+    Idempotent; returns the number of partitions removed."""
+    import shutil
+
+    dead = _tombstones(out_dir, table)
+    n = 0
+    for p in sorted(dead):
+        mpath = os.path.join(out_dir, "manifests", f"{table}-{p}.json")
+        pdir = os.path.join(out_dir, table, f"part={p}")
+        had = os.path.exists(mpath) or os.path.isdir(pdir)
+        if os.path.exists(mpath):
+            os.remove(mpath)
+        if os.path.isdir(pdir):
+            shutil.rmtree(pdir)
+        n += int(had)
+    return n
 
 
 def _any_data_file(out_dir: str, table: str) -> str:

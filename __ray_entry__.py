@@ -3108,6 +3108,65 @@ def _q_region_revenue(sf_dir: str):
     )
 
 
+def _q_evolved_read(sf_dir: str):
+    """Schema-evolution read: two 'crawl generations' of fragments —
+    the old one lacks the ``lang`` column — unified by
+    ``ops.schema_evolution.read_union_by_name`` (per-schema-group reads
+    + typed-null alignment, union), then aggregated per language with
+    nulls bucketed as 'unknown'."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from fastie_ray.ops.schema_evolution import read_union_by_name
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def gen0(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % 2 == 0]
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_chars": df["text"].str.len().astype("int64")}
+        )
+
+    def gen1(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] % 2 == 1]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": df["text"].str.len().astype("int64"),
+                "lang": df["lang"],
+            }
+        )
+
+    base = tempfile.mkdtemp(prefix="evolve_", dir="/tmp")
+    docs.map_batches(gen0, batch_format="pandas").write_parquet(base + "/gen0")
+    docs.map_batches(gen1, batch_format="pandas").write_parquet(base + "/gen1")
+    paths = sorted(
+        os.path.join(base, g, f)
+        for g in ("gen0", "gen1")
+        for f in os.listdir(os.path.join(base, g))
+        if f.endswith(".parquet")
+    )
+    ds = read_union_by_name(paths, override_num_blocks=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["lang"] = df["lang"].fillna("unknown")
+        return df.groupby("lang", as_index=False).agg(
+            n_docs=("doc_id", "count"), sum_chars=("n_chars", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("lang", as_index=False)[["n_docs", "sum_chars"]].sum()
+        return out.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+    return _bucketed_groupby(
+        ds.map_batches(partial, batch_format="pandas"), "lang", final, 4
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3223,6 +3282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout": _q_zorder_layout,
         "q3_topk": _q_q3_topk,
         "region_revenue": _q_region_revenue,
+        "evolved_read": _q_evolved_read,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -4903,5 +4963,13 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY 1 ORDER BY 1
+        """,
+        # even doc_ids come from the old generation that lacked `lang`
+        "evolved_read": """
+            SELECT CASE WHEN doc_id % 2 = 0 THEN 'unknown' ELSE lang END
+                       AS lang,
+                   count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
     }

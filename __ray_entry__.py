@@ -494,6 +494,39 @@ def _pagerank_sql_over(edges_cte: str, n_iter: int = 3) -> str:
     )
 
 
+def _walks_sql_over(
+    edges_cte: str, walk_len: int = 4, walks_per_node: int = 2, salt: str = "walk"
+) -> str:
+    """Unrolled deterministic-random-walk oracle over any
+    ``edges(src, dst)`` DISTINCT edge CTE — step choice is the md5-grid
+    convention of ``ops.graph.random_walks``."""
+    wvals = ", ".join(f"({w})" for w in range(walks_per_node))
+    ctes = [
+        edges_cte,
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1)",
+        """nbr AS (SELECT src, dst,
+            row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM edges)""",
+        f"""s0 AS (SELECT d.src AS start, w.walk, d.src AS node
+            FROM deg d CROSS JOIN (VALUES {wvals}) w(walk))""",
+    ]
+    for t in range(1, walk_len):
+        ctes.append(
+            f"""s{t} AS (SELECT p.start, p.walk, n.dst AS node
+            FROM s{t - 1} p
+            JOIN deg ON deg.src = p.node
+            JOIN nbr n ON n.src = p.node
+             AND n.rn = 1 + (CAST(('0x' || substr(md5(
+                 '{salt}:' || p.start || ':' || CAST(p.walk AS VARCHAR)
+                 || ':{t}:' || p.node), 1, 8)) AS BIGINT) % deg.d)"""
+            + ")"
+        )
+    selects = [
+        f"SELECT start, CAST(walk AS BIGINT) AS walk, CAST({t} AS BIGINT) AS step, node FROM s{t}"
+        for t in range(walk_len)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _classifier_sql(n_iter: int = 3, n_features: int = 64) -> str:
     """Train-then-infer oracle: the perceptron unroll plus one scoring
     CTE over the final weights."""
@@ -3167,6 +3200,29 @@ def _q_evolved_read(sf_dir: str):
     )
 
 
+def _q_kg_walks(sf_dir: str):
+    """DeepWalk training corpus over the extracted KG: 2 deterministic
+    walks of length 4 from every entity with an outgoing edge
+    (``ops.graph.random_walks``, md5-grid step choice) — the skip-gram
+    stream for graph-embedding training, composed on the full
+    extraction path like entity_salience."""
+    import pandas as pd
+
+    from fastie_ray.ops.graph import random_walks
+    from fastie_ray.pipelines.kg import graph_tables
+
+    t = graph_tables(
+        _pages(sf_dir), world=_world(), concurrency=_conc(), want=("edges",)
+    )["edges"]
+    edges = t.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["subject_id"], "dst": df["object_id"]}
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+    return random_walks(edges, walk_len=4, walks_per_node=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3283,6 +3339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_topk": _q_q3_topk,
         "region_revenue": _q_region_revenue,
         "evolved_read": _q_evolved_read,
+        "kg_walks": _q_kg_walks,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -4409,6 +4466,15 @@ def oracle_sql() -> dict[str, str]:
             FROM edges a JOIN edges b ON a.o = b.s
             GROUP BY 1, 2
         """,
+        "kg_walks": _walks_sql_over(
+            f"""{FACTS}, {EIDS},
+            edges AS (SELECT DISTINCT e.sub_eid AS src, e.obj_eid AS dst
+                      FROM documents d
+                      JOIN facts f ON f.i = d.doc_id % {NF}
+                      JOIN eids e ON e.i = f.i)""",
+            walk_len=4,
+            walks_per_node=2,
+        ),
         "entity_salience": _pagerank_sql_over(
             f"""{FACTS}, {EIDS},
             edges AS (SELECT DISTINCT e.sub_eid AS src, e.obj_eid AS dst

@@ -574,3 +574,83 @@ def kcore_peel(
     return deg.map_batches(
         lambda df: df.rename(columns={"outdeg": "deg"}), batch_format="pandas"
     )
+
+
+def random_walks(
+    edges: "ray.data.Dataset",
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    salt: str = "walk",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> "ray.data.Dataset":
+    """DeepWalk-style deterministic random-walk corpus over a directed
+    graph: ``walks_per_node`` walks of up to ``walk_len`` nodes from
+    every distinct source node, emitted as ``(start, walk, step, node)``
+    rows — the skip-gram training stream for graph embeddings.
+
+    Step choice is the md5-grid convention (``ops/splits``): at step t
+    on node u of walk w from s, the neighbor index is
+    ``int(md5(f"{salt}:{s}:{w}:{t}:{u}")[:8], 16) % outdeg(u)`` over
+    u's dst-sorted neighbors — deterministic, seedless, and
+    SQL-reproducible. Walks stop early at sink nodes.
+
+    Partitioning assumption: the DISTINCT edge set is broadcast to the
+    walkers (``ray.put`` once, read per task) — right for entity graphs
+    whose node set is vocabulary-bounded (this engine's KG: alias
+    vocabulary + NIL surfaces). For open-web-scale graphs replace the
+    broadcast with walk_len-1 hash-join extensions against the edge
+    table (one exchange per step), same choice function.
+    """
+    import hashlib
+
+    import ray
+    import ray.data
+
+    from fastie_ray.ops.dedup import dedup_exact
+
+    def to_sd(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": df[src_col].astype(str), "dst": df[dst_col].astype(str)}
+        )
+
+    dedup = dedup_exact(
+        edges.map_batches(to_sd, batch_format="pandas"), ["src", "dst"]
+    ).to_pandas()
+    adj = {
+        s: sorted(g["dst"].tolist())
+        for s, g in dedup.groupby("src", sort=False)
+    }
+    adj_ref = ray.put(adj)
+    seeds = ray.data.from_items(
+        [{"start": s} for s in sorted(adj)],
+        override_num_blocks=max(1, min(len(adj), 16)),
+    )
+
+    def walk_batch(df: pd.DataFrame) -> pd.DataFrame:
+        a = ray.get(adj_ref)
+        starts, walks, steps, nodes = [], [], [], []
+        for s in df["start"]:
+            for w in range(walks_per_node):
+                node = s
+                for t in range(walk_len):
+                    starts.append(s)
+                    walks.append(w)
+                    steps.append(t)
+                    nodes.append(node)
+                    nbrs = a.get(node)
+                    if not nbrs or t == walk_len - 1:
+                        break
+                    key = f"{salt}:{s}:{w}:{t + 1}:{node}"
+                    idx = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+                    node = nbrs[idx % len(nbrs)]
+        return pd.DataFrame(
+            {
+                "start": pd.Series(starts, dtype=str),
+                "walk": pd.Series(walks, dtype="int64"),
+                "step": pd.Series(steps, dtype="int64"),
+                "node": pd.Series(nodes, dtype=str),
+            }
+        )
+
+    return seeds.map_batches(walk_batch, batch_format="pandas")

@@ -1,0 +1,52 @@
+"""Deterministic random-walk corpus (ops/graph.random_walks)."""
+
+import hashlib
+
+import pandas as pd
+import ray.data
+
+from fastie_ray.ops.graph import random_walks
+
+
+def _edges(rows):
+    return ray.data.from_items([{"src": s, "dst": d} for s, d in rows])
+
+
+def _pick(salt, s, w, t, node, nbrs):
+    idx = int(hashlib.md5(f"{salt}:{s}:{w}:{t}:{node}".encode()).hexdigest()[:8], 16)
+    return sorted(nbrs)[idx % len(nbrs)]
+
+
+def test_walks_follow_md5_grid_and_stop_at_sinks(ray_session):
+    # a -> {b, c}; b -> {c}; c is a sink
+    ds = _edges([("a", "b"), ("a", "c"), ("b", "c"), ("a", "b")])  # dup edge
+    out = random_walks(ds, walk_len=4, walks_per_node=2).to_pandas()
+    # seeds = nodes with outgoing edges: a, b
+    assert set(out["start"]) == {"a", "b"}
+    for (s, w), g in out.groupby(["start", "walk"]):
+        g = g.sort_values("step")
+        assert list(g["step"]) == list(range(len(g)))
+        node = s
+        adj = {"a": ["b", "c"], "b": ["c"]}
+        for t, row in enumerate(g.itertuples()):
+            assert row.node == node
+            if node in adj and t < len(g) - 1:
+                node = _pick("walk", s, w, t + 1, node, adj[node])
+        # walk either used the full budget or ended on the sink
+        assert len(g) == 4 or g["node"].iloc[-1] == "c"
+
+    # deterministic: a second run is identical
+    out2 = random_walks(ds, walk_len=4, walks_per_node=2).to_pandas()
+    key = ["start", "walk", "step"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True),
+        out2.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_walks_per_node_and_salt(ray_session):
+    ds = _edges([("x", "y"), ("y", "x")])
+    out = random_walks(ds, walk_len=3, walks_per_node=3).to_pandas()
+    assert len(out) == 2 * 3 * 3  # no sinks: full-length walks
+    alt = random_walks(ds, walk_len=3, walks_per_node=3, salt="other").to_pandas()
+    assert len(alt) == len(out)  # same shape, possibly different paths

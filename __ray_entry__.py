@@ -3223,6 +3223,17 @@ def _q_kg_walks(sf_dir: str):
     return random_walks(edges, walk_len=4, walks_per_node=2)
 
 
+def _q_shuffle_shards(sf_dir: str):
+    """Global-shuffle shard export: every doc gets a uniform md5-grid
+    position, the shuffled order is cut into 64-doc shards
+    (``ops.splits.shuffle_shards`` — rank via range combiner + one
+    exchange, no sort barrier)."""
+    from fastie_ray.ops.splits import shuffle_shards
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return shuffle_shards(docs, id_col="doc_id", shard_size=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3340,6 +3351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": _q_region_revenue,
         "evolved_read": _q_evolved_read,
         "kg_walks": _q_kg_walks,
+        "shuffle_shards": _q_shuffle_shards,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -5029,6 +5041,20 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01'
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY 1 ORDER BY 1
+        """,
+        "shuffle_shards": """
+            WITH r AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY
+                           CAST(('0x' || substr(md5('shard:'
+                               || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                           doc_id) AS rn
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST((rn - 1) // 64 AS BIGINT) AS shard,
+                   CAST((rn - 1) % 64 AS BIGINT) AS pos
+            FROM r
         """,
         # even doc_ids come from the old generation that lacked `lang`
         "evolved_read": """

@@ -67,3 +67,56 @@ def leakage_safe_split(
         return df
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def shuffle_shards(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    shard_size: int,
+    salt: str = "shard:",
+    keep_cols: list[str] | None = None,
+    range_size: int = 1 << 26,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Global-shuffle shard export — the canonical pretraining-data
+    step: give every row a uniform pseudo-random position (md5-grid of
+    ``salt + id``), cut the shuffled order into fixed ``shard_size``
+    shards, emit ``(…, shard, pos)``.
+
+    Order comes from ``ops.rank.global_rank`` on the 32-bit md5-prefix
+    key (per-range count combiner + ONE exchange — never a full sort
+    barrier), ties broken by the id itself, so the assignment is
+    deterministic, resumable, and SQL-reproducible as
+    ``ROW_NUMBER() OVER (ORDER BY md5int(salt||id), id)``. A writer can
+    then stream each shard to its own file; shard membership never
+    changes across reruns.
+    """
+    from fastie_ray.ops.rank import global_rank
+
+    keep_cols = list(keep_cols) if keep_cols is not None else [id_col]
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keep_cols].copy()
+        out["__shuf"] = [
+            int(hashlib.md5((salt + str(v)).encode()).hexdigest()[:8], 16)
+            for v in df[id_col]
+        ]
+        return out
+
+    ranked = global_rank(
+        ds.map_batches(add_key, batch_format="pandas"),
+        key_col="__shuf",
+        tie_col=id_col,
+        range_size=range_size,
+        n_buckets=n_buckets,
+        keep_cols=keep_cols + ["__shuf"],
+    )
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keep_cols].copy()
+        r = df["rank"].to_numpy() - 1
+        out["shard"] = (r // shard_size).astype("int64")
+        out["pos"] = (r % shard_size).astype("int64")
+        return out
+
+    return ranked.map_batches(cut, batch_format="pandas")

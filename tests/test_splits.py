@@ -56,3 +56,27 @@ def test_threshold_boundaries_exact():
     ).to_pandas()
     b = out["split_bucket"].iloc[0]
     assert out["split"].iloc[0] == ("a" if b < GRANULARITY // 2 else "b")
+
+
+def test_shuffle_shards_is_a_permutation(ray_session):
+    import ray.data
+
+    from fastie_ray.ops.splits import shuffle_shards
+
+    ds = ray.data.from_items([{"doc_id": i} for i in range(300)]).repartition(6)
+    out = shuffle_shards(ds, id_col="doc_id", shard_size=50).to_pandas()
+    assert len(out) == 300
+    assert sorted(out["doc_id"]) == list(range(300))
+    # exactly 6 full shards, each with positions 0..49
+    g = out.groupby("shard")["pos"].agg(["count", "min", "max"])
+    assert list(g.index) == list(range(6))
+    assert (g["count"] == 50).all() and (g["min"] == 0).all() and (g["max"] == 49).all()
+    # shuffled: shard 0 is not just the first 50 ids
+    assert set(out.loc[out["shard"] == 0, "doc_id"]) != set(range(50))
+    # deterministic across runs
+    out2 = shuffle_shards(ds, id_col="doc_id", shard_size=50).to_pandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )

@@ -3234,6 +3234,16 @@ def _q_shuffle_shards(sf_dir: str):
     return shuffle_shards(docs, id_col="doc_id", shard_size=64)
 
 
+def _q_bottomk_sample(sf_dir: str):
+    """Exact-100 uniform document sample via the bottom-k md5 sketch
+    (``ops.sampling.bottom_k_sample``): per-batch local bottom-k, driver
+    merges blocks × k candidates — no exchange, exact size."""
+    from fastie_ray.ops.sampling import bottom_k_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return bottom_k_sample(docs, k=100, id_col="doc_id", keep_cols=["doc_id", "lang"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3352,6 +3362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "evolved_read": _q_evolved_read,
         "kg_walks": _q_kg_walks,
         "shuffle_shards": _q_shuffle_shards,
+        "bottomk_sample": _q_bottomk_sample,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -5055,6 +5066,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST((rn - 1) // 64 AS BIGINT) AS shard,
                    CAST((rn - 1) % 64 AS BIGINT) AS pos
             FROM r
+        """,
+        "bottomk_sample": """
+            SELECT doc_id, lang FROM documents
+            ORDER BY CAST(('0x' || substr(md5('bk:'
+                || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id
+            LIMIT 100
         """,
         # even doc_ids come from the old generation that lacked `lang`
         "evolved_read": """

@@ -224,3 +224,36 @@ def systematic_resample(
         .groupby("__b")
         .map_groups(scan, batch_format="pandas")
     )
+
+
+def bottom_k_sample(
+    ds: "ray.data.Dataset",
+    k: int,
+    id_col: str,
+    keep_cols: list[str] | None = None,
+    salt: str = "bk:",
+) -> pd.DataFrame:
+    """EXACT-size uniform sample without a shuffle: keep the k rows
+    with the smallest ``md5(salt + id)`` values — the bottom-k sketch
+    (each batch pre-reduces to its local bottom-k, the driver merges
+    ``blocks × k`` candidate rows). Unlike ``hash_sample`` (rate-based,
+    size varies), the sample size is exactly ``min(k, n)``; unlike
+    ``ds.random_shuffle().limit(k)`` there is no exchange at all.
+    Deterministic and SQL-reproducible (``ORDER BY md5int, id LIMIT k``).
+    The same bottom-k values double as a set-similarity sketch (the
+    k-minimum-values distinct estimator)."""
+    import hashlib
+
+    keep_cols = list(keep_cols) if keep_cols is not None else [id_col]
+
+    def local_bk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keep_cols].copy()
+        out["__h"] = [
+            int(hashlib.md5((salt + str(v)).encode()).hexdigest()[:8], 16)
+            for v in df[id_col]
+        ]
+        return out.sort_values(["__h", id_col]).head(k)
+
+    cand = ds.map_batches(local_bk, batch_format="pandas").to_pandas()
+    out = cand.sort_values(["__h", id_col]).head(k).drop(columns="__h")
+    return out.reset_index(drop=True)

@@ -277,3 +277,21 @@ def test_kcenter_first_pick_is_min_id_and_dists_decrease():
     assert got["vec_id"].iloc[0] == 10 and got["dist"].iloc[0] == 0
     d = got["dist"].iloc[1:].to_numpy()
     assert (np.diff(d) <= 0).all()  # farthest-first radii are non-increasing
+
+
+def test_bottom_k_sample_exact_and_deterministic(ray_session):
+    import ray.data
+
+    from fastie_ray.ops.sampling import bottom_k_sample
+
+    ds = ray.data.from_items([{"doc_id": i} for i in range(500)]).repartition(8)
+    a = bottom_k_sample(ds, k=25, id_col="doc_id")
+    assert len(a) == 25
+    b = bottom_k_sample(ds, k=25, id_col="doc_id")
+    assert a.equals(b)
+    # different salt -> (almost surely) different members
+    c = bottom_k_sample(ds, k=25, id_col="doc_id", salt="other:")
+    assert set(a["doc_id"]) != set(c["doc_id"])
+    # k > n degrades to the full table
+    small = ray.data.from_items([{"doc_id": i} for i in range(7)])
+    assert len(bottom_k_sample(small, k=25, id_col="doc_id")) == 7

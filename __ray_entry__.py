@@ -3244,6 +3244,29 @@ def _q_bottomk_sample(sf_dir: str):
     return bottom_k_sample(docs, k=100, id_col="doc_id", keep_cols=["doc_id", "lang"])
 
 
+def _q_golden_records(sf_dir: str):
+    """ER survivorship: blocking + verification + cluster merge in ONE
+    first-char-bucketed exchange (match edges are in-class successor
+    pairs, so components are gaps-and-islands runs —
+    ``ops.blocking.golden_records``). Canonical = longest member,
+    ties lexicographic."""
+    import pandas as pd
+
+    from fastie_ray.ops.blocking import golden_records
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def sites(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"v": df["source"] + "/" + (df["doc_id"] % 61).astype(str)}
+        )
+
+    return golden_records(
+        ds.map_batches(sites, batch_format="pandas"), "v",
+        min_prefix=4, max_dist=2,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3363,6 +3386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_walks": _q_kg_walks,
         "shuffle_shards": _q_shuffle_shards,
         "bottomk_sample": _q_bottomk_sample,
+        "golden_records": _q_golden_records,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -4437,6 +4461,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS edit_dist
             FROM p WHERE prefix_len >= 4 AND levenshtein(a, b) <= 2
+        """,
+        # match edges are sort-successor pairs, so clusters are
+        # gaps-and-islands runs over the sorted distinct vocabulary
+        "golden_records": """
+            WITH u AS (
+                SELECT DISTINCT
+                       source || '/' || CAST(doc_id % 61 AS VARCHAR) AS v
+                FROM documents
+            ), s AS (
+                SELECT v, lag(v) OVER (ORDER BY v) AS prv FROM u
+            ), e AS (
+                SELECT v,
+                       CASE WHEN prv IS NOT NULL
+                            AND (""" + " + ".join(
+                                f"CASE WHEN substr(prv, 1, {i}) = substr(v, 1, {i}) "
+                                f"AND length(prv) >= {i} AND length(v) >= {i} "
+                                f"THEN 1 ELSE 0 END"
+                                for i in range(1, 33)
+                            ) + """) >= 4
+                            AND levenshtein(prv, v) <= 2
+                       THEN 0 ELSE 1 END AS brk
+                FROM s
+            ), g AS (
+                SELECT v,
+                       sum(brk) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                           AS grp
+                FROM e
+            ), c AS (
+                SELECT grp, min(v) AS cluster_id,
+                       CAST(count(*) AS BIGINT) AS n_members
+                FROM g GROUP BY grp HAVING count(*) >= 2
+            ), can AS (
+                SELECT grp, v,
+                       row_number() OVER (
+                           PARTITION BY grp ORDER BY length(v) DESC, v
+                       ) AS rn
+                FROM g
+            )
+            SELECT c.cluster_id, c.n_members, can.v AS canonical
+            FROM c JOIN can ON can.grp = c.grp AND can.rn = 1
         """,
         "bucketed_join": """
             SELECT o.o_custkey,

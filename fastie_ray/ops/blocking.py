@@ -155,3 +155,85 @@ def verify_pairs_edit_distance(
         )
 
     return pairs.map_batches(verify, batch_format="pandas")
+
+
+def golden_records(
+    ds: "ray.data.Dataset",
+    col: str,
+    min_prefix: int = 4,
+    max_dist: int = 2,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """ER survivorship: collapse match CLUSTERS into golden records —
+    the merge step after blocking + verification. A cluster is a
+    maximal run of sort-successors that qualify (shared prefix ≥
+    ``min_prefix`` AND Levenshtein ≤ ``max_dist``); since match edges
+    only ever connect in-class successors (module docstring), connected
+    components degenerate to gaps-and-islands runs, computable inside
+    the SAME single first-char-bucketed exchange as blocking — no CC
+    iteration, no second shuffle.
+
+    Survivorship rule (deterministic): canonical = the longest member,
+    ties to the lexicographically smallest; ``cluster_id`` = the
+    lexicographically smallest member. Emits only clusters with ≥ 2
+    members (singletons pass through a pipeline unchanged).
+    SQL-reproducible via LAG + cumulative break-sum islands."""
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].dropna()
+        v = v[v.str.len() > 0].drop_duplicates()
+        return pd.DataFrame({"v": v})
+
+    uniq = dedup_exact(
+        ds.map_batches(distinct, batch_format="pandas"), ["v"], n_buckets
+    )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        df["__b"] = df["v"].str[0].map(ord).astype("int64") % 251
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["v"].sort_values(kind="mergesort").to_numpy()
+        rows = []
+        run: list[str] = [v[0]] if len(v) else []
+        for x, y in zip(v[:-1], v[1:]):
+            ok = (
+                len(_common_prefix(x, y)) >= min_prefix
+                and _levenshtein(x, y) <= max_dist
+            )
+            if ok:
+                run.append(y)
+            else:
+                rows.append(run)
+                run = [y]
+        if run:
+            rows.append(run)
+        out = [
+            {
+                "cluster_id": r[0],  # sorted run: first = lexicographic min
+                "n_members": len(r),
+                "canonical": min(r, key=lambda s: (-len(s), s)),
+            }
+            for r in rows
+            if len(r) >= 2
+        ]
+        return pd.DataFrame(
+            out,
+            columns=["cluster_id", "n_members", "canonical"],
+        ).astype({"n_members": "int64"}) if out else pd.DataFrame(
+            {
+                "cluster_id": pd.Series([], dtype=object),
+                "n_members": pd.Series([], dtype="int64"),
+                "canonical": pd.Series([], dtype=object),
+            }
+        )
+
+    return (
+        uniq.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -88,3 +88,35 @@ def test_edit_distance_verification_matches_reference():
     )
     assert got["a"].tolist() == ["acme corp", "same", "zeta"]
     assert got["edit_dist"].tolist() == [1, 0, 1]
+
+
+def test_golden_records_islands_and_survivorship(ray_session):
+    import ray.data
+
+    from fastie_ray.ops.blocking import golden_records
+
+    vals = [
+        # one cluster: sort-adjacent chain (last char varies)
+        "acme corpa", "acme corpb", "acme corpc",
+        # sorts after the chain; edit distance breaks it -> own cluster
+        "acme corporation intl", "acme corporation intx",
+        # singleton far away
+        "zeta",
+        # different first letter, own cluster
+        "beta sitex", "beta sitey",
+    ]
+    ds = ray.data.from_items([{"v": v} for v in vals * 3])  # dups collapse
+    out = (
+        golden_records(ds, "v", min_prefix=4, max_dist=2)
+        .to_pandas()
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["cluster_id"]) == [
+        "acme corpa", "acme corporation intl", "beta sitex",
+    ]
+    assert list(out["n_members"]) == [3, 2, 2]
+    # canonical = longest member, ties lexicographic min
+    assert list(out["canonical"]) == [
+        "acme corpa", "acme corporation intl", "beta sitex",
+    ]

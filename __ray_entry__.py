@@ -3267,6 +3267,17 @@ def _q_golden_records(sf_dir: str):
     )
 
 
+def _q_dp_lang_counts(sf_dir: str):
+    """Noisy aggregate release: per-language doc counts + the
+    Laplace(1/epsilon)-noised publication value
+    (``ops.privacy.dp_group_counts``; md5-grid draw — deterministic
+    pseudo-noise, see the module's honesty note)."""
+    from fastie_ray.ops.privacy import dp_group_counts
+
+    docs = _read(sf_dir, "documents", columns=["lang"])
+    return dp_group_counts(docs, "lang", epsilon=1.0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3387,6 +3398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards": _q_shuffle_shards,
         "bottomk_sample": _q_bottomk_sample,
         "golden_records": _q_golden_records,
+        "dp_lang_counts": _q_dp_lang_counts,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -5130,6 +5142,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST((rn - 1) // 64 AS BIGINT) AS shard,
                    CAST((rn - 1) % 64 AS BIGINT) AS pos
             FROM r
+        """,
+        "dp_lang_counts": """
+            WITH c AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY lang
+            ), u AS (
+                SELECT lang, n,
+                       (CAST(('0x' || substr(md5('dp:' || lang), 1, 8))
+                            AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS uu
+                FROM c
+            )
+            SELECT lang, n,
+                   round(n - sign(uu) * ln(1 - 2 * abs(uu)), 4) AS n_noisy
+            FROM u ORDER BY lang
         """,
         "bottomk_sample": """
             SELECT doc_id, lang FROM documents

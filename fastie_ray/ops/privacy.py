@@ -1,0 +1,93 @@
+"""Noisy aggregate release — the DP-shaped publication step for corpus
+statistics (per-group counts released with Laplace noise calibrated to
+``sensitivity / epsilon``).
+
+Exact counts reduce with the usual per-batch combiner + one tiny
+group-keyed exchange; the noise draw is the md5-grid convention
+(``ops/splits``): ``u = (md5int(salt+group) + 0.5) / 2^32`` and the
+Laplace inverse CDF ``-b * sign(u-.5) * ln(1 - 2|u-.5|)``. That makes
+the release deterministic, resumable, and SQL-auditable.
+
+HONESTY NOTE: deriving the draw from the group key is reproducible
+pseudo-noise, not a calibrated DP mechanism — real epsilon-DP needs a
+fresh secret random draw per release (swap ``_uniform`` for a CSPRNG
+and keep everything else). The pipeline shape (exact combiner +
+bounded exchange + pointwise noise) is the production shape either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+def _uniform(key: str) -> float:
+    h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    return (h + 0.5) / 2.0**32
+
+
+def laplace_noise(key: str, scale: float) -> float:
+    u = _uniform(key) - 0.5
+    return -scale * math.copysign(1.0, u) * math.log(1.0 - 2.0 * abs(u))
+
+
+def dp_group_counts(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    epsilon: float = 1.0,
+    sensitivity: float = 1.0,
+    salt: str = "dp:",
+    n_buckets: int = 8,
+) -> pd.DataFrame:
+    """(group, n, n_noisy): exact count per group plus the
+    Laplace(sensitivity/epsilon)-noised release, rounded to 4 decimals.
+    One combiner pass + one bucketed exchange; noise is added once per
+    GROUP on the reduced table, never per row."""
+    b = sensitivity / epsilon
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_col, as_index=False).agg(n=(group_col, "count"))
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(
+            df[group_col].astype(str), index=False
+        ).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(group_col, as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        out["n_noisy"] = [
+            round(n + laplace_noise(salt + str(k), b), 4)
+            for k, n in zip(out[group_col], out["n"])
+        ]
+        return out
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                group_col: pd.Series([], dtype=str),
+                "n": pd.Series([], dtype="int64"),
+                "n_noisy": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -3278,6 +3278,30 @@ def _q_dp_lang_counts(sf_dir: str):
     return dp_group_counts(docs, "lang", epsilon=1.0)
 
 
+def _q_winsorized_stats(sf_dir: str):
+    """Winsorized per-type value stats: exact grouped [p5, p95]
+    quantiles broadcast as clamp bounds, then streaming clamped sums
+    (``ops.stats.winsorized_stats``); integer cents keep it SQL-exact."""
+    import pandas as pd
+
+    from fastie_ray.ops.stats import winsorized_stats
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "cents": (df["value"] * 100 + 0.5).astype("int64"),
+            }
+        )
+
+    return winsorized_stats(
+        ev.map_batches(cents, batch_format="pandas"),
+        "event_type", "cents", lo_q=0.05, hi_q=0.95,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3399,6 +3423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sample": _q_bottomk_sample,
         "golden_records": _q_golden_records,
         "dp_lang_counts": _q_dp_lang_counts,
+        "winsorized_stats": _q_winsorized_stats,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -5142,6 +5167,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST((rn - 1) // 64 AS BIGINT) AS shard,
                    CAST((rn - 1) % 64 AS BIGINT) AS pos
             FROM r
+        """,
+        "winsorized_stats": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ), q AS (
+                SELECT event_type,
+                       CAST(quantile_disc(cents, 0.05) AS BIGINT) AS lo,
+                       CAST(quantile_disc(cents, 0.95) AS BIGINT) AS hi
+                FROM c GROUP BY event_type
+            )
+            SELECT c.event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(LEAST(GREATEST(c.cents, q.lo), q.hi)) AS BIGINT)
+                       AS sum_w,
+                   q.lo, q.hi
+            FROM c JOIN q USING (event_type)
+            GROUP BY c.event_type, q.lo, q.hi ORDER BY 1
         """,
         "dp_lang_counts": """
             WITH c AS (

@@ -475,3 +475,78 @@ def grouped_heavy_hitters(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def winsorized_stats(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Robust per-group statistics with outliers CLAMPED to the exact
+    [lo_q, hi_q] group quantiles (winsorization — the data-cleaning
+    move that keeps row count while bounding the influence of tails).
+
+    Two passes: (1) exact grouped quantiles (``grouped_quantiles`` —
+    distinct-value combiner, group-domain-bounded exchange), broadcast
+    as a group→(lo, hi) map (group-domain-sized, never corpus); (2) a
+    streaming clamp + count/sum/min/max combiner finished in one tiny
+    group-keyed exchange. Integer ``col`` keeps every number SQL-exact.
+
+    Returns (group, n, lo, hi, sum_w) sorted by group."""
+    qt = grouped_quantiles(ds, group_col, col, [lo_q, hi_q], n_buckets).to_pandas()
+    lim: dict = {}
+    for _, r in qt.iterrows():
+        lo, hi = lim.get(r[group_col], (None, None))
+        if r["q"] == lo_q:
+            lo = r["value"]
+        else:
+            hi = r["value"]
+        lim[r[group_col]] = (lo, hi)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[group_col, col]].copy()
+        lo = df[group_col].map({k: v[0] for k, v in lim.items()})
+        hi = df[group_col].map({k: v[1] for k, v in lim.items()})
+        df["w"] = df[col].clip(lower=lo, upper=hi)
+        return df.groupby(group_col, as_index=False).agg(
+            n=("w", "count"), sum_w=("w", "sum")
+        )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(group_col, as_index=False)[
+            ["n", "sum_w"]
+        ].sum()
+        return out.astype({"n": "int64", "sum_w": "int64"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                group_col: pd.Series([], dtype=str),
+                "n": pd.Series([], dtype="int64"),
+                "sum_w": pd.Series([], dtype="int64"),
+                "lo": pd.Series([], dtype="int64"),
+                "hi": pd.Series([], dtype="int64"),
+            }
+        )
+    out["lo"] = out[group_col].map({k: v[0] for k, v in lim.items()}).astype("int64")
+    out["hi"] = out[group_col].map({k: v[1] for k, v in lim.items()}).astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)

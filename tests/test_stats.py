@@ -191,3 +191,26 @@ def test_grouped_heavy_hitters_empty():
         lambda b: pd.DataFrame({"group": b["g"], "item": b["i"]}),
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_winsorized_stats_clamps_tails(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.stats import winsorized_stats
+
+    # group 'a': 1..100 with an outlier 10_000 -> p95 clamps it
+    rows = [{"g": "a", "v": i} for i in range(1, 101)] + [
+        {"g": "a", "v": 10_000},
+        {"g": "b", "v": 5},
+        {"g": "b", "v": 7},
+    ]
+    ds = ray.data.from_items(rows).repartition(4)
+    out = winsorized_stats(ds, "g", "v", lo_q=0.05, hi_q=0.95)
+    a = out[out["g"] == "a"].iloc[0]
+    # quantile_disc semantics: k = ceil(q*n) over 101 values
+    assert a["lo"] == 6 and a["hi"] == 96
+    expect = sum(min(max(v, 6), 96) for v in list(range(1, 101)) + [10_000])
+    assert a["n"] == 101 and a["sum_w"] == expect
+    b = out[out["g"] == "b"].iloc[0]
+    assert b["n"] == 2 and b["lo"] == 5 and b["hi"] == 7 and b["sum_w"] == 12

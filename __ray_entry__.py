@@ -3302,6 +3302,74 @@ def _q_winsorized_stats(sf_dir: str):
     )
 
 
+def _q_asof_state(sf_dir: str):
+    """Time-travel read: customer balances AS OF 1998-01-01 — the CDC
+    merge restricted to the change prefix (``ops.cdc.asof_state``; the
+    timestamp filter rides the scan, so old snapshots ship fewer
+    change rows, not more)."""
+    import datetime as _dt
+
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.cdc import asof_state
+
+    base = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).map_batches(
+        lambda df: df.rename(columns={"c_custkey": "custkey", "c_acctbal": "acctbal"}),
+        batch_format="pandas",
+    )
+    chg = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus", "o_totalprice"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "custkey": df["o_custkey"],
+                "acctbal": df["o_totalprice"],
+                "ts": df["o_orderdate"],
+                "seq": df["o_orderkey"].astype("int64"),
+                "op": np.where(df["o_orderstatus"] == "F", "delete", "upsert"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return asof_state(base, chg, "custkey", ["acctbal"], as_of=_dt.datetime(1998, 1, 1))
+
+
+def _q_psi_drift(sf_dir: str):
+    """Score-distribution drift between the first and second half of
+    the event month (``ops.stats.psi_drift``): fixed $10 value bins,
+    Laplace-smoothed PSI terms — the ML-ops monitor that catches a
+    crawl/source going stale."""
+    import datetime as _dt
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from fastie_ray.ops.stats import psi_drift
+
+    cut = _dt.datetime(2024, 1, 16)
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"cents": (df["value"] * 100 + 0.5).astype("int64")})
+
+    def side(flt):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "value"],
+            filter=flt, override_num_blocks=16,
+        ).map_batches(cents, batch_format="pandas")
+
+    return psi_drift(
+        side(pc.field("ts") < cut),
+        side(pc.field("ts") >= cut),
+        "cents",
+        n_bins=16,
+        bin_width=1000,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3424,6 +3492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_records": _q_golden_records,
         "dp_lang_counts": _q_dp_lang_counts,
         "winsorized_stats": _q_winsorized_stats,
+        "asof_state": _q_asof_state,
+        "psi_drift": _q_psi_drift,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -4250,6 +4320,60 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_orderdate DESC, o_orderkey DESC
                        ) AS rn
                 FROM orders
+            ), last AS (SELECT k, val, op FROM chg WHERE rn = 1)
+            SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal
+            FROM customer c LEFT JOIN last l ON l.k = c.c_custkey
+            WHERE l.k IS NULL
+            UNION ALL
+            SELECT l.k AS custkey, l.val AS acctbal
+            FROM last l WHERE l.op = 'upsert'
+        """,
+        "psi_drift": """
+            WITH c AS (
+                SELECT ts,
+                       least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000,
+                             15) AS bin
+                FROM events
+            ),
+            bins AS (SELECT unnest(range(16)) AS bin),
+            ca AS (
+                SELECT bin, count(*) AS n FROM c
+                WHERE ts < TIMESTAMP '2024-01-16' GROUP BY bin
+            ),
+            cb AS (
+                SELECT bin, count(*) AS n FROM c
+                WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY bin
+            ),
+            tot AS (
+                SELECT (SELECT count(*) FROM c WHERE ts < TIMESTAMP '2024-01-16')
+                           AS ta,
+                       (SELECT count(*) FROM c WHERE ts >= TIMESTAMP '2024-01-16')
+                           AS tb
+            ),
+            j AS (
+                SELECT b.bin,
+                       CAST(coalesce(ca.n, 0) AS BIGINT) AS n_a,
+                       CAST(coalesce(cb.n, 0) AS BIGINT) AS n_b,
+                       (coalesce(ca.n, 0) + 1) / (t.ta + 16.0) AS pa,
+                       (coalesce(cb.n, 0) + 1) / (t.tb + 16.0) AS pb
+                FROM bins b LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin),
+                     tot t
+            )
+            SELECT CAST(bin AS BIGINT) AS bin, n_a, n_b,
+                   round((pa - pb) * ln(pa / pb), 6) AS psi_term
+            FROM j ORDER BY bin
+        """,
+        "asof_state": """
+            WITH chg AS (
+                SELECT o_custkey AS k, o_totalprice AS val,
+                       CASE WHEN o_orderstatus = 'F' THEN 'delete'
+                            ELSE 'upsert' END AS op,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders
+                WHERE o_orderdate <= TIMESTAMP '1998-01-01'
             ), last AS (SELECT k, val, op FROM chg WHERE rn = 1)
             SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal
             FROM customer c LEFT JOIN last l ON l.k = c.c_custkey

@@ -84,3 +84,35 @@ def _add_b(df: pd.DataFrame, key_col: str, n_buckets: int) -> pd.DataFrame:
     h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
     df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
     return df
+
+
+def asof_state(
+    base: "ray.data.Dataset",
+    changes: "ray.data.Dataset",
+    key_col: str,
+    payload_cols: list[str],
+    as_of,
+    ts_col: str = "ts",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Time travel: the table state AS OF ``as_of`` — ``cdc_apply``
+    restricted to changes with ``ts <= as_of`` (the lakehouse
+    ``SELECT … FOR TIMESTAMP AS OF`` read). Pushing the timestamp
+    filter BEFORE the exchange means the merge only ships the change
+    prefix, so reading an old snapshot gets cheaper, not costlier."""
+
+    def upto(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[ts_col] <= as_of]
+
+    return cdc_apply(
+        base,
+        changes.map_batches(upto, batch_format="pandas"),
+        key_col,
+        payload_cols,
+        ts_col=ts_col,
+        seq_col=seq_col,
+        op_col=op_col,
+        n_buckets=n_buckets,
+    )

@@ -550,3 +550,53 @@ def winsorized_stats(
     out["lo"] = out[group_col].map({k: v[0] for k, v in lim.items()}).astype("int64")
     out["hi"] = out[group_col].map({k: v[1] for k, v in lim.items()}).astype("int64")
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def psi_drift(
+    ds_a: "ray.data.Dataset",
+    ds_b: "ray.data.Dataset",
+    col: str,
+    n_bins: int = 16,
+    bin_width: int = 1000,
+) -> pd.DataFrame:
+    """Population stability index between two slices of a score column
+    (reference vs current crawl) — the standard ML-ops drift monitor:
+    fixed-width bins (top bin open-ended), Laplace-smoothed shares
+    ``p = (n+1)/(N+n_bins)``, per-bin term ``(p_a-p_b)·ln(p_a/p_b)``;
+    PSI = the term sum (rule of thumb: >0.2 = action).
+
+    Each side reduces to ≤ n_bins counts per batch (combiner); the
+    driver merges bins × blocks rows — constant-size, corpus-free.
+    Deterministic and SQL-reproducible (integer bins, identical
+    division/ln order; terms rounded to 6 decimals)."""
+    import math
+
+    def counts(ds) -> pd.Series:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            b = np.minimum(
+                df[col].to_numpy() // bin_width, n_bins - 1
+            ).astype(np.int64)
+            out = pd.DataFrame({"bin": b})
+            return out.groupby("bin", as_index=False).agg(n=("bin", "count"))
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        full = parts.groupby("bin")["n"].sum()
+        return full.reindex(range(n_bins), fill_value=0).astype("int64")
+
+    na, nb = counts(ds_a), counts(ds_b)
+    tot_a, tot_b = int(na.sum()), int(nb.sum())
+    rows = []
+    for i in range(n_bins):
+        pa = (int(na[i]) + 1) / (tot_a + n_bins)
+        pb = (int(nb[i]) + 1) / (tot_b + n_bins)
+        rows.append(
+            {
+                "bin": i,
+                "n_a": int(na[i]),
+                "n_b": int(nb[i]),
+                "psi_term": round((pa - pb) * math.log(pa / pb), 6),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"bin": "int64", "n_a": "int64", "n_b": "int64"}
+    )

@@ -123,3 +123,45 @@ def test_merge_tumbling_aggregates_equals_full_recompute():
     pd.testing.assert_frame_equal(
         inc[["window_start", "event_type"]], full[["window_start", "event_type"]]
     )
+
+
+def test_asof_state_replays_change_prefix(ray_session):
+    import datetime as dt
+
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.cdc import asof_state, cdc_apply
+
+    base = ray.data.from_items(
+        [{"k": 1, "v": 10}, {"k": 2, "v": 20}, {"k": 3, "v": 30}]
+    )
+    t = dt.datetime(2024, 1, 1)
+
+    def chg(rows):
+        return ray.data.from_items(rows)
+
+    changes = chg(
+        [
+            {"k": 1, "v": 11, "ts": t, "seq": 1, "op": "upsert"},
+            {"k": 2, "v": 0, "ts": t, "seq": 2, "op": "delete"},
+            # later than the as_of cut: must be invisible
+            {"k": 1, "v": 99, "ts": dt.datetime(2024, 6, 1), "seq": 3, "op": "upsert"},
+            {"k": 3, "v": 0, "ts": dt.datetime(2024, 6, 1), "seq": 4, "op": "delete"},
+        ]
+    )
+    snap = (
+        asof_state(base, changes, "k", ["v"], as_of=dt.datetime(2024, 3, 1))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(snap["k"]) == [1, 3] and list(snap["v"]) == [11, 30]
+    # as-of "now" equals the plain CDC merge
+    now = asof_state(
+        base, changes, "k", ["v"], as_of=dt.datetime(2030, 1, 1)
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    full = cdc_apply(base, changes, "k", ["v"]).to_pandas().sort_values(
+        "k"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(now, full)

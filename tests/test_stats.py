@@ -214,3 +214,19 @@ def test_winsorized_stats_clamps_tails(ray_session):
     assert a["n"] == 101 and a["sum_w"] == expect
     b = out[out["g"] == "b"].iloc[0]
     assert b["n"] == 2 and b["lo"] == 5 and b["hi"] == 7 and b["sum_w"] == 12
+
+
+def test_psi_drift_detects_shift(ray_session):
+    import ray.data
+
+    from fastie_ray.ops.stats import psi_drift
+
+    a = ray.data.from_items([{"v": i % 4000} for i in range(2000)]).repartition(4)
+    b_same = ray.data.from_items([{"v": i % 4000} for i in range(2000)])
+    b_shift = ray.data.from_items([{"v": 8000 + i % 4000} for i in range(2000)])
+    same = psi_drift(a, b_same, "v", n_bins=16, bin_width=1000)
+    shift = psi_drift(a, b_shift, "v", n_bins=16, bin_width=1000)
+    assert len(same) == 16
+    assert same["n_a"].sum() == 2000 and same["n_b"].sum() == 2000
+    assert abs(same["psi_term"].sum()) < 1e-9  # identical distributions
+    assert shift["psi_term"].sum() > 0.2  # actionable drift

@@ -543,6 +543,16 @@ def _classifier_sql(n_iter: int = 3, n_features: int = 64) -> str:
     )
 
 
+def _uncertain_sql(n_iter: int = 3, n_features: int = 64, k: int = 50) -> str:
+    """Active-learning oracle: the classifier unroll wrapped in a
+    margin-ordered LIMIT."""
+    base = _classifier_sql(n_iter=n_iter, n_features=n_features)
+    return (
+        "SELECT doc_id, score, CAST(abs(score) AS BIGINT) AS margin "
+        f"FROM ({base}) ORDER BY margin, doc_id LIMIT {k}"
+    )
+
+
 def _kcenter_sql(k: int = 5) -> str:
     """Unrolled Gonzalez farthest-first oracle: one (pick, min-dist
     update) CTE pair per center, integer-grid distances."""
@@ -3370,6 +3380,44 @@ def _q_psi_drift(sf_dir: str):
     )
 
 
+def _q_host_cocitation(sf_dir: str):
+    """Co-citation host similarity: top-100 host pairs linked by the
+    same pages (``ops.web_graph.host_cocitation``; per-page pair
+    enumeration is bounded by links-per-page, combiner + one
+    pair-bucketed exchange)."""
+    from fastie_ray.ops.web_graph import host_cocitation
+
+    return host_cocitation(_pages(sf_dir), k=100)
+
+
+def _q_uncertain_docs(sf_dir: str):
+    """Active-learning acquisition: train the integer perceptron,
+    score the corpus, keep the 50 docs with the smallest |score|
+    (``ops.linear_train.uncertainty_sample`` — local bottom-k
+    combiner, no exchange). Oracle = training unroll + scoring CTE +
+    margin order."""
+    import pandas as pd
+
+    from fastie_ray.ops.linear_train import (
+        perceptron_score,
+        perceptron_train,
+        uncertainty_sample,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def lab(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["y"] = (df["lang"] == "en").map({True: 1, False: -1}).astype("int64")
+        return df
+
+    w = perceptron_train(
+        ds.map_batches(lab, batch_format="pandas"), "y", n_iter=3, n_features=64
+    )
+    scored = perceptron_score(ds, w["weight"].to_numpy(), n_features=64)
+    return uncertainty_sample(scored, k=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3494,6 +3542,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_stats": _q_winsorized_stats,
         "asof_state": _q_asof_state,
         "psi_drift": _q_psi_drift,
+        "host_cocitation": _q_host_cocitation,
+        "uncertain_docs": _q_uncertain_docs,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -3776,6 +3826,7 @@ def oracle_sql() -> dict[str, str]:
         "kcenter": _kcenter_sql(k=5),
         "perceptron": _perceptron_sql(n_iter=3, n_features=64),
         "classifier_preds": _classifier_sql(n_iter=3, n_features=64),
+        "uncertain_docs": _uncertain_sql(n_iter=3, n_features=64, k=50),
         "infer_batches": """
             WITH c AS (
                 SELECT doc_id,
@@ -5220,6 +5271,22 @@ def oracle_sql() -> dict[str, str]:
                        || ' h' || lpad(CAST(h AS VARCHAR), 2, '0') AS anchor,
                    count(*) AS n
             FROM links GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "host_cocitation": """
+            WITH j(j) AS (VALUES (0), (1), (2), (3)),
+            links AS (
+                SELECT DISTINCT d.doc_id,
+                       'h' || lpad(CAST((d.doc_id * 31 + (j.j // 2) * 17) % 97
+                           AS VARCHAR), 2, '0') || '.example.net' AS host
+                FROM documents d CROSS JOIN j
+                WHERE d.doc_id % 7 = 3 AND j.j < 2 + d.doc_id % 3
+            )
+            SELECT a.host AS host_a, b.host AS host_b,
+                   count(*) AS n_pages
+            FROM links a JOIN links b
+              ON a.doc_id = b.doc_id AND a.host < b.host
+            GROUP BY 1, 2
+            ORDER BY n_pages DESC, host_a, host_b LIMIT 100
         """,
         # Morton code: x takes even bit positions, y odd (8 bits each);
         # block = ROW_NUMBER() OVER (ORDER BY z, event_id) cut at 512.

@@ -235,3 +235,26 @@ def grouped_ols(
          "intercept": np.round(intercept, round_dp)}
     )
     return out.sort_values("group").reset_index(drop=True)
+
+
+def uncertainty_sample(
+    scored: "ray.data.Dataset",
+    k: int,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> pd.DataFrame:
+    """Active-learning acquisition: the ``k`` rows the model is LEAST
+    sure about — smallest |score| (margin), ties by id. Per-batch local
+    bottom-k combiner, driver merges blocks × k candidates; no
+    exchange. The standard label-budget allocator for classifier-
+    curated corpora (label what the filter can't decide)."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, score_col]].copy()
+        out["margin"] = out[score_col].abs().astype("int64")
+        return out.sort_values(["margin", id_col]).head(k)
+
+    cand = scored.map_batches(local, batch_format="pandas").to_pandas()
+    out = cand.sort_values(["margin", id_col]).head(k)
+    out[score_col] = out[score_col].astype("int64")
+    return out.reset_index(drop=True)

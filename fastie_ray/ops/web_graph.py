@@ -185,3 +185,71 @@ def anchor_texts(pages: "ray.data.Dataset", n_buckets: int = 16) -> pd.DataFrame
         )
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["dst_host", "anchor"]).reset_index(drop=True)
+
+
+def host_cocitation(
+    pages: "ray.data.Dataset", k: int = 100, n_buckets: int = 16
+) -> pd.DataFrame:
+    """Co-citation pairs: two hosts are similar when the same pages
+    link to BOTH (the classic link-graph similarity signal). Per page,
+    enumerate its distinct dst-host pairs (bounded: a page carries few
+    links); count pairs with a per-batch combiner; finish with one
+    pair-bucketed exchange + per-bucket top-k, driver merges
+    buckets × k rows. Returns top-``k`` (host_a, host_b, n_pages),
+    host_a < host_b, ties broken lexicographically."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = _links_batch(batch).to_pandas()
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "host_a": pd.Series([], dtype=str),
+                    "host_b": pd.Series([], dtype=str),
+                    "n_pages": pd.Series([], dtype=np.int64),
+                }
+            )
+        d = df[["src_url", "dst_host"]].drop_duplicates()
+        pairs = d.merge(d, on="src_url", suffixes=("_a", "_b"))
+        pairs = pairs[pairs["dst_host_a"] < pairs["dst_host_b"]]
+        out = pairs.groupby(
+            ["dst_host_a", "dst_host_b"], as_index=False
+        ).agg(n_pages=("src_url", "count"))
+        out.columns = ["host_a", "host_b", "n_pages"]
+        out["n_pages"] = out["n_pages"].astype(np.int64)
+        return out
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(
+            ["host_a", "host_b"], as_index=False
+        )["n_pages"].sum()
+        return out.sort_values(
+            ["n_pages", "host_a", "host_b"], ascending=[False, True, True]
+        ).head(k)
+
+    cand = (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            lambda d: _bucket(
+                d,
+                d["host_a"] + "\x00" + d["host_b"] if len(d) else d["host_a"],
+                n_buckets,
+            ),
+            batch_format="pandas",
+        )
+        .groupby("__b")
+        .map_groups(local_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {
+                "host_a": pd.Series([], dtype=str),
+                "host_b": pd.Series([], dtype=str),
+                "n_pages": pd.Series([], dtype="int64"),
+            }
+        )
+    out = cand.sort_values(
+        ["n_pages", "host_a", "host_b"], ascending=[False, True, True]
+    ).head(k)
+    out["n_pages"] = out["n_pages"].astype("int64")
+    return out.reset_index(drop=True)

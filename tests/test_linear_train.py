@@ -146,3 +146,16 @@ def test_grouped_ols_matches_polyfit_any_partitioning():
         for g, sl, ic in got.itertuples(index=False):
             assert abs(sl - want[g][0]) <= 2e-4, (g, sl, want[g])
             assert abs(ic - want[g][1]) <= 2e-4, (g, ic, want[g])
+
+
+def test_uncertainty_sample_picks_smallest_margins(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.linear_train import uncertainty_sample
+
+    rows = [{"doc_id": i, "score": s} for i, s in enumerate([5, -1, 0, 3, -2, 1])]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = uncertainty_sample(ds, k=3)
+    assert list(out["doc_id"]) == [2, 1, 5]  # margins 0, 1, 1 (tie by id)
+    assert list(out["margin"]) == [0, 1, 1]

@@ -122,3 +122,20 @@ def test_host_links_and_anchors_aggregate(ray_session):
     # the streaming extractor agrees with the aggregate totals
     raw = extract_links(pages).to_pandas()
     assert len(raw) == int(want_hosts["n_links"].sum())
+
+
+def test_host_cocitation_pairs(ray_session):
+    from fastie_ray.ops.web_graph import host_cocitation
+
+    pages = _tiny_pages()
+    exp = _expected_links()
+    d = exp[["doc", "host"]].drop_duplicates()
+    pairs = d.merge(d, on="doc", suffixes=("_a", "_b"))
+    pairs = pairs[pairs["host_a"] < pairs["host_b"]]
+    want = (
+        pairs.groupby(["host_a", "host_b"]).size().reset_index(name="n_pages")
+        .sort_values(["n_pages", "host_a", "host_b"], ascending=[False, True, True])
+        .reset_index(drop=True)
+    )
+    got = host_cocitation(pages, k=1000, n_buckets=4)
+    pd.testing.assert_frame_equal(got, want.astype({"n_pages": "int64"}))

@@ -3418,6 +3418,14 @@ def _q_uncertain_docs(sf_dir: str):
     return uncertainty_sample(scored, k=50)
 
 
+def _q_readability(sf_dir: str):
+    """Flesch reading-ease per doc (vectorized regex counts, streaming;
+    ``ops.text_analysis.readability_scores``)."""
+    from fastie_ray.ops.text_analysis import readability_scores
+
+    return readability_scores(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3544,6 +3552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_drift": _q_psi_drift,
         "host_cocitation": _q_host_cocitation,
         "uncertain_docs": _q_uncertain_docs,
+        "readability": _q_readability,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -5271,6 +5280,23 @@ def oracle_sql() -> dict[str, str]:
                        || ' h' || lpad(CAST(h AS VARCHAR), 2, '0') AS anchor,
                    count(*) AS n
             FROM links GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "readability": """
+            WITH c AS (
+                SELECT doc_id,
+                       greatest(CAST(len(regexp_extract_all(text,
+                           '[A-Za-z0-9]+')) AS BIGINT), 1) AS n_words,
+                       greatest(CAST(len(regexp_extract_all(text,
+                           '[.!?]+')) AS BIGINT), 1) AS n_sents,
+                       CAST(len(regexp_extract_all(text,
+                           '[aeiouyAEIOUY]+')) AS BIGINT) AS n_sylls
+                FROM documents
+            )
+            SELECT doc_id, n_words, n_sents, n_sylls,
+                   round(206.835 - 1.015 * (n_words / CAST(n_sents AS DOUBLE))
+                         - 84.6 * (n_sylls / CAST(n_words AS DOUBLE)), 4)
+                       AS flesch
+            FROM c
         """,
         "host_cocitation": """
             WITH j(j) AS (VALUES (0), (1), (2), (3)),

@@ -376,3 +376,33 @@ def keyword_topics(
         )
 
     return ds.map_batches(label, batch_format="pandas")
+
+
+def readability_batch(
+    df: pd.DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """Flesch reading-ease signals — the readability quality filter:
+    word / sentence / syllable counts (syllables ≈ vowel-group runs,
+    the standard heuristic) and the Flesch score
+    ``206.835 - 1.015·(w/s) - 84.6·(syll/w)``, rounded to 4 decimals.
+    All counts are integer-exact regex counts, so the score is
+    SQL-reproducible (regexp_extract_all + len); sentence and word
+    counts floor at 1 to keep the ratios total. Vectorized pandas str
+    ops, streaming, no exchange."""
+    words = df[text_col].str.count(r"[A-Za-z0-9]+").clip(lower=1).astype("int64")
+    sents = df[text_col].str.count(r"[.!?]+").clip(lower=1).astype("int64")
+    sylls = df[text_col].str.count(r"[aeiouyAEIOUY]+").astype("int64")
+    score = (206.835 - 1.015 * (words / sents) - 84.6 * (sylls / words)).round(4)
+    return pd.DataFrame(
+        {
+            id_col: df[id_col],
+            "n_words": words,
+            "n_sents": sents,
+            "n_sylls": sylls,
+            "flesch": score,
+        }
+    )
+
+
+def readability_scores(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    return ds.map_batches(readability_batch, batch_format="pandas")

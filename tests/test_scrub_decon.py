@@ -179,3 +179,19 @@ def test_clean_corpus_composition(ray_session):
     )
     assert out3.loc[0, "text"].endswith("mail me <EMAIL>")
     assert out3["n_copies"].tolist() == [2, 1]
+
+
+def test_readability_known_values():
+    import pandas as pd
+
+    from fastie_ray.ops.text_analysis import readability_batch
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["The cat sat. It ran!", ""]})
+    out = readability_batch(df)
+    r = out.iloc[0]
+    # words: The,cat,sat,It,ran = 5; sentences: '.' '!' = 2
+    # vowel-groups: e,a,a,I,a = 5
+    assert (r["n_words"], r["n_sents"], r["n_sylls"]) == (5, 2, 5)
+    assert r["flesch"] == round(206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5), 4)
+    # empty text floors words/sentences at 1
+    assert (out.iloc[1][["n_words", "n_sents", "n_sylls"]] == [1, 1, 0]).all()

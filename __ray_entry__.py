@@ -3426,6 +3426,20 @@ def _q_readability(sf_dir: str):
     return readability_scores(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_lang_ranks(sf_dir: str):
+    """Per-group global ROW_NUMBER (rank of every doc within its
+    language by length desc): the two-phase (group, key-range)
+    decomposition of ``ops.rank.grouped_rank`` — no sort barrier, hot
+    groups spread across their key ranges."""
+    from fastie_ray.ops.rank import grouped_rank
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return grouped_rank(
+        docs, group_col="lang", key_col="n_chars", tie_col="doc_id",
+        descending=True,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3553,6 +3567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_cocitation": _q_host_cocitation,
         "uncertain_docs": _q_uncertain_docs,
         "readability": _q_readability,
+        "lang_ranks": _q_lang_ranks,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -5280,6 +5295,13 @@ def oracle_sql() -> dict[str, str]:
                        || ' h' || lpad(CAST(h AS VARCHAR), 2, '0') AS anchor,
                    count(*) AS n
             FROM links GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "lang_ranks": """
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ) AS rank
+            FROM documents
         """,
         "readability": """
             WITH c AS (

@@ -98,3 +98,85 @@ def global_rank(
         .groupby("__b")
         .map_groups(scan, batch_format="pandas")
     )
+
+
+def grouped_rank(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    key_col: str,
+    tie_col: str,
+    descending: bool = False,
+    range_size: int = 64,
+    n_buckets: int = 16,
+    keep_cols: list[str] | None = None,
+    rank_col: str = "rank",
+) -> "ray.data.Dataset":
+    """Per-group global row numbering —
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY key [DESC], tie)``
+    — with the same no-sort-barrier decomposition as ``global_rank``,
+    keyed by (group, coarse range): the count combiner emits one row
+    per (group, rid) (bounded by groups × key-span/range_size, never
+    corpus rows), the driver exclusive-scans WITHIN each group, and one
+    (group, rid)-bucketed exchange ranks locally. Hot groups never
+    co-locate whole: a Zipf-headed group spreads across its key ranges,
+    so the partitioning assumption is per-(group, rid) volume, not
+    per-group volume."""
+    import ray
+
+    keep_cols = list(keep_cols) if keep_cols is not None else [group_col, tie_col, key_col]
+    for c in (group_col, key_col, tie_col):
+        if c not in keep_cols:
+            keep_cols = keep_cols + [c]
+
+    def rid_of(keys: pd.Series) -> pd.Series:
+        return (keys.astype("int64") // range_size).astype("int64")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"g": df[group_col], "rid": rid_of(df[key_col])})
+        return out.groupby(["g", "rid"], as_index=False).agg(n=("rid", "count"))
+
+    totals = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["g", "rid"], as_index=False)["n"]
+        .sum()
+        .sort_values(["g", "rid"], ascending=[True, not descending])
+    )
+    grp = totals.groupby("g", sort=False)["n"]
+    totals["off"] = (grp.cumsum() - totals["n"]).astype("int64")
+    offs = {
+        (g, int(r)): int(o)
+        for g, r, o in zip(totals["g"], totals["rid"], totals["off"])
+    }
+    off_ref = ray.put(offs)
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keep_cols].copy()
+        out["__rid"] = rid_of(df[key_col])
+        h = pd.util.hash_pandas_object(
+            df[group_col].astype(str) + "\x00" + out["__rid"].astype(str),
+            index=False,
+        ).to_numpy()
+        out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        o = ray.get(off_ref)
+        g = g.sort_values(
+            [group_col, "__rid", key_col, tie_col],
+            ascending=[True, not descending, not descending, True],
+        )
+        local = g.groupby([group_col, "__rid"], sort=False).cumcount().to_numpy()
+        base = np.asarray(
+            [o[(gv, int(r))] for gv, r in zip(g[group_col], g["__rid"])],
+            dtype=np.int64,
+        )
+        g = g.drop(columns=["__rid", "__b"])
+        g[rank_col] = (base + local + 1).astype("int64")
+        return g
+
+    return (
+        ds.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(scan, batch_format="pandas")
+    )

@@ -171,3 +171,39 @@ def test_cooc_per_doc_cap_is_lexicographic():
     assert pairs == set(
         tuple(sorted(p)) for p in itertools.combinations(["a1", "b2", "c3"], 2)
     )
+
+
+def test_grouped_rank_matches_window_semantics(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.rank import grouped_rank
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 400),
+            "k": rng.integers(0, 1000, 400),
+            "id": np.arange(400),
+        }
+    )
+    ds = ray.data.from_items(df.to_dict("records")).repartition(8)
+    got = (
+        grouped_rank(ds, "g", "k", "id", descending=True, range_size=64, n_buckets=4)
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    want = df.copy()
+    want["rank"] = (
+        want.sort_values(["k", "id"], ascending=[False, True])
+        .groupby("g")
+        .cumcount()
+        .add(1)
+    )
+    want = want.sort_values(["g", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["g", "k", "id", "rank"]].astype({"rank": "int64"}),
+        want[["g", "k", "id", "rank"]].astype({"rank": "int64"}),
+    )

@@ -3440,6 +3440,28 @@ def _q_lang_ranks(sf_dir: str):
     )
 
 
+def _q_value_mad(sf_dir: str):
+    """Robust dispersion per event type: median + MAD of the integer
+    value cents via two exact grouped-quantile passes
+    (``ops.stats.grouped_mad``)."""
+    import pandas as pd
+
+    from fastie_ray.ops.stats import grouped_mad
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "cents": (df["value"] * 100 + 0.5).astype("int64"),
+            }
+        )
+
+    return grouped_mad(ev.map_batches(cents, batch_format="pandas"),
+                       "event_type", "cents")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3568,6 +3590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uncertain_docs": _q_uncertain_docs,
         "readability": _q_readability,
         "lang_ranks": _q_lang_ranks,
+        "value_mad": _q_value_mad,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -5295,6 +5318,22 @@ def oracle_sql() -> dict[str, str]:
                        || ' h' || lpad(CAST(h AS VARCHAR), 2, '0') AS anchor,
                    count(*) AS n
             FROM links GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "value_mad": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ), m AS (
+                SELECT event_type,
+                       CAST(quantile_disc(cents, 0.5) AS BIGINT) AS median
+                FROM c GROUP BY event_type
+            )
+            SELECT c.event_type, m.median,
+                   CAST(quantile_disc(abs(c.cents - m.median), 0.5) AS BIGINT)
+                       AS mad
+            FROM c JOIN m USING (event_type)
+            GROUP BY c.event_type, m.median ORDER BY 1
         """,
         "lang_ranks": """
             SELECT lang, doc_id, n_chars,

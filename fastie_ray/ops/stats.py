@@ -600,3 +600,40 @@ def psi_drift(
     return pd.DataFrame(rows).astype(
         {"bin": "int64", "n_a": "int64", "n_b": "int64"}
     )
+
+
+def grouped_mad(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Median absolute deviation per group — the robust dispersion
+    companion to ``winsorized_stats`` (outliers move MAD not at all,
+    unlike stddev). Two exact grouped-quantile passes: (1) group
+    medians (group-domain exchange) broadcast as a map, (2) the same
+    machinery over ``|x - median_g|``. Integer ``col`` keeps both
+    medians SQL-exact (quantile_disc semantics: the deviation median is
+    an actual |x - med| value). Returns (group, median, mad)."""
+    med = grouped_quantiles(ds, group_col, col, [0.5], n_buckets).to_pandas()
+    med_map = dict(zip(med[group_col], med["value"]))
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[group_col].map(med_map)
+        return pd.DataFrame(
+            {
+                group_col: df[group_col],
+                "absdev": (df[col] - m).abs().astype("int64"),
+            }
+        )
+
+    mad = grouped_quantiles(
+        ds.map_batches(dev, batch_format="pandas"),
+        group_col, "absdev", [0.5], n_buckets,
+    ).to_pandas()
+    out = med.rename(columns={"value": "median"})[[group_col, "median"]].merge(
+        mad.rename(columns={"value": "mad"})[[group_col, "mad"]], on=group_col
+    )
+    out["median"] = out["median"].astype("int64")
+    out["mad"] = out["mad"].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)

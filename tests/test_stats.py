@@ -230,3 +230,20 @@ def test_psi_drift_detects_shift(ray_session):
     assert same["n_a"].sum() == 2000 and same["n_b"].sum() == 2000
     assert abs(same["psi_term"].sum()) < 1e-9  # identical distributions
     assert shift["psi_term"].sum() > 0.2  # actionable drift
+
+
+def test_grouped_mad_robust_to_outliers(ray_session):
+    import ray.data
+
+    from fastie_ray.ops.stats import grouped_mad
+
+    rows = [{"g": "a", "v": v} for v in [1, 2, 3, 4, 100]] + [
+        {"g": "b", "v": v} for v in [10, 10, 10]
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = grouped_mad(ds, "g", "v")
+    a = out[out["g"] == "a"].iloc[0]
+    # median of {1,2,3,4,100} = 3; |x-3| = {2,1,0,1,97} -> median 1
+    assert a["median"] == 3 and a["mad"] == 1
+    b = out[out["g"] == "b"].iloc[0]
+    assert b["median"] == 10 and b["mad"] == 0

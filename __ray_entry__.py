@@ -226,18 +226,16 @@ def _q_dedup_docs(sf_dir: str):
     return dedup_docs_exact(ds.map_batches(with_dups, batch_format="pandas"))
 
 
-def _q_fuzzy_dedup(sf_dir: str):
-    """Cluster-level fuzzy dedup (pairs -> connected components -> keep
-    min id per cluster). Planted construction: every 5th doc gains two
-    verbatim copies (+1e6, +2e6); pair generation here is exact-dup
-    STAR pairs per content fingerprint so the SQL oracle can reproduce
-    clusters as text-equality groups (GROUP BY text) — transitive-chain
-    CC semantics are pytest-covered on constructed graphs."""
-    import pandas as pd
-    import numpy as np
-    import ray.data
+def _planted_dup_docs_pairs(sf_dir: str):
+    """Shared planted construction for the fuzzy-dedup family: every
+    5th doc gains two verbatim copies (+1e6, +2e6); near-dup pairs are
+    exact-dup STAR pairs per content fingerprint (each text-equality
+    group co-located on its fingerprint bucket), so SQL oracles can
+    reproduce clusters as GROUP BY text."""
+    import hashlib
 
-    from fastie_ray.ops.dedup import fuzzy_dedup_keep_one
+    import numpy as np
+    import pandas as pd
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -249,10 +247,6 @@ def _q_fuzzy_dedup(sf_dir: str):
         return pd.concat([df, d1, d2], ignore_index=True)
 
     planted = ds.map_batches(plant, batch_format="pandas")
-
-    # star pairs per content fingerprint (bucketed on the fingerprint
-    # so each text-equality group is co-located)
-    import hashlib
 
     def fp_rows(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -290,7 +284,36 @@ def _q_fuzzy_dedup(sf_dir: str):
         .groupby("__b")
         .map_groups(stars, batch_format="pandas")
     )
+    return planted, pairs
+
+
+def _q_fuzzy_dedup(sf_dir: str):
+    """Cluster-level fuzzy dedup (pairs -> connected components -> keep
+    min id per cluster). Planted construction shared with
+    dedup_keep_best (``_planted_dup_docs_pairs``); transitive-chain CC
+    semantics are pytest-covered on constructed graphs."""
+    from fastie_ray.ops.dedup import fuzzy_dedup_keep_one
+
+    planted, pairs = _planted_dup_docs_pairs(sf_dir)
     return fuzzy_dedup_keep_one(planted, pairs)
+
+
+def _q_dedup_keep_best(sf_dir: str):
+    """Quality-aware fuzzy dedup: each cluster keeps its HIGHEST-score
+    member — score = doc_id here, i.e. keep-latest-crawl semantics
+    (``ops.dedup.fuzzy_dedup_keep_best``)."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import fuzzy_dedup_keep_best
+
+    planted, pairs = _planted_dup_docs_pairs(sf_dir)
+    scored = planted.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"], "score": df["doc_id"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    return fuzzy_dedup_keep_best(scored, pairs, score_col="score")
 
 
 _STRAT_RATES = {"en": 0.3, "zh": 0.8, "es": 0.5, "de": 1.0}
@@ -3591,6 +3614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": _q_readability,
         "lang_ranks": _q_lang_ranks,
         "value_mad": _q_value_mad,
+        "dedup_keep_best": _q_dedup_keep_best,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -4914,6 +4938,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
             )
             SELECT min(doc_id) AS doc_id, count(*) AS cluster_size
+            FROM planted GROUP BY text
+        """,
+        "dedup_keep_best": """
+            WITH planted AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT max(doc_id) AS doc_id, count(*) AS cluster_size
             FROM planted GROUP BY text
         """,
         "stratified_sample": _stratified_sample_sql(),

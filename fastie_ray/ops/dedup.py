@@ -441,3 +441,114 @@ def dup_cluster_histogram(
     )
     out = out.astype({"cluster_size": "int64", "n_clusters": "int64"})
     return out.sort_values("cluster_size").reset_index(drop=True)
+
+
+def fuzzy_dedup_keep_best(
+    docs: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    score_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Quality-aware cluster dedup: like ``fuzzy_dedup_keep_one`` but
+    each near-duplicate cluster keeps its HIGHEST-``score_col`` member
+    (ties → smallest id) instead of the minimum id — the curation rule
+    that keeps the best/freshest copy (score = quality, or the doc id
+    itself for keep-latest-crawl). Returns (doc_id, cluster_size) for
+    kept docs; unpaired docs are singletons (size 1).
+
+    Scale shape: CC labels as a dataset, then TWO tag-union exchanges —
+    (1) on the doc id: attach each member's score to its component and
+    pass singleton docs straight through; (2) on the component id:
+    vectorized per-component argmax + size. No Acero joins, no driver
+    structures."""
+    import pyarrow as pa
+
+    from fastie_ray.stages.canonicalize import connected_components_ds
+
+    def to_uv(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["doc_a"], "v": df["doc_b"]})
+
+    labels = connected_components_ds(
+        pairs.map_batches(to_uv, batch_format="pandas"), n_buckets=n_buckets
+    )
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("cluster_size", pa.int64())])
+    mem_schema = pa.schema(
+        [("comp", pa.int64()), ("id", pa.int64()), ("score", pa.int64())]
+    )
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "id": df[id_col].astype("int64"),
+                "comp": np.int64(-1),
+                "score": df[score_col].astype("int64"),
+                "__side": "d",
+            }
+        )
+        return _id_bucket(out, n_buckets)
+
+    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "id": df["node"].astype("int64"),
+                "comp": df["component_id"].astype("int64"),
+                "score": np.int64(0),
+                "__side": "l",
+            }
+        )
+        return _id_bucket(out, n_buckets)
+
+    def attach(g: pd.DataFrame):
+        # singletons (docs in no pair) ride the same downstream
+        # exchange under a UNIQUE negative component id, so one
+        # per-component argmax resolves keepers and singletons alike
+        d = g[g["__side"] == "d"][["id", "score"]]
+        l = g[g["__side"] == "l"][["id", "comp"]]
+        m = d.merge(l, on="id", how="left")
+        comp = m["comp"].fillna(-m["id"] - 1).astype("int64")
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "comp": comp,
+                    "id": m["id"].astype("int64"),
+                    "score": m["score"].astype("int64"),
+                }
+            ),
+            schema=mem_schema,
+            preserve_index=False,
+        )
+
+    tagged = docs.map_batches(tag_docs, batch_format="pandas").union(
+        labels.map_batches(tag_labels, batch_format="pandas")
+    )
+    members = tagged.groupby("__b").map_groups(attach, batch_format="pandas")
+
+    def add_cb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        df["__b"] = (
+            df["comp"].to_numpy().view(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return df
+
+    def best(g: pd.DataFrame):
+        g = g.sort_values(["comp", "score", "id"], ascending=[True, False, True])
+        sizes = g.groupby("comp", sort=False)["id"].transform("size")
+        first = ~g["comp"].duplicated()
+        out = pd.DataFrame(
+            {
+                "doc_id": g.loc[first, "id"].astype("int64"),
+                "cluster_size": sizes[first].astype("int64"),
+            }
+        )
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return (
+        members.map_batches(add_cb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(best, batch_format="pandas")
+    )

@@ -117,3 +117,40 @@ def test_dup_cluster_histogram_no_pairs():
     out = dup_cluster_histogram(ray.data.from_pandas(pairs), total_docs=7)
     assert out["cluster_size"].tolist() == [1]
     assert out["n_clusters"].tolist() == [7]
+
+
+def test_fuzzy_keep_best_transitive_chain(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.dedup import fuzzy_dedup_keep_best
+
+    # chain 1-2, 2-3 (one cluster) + pair 10-11 + singleton 20;
+    # quality favors doc 2 in the chain and doc 10 in the pair
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "score": 5},
+            {"doc_id": 2, "score": 9},
+            {"doc_id": 3, "score": 7},
+            {"doc_id": 10, "score": 4},
+            {"doc_id": 11, "score": 3},
+            {"doc_id": 20, "score": 1},
+        ]
+    )
+    pairs = ray.data.from_items(
+        [
+            {"doc_a": 1, "doc_b": 2},
+            {"doc_a": 2, "doc_b": 3},
+            {"doc_a": 10, "doc_b": 11},
+        ]
+    )
+    out = (
+        fuzzy_dedup_keep_best(docs, pairs, score_col="score", n_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"doc_id": [2, 10, 20], "cluster_size": [3, 2, 1]}
+    ).astype("int64")
+    pd.testing.assert_frame_equal(out, want)

@@ -3485,6 +3485,45 @@ def _q_value_mad(sf_dir: str):
                        "event_type", "cents")
 
 
+def _q_kg_edge_spans(sf_dir: str):
+    """Temporal KG lineage: per (subject, predicate, object) triple,
+    support count and the first/last crawl timestamp it was observed
+    (min/max warc_ts in microseconds) — the edge-validity layer an
+    incremental KG needs to expire stale facts. Partial min/max/count
+    combiner + one triple-bucketed exchange over the extraction path."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from fastie_ray.pipelines.kg import _bucketed_groupby, doc_triples
+    from fastie_ray.synth import EPOCH_US
+
+    world_ref = ray.put(_world())
+    triples = doc_triples(_pages(sf_dir), world_ref=world_ref, concurrency=_conc())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        doc_id = df["url"].str.rsplit("/", n=1).str[-1].astype("int64")
+        df["ts_us"] = (EPOCH_US + doc_id * 1_000_000).astype("int64")
+        return df.groupby(
+            ["subject", "predicate", "object"], as_index=False
+        ).agg(n_docs=("ts_us", "count"), first_us=("ts_us", "min"),
+              last_us=("ts_us", "max"))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["subject", "predicate", "object"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), first_us=("first_us", "min"),
+            last_us=("last_us", "max"),
+        )
+        return out.astype(
+            {"n_docs": "int64", "first_us": "int64", "last_us": "int64"}
+        )
+
+    return _bucketed_groupby(
+        triples.map_batches(partial, batch_format="pandas"), "subject", final, 8
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3615,6 +3654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_ranks": _q_lang_ranks,
         "value_mad": _q_value_mad,
         "dedup_keep_best": _q_dedup_keep_best,
+        "kg_edge_spans": _q_kg_edge_spans,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -4853,6 +4893,17 @@ def oracle_sql() -> dict[str, str]:
                       JOIN eids e ON e.i = f.i)""",
             n_iter=3,
         ),
+        "kg_edge_spans": f"""
+            WITH {FACTS}
+            SELECT f.subject, f.predicate, f.object,
+                   count(*) AS n_docs,
+                   CAST(1700000000000000 + min(d.doc_id) * 1000000 AS BIGINT)
+                       AS first_us,
+                   CAST(1700000000000000 + max(d.doc_id) * 1000000 AS BIGINT)
+                       AS last_us
+            FROM documents d JOIN facts f ON f.i = d.doc_id % {NF}
+            GROUP BY 1, 2, 3
+        """,
         "kg_edges_delta": f"""
             WITH {FACTS}, {EIDS}
             SELECT e.sub_eid AS subject_id, f.predicate AS predicate,

@@ -480,16 +480,19 @@ def _perceptron_sql(n_iter: int = 3, n_features: int = 64) -> str:
     )
 
 
-def _pagerank_sql_over(edges_cte: str, n_iter: int = 3) -> str:
+def _pagerank_sql_over(edges_cte: str, n_iter: int = 3, weighted: bool = False) -> str:
     """Unrolled fixed-point integer-PageRank oracle over any
     ``edges(src, dst)`` DISTINCT edge CTE (same arithmetic as the
-    hand-written customer-supplier pagerank oracle)."""
+    hand-written customer-supplier pagerank oracle). With ``weighted``
+    the CTE must expose ``edges(src, dst, w)``; outdeg becomes the
+    total out-weight and flow is ``rank · w // outdeg``."""
+    deg_expr = "sum(w)" if weighted else "count(*)"
     ctes = [
         edges_cte,
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
-        """deg AS (SELECT node, CAST(coalesce(d.d, 0) AS BIGINT) AS outdeg
+        f"""deg AS (SELECT node, CAST(coalesce(d.d, 0) AS BIGINT) AS outdeg
             FROM nodes LEFT JOIN (
-                SELECT src AS node, count(*) AS d FROM edges GROUP BY 1
+                SELECT src AS node, {deg_expr} AS d FROM edges GROUP BY 1
             ) d USING (node))""",
         "params AS (SELECT count(*) AS n FROM nodes)",
         """r0 AS (SELECT node, outdeg, CAST(1000000000000 // p.n AS BIGINT) AS rank
@@ -500,8 +503,9 @@ def _pagerank_sql_over(edges_cte: str, n_iter: int = 3) -> str:
             f"d{t} AS (SELECT coalesce(sum(rank), 0) AS dang "
             f"FROM r{t - 1} WHERE outdeg = 0)"
         )
+        flow = "r.rank * e.w // r.outdeg" if weighted else "r.rank // r.outdeg"
         ctes.append(
-            f"c{t} AS (SELECT e.dst AS node, sum(r.rank // r.outdeg) AS contrib "
+            f"c{t} AS (SELECT e.dst AS node, sum({flow}) AS contrib "
             f"FROM edges e JOIN r{t - 1} r ON e.src = r.node GROUP BY 1)"
         )
         ctes.append(
@@ -3524,6 +3528,41 @@ def _q_kg_edge_spans(sf_dir: str):
     )
 
 
+def _q_weighted_salience(sf_dir: str):
+    """Support-weighted entity salience: PageRank over the extracted
+    KG with edge weight = total support count per (subject, object)
+    pair (``ops.graph.pagerank(weight_col=…)``) — heavily-attested
+    edges carry proportionally more rank than one-off extractions."""
+    import pandas as pd
+
+    from fastie_ray.ops.graph import pagerank
+    from fastie_ray.pipelines.kg import _bucketed_groupby, graph_tables
+
+    t = graph_tables(
+        _pages(sf_dir), world=_world(), concurrency=_conc(), want=("edges",)
+    )["edges"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "src": df["subject_id"],
+                "dst": df["object_id"],
+                "w": df["n_support"].astype("int64"),
+            }
+        )
+        return out.groupby(["src", "dst"], as_index=False)["w"].sum()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["src", "dst"], as_index=False)["w"].sum()
+        out["w"] = out["w"].astype("int64")
+        return out
+
+    edges = _bucketed_groupby(
+        t.map_batches(partial, batch_format="pandas"), "src", final, 8
+    )
+    return pagerank(edges, n_iter=3, weight_col="w")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3655,6 +3694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad": _q_value_mad,
         "dedup_keep_best": _q_dedup_keep_best,
         "kg_edge_spans": _q_kg_edge_spans,
+        "weighted_salience": _q_weighted_salience,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -4884,6 +4924,17 @@ def oracle_sql() -> dict[str, str]:
                       JOIN eids e ON e.i = f.i)""",
             walk_len=4,
             walks_per_node=2,
+        ),
+        "weighted_salience": _pagerank_sql_over(
+            f"""{FACTS}, {EIDS},
+            edges AS (SELECT e.sub_eid AS src, e.obj_eid AS dst,
+                             CAST(count(*) AS BIGINT) AS w
+                      FROM documents d
+                      JOIN facts f ON f.i = d.doc_id % {NF}
+                      JOIN eids e ON e.i = f.i
+                      GROUP BY 1, 2)""",
+            n_iter=3,
+            weighted=True,
         ),
         "entity_salience": _pagerank_sql_over(
             f"""{FACTS}, {EIDS},

@@ -52,13 +52,20 @@ def _bucket(keys: pd.Series, n_buckets: int) -> np.ndarray:
 
 
 def node_table(
-    edges: "ray.data.Dataset", n_buckets: int = 32
+    edges: "ray.data.Dataset", n_buckets: int = 32, weight_col: str | None = None
 ) -> "ray.data.Dataset":
     """(node, outdeg) over distinct src ∪ dst — per-batch combiner
-    (distinct nodes + src counts per batch) then one bucketed final."""
+    (distinct nodes + src counts per batch) then one bucketed final.
+    With ``weight_col``, ``outdeg`` is the total OUT-WEIGHT instead of
+    the edge count (weighted-PageRank denominator)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        deg = df.groupby("src", as_index=False).agg(outdeg=("dst", "count"))
+        if weight_col is None:
+            deg = df.groupby("src", as_index=False).agg(outdeg=("dst", "count"))
+        else:
+            deg = df.groupby("src", as_index=False).agg(
+                outdeg=(weight_col, "sum")
+            )
         deg = deg.rename(columns={"src": "node"})
         sinks = pd.DataFrame(
             {"node": df["dst"].drop_duplicates(), "outdeg": np.int64(0)}
@@ -103,10 +110,17 @@ def pagerank(
     n_buckets: int = 32,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    weight_col: str | None = None,
 ) -> "ray.data.Dataset":
     """(node, rank_scaled) after ``n_iter`` fixed-point iterations.
     ``edges`` must be DISTINCT (src, dst) rows — multi-edges would
     count double (dedup upstream with ``dedup_exact`` if needed).
+
+    ``weight_col`` switches to WEIGHTED PageRank: each edge carries an
+    integer weight (e.g. KG edge support) and a node's rank flows to
+    its successors proportionally (``rank · w // out_weight``). Weights
+    must keep ``rank · w`` inside int64 (rank ≤ scale = 10^12, so
+    weights up to ~10^6 are safe).
 
     With ``checkpoint_dir`` the node-sized rank table is written to
     parquet after every iteration (``iter_NNNN/`` + a ``_COMPLETE``
@@ -139,7 +153,7 @@ def pagerank(
         n = ranks.count()
         base = scale // n
     else:
-        ranks = node_table(edges, n_buckets).materialize()
+        ranks = node_table(edges, n_buckets, weight_col=weight_col).materialize()
         n = ranks.count()
         base = scale // n
 
@@ -161,18 +175,22 @@ def pagerank(
         )
         joined = hash_join(
             edges, ranks, on="src", right_on="node",
-            left_cols=["src", "dst"],
+            left_cols=["src", "dst"] + ([weight_col] if weight_col else []),
             right_cols=["node", "rank", "outdeg"],
             n_buckets=n_buckets,
         )
 
         def contrib_partial(df: pd.DataFrame) -> pd.DataFrame:
+            if weight_col is None:
+                flow = df["rank"].astype("int64") // df["outdeg"].astype("int64")
+            else:
+                flow = (
+                    df["rank"].astype("int64") * df[weight_col].astype("int64")
+                ) // df["outdeg"].astype("int64")
             c = pd.DataFrame(
                 {
                     "node": df["dst"],
-                    "contrib": (
-                        df["rank"].astype("int64") // df["outdeg"].astype("int64")
-                    ),
+                    "contrib": flow,
                 }
             )
             out = c.groupby("node", as_index=False)["contrib"].sum()

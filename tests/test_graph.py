@@ -415,3 +415,37 @@ def test_kcore_broadcast_and_semijoin_paths_agree():
         ds, k=3, rounds=3, n_buckets=4, broadcast_threshold=0  # force semi-join
     ).to_pandas().sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_weighted_pagerank_favors_heavy_edges(ray_session):
+    import ray.data
+
+    from fastie_ray.ops.graph import pagerank
+
+    # a sends 9/10 of its rank to b and 1/10 to c
+    edges = ray.data.from_items(
+        [
+            {"src": "a", "dst": "b", "w": 9},
+            {"src": "a", "dst": "c", "w": 1},
+        ]
+    )
+    out = (
+        pagerank(edges, n_iter=3, weight_col="w")
+        .to_pandas()
+        .set_index("node")["rank_scaled"]
+    )
+    assert out["b"] > out["c"] > 0
+    # uniform weights reproduce the unweighted ranks exactly
+    uni_w = ray.data.from_items(
+        [
+            {"src": "a", "dst": "b", "w": 1},
+            {"src": "a", "dst": "c", "w": 1},
+        ]
+    )
+    uni = ray.data.from_items(
+        [{"src": "a", "dst": "b"}, {"src": "a", "dst": "c"}]
+    )
+    w_ranks = pagerank(uni_w, n_iter=3, weight_col="w").to_pandas()
+    u_ranks = pagerank(uni, n_iter=3).to_pandas()
+    merged = w_ranks.merge(u_ranks, on="node", suffixes=("_w", "_u"))
+    assert (merged["rank_scaled_w"] == merged["rank_scaled_u"]).all()

@@ -3563,6 +3563,18 @@ def _q_weighted_salience(sf_dir: str):
     return pagerank(edges, n_iter=3, weight_col="w")
 
 
+def _q_split_leakage(sf_dir: str):
+    """Contamination audit: near-dup pairs (planted-duplicate
+    construction) whose endpoints fall in different splits under a
+    ROW-keyed md5 split — row-wise splitting of a dup-heavy corpus
+    leaks, and this measures how much
+    (``ops.splits.split_leakage_audit``)."""
+    from fastie_ray.ops.splits import split_leakage_audit
+
+    _, pairs = _planted_dup_docs_pairs(sf_dir)
+    return split_leakage_audit(pairs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3695,6 +3707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "kg_edge_spans": _q_kg_edge_spans,
         "weighted_salience": _q_weighted_salience,
+        "split_leakage": _q_split_leakage,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -5041,6 +5054,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, count(*) AS cluster_size
             FROM planted GROUP BY text
+        """,
+        "split_leakage": """
+            WITH planted AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+            ), g AS (
+                SELECT doc_id,
+                       min(doc_id) OVER (PARTITION BY text) AS hub
+                FROM planted
+            ), p AS (
+                SELECT hub AS a, doc_id AS b FROM g WHERE doc_id <> hub
+            ), sp AS (
+                SELECT a, b,
+                       CASE WHEN CAST(('0x' || substr(md5('split:'
+                                || CAST(a AS VARCHAR)), 1, 8)) AS BIGINT)
+                                % 10000 < 9000 THEN 'train'
+                            WHEN CAST(('0x' || substr(md5('split:'
+                                || CAST(a AS VARCHAR)), 1, 8)) AS BIGINT)
+                                % 10000 < 9500 THEN 'val'
+                            ELSE 'test' END AS sa,
+                       CASE WHEN CAST(('0x' || substr(md5('split:'
+                                || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+                                % 10000 < 9000 THEN 'train'
+                            WHEN CAST(('0x' || substr(md5('split:'
+                                || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT)
+                                % 10000 < 9500 THEN 'val'
+                            ELSE 'test' END AS sb
+                FROM p
+            )
+            SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+                   count(*) AS n_pairs
+            FROM sp GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "dedup_keep_best": """
             WITH planted AS (

@@ -120,3 +120,59 @@ def shuffle_shards(
         return out
 
     return ranked.map_batches(cut, batch_format="pandas")
+
+
+def split_leakage_audit(
+    pairs: "ray.data.Dataset",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split:",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> pd.DataFrame:
+    """Contamination audit: count near-duplicate pairs whose endpoints
+    landed in DIFFERENT splits under a row-keyed assignment — the check
+    that proves (or disproves) a split is leakage-safe. Group-hashed
+    splits score zero here by construction; row-hashed splits of a
+    dup-heavy corpus leak, and this measures how much.
+
+    Each endpoint's split is recomputed from the pure md5 grid (no join
+    — assignment is a function, not a table); a per-batch combiner
+    reduces to the splits × splits matrix and the driver merges
+    blocks × |matrix| rows. Returns (split_a, split_b, n_pairs) with
+    split_a ≤ split_b (unordered pair orientation), leaks = rows with
+    split_a ≠ split_b."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(fractions)
+    cums, acc = [], 0.0
+    for n in names:
+        acc += fractions[n]
+        cums.append(int(round(acc * GRANULARITY)))
+    cums[-1] = GRANULARITY
+    edges = np.array(cums)
+
+    def split_of(ids: pd.Series) -> np.ndarray:
+        b = _group_bucket(ids, salt).to_numpy()
+        return np.array(names, dtype=object)[np.searchsorted(edges, b, side="right")]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sa = split_of(df[a_col])
+        sb = split_of(df[b_col])
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        out = pd.DataFrame({"split_a": lo, "split_b": hi})
+        return out.groupby(["split_a", "split_b"], as_index=False).agg(
+            n_pairs=("split_a", "count")
+        )
+
+    parts = pairs.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "split_a": pd.Series([], dtype=str),
+                "split_b": pd.Series([], dtype=str),
+                "n_pairs": pd.Series([], dtype="int64"),
+            }
+        )
+    out = parts.groupby(["split_a", "split_b"], as_index=False)["n_pairs"].sum()
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values(["split_a", "split_b"]).reset_index(drop=True)

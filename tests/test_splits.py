@@ -80,3 +80,25 @@ def test_shuffle_shards_is_a_permutation(ray_session):
         out.sort_values("doc_id").reset_index(drop=True),
         out2.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_split_leakage_audit_group_vs_row(ray_session):
+    import ray.data
+
+    from fastie_ray.ops.splits import split_leakage_audit
+
+    # pairs within the same "site" group: a group-keyed split cannot
+    # leak; a row-keyed split of the same pairs can.
+    pairs = ray.data.from_items(
+        [{"doc_a": f"site{i}", "doc_b": f"site{i}"} for i in range(200)]
+    )
+    out = split_leakage_audit(pairs)
+    leaks = out[out["split_a"] != out["split_b"]]
+    assert len(leaks) == 0 and out["n_pairs"].sum() == 200
+
+    row_pairs = ray.data.from_items(
+        [{"doc_a": 2 * i, "doc_b": 2 * i + 1} for i in range(400)]
+    )
+    out2 = split_leakage_audit(row_pairs)
+    assert out2["n_pairs"].sum() == 400
+    assert out2.loc[out2["split_a"] != out2["split_b"], "n_pairs"].sum() > 0

@@ -480,13 +480,38 @@ def _perceptron_sql(n_iter: int = 3, n_features: int = 64) -> str:
     )
 
 
-def _pagerank_sql_over(edges_cte: str, n_iter: int = 3, weighted: bool = False) -> str:
+def _pagerank_sql_over(
+    edges_cte: str,
+    n_iter: int = 3,
+    weighted: bool = False,
+    seeds: list | None = None,
+) -> str:
     """Unrolled fixed-point integer-PageRank oracle over any
     ``edges(src, dst)`` DISTINCT edge CTE (same arithmetic as the
     hand-written customer-supplier pagerank oracle). With ``weighted``
     the CTE must expose ``edges(src, dst, w)``; outdeg becomes the
-    total out-weight and flow is ``rank · w // outdeg``."""
+    total out-weight and flow is ``rank · w // outdeg``. With ``seeds``
+    the teleport + dangling mass concentrate on the seed set
+    (personalized PageRank)."""
     deg_expr = "sum(w)" if weighted else "count(*)"
+    if seeds is None:
+        tele = "CAST(1000000000000 // p.n AS BIGINT)"
+        dang_share = "d.dang // p.n"
+        r0_rank = tele
+    else:
+        in_seeds = ", ".join(f"'{s}'" for s in seeds)
+        ns = len(seeds)
+        tele = (
+            f"CAST(CASE WHEN r.node IN ({in_seeds}) "
+            f"THEN {10**12 // ns} ELSE 0 END AS BIGINT)"
+        )
+        dang_share = (
+            f"CASE WHEN r.node IN ({in_seeds}) THEN d.dang // {ns} ELSE 0 END"
+        )
+        r0_rank = (
+            f"CAST(CASE WHEN node IN ({in_seeds}) "
+            f"THEN {10**12 // ns} ELSE 0 END AS BIGINT)"
+        )
     ctes = [
         edges_cte,
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
@@ -495,7 +520,7 @@ def _pagerank_sql_over(edges_cte: str, n_iter: int = 3, weighted: bool = False) 
                 SELECT src AS node, {deg_expr} AS d FROM edges GROUP BY 1
             ) d USING (node))""",
         "params AS (SELECT count(*) AS n FROM nodes)",
-        """r0 AS (SELECT node, outdeg, CAST(1000000000000 // p.n AS BIGINT) AS rank
+        f"""r0 AS (SELECT node, outdeg, {r0_rank} AS rank
             FROM deg, params p)""",
     ]
     for t in range(1, n_iter + 1):
@@ -510,8 +535,8 @@ def _pagerank_sql_over(edges_cte: str, n_iter: int = 3, weighted: bool = False) 
         )
         ctes.append(
             f"""r{t} AS (SELECT r.node, r.outdeg,
-            CAST(((100-85) * (1000000000000 // p.n)
-                + 85 * (coalesce(c.contrib, 0) + d.dang // p.n)) // 100
+            CAST(((100-85) * {tele}
+                + 85 * (coalesce(c.contrib, 0) + {dang_share})) // 100
                 AS BIGINT) AS rank
             FROM r{t - 1} r LEFT JOIN c{t} c USING (node), params p, d{t} d)"""
         )
@@ -3575,6 +3600,38 @@ def _q_split_leakage(sf_dir: str):
     return split_leakage_audit(pairs)
 
 
+def _ppr_seeds():
+    f0 = _world().facts[0]
+    return sorted({f0.subj.entity_id, f0.obj.entity_id})
+
+
+def _q_related_entities(sf_dir: str):
+    """Personalized PageRank from a 2-entity seed set over the
+    extracted KG (``ops.graph.pagerank(seeds=…)``): teleport + dangling
+    mass restart at the seeds, so ranks measure relatedness TO them —
+    the KG entity-relatedness query."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import pagerank
+    from fastie_ray.pipelines.kg import graph_tables
+
+    t = graph_tables(
+        _pages(sf_dir), world=_world(), concurrency=_conc(), want=("edges",)
+    )["edges"]
+    edges = t.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["subject_id"], "dst": df["object_id"]}
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+    return pagerank(
+        dedup_exact(edges, ["src", "dst"], n_buckets=16),
+        n_iter=3,
+        seeds=_ppr_seeds(),
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3708,6 +3765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_spans": _q_kg_edge_spans,
         "weighted_salience": _q_weighted_salience,
         "split_leakage": _q_split_leakage,
+        "related_entities": _q_related_entities,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -4948,6 +5006,15 @@ def oracle_sql() -> dict[str, str]:
                       GROUP BY 1, 2)""",
             n_iter=3,
             weighted=True,
+        ),
+        "related_entities": _pagerank_sql_over(
+            f"""{FACTS}, {EIDS},
+            edges AS (SELECT DISTINCT e.sub_eid AS src, e.obj_eid AS dst
+                      FROM documents d
+                      JOIN facts f ON f.i = d.doc_id % {NF}
+                      JOIN eids e ON e.i = f.i)""",
+            n_iter=3,
+            seeds=_ppr_seeds(),
         ),
         "entity_salience": _pagerank_sql_over(
             f"""{FACTS}, {EIDS},

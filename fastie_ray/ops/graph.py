@@ -111,10 +111,17 @@ def pagerank(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     weight_col: str | None = None,
+    seeds: list | None = None,
 ) -> "ray.data.Dataset":
     """(node, rank_scaled) after ``n_iter`` fixed-point iterations.
     ``edges`` must be DISTINCT (src, dst) rows — multi-edges would
     count double (dedup upstream with ``dedup_exact`` if needed).
+
+    ``seeds`` switches to PERSONALIZED PageRank: the teleport
+    distribution (and the dangling redistribution) concentrates on the
+    seed set instead of all nodes — ranks measure relatedness TO the
+    seeds (KG entity-relatedness queries). Seed sets are small by
+    definition and ship in the closure.
 
     ``weight_col`` switches to WEIGHTED PageRank: each edge carries an
     integer weight (e.g. KG edge support) and a node's rank flows to
@@ -157,8 +164,16 @@ def pagerank(
         n = ranks.count()
         base = scale // n
 
-        def init(df: pd.DataFrame) -> pd.DataFrame:
-            return df.assign(rank=np.int64(base))
+        if seeds is None:
+            def init(df: pd.DataFrame) -> pd.DataFrame:
+                return df.assign(rank=np.int64(base))
+        else:
+            seed_set = set(seeds)
+            seed_base = scale // len(seed_set)
+
+            def init(df: pd.DataFrame) -> pd.DataFrame:
+                r = np.where(df["node"].isin(seed_set), seed_base, 0)
+                return df.assign(rank=r.astype(np.int64))
 
         ranks = ranks.map_batches(init, batch_format="pandas").materialize()
 
@@ -215,10 +230,20 @@ def pagerank(
             g = g.drop(columns="__b").groupby("node", as_index=False).agg(
                 contrib=("contrib", "sum"), outdeg=("outdeg", "max")
             )
-            g["rank"] = (
-                (d_den - d_num) * base
-                + d_num * (g["contrib"].astype("int64") + dang // n)
-            ) // d_den
+            if seeds is None:
+                g["rank"] = (
+                    (d_den - d_num) * base
+                    + d_num * (g["contrib"].astype("int64") + dang // n)
+                ) // d_den
+            else:
+                seed_set = set(seeds)
+                is_seed = g["node"].isin(seed_set).to_numpy()
+                tele = np.where(is_seed, scale // len(seed_set), 0)
+                dshare = np.where(is_seed, dang // len(seed_set), 0)
+                g["rank"] = (
+                    (d_den - d_num) * tele
+                    + d_num * (g["contrib"].astype("int64") + dshare)
+                ) // d_den
             g["rank"] = g["rank"].astype("int64")
             g["outdeg"] = g["outdeg"].astype("int64")
             return g[["node", "outdeg", "rank"]]

@@ -449,3 +449,28 @@ def test_weighted_pagerank_favors_heavy_edges(ray_session):
     u_ranks = pagerank(uni, n_iter=3).to_pandas()
     merged = w_ranks.merge(u_ranks, on="node", suffixes=("_w", "_u"))
     assert (merged["rank_scaled_w"] == merged["rank_scaled_u"]).all()
+
+
+def test_personalized_pagerank_restarts_at_seeds(ray_session):
+    import ray.data
+
+    from fastie_ray.ops.graph import pagerank
+
+    # two disconnected components; seeding in one leaves the other at 0
+    edges = ray.data.from_items(
+        [
+            {"src": "a", "dst": "b"},
+            {"src": "b", "dst": "a"},
+            {"src": "x", "dst": "y"},
+        ]
+    )
+    # even iteration count: rank mass on the 2-cycle sits at the seed
+    # (odd counts park it at b — the cycle oscillates toward the
+    # fixpoint, and the integer arithmetic preserves that exactly)
+    out = (
+        pagerank(edges, n_iter=4, seeds=["a"])
+        .to_pandas()
+        .set_index("node")["rank_scaled"]
+    )
+    assert out["a"] > out["b"] > 0
+    assert out["x"] == 0 and out["y"] == 0

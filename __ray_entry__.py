@@ -3632,6 +3632,36 @@ def _q_related_entities(sf_dir: str):
     )
 
 
+def _q_hll_overlap(sf_dir: str):
+    """Audience-overlap sketch state: HLL registers for click users,
+    view users, and their UNION (element-wise register max — the
+    mergeability that makes HLL the scale tool for set algebra;
+    |A∩B| ≈ |A|+|B|−|A∪B| is the pytest-pinned float half). All three
+    register columns are integer-exact and SQL-verified."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from fastie_ray.ops.sketch import hll_registers
+
+    def regs(ev_type: str) -> pd.DataFrame:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"],
+            filter=pc.field("event_type") == ev_type, override_num_blocks=16,
+        )
+        return hll_registers(ds, "user_id", n_registers=256)
+
+    c = regs("click").rename(columns={"max_rho": "r_click"})
+    v = regs("view").rename(columns={"max_rho": "r_view"})
+    out = c.merge(v, on="register", how="outer").fillna(0)
+    out["r_union"] = out[["r_click", "r_view"]].max(axis=1)
+    out = out.astype(
+        {"register": "int64", "r_click": "int64", "r_view": "int64",
+         "r_union": "int64"}
+    )
+    return out.sort_values("register").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3766,6 +3796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_salience": _q_weighted_salience,
         "split_leakage": _q_split_leakage,
         "related_entities": _q_related_entities,
+        "hll_overlap": _q_hll_overlap,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -4715,6 +4746,31 @@ def oracle_sql() -> dict[str, str]:
                 WHERE length(token) >= 2
             )
             SELECT pair, count(*) AS n_occ FROM pairs GROUP BY pair
+        """,
+        "hll_overlap": """
+            WITH reg AS (
+                SELECT event_type, x % 256 AS register,
+                       CASE WHEN x // 256 = 0 THEN 61
+                            ELSE bit_count(((x // 256) & -(x // 256)) - 1) + 1
+                       END AS rho
+                FROM (
+                    SELECT event_type,
+                           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                1, 15)) AS BIGINT) AS x
+                    FROM (SELECT DISTINCT event_type, user_id FROM events
+                          WHERE event_type IN ('click', 'view'))
+                )
+            ), m AS (
+                SELECT event_type, register, max(rho) AS max_rho
+                FROM reg GROUP BY 1, 2
+            ), c AS (SELECT register, max_rho FROM m WHERE event_type = 'click'),
+            v AS (SELECT register, max_rho FROM m WHERE event_type = 'view')
+            SELECT CAST(coalesce(c.register, v.register) AS BIGINT) AS register,
+                   CAST(coalesce(c.max_rho, 0) AS BIGINT) AS r_click,
+                   CAST(coalesce(v.max_rho, 0) AS BIGINT) AS r_view,
+                   CAST(greatest(coalesce(c.max_rho, 0), coalesce(v.max_rho, 0))
+                        AS BIGINT) AS r_union
+            FROM c FULL OUTER JOIN v ON c.register = v.register
         """,
         "hll_users": """
             WITH v AS (

@@ -131,3 +131,29 @@ def test_cms_empty_input():
         "text",
     )
     assert len(got) == 0 and list(got.columns) == ["d", "cell", "count"]
+
+
+def test_hll_overlap_inclusion_exclusion(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.sketch import hll_estimate, hll_registers
+
+    a_ids = list(range(3000))          # A = 0..2999
+    b_ids = list(range(2000, 7000))    # B = 2000..6999; |A∩B| = 1000
+    a = hll_registers(ray.data.from_items([{"u": i} for i in a_ids]), "u")
+    b = hll_registers(ray.data.from_items([{"u": i} for i in b_ids]), "u")
+    m = a.rename(columns={"max_rho": "ra"}).merge(
+        b.rename(columns={"max_rho": "rb"}), on="register", how="outer"
+    ).fillna(0)
+    union = pd.DataFrame(
+        {
+            "register": m["register"].astype("int64"),
+            "max_rho": m[["ra", "rb"]].max(axis=1).astype("int64"),
+        }
+    )
+    est_a, est_b = hll_estimate(a), hll_estimate(b)
+    est_u = hll_estimate(union)
+    inter = est_a + est_b - est_u
+    assert abs(est_u - 7000) / 7000 < 0.15
+    assert abs(inter - 1000) < 0.25 * 7000  # intersection error scales with union

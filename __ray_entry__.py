@@ -3662,6 +3662,21 @@ def _q_hll_overlap(sf_dir: str):
     return out.sort_values("register").reset_index(drop=True)
 
 
+def _q_entity_types(sf_dir: str):
+    """Type consensus per canonical entity: majority mention label over
+    all linked occurrences (``pipelines.kg.entity_type_consensus`` —
+    occurrence-count combiner, one mention-bucketed exchange with
+    worker-cached linking, vocabulary-bounded argmax)."""
+    import ray
+
+    from fastie_ray.pipelines.kg import entity_type_consensus
+
+    world_ref = ray.put(_world())
+    return entity_type_consensus(
+        _pages(sf_dir), world_ref=world_ref, concurrency=_conc()
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3797,6 +3812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": _q_split_leakage,
         "related_entities": _q_related_entities,
         "hll_overlap": _q_hll_overlap,
+        "entity_types": _q_entity_types,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -5080,6 +5096,31 @@ def oracle_sql() -> dict[str, str]:
                       JOIN eids e ON e.i = f.i)""",
             n_iter=3,
         ),
+        "entity_types": f"""
+            WITH {FACTS}, {EIDS},
+            m AS (
+                SELECT e.sub_eid AS entity_id, f.sub_label AS label
+                FROM documents d
+                JOIN facts f ON f.i = d.doc_id % {NF}
+                JOIN eids e ON e.i = f.i
+                UNION ALL
+                SELECT e.obj_eid AS entity_id, f.obj_label AS label
+                FROM documents d
+                JOIN facts f ON f.i = d.doc_id % {NF}
+                JOIN eids e ON e.i = f.i
+            ), c AS (
+                SELECT entity_id, label, count(*) AS n
+                FROM m GROUP BY 1, 2
+            ), r AS (
+                SELECT entity_id, label, n,
+                       row_number() OVER (
+                           PARTITION BY entity_id ORDER BY n DESC, label
+                       ) AS rn
+                FROM c
+            )
+            SELECT entity_id, label, CAST(n AS BIGINT) AS n_mentions
+            FROM r WHERE rn = 1
+        """,
         "kg_edge_spans": f"""
             WITH {FACTS}
             SELECT f.subject, f.predicate, f.object,

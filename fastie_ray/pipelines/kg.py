@@ -482,3 +482,83 @@ def comention_counts(
     out = parts.groupby(["eid_a", "eid_b"], as_index=False)["n_docs"].sum()
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values(["eid_a", "eid_b"]).reset_index(drop=True)
+
+
+def entity_type_consensus(
+    pages: "ray.data.Dataset",
+    world_ref=None,
+    concurrency: int = 8,
+    link_buckets: int = 16,
+    **scorer_kw: Any,
+) -> pd.DataFrame:
+    """Type consensus per canonical entity: the majority mention label
+    over every linked occurrence (ties → lexicographically smallest
+    label) — the KG-quality pass that reconciles conflicting NER types
+    before schema validation (no reference counterpart; the reference
+    types mentions independently per document).
+
+    Scale shape: per-batch (mention, label) occurrence-count combiner,
+    ONE mention-bucketed exchange that sums counts and links each
+    distinct surface once via the worker-cached alias index, then a
+    vocabulary-bounded driver merge + argmax (the bounded-small-side
+    pattern — swap for one more bucketed exchange on open
+    vocabularies). Returns (entity_id, label, n_mentions) winners."""
+    import pyarrow as pa
+
+    from fastie_ray.stages.scorers import score_mentions
+
+    chunks = chunk_pages(extract_text(pages))
+    scored = score_mentions(
+        chunks, world_ref=world_ref, concurrency=concurrency, **scorer_kw
+    )
+    import ray
+
+    world = ray.get(world_ref) if world_ref is not None else build_world()
+    alias_ref = ray.put(alias_table(world))
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["mention", "label"]).to_pandas()
+        return df.groupby(["mention", "label"], as_index=False).agg(
+            n=("label", "count")
+        )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["mention"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(link_buckets)).astype(np.int64)
+        return df
+
+    def link_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        g = g.groupby(["mention", "label"], as_index=False)["n"].sum()
+        linker = _cached_linker(alias_ref)
+        uniq = {m: linker.link_surface(m)[0] for m in pd.unique(g["mention"])}
+        g = g.assign(entity_id=g["mention"].map(uniq))
+        out = g.groupby(["entity_id", "label"], as_index=False)["n"].sum()
+        return out
+
+    parts = (
+        scored.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(link_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                "entity_id": pd.Series([], dtype=str),
+                "label": pd.Series([], dtype=str),
+                "n_mentions": pd.Series([], dtype="int64"),
+            }
+        )
+    full = parts.groupby(["entity_id", "label"], as_index=False)["n"].sum()
+    full = full.sort_values(
+        ["entity_id", "n", "label"], ascending=[True, False, True]
+    )
+    win = full[~full["entity_id"].duplicated()].rename(columns={"n": "n_mentions"})
+    win["n_mentions"] = win["n_mentions"].astype("int64")
+    return win.sort_values("entity_id").reset_index(drop=True)

@@ -328,3 +328,28 @@ def test_relabel_columns_replicated_matches_pandas_reference():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_entity_type_consensus_majority_and_ties(ray_session):
+    import ray
+
+    from fastie_ray.pipelines.kg import entity_type_consensus
+    from fastie_ray.sources.pages import pages_from_documents  # noqa: F401
+    from fastie_ray.synth import build_world, synth_pages_dataset
+
+    w = build_world()
+    world_ref = ray.put(w)
+    pages = synth_pages_dataset(300)
+    out = entity_type_consensus(pages, world_ref=world_ref, concurrency=2)
+    assert len(out) > 0
+    # every winner label is the entity's gazetteer label (the synth
+    # world types consistently, so consensus is unanimous)
+    ent_label = {}
+    for f in w.facts:
+        ent_label[f.subj.entity_id] = f.subj.label
+        ent_label[f.obj.entity_id] = f.obj.label
+    for _, r in out.iterrows():
+        if r["entity_id"] in ent_label:
+            assert r["label"] == ent_label[r["entity_id"]]
+    assert (out["n_mentions"] >= 1).all()
+    assert out["entity_id"].is_unique

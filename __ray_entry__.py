@@ -3677,6 +3677,19 @@ def _q_entity_types(sf_dir: str):
     )
 
 
+def _q_curriculum(sf_dir: str):
+    """Curriculum buckets: quartile of each doc within its language by
+    length ascending (shortest = bucket 0 — the easy-first training
+    order), via ``ops.rank.grouped_ntile`` (grouped rank + broadcast
+    group sizes; contiguous-quantile floor formula)."""
+    from fastie_ray.ops.rank import grouped_ntile
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return grouped_ntile(
+        docs, group_col="lang", key_col="n_chars", tie_col="doc_id", k=4
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3813,6 +3826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_entities": _q_related_entities,
         "hll_overlap": _q_hll_overlap,
         "entity_types": _q_entity_types,
+        "curriculum": _q_curriculum,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -5683,6 +5697,19 @@ def oracle_sql() -> dict[str, str]:
                        AS mad
             FROM c JOIN m USING (event_type)
             GROUP BY c.event_type, m.median ORDER BY 1
+        """,
+        "curriculum": """
+            WITH r AS (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY n_chars, doc_id
+                       ) AS rank,
+                       count(*) OVER (PARTITION BY lang) AS n_g
+                FROM documents
+            )
+            SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank,
+                   CAST((rank - 1) * 4 // n_g AS BIGINT) AS bucket
+            FROM r
         """,
         "lang_ranks": """
             SELECT lang, doc_id, n_chars,

@@ -180,3 +180,50 @@ def grouped_rank(
         .groupby("__b")
         .map_groups(scan, batch_format="pandas")
     )
+
+
+def grouped_ntile(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    key_col: str,
+    tie_col: str,
+    k: int,
+    descending: bool = False,
+    range_size: int = 64,
+    n_buckets: int = 16,
+    keep_cols: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Curriculum bucketing: split each group's key order into ``k``
+    equal-share buckets — ``bucket = (rank-1)·k // n_group`` (the
+    contiguous-quantile formula; deterministic, unlike SQL NTILE's
+    front-loaded remainder, and expressible in SQL as exactly that
+    floor arithmetic). Built on ``grouped_rank`` (no sort barrier) plus
+    a broadcast group-size map (group-domain-bounded)."""
+    import ray
+
+    ranked = grouped_rank(
+        ds, group_col, key_col, tie_col,
+        descending=descending, range_size=range_size,
+        n_buckets=n_buckets, keep_cols=keep_cols,
+    )
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_col, as_index=False).agg(n=(group_col, "count"))
+
+    totals = (
+        ds.map_batches(sizes, batch_format="pandas")
+        .to_pandas()
+        .groupby(group_col)["n"]
+        .sum()
+        .to_dict()
+    )
+    tot_ref = ray.put(totals)
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(tot_ref)
+        df = df.copy()
+        n_g = df[group_col].map(t).astype("int64")
+        df["bucket"] = ((df["rank"] - 1) * k // n_g).astype("int64")
+        return df
+
+    return ranked.map_batches(cut, batch_format="pandas")

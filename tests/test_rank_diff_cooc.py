@@ -207,3 +207,24 @@ def test_grouped_rank_matches_window_semantics(ray_session):
         got[["g", "k", "id", "rank"]].astype({"rank": "int64"}),
         want[["g", "k", "id", "rank"]].astype({"rank": "int64"}),
     )
+
+
+def test_grouped_ntile_equal_share_buckets(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.rank import grouped_ntile
+
+    rows = [{"g": "a", "k": i, "id": i} for i in range(10)] + [
+        {"g": "b", "k": i, "id": 100 + i} for i in range(7)
+    ]
+    ds = ray.data.from_items(rows).repartition(4)
+    out = grouped_ntile(ds, "g", "k", "id", k=4, n_buckets=4).to_pandas()
+    a = out[out["g"] == "a"].sort_values("rank")
+    # floor formula over n=10: sizes 3,2,3,2
+    assert list(a["bucket"]) == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    b = out[out["g"] == "b"].sort_values("rank")
+    # floor((r-1)*4/7) for r=1..7: sizes 2,2,2,1
+    assert list(b["bucket"]) == [0, 0, 1, 1, 2, 2, 3]
+    # bucket order follows the key order
+    assert (a.groupby("bucket")["k"].max().diff().dropna() > 0).all()

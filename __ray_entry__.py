@@ -3690,6 +3690,32 @@ def _q_curriculum(sf_dir: str):
     )
 
 
+def _q_burst_windows(sf_dir: str):
+    """Volume-burst anomaly detection: hourly windows whose event count
+    exceeds 3× the type's average windows-with-data count — exact
+    integer cross-multiplied threshold (``ops.windows.burst_windows``).
+    Planted: every 50th event is replayed into one fixed hour."""
+    import pandas as pd
+
+    from fastie_ray.ops.windows import burst_windows
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        extra = df[df["event_id"] % 50 == 0].copy()
+        extra["ts"] = pd.Timestamp("2024-01-05 00:30:00")
+        return pd.concat(
+            [df[["event_type", "ts"]], extra[["event_type", "ts"]]],
+            ignore_index=True,
+        )
+
+    return burst_windows(
+        ev.map_batches(plant, batch_format="pandas"),
+        key_col="event_type", ts_col="ts",
+        window_us=3_600_000_000, factor_num=3, factor_den=1,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3827,6 +3853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_overlap": _q_hll_overlap,
         "entity_types": _q_entity_types,
         "curriculum": _q_curriculum,
+        "burst_windows": _q_burst_windows,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -5697,6 +5724,32 @@ def oracle_sql() -> dict[str, str]:
                        AS mad
             FROM c JOIN m USING (event_type)
             GROUP BY c.event_type, m.median ORDER BY 1
+        """,
+        "burst_windows": """
+            WITH planted AS (
+                SELECT event_type, ts FROM events
+                UNION ALL
+                SELECT event_type, TIMESTAMP '2024-01-05 00:30:00' AS ts
+                FROM events WHERE event_id % 50 = 0
+            ), w AS (
+                SELECT event_type,
+                       epoch_us(ts) // 3600000000 * 3600000000 AS window_start_us,
+                       count(*) AS n
+                FROM planted GROUP BY 1, 2
+            ), t AS (
+                SELECT event_type,
+                       sum(n) AS total,
+                       count(*) AS n_windows
+                FROM w GROUP BY 1
+            )
+            SELECT w.event_type,
+                   CAST(w.window_start_us AS BIGINT) AS window_start_us,
+                   CAST(w.n AS BIGINT) AS n,
+                   CAST(t.total AS BIGINT) AS total,
+                   CAST(t.n_windows AS BIGINT) AS n_windows
+            FROM w JOIN t USING (event_type)
+            WHERE w.n * t.n_windows * 1 > 3 * t.total
+            ORDER BY 1, 2
         """,
         "curriculum": """
             WITH r AS (

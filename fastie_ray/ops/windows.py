@@ -573,3 +573,79 @@ def range_join(
         right.map_batches(pad_right, batch_format="pandas")
     )
     return both.groupby("__b").map_groups(match, batch_format="pandas")
+
+
+def burst_windows(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    window_us: int,
+    factor_num: int = 2,
+    factor_den: int = 1,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Anomaly/burst detection on event volume: windows whose count
+    exceeds ``factor`` × the key's average windows-with-data count.
+    The threshold is exact integer cross-multiplication
+    (``n · n_windows · den > num · total``) — no float division, so
+    the flag is bit-reproducible in SQL.
+
+    Shape: per-batch (key, window) count combiner, ONE key-bucketed
+    exchange computes per-key totals AND flags bursts in the same task
+    (all of a key's windows co-locate; the per-key window domain is
+    span/window_us-bounded). Returns
+    (key, window_start_us, n, total, n_windows) for burst windows."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            df[ts_col].astype("datetime64[us]").astype("int64")
+            // window_us * window_us
+        )
+        out = pd.DataFrame({key_col: df[key_col], "w": w.astype("int64")})
+        return out.groupby([key_col, "w"], as_index=False).agg(
+            n=("w", "count")
+        )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").groupby([key_col, "w"], as_index=False)[
+            "n"
+        ].sum()
+        tot = g.groupby(key_col)["n"].transform("sum").astype("int64")
+        nw = g.groupby(key_col)["w"].transform("size").astype("int64")
+        keep = g["n"] * nw * factor_den > factor_num * tot
+        out = g[keep].copy()
+        out["total"] = tot[keep]
+        out["n_windows"] = nw[keep]
+        out = out.rename(columns={"w": "window_start_us"})
+        return out.astype(
+            {"n": "int64", "total": "int64", "n_windows": "int64",
+             "window_start_us": "int64"}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(flag, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                key_col: pd.Series([], dtype=str),
+                "window_start_us": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "total": pd.Series([], dtype="int64"),
+                "n_windows": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values([key_col, "window_start_us"]).reset_index(drop=True)

@@ -82,3 +82,29 @@ def test_empty_input():
     df = _events(n=0)
     got = transition_counts(ray.data.from_pandas(df))
     assert len(got) == 0 and list(got.columns) == ["prev_type", "next_type", "n_trans"]
+
+
+def test_burst_windows_integer_threshold(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.windows import burst_windows
+
+    # key 'a': 10 quiet hours with 2 events + one hour with 30
+    rows = []
+    for h in range(10):
+        for i in range(2):
+            rows.append({"k": "a", "ts": pd.Timestamp(2024, 1, 1, h, i)})
+    rows += [{"k": "a", "ts": pd.Timestamp(2024, 1, 2, 5, i % 60)} for i in range(30)]
+    rows += [{"k": "b", "ts": pd.Timestamp(2024, 1, 1, 0, 0)}]
+    ds = ray.data.from_items(rows).repartition(4)
+    out = burst_windows(
+        ds, key_col="k", ts_col="ts", window_us=3_600_000_000,
+        factor_num=2, factor_den=1, n_buckets=4,
+    )
+    # avg for 'a' = 50/11; only the 30-event hour is > 2x that
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["k"] == "a" and r["n"] == 30 and r["total"] == 50 and r["n_windows"] == 11
+    # 'b' has one window == its own average: never a burst
+    assert (out["k"] != "b").all()

@@ -246,3 +246,93 @@ def salted_join(
         right.map_batches(tag_right, batch_format="pandas")
     )
     return both.groupby("__b").map_groups(merge, batch_format="pandas")
+
+
+def bloom_bits(
+    ds: "ray.data.Dataset",
+    col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> np.ndarray:
+    """Bloom filter of a key column: per-batch partial bit arrays
+    (fixed ``m_bits/8`` bytes each), OR-merged on the driver —
+    blocks × constant payload, never key-count-sized. The classic
+    runtime-filter build side."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        v = df[col].dropna()
+        if len(v):
+            h1 = pd.util.hash_pandas_object(v, index=False).to_numpy()
+            h2 = pd.util.hash_pandas_object(
+                v.astype(str) + "\x01", index=False
+            ).to_numpy()
+            for i in range(k):
+                idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+                np.bitwise_or.at(
+                    bits, (idx // 8).astype(np.int64),
+                    np.left_shift(np.uint8(1), (idx % 8).astype(np.uint8)),
+                )
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    acc = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in parts["bits"]:
+        acc |= np.frombuffer(b, dtype=np.uint8)
+    return acc
+
+
+def _bloom_test(values: pd.Series, bits: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    h1 = pd.util.hash_pandas_object(values, index=False).to_numpy()
+    h2 = pd.util.hash_pandas_object(
+        values.astype(str) + "\x01", index=False
+    ).to_numpy()
+    ok = np.ones(len(values), dtype=bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        ok &= (
+            bits[(idx // 8).astype(np.int64)]
+            & np.left_shift(np.uint8(1), (idx % 8).astype(np.uint8))
+        ) != 0
+    return ok
+
+
+def bloom_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    n_buckets: int = 32,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> "ray.data.Dataset":
+    """Runtime-filtered equi-join: build a Bloom filter from the RIGHT
+    keys (one constant-payload reduction), broadcast it, and drop left
+    rows that cannot match BEFORE the join exchange — the standard
+    optimization when the left side is much larger than the match set.
+    False positives are eliminated by the exact ``hash_join`` that
+    follows, so the result is identical to the unfiltered join
+    (pytest-pinned); only the exchange volume changes. ``how`` is
+    inner or semi (filter-reducible joins; left/anti need every left
+    row and gain nothing from a prefilter)."""
+    import ray
+
+    if how not in ("inner", "semi"):
+        raise ValueError(f"bloom_join supports inner|semi, got {how!r}")
+    right_on = right_on or on
+    bits_ref = ray.put(bloom_bits(right, right_on, m_bits=m_bits, k=k))
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        bits = ray.get(bits_ref)
+        return df[_bloom_test(df[on], bits, m_bits, k)]
+
+    left_f = left.map_batches(prefilter, batch_format="pandas")
+    return hash_join(
+        left_f, right, on=on, right_on=right_on, how=how,
+        left_cols=left_cols, right_cols=right_cols, n_buckets=n_buckets,
+    )

@@ -173,3 +173,41 @@ def test_salted_join_no_hot_keys_matches_hash_join():
         .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bloom_join_equals_hash_join_and_prunes(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.join import bloom_bits, bloom_join, hash_join, _bloom_test
+
+    rng = np.random.default_rng(9)
+    left = ray.data.from_items(
+        [{"k": int(x), "v": i} for i, x in enumerate(rng.integers(0, 10_000, 3000))]
+    ).repartition(6)
+    right = ray.data.from_items(
+        [{"rk": k, "w": k * 2} for k in range(50)]  # tiny match set
+    )
+    for how in ("inner", "semi"):
+        a = (
+            bloom_join(left, right, on="k", right_on="rk", how=how,
+                       left_cols=["k", "v"], right_cols=["rk", "w"], n_buckets=8)
+            .to_pandas()
+        )
+        b = (
+            hash_join(left, right, on="k", right_on="rk", how=how,
+                      left_cols=["k", "v"], right_cols=["rk", "w"], n_buckets=8)
+            .to_pandas()
+        )
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(
+            a[cols].sort_values(cols).reset_index(drop=True),
+            b[cols].sort_values(cols).reset_index(drop=True),
+        )
+    # the filter actually prunes: almost all of the 0..9999 key space
+    # misses the 50-key filter
+    bits = bloom_bits(right, "rk")
+    probe = pd.Series(range(10_000))
+    pass_rate = _bloom_test(probe, bits, 1 << 20, 4).mean()
+    assert pass_rate < 0.02

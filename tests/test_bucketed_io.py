@@ -76,3 +76,65 @@ def test_contract_mismatch_raises(tmp_path):
         bucketed_join(pa_, pb, "k", "k2", ["k"], ["k2"])
     with pytest.raises(ValueError, match="not bucketed"):
         bucketed_join(pa_, pa_, "wrong", "k", ["k"], ["k"])
+
+
+def test_smb_merge_join_equals_hash_semantics(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.bucketed_io import (
+        bucketed_merge_join,
+        write_bucketed_sorted,
+    )
+
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 40, 300), "v": np.arange(300)}
+    )
+    right = pd.DataFrame(
+        {"rk": rng.integers(0, 40, 120), "w": np.arange(120) * 10}
+    )
+    pa_dir, pb_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed_sorted(
+        ray.data.from_items(left.to_dict("records")).repartition(5),
+        "k", 8, pa_dir,
+    )
+    write_bucketed_sorted(
+        ray.data.from_items(right.to_dict("records")).repartition(3),
+        "rk", 8, pb_dir,
+    )
+    got = (
+        bucketed_merge_join(pa_dir, pb_dir, "k", "rk", ["k", "v"], ["rk", "w"])
+        .to_pandas()
+        .sort_values(["k", "v", "w"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")[["k", "v", "w"]]
+        .sort_values(["k", "v", "w"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # written buckets really are key-sorted (the SMB contract)
+    import os
+
+    import pyarrow.parquet as pq
+
+    for d in os.listdir(pa_dir):
+        if d.startswith("__bucket="):
+            ks = pq.read_table(os.path.join(pa_dir, d)).column("k").to_pylist()
+            assert ks == sorted(ks)
+
+    # contract violation: plain bucketed table refused
+    from fastie_ray.ops.bucketed_io import write_bucketed
+
+    pc_dir = str(tmp_path / "c")
+    write_bucketed(
+        ray.data.from_items(right.to_dict("records")), "rk", 8, pc_dir
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        bucketed_merge_join(pa_dir, pc_dir, "k", "rk", ["k", "v"], ["rk", "w"])

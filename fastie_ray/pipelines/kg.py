@@ -406,6 +406,7 @@ def comention_counts(
     world_ref=None,
     concurrency: int = 8,
     link_buckets: int = 16,
+    final: str = "driver",
     **scorer_kw: Any,
 ) -> pd.DataFrame:
     """Entity co-mention graph: (eid_a, eid_b, n_docs) counting, per
@@ -420,8 +421,10 @@ def comention_counts(
     surface once via the worker-cached alias index, takes the per-url
     distinct entity set, and enumerates its C(n, 2) lexicographic
     pairs. Per-bucket pair counts are bounded by the entity vocabulary
-    squared — the driver merge is the bounded-small-side pattern (for
-    truly open vocabularies swap it for one more bucketed exchange)."""
+    squared — ``final="driver"`` merges them on the driver (the
+    bounded-small-side pattern); ``final="exchange"`` is the
+    open-vocabulary path that finishes in one more pair-bucketed
+    exchange (parity-pinned by test)."""
     import pyarrow as pa
 
     from fastie_ray.stages.scorers import score_mentions
@@ -466,13 +469,39 @@ def comention_counts(
         out["n_docs"] = out["n_docs"].astype("int64")
         return out[["eid_a", "eid_b", "n_docs"]]
 
-    parts = (
+    pair_parts = (
         scored.map_batches(distinct_um, batch_format="pyarrow")
         .map_batches(add_b, batch_format="pandas")
         .groupby("__b")
         .map_groups(pairs_in_bucket, batch_format="pandas")
-        .to_pandas()
     )
+    if final == "exchange":
+        # open-vocabulary path: finish the pair sum in one more
+        # pair-bucketed exchange instead of the driver merge
+        def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            if len(df) == 0:
+                df["__b"] = np.array([], dtype=np.int64)
+                return df
+            h = pd.util.hash_pandas_object(
+                df["eid_a"] + "\x00" + df["eid_b"], index=False
+            ).to_numpy()
+            df["__b"] = (h % np.uint64(link_buckets)).astype(np.int64)
+            return df
+
+        def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop(columns="__b").groupby(
+                ["eid_a", "eid_b"], as_index=False
+            )["n_docs"].sum()
+
+        parts = (
+            pair_parts.map_batches(add_pb, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(sum_pairs, batch_format="pandas")
+            .to_pandas()
+        )
+    else:
+        parts = pair_parts.to_pandas()
     if len(parts) == 0:
         return pd.DataFrame(
             {"eid_a": pd.Series([], dtype=object),
@@ -489,6 +518,7 @@ def entity_type_consensus(
     world_ref=None,
     concurrency: int = 8,
     link_buckets: int = 16,
+    final: str = "driver",
     **scorer_kw: Any,
 ) -> pd.DataFrame:
     """Type consensus per canonical entity: the majority mention label
@@ -500,9 +530,11 @@ def entity_type_consensus(
     Scale shape: per-batch (mention, label) occurrence-count combiner,
     ONE mention-bucketed exchange that sums counts and links each
     distinct surface once via the worker-cached alias index, then a
-    vocabulary-bounded driver merge + argmax (the bounded-small-side
-    pattern — swap for one more bucketed exchange on open
-    vocabularies). Returns (entity_id, label, n_mentions) winners."""
+    vocabulary-bounded driver merge + argmax (``final="driver"``, the
+    bounded-small-side pattern) or one more eid-bucketed exchange with
+    the argmax in-task (``final="exchange"``, the open-vocabulary path;
+    parity-pinned by test). Returns (entity_id, label, n_mentions)
+    winners."""
     import pyarrow as pa
 
     from fastie_ray.stages.scorers import score_mentions
@@ -540,13 +572,41 @@ def entity_type_consensus(
         out = g.groupby(["entity_id", "label"], as_index=False)["n"].sum()
         return out
 
-    parts = (
+    counted = (
         scored.map_batches(partial, batch_format="pyarrow")
         .map_batches(add_b, batch_format="pandas")
         .groupby("__b")
         .map_groups(link_bucket, batch_format="pandas")
-        .to_pandas()
     )
+    if final == "exchange":
+        # open-vocabulary path: co-locate each entity's labels in one
+        # more eid-bucketed exchange and take the argmax in-task
+        def add_eb(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            if len(df) == 0:
+                df["__b"] = np.array([], dtype=np.int64)
+                return df
+            h = pd.util.hash_pandas_object(df["entity_id"], index=False).to_numpy()
+            df["__b"] = (h % np.uint64(link_buckets)).astype(np.int64)
+            return df
+
+        def win_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop(columns="__b").groupby(
+                ["entity_id", "label"], as_index=False
+            )["n"].sum()
+            g = g.sort_values(
+                ["entity_id", "n", "label"], ascending=[True, False, True]
+            )
+            return g[~g["entity_id"].duplicated()]
+
+        parts = (
+            counted.map_batches(add_eb, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(win_bucket, batch_format="pandas")
+            .to_pandas()
+        )
+    else:
+        parts = counted.to_pandas()
     if len(parts) == 0:
         return pd.DataFrame(
             {

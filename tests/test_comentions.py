@@ -56,3 +56,24 @@ def test_comention_counts_multi_entity_docs(ray_session):
     }
     assert got_d == want
     assert all(a < b for a, b in got_d)
+
+
+def test_open_vocab_exchange_finals_match_driver(ray_session):
+    import pandas as pd
+    import ray
+
+    from fastie_ray.pipelines.kg import comention_counts, entity_type_consensus
+    from fastie_ray.synth import build_world, synth_pages_dataset
+
+    world_ref = ray.put(build_world())
+    pages = synth_pages_dataset(200)
+    a = comention_counts(pages, world_ref=world_ref, concurrency=2)
+    b = comention_counts(
+        pages, world_ref=world_ref, concurrency=2, final="exchange"
+    )
+    pd.testing.assert_frame_equal(a, b)
+    c = entity_type_consensus(pages, world_ref=world_ref, concurrency=2)
+    d = entity_type_consensus(
+        pages, world_ref=world_ref, concurrency=2, final="exchange"
+    )
+    pd.testing.assert_frame_equal(c, d)

@@ -641,9 +641,9 @@ def random_walks(
     Partitioning assumption: the DISTINCT edge set is broadcast to the
     walkers (``ray.put`` once, read per task) — right for entity graphs
     whose node set is vocabulary-bounded (this engine's KG: alias
-    vocabulary + NIL surfaces). For open-web-scale graphs replace the
-    broadcast with walk_len-1 hash-join extensions against the edge
-    table (one exchange per step), same choice function.
+    vocabulary + NIL surfaces). ``random_walks_join`` is the
+    open-web-scale variant (per-step hash-join extension, no broadcast,
+    bit-identical output — parity-pinned by test).
     """
     import hashlib
 
@@ -697,3 +697,149 @@ def random_walks(
         )
 
     return seeds.map_batches(walk_batch, batch_format="pandas")
+
+
+def random_walks_join(
+    edges: "ray.data.Dataset",
+    walk_len: int = 4,
+    walks_per_node: int = 2,
+    salt: str = "walk",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Open-web-scale variant of ``random_walks``: NO adjacency
+    broadcast — each step extends the walk frontier with one
+    ``hash_join`` against the (node, rank)-indexed neighbor table
+    (walk_len−1 join exchanges total). Same md5-grid choice function,
+    bit-identical output (parity-pinned by test); use when the node set
+    is not vocabulary-bounded.
+
+    The neighbor index (src, dst, rn) and degree table build with one
+    src-bucketed exchange each (all of a source's neighbors co-locate);
+    the per-step join key is the composite ``node + '\\x00' + rn`` so a
+    single-key hash_join selects exactly the chosen neighbor."""
+    import hashlib
+
+    import ray.data
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.join import hash_join
+
+    def to_sd(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": df[src_col].astype(str), "dst": df[dst_col].astype(str)}
+        )
+
+    adj = dedup_exact(
+        edges.map_batches(to_sd, batch_format="pandas"), ["src", "dst"],
+        n_buckets,
+    ).materialize()  # consumed per step (NOTES fact 19)
+
+    def add_sb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        df["__b"] = _bucket(df["src"], n_buckets)
+        return df
+
+    # the degree table and neighbor index share ONE exchange pass
+    def index_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").sort_values(["src", "dst"])
+        g["rn"] = g.groupby("src", sort=False).cumcount() + 1
+        g["node_rn"] = g["src"] + "\x00" + g["rn"].astype(str)
+        g["deg"] = g.groupby("src", sort=False)["dst"].transform("size").astype("int64")
+        return g[["src", "dst", "rn", "node_rn", "deg"]]
+
+    nbr = (
+        adj.map_batches(add_sb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(index_bucket, batch_format="pandas")
+        .materialize()
+    )
+    deg = nbr.map_batches(
+        lambda df: df[["src", "deg"]].drop_duplicates(), batch_format="pandas"
+    )
+
+    front = deg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "start": np.repeat(df["src"].to_numpy(), walks_per_node),
+                "walk": np.tile(
+                    np.arange(walks_per_node, dtype=np.int64), len(df)
+                ),
+                "node": np.repeat(df["src"].to_numpy(), walks_per_node),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    outs = []
+
+    def emit(step: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["start", "walk", "node"]].copy()
+            out["step"] = np.int64(step)
+            return out[["start", "walk", "step", "node"]]
+
+        return f
+
+    outs.append(front.map_batches(emit(0), batch_format="pandas"))
+    for t in range(1, walk_len):
+        with_deg = hash_join(
+            front, deg, on="node", right_on="src",
+            left_cols=["start", "walk", "node"],
+            right_cols=["src", "deg"],
+            n_buckets=n_buckets,
+        )
+
+        def pick(df: pd.DataFrame, _t=t) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {
+                        "start": pd.Series([], dtype=str),
+                        "walk": pd.Series([], dtype="int64"),
+                        "node_rn": pd.Series([], dtype=str),
+                    }
+                )
+            keys = [
+                f"{salt}:{s}:{w}:{_t}:{u}"
+                for s, w, u in zip(df["start"], df["walk"], df["node"])
+            ]
+            h = np.array(
+                [int(hashlib.md5(k.encode()).hexdigest()[:8], 16) for k in keys],
+                dtype=np.int64,
+            )
+            rn = 1 + (h % df["deg"].to_numpy())
+            return pd.DataFrame(
+                {
+                    "start": df["start"],
+                    "walk": df["walk"].astype("int64"),
+                    "node_rn": df["node"] + "\x00" + pd.Series(rn).astype(str).to_numpy(),
+                }
+            )
+
+        chosen = with_deg.map_batches(pick, batch_format="pandas")
+        stepped = hash_join(
+            chosen, nbr, on="node_rn",
+            left_cols=["start", "walk", "node_rn"],
+            right_cols=["node_rn", "dst"],
+            n_buckets=n_buckets,
+        )
+        front = stepped.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "start": df["start"],
+                    "walk": df["walk"].astype("int64"),
+                    "node": df["dst"],
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+        outs.append(front.map_batches(emit(t), batch_format="pandas"))
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

@@ -50,3 +50,21 @@ def test_walks_per_node_and_salt(ray_session):
     assert len(out) == 2 * 3 * 3  # no sinks: full-length walks
     alt = random_walks(ds, walk_len=3, walks_per_node=3, salt="other").to_pandas()
     assert len(alt) == len(out)  # same shape, possibly different paths
+
+
+def test_join_extension_walks_match_broadcast(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.graph import random_walks, random_walks_join
+
+    ds = _edges(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"), ("b", "a")]
+    )
+    key = ["start", "walk", "step"]
+    a = random_walks(ds, walk_len=4, walks_per_node=2).to_pandas()
+    b = random_walks_join(ds, walk_len=4, walks_per_node=2, n_buckets=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[key + ["node"]],
+        b.sort_values(key).reset_index(drop=True)[key + ["node"]],
+    )

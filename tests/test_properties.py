@@ -298,3 +298,72 @@ def test_corpus_diff_matches_set_arithmetic(v1, v2):
         if v1[k] != v2[k]:
             exp[k] = "changed"
     assert dict(zip(got["doc_id"], got["status"])) == exp
+
+
+@given(
+    st.lists(st.integers(0, 255), min_size=1, max_size=64),
+    st.lists(st.integers(0, 255), min_size=1, max_size=64),
+)
+@settings(max_examples=60, deadline=None)
+def test_interleave2_order_preserving_within_quadrant(xs, ys):
+    import numpy as np
+
+    from fastie_ray.ops.layout import interleave2
+
+    n = min(len(xs), len(ys))
+    x = np.array(xs[:n])
+    y = np.array(ys[:n])
+    z = interleave2(x, y)
+    # deinterleave inverts exactly
+    def deinterleave(z):
+        xs_ = np.zeros_like(z)
+        ys_ = np.zeros_like(z)
+        for j in range(8):
+            xs_ |= ((z >> (2 * j)) & 1) << j
+            ys_ |= ((z >> (2 * j + 1)) & 1) << j
+        return xs_, ys_
+
+    xr, yr = deinterleave(z)
+    assert np.array_equal(xr, x) and np.array_equal(yr, y)
+    # monotone in each coordinate when the other is fixed
+    z2 = interleave2(x, np.zeros_like(y))
+    order = np.argsort(x, kind="stable")
+    assert np.array_equal(np.argsort(z2[order], kind="stable"),
+                          np.arange(n))
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=0, max_size=80),
+    st.lists(st.integers(0, 50), min_size=0, max_size=80),
+)
+@settings(max_examples=60, deadline=None)
+def test_sorted_inner_merge_matches_pandas(aks, bks):
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.bucketed_io import _sorted_inner_merge
+
+    a = pd.DataFrame({"k": sorted(aks), "va": range(len(aks))})
+    b = pd.DataFrame({"k": sorted(bks), "vb": range(len(bks))})
+    ai, bi = _sorted_inner_merge(a, b, "k", "k")
+    got = pd.DataFrame(
+        {"k": a["k"].to_numpy()[ai], "va": a["va"].to_numpy()[ai],
+         "vb": b["vb"].to_numpy()[bi]}
+    ).sort_values(["k", "va", "vb"]).reset_index(drop=True)
+    want = a.merge(b, on="k").sort_values(["k", "va", "vb"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[["k", "va", "vb"]])
+
+
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=200, unique=True))
+@settings(max_examples=40, deadline=None)
+def test_bloom_has_no_false_negatives(keys):
+    import pandas as pd
+
+    from fastie_ray.ops.join import _bloom_test, bloom_bits
+
+    import ray.data
+
+    ds = ray.data.from_items([{"k": k} for k in keys])
+    bits = bloom_bits(ds, "k", m_bits=1 << 16, k=3)
+    ok = _bloom_test(pd.Series(keys), bits, 1 << 16, 3)
+    assert ok.all()  # every inserted key passes — no false negatives

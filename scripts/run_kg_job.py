@@ -39,6 +39,10 @@ def main() -> int:
                     help="local-mode CPU cap (ignored on a cluster)")
     ap.add_argument("--resume", action="store_true",
                     help="skip partitions with committed manifests")
+    ap.add_argument("--compact-target-rows", type=int, default=0,
+                    help="post-job OPTIMIZE: merge small partitions to "
+                         "~this many rows (0 = off); runs only after the "
+                         "write commits (single-writer rule)")
     args = ap.parse_args()
 
     import ray
@@ -69,6 +73,25 @@ def main() -> int:
         n_partitions=args.partitions,
         resume=args.resume,
     )
+    compacted = {}
+    if args.compact_target_rows > 0:
+        from fastie_ray.stages.materialize import (
+            _live_parts,
+            compact_partitions,
+        )
+
+        sort_keys = {"edges": ["subject_id", "predicate"], "nodes": ["entity_id"]}
+        for table, keys in sort_keys.items():
+            before = len(_live_parts(args.out_dir, table))
+            compact_partitions(
+                args.out_dir, table, sort_keys=keys,
+                target_rows=args.compact_target_rows,
+            )
+            compacted[table] = {
+                "parts_before": before,
+                "parts_after": len(_live_parts(args.out_dir, table)),
+            }
+
     out = {
         "job": "kg_construct",
         "sf_dir": args.sf_dir,
@@ -76,6 +99,7 @@ def main() -> int:
         "n_edges": report["n_edges"],
         "n_nodes": report["n_nodes"],
         "resumed": bool(args.resume),
+        "compacted": compacted,
         "wall_sec": round(time.monotonic() - t0, 2),
     }
     print(json.dumps(out))

@@ -3716,6 +3716,62 @@ def _q_burst_windows(sf_dir: str):
     )
 
 
+def _q_kg_degrees(sf_dir: str):
+    """Graph profile: out-degree histogram of the extracted KG
+    (``ops.graph.node_table`` combiner → degree counts; sinks appear at
+    degree 0) — the shape check that catches extraction pathologies
+    (a single super-node, a disconnected dust cloud)."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import node_table
+    from fastie_ray.pipelines.kg import graph_tables
+
+    t = graph_tables(
+        _pages(sf_dir), world=_world(), concurrency=_conc(), want=("edges",)
+    )["edges"]
+    edges = dedup_exact(
+        t.map_batches(
+            lambda df: pd.DataFrame(
+                {"src": df["subject_id"], "dst": df["object_id"]}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["src", "dst"],
+        n_buckets=16,
+    )
+    deg = node_table(edges, n_buckets=16).to_pandas()
+    out = deg.groupby("outdeg", as_index=False).agg(n_nodes=("node", "count"))
+    out = out.astype({"outdeg": "int64", "n_nodes": "int64"})
+    return out.sort_values("outdeg").reset_index(drop=True)
+
+
+def _q_kg_reciprocity(sf_dir: str):
+    """Edge reciprocity of the extracted KG (``ops.graph.reciprocity``:
+    one canonical-pair-bucketed exchange) — symmetric predicates should
+    reciprocate, functional ones should not."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import reciprocity
+    from fastie_ray.pipelines.kg import graph_tables
+
+    t = graph_tables(
+        _pages(sf_dir), world=_world(), concurrency=_conc(), want=("edges",)
+    )["edges"]
+    edges = dedup_exact(
+        t.map_batches(
+            lambda df: pd.DataFrame(
+                {"src": df["subject_id"], "dst": df["object_id"]}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["src", "dst"],
+        n_buckets=16,
+    )
+    return reciprocity(edges)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3854,6 +3910,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_types": _q_entity_types,
         "curriculum": _q_curriculum,
         "burst_windows": _q_burst_windows,
+        "kg_degrees": _q_kg_degrees,
+        "kg_reciprocity": _q_kg_reciprocity,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -5137,6 +5195,35 @@ def oracle_sql() -> dict[str, str]:
                       JOIN eids e ON e.i = f.i)""",
             n_iter=3,
         ),
+        "kg_reciprocity": f"""
+            WITH {FACTS}, {EIDS},
+            edges AS (SELECT DISTINCT e.sub_eid AS src, e.obj_eid AS dst
+                      FROM documents d
+                      JOIN facts f ON f.i = d.doc_id % {NF}
+                      JOIN eids e ON e.i = f.i)
+            SELECT (SELECT count(*) FROM edges) AS n_edges,
+                   (SELECT count(*) FROM edges e
+                    WHERE e.src = e.dst OR EXISTS (
+                        SELECT 1 FROM edges r
+                        WHERE r.src = e.dst AND r.dst = e.src
+                    )) AS n_reciprocal
+        """,
+        "kg_degrees": f"""
+            WITH {FACTS}, {EIDS},
+            edges AS (SELECT DISTINCT e.sub_eid AS src, e.obj_eid AS dst
+                      FROM documents d
+                      JOIN facts f ON f.i = d.doc_id % {NF}
+                      JOIN eids e ON e.i = f.i),
+            nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+            deg AS (
+                SELECT n.node, CAST(coalesce(d.d, 0) AS BIGINT) AS outdeg
+                FROM nodes n LEFT JOIN (
+                    SELECT src AS node, count(*) AS d FROM edges GROUP BY 1
+                ) d USING (node)
+            )
+            SELECT outdeg, count(*) AS n_nodes
+            FROM deg GROUP BY outdeg ORDER BY outdeg
+        """,
         "entity_types": f"""
             WITH {FACTS}, {EIDS},
             m AS (

@@ -843,3 +843,48 @@ def random_walks_join(
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+
+def reciprocity(
+    edges: "ray.data.Dataset", n_buckets: int = 16
+) -> pd.DataFrame:
+    """Edge reciprocity of a directed graph: how many edges have their
+    reverse present (KG sanity — symmetric predicates should reciprocate,
+    functional ones should not). One exchange bucketed on the CANONICAL
+    unordered pair key (both directions of a pair co-locate), counted
+    in-task; returns one row (n_edges, n_reciprocal)."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"src": df["src"].astype(str), "dst": df["dst"].astype(str)})
+        lo = df[["src", "dst"]].min(axis=1)
+        hi = df[["src", "dst"]].max(axis=1)
+        df["pair"] = lo + "\x00" + hi
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        df["__b"] = _bucket(df["pair"], n_buckets)
+        return df
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").drop_duplicates(subset=["src", "dst"])
+        per_pair = g.groupby("pair")["src"].transform("size")
+        # self-loops are their own reverse
+        recip = ((per_pair == 2) | (g["src"] == g["dst"])).sum()
+        return pd.DataFrame(
+            {"n_edges": [np.int64(len(g))], "n_reciprocal": [np.int64(recip)]}
+        )
+
+    parts = (
+        edges.map_batches(tag, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(count_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_edges": [int(parts["n_edges"].sum()) if len(parts) else 0],
+            "n_reciprocal": [
+                int(parts["n_reciprocal"].sum()) if len(parts) else 0
+            ],
+        }
+    ).astype("int64")

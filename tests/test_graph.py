@@ -474,3 +474,21 @@ def test_personalized_pagerank_restarts_at_seeds(ray_session):
     )
     assert out["a"] > out["b"] > 0
     assert out["x"] == 0 and out["y"] == 0
+
+
+def test_reciprocity_counts(ray_session):
+    import ray.data
+
+    from fastie_ray.ops.graph import reciprocity
+
+    edges = ray.data.from_items(
+        [
+            {"src": "a", "dst": "b"},
+            {"src": "b", "dst": "a"},   # reciprocal pair
+            {"src": "a", "dst": "c"},   # one-way
+            {"src": "d", "dst": "d"},   # self-loop: its own reverse
+        ]
+    ).repartition(2)
+    out = reciprocity(edges, n_buckets=4)
+    assert int(out["n_edges"].iloc[0]) == 4
+    assert int(out["n_reciprocal"].iloc[0]) == 3

@@ -3772,6 +3772,56 @@ def _q_kg_reciprocity(sf_dir: str):
     return reciprocity(edges)
 
 
+def _q_user_activity(sf_dir: str):
+    """FULL OUTER join: per-user click counts ⋈ per-user error counts —
+    users active on either side appear once, missing sides as 0
+    (``ops.join.hash_join(how="full")``, tag-union exchange, unmatched
+    rows from BOTH sides survive)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from fastie_ray.ops.join import hash_join
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    def counts(ev_type: str, out: str):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"],
+            filter=pc.field("event_type") == ev_type, override_num_blocks=16,
+        )
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("user_id", as_index=False).agg(n=("user_id", "count"))
+            return g.rename(columns={"n": out})
+
+        def final(g: pd.DataFrame) -> pd.DataFrame:
+            o = g.groupby("user_id", as_index=False)[out].sum()
+            return o.astype({out: "int64"})
+
+        return _bucketed_groupby(
+            ds.map_batches(partial, batch_format="pandas"), "user_id", final, 8
+        )
+
+    clicks = counts("click", "n_clicks")
+    errors = counts("error", "n_errors")
+    j = hash_join(
+        clicks, errors, on="user_id", how="full",
+        left_cols=["user_id", "n_clicks"], right_cols=["user_id", "n_errors"],
+        n_buckets=8,
+    )
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "n_clicks": df["n_clicks"].fillna(0).astype("int64"),
+                "n_errors": df["n_errors"].fillna(0).astype("int64"),
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -3912,6 +3962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_windows": _q_burst_windows,
         "kg_degrees": _q_kg_degrees,
         "kg_reciprocity": _q_kg_reciprocity,
+        "user_activity": _q_user_activity,
         "kg_negatives": _q_kg_negatives,
         "mention_contexts": _q_mention_contexts,
         "triangles": _q_triangles,
@@ -5195,6 +5246,19 @@ def oracle_sql() -> dict[str, str]:
                       JOIN eids e ON e.i = f.i)""",
             n_iter=3,
         ),
+        "user_activity": """
+            WITH c AS (
+                SELECT user_id, count(*) AS n_clicks FROM events
+                WHERE event_type = 'click' GROUP BY user_id
+            ), e AS (
+                SELECT user_id, count(*) AS n_errors FROM events
+                WHERE event_type = 'error' GROUP BY user_id
+            )
+            SELECT CAST(coalesce(c.user_id, e.user_id) AS BIGINT) AS user_id,
+                   CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+                   CAST(coalesce(e.n_errors, 0) AS BIGINT) AS n_errors
+            FROM c FULL OUTER JOIN e ON c.user_id = e.user_id
+        """,
         "kg_reciprocity": f"""
             WITH {FACTS}, {EIDS},
             edges AS (SELECT DISTINCT e.sub_eid AS src, e.obj_eid AS dst

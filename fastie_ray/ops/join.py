@@ -41,7 +41,9 @@ def hash_join(
     suffix: str = "_r",
 ) -> "ray.data.Dataset":
     """Equi-join ``left`` ⋈ ``right`` on ``on`` (= ``right_on`` on the
-    right side). ``how`` ∈ {inner, left, semi, anti}: semi keeps left
+    right side). ``how`` ∈ {inner, left, full, semi, anti}: full keeps
+    unmatched rows from BOTH sides (the key column is total — filled
+    from whichever side has it); semi keeps left
     rows WITH a right match (no right columns, no 1:N fan-out), anti
     keeps left rows WITHOUT one — the scale shape for existence filters
     (drop flagged dups, keep unmatched) where a broadcast set would be
@@ -52,8 +54,8 @@ def hash_join(
     Right-side columns colliding with left names get ``suffix``. The
     right join key column is dropped from the output (it equals the
     left key by construction)."""
-    if how not in ("inner", "left", "semi", "anti"):
-        raise ValueError(f"how must be inner|left|semi|anti, got {how!r}")
+    if how not in ("inner", "left", "full", "semi", "anti"):
+        raise ValueError(f"how must be inner|left|full|semi|anti, got {how!r}")
     right_on = right_on or on
     left_cols = list(left_cols) if left_cols is not None else list(left.schema().names)
     if how in ("semi", "anti"):
@@ -108,11 +110,15 @@ def hash_join(
         rg = g[g["__side"] == "r"][[r_key] + r_val_cols]
         out = lg.merge(
             rg,
-            how=how,
+            how="outer" if how == "full" else how,
             left_on=on,
             right_on=r_key,
             sort=False,
         )
+        if how == "full":
+            # right-only rows carry the key only in r_key; surface it
+            # under the left key column so the output key is total
+            out[on] = out[on].where(out[on].notna(), out[r_key])
         if r_key != on and r_key not in out_cols:
             out = out.drop(columns=[r_key])
         # union-block concat degrades numerics to object; restore

@@ -211,3 +211,29 @@ def test_bloom_join_equals_hash_join_and_prunes(ray_session):
     probe = pd.Series(range(10_000))
     pass_rate = _bloom_test(probe, bits, 1 << 20, 4).mean()
     assert pass_rate < 0.02
+
+
+def test_hash_join_full_outer(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.join import hash_join
+
+    left = ray.data.from_items(
+        [{"k": 1, "v": 10}, {"k": 2, "v": 20}, {"k": 2, "v": 21}]
+    )
+    right = ray.data.from_items(
+        [{"rk": 2, "w": 200}, {"rk": 3, "w": 300}]
+    )
+    out = (
+        hash_join(left, right, on="k", right_on="rk", how="full",
+                  left_cols=["k", "v"], right_cols=["rk", "w"], n_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "v", "w"], na_position="first")
+        .reset_index(drop=True)
+    )
+    # left-only 1, matched 2 (x2 rows), right-only 3 with its key total
+    assert sorted(out["k"].astype(int)) == [1, 2, 2, 3]
+    assert out.loc[out["k"] == 1, "w"].isna().all()
+    assert out.loc[out["k"] == 3, "v"].isna().all()
+    assert (out.loc[out["k"] == 2, "w"] == 200).all()

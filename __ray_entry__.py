@@ -693,6 +693,28 @@ def _q_knn(sf_dir: str):
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+def _q_bitext_pairs(sf_dir: str):
+    """Margin-based bitext mining (CCMatrix / LASER recipe) between the
+    even-id and odd-id halves of the embeddings table: block-pair exact
+    kNN in one exchange, ratio-margin = cos / mean of the forward and
+    backward top-k averages, best-margin pair per source above 1.0."""
+    import pandas as pd
+
+    from fastie_ray.ops.bitext import bitext_mine
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def sides(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["side"] = df["vec_id"].map(lambda v: "a" if v % 2 == 0 else "b")
+        return df
+
+    return bitext_mine(
+        ds.map_batches(sides, batch_format="pandas"),
+        k=4, margin_thresh=1.0, n_a_blocks=2, n_b_blocks=2,
+    )
+
+
 def _q_events_by_type(sf_dir: str):
     import pandas as pd
     import ray.data
@@ -3916,6 +3938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": _q_tfidf_terms,
         "len_quantiles": _q_len_quantiles,
         "knn": _q_knn,
+        "bitext_pairs": _q_bitext_pairs,
         "events_by_type": _q_events_by_type,
         "windowed_events": _q_windowed_events,
         "hopping_events": _q_hopping_events,
@@ -5591,6 +5614,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        "bitext_pairs": """
+            WITH e AS (
+                SELECT vec_id,
+                       CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+                       embedding::DOUBLE[] AS emb
+                FROM embeddings
+            ),
+            sab AS (
+                SELECT a.vec_id AS x, b.vec_id AS y,
+                       list_cosine_similarity(a.emb, b.emb) AS c
+                FROM e a JOIN e b ON a.side = 'a' AND b.side = 'b'
+            ),
+            fwd AS (SELECT x, y, c,
+                           row_number() OVER (PARTITION BY x ORDER BY c DESC, y) AS r
+                    FROM sab),
+            bwd AS (SELECT x, y, c,
+                           row_number() OVER (PARTITION BY y ORDER BY c DESC, x) AS r
+                    FROM sab),
+            ax AS (SELECT x, avg(c) AS avg_x FROM fwd WHERE r <= 4 GROUP BY x),
+            ay AS (SELECT y, avg(c) AS avg_y FROM bwd WHERE r <= 4 GROUP BY y),
+            mm AS (
+                SELECT f.x, f.y, f.c / ((ax.avg_x + ay.avg_y) / 2) AS margin
+                FROM fwd f
+                JOIN ax ON ax.x = f.x
+                JOIN ay ON ay.y = f.y
+                WHERE f.r <= 4
+            ),
+            best AS (
+                SELECT x, y, margin,
+                       row_number() OVER (PARTITION BY x
+                                          ORDER BY margin DESC, y) AS br
+                FROM mm WHERE margin > 1.0
+            )
+            SELECT x AS src_id, y AS tgt_id, round(margin, 4) AS margin
+            FROM best WHERE br = 1
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n_events,

@@ -671,6 +671,41 @@ def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
     )
 
 
+def _lpa_sql(rounds: int = 4) -> str:
+    """Unrolled label-propagation oracle (one count/argmax CTE pair per
+    round) over the same chain/cycle order graph as ``_kcore_sql`` —
+    mirrors ``_q_lpa_communities`` exactly (ties → smallest label)."""
+    ctes = [
+        """o AS (SELECT o_custkey AS c, o_orderkey AS ok,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+            count(*) OVER (PARTITION BY o_custkey) AS n FROM orders)""",
+        """chain AS (SELECT 'o' || a.ok AS a, 'o' || b.ok AS b
+            FROM o a JOIN o b ON a.c = b.c AND b.rn = a.rn + 1)""",
+        """cyc AS (SELECT 'o' || l.ok AS a, 'o' || f.ok AS b
+            FROM o l JOIN o f ON l.c = f.c AND l.rn = l.n AND f.rn = 1
+            AND l.n >= 2 AND l.c % 2 = 0)""",
+        "j AS (SELECT a, b FROM chain UNION SELECT a, b FROM cyc)",
+        "e0 AS (SELECT a AS src, b AS dst FROM j UNION SELECT b AS src, a AS dst FROM j)",
+        "lab0 AS (SELECT DISTINCT dst AS node, dst AS lab FROM e0)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""c{r} AS (SELECT e.dst AS node, l.lab, count(*) AS cnt
+            FROM e0 e JOIN lab{r} l ON l.node = e.src GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""lab{r + 1} AS (SELECT node, lab FROM (
+                SELECT node, lab,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, lab) AS rk
+                FROM c{r}) WHERE rk = 1)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, lab AS community_id FROM lab{rounds}"
+    )
+
+
 def _q_len_quantiles(sf_dir: str):
     """Exact discrete quantiles of doc length: value-count aggregate
     (bounded by the distinct-length domain) + driver cumsum — no
@@ -2066,16 +2101,11 @@ def _q_khop_reach(sf_dir: str):
     return khop_reachability(edges, seeds, k=3, n_buckets=16)
 
 
-def _q_kcore(sf_dir: str):
-    """Bounded-round k-core peeling (k=2, 4 synchronized rounds) over a
-    chain/cycle graph built from per-customer order sequences
-    (consecutive orders chained; even custkeys closed into cycles so
-    the core is non-empty while odd chains cascade-peel end-inward).
-    Per round: node-sized degree exchange + two semi-joins; oracle is
-    the unrolled per-round CTE pair."""
+def _order_chain_edges(sf_dir: str):
+    """Chain/cycle graph from per-customer order sequences (consecutive
+    orders chained; even custkeys closed into cycles) — the shared
+    deterministic graph source for kcore / lpa_communities."""
     import pandas as pd
-
-    from fastie_ray.ops.graph import kcore_peel
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
@@ -2101,12 +2131,34 @@ def _q_kcore(sf_dir: str):
         )
         return pd.concat([chain, cyc], ignore_index=True)
 
-    edges = (
+    return (
         orders.map_batches(add_b, batch_format="pandas")
         .groupby("__b")
         .map_groups(pairs, batch_format="pandas")
     )
-    return kcore_peel(edges, k=2, rounds=4, n_buckets=16)
+
+
+def _q_kcore(sf_dir: str):
+    """Bounded-round k-core peeling (k=2, 4 synchronized rounds) over a
+    chain/cycle graph built from per-customer order sequences
+    (consecutive orders chained; even custkeys closed into cycles so
+    the core is non-empty while odd chains cascade-peel end-inward).
+    Per round: node-sized degree exchange + two semi-joins; oracle is
+    the unrolled per-round CTE pair."""
+    from fastie_ray.ops.graph import kcore_peel
+
+    return kcore_peel(_order_chain_edges(sf_dir), k=2, rounds=4, n_buckets=16)
+
+
+def _q_lpa_communities(sf_dir: str):
+    """Synchronous label-propagation community detection (4 rounds,
+    ties → smallest label) over the chain/cycle order graph: per round
+    ONE edge⋈label hash join + ONE bucketed count-argmax exchange,
+    label table pinned and compacted per round. Oracle is the unrolled
+    per-round count/argmax CTE chain."""
+    from fastie_ray.ops.graph import lpa_communities
+
+    return lpa_communities(_order_chain_edges(sf_dir), rounds=4, n_buckets=16)
 
 
 _TOPIC_LEXICON = {
@@ -3893,6 +3945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "khop_reach": _q_khop_reach,
         "kcore": _q_kcore,
+        "lpa_communities": _q_lpa_communities,
         "graph_components": _q_graph_components,
         "embed_quantize": _q_embed_quantize,
         "dsir_select": _q_dsir_select,
@@ -4402,6 +4455,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, rank AS rank_scaled FROM r3
         """,
         "kcore": _kcore_sql(k=2, rounds=4),
+        "lpa_communities": _lpa_sql(rounds=4),
         "graph_components": r"""
             WITH RECURSIVE pair AS (
                 SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s

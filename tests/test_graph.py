@@ -492,3 +492,66 @@ def test_reciprocity_counts(ray_session):
     out = reciprocity(edges, n_buckets=4)
     assert int(out["n_edges"].iloc[0]) == 4
     assert int(out["n_reciprocal"].iloc[0]) == 3
+
+
+def _ref_lpa(pairs, rounds):
+    """Pure-python synchronous LPA: count desc, label asc tie-break."""
+    adj = {}
+    seen = set()
+    for s, d in pairs:
+        for a, b in ((s, d), (d, s)):
+            if (a, b) not in seen:
+                seen.add((a, b))
+                adj.setdefault(b, []).append(a)
+    lab = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v, nbrs in adj.items():
+            cnt = {}
+            for u in nbrs:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(cnt, key=lambda L: (-cnt[L], L))
+        lab = new
+    return lab
+
+
+def test_lpa_two_communities(ray_session):
+    import ray.data
+
+    from fastie_ray.ops.graph import lpa_communities
+
+    # two disconnected triangles: labels can't cross, min label wins each
+    pairs = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+        ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+        ("a1", "a2"),  # duplicate edge must not double-count
+    ]
+    edges = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in pairs]
+    ).repartition(3)
+    out = lpa_communities(edges, rounds=4, n_buckets=4).to_pandas()
+    got = dict(zip(out["node"], out["community_id"]))
+    assert got == _ref_lpa(pairs, 4)
+    # the two triangles land in different communities
+    assert got["a2"] != got["b2"]
+    assert got["a2"] == got["a3"] and got["b2"] == got["b3"]
+
+
+def test_lpa_matches_reference_on_random_graph(ray_session):
+    import numpy as np
+    import ray.data
+
+    from fastie_ray.ops.graph import lpa_communities
+
+    rng = np.random.default_rng(11)
+    pairs = [
+        (f"n{rng.integers(0, 30)}", f"n{rng.integers(0, 30)}")
+        for _ in range(60)
+    ]
+    edges = ray.data.from_items(
+        [{"src": s, "dst": d} for s, d in pairs]
+    ).repartition(4)
+    for rounds in (1, 3):
+        out = lpa_communities(edges, rounds=rounds, n_buckets=4).to_pandas()
+        got = dict(zip(out["node"], out["community_id"]))
+        assert got == _ref_lpa(pairs, rounds)

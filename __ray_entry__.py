@@ -782,6 +782,19 @@ def _q_windowed_events(sf_dir: str):
     return tumbling_window_agg(ds, freq="1h")
 
 
+def _q_rolling_avg(sf_dir: str):
+    """Per-key bounded-lookback window frame (ROWS BETWEEN 3 PRECEDING
+    AND CURRENT ROW moving sum/avg over (ts, id) order) via the
+    two-phase scalable form — only each (key, day)'s first/last k-1
+    rows cross the second exchange, so hot users never co-locate.
+    round(4) is tie-free here: 2-decimal values and window divisors
+    {1,2,3,4} can't land exactly on a 5e-5 rounding boundary."""
+    from fastie_ray.ops.rolling import rolling_frame_scalable
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    return rolling_frame_scalable(ds, k=4, bucket="1d", n_buckets=16)
+
+
 def _q_hopping_events(sf_dir: str):
     import ray.data
 
@@ -3992,6 +4005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_quantiles": _q_len_quantiles,
         "knn": _q_knn,
         "bitext_pairs": _q_bitext_pairs,
+        "rolling_avg": _q_rolling_avg,
         "events_by_type": _q_events_by_type,
         "windowed_events": _q_windowed_events,
         "hopping_events": _q_hopping_events,
@@ -5714,6 +5728,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "rolling_avg": """
+            SELECT event_id AS id,
+                   count(*) OVER w AS n_window,
+                   round(sum(value) OVER w, 4) AS roll_sum,
+                   round(avg(value) OVER w, 4) AS roll_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "hopping_events": """
             SELECT time_bucket(INTERVAL '30 minutes', ts)

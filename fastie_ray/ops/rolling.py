@@ -1,0 +1,294 @@
+"""Per-key bounded-lookback window frames: the SQL
+
+    AVG(value) OVER (PARTITION BY key ORDER BY ts, id
+                     ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)
+
+family (moving averages / sums for feature engineering and burst
+smoothing) — completes the window family of ``ops/windows.py``
+(tumbling / hopping / session / delta) with the row-frame shape.
+Ordering is deterministic: (ts, id) within a key.
+
+Two implementations with identical output (parity-tested):
+
+- ``rolling_frame``: ONE exchange on hash(key) — every row of a key
+  co-located, vectorized per-key pandas rolling. Right when no key is
+  pathologically hot.
+
+- ``rolling_frame_scalable``: the two-phase shape shared with
+  ``ops/sequence.transition_counts_scalable`` — phase 1 partitions by
+  (key, coarse TIME bucket); rows whose k-frame lies inside their
+  bucket finalize locally; only each bucket's first and last
+  ``min(k-1, n)`` rows (plus the bucket row-count) cross the second
+  exchange.  Phase 2 re-groups ONLY those boundary rows per key —
+  bounded by keys × buckets × k, never by events — reconstructs exact
+  global row indices from the per-bucket count prefix sum, and fills
+  each head row's frame from the boundary union (every true
+  predecessor within k-1 positions is in some trailing tail by
+  construction, and index-range selection excludes everything else).
+  A hot key with billions of events never concentrates in one
+  partition.
+
+Output (a Dataset, events-sized — never collected on the driver):
+``(id, n_window, roll_sum, roll_avg)`` with the floats rounded to 4
+decimals at emission (absorbs summation-order noise vs SQL)."""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+if TYPE_CHECKING:
+    import ray.data
+
+_OUT_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("n_window", pa.int64()),
+        ("roll_sum", pa.float64()),
+        ("roll_avg", pa.float64()),
+    ]
+)
+
+
+def _shifted_rolling(
+    v: np.ndarray, k: int, group_arrays: tuple
+) -> tuple[np.ndarray, np.ndarray]:
+    """Positional k-row rolling sum/count with per-group resets, for a
+    frame already sorted by its group keys: row i-j is in i's frame iff
+    every group array matches at distance j (groups are contiguous
+    after the sort, so the endpoint test is exact).  O(k·n) shifted
+    adds — purely positional on purpose: pandas ``groupby(sort=False)
+    .rolling`` emits groups in neither appearance nor sorted order
+    (observed on pandas 2.2), so its flattened values CANNOT be
+    position-aligned with the sorted frame."""
+    n = len(v)
+    sums = v.copy()
+    cnts = np.ones(n, dtype=np.int64)
+    for j in range(1, k):
+        if j >= n:
+            break
+        same = np.ones(n - j, dtype=bool)
+        for arr in group_arrays:
+            same &= arr[j:] == arr[:-j]
+        sums[j:][same] += v[:-j][same]
+        cnts[j:][same] += 1
+    return sums, cnts
+
+
+def _out_table(ids, cnts, sums) -> pa.Table:
+    sums = np.asarray(sums, dtype=np.float64)
+    cnts = np.asarray(cnts, dtype=np.int64)
+    return pa.table(
+        {
+            "id": np.asarray(ids, dtype=np.int64),
+            "n_window": cnts,
+            "roll_sum": np.round(sums, 4),
+            "roll_avg": np.round(sums / cnts, 4),
+        },
+        schema=_OUT_SCHEMA,
+    )
+
+
+def rolling_frame(
+    ds: "ray.data.Dataset",
+    k: int = 4,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW per key — one
+    key-bucketed exchange, vectorized rolling per bucket."""
+    cols = [key_col, ts_col, id_col, val_col]
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def roll(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        sums, cnts = _shifted_rolling(
+            g[val_col].to_numpy(dtype=np.float64), k, (keys,)
+        )
+        return _out_table(g[id_col].to_numpy(), cnts, sums)
+
+    return (
+        ds.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(roll, batch_format="pandas")
+    )
+
+
+def rolling_frame_scalable(
+    ds: "ray.data.Dataset",
+    k: int = 4,
+    bucket: str = "1d",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Same output as ``rolling_frame`` without ever co-locating all
+    rows of a key (see module docstring for the boundary argument)."""
+    cols = [key_col, ts_col, id_col, val_col]
+    bucket_td = pd.Timedelta(bucket)
+    kb = max(k - 1, 0)
+
+    def add_kb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        if len(df) == 0:
+            df["__tb"] = pd.Series([], dtype="datetime64[us]")
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        tb = df[ts_col].dt.floor(bucket_td)
+        h = (
+            pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+            ^ pd.util.hash_pandas_object(tb, index=False).to_numpy()
+        )
+        df["__tb"] = tb
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def in_bucket(g: pd.DataFrame) -> pa.Table:
+        """Finalize interior rows; emit boundary head/tail rows as a
+        typed side table (kind: done rows have key=None)."""
+        g = g.sort_values([key_col, "__tb", ts_col, id_col], kind="mergesort")
+        grp = g.groupby([key_col, "__tb"], sort=False)
+        pos = grp.cumcount().to_numpy()
+        n_in = grp[val_col].transform("size").to_numpy()
+        sums, _ = _shifted_rolling(
+            g[val_col].to_numpy(dtype=np.float64),
+            k,
+            (g[key_col].to_numpy(), g["__tb"].to_numpy()),
+        )
+        interior = pos >= kb
+        done = _out_table(
+            g[id_col].to_numpy()[interior],
+            np.minimum(pos[interior] + 1, k),
+            sums[interior],
+        ).to_pandas()
+        done["kind"] = "done"
+        boundary = (pos < kb) | (pos >= n_in - kb)
+        b = g[boundary].copy()
+        bpos = pos[boundary]
+        side = pd.DataFrame(
+            {
+                "kind": np.where(bpos < kb, "head", "tail"),
+                "id": b[id_col].to_numpy().astype(np.int64),
+                "key": b[key_col].to_numpy(),
+                "tb": b["__tb"].to_numpy(),
+                "p": bpos.astype(np.int64),
+                "n_in": n_in[boundary].astype(np.int64),
+                "val": b[val_col].to_numpy().astype(np.float64),
+            }
+        )
+        # a row can be both head and tail (n_in ≤ 2(k-1)): keep one
+        # physical row, phase 2 treats every boundary row as context
+        # and every p < k-1 row as needing output.
+        done_side = pd.DataFrame(
+            {
+                "kind": done["kind"],
+                "id": done["id"],
+                "key": None,
+                "tb": pd.NaT,
+                "p": np.int64(0),
+                "n_in": done["n_window"],
+                "val": 0.0,
+            }
+        )
+        done_side["n_window"] = done["n_window"]
+        done_side["roll_sum"] = done["roll_sum"]
+        done_side["roll_avg"] = done["roll_avg"]
+        side["n_window"] = np.int64(0)
+        side["roll_sum"] = 0.0
+        side["roll_avg"] = 0.0
+        out = pd.concat([done_side, side], ignore_index=True)
+        out["tb"] = pd.to_datetime(out["tb"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    phase1 = (
+        ds.map_batches(add_kb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(in_bucket, batch_format="pandas")
+        .materialize()  # two consumers: done rows stream out, boundary re-groups
+    )
+
+    done_rows = phase1.map_batches(
+        lambda df: df[df["kind"] == "done"][
+            ["id", "n_window", "roll_sum", "roll_avg"]
+        ],
+        batch_format="pandas",
+    )
+
+    def add_key_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["kind"] != "done"][
+            ["kind", "id", "key", "tb", "p", "n_in", "val"]
+        ].copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["key"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def fix_heads(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return _OUT_SCHEMA.empty_table()
+        outs = []
+        for key, kg in g.groupby("key", sort=False):
+            kg = kg.drop_duplicates("id")
+            # exclusive prefix of bucket sizes → global base index per tb
+            sizes = (
+                kg.drop_duplicates(["tb"])[["tb", "n_in"]]
+                .sort_values("tb")
+                .reset_index(drop=True)
+            )
+            base = dict(
+                zip(
+                    sizes["tb"],
+                    np.concatenate(
+                        [[0], np.cumsum(sizes["n_in"].to_numpy())[:-1]]
+                    ),
+                )
+            )
+            gi = kg["tb"].map(base).to_numpy() + kg["p"].to_numpy()
+            kg = kg.assign(__gi=gi).sort_values("__gi")
+            gis = kg["__gi"].to_numpy()
+            vals = kg["val"].to_numpy()
+            csum = np.concatenate([[0.0], np.cumsum(vals)])
+            need = kg["p"].to_numpy() < kb
+            hgi = gis[need]
+            lo = np.searchsorted(gis, np.maximum(hgi - k + 1, 0), side="left")
+            hi = np.searchsorted(gis, hgi, side="right")
+            outs.append(
+                _out_table(
+                    kg["id"].to_numpy()[need],
+                    np.minimum(hgi + 1, k),
+                    csum[hi] - csum[lo],
+                ).to_pandas()
+            )
+        if not outs:
+            return _OUT_SCHEMA.empty_table()
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True), preserve_index=False
+        )
+
+    head_rows = (
+        phase1.map_batches(add_key_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(
+            lambda g: fix_heads(g.drop(columns="__b")), batch_format="pandas"
+        )
+    )
+    return done_rows.union(head_rows)

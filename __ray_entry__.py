@@ -782,6 +782,39 @@ def _q_windowed_events(sf_dir: str):
     return tumbling_window_agg(ds, freq="1h")
 
 
+def _q_interval_overlaps(sf_dir: str):
+    """Interval×interval overlap self-join per supplier: shipping
+    windows (l_shipdate .. +1-5 days, deterministic from quantity)
+    that overlap for the same supplier. Chunked replication + the
+    canonical-chunk rule: ONE exchange, no pair dedup pass."""
+    import pandas as pd
+
+    from fastie_ray.ops.interval import interval_overlap_join
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_suppkey", "l_shipdate", "l_quantity"],
+    )
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.to_datetime(df["l_shipdate"])
+        days = (df["l_quantity"].astype("int64") % 5 + 1).to_numpy()
+        return pd.DataFrame(
+            {
+                "iid": df["l_orderkey"].to_numpy() * 10
+                + df["l_linenumber"].to_numpy(),
+                "k": df["l_suppkey"].to_numpy(),
+                "s": s,
+                "e": s + pd.to_timedelta(days, unit="D"),
+            }
+        )
+
+    return interval_overlap_join(
+        ds.map_batches(mk, batch_format="pandas"),
+        bucket="7d", n_buckets=16, self_pairs=True,
+    )
+
+
 def _q_rolling_avg(sf_dir: str):
     """Per-key bounded-lookback window frame (ROWS BETWEEN 3 PRECEDING
     AND CURRENT ROW moving sum/avg over (ts, id) order) via the
@@ -4006,6 +4039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": _q_knn,
         "bitext_pairs": _q_bitext_pairs,
         "rolling_avg": _q_rolling_avg,
+        "interval_overlaps": _q_interval_overlaps,
         "events_by_type": _q_events_by_type,
         "windowed_events": _q_windowed_events,
         "hopping_events": _q_hopping_events,
@@ -5728,6 +5762,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "interval_overlaps": """
+            WITH iv AS (
+                SELECT l_suppkey AS k,
+                       l_orderkey * 10 + l_linenumber AS iid,
+                       l_shipdate AS s,
+                       l_shipdate
+                         + INTERVAL ((l_quantity::INT % 5) + 1) DAY AS e
+                FROM lineitem
+            )
+            SELECT a.k AS k, a.iid AS id_a, b.iid AS id_b
+            FROM iv a JOIN iv b
+              ON a.k = b.k AND a.iid < b.iid
+             AND a.s <= b.e AND b.s <= a.e
         """,
         "rolling_avg": """
             SELECT event_id AS id,

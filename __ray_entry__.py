@@ -3426,6 +3426,18 @@ def _q_bottomk_sample(sf_dir: str):
     return bottom_k_sample(docs, k=100, id_col="doc_id", keep_cols=["doc_id", "lang"])
 
 
+def _q_grouped_sample(sf_dir: str):
+    """Exact-25-per-language uniform document sample (stratified
+    reservoir) via per-group bottom-k md5: combiner-first, one
+    group-bucketed exchange."""
+    from fastie_ray.ops.sampling import grouped_bottom_k_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return grouped_bottom_k_sample(
+        docs, k=25, group_col="lang", id_col="doc_id"
+    )
+
+
 def _q_golden_records(sf_dir: str):
     """ER survivorship: blocking + verification + cluster merge in ONE
     first-char-bucketed exchange (match edges are in-class successor
@@ -4065,6 +4077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_walks": _q_kg_walks,
         "shuffle_shards": _q_shuffle_shards,
         "bottomk_sample": _q_bottomk_sample,
+        "grouped_sample": _q_grouped_sample,
         "golden_records": _q_golden_records,
         "dp_lang_counts": _q_dp_lang_counts,
         "winsorized_stats": _q_winsorized_stats,
@@ -6248,6 +6261,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY CAST(('0x' || substr(md5('bk:'
                 || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id
             LIMIT 100
+        """,
+        "grouped_sample": """
+            SELECT lang, doc_id, rank FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY CAST(('0x' || substr(md5('gbk:'
+                               || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                               doc_id) AS rank
+                FROM documents)
+            WHERE rank <= 25
         """,
         # even doc_ids come from the old generation that lacked `lang`
         "evolved_read": """

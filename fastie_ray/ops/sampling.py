@@ -257,3 +257,60 @@ def bottom_k_sample(
     cand = ds.map_batches(local_bk, batch_format="pandas").to_pandas()
     out = cand.sort_values(["__h", id_col]).head(k).drop(columns="__h")
     return out.reset_index(drop=True)
+
+
+def grouped_bottom_k_sample(
+    ds: "ray.data.Dataset",
+    k: int,
+    group_col: str,
+    id_col: str,
+    salt: str = "gbk:",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """EXACT-size uniform sample PER GROUP (stratified reservoir): keep
+    each group's k rows with the smallest ``md5(salt + id)`` — the
+    per-group bottom-k sketch.  Same combiner-first shape as
+    ``grouped_topk`` (each batch pre-reduces to its own per-group
+    bottom-k, the single bucketed exchange on the group key sees at
+    most k rows per (group, batch)), so a hot group never concentrates
+    raw rows.  Unlike ``stratified_sample`` (rate-based, size varies)
+    the per-group size is exactly ``min(k, n_g)``.  Deterministic and
+    SQL-reproducible: ``row_number() OVER (PARTITION BY group ORDER BY
+    md5int, id) <= k``.  Output: (group, id, rank)."""
+    import hashlib
+
+    def local_bk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[group_col, id_col]].copy()
+        out["__h"] = np.array(
+            [
+                int(hashlib.md5((salt + str(v)).encode()).hexdigest()[:8], 16)
+                for v in df[id_col]
+            ],
+            dtype=np.int64,
+        )
+        out = out.sort_values([group_col, "__h", id_col])
+        return out.groupby(group_col, as_index=False, sort=False).head(k)
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").sort_values([group_col, "__h", id_col])
+        out = g.groupby(group_col, as_index=False, sort=False).head(k).copy()
+        out["rank"] = (
+            out.groupby(group_col, sort=False).cumcount() + 1
+        ).astype("int64")
+        return out.drop(columns="__h")
+
+    return (
+        ds.map_batches(local_bk, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

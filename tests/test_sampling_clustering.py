@@ -295,3 +295,47 @@ def test_bottom_k_sample_exact_and_deterministic(ray_session):
     # k > n degrades to the full table
     small = ray.data.from_items([{"doc_id": i} for i in range(7)])
     assert len(bottom_k_sample(small, k=25, id_col="doc_id")) == 7
+
+
+def test_grouped_bottom_k_sample_exact_and_batch_invariant(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.sampling import grouped_bottom_k_sample
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(400, dtype=np.int64),
+            "lang": rng.choice(["en", "de", "fr"], 400, p=[0.7, 0.2, 0.1]),
+        }
+    )
+    # reference: per-group bottom-k by md5
+    df2 = df.copy()
+    df2["h"] = [
+        int(hashlib.md5(("gbk:" + str(v)).encode()).hexdigest()[:8], 16)
+        for v in df2["doc_id"]
+    ]
+    ref = (
+        df2.sort_values(["lang", "h", "doc_id"])
+        .groupby("lang", sort=False)
+        .head(5)
+    )
+    ref = ref.assign(rank=ref.groupby("lang", sort=False).cumcount() + 1)[
+        ["lang", "doc_id", "rank"]
+    ].sort_values(["lang", "rank"]).reset_index(drop=True)
+    for nparts in (2, 7):
+        ds = ray.data.from_pandas(df).repartition(nparts)
+        out = (
+            grouped_bottom_k_sample(ds, k=5, group_col="lang", id_col="doc_id")
+            .to_pandas()[["lang", "doc_id", "rank"]]
+            .sort_values(["lang", "rank"])
+            .reset_index(drop=True)
+        )
+        out["rank"] = out["rank"].astype(ref["rank"].dtype)
+        pd.testing.assert_frame_equal(out, ref)
+    # exact size per group
+    assert (out.groupby("lang").size() == 5).all()

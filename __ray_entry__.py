@@ -1371,6 +1371,19 @@ def _q_embed_quantize(sf_dir: str):
     return scalar_quantize(_read(sf_dir, "embeddings"))
 
 
+def _q_pq_codes(sf_dir: str):
+    """Product-quantization code assignment (4 × 16-dim subspaces,
+    16 sampled codewords): codebook = bottom-16 md5 sample (no
+    exchange), one streaming encode pass with vectorized per-subspace
+    argmin. Deterministic sampled codebooks keep the assignment
+    SQL-exact (Lloyd refinement documented as the non-oracle path)."""
+    from fastie_ray.ops.pq import pq_encode, sample_codebook
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cb = sample_codebook(ds, n_codes=16)
+    return pq_encode(ds, cb, n_sub=4)
+
+
 def _q_winnow_overlap(sf_dir: str):
     """MOSS-style overlap pairs: docs sharing ≥3 rare winnowing
     fingerprints (fp degree capped at 8 to drop boilerplate-hot
@@ -4078,6 +4091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards": _q_shuffle_shards,
         "bottomk_sample": _q_bottomk_sample,
         "grouped_sample": _q_grouped_sample,
+        "pq_codes": _q_pq_codes,
         "golden_records": _q_golden_records,
         "dp_lang_counts": _q_dp_lang_counts,
         "winsorized_stats": _q_winsorized_stats,
@@ -6261,6 +6275,33 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY CAST(('0x' || substr(md5('bk:'
                 || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id
             LIMIT 100
+        """,
+        "pq_codes": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cb AS (
+                SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, v
+                FROM (
+                    SELECT vec_id, v,
+                           CAST(('0x' || substr(md5('pq:'
+                               || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                               AS h
+                    FROM e)
+                ORDER BY h, vec_id LIMIT 16
+            ),
+            d AS (
+                SELECT e.vec_id, m.m AS sub, cb.code,
+                       list_distance(e.v[m.m * 16 + 1 : (m.m + 1) * 16],
+                                     cb.v[m.m * 16 + 1 : (m.m + 1) * 16])
+                           AS dist
+                FROM e CROSS JOIN range(4) m(m) CROSS JOIN cb
+            )
+            SELECT vec_id, sub, code FROM (
+                SELECT vec_id, sub, code,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY dist, code) AS rk
+                FROM d) WHERE rk = 1
         """,
         "grouped_sample": """
             SELECT lang, doc_id, rank FROM (

@@ -782,6 +782,16 @@ def _q_windowed_events(sf_dir: str):
     return tumbling_window_agg(ds, freq="1h")
 
 
+def _q_grid_fill(sf_dir: str):
+    """Gap-fill resampling: daily grid per user (global [t0, t1] from a
+    two-scalar aggregate, distributed key×slot expansion) ASOF-filled
+    with the latest prior observation (null before the first)."""
+    from fastie_ray.ops.windows import grid_fill_resample
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return grid_fill_resample(ds, step="1d")
+
+
 def _q_interval_overlaps(sf_dir: str):
     """Interval×interval overlap self-join per supplier: shipping
     windows (l_shipdate .. +1-5 days, deterministic from quantity)
@@ -4065,6 +4075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitext_pairs": _q_bitext_pairs,
         "rolling_avg": _q_rolling_avg,
         "interval_overlaps": _q_interval_overlaps,
+        "grid_fill": _q_grid_fill,
         "events_by_type": _q_events_by_type,
         "windowed_events": _q_windowed_events,
         "hopping_events": _q_hopping_events,
@@ -5789,6 +5800,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "grid_fill": """
+            WITH b AS (
+                SELECT date_trunc('day', min(ts)) AS t0, max(ts) AS t1
+                FROM events
+            ),
+            g AS (
+                SELECT unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS ts
+                FROM b
+            ),
+            grid AS (
+                SELECT u.user_id, g.ts
+                FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN g
+            )
+            SELECT grid.user_id, grid.ts AS slot_ts, e.value AS value
+            FROM grid ASOF LEFT JOIN events e
+              ON grid.user_id = e.user_id AND e.ts <= grid.ts
         """,
         "interval_overlaps": """
             WITH iv AS (

@@ -82,7 +82,9 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "bucketed_join",
                  "cdc_state", "windowed_delta", "event_transitions",
                  "skew_join", "lang_heavy_tokens", "cms_tokens",
-                 "host_links", "zorder_layout", "q3_topk", "region_revenue"):
+                 "host_links", "zorder_layout", "q3_topk", "region_revenue",
+                 "bitext_pairs", "lpa_communities", "rolling_avg",
+                 "interval_overlaps", "pq_codes"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

@@ -649,3 +649,86 @@ def burst_windows(
             }
         )
     return out.sort_values([key_col, "window_start_us"]).reset_index(drop=True)
+
+
+def grid_fill_resample(
+    events: "ray.data.Dataset",
+    step: str = "1d",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Gap-fill resampling to a regular time grid (the feature-store /
+    time-series shape): for every key and every ``step`` slot between
+    ``floor(min ts)`` and ``max ts``, the latest observation at or
+    before the slot (last-observation-carried-forward; null before a
+    key's first observation).  SQL equivalent: a key×slot grid ASOF
+    LEFT JOINed to the observations.
+
+    Composition — three bounded pieces, no driver-side key list:
+
+    - the global [t0, t1] range is a tiny two-scalar driver aggregate
+      (one streaming pass over the pruned ts column);
+    - the grid is built DISTRIBUTED: per-batch distinct keys → one
+      bucketed distinct exchange → flat expansion to (key, slot) rows
+      (slots ride in as two broadcast scalars, never a row list);
+    - ``asof_join`` (one key-hash exchange + per-partition vectorized
+      merge_asof) fills values.  Determinism requires unique
+      (key, ts) observations — true of an event log with per-event
+      ids; pre-reduce ties upstream if your source has them.
+
+    Output: (key, slot_ts, value)."""
+    bounds = events.map_batches(
+        lambda df: pd.DataFrame(
+            {"t0": [df[ts_col].min()], "t1": [df[ts_col].max()]}
+        )
+        if len(df)
+        else pd.DataFrame({"t0": [], "t1": []}),
+        batch_format="pandas",
+    ).to_pandas()
+    t0 = pd.to_datetime(bounds["t0"]).min().floor(pd.Timedelta(step))
+    t1 = pd.to_datetime(bounds["t1"]).max()
+    slots = pd.date_range(t0, t1, freq=pd.Timedelta(step))
+
+    def kpart(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[key_col]].drop_duplicates()
+        if len(out) == 0:
+            out["__b"] = np.array([], dtype=np.int64)
+            return out
+        h = pd.util.hash_pandas_object(out[key_col], index=False).to_numpy()
+        out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g[key_col].drop_duplicates().to_numpy()
+        idx = np.repeat(np.arange(len(keys)), len(slots))
+        return pd.DataFrame(
+            {
+                key_col: keys[idx],
+                ts_col: np.tile(slots.to_numpy(), len(keys)),
+            }
+        )
+
+    grid = (
+        events.map_batches(kpart, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(
+            lambda g: expand(g.drop(columns="__b")), batch_format="pandas"
+        )
+    )
+    filled = asof_join(
+        grid,
+        events,
+        key_col=key_col,
+        ts_col=ts_col,
+        right_cols=[val_col],
+        n_buckets=n_buckets,
+    )
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={ts_col: "slot_ts"})
+        keep = [key_col, "slot_ts", val_col]
+        return out[[c for c in keep if c in out.columns]]
+
+    return filled.map_batches(rename, batch_format="pandas")

@@ -165,3 +165,34 @@ def test_asof_state_replays_change_prefix(ray_session):
         "k"
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(now, full)
+
+
+def test_grid_fill_resample_locf(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.windows import grid_fill_resample
+
+    rows = [
+        # u1 observes on day 1 and day 4; u2 only on day 3
+        (1, "2024-05-01 10:00", 10.0),
+        (1, "2024-05-04 09:00", 40.0),
+        (2, "2024-05-03 23:59", 7.0),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = (
+        grid_fill_resample(ds, step="1d")
+        .to_pandas()
+        .sort_values(["user_id", "slot_ts"])
+        .reset_index(drop=True)
+    )
+    # grid: floor(min ts)=May-1 .. max ts=May-4 09:00 → 4 daily slots
+    assert len(out) == 8
+    u1 = out[out["user_id"] == 1]["value"].tolist()
+    u2 = out[out["user_id"] == 2]["value"].tolist()
+    # slot at May-1 00:00 precedes u1's 10:00 observation → null
+    assert np.isnan(u1[0]) and u1[1] == 10.0 and u1[2] == 10.0 and u1[3] == 10.0
+    assert np.isnan(u2[0]) and np.isnan(u2[1]) and np.isnan(u2[2]) and u2[3] == 7.0

@@ -3977,6 +3977,142 @@ def _q_user_activity(sf_dir: str):
     return j.map_batches(fill, batch_format="pandas")
 
 
+def _q_line_dedup(sf_dir: str):
+    """CCNet-style line-level boilerplate removal
+    (``ops.line_dedup.line_dedup``): corpus-wide line counts (combiner
+    → one exchange, only heavy lines leave it), heavy-line left join,
+    per-doc rebuild with an md5 of the surviving text. The
+    line-structured corpus derives deterministically from documents —
+    a cookie banner on every doc, a rotating promo line on every third
+    doc, a unique body line, a low-frequency ref line — so the oracle
+    replays the plant and the threshold in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.line_dedup import line_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_lines(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype("int64")
+        frames = [
+            pd.DataFrame(
+                {
+                    "doc_id": did,
+                    "idx": np.int64(0),
+                    "line": "cookie notice please accept cookies",
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "doc_id": did[did % 3 == 0],
+                    "idx": np.int64(1),
+                    "line": "promo code " + (did[did % 3 == 0] % 7).astype(str),
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "doc_id": did,
+                    "idx": np.int64(2),
+                    "line": "body " + did.astype(str) + " " + df["text"],
+                }
+            ),
+            pd.DataFrame(
+                {
+                    "doc_id": did,
+                    "idx": np.int64(3),
+                    "line": "ref " + (did % 97).astype(str),
+                }
+            ),
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    lines = ds.map_batches(to_lines, batch_format="pandas")
+    return line_dedup(lines, max_count=16, n_buckets=16)
+
+
+def _q_hits(sf_dir: str):
+    """HITS hubs/authorities (3 unnormalized integer power steps —
+    exact alternating-path counts) over the distinct customer→supplier
+    graph from orders⋈lineitem; ``ops.graph.hits``. Per iteration: two
+    edge⋈score hash joins + two bucketed sum exchanges, edge table
+    materialized once, score tables node-sized."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import hits
+    from fastie_ray.ops.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_suppkey"], right_cols=["o_orderkey", "o_custkey"],
+    )
+    edges = j.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": "c" + df["o_custkey"].astype(str),
+             "dst": "s" + df["l_suppkey"].astype(str)}
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+    return hits(dedup_exact(edges, ["src", "dst"], n_buckets=16), n_iter=3)
+
+
+def _hits_sql(edges_cte: str, n_iter: int = 3) -> str:
+    """Unrolled integer-HITS oracle over any ``edges(src, dst)``
+    DISTINCT edge CTE (mirrors ``ops.graph.hits`` arithmetic)."""
+    ctes = [
+        edges_cte,
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "h0 AS (SELECT node, CAST(1 AS BIGINT) AS s FROM nodes)",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"a{t} AS (SELECT e.dst AS node, sum(h.s) AS s "
+            f"FROM edges e JOIN h{t - 1} h ON e.src = h.node GROUP BY 1)"
+        )
+        ctes.append(
+            f"h{t} AS (SELECT e.src AS node, sum(a.s) AS s "
+            f"FROM edges e JOIN a{t} a ON e.dst = a.node GROUP BY 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT n.node, CAST(coalesce(h.s, 0) AS BIGINT) AS hub,
+               CAST(coalesce(a.s, 0) AS BIGINT) AS auth
+        FROM nodes n LEFT JOIN h{n_iter} h USING (node)
+                     LEFT JOIN a{n_iter} a USING (node)"""
+    )
+
+
+def _q_assoc_rules(sf_dir: str):
+    """Size-2 association rules over per-doc distinct token sets
+    (``ops.cooc.assoc_rules``): support-pruned pair counts + token
+    doc-counts (combiner → one exchange each), two task hash joins for
+    the denominators, integer-floor confidence and lift."""
+    from fastie_ray.ops.cooc import assoc_rules
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return assoc_rules(
+        ds, min_support=5, min_conf_e6=200_000, per_doc_cap=16
+    )
+
+
+def _q_event_pivot(sf_dir: str):
+    """PIVOT events into a wide per-user profile — count + integer-cent
+    value sum per event type over a FIXED category list
+    (``ops.stats.pivot_counts``): per-batch wide combiner, one
+    user-bucketed exchange."""
+    from fastie_ray.ops.stats import pivot_counts
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    return pivot_counts(
+        ev, "user_id", "event_type", ["click", "view", "purchase"],
+        value_col="value",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -4133,6 +4269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_uniques": _q_window_uniques,
         "kg_edges_delta": _q_kg_edges_delta,
         "clean_pack": _q_clean_pack,
+        "line_dedup": _q_line_dedup,
+        "hits": _q_hits,
+        "assoc_rules": _q_assoc_rules,
+        "event_pivot": _q_event_pivot,
     }
 
 
@@ -6349,5 +6489,97 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "line_dedup": """
+            WITH lines AS (
+                SELECT doc_id, 0 AS idx,
+                       'cookie notice please accept cookies' AS line
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 1, 'promo code ' || CAST(doc_id % 7 AS VARCHAR)
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id, 2,
+                       'body ' || CAST(doc_id AS VARCHAR) || ' ' || text
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 3, 'ref ' || CAST(doc_id % 97 AS VARCHAR)
+                FROM documents
+            ),
+            cnt AS (SELECT line, count(*) AS n FROM lines GROUP BY 1),
+            kept AS (
+                SELECT l.doc_id, l.idx, l.line
+                FROM lines l JOIN cnt c USING (line) WHERE c.n <= 16
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       md5(string_agg(line, chr(10) ORDER BY idx)) AS clean_md5
+                FROM kept GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1)
+            SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(a.clean_md5, md5('')) AS clean_md5
+            FROM tot t LEFT JOIN agg a USING (doc_id)
+        """,
+        "hits": _hits_sql(
+            """edges AS (
+                SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+            n_iter=3,
+        ),
+        "assoc_rules": """
+            WITH tk AS (
+                SELECT doc_id, tok FROM (
+                    SELECT doc_id, tok,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY tok) AS rk
+                    FROM (SELECT DISTINCT doc_id, tok FROM (
+                        SELECT doc_id,
+                               unnest(regexp_extract_all(lower(text),
+                                                         '[a-z0-9]+')) AS tok
+                        FROM documents))
+                ) WHERE rk <= 16
+            ),
+            n AS (SELECT count(*) AS c FROM documents),
+            tc AS (SELECT tok, count(*) AS n_docs FROM tk GROUP BY 1),
+            pc AS (
+                SELECT a.tok AS ta, b.tok AS tb, count(*) AS support
+                FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.tok < b.tok
+                GROUP BY 1, 2 HAVING count(*) >= 5
+            ),
+            dir AS (
+                SELECT ta AS antecedent, tb AS consequent, support FROM pc
+                UNION ALL
+                SELECT tb, ta, support FROM pc
+            ),
+            r AS (
+                SELECT d.antecedent, d.consequent,
+                       CAST(d.support AS BIGINT) AS support,
+                       CAST(d.support * 1000000 // ta.n_docs AS BIGINT)
+                           AS conf_e6,
+                       CAST(d.support * n.c * 1000000
+                            // (ta.n_docs * tb.n_docs) AS BIGINT) AS lift_e6
+                FROM dir d JOIN tc ta ON ta.tok = d.antecedent
+                           JOIN tc tb ON tb.tok = d.consequent, n
+            )
+            SELECT * FROM r WHERE conf_e6 >= 200000
+        """,
+        "event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                            FILTER (WHERE event_type = 'click'), 0)
+                       AS sum_click_e2,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                            FILTER (WHERE event_type = 'view'), 0)
+                       AS sum_view_e2,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purchase,
+                   coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                            FILTER (WHERE event_type = 'purchase'), 0)
+                       AS sum_purchase_e2
+            FROM events GROUP BY user_id
         """,
     }

@@ -1026,3 +1026,127 @@ def lpa_communities(
         return df.rename(columns={"lab": "community_id"})
 
     return labels.map_batches(rename, batch_format="pandas")
+
+
+def hits(
+    edges: "ray.data.Dataset",
+    n_iter: int = 3,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """HITS hubs & authorities (Kleinberg 1999) over a DISTINCT
+    (src, dst) edge table, UNNORMALIZED INTEGER form so every iterate
+    is an exact path count and the unrolled SQL oracle matches
+    bit-for-bit:
+
+        hub₀(u)  = 1
+        authᵢ(v) = Σ_{(u,v)∈E} hubᵢ₋₁(u)      (in-link sum)
+        hubᵢ(u)  = Σ_{(u,v)∈E} authᵢ(v)       (out-link sum)
+
+    After i rounds ``auth(v)`` counts alternating back-forward paths of
+    length 2i−1 ending at v — the quantity HITS' power iteration
+    normalizes. Callers keep ``n_iter`` small (values grow ~(d²)ⁱ; at
+    d≈5000 three rounds stay far inside int64), exactly as production
+    HITS runs a handful of power steps.
+
+    Scale shape per iteration: 2 task-based edge⋈score hash joins +
+    2 bucketed sum exchanges, all node- or edge-sized. The edge table
+    is materialized ONCE (NOTES fact 19: an unmaterialized lineage
+    re-executes per consumer); score tables are node-sized and
+    compacted to ``n_buckets`` blocks each round (NOTES fact 15: block
+    counts compound through chained exchanges). Returns
+    ``(node, hub, auth)`` over src ∪ dst nodes, missing side = 0."""
+    import ray.data
+
+    edges = edges.repartition(n_buckets).materialize()
+
+    def nodes_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.concat([df["src"], df["dst"]]).drop_duplicates()}
+        )
+
+    def nodes_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates("node").reset_index(drop=True)
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = _bucket(df["node"], n_buckets)
+        return df
+
+    nodes = (
+        edges.map_batches(nodes_partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(
+            lambda g: nodes_final(g.drop(columns="__b")), batch_format="pandas"
+        )
+        .materialize()
+    )
+
+    hub = nodes.map_batches(
+        lambda df: df.assign(score=np.int64(1)), batch_format="pandas"
+    ).materialize()
+
+    def _sum_scores(joined, key_out: str):
+        """Per-batch combiner on the emit key, one bucketed exchange."""
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(key_out, as_index=False)["score"].sum()
+            return out.rename(columns={key_out: "node"})
+
+        def final(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("node", as_index=False)["score"].sum()
+            out["score"] = out["score"].astype("int64")
+            return out
+
+        return (
+            joined.map_batches(partial, batch_format="pandas")
+            .map_batches(add_b, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(
+                lambda g: final(g.drop(columns="__b")), batch_format="pandas"
+            )
+            .repartition(n_buckets)
+            .materialize()
+        )
+
+    auth = None
+    for _ in range(n_iter):
+        j = hash_join(
+            edges, hub, on="src", right_on="node",
+            left_cols=["src", "dst"], right_cols=["node", "score"],
+            n_buckets=n_buckets,
+        )
+        auth = _sum_scores(j, "dst")
+        j2 = hash_join(
+            edges, auth, on="dst", right_on="node",
+            left_cols=["src", "dst"], right_cols=["node", "score"],
+            n_buckets=n_buckets,
+        )
+        hub = _sum_scores(j2, "src")
+
+    h = hash_join(
+        nodes, hub.map_batches(
+            lambda df: df.rename(columns={"score": "hub"}), batch_format="pandas"
+        ),
+        on="node", how="left",
+        left_cols=["node"], right_cols=["node", "hub"], n_buckets=n_buckets,
+    )
+    ha = hash_join(
+        h, auth.map_batches(
+            lambda df: df.rename(columns={"score": "auth"}), batch_format="pandas"
+        ),
+        on="node", how="left",
+        left_cols=["node", "hub"], right_cols=["node", "auth"],
+        n_buckets=n_buckets,
+    )
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["node"],
+                "hub": df["hub"].fillna(0).astype("int64"),
+                "auth": df["auth"].fillna(0).astype("int64"),
+            }
+        )
+
+    return ha.map_batches(fill, batch_format="pandas")

@@ -637,3 +637,65 @@ def grouped_mad(
     out["median"] = out["median"].astype("int64")
     out["mad"] = out["mad"].astype("int64")
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def pivot_counts(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    cat_col: str,
+    categories: list[str],
+    value_col: str | None = None,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """PIVOT: one row per ``key_col``, one count column per category in
+    ``categories`` (``n_<cat>``), plus ``sum_<cat>_e2`` integer-cent
+    value sums when ``value_col`` is given — the wide-table feature
+    layout (per-user event profiles, per-host crawl stats) SQL spells
+    ``count(*) FILTER (WHERE cat = ...)``.
+
+    ``categories`` is an explicit FIXED list: the output schema must be
+    stable across batches and cluster runs, so unknown categories are
+    ignored rather than minting columns dynamically (at web scale the
+    category domain of a raw column is unbounded; the caller names the
+    columns they want). Values are scaled to integer cents before
+    summing, so cross-partition addition order cannot perturb the
+    result (float sums are order-dependent; integer sums are not).
+
+    Scale shape: the per-batch combiner collapses each batch to one
+    wide row per key, then ONE key-bucketed exchange sums the wide
+    partials — payload is keys × (len(categories)+1) ints, never
+    event-sized."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({key_col: df[key_col].drop_duplicates()})
+        out = out.set_index(key_col)
+        for c in categories:
+            m = df[df[cat_col] == c]
+            out[f"n_{c}"] = m.groupby(key_col)[cat_col].count()
+            if value_col is not None:
+                cents = (m[value_col] * 100).round().astype("int64")
+                out[f"sum_{c}_e2"] = cents.groupby(df.loc[m.index, key_col]).sum()
+        return out.fillna(0).astype("int64").reset_index()
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(key_col, as_index=False).sum()
+        for c in out.columns:
+            if c != key_col:
+                out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

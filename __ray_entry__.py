@@ -4113,6 +4113,101 @@ def _q_event_pivot(sf_dir: str):
     )
 
 
+def _q_stream_join(sf_dir: str):
+    """Stream-stream BAND join: click → purchase within 30 min per
+    user (``ops.interval.band_join``): chunk-replicated left (2×),
+    right in its own chunk, every pair emitted once in the right row's
+    chunk — ONE exchange, no dedup, payload-free replication."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from fastie_ray.ops.interval import band_join
+
+    def ev(kind: str):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+            filter=pc.field("event_type") == kind,
+            override_num_blocks=16,
+        )
+
+    j = band_join(
+        ev("click"), ev("purchase"), key_col="user_id", ts_col="ts",
+        band="30min", direction="forward", id_col="event_id", n_buckets=16,
+    )
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["k"],
+                "click_id": df["id_left"],
+                "purchase_id": df["id_right"],
+                "delta_us": df["delta_us"],
+            }
+        )
+
+    return j.map_batches(rename, batch_format="pandas")
+
+
+def _q_vocab_build(sf_dir: str):
+    """Frequency-ranked vocabulary with a min-count cutoff
+    (``ops.vocab.build_vocab``): token counts with the cutoff applied
+    INSIDE the exchange, ids via sort-barrier-free global rank by
+    (n DESC, token). A rare-token plant (one ``tk<doc_id%211>`` per
+    doc) puts mass on BOTH sides of the cutoff."""
+    import pandas as pd
+
+    from fastie_ray.ops.vocab import build_vocab
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text": df["text"]
+                + " tk"
+                + (df["doc_id"].astype("int64") % 211).astype(str),
+            }
+        )
+
+    return build_vocab(
+        ds.map_batches(plant, batch_format="pandas"), min_count=5,
+        n_buckets=16,
+    )
+
+
+def _q_scc(sf_dir: str):
+    """Strongly connected components (``ops.graph.scc`` — FW-BW
+    coloring, the standard distributed SCC algorithm) over a planted
+    directed graph on customer keys: a permutation cycle inside each
+    decade (x → 3·digit+1 mod 10) plus even-decade → next-decade chain
+    edges, so SCCs are the decade cycles and the color DAG is 2 deep.
+    Oracle is the recursive-CTE mutual-reachability closure."""
+    import pandas as pd
+
+    from fastie_ray.ops.graph import scc
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    maxk = int(cust.max("c_custkey"))
+
+    def mk_edges(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["c_custkey"].astype("int64")
+        e1 = pd.DataFrame(
+            {"src": x, "dst": (x // 10) * 10 + ((x % 10) * 3 + 1) % 10}
+        )
+        m = (x // 10) % 2 == 0
+        e2 = pd.DataFrame({"src": x[m & (x + 10 <= maxk)]})
+        e2["dst"] = e2["src"] + 10
+        return pd.concat([e1, e2], ignore_index=True).astype("int64")
+
+    return scc(
+        cust.map_batches(mk_edges, batch_format="pandas"),
+        n_phases=4, max_rounds=16, n_buckets=16,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -4273,6 +4368,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": _q_hits,
         "assoc_rules": _q_assoc_rules,
         "event_pivot": _q_event_pivot,
+        "stream_join": _q_stream_join,
+        "vocab_build": _q_vocab_build,
+        "scc": _q_scc,
     }
 
 
@@ -6581,5 +6679,60 @@ def oracle_sql() -> dict[str, str]:
                             FILTER (WHERE event_type = 'purchase'), 0)
                        AS sum_purchase_e2
             FROM events GROUP BY user_id
+        """,
+        "stream_join": """
+            SELECT c.user_id, c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT)
+                       AS delta_us
+            FROM events c JOIN events p ON p.user_id = c.user_id
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        """,
+        "vocab_build": """
+            WITH planted AS (
+                SELECT text || ' tk' || CAST(doc_id % 211 AS VARCHAR) AS text
+                FROM documents),
+            tok AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS token
+                FROM planted),
+            tc AS (
+                SELECT token, count(*) AS n FROM tok GROUP BY 1
+                HAVING count(*) >= 5)
+            SELECT token, CAST(n AS BIGINT) AS n,
+                   CAST(row_number() OVER (ORDER BY n DESC, token) - 1
+                        AS BIGINT) AS token_id
+            FROM tc
+        """,
+        "scc": """
+            WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m FROM customer),
+            edges AS (
+                SELECT c_custkey AS src,
+                       (c_custkey // 10) * 10
+                           + ((c_custkey % 10) * 3 + 1) % 10 AS dst
+                FROM customer
+                UNION
+                SELECT c_custkey, c_custkey + 10
+                FROM customer, mx
+                WHERE (c_custkey // 10) % 2 = 0 AND c_custkey + 10 <= mx.m
+            ),
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            reach(a, b) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+            ),
+            mutual AS (
+                SELECT r1.a AS v, r1.b AS u
+                FROM reach r1 JOIN reach r2
+                     ON r1.a = r2.b AND r1.b = r2.a
+            )
+            SELECT n.node,
+                   CAST(least(n.node, coalesce(min(m.u), n.node)) AS BIGINT)
+                       AS scc_id
+            FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+            GROUP BY n.node
         """,
     }

@@ -1150,3 +1150,237 @@ def hits(
         )
 
     return ha.map_batches(fill, batch_format="pandas")
+
+
+def scc(
+    edges: "ray.data.Dataset",
+    n_phases: int = 4,
+    max_rounds: int = 16,
+    n_buckets: int = 16,
+    rows_per_block: int = 100_000,
+) -> "ray.data.Dataset":
+    """Strongly connected components of a DIRECTED graph via the
+    coloring / FW-BW min-label algorithm (Orzan 2004; Slota et al.
+    2014), the standard distributed SCC scheme. INTEGER node ids.
+    Per phase over the remaining graph:
+
+    1. **Forward colors** — fixed-point min-label propagation along
+       edge direction: color(v) = min u with u →* v (u ∈ {v} ∪
+       ancestors). Monotone-decreasing integer labels make the exact
+       fixed-point test a driver SCALAR (total color sum unchanged).
+    2. **Backward marks** — from every color root r (color(r)=r),
+       propagate reachability BACKWARD along same-color edges; marked
+       nodes are exactly {v: color(v)=r and v →* r} = SCC(r), with
+       r = min(SCC) at extraction time (any smaller remaining ancestor
+       would have colored r). Mark count is monotone — fixed point is
+       again a driver scalar.
+    3. Marked nodes are assigned ``scc_id = color`` and removed
+       (anti-joins on nodes and both edge endpoints).
+
+    Phases bound the color-DAG depth (each phase extracts every
+    root-colored SCC layer); ``max_rounds`` bounds propagation within
+    a phase, same bounded-round convention as ``kcore_peel`` /
+    ``lpa_communities``. If the graph is not exhausted the op RAISES
+    rather than returning silently-wrong singletons.
+
+    Scale shape: everything is node- or edge-sized tag-union
+    exchanges and task hash joins; per-round tables are materialized
+    (NOTES fact 19) and compacted to ≤ rows/``rows_per_block`` typed
+    Arrow blocks (facts 15/18 — schema-less empty-sentinel discipline
+    when sparse phases leave most blocks empty)."""
+    import pyarrow as pa
+    import ray.data
+
+    node_schema = pa.schema([("node", pa.int64())])
+    color_schema = pa.schema([("node", pa.int64()), ("color", pa.int64())])
+
+    def _k(n_rows: int) -> int:
+        return max(1, min(n_buckets, n_rows // rows_per_block + 1))
+
+    edges = edges.repartition(n_buckets).materialize()
+
+    def nodes_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.concat([df["src"], df["dst"]]).drop_duplicates()}
+        )
+
+    def add_nb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = _bucket(df["node"], n_buckets)
+        return df
+
+    def nodes_final(g: pd.DataFrame) -> pa.Table:
+        out = g.drop(columns="__b").drop_duplicates("node")
+        return pa.Table.from_pandas(
+            out.astype({"node": "int64"}), preserve_index=False,
+            schema=node_schema,
+        )
+
+    rem_nodes = (
+        edges.map_batches(nodes_partial, batch_format="pandas")
+        .map_batches(add_nb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(nodes_final, batch_format="pandas")
+        .materialize()
+    )
+    rem_edges = edges
+    assigned = []
+
+    for _phase in range(n_phases):
+        n_rem = rem_nodes.count()
+        if n_rem == 0:
+            break
+        k = _k(n_rem)
+        rem_nodes = rem_nodes.repartition(k).materialize()
+
+        # ---- 1. forward min colors to fixed point
+        colors = rem_nodes.map_batches(
+            lambda df: pa.Table.from_pandas(
+                pd.DataFrame(
+                    {"node": df["node"].astype("int64"),
+                     "color": df["node"].astype("int64")}
+                ),
+                preserve_index=False, schema=color_schema,
+            ),
+            batch_format="pandas",
+        ).materialize()
+        prev_sum = None
+        for _r in range(max_rounds):
+            j = hash_join(
+                rem_edges, colors, on="src", right_on="node",
+                left_cols=["src", "dst"], right_cols=["node", "color"],
+                n_buckets=n_buckets,
+            )
+
+            def contrib(df: pd.DataFrame) -> pd.DataFrame:
+                out = df.groupby("dst", as_index=False)["color"].min()
+                return out.rename(columns={"dst": "node"})
+
+            def min_final(g: pd.DataFrame) -> pa.Table:
+                out = g.drop(columns="__b").groupby(
+                    "node", as_index=False
+                )["color"].min()
+                return pa.Table.from_pandas(
+                    out.astype({"node": "int64", "color": "int64"}),
+                    preserve_index=False, schema=color_schema,
+                )
+
+            colors = (
+                j.map_batches(contrib, batch_format="pandas")
+                .union(colors)
+                .map_batches(add_nb, batch_format="pandas")
+                .groupby("__b")
+                .map_groups(min_final, batch_format="pandas")
+                .repartition(k)
+                .materialize()
+            )
+            csum = int(
+                colors.map_batches(
+                    lambda df: pd.DataFrame(
+                        {"s": [np.int64(df["color"].sum())]}
+                    ),
+                    batch_format="pandas",
+                )
+                .to_pandas()["s"]
+                .sum()
+            )
+            if csum == prev_sum:
+                break
+            prev_sum = csum
+
+        # ---- 2. same-color edge set for this phase
+        ce = hash_join(
+            rem_edges, colors, on="src", right_on="node",
+            left_cols=["src", "dst"], right_cols=["node", "color"],
+            n_buckets=n_buckets, suffix="_cs",
+        )
+        ce = hash_join(
+            ce, colors, on="dst", right_on="node",
+            left_cols=["src", "dst", "color"],
+            right_cols=["node", "color"], n_buckets=n_buckets, suffix="_cd",
+        )
+        ce = (
+            ce.map_batches(
+                lambda df: df.loc[
+                    df["color"] == df["color_cd"], ["src", "dst"]
+                ].astype("int64"),
+                batch_format="pandas",
+            )
+            .repartition(k)
+            .materialize()
+        )
+
+        # ---- 3. backward marks from color roots
+        marked = colors.map_batches(
+            lambda df: pa.Table.from_pandas(
+                df.loc[df["node"] == df["color"], ["node"]].astype(
+                    {"node": "int64"}
+                ),
+                preserve_index=False, schema=node_schema,
+            ),
+            batch_format="pandas",
+        ).materialize()
+        prev_n = marked.count()
+        for _r in range(max_rounds):
+            cand = hash_join(
+                ce, marked, on="dst", right_on="node", how="semi",
+                left_cols=["src", "dst"], n_buckets=n_buckets,
+            ).map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": df["src"].drop_duplicates().astype("int64")}
+                ),
+                batch_format="pandas",
+            )
+            marked = (
+                marked.union(cand)
+                .map_batches(add_nb, batch_format="pandas")
+                .groupby("__b")
+                .map_groups(nodes_final, batch_format="pandas")
+                .repartition(k)
+                .materialize()
+            )
+            n_marked = marked.count()
+            if n_marked == prev_n:
+                break
+            prev_n = n_marked
+
+        # ---- assign scc_id = color to marked nodes, shrink the graph
+        part = hash_join(
+            marked, colors, on="node",
+            left_cols=["node"], right_cols=["node", "color"],
+            n_buckets=n_buckets,
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"].astype("int64"),
+                 "scc_id": df["color"].astype("int64")}
+            ),
+            batch_format="pandas",
+        ).materialize()
+        assigned.append(part)
+
+        rem_nodes = hash_join(
+            rem_nodes, marked, on="node", how="anti",
+            left_cols=["node"], n_buckets=n_buckets,
+        ).materialize()
+        rem_edges = hash_join(
+            rem_edges, marked, on="src", right_on="node", how="anti",
+            left_cols=["src", "dst"], n_buckets=n_buckets,
+        )
+        rem_edges = (
+            hash_join(
+                rem_edges, marked, on="dst", right_on="node", how="anti",
+                left_cols=["src", "dst"], n_buckets=n_buckets,
+            )
+            .repartition(k)
+            .materialize()
+        )
+
+    if rem_nodes.count() > 0:
+        raise RuntimeError(
+            "scc: graph not exhausted after "
+            f"{n_phases} phases — raise n_phases/max_rounds"
+        )
+    out = assigned[0]
+    for p in assigned[1:]:
+        out = out.union(p)
+    return out

@@ -4208,6 +4208,73 @@ def _q_scc(sf_dir: str):
     )
 
 
+def _q_running_total(sf_dir: str):
+    """Per-user RUNNING TOTAL (SUM OVER PARTITION BY … ORDER BY …
+    ROWS UNBOUNDED PRECEDING) via the two-phase (key, day-bucket)
+    prefix shape — corpus rows cross ONE exchange; hot users spread
+    over their days (``ops.rolling.grouped_running_sum``)."""
+    import pandas as pd
+
+    from fastie_ray.ops.rolling import grouped_running_sum
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = grouped_running_sum(
+        ev, "user_id", "ts", "event_id", "value", bucket="1d", n_buckets=16
+    )
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["id"],
+                "user_id": df["k"],
+                "running_e2": df["running_e2"],
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pandas")
+
+
+def _q_decayed_counts(sf_dir: str):
+    """Time-decayed popularity counters per event type (feature-store
+    exponential decay, halving per day): power-of-two weights keep
+    every term integer-exact, so the distributed sum is
+    order-independent (``ops.stats.decayed_counts``)."""
+    from fastie_ray.ops.stats import decayed_counts
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+    return decayed_counts(
+        ev, "event_type", "ts", ref_ts="2024-01-31", unit="1d",
+        scale_bits=40, clamp=40,
+    )
+
+
+def _q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: shared distinct document
+    fingerprints per source pair (``ops.dedup.cross_source_overlap``).
+    Every 4th doc is planted onto one of 40 shared page texts so the
+    overlap is non-trivial; the oracle replays the plant."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import cross_source_overlap
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype("int64")
+        shared = "shared page " + (did % 13).astype(str)
+        uniq = df["text"] + " #" + did.astype(str)
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "text": shared.where(did % 4 == 0, uniq),
+            }
+        )
+
+    return cross_source_overlap(
+        ds.map_batches(plant, batch_format="pandas"), "text", "source"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -4371,6 +4438,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_join": _q_stream_join,
         "vocab_build": _q_vocab_build,
         "scc": _q_scc,
+        "running_total": _q_running_total,
+        "decayed_counts": _q_decayed_counts,
+        "source_overlap": _q_source_overlap,
     }
 
 
@@ -6734,5 +6804,35 @@ def oracle_sql() -> dict[str, str]:
                        AS scc_id
             FROM nodes n LEFT JOIN mutual m ON m.v = n.node
             GROUP BY n.node
+        """,
+        "running_total": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS BIGINT) AS running_e2
+            FROM events
+        """,
+        "decayed_counts": """
+            SELECT event_type,
+                   CAST(sum((CAST(1 AS BIGINT) << 40) >> least(greatest(
+                       (epoch_us(TIMESTAMP '2024-01-31')
+                        - epoch_us(ts)) // 86400000000, 0), 40))
+                       AS BIGINT) AS decayed
+            FROM events GROUP BY event_type
+        """,
+        "source_overlap": """
+            WITH planted AS (
+                SELECT source,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN 'shared page '
+                                 || CAST(doc_id % 13 AS VARCHAR)
+                            ELSE text || ' #' || CAST(doc_id AS VARCHAR)
+                       END AS text
+                FROM documents),
+            f AS (SELECT DISTINCT md5(text) AS h, source FROM planted)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared
+            FROM f a JOIN f b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
         """,
     }

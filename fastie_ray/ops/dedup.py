@@ -552,3 +552,78 @@ def fuzzy_dedup_keep_best(
         .groupby("__b")
         .map_groups(best, batch_format="pandas")
     )
+
+
+def cross_source_overlap(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    source_col: str = "source",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Cross-corpus contamination matrix: for every source pair, how
+    many distinct document fingerprints they SHARE — the provenance
+    audit run before mixing crawls/dumps into one training corpus
+    (double-counted sources inflate dedup debt and leak test splits).
+
+    Scale shape: per-batch distinct (md5, source) rows → ONE
+    fingerprint-bucketed exchange where each fingerprint's distinct
+    source set expands to sorted pairs (bounded by sources² per
+    fingerprint, and the source DOMAIN is small by construction —
+    crawls, dumps, datasets) → per-batch pair partials → one tiny
+    pair-bucketed final. Document text never ships; only fingerprints
+    do."""
+
+    import hashlib
+
+    def fp(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[text_col].map(
+            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
+        )
+        return pd.DataFrame(
+            {"h": h, "source": df[source_col]}
+        ).drop_duplicates()
+
+    def add_hb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        hh = pd.util.hash_pandas_object(df["h"], index=False).to_numpy()
+        df["__b"] = (hh % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").drop_duplicates(["h", "source"])
+        m = g.merge(g, on="h", suffixes=("_a", "_b"))
+        m = m[m["source_a"] < m["source_b"]]
+        return m.groupby(["source_a", "source_b"], as_index=False).agg(
+            n_shared=("h", "count")
+        )
+
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        hh = pd.util.hash_pandas_object(
+            df["source_a"] + "\x00" + df["source_b"], index=False
+        ).to_numpy()
+        df["__b"] = (hh % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(
+            ["source_a", "source_b"], as_index=False
+        )["n_shared"].sum()
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(fp, batch_format="pandas")
+        .map_batches(add_hb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pairs, batch_format="pandas")
+        .map_batches(add_pb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

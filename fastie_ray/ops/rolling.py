@@ -292,3 +292,151 @@ def rolling_frame_scalable(
         )
     )
     return done_rows.union(head_rows)
+
+
+def grouped_running_sum(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    bucket: str = "1d",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-key RUNNING TOTAL — ``SUM(v) OVER (PARTITION BY key ORDER BY
+    ts, id ROWS UNBOUNDED PRECEDING)`` — in integer cents, without ever
+    co-locating a whole key: rows group by (key, time-bucket), so a hot
+    key's history spreads across its buckets (the same two-phase shape
+    as the scalable rolling frames above).
+
+    Three exchanges, corpus rows crossing exactly ONE:
+    - totals: per-batch (key, bucket) partial sums → one bucketed
+      final (table is keys × buckets, far below row count);
+    - offsets: per-key exclusive prefix over its bucket totals (one
+      key-bucketed exchange over the totals table — per-key row count
+      is date-range-bounded);
+    - rows: tag-union of raw rows + offset rows on (key, bucket): each
+      group sorts its rows by (ts, id), cumsums, adds the group's
+      offset. The totals branch re-scans the (column-pruned) input
+      rather than materializing row-sized state.
+
+    Returns (id_col, key_col, ``running_e2``)."""
+    bucket_us = int(
+        pd.Timedelta(bucket).to_numpy().astype("timedelta64[us]").astype(np.int64)
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            pd.to_datetime(df[ts_col]).to_numpy().astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "id": df[id_col].astype("int64"),
+                "k": df[key_col].astype("int64"),
+                "t_us": t,
+                "day": t // bucket_us,
+                "cents": (df[value_col] * 100).round().astype("int64"),
+            }
+        )
+
+    def _kd_bucket(df: pd.DataFrame) -> np.ndarray:
+        if len(df) == 0:
+            return np.array([], dtype=np.int64)
+        h = (
+            pd.util.hash_pandas_object(df["k"], index=False).to_numpy()
+            ^ pd.util.hash_pandas_object(df["day"], index=False).to_numpy()
+        )
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+    # ---- totals per (key, bucket)
+    def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["k", "day"], as_index=False)["cents"].sum()
+
+    def add_kdb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = _kd_bucket(df)
+        return df
+
+    def tot_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(["k", "day"], as_index=False)[
+            "cents"
+        ].sum()
+        out["cents"] = out["cents"].astype("int64")
+        return out
+
+    totals = (
+        ds.map_batches(prep, batch_format="pandas")
+        .map_batches(tot_partial, batch_format="pandas")
+        .map_batches(add_kdb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(tot_final, batch_format="pandas")
+    )
+
+    # ---- per-key exclusive prefix over bucket totals
+    def add_kb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["k"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").sort_values(["k", "day"])
+        cum = g.groupby("k")["cents"].cumsum() - g["cents"]
+        return pd.DataFrame(
+            {"k": g["k"], "day": g["day"], "off": cum.astype("int64")}
+        )
+
+    offsets = (
+        totals.map_batches(add_kb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(prefix, batch_format="pandas")
+    )
+
+    # ---- rows: one (key, bucket) exchange with the offset row riding
+    def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["off"] = np.int64(-1)
+        out["__side"] = "l"
+        out["__b"] = _kd_bucket(out)
+        return out[["id", "k", "t_us", "day", "cents", "off", "__side", "__b"]]
+
+    def tag_offs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "id": np.int64(-1),
+                "k": df["k"],
+                "t_us": np.int64(-1),
+                "day": df["day"],
+                "cents": np.int64(0),
+                "off": df["off"].astype("int64"),
+            }
+        )
+        out["__side"] = "r"
+        out["__b"] = _kd_bucket(out)
+        return out[["id", "k", "t_us", "day", "cents", "off", "__side", "__b"]]
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        rows = g[g["__side"] == "l"].sort_values(["k", "day", "t_us", "id"])
+        offs = g[g["__side"] == "r"][["k", "day", "off"]]
+        local = rows.groupby(["k", "day"], sort=False)["cents"].cumsum()
+        m = rows.merge(offs, on=["k", "day"], how="left", suffixes=("", "_o"))
+        base = m["off_o"].fillna(0).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "id": rows["id"].to_numpy(),
+                "k": rows["k"].to_numpy(),
+                "running_e2": (local.to_numpy() + base).astype("int64"),
+            }
+        )
+
+    both = (
+        ds.map_batches(prep, batch_format="pandas")
+        .map_batches(tag_rows, batch_format="pandas")
+        .union(offsets.map_batches(tag_offs, batch_format="pandas"))
+    )
+    return both.groupby("__b").map_groups(finish, batch_format="pandas")

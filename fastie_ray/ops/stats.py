@@ -699,3 +699,67 @@ def pivot_counts(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def decayed_counts(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    ts_col: str,
+    ref_ts: str,
+    unit: str = "1d",
+    scale_bits: int = 40,
+    clamp: int = 40,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Time-decayed popularity (the feature-store "exponential decay
+    counter": recent events count more, halving every ``unit``):
+
+        decayed(key) = Σ_events (1 << scale_bits) >> min(max(age, 0), clamp)
+        age          = (ref − ts) // unit     (integer floor, µs exact)
+
+    Power-of-two decay keeps every weight an exact integer, so the
+    cross-partition sum is order-independent and SQL-reproducible
+    (float ``exp(-λ·age)`` sums are neither). ``clamp`` bounds the
+    shift (and zeroes anything older than ``clamp`` units beyond
+    ``scale_bits``). One per-batch combiner + one key-bucketed
+    exchange; payload is keys × one int."""
+    ref_us = int(
+        pd.Timestamp(ref_ts).to_datetime64().astype("datetime64[us]")
+        .astype(np.int64)
+    )
+    unit_us = int(
+        pd.Timedelta(unit).to_numpy().astype("timedelta64[us]").astype(np.int64)
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            pd.to_datetime(df[ts_col]).to_numpy().astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        age = np.clip((ref_us - t) // unit_us, 0, clamp)
+        w = np.int64(1 << scale_bits) >> age.astype(np.int64)
+        out = pd.DataFrame({key_col: df[key_col], "decayed": w})
+        return out.groupby(key_col, as_index=False)["decayed"].sum()
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(key_col, as_index=False)[
+            "decayed"
+        ].sum()
+        out["decayed"] = out["decayed"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

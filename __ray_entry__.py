@@ -4275,6 +4275,167 @@ def _q_source_overlap(sf_dir: str):
     )
 
 
+def _mis_edges_sql() -> str:
+    """Planted undirected graph for the MIS oracle: the scc decade
+    graph, symmetrized with self-loops dropped (none exist)."""
+    return """mx AS (SELECT max(c_custkey) AS m FROM customer),
+            de AS (
+                SELECT c_custkey AS src,
+                       (c_custkey // 10) * 10
+                           + ((c_custkey % 10) * 3 + 1) % 10 AS dst
+                FROM customer
+                UNION
+                SELECT c_custkey, c_custkey + 10
+                FROM customer, mx
+                WHERE (c_custkey // 10) % 2 = 0 AND c_custkey + 10 <= mx.m
+            ),
+            edges AS (
+                SELECT src, dst FROM de WHERE src != dst
+                UNION SELECT dst, src FROM de WHERE src != dst
+            )"""
+
+
+def _mis_sql(n_rounds: int = 8) -> str:
+    """Unrolled deterministic-Luby oracle: priorities are
+    md5('mis:'||node)[:8 hex]·10^7 + node (unique), a node joins when
+    it is a strict local minimum among remaining neighbors."""
+    # round CTEs are MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and the unrolled rounds reference each other 3-4×
+    # each — inlining is exponential in rounds (measured: "Too many
+    # open files" from re-scanning the parquet view thousands of times)
+    ctes = [
+        _mis_edges_sql(),
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)",
+        """p AS (SELECT node,
+               CAST(('0x' || substr(md5('mis:' || CAST(node AS VARCHAR)),
+                                    1, 8)) AS BIGINT) * 10000000 + node
+                   AS c
+           FROM nodes)""",
+        "rem0 AS MATERIALIZED (SELECT node, c FROM p)",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM edges)",
+        "m0 AS (SELECT node FROM rem0 WHERE 1 = 0)",
+    ]
+    for t in range(1, n_rounds + 1):
+        ctes.append(
+            f"""nm{t} AS MATERIALIZED (
+                SELECT e.src AS node, min(r.c) AS nm
+                FROM e{t - 1} e JOIN rem{t - 1} r ON e.dst = r.node
+                GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+                SELECT r.node FROM rem{t - 1} r LEFT JOIN nm{t} n
+                     USING (node)
+                WHERE n.nm IS NULL OR r.c < n.nm)"""
+        )
+        ctes.append(
+            f"""rm{t} AS MATERIALIZED (
+                SELECT node FROM w{t}
+                UNION
+                SELECT e.dst FROM e{t - 1} e
+                WHERE e.src IN (SELECT node FROM w{t}))"""
+        )
+        ctes.append(
+            f"""rem{t} AS MATERIALIZED (
+                SELECT node, c FROM rem{t - 1}
+                WHERE node NOT IN (SELECT node FROM rm{t}))"""
+        )
+        ctes.append(
+            f"""e{t} AS MATERIALIZED (
+                SELECT src, dst FROM e{t - 1}
+                WHERE src NOT IN (SELECT node FROM rm{t})
+                  AND dst NOT IN (SELECT node FROM rm{t}))"""
+        )
+        ctes.append(
+            f"m{t} AS MATERIALIZED (SELECT node FROM m{t - 1} "
+            f"UNION SELECT node FROM w{t})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT n.node,
+               CAST(CASE WHEN m.node IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS in_mis
+        FROM nodes n LEFT JOIN m{n_rounds} m USING (node)"""
+    )
+
+
+def _q_mis(sf_dir: str):
+    """Luby maximal independent set (``ops.graph.mis``) over the
+    symmetrized planted decade graph — md5 priorities make every round
+    deterministic, so the unrolled-CTE oracle matches bit-for-bit."""
+    import pandas as pd
+
+    from fastie_ray.ops.graph import mis
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    maxk = int(cust.max("c_custkey"))
+
+    def mk_edges(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["c_custkey"].astype("int64")
+        e1 = pd.DataFrame(
+            {"src": x, "dst": (x // 10) * 10 + ((x % 10) * 3 + 1) % 10}
+        )
+        m = (x // 10) % 2 == 0
+        e2 = pd.DataFrame({"src": x[m & (x + 10 <= maxk)]})
+        e2["dst"] = e2["src"] + 10
+        return pd.concat([e1, e2], ignore_index=True).astype("int64")
+
+    return mis(
+        cust.map_batches(mk_edges, batch_format="pandas"),
+        max_rounds=8, n_buckets=16,
+    )
+
+
+def _q_dq_checks(sf_dir: str):
+    """Deequ-style data-quality audit (``ops.profile``): range,
+    uniqueness, referential-integrity, accepted-values and
+    non-negativity constraints over lineitem/orders/events, each a
+    driver-scalar metric from streaming partials or anti joins; the
+    report is checks-bounded. The qty range [1, 30] and the
+    ``o_orderkey % 7 != 0`` parent restriction plant real
+    violations."""
+    import pandas as pd
+
+    from fastie_ray.ops.profile import (
+        dq_report,
+        distinct_violations,
+        orphan_count,
+        violation_count,
+    )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ev = _read(sf_dir, "events", columns=["event_type"])
+
+    qty_v, qty_n = violation_count(
+        li, lambda df: (df["l_quantity"] < 1) | (df["l_quantity"] > 30)
+    )
+    uniq_v, uniq_n = distinct_violations(orders, "o_orderkey")
+    parent = orders.map_batches(
+        lambda df: df.loc[df["o_orderkey"] % 7 != 0, ["o_orderkey"]],
+        batch_format="pandas",
+    )
+    orph_v, orph_n = orphan_count(
+        li, parent, on="l_orderkey", right_on="o_orderkey"
+    )
+    known = {"click", "view", "error", "signup", "purchase"}
+    dom_v, dom_n = violation_count(
+        ev, lambda df: ~df["event_type"].isin(known)
+    )
+    neg_v, neg_n = violation_count(orders, lambda df: df["o_totalprice"] < 0)
+
+    return dq_report(
+        [
+            ("qty_range", qty_v, qty_n),
+            ("orderkey_unique", uniq_v, uniq_n),
+            ("li_orphans", orph_v, orph_n),
+            ("event_type_domain", dom_v, dom_n),
+            ("price_nonneg", neg_v, neg_n),
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -4441,6 +4602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": _q_running_total,
         "decayed_counts": _q_decayed_counts,
         "source_overlap": _q_source_overlap,
+        "mis": _q_mis,
+        "dq_checks": _q_dq_checks,
     }
 
 
@@ -6834,5 +6997,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_shared
             FROM f a JOIN f b ON a.h = b.h AND a.source < b.source
             GROUP BY 1, 2
+        """,
+        "mis": _mis_sql(n_rounds=6),
+        "dq_checks": """
+            SELECT 'qty_range' AS check_name,
+                   count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 30)
+                       AS n_violations,
+                   count(*) AS n_rows
+            FROM lineitem
+            UNION ALL
+            SELECT 'orderkey_unique',
+                   count(*) - count(DISTINCT o_orderkey), count(*)
+            FROM orders
+            UNION ALL
+            SELECT 'li_orphans',
+                   (SELECT count(*) FROM lineitem l
+                    WHERE NOT EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey
+                          AND o.o_orderkey % 7 != 0)),
+                   (SELECT count(*) FROM lineitem)
+            UNION ALL
+            SELECT 'event_type_domain',
+                   count(*) FILTER (WHERE event_type NOT IN
+                       ('click', 'view', 'error', 'signup', 'purchase')),
+                   count(*)
+            FROM events
+            UNION ALL
+            SELECT 'price_nonneg',
+                   count(*) FILTER (WHERE o_totalprice < 0), count(*)
+            FROM orders
+            ORDER BY check_name
         """,
     }

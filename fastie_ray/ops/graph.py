@@ -1384,3 +1384,195 @@ def scc(
     for p in assigned[1:]:
         out = out.union(p)
     return out
+
+
+def mis(
+    edges: "ray.data.Dataset",
+    max_rounds: int = 8,
+    n_buckets: int = 16,
+    node_cap: int = 10_000_000,
+    salt: str = "mis",
+) -> "ray.data.Dataset":
+    """Deterministic MAXIMAL INDEPENDENT SET via Luby's algorithm
+    (Luby 1986), the standard parallel MIS: each round every remaining
+    node whose priority is a strict local minimum among remaining
+    neighbors joins the set; it and its neighbors leave the graph.
+    Priorities are md5-derived (``salt:node`` → first 8 hex chars) with
+    the node id folded in (``p·node_cap + node``, ids must be
+    < ``node_cap``), so they are UNIQUE and the whole run — including
+    the SQL oracle's unrolled rounds — is reproducible bit-for-bit.
+    Expected O(log n) rounds; RAISES if ``max_rounds`` doesn't exhaust
+    the graph (never a silently-partial result).
+
+    INTEGER node ids; edges are symmetrized and self-loops dropped
+    internally (a self-loop could never win against itself and would
+    deadlock the round structure).
+
+    Scale shape per round: one edge⋈priority task hash join + one
+    bucketed neighbor-min exchange + anti-join shrink — node/edge-sized
+    tables only, materialized + compacted per round (NOTES 15/19).
+    Returns (node, in_mis ∈ {0,1})."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    pr_schema = pa.schema([("node", pa.int64()), ("c", pa.int64())])
+    node_schema = pa.schema([("node", pa.int64())])
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["src"] != df["dst"]]
+        return pd.concat(
+            [e[["src", "dst"]],
+             e.rename(columns={"src": "dst", "dst": "src"})[["src", "dst"]]],
+            ignore_index=True,
+        ).drop_duplicates().astype("int64")
+
+    def add_nb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = _bucket(df["node"], n_buckets)
+        return df
+
+    edges = (
+        edges.map_batches(sym, batch_format="pandas")
+        .repartition(n_buckets)
+        .materialize()
+    )
+
+    def prio_of(nodes: pd.Series) -> np.ndarray:
+        p = np.array(
+            [int(hashlib.md5(f"{salt}:{n}".encode()).hexdigest()[:8], 16)
+             for n in nodes.astype("int64")],
+            dtype=np.int64,
+        )
+        return p * np.int64(node_cap) + nodes.to_numpy(dtype=np.int64)
+
+    def nodes_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["src"].drop_duplicates()})
+
+    def nodes_final(g: pd.DataFrame) -> pa.Table:
+        out = g.drop(columns="__b").drop_duplicates("node")
+        return pa.Table.from_pandas(
+            out.astype({"node": "int64"}), preserve_index=False,
+            schema=node_schema,
+        )
+
+    all_nodes = (
+        edges.map_batches(nodes_partial, batch_format="pandas")
+        .map_batches(add_nb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(nodes_final, batch_format="pandas")
+        .materialize()
+    )
+
+    rem = all_nodes.map_batches(
+        lambda df: pa.Table.from_pandas(
+            pd.DataFrame({"node": df["node"].astype("int64"),
+                          "c": prio_of(df["node"])}),
+            preserve_index=False, schema=pr_schema,
+        ),
+        batch_format="pandas",
+    ).materialize()
+    rem_edges = edges
+    mis_parts = []
+
+    for _r in range(max_rounds):
+        if rem.count() == 0:
+            break
+        # neighbor minimum priority per remaining node
+        j = hash_join(
+            rem_edges, rem, on="dst", right_on="node",
+            left_cols=["src", "dst"], right_cols=["node", "c"],
+            n_buckets=n_buckets,
+        )
+
+        def nm_partial(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("src", as_index=False)["c"].min()
+            return out.rename(columns={"src": "node", "c": "nm"})
+
+        def nm_final(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.drop(columns="__b").groupby("node", as_index=False)[
+                "nm"
+            ].min()
+            return out.astype({"node": "int64", "nm": "int64"})
+
+        nm = (
+            j.map_batches(nm_partial, batch_format="pandas")
+            .map_batches(add_nb, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(nm_final, batch_format="pandas")
+        )
+        winners = hash_join(
+            rem, nm, on="node", how="left",
+            left_cols=["node", "c"], right_cols=["node", "nm"],
+            n_buckets=n_buckets,
+        ).map_batches(
+            lambda df: pa.Table.from_pandas(
+                df.loc[
+                    df["nm"].isna() | (df["c"] < df["nm"]), ["node"]
+                ].astype({"node": "int64"}),
+                preserve_index=False, schema=node_schema,
+            ),
+            batch_format="pandas",
+        ).materialize()
+        mis_parts.append(winners)
+
+        # removed = winners ∪ neighbors(winners)
+        nbrs = hash_join(
+            rem_edges, winners, on="src", right_on="node", how="semi",
+            left_cols=["src", "dst"], n_buckets=n_buckets,
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["dst"].drop_duplicates().astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+        removed = (
+            winners.union(nbrs)
+            .map_batches(add_nb, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(nodes_final, batch_format="pandas")
+            .materialize()
+        )
+        rem = hash_join(
+            rem, removed, on="node", how="anti",
+            left_cols=["node", "c"], n_buckets=n_buckets,
+        ).repartition(max(1, n_buckets // 4)).materialize()
+        rem_edges = hash_join(
+            rem_edges, removed, on="src", right_on="node", how="anti",
+            left_cols=["src", "dst"], n_buckets=n_buckets,
+        )
+        rem_edges = (
+            hash_join(
+                rem_edges, removed, on="dst", right_on="node", how="anti",
+                left_cols=["src", "dst"], n_buckets=n_buckets,
+            )
+            .repartition(max(1, n_buckets // 4))
+            .materialize()
+        )
+
+    if rem.count() > 0:
+        raise RuntimeError(
+            f"mis: graph not exhausted after {max_rounds} rounds"
+        )
+
+    in_mis = mis_parts[0]
+    for p in mis_parts[1:]:
+        in_mis = in_mis.union(p)
+    in_mis = in_mis.materialize()
+    out_mis = in_mis.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64"), "in_mis": np.int64(1)}
+        ),
+        batch_format="pandas",
+    )
+    out_rest = hash_join(
+        all_nodes, in_mis, on="node", how="anti",
+        left_cols=["node"], n_buckets=n_buckets,
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"].astype("int64"), "in_mis": np.int64(0)}
+        ),
+        batch_format="pandas",
+    )
+    return out_mis.union(out_rest)

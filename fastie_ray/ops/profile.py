@@ -110,3 +110,79 @@ def table_profile(
     return out.sort_values("column").reset_index(drop=True)[
         ["column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"]
     ]
+
+
+def violation_count(ds: "ray.data.Dataset", mask_fn) -> tuple[int, int]:
+    """Constraint-violation counter: ``mask_fn(df) -> bool array`` marks
+    violating rows; per-batch partial sums reduce to driver scalars
+    (violations, rows) — blocks × two ints, the Deequ "metric" shape,
+    never row-sized."""
+    parts = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"n": [np.int64(int(np.asarray(mask_fn(df)).sum()))],
+             "t": [np.int64(len(df))]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    return int(parts["n"].sum()), int(parts["t"].sum())
+
+
+def distinct_violations(
+    ds: "ray.data.Dataset", col: str, n_buckets: int = 16
+) -> tuple[int, int]:
+    """Uniqueness check: (rows − distinct values, rows). Distinct via
+    per-batch drop_duplicates combiner → one bucketed exchange."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[col]].drop_duplicates()
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    distinct = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(
+            lambda g: g.drop(columns="__b").drop_duplicates(),
+            batch_format="pandas",
+        )
+        .count()
+    )
+    total = ds.count()
+    return total - distinct, total
+
+
+def orphan_count(
+    child: "ray.data.Dataset",
+    parent: "ray.data.Dataset",
+    on: str,
+    right_on: str,
+    n_buckets: int = 16,
+) -> tuple[int, int]:
+    """Referential-integrity check: child rows whose key has no parent
+    (anti hash join — parent side ships DISTINCT keys only)."""
+    from fastie_ray.ops.join import hash_join
+
+    orphans = hash_join(
+        child, parent, on=on, right_on=right_on, how="anti",
+        left_cols=[on], n_buckets=n_buckets,
+    ).count()
+    return orphans, child.count()
+
+
+def dq_report(entries: list) -> pd.DataFrame:
+    """(check_name, n_violations, n_rows) rows — the fixed-size audit
+    artifact (checks-bounded, assembled from driver scalars)."""
+    out = pd.DataFrame(
+        entries, columns=["check_name", "n_violations", "n_rows"]
+    )
+    return out.astype({"n_violations": "int64", "n_rows": "int64"}).sort_values(
+        "check_name"
+    ).reset_index(drop=True)

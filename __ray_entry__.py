@@ -4436,6 +4436,137 @@ def _q_dq_checks(sf_dir: str):
     )
 
 
+def _q_ivm_join(sf_dir: str):
+    """Incremental join-view maintenance
+    (``ops.join.incremental_join_delta``): lineitem/orders each split
+    into base + append delta; the materialized old join plus the
+    three-term delta equals the full fresh join EXACTLY — verified by
+    the full-join oracle. Output is the per-order rollup of the
+    incrementally-maintained join."""
+    import pandas as pd
+
+    from fastie_ray.ops.join import hash_join, incremental_join_delta
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    li_delta = li.map_batches(
+        lambda df: df[df["l_orderkey"] % 5 == 0], batch_format="pandas"
+    )
+    li_base = li.map_batches(
+        lambda df: df[df["l_orderkey"] % 5 != 0], batch_format="pandas"
+    )
+    o_delta = orders.map_batches(
+        lambda df: df[df["o_orderkey"] % 3 == 0], batch_format="pandas"
+    )
+    o_base = orders.map_batches(
+        lambda df: df[df["o_orderkey"] % 3 != 0], batch_format="pandas"
+    )
+
+    cols = dict(
+        left_cols=["l_orderkey", "l_extendedprice"],
+        right_cols=["o_orderkey", "o_custkey"],
+    )
+    old = hash_join(li_base, o_base, on="l_orderkey", right_on="o_orderkey",
+                    **cols)
+    delta = incremental_join_delta(
+        li_base, li_delta, o_base, o_delta,
+        on="l_orderkey", right_on="o_orderkey", **cols,
+    )
+    full = old.union(delta)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.copy()
+        g["rev_e2"] = (g["l_extendedprice"] * 100).round().astype("int64")
+        out = g.groupby(["l_orderkey", "o_custkey"], as_index=False).agg(
+            n_items=("rev_e2", "count"), rev_e2=("rev_e2", "sum")
+        )
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["l_orderkey", "o_custkey"], as_index=False).agg(
+            n_items=("n_items", "sum"), rev_e2=("rev_e2", "sum")
+        )
+        return out.astype({"n_items": "int64", "rev_e2": "int64"})
+
+    return _bucketed_groupby(
+        full.map_batches(partial, batch_format="pandas"),
+        "l_orderkey", final, 16,
+    )
+
+
+def _q_csv_read(sf_dir: str):
+    """CSV source breadth: events exported once to scratch CSV
+    (``Dataset.write_csv``), read back with ``ray.data.read_csv`` and
+    aggregated — oracle aggregates the parquet original, so the CSV
+    round-trip must preserve values exactly."""
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/fastie_csv_{tag}"
+    marker = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(marker):
+        ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+        ev.repartition(4).write_csv(out_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+    csv = ray.data.read_csv(
+        out_dir, file_extensions=["csv"], override_num_blocks=4
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.copy()
+        g["cents"] = (g["value"] * 100).round().astype("int64")
+        return g.groupby("user_id", as_index=False).agg(
+            n=("event_id", "count"), sum_e2=("cents", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False).agg(
+            n=("n", "sum"), sum_e2=("sum_e2", "sum")
+        )
+        return out.astype({"n": "int64", "sum_e2": "int64"})
+
+    return _bucketed_groupby(
+        csv.map_batches(partial, batch_format="pandas"), "user_id", final, 8
+    )
+
+
+def _q_dag_levels(sf_dir: str):
+    """Condensation topological levels
+    (``ops.graph.condensation_levels``): contract the planted decade
+    graph's SCCs, then longest-path-from-source levels via monotone
+    max propagation; oracle composes the mutual-reach closure with a
+    recursive longest-path CTE."""
+    import pandas as pd
+
+    from fastie_ray.ops.graph import condensation_levels
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    maxk = int(cust.max("c_custkey"))
+
+    def mk_edges(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["c_custkey"].astype("int64")
+        e1 = pd.DataFrame(
+            {"src": x, "dst": (x // 10) * 10 + ((x % 10) * 3 + 1) % 10}
+        )
+        m = (x // 10) % 2 == 0
+        e2 = pd.DataFrame({"src": x[m & (x + 10 <= maxk)]})
+        e2["dst"] = e2["src"] + 10
+        return pd.concat([e1, e2], ignore_index=True).astype("int64")
+
+    return condensation_levels(
+        cust.map_batches(mk_edges, batch_format="pandas"),
+        n_phases=4, max_rounds=16, n_buckets=16,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -4604,6 +4735,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": _q_source_overlap,
         "mis": _q_mis,
         "dq_checks": _q_dq_checks,
+        "ivm_join": _q_ivm_join,
+        "csv_read": _q_csv_read,
+        "dag_levels": _q_dag_levels,
     }
 
 
@@ -6999,6 +7133,65 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "mis": _mis_sql(n_rounds=6),
+        "ivm_join": """
+            SELECT l_orderkey, o_custkey,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_e2
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        """,
+        "csv_read": """
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_e2
+            FROM events GROUP BY user_id
+        """,
+        "dag_levels": """
+            WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m FROM customer),
+            edges AS (
+                SELECT c_custkey AS src,
+                       (c_custkey // 10) * 10
+                           + ((c_custkey % 10) * 3 + 1) % 10 AS dst
+                FROM customer
+                UNION
+                SELECT c_custkey, c_custkey + 10
+                FROM customer, mx
+                WHERE (c_custkey // 10) % 2 = 0 AND c_custkey + 10 <= mx.m
+            ),
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            reach(a, b) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+            ),
+            mutual AS (
+                SELECT r1.a AS v, r1.b AS u
+                FROM reach r1 JOIN reach r2
+                     ON r1.a = r2.b AND r1.b = r2.a
+            ),
+            lab AS (
+                SELECT n.node,
+                       least(n.node, coalesce(min(m.u), n.node)) AS comp
+                FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+                GROUP BY n.node
+            ),
+            ce AS (
+                SELECT DISTINCT ls.comp AS src, ld.comp AS dst
+                FROM edges e JOIN lab ls ON ls.node = e.src
+                             JOIN lab ld ON ld.node = e.dst
+                WHERE ls.comp != ld.comp
+            ),
+            cn AS (SELECT DISTINCT comp FROM lab),
+            r(comp, lvl) AS (
+                SELECT comp, 0 FROM cn
+                UNION
+                SELECT ce.dst, r.lvl + 1 FROM r JOIN ce ON ce.src = r.comp
+            )
+            SELECT comp, CAST(max(lvl) AS BIGINT) AS level
+            FROM r GROUP BY comp
+        """,
         "dq_checks": """
             SELECT 'qty_range' AS check_name,
                    count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 30)

@@ -1576,3 +1576,153 @@ def mis(
         batch_format="pandas",
     )
     return out_mis.union(out_rest)
+
+
+def condensation_levels(
+    edges: "ray.data.Dataset",
+    n_phases: int = 4,
+    max_rounds: int = 16,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Topological LEVELS of the condensation DAG: contract every SCC
+    (via ``scc``) to one node, then level(c) = length of the longest
+    path from any source component — the scheduling depth of a
+    dependency graph (build systems, pipeline DAG analytics, stratified
+    KG closure). Returns (comp, level).
+
+    Level propagation is max-label: monotone non-decreasing bounded
+    integers, so the exact fixed point is again one driver scalar (sum
+    unchanged). Per round: one comp-edge⋈level hash join + one
+    bucketed max exchange; comp tables are SCC-count-sized."""
+    import pyarrow as pa
+    import ray.data
+
+    lvl_schema = pa.schema([("comp", pa.int64()), ("lvl", pa.int64())])
+
+    labels = scc(
+        edges, n_phases=n_phases, max_rounds=max_rounds, n_buckets=n_buckets
+    ).materialize()
+
+    e1 = hash_join(
+        edges, labels, on="src", right_on="node",
+        left_cols=["src", "dst"], right_cols=["node", "scc_id"],
+        n_buckets=n_buckets,
+    )
+    e2 = hash_join(
+        e1, labels, on="dst", right_on="node",
+        left_cols=["src", "dst", "scc_id"], right_cols=["node", "scc_id"],
+        n_buckets=n_buckets, suffix="_d",
+    )
+
+    def contract(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"src": df["scc_id"], "dst": df["scc_id_d"]}
+        ).astype("int64")
+        return out[out["src"] != out["dst"]].drop_duplicates()
+
+    def add_eb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = (
+            pd.util.hash_pandas_object(df["src"], index=False).to_numpy()
+            ^ pd.util.hash_pandas_object(df["dst"], index=False).to_numpy()
+        )
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    ce = (
+        e2.map_batches(contract, batch_format="pandas")
+        .map_batches(add_eb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(
+            lambda g: g.drop(columns="__b").drop_duplicates(),
+            batch_format="pandas",
+        )
+        .repartition(max(1, n_buckets // 4))
+        .materialize()
+    )
+
+    def add_cb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["comp"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    levels = labels.map_batches(
+        lambda df: pa.Table.from_pandas(
+            pd.DataFrame(
+                {"comp": df["scc_id"].astype("int64")}
+            ).drop_duplicates().assign(lvl=np.int64(0)),
+            preserve_index=False, schema=lvl_schema,
+        ),
+        batch_format="pandas",
+    )
+    levels = (
+        levels.map_batches(add_cb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(
+            lambda g: pa.Table.from_pandas(
+                g.drop(columns="__b").drop_duplicates("comp"),
+                preserve_index=False, schema=lvl_schema,
+            ),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    prev_sum = None
+    for _r in range(max_rounds):
+        j = hash_join(
+            ce, levels, on="src", right_on="comp",
+            left_cols=["src", "dst"], right_cols=["comp", "lvl"],
+            n_buckets=n_buckets,
+        )
+
+        def bump(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {"comp": df["dst"], "lvl": df["lvl"].astype("int64") + 1}
+            )
+            return out.groupby("comp", as_index=False)["lvl"].max()
+
+        def max_final(g: pd.DataFrame) -> pa.Table:
+            out = g.drop(columns="__b").groupby("comp", as_index=False)[
+                "lvl"
+            ].max()
+            return pa.Table.from_pandas(
+                out.astype({"comp": "int64", "lvl": "int64"}),
+                preserve_index=False, schema=lvl_schema,
+            )
+
+        levels = (
+            j.map_batches(bump, batch_format="pandas")
+            .union(levels)
+            .map_batches(add_cb, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(max_final, batch_format="pandas")
+            .repartition(max(1, n_buckets // 4))
+            .materialize()
+        )
+        s = int(
+            levels.map_batches(
+                lambda df: pd.DataFrame({"s": [np.int64(df["lvl"].sum())]}),
+                batch_format="pandas",
+            )
+            .to_pandas()["s"]
+            .sum()
+        )
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return levels.map_batches(
+        lambda df: pd.DataFrame(
+            {"comp": df["comp"].astype("int64"),
+             "level": df["lvl"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )

@@ -4567,6 +4567,33 @@ def _q_dag_levels(sf_dir: str):
     )
 
 
+def _q_kanon_audit(sf_dir: str):
+    """k-anonymity audit (``ops.privacy.k_anonymity_audit``): customer
+    equivalence classes on (nation, market segment) with fewer than 8
+    members — the re-identifiable classes a release must suppress.
+    Combiner → one exchange; only risky classes leave it."""
+    from fastie_ray.ops.privacy import k_anonymity_audit
+
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], k=8, n_buckets=8
+    )
+
+
+def _q_trigram_search(sf_dir: str):
+    """Substring search via pattern-pruned character-trigram postings
+    (``ops.text_index.trigram_search``, the pg_trgm / code-search
+    shape): trigram-count candidates in one exchange, exact
+    ``contains`` verification only on candidate rows."""
+    from fastie_ray.ops.text_index import trigram_search
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return trigram_search(
+        ds, ["window vector", "slow small data", "zzz nothing"],
+        n_buckets=8,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -4738,6 +4765,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm_join": _q_ivm_join,
         "csv_read": _q_csv_read,
         "dag_levels": _q_dag_levels,
+        "kanon_audit": _q_kanon_audit,
+        "trigram_search": _q_trigram_search,
     }
 
 
@@ -7191,6 +7220,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT comp, CAST(max(lvl) AS BIGINT) AS level
             FROM r GROUP BY comp
+        """,
+        "kanon_audit": """
+            SELECT c_nationkey, c_mktsegment, count(*) AS n_rows
+            FROM customer GROUP BY 1, 2 HAVING count(*) < 8
+        """,
+        "trigram_search": """
+            SELECT 'window vector' AS pattern, doc_id FROM documents
+            WHERE contains(text, 'window vector')
+            UNION ALL
+            SELECT 'slow small data', doc_id FROM documents
+            WHERE contains(text, 'slow small data')
+            UNION ALL
+            SELECT 'zzz nothing', doc_id FROM documents
+            WHERE contains(text, 'zzz nothing')
         """,
         "dq_checks": """
             SELECT 'qty_range' AS check_name,

@@ -91,3 +91,55 @@ def dp_group_counts(
             }
         )
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def k_anonymity_audit(
+    ds: "ray.data.Dataset",
+    quasi_cols: list[str],
+    k: int = 5,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """k-anonymity audit (Sweeney 2002): rows whose quasi-identifier
+    combination is shared by fewer than ``k`` records are re-
+    identifiable — the release gate a privacy review runs before
+    publishing microdata. Returns the RISKY equivalence classes
+    (quasi values + ``n_rows < k``); the publisher suppresses or
+    generalizes exactly these.
+
+    Scale shape: per-batch combiner on the quasi tuple → ONE bucketed
+    exchange summing group sizes with the ``< k`` filter applied
+    inside it — only risky classes (rare by definition) leave the
+    exchange; the corpus never does."""
+    quasi_cols = list(quasi_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(quasi_cols, as_index=False).agg(
+            n_rows=(quasi_cols[0], "count")
+        )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        key = df[quasi_cols[0]].astype(str)
+        for c in quasi_cols[1:]:
+            key = key + "\x00" + df[c].astype(str)
+        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(quasi_cols, as_index=False)[
+            "n_rows"
+        ].sum()
+        out = out[out["n_rows"] < k]
+        out["n_rows"] = out["n_rows"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -150,3 +150,115 @@ def tfidf_top_terms(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def trigram_search(
+    ds: "ray.data.Dataset",
+    patterns: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Exact SUBSTRING search via character-trigram posting lists —
+    the pg_trgm / code-search (Zoekt, Google Code Search) shape, the
+    substring complement of the BM25 token index above: candidate =
+    document containing ALL of a pattern's trigrams (a superset of
+    true matches), then a verify pass re-reads ONLY candidates.
+
+    Scale shape: the posting build is pattern-pruned (only trigrams
+    occurring in some query pattern are emitted — the predicate pushed
+    into the index build; a standing index would emit all trigrams and
+    the query side would prune instead). Postings go through ONE
+    (pattern, doc) counting exchange; a doc is a candidate iff its
+    matched-trigram count equals the pattern's trigram count.
+    Candidates (tiny) hash-join back to the text for the exact
+    ``contains`` verification, so the corpus text is scanned once at
+    build and only candidate rows ship afterwards.
+
+    Returns (pattern, ``id_col``) exact-match rows. Patterns must be
+    ≥ 3 chars."""
+    for p in patterns:
+        if len(p) < 3:
+            raise ValueError(f"pattern too short for trigrams: {p!r}")
+
+    def tris(s: str) -> set:
+        return {s[i:i + 3] for i in range(len(s) - 2)}
+
+    pat_tris = {p: tris(p) for p in patterns}
+    all_tris = sorted(set().union(*pat_tris.values()))
+    n_need = {p: len(t) for p, t in pat_tris.items()}
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized contains-scan per query trigram (pattern-
+        # bounded), never a Python loop over rows
+        frames = []
+        for g in all_tris:
+            m = df[text_col].str.contains(g, regex=False)
+            frames.append(
+                pd.DataFrame(
+                    {id_col: df.loc[m, id_col].astype("int64"), "tri": g}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "tri": pd.Series([], dtype=object)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def add_db(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[id_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        out = []
+        for p, need in pat_tris.items():
+            m = g[g["tri"].isin(need)]
+            cnt = m.groupby(id_col)["tri"].nunique()
+            ids = cnt[cnt == n_need[p]].index.to_numpy()
+            out.append(
+                pd.DataFrame(
+                    {"pattern": p, id_col: ids.astype(np.int64)}
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"pattern": pd.Series([], dtype=object),
+             id_col: pd.Series([], dtype="int64")}
+        )
+
+    cand = (
+        ds.map_batches(postings, batch_format="pandas")
+        .map_batches(add_db, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(candidates, batch_format="pandas")
+    )
+
+    from fastie_ray.ops.join import hash_join
+
+    verified = hash_join(
+        cand, ds, on=id_col, how="inner",
+        left_cols=["pattern", id_col], right_cols=[id_col, text_col],
+        n_buckets=n_buckets,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"pattern": pd.Series([], dtype=object),
+                 id_col: pd.Series([], dtype="int64")}
+            )
+        ok = [
+            p in t for p, t in zip(df["pattern"].to_numpy(),
+                                   df[text_col].to_numpy())
+        ]
+        out = df.loc[ok, ["pattern", id_col]].copy()
+        out[id_col] = out[id_col].astype("int64")
+        return out
+
+    return verified.map_batches(verify, batch_format="pandas")

@@ -4594,6 +4594,47 @@ def _q_trigram_search(sf_dir: str):
     )
 
 
+def _planted_scores(sf_dir: str):
+    """Deterministic scored-and-labeled eval set: 40% positives with a
+    +300 score shift over a (doc_id·37) % 1000 base — overlapping
+    classes, so AUC is strictly between 0.5 and 1."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype("int64")
+        label = (did % 5 < 2).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "score": (did * 37) % 1000 + 300 * label,
+                "label": label,
+            }
+        )
+
+    return ds.map_batches(plant, batch_format="pandas")
+
+
+def _q_auc(sf_dir: str):
+    """Exact distributed ROC-AUC (``ops.metrics.auc_exact``):
+    Mann-Whitney U with integer midranks from one score-count
+    exchange + a domain-bounded driver prefix scan."""
+    from fastie_ray.ops.metrics import auc_exact
+
+    return auc_exact(_planted_scores(sf_dir), "score", "label")
+
+
+def _q_calibration(sf_dir: str):
+    """Reliability-diagram bins (``ops.metrics.calibration_bins``):
+    per score-bucket (n, n_pos) — the calibration audit next to AUC."""
+    from fastie_ray.ops.metrics import calibration_bins
+
+    return calibration_bins(
+        _planted_scores(sf_dir), "score", "label", bin_width=100
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -4767,6 +4808,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_levels": _q_dag_levels,
         "kanon_audit": _q_kanon_audit,
         "trigram_search": _q_trigram_search,
+        "auc": _q_auc,
+        "calibration": _q_calibration,
     }
 
 
@@ -7234,6 +7277,39 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'zzz nothing', doc_id FROM documents
             WHERE contains(text, 'zzz nothing')
+        """,
+        "auc": """
+            WITH s AS (
+                SELECT (doc_id * 37) % 1000
+                       + CASE WHEN doc_id % 5 < 2 THEN 300 ELSE 0 END
+                           AS score,
+                       CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0 END AS label
+                FROM documents),
+            g AS (SELECT score, count(*) AS n, sum(label) AS np
+                  FROM s GROUP BY 1),
+            o AS (SELECT score, n, np,
+                         coalesce(sum(n) OVER (ORDER BY score
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS rb
+                  FROM g),
+            t AS (SELECT CAST(sum(np * (2 * rb + n + 1)) AS BIGINT)
+                             AS two_rpos,
+                         CAST(sum(np) AS BIGINT) AS n_pos,
+                         CAST(sum(n) - sum(np) AS BIGINT) AS n_neg
+                  FROM o)
+            SELECT two_rpos - n_pos * (n_pos + 1) AS u2, n_pos, n_neg,
+                   CAST((two_rpos - n_pos * (n_pos + 1)) * 1000000
+                        // (2 * n_pos * n_neg) AS BIGINT) AS auc_e6
+            FROM t
+        """,
+        "calibration": """
+            SELECT ((doc_id * 37) % 1000
+                    + CASE WHEN doc_id % 5 < 2 THEN 300 ELSE 0 END) // 100
+                       AS bin,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos
+            FROM documents GROUP BY 1
         """,
         "dq_checks": """
             SELECT 'qty_range' AS check_name,

@@ -88,3 +88,123 @@ def extraction_score(
     out = precision_recall_fscore(ps, tp, ts)
     out.update({"tp": tp, "pred_sum": ps, "true_sum": ts})
     return out
+
+
+def auc_exact(
+    ds: "ray.data.Dataset",
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """EXACT ROC-AUC over INTEGER scores and binary labels, distributed
+    as the Mann-Whitney U statistic with midrank tie handling — the
+    ranking half of the eval-metric family (P/R/F1 above are the
+    set-match half). All arithmetic is integer (2×-scaled midranks):
+
+        2·R⁺ = Σ_groups pos_g · (2·rank_below_g + n_g + 1)
+        U2   = 2·R⁺ − n⁺·(n⁺+1)
+        AUC  = U2 / (2·n⁺·n⁻)
+
+    Scale shape: one (score → n, n_pos) combiner + ONE score-bucketed
+    exchange; the driver prefix-scans the DISTINCT-score table (the
+    same domain-bounded contract as ``ops.stats.exact_quantiles`` —
+    quantize continuous scores first). Returns one row:
+    (u2, n_pos, n_neg, auc_e6 = ⌊U2·10⁶ / (2·n⁺·n⁻)⌋)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"score": df[score_col].astype("int64"),
+             "pos": df[label_col].astype("int64")}
+        )
+        out = g.groupby("score", as_index=False).agg(
+            n=("pos", "count"), np_=("pos", "sum")
+        )
+        return out
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["score"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("score", as_index=False)[
+            ["n", "np_"]
+        ].sum()
+        return out
+
+    groups = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values("score")
+        .reset_index(drop=True)
+    )
+    n = groups["n"].to_numpy(dtype=np.int64)
+    np_pos = groups["np_"].to_numpy(dtype=np.int64)
+    rank_below = np.concatenate([[0], np.cumsum(n)[:-1]])
+    two_rpos = int((np_pos * (2 * rank_below + n + 1)).sum())
+    n_pos = int(np_pos.sum())
+    n_tot = int(n.sum())
+    n_neg = n_tot - n_pos
+    u2 = two_rpos - n_pos * (n_pos + 1)
+    den = 2 * n_pos * n_neg
+    auc_e6 = (u2 * 1_000_000) // den if den else 0
+    return pd.DataFrame(
+        {
+            "u2": [np.int64(u2)],
+            "n_pos": [np.int64(n_pos)],
+            "n_neg": [np.int64(n_neg)],
+            "auc_e6": [np.int64(auc_e6)],
+        }
+    )
+
+
+def calibration_bins(
+    ds: "ray.data.Dataset",
+    score_col: str,
+    label_col: str,
+    bin_width: int = 100,
+    n_buckets: int = 8,
+) -> "ray.data.Dataset":
+    """Reliability-diagram bins over integer scores: per score bucket,
+    (n, n_pos) — the calibration audit next to AUC (a model can rank
+    well and still be miscalibrated). One combiner + one exchange;
+    payload is bins × two ints."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"bin": df[score_col].astype("int64") // bin_width,
+             "pos": df[label_col].astype("int64")}
+        )
+        return g.groupby("bin", as_index=False).agg(
+            n=("pos", "count"), n_pos=("pos", "sum")
+        )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        df["__b"] = (
+            df["bin"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("bin", as_index=False)[
+            ["n", "n_pos"]
+        ].sum()
+        return out.astype({"bin": "int64", "n": "int64", "n_pos": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -4635,6 +4635,17 @@ def _q_calibration(sf_dir: str):
     )
 
 
+def _q_skew_report(sf_dir: str):
+    """Key-skew audit (``ops.stats.skew_report``) over lineitem's
+    supplier key — top-1/top-16 shares and the Gini coefficient of
+    per-key counts, integer-exact, from one count exchange + a
+    domain-bounded driver sort."""
+    from fastie_ray.ops.stats import skew_report
+
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey"])
+    return skew_report(li, "l_suppkey", top_k=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -4810,6 +4821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_search": _q_trigram_search,
         "auc": _q_auc,
         "calibration": _q_calibration,
+        "skew_report": _q_skew_report,
     }
 
 
@@ -7310,6 +7322,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_pos
             FROM documents GROUP BY 1
+        """,
+        "skew_report": """
+            WITH c AS (
+                SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+            o AS (SELECT n, row_number() OVER (ORDER BY n) AS i FROM c),
+            t AS (SELECT count(*) AS nk, sum(n) AS tot, sum(i * n) AS win
+                  FROM o),
+            tk AS (SELECT sum(n) AS v FROM
+                       (SELECT n FROM c ORDER BY n DESC LIMIT 16))
+            SELECT CAST(t.nk AS BIGINT) AS n_keys,
+                   CAST(t.tot AS BIGINT) AS n_rows,
+                   CAST((SELECT max(n) FROM c) * 1000000 // t.tot AS BIGINT)
+                       AS top1_share_e6,
+                   CAST(tk.v * 1000000 // t.tot AS BIGINT) AS topk_share_e6,
+                   CAST((2 * t.win - (t.nk + 1) * t.tot) * 1000000
+                        // (t.nk * t.tot) AS BIGINT) AS gini_e6
+            FROM t, tk
         """,
         "dq_checks": """
             SELECT 'qty_range' AS check_name,

@@ -84,7 +84,9 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "skew_join", "lang_heavy_tokens", "cms_tokens",
                  "host_links", "zorder_layout", "q3_topk", "region_revenue",
                  "bitext_pairs", "lpa_communities", "rolling_avg",
-                 "interval_overlaps", "pq_codes"):
+                 "interval_overlaps", "pq_codes",
+                 "line_dedup", "hits", "scc", "running_total",
+                 "stream_join", "ivm_join", "vocab_build", "mis"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

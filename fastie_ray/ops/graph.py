@@ -1538,18 +1538,15 @@ def mis(
             rem, removed, on="node", how="anti",
             left_cols=["node", "c"], n_buckets=n_buckets,
         ).repartition(max(1, n_buckets // 4)).materialize()
-        rem_edges = hash_join(
-            rem_edges, removed, on="src", right_on="node", how="anti",
-            left_cols=["src", "dst"], n_buckets=n_buckets,
-        )
-        rem_edges = (
-            hash_join(
-                rem_edges, removed, on="dst", right_on="node", how="anti",
-                left_cols=["src", "dst"], n_buckets=n_buckets,
-            )
-            .repartition(max(1, n_buckets // 4))
-            .materialize()
-        )
+        # rem_edges is NOT filtered: the next round's edge⋈rem join on
+        # dst drops edges whose dst left the graph, and an edge whose
+        # src left only produces an nm row that the winners LEFT join
+        # (driven from the shrunken rem) never reads — identical
+        # semantics, two anti-join exchanges + one materialize fewer
+        # per round (measured 22.8 s → see NOTES). At 10⁹⁺-edge scale
+        # re-shipping the full edge table every round loses to
+        # shrinking once rounds × unfiltered-volume exceeds the two
+        # exchanges; re-introduce the src/dst anti-joins there.
 
     if rem.count() > 0:
         raise RuntimeError(

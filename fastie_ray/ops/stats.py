@@ -763,3 +763,72 @@ def decayed_counts(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def skew_report(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    top_k: int = 16,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Key-distribution SKEW audit — the pre-shuffle planning report
+    (decides salting / broadcast / bucket counts; SURVEY §4's skew
+    story as a first-class measurement): per-key counts reduce to ONE
+    row of integer-exact metrics:
+
+        top1_share_e6 / topk_share_e6   share of the heaviest 1 / k keys
+        gini_e6                         Gini coefficient of key counts
+                                        = (2·Σᵢ i·cᵢ − (n+1)·Σc) / (n·Σc)
+                                        over counts sorted ascending,
+                                        1-indexed — floor-scaled 1e6
+
+    Scale shape: per-batch key-count combiner → one key-bucketed
+    exchange → the driver sorts the DISTINCT-KEY count table (the
+    domain-bounded contract of ``value_counts``/``exact_quantiles``;
+    for open key domains feed a pre-aggregated sample). All metric
+    arithmetic is integer; nothing row-sized reaches the driver."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key_col, as_index=False).agg(n=(key_col, "count"))
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(key_col, as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    c = np.sort(counts["n"].to_numpy(dtype=np.int64))
+    n_keys = len(c)
+    total = int(c.sum())
+    top1 = int(c[-1]) if n_keys else 0
+    topk = int(c[-top_k:].sum()) if n_keys else 0
+    if n_keys and total:
+        i = np.arange(1, n_keys + 1, dtype=np.int64)
+        gini_num = int(2 * (i * c).sum() - (n_keys + 1) * total)
+        gini_e6 = (gini_num * 1_000_000) // (n_keys * total)
+    else:
+        gini_e6 = 0
+    return pd.DataFrame(
+        {
+            "n_keys": [np.int64(n_keys)],
+            "n_rows": [np.int64(total)],
+            "top1_share_e6": [np.int64((top1 * 1_000_000) // total if total else 0)],
+            "topk_share_e6": [np.int64((topk * 1_000_000) // total if total else 0)],
+            "gini_e6": [np.int64(gini_e6)],
+        }
+    )

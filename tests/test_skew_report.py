@@ -1,0 +1,45 @@
+"""Test ops.stats.skew_report against a brute-force integer oracle,
+including a deliberately Zipf-headed key distribution."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def _ds(df: pd.DataFrame, n_blocks: int = 4):
+    return ray.data.from_pandas(
+        [p for p in np.array_split(df, n_blocks) if len(p)]
+    )
+
+
+def _ref(keys: pd.Series, top_k: int) -> dict:
+    c = np.sort(keys.value_counts().to_numpy().astype(np.int64))
+    nk, tot = len(c), int(c.sum())
+    i = np.arange(1, nk + 1, dtype=np.int64)
+    return {
+        "n_keys": nk,
+        "n_rows": tot,
+        "top1_share_e6": (int(c[-1]) * 1_000_000) // tot,
+        "topk_share_e6": (int(c[-top_k:].sum()) * 1_000_000) // tot,
+        "gini_e6": ((2 * int((i * c).sum()) - (nk + 1) * tot) * 1_000_000)
+        // (nk * tot),
+    }
+
+
+def test_skew_report_zipf_and_uniform():
+    from fastie_ray.ops.stats import skew_report
+
+    rng = np.random.default_rng(31)
+    zipf = pd.DataFrame(
+        {"k": np.minimum(rng.zipf(1.6, 2000), 500).astype(np.int64)}
+    )
+    uni = pd.DataFrame({"k": rng.integers(0, 100, 2000).astype(np.int64)})
+    for df in (zipf, uni):
+        got = skew_report(_ds(df, 4), "k", top_k=8, n_buckets=4)
+        want = _ref(df["k"], 8)
+        for col, v in want.items():
+            assert int(got[col].iloc[0]) == v, col
+    g_zipf = skew_report(_ds(zipf, 4), "k", top_k=8, n_buckets=4)
+    g_uni = skew_report(_ds(uni, 4), "k", top_k=8, n_buckets=4)
+    assert int(g_zipf["gini_e6"].iloc[0]) > int(g_uni["gini_e6"].iloc[0])

@@ -4646,6 +4646,52 @@ def _q_skew_report(sf_dir: str):
     return skew_report(li, "l_suppkey", top_k=16)
 
 
+def _q_rrf(sf_dir: str):
+    """Reciprocal-rank fusion (``ops.retrieval.rrf_fuse``) of two
+    deterministic ranked runs (planted hash orderings ranked with the
+    no-sort-barrier ``grouped_rank``): floor-scaled per-term integer
+    scores, one query-bucketed fuse exchange, per-query top-5."""
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.rank import grouped_rank
+    from fastie_ray.ops.retrieval import rrf_fuse
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def run(mult: int, add: int, mod: int):
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            did = df["doc_id"].astype("int64")
+            frames = [
+                pd.DataFrame(
+                    {
+                        "q": np.int64(q),
+                        "doc_id": did,
+                        "key": (did * mult + q * add) % mod,
+                    }
+                )
+                for q in range(4)
+            ]
+            return pd.concat(frames, ignore_index=True)
+
+        ranked = grouped_rank(
+            docs.map_batches(expand, batch_format="pandas"),
+            group_col="q", key_col="key", tie_col="doc_id",
+            range_size=16, n_buckets=8,
+        )
+        return ranked.map_batches(
+            lambda df: df.loc[df["rank"] <= 10,
+                              ["q", "doc_id", "rank"]],
+            batch_format="pandas",
+        )
+
+    return rrf_fuse(
+        [run(31, 7, 101), run(17, 13, 89)],
+        query_col="q", doc_col="doc_id", rank_col="rank",
+        k_const=60, top_k=5,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -4822,6 +4868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc": _q_auc,
         "calibration": _q_calibration,
         "skew_report": _q_skew_report,
+        "rrf": _q_rrf,
     }
 
 
@@ -7339,6 +7386,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST((2 * t.win - (t.nk + 1) * t.tot) * 1000000
                         // (t.nk * t.tot) AS BIGINT) AS gini_e6
             FROM t, tk
+        """,
+        "rrf": """
+            WITH d AS (SELECT doc_id FROM documents),
+            qa AS (
+                SELECT t.q, doc_id,
+                       row_number() OVER (PARTITION BY t.q
+                           ORDER BY (doc_id * 31 + t.q * 7) % 101, doc_id)
+                           AS rank
+                FROM d, range(4) t(q)),
+            qb AS (
+                SELECT t.q, doc_id,
+                       row_number() OVER (PARTITION BY t.q
+                           ORDER BY (doc_id * 17 + t.q * 13) % 89, doc_id)
+                           AS rank
+                FROM d, range(4) t(q)),
+            u AS (
+                SELECT q, doc_id, 1000000 // (60 + rank) AS s
+                FROM qa WHERE rank <= 10
+                UNION ALL
+                SELECT q, doc_id, 1000000 // (60 + rank)
+                FROM qb WHERE rank <= 10),
+            f AS (SELECT q, doc_id, CAST(sum(s) AS BIGINT) AS score_e6
+                  FROM u GROUP BY 1, 2),
+            r AS (SELECT q, doc_id, score_e6,
+                         row_number() OVER (PARTITION BY q
+                             ORDER BY score_e6 DESC, doc_id) AS fused_rank
+                  FROM f)
+            SELECT CAST(q AS BIGINT) AS q, doc_id, score_e6,
+                   CAST(fused_rank AS BIGINT) AS fused_rank
+            FROM r WHERE fused_rank <= 5
         """,
         "dq_checks": """
             SELECT 'qty_range' AS check_name,

@@ -141,3 +141,70 @@ def bm25_topk(
     out = cand.groupby("qid", sort=False).head(k).reset_index(drop=True)
     out["rank"] = (out.groupby("qid", sort=False).cumcount() + 1).astype("int64")
     return out
+
+
+def rrf_fuse(
+    runs: "list",
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    top_k: int = 5,
+    n_buckets: int = 8,
+) -> "ray.data.Dataset":
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N retrieval
+    runs — the standard hybrid-search combiner (BM25 ⊕ dense kNN in
+    every production RAG stack): a doc's fused score is
+    Σ_runs ⌊10⁶ / (k + rank)⌋, floor-scaled per TERM so the sum is
+    integer-exact and order-independent (float 1/(k+r) sums are
+    neither). Docs missing from a run simply contribute nothing —
+    RRF's native behavior.
+
+    Scale shape: each run maps to (query, doc, s) rows — run tables
+    are queries × k, tiny next to any corpus — then ONE query-bucketed
+    exchange sums scores and takes the per-query top-``top_k`` by
+    (score DESC, doc ASC). Returns (query, doc, score_e6, fused_rank)."""
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "q": df[query_col].astype("int64"),
+                "d": df[doc_col].astype("int64"),
+                "s": np.int64(1_000_000)
+                // (np.int64(k_const) + df[rank_col].astype("int64")),
+            }
+        )
+
+    tagged = runs[0].map_batches(score, batch_format="pandas")
+    for r in runs[1:]:
+        tagged = tagged.union(r.map_batches(score, batch_format="pandas"))
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        df["__b"] = (
+            df["q"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int64)
+        return df
+
+    def fuse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").groupby(["q", "d"], as_index=False)["s"].sum()
+        g = g.sort_values(["q", "s", "d"], ascending=[True, False, True])
+        g["fused_rank"] = g.groupby("q", sort=False).cumcount() + 1
+        g = g[g["fused_rank"] <= top_k]
+        return pd.DataFrame(
+            {
+                query_col: g["q"].astype("int64"),
+                doc_col: g["d"].astype("int64"),
+                "score_e6": g["s"].astype("int64"),
+                "fused_rank": g["fused_rank"].astype("int64"),
+            }
+        )
+
+    return (
+        tagged.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(fuse, batch_format="pandas")
+    )

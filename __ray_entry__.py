@@ -4692,6 +4692,32 @@ def _q_rrf(sf_dir: str):
     )
 
 
+def _q_sorted_export(sf_dir: str):
+    """TeraSort-shape sorted export (``ops.layout.sorted_range_export``)
+    keyed on integer event-value cents: deterministic bottom-k-md5
+    sample → range bounds → one part exchange with local sort; returns
+    the range-pruning manifest (part, n_rows, min/max key)."""
+    import pandas as pd
+
+    from fastie_ray.ops.layout import sorted_range_export
+
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "cents": (df["value"] * 100).round().astype("int64"),
+            }
+        )
+
+    return sorted_range_export(
+        ev.map_batches(prep, batch_format="pandas"),
+        key_col="cents", id_col="event_id", out_dir=None,
+        n_parts=8, sample_k=256,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -4869,6 +4895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibration": _q_calibration,
         "skew_report": _q_skew_report,
         "rrf": _q_rrf,
+        "sorted_export": _q_sorted_export,
     }
 
 
@@ -7416,6 +7443,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(q AS BIGINT) AS q, doc_id, score_e6,
                    CAST(fused_rank AS BIGINT) AS fused_rank
             FROM r WHERE fused_rank <= 5
+        """,
+        # sample positions hardcode m=256 (valid whenever the table has
+        # >= 256 rows; events has >= 1000 at every sf)
+        "sorted_export": """
+            WITH src AS (
+                SELECT event_id,
+                       CAST(round(value * 100) AS BIGINT) AS k
+                FROM events),
+            samp AS (
+                SELECT k FROM (
+                    SELECT k, md5('srt:' || CAST(event_id AS VARCHAR)) AS h,
+                           event_id
+                    FROM src ORDER BY h, event_id LIMIT 256)),
+            sk AS (SELECT k, row_number() OVER (ORDER BY k) - 1 AS pos
+                   FROM samp),
+            b AS (SELECT k AS bound FROM sk
+                  WHERE pos IN (32, 64, 96, 128, 160, 192, 224)),
+            p AS (SELECT s.k,
+                         (SELECT count(*) FROM b WHERE b.bound <= s.k)
+                             AS part
+                  FROM src s)
+            SELECT CAST(part AS BIGINT) AS part_id, count(*) AS n_rows,
+                   CAST(min(k) AS BIGINT) AS min_key,
+                   CAST(max(k) AS BIGINT) AS max_key
+            FROM p GROUP BY 1
         """,
         "dq_checks": """
             SELECT 'qty_range' AS check_name,

@@ -4718,6 +4718,36 @@ def _q_sorted_export(sf_dir: str):
     )
 
 
+def _q_clustering_coeff(sf_dir: str):
+    """Per-node triangle counts + local clustering coefficient
+    (``ops.graph.local_clustering``) over the subsampled supplier
+    co-supply graph (same edge build as the triangles query)."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import local_clustering
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def distinct_os(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["l_orderkey"] % 20 == 0].drop_duplicates()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_1", "_2"))
+        m = m[m["l_suppkey_1"] < m["l_suppkey_2"]]
+        out = pd.DataFrame({"a": m["l_suppkey_1"], "b": m["l_suppkey_2"]})
+        return out.drop_duplicates()
+
+    per_order = _bucketed_groupby(
+        li.map_batches(distinct_os, batch_format="pandas"),
+        "l_orderkey", pairs, 16,
+    )
+    edges = dedup_exact(per_order, ["a", "b"], n_buckets=16)
+    return local_clustering(edges, n_buckets=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -4896,6 +4926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_report": _q_skew_report,
         "rrf": _q_rrf,
         "sorted_export": _q_sorted_export,
+        "clustering_coeff": _q_clustering_coeff,
     }
 
 
@@ -7468,6 +7499,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(k) AS BIGINT) AS min_key,
                    CAST(max(k) AS BIGINT) AS max_key
             FROM p GROUP BY 1
+        """,
+        "clustering_coeff": """
+            WITH os AS (
+                SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+                WHERE l_orderkey % 20 = 0
+            ), e AS (
+                SELECT DISTINCT x.s AS a, y.s AS b
+                FROM os x JOIN os y ON x.o = y.o AND x.s < y.s
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+            ),
+            tn AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ),
+            tc AS (SELECT node, count(*) AS t FROM tn GROUP BY 1),
+            d AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+                ) GROUP BY 1
+            )
+            SELECT d.node,
+                   CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles,
+                   CAST(d.deg AS BIGINT) AS degree,
+                   CAST(CASE WHEN d.deg >= 2
+                        THEN 2 * coalesce(tc.t, 0) * 1000000
+                             // (d.deg * (d.deg - 1))
+                        ELSE 0 END AS BIGINT) AS coeff_e6
+            FROM d LEFT JOIN tc USING (node)
         """,
         "dq_checks": """
             SELECT 'qty_range' AS check_name,

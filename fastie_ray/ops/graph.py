@@ -1723,3 +1723,137 @@ def condensation_levels(
         ),
         batch_format="pandas",
     )
+
+
+def local_clustering(
+    edges: "ray.data.Dataset", n_buckets: int = 32
+) -> "ray.data.Dataset":
+    """Per-node triangle counts and LOCAL CLUSTERING COEFFICIENT of an
+    undirected simple graph given as DISTINCT (a, b), a < b rows — the
+    node-level companion of ``triangle_count`` (same Suri-
+    Vassilvitskii degree orientation, but each closed wedge emits its
+    THREE corners instead of a global 1):
+
+        coeff(v) = 2·T(v) / (deg(v)·(deg(v)−1)),  floor-scaled 1e6
+
+    Returns (node, n_triangles, degree, coeff_e6) for EVERY node;
+    integer arithmetic end-to-end. Exchanges: degrees (1), two degree
+    relabels (2), wedge generation (1), wedge⋈edge semi match (1),
+    corner-count aggregate (1), count⋈degree join (1)."""
+    from fastie_ray.ops.join import hash_join
+
+    edges = edges.repartition(n_buckets).materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([df["a"], df["b"]], ignore_index=True)
+        return both.value_counts().rename_axis("node").reset_index(name="deg")
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = _bucket(df["node"], n_buckets)
+        return df
+
+    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("node", as_index=False)["deg"].sum()
+        out["deg"] = out["deg"].astype("int64")
+        return out
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(deg_final, batch_format="pandas")
+        .materialize()  # consumed by the orientation AND the final join
+    )
+
+    with_da = hash_join(
+        edges, degrees, on="a", right_on="node",
+        left_cols=["a", "b"], right_cols=["node", "deg"], n_buckets=n_buckets,
+    )
+    with_db = hash_join(
+        with_da, degrees, on="b", right_on="node",
+        left_cols=["a", "b", "deg"], right_cols=["node", "deg"],
+        n_buckets=n_buckets, suffix="_b",
+    )
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a_lo = df["deg"] <= df["deg_b"]
+        lo = df["a"].where(a_lo, df["b"])
+        hi = df["b"].where(a_lo, df["a"])
+        return pd.DataFrame({"lo": lo, "hi": hi})
+
+    oriented = with_db.map_batches(orient, batch_format="pandas").materialize()
+
+    def add_blo(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = _bucket(df["lo"], n_buckets)
+        return df
+
+    def ukey(df: pd.DataFrame, x: str, y: str) -> pd.Series:
+        lo = df[x].where(df[x] < df[y], df[y])
+        hi = df[y].where(df[x] < df[y], df[x])
+        return lo.astype(str) + "|" + hi.astype(str)
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        m = g.merge(g, on="lo", suffixes=("_1", "_2"))
+        m = m[m["hi_1"] < m["hi_2"]]
+        out = pd.DataFrame({"c": m["lo"], "u": m["hi_1"], "v": m["hi_2"]})
+        out["k"] = ukey(out, "u", "v")
+        return out
+
+    wedge_ds = (
+        oriented.map_batches(add_blo, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    def ekey(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": ukey(df, "lo", "hi")})
+
+    closed = hash_join(
+        wedge_ds, oriented.map_batches(ekey, batch_format="pandas"),
+        on="k", how="semi", left_cols=["k", "c", "u", "v"],
+        n_buckets=n_buckets,
+    )
+
+    def corners(df: pd.DataFrame) -> pd.DataFrame:
+        n = pd.concat([df["c"], df["u"], df["v"]], ignore_index=True)
+        out = n.value_counts().rename_axis("node").reset_index(name="t")
+        return out
+
+    def t_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("node", as_index=False)["t"].sum()
+        out["t"] = out["t"].astype("int64")
+        return out
+
+    tcounts = (
+        closed.map_batches(corners, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(t_final, batch_format="pandas")
+    )
+
+    joined = hash_join(
+        degrees, tcounts, on="node", how="left",
+        left_cols=["node", "deg"], right_cols=["node", "t"],
+        n_buckets=n_buckets,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["t"].fillna(0).astype("int64")
+        d = df["deg"].astype("int64")
+        denom = d * (d - 1)
+        coeff = np.where(
+            denom > 0, (2 * t * 1_000_000) // np.maximum(denom, 1), 0
+        )
+        return pd.DataFrame(
+            {
+                "node": df["node"],
+                "n_triangles": t,
+                "degree": d,
+                "coeff_e6": coeff.astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -4748,6 +4748,77 @@ def _q_clustering_coeff(sf_dir: str):
     return local_clustering(edges, n_buckets=16)
 
 
+def _q_coverage_picks(sf_dir: str):
+    """Greedy coverage maximization (``ops.selection.greedy_coverage``)
+    over the rare-token-planted corpus: 5 rounds of anti-join marginal
+    gains + bucketed argmax, deterministic (gain DESC, doc ASC)."""
+    import pandas as pd
+
+    from fastie_ray.ops.selection import greedy_coverage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text": df["text"]
+                + " tk"
+                + (df["doc_id"].astype("int64") % 211).astype(str),
+            }
+        )
+
+    return greedy_coverage(
+        ds.map_batches(plant, batch_format="pandas"), k=5, n_buckets=16
+    )
+
+
+def _coverage_sql(k: int = 5) -> str:
+    """Unrolled greedy-coverage oracle (MATERIALIZED CTEs — same
+    exponential-inlining hazard as the MIS oracle)."""
+    ctes = [
+        """planted AS MATERIALIZED (
+            SELECT doc_id,
+                   text || ' tk' || CAST(doc_id % 211 AS VARCHAR) AS text
+            FROM documents)""",
+        """toks AS MATERIALIZED (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS tok
+                FROM planted))""",
+    ]
+    for t in range(1, k + 1):
+        src = (
+            "toks"
+            if t == 1
+            else f"(SELECT * FROM toks WHERE tok NOT IN "
+                 f"(SELECT tok FROM c{t - 1}))"
+        )
+        ctes.append(
+            f"""g{t} AS MATERIALIZED (
+                SELECT doc_id, count(*) AS gain FROM {src} GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""p{t} AS MATERIALIZED (
+                SELECT {t} AS round, doc_id, gain FROM g{t}
+                ORDER BY gain DESC, doc_id LIMIT 1)"""
+        )
+        prev = f"SELECT tok FROM c{t - 1} UNION " if t > 1 else ""
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+                {prev}SELECT DISTINCT tok FROM toks
+                WHERE doc_id IN (SELECT doc_id FROM p{t}))"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(round AS BIGINT) AS round, "
+        f"CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST(gain AS BIGINT) AS gain FROM p{t}"
+        for t in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -4927,6 +4998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf": _q_rrf,
         "sorted_export": _q_sorted_export,
         "clustering_coeff": _q_clustering_coeff,
+        "coverage_picks": _q_coverage_picks,
     }
 
 
@@ -7322,6 +7394,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "mis": _mis_sql(n_rounds=6),
+        "coverage_picks": _coverage_sql(k=5),
         "ivm_join": """
             SELECT l_orderkey, o_custkey,
                    count(*) AS n_items,

@@ -4819,6 +4819,28 @@ def _coverage_sql(k: int = 5) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+def _q_price_quantiles(sf_dir: str):
+    """Exact quantiles over the UNBOUNDED price-cents domain
+    (``ops.stats.open_quantiles``): two value-range refinement passes,
+    each ≤ 4096 histogram rows — no sort, no domain-sized driver
+    table (the exact_quantiles generalization)."""
+    import pandas as pd
+
+    from fastie_ray.ops.stats import open_quantiles
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"cents": (df["l_extendedprice"] * 100).round().astype("int64")}
+        )
+
+    return open_quantiles(
+        li.map_batches(prep, batch_format="pandas"), "cents",
+        [0.25, 0.5, 0.75, 0.95],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -4999,6 +5021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_export": _q_sorted_export,
         "clustering_coeff": _q_clustering_coeff,
         "coverage_picks": _q_coverage_picks,
+        "price_quantiles": _q_price_quantiles,
     }
 
 
@@ -7395,6 +7418,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mis": _mis_sql(n_rounds=6),
         "coverage_picks": _coverage_sql(k=5),
+        "price_quantiles": """
+            WITH src AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                FROM lineitem)
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   CAST(quantile_disc(c, 0.25) AS BIGINT) AS value FROM src
+            UNION ALL
+            SELECT 0.5, CAST(quantile_disc(c, 0.5) AS BIGINT) FROM src
+            UNION ALL
+            SELECT 0.75, CAST(quantile_disc(c, 0.75) AS BIGINT) FROM src
+            UNION ALL
+            SELECT 0.95, CAST(quantile_disc(c, 0.95) AS BIGINT) FROM src
+        """,
         "ivm_join": """
             SELECT l_orderkey, o_custkey,
                    count(*) AS n_items,

@@ -832,3 +832,97 @@ def skew_report(
             "gini_e6": [np.int64(gini_e6)],
         }
     )
+
+
+def open_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: list[float],
+    n_ranges: int = 4096,
+) -> pd.DataFrame:
+    """EXACT ``quantile_disc`` over an UNBOUNDED integer domain — the
+    generalization of ``exact_quantiles`` (whose driver table is the
+    distinct-VALUE domain) to columns where that domain is itself
+    corpus-sized: two value-range refinement passes, each reducing to
+    a ≤ ``n_ranges``-row histogram, never a sort and never a
+    row-sized driver structure.
+
+    Pass 0 (driver scalars): min/max/count. Pass 1: coarse histogram
+    of ``rid = (v − min) // range_size`` (per-batch combiner, blocks ×
+    ≤ n_ranges rows merged on the driver); the exact integer boundary
+    k = ⌈q·n⌉ (``Fraction`` — no float off-by-ones) locates each
+    quantile's rid and in-rid offset. Pass 2: per-(rid, value) counts
+    for ONLY the target rids (a second combiner — at most
+    ``range_size`` distinct values per rid, and only len(qs) rids
+    ship); the driver walks the sorted value counts to the offset.
+    A hot single value concentrates its rid, but pass 2 ships value
+    COUNTS, not rows, so skew costs nothing.
+
+    Returns (q, value) with quantile_disc semantics: the smallest
+    value whose cumulative count reaches ⌈q·n⌉."""
+    from fractions import Fraction
+
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].astype("int64")
+        if len(v) == 0:
+            return pd.DataFrame({"mn": [], "mx": [], "n": []})
+        return pd.DataFrame(
+            {"mn": [v.min()], "mx": [v.max()], "n": [np.int64(len(v))]}
+        )
+
+    mm = ds.map_batches(mm_partial, batch_format="pandas").to_pandas()
+    if len(mm) == 0 or mm["n"].sum() == 0:
+        return pd.DataFrame({"q": pd.Series(qs), "value": pd.NA})
+    lo, hi, n = int(mm["mn"].min()), int(mm["mx"].max()), int(mm["n"].sum())
+    range_size = max(1, (hi - lo) // n_ranges + 1)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].astype("int64")
+        rid = (v - lo) // range_size
+        out = rid.value_counts().rename_axis("rid").reset_index(name="n")
+        return out
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("rid", as_index=False)["n"]
+        .sum()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    hist["cum"] = hist["n"].cumsum()
+
+    targets = {}  # rid -> list of (q, offset_within_rid)
+    for q in qs:
+        f = Fraction(str(q))  # exact-decimal parse, same as exact_quantiles
+        k = -(-(f.numerator * n) // f.denominator)  # ceil(q*n), exact
+        k = int(min(max(1, k), n))
+        idx = int(np.searchsorted(hist["cum"].to_numpy(), k, side="left"))
+        rid = int(hist["rid"].iloc[idx])
+        before = int(hist["cum"].iloc[idx - 1]) if idx > 0 else 0
+        targets.setdefault(rid, []).append((q, k - before))
+    target_rids = set(targets)
+
+    def val_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].astype("int64")
+        rid = (v - lo) // range_size
+        m = rid.isin(target_rids)
+        sub = pd.DataFrame({"rid": rid[m], "v": v[m]})
+        return sub.groupby(["rid", "v"], as_index=False).agg(n=("v", "count"))
+
+    vals = (
+        ds.map_batches(val_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["rid", "v"], as_index=False)["n"]
+        .sum()
+    )
+    out = []
+    for rid, wants in targets.items():
+        sub = vals[vals["rid"] == rid].sort_values("v")
+        cum = sub["n"].cumsum().to_numpy()
+        for q, off in wants:
+            j = int(np.searchsorted(cum, off, side="left"))
+            out.append((q, int(sub["v"].iloc[j])))
+    res = pd.DataFrame(out, columns=["q", "value"]).sort_values("q")
+    res["value"] = res["value"].astype("int64")
+    return res.reset_index(drop=True)

@@ -1,0 +1,54 @@
+"""Test ops.stats.open_quantiles vs numpy on wide domains, boundary
+qs, and a hot-value skew case."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def _ds(df: pd.DataFrame, n_blocks: int = 4):
+    return ray.data.from_pandas(
+        [p for p in np.array_split(df, n_blocks) if len(p)]
+    )
+
+
+def _disc(v: np.ndarray, q: float) -> int:
+    # percentile_disc: smallest value with cum count >= ceil(q*n)
+    s = np.sort(v)
+    from fractions import Fraction
+
+    f = Fraction(str(q))
+    k = -(-(f.numerator * len(s)) // f.denominator)
+    k = min(max(1, k), len(s))
+    return int(s[k - 1])
+
+
+def test_open_quantiles_wide_domain():
+    from fastie_ray.ops.stats import open_quantiles
+
+    rng = np.random.default_rng(53)
+    v = rng.integers(-10**12, 10**12, 5000).astype(np.int64)
+    df = pd.DataFrame({"x": v})
+    qs = [0.01, 0.25, 0.5, 0.9, 1.0]
+    got = open_quantiles(_ds(df, 4), "x", qs)
+    for q in qs:
+        assert (
+            int(got.loc[got["q"] == q, "value"].iloc[0]) == _disc(v, q)
+        ), q
+
+
+def test_open_quantiles_hot_value_skew():
+    from fastie_ray.ops.stats import open_quantiles
+
+    # 90% of rows are one value; the hot rid ships counts, not rows
+    v = np.concatenate(
+        [np.full(9000, 42, dtype=np.int64),
+         np.arange(1000, dtype=np.int64) * 1_000_003]
+    )
+    rng = np.random.default_rng(3)
+    rng.shuffle(v)
+    df = pd.DataFrame({"x": v})
+    got = open_quantiles(_ds(df, 4), "x", [0.5, 0.99])
+    assert int(got.loc[got["q"] == 0.5, "value"].iloc[0]) == _disc(v, 0.5)
+    assert int(got.loc[got["q"] == 0.99, "value"].iloc[0]) == _disc(v, 0.99)

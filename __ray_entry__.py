@@ -4841,6 +4841,32 @@ def _q_price_quantiles(sf_dir: str):
     )
 
 
+def _q_weighted_median(sf_dir: str):
+    """Exact WEIGHTED quantiles (price cents weighted by quantity) via
+    ``ops.stats.open_quantiles(weight_col=...)`` — every histogram
+    count becomes an integer weight sum, boundary ⌈q·W⌉; SQL has no
+    weighted quantile aggregate, so the oracle is a cumulative-window
+    reconstruction."""
+    import pandas as pd
+
+    from fastie_ray.ops.stats import open_quantiles
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cents": (df["l_extendedprice"] * 100).round().astype("int64"),
+                "w": df["l_quantity"].round().astype("int64"),
+            }
+        )
+
+    return open_quantiles(
+        li.map_batches(prep, batch_format="pandas"), "cents",
+        [0.5, 0.9], weight_col="w",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5022,6 +5048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": _q_clustering_coeff,
         "coverage_picks": _q_coverage_picks,
         "price_quantiles": _q_price_quantiles,
+        "weighted_median": _q_weighted_median,
     }
 
 
@@ -7430,6 +7457,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.75, CAST(quantile_disc(c, 0.75) AS BIGINT) FROM src
             UNION ALL
             SELECT 0.95, CAST(quantile_disc(c, 0.95) AS BIGINT) FROM src
+        """,
+        "weighted_median": """
+            WITH src AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                       CAST(round(l_quantity) AS BIGINT) AS w
+                FROM lineitem),
+            cw AS (SELECT c, sum(w) AS w FROM src GROUP BY 1),
+            o AS (SELECT c, sum(w) OVER (ORDER BY c) AS cum,
+                         (SELECT sum(w) FROM src) AS tw
+                  FROM cw)
+            SELECT CAST(0.5 AS DOUBLE) AS q,
+                   CAST(min(c) AS BIGINT) AS value
+            FROM o WHERE cum >= (tw + 1) // 2
+            UNION ALL
+            SELECT 0.9, CAST(min(c) AS BIGINT)
+            FROM o WHERE cum >= (9 * tw + 9) // 10
         """,
         "ivm_join": """
             SELECT l_orderkey, o_custkey,

@@ -839,6 +839,7 @@ def open_quantiles(
     col: str,
     qs: list[float],
     n_ranges: int = 4096,
+    weight_col: str | None = None,
 ) -> pd.DataFrame:
     """EXACT ``quantile_disc`` over an UNBOUNDED integer domain — the
     generalization of ``exact_quantiles`` (whose driver table is the
@@ -859,15 +860,25 @@ def open_quantiles(
     COUNTS, not rows, so skew costs nothing.
 
     Returns (q, value) with quantile_disc semantics: the smallest
-    value whose cumulative count reaches ⌈q·n⌉."""
+    value whose cumulative count reaches ⌈q·n⌉. With ``weight_col``
+    (positive integer weights) every count becomes a weight SUM and
+    the boundary is ⌈q·W⌉ — the exact WEIGHTED quantile (importance-
+    weighted medians for sampling/curriculum), which SQL has no
+    aggregate for but a cumulative-window oracle reproduces."""
     from fractions import Fraction
+
+    def _w(df: pd.DataFrame) -> pd.Series:
+        if weight_col is None:
+            return pd.Series(np.ones(len(df), dtype=np.int64), index=df.index)
+        return df[weight_col].astype("int64")
 
     def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
         v = df[col].astype("int64")
         if len(v) == 0:
             return pd.DataFrame({"mn": [], "mx": [], "n": []})
         return pd.DataFrame(
-            {"mn": [v.min()], "mx": [v.max()], "n": [np.int64(len(v))]}
+            {"mn": [v.min()], "mx": [v.max()],
+             "n": [np.int64(_w(df).sum())]}
         )
 
     mm = ds.map_batches(mm_partial, batch_format="pandas").to_pandas()
@@ -878,9 +889,8 @@ def open_quantiles(
 
     def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
         v = df[col].astype("int64")
-        rid = (v - lo) // range_size
-        out = rid.value_counts().rename_axis("rid").reset_index(name="n")
-        return out
+        out = pd.DataFrame({"rid": (v - lo) // range_size, "n": _w(df)})
+        return out.groupby("rid", as_index=False)["n"].sum()
 
     hist = (
         ds.map_batches(hist_partial, batch_format="pandas")
@@ -907,8 +917,8 @@ def open_quantiles(
         v = df[col].astype("int64")
         rid = (v - lo) // range_size
         m = rid.isin(target_rids)
-        sub = pd.DataFrame({"rid": rid[m], "v": v[m]})
-        return sub.groupby(["rid", "v"], as_index=False).agg(n=("v", "count"))
+        sub = pd.DataFrame({"rid": rid[m], "v": v[m], "n": _w(df)[m]})
+        return sub.groupby(["rid", "v"], as_index=False)["n"].sum()
 
     vals = (
         ds.map_batches(val_partial, batch_format="pandas")

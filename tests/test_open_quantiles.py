@@ -52,3 +52,23 @@ def test_open_quantiles_hot_value_skew():
     got = open_quantiles(_ds(df, 4), "x", [0.5, 0.99])
     assert int(got.loc[got["q"] == 0.5, "value"].iloc[0]) == _disc(v, 0.5)
     assert int(got.loc[got["q"] == 0.99, "value"].iloc[0]) == _disc(v, 0.99)
+
+
+def test_open_quantiles_weighted():
+    from fastie_ray.ops.stats import open_quantiles
+
+    rng = np.random.default_rng(59)
+    df = pd.DataFrame(
+        {
+            "x": rng.integers(-1000, 1000, 2000).astype(np.int64),
+            "w": rng.integers(1, 9, 2000).astype(np.int64),
+        }
+    )
+    got = open_quantiles(_ds(df, 4), "x", [0.5, 0.9], weight_col="w")
+    # reference: expand by weight, then unweighted disc quantile
+    expanded = np.repeat(df["x"].to_numpy(), df["w"].to_numpy())
+    for q in (0.5, 0.9):
+        assert (
+            int(got.loc[got["q"] == q, "value"].iloc[0])
+            == _disc(expanded, q)
+        ), q

@@ -4867,6 +4867,30 @@ def _q_weighted_median(sf_dir: str):
     )
 
 
+def _q_skyline(sf_dir: str):
+    """2-D Pareto skyline (``ops.stats.skyline_2d``): minimize price
+    cents, maximize quantity — local skylines are a valid combiner
+    (skyline of a union ⊆ union of skylines), driver filters the
+    bounded candidate set once."""
+    import pandas as pd
+
+    from fastie_ray.ops.stats import skyline_2d
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cents": (df["l_extendedprice"] * 100).round().astype("int64"),
+                "qty": df["l_quantity"].round().astype("int64"),
+            }
+        )
+
+    return skyline_2d(
+        li.map_batches(prep, batch_format="pandas"), "cents", "qty"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5049,6 +5073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_picks": _q_coverage_picks,
         "price_quantiles": _q_price_quantiles,
         "weighted_median": _q_weighted_median,
+        "skyline": _q_skyline,
     }
 
 
@@ -7473,6 +7498,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 0.9, CAST(min(c) AS BIGINT)
             FROM o WHERE cum >= (9 * tw + 9) // 10
+        """,
+        "skyline": """
+            WITH p AS (
+                SELECT DISTINCT
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                       CAST(round(l_quantity) AS BIGINT) AS qty
+                FROM lineitem)
+            SELECT cents, qty FROM p a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p b
+                WHERE b.cents <= a.cents AND b.qty >= a.qty
+                  AND (b.cents < a.cents OR b.qty > a.qty))
         """,
         "ivm_join": """
             SELECT l_orderkey, o_custkey,

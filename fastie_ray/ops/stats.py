@@ -936,3 +936,41 @@ def open_quantiles(
     res = pd.DataFrame(out, columns=["q", "value"]).sort_values("q")
     res["value"] = res["value"].astype("int64")
     return res.reset_index(drop=True)
+
+
+def skyline_2d(
+    ds: "ray.data.Dataset",
+    x_col: str,
+    y_col: str,
+) -> pd.DataFrame:
+    """2-D SKYLINE (Pareto frontier; Börzsönyi et al. 2001): the
+    DISTINCT points not dominated by any other — dominated means
+    another point has x' ≤ x AND y' ≥ y with at least one strict
+    (minimize x, maximize y; flip signs upstream for other
+    orientations). The multi-objective selection op (price/quality
+    trade-off curves, model frontier reports).
+
+    Scale shape: skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B), so a
+    per-batch vectorized skyline is a valid COMBINER (sort by
+    (x asc, y desc) + strict running-max filter, O(n log n)); the
+    driver merges blocks × |local skyline| candidates and filters
+    once more. Skyline size is the only driver-sized quantity — tiny
+    for correlated dims, and the anti-correlated worst case is the
+    user's modeling choice, not a shuffle hazard."""
+
+    def local_sky(df: pd.DataFrame) -> pd.DataFrame:
+        p = pd.DataFrame(
+            {"x": df[x_col].astype("int64"), "y": df[y_col].astype("int64")}
+        ).drop_duplicates()
+        if len(p) == 0:
+            return p
+        # for equal x keep only max y, then strict cummax filter
+        p = p.groupby("x", as_index=False)["y"].max().sort_values("x")
+        cm = p["y"].cummax().shift(1)
+        keep = cm.isna() | (p["y"] > cm)
+        return p[keep].reset_index(drop=True)
+
+    cand = ds.map_batches(local_sky, batch_format="pandas").to_pandas()
+    return local_sky(
+        cand.rename(columns={"x": x_col, "y": y_col})
+    ).rename(columns={"x": x_col, "y": y_col}).reset_index(drop=True)

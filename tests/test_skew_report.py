@@ -43,3 +43,35 @@ def test_skew_report_zipf_and_uniform():
     g_zipf = skew_report(_ds(zipf, 4), "k", top_k=8, n_buckets=4)
     g_uni = skew_report(_ds(uni, 4), "k", top_k=8, n_buckets=4)
     assert int(g_zipf["gini_e6"].iloc[0]) > int(g_uni["gini_e6"].iloc[0])
+
+
+def test_skyline_2d_matches_bruteforce():
+    from fastie_ray.ops.stats import skyline_2d
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame(
+        {
+            "x": rng.integers(0, 200, 1500).astype(np.int64),
+            "y": rng.integers(0, 200, 1500).astype(np.int64),
+        }
+    )
+    got = (
+        skyline_2d(_ds(df, 4), "x", "y")
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    p = df.drop_duplicates().to_numpy()
+    keep = []
+    for x, y in p:
+        dom = (
+            (p[:, 0] <= x) & (p[:, 1] >= y)
+            & ((p[:, 0] < x) | (p[:, 1] > y))
+        ).any()
+        if not dom:
+            keep.append((x, y))
+    want = (
+        pd.DataFrame(sorted(set(keep)), columns=["x", "y"])
+        .astype("int64")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want)

@@ -4891,6 +4891,28 @@ def _q_skyline(sf_dir: str):
     )
 
 
+def _q_kmv_overlap(sf_dir: str):
+    """KMV / Theta-sketch set algebra (``ops.sketch.kmv_sketch`` +
+    ``kmv_overlap_estimate``): click∩view audience estimate from two
+    fixed-size bottom-k hash sketches — deterministic md5 state, so
+    every number is SQL-exact (the sketch-family intersection
+    companion to hll_overlap's union)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from fastie_ray.ops.sketch import kmv_overlap_estimate, kmv_sketch
+
+    def users(kind: str):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "event_type"],
+            filter=pc.field("event_type") == kind, override_num_blocks=16,
+        )
+
+    sa = kmv_sketch(users("click"), "user_id", k=64)
+    sb = kmv_sketch(users("view"), "user_id", k=64)
+    return kmv_overlap_estimate(sa, sb, k=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5074,6 +5096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": _q_price_quantiles,
         "weighted_median": _q_weighted_median,
         "skyline": _q_skyline,
+        "kmv_overlap": _q_kmv_overlap,
     }
 
 
@@ -7510,6 +7533,37 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM p b
                 WHERE b.cents <= a.cents AND b.qty >= a.qty
                   AND (b.cents < a.cents OR b.qty > a.qty))
+        """,
+        "kmv_overlap": """
+            WITH ha AS (
+                SELECT CAST(('0x' || substr(md5('kmv:'
+                    || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'click')
+                ORDER BY h LIMIT 64),
+            hb AS (
+                SELECT CAST(('0x' || substr(md5('kmv:'
+                    || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'view')
+                ORDER BY h LIMIT 64),
+            m AS (SELECT h FROM (SELECT h FROM ha UNION
+                                 SELECT h FROM hb)
+                  ORDER BY h LIMIT 64),
+            s AS (SELECT count(*) AS mk, max(h) AS kth FROM m),
+            c AS (SELECT count(*) AS nc FROM m
+                  WHERE h IN (SELECT h FROM ha)
+                    AND h IN (SELECT h FROM hb)),
+            -- 63·2^60 overflows INT64; do the division in HUGEINT
+            ue AS (SELECT CASE WHEN mk >= 64
+                          THEN CAST(63 * CAST(1152921504606846976 AS HUGEINT)
+                               // greatest(kth, 1) AS BIGINT)
+                          ELSE mk END AS u, mk FROM s)
+            SELECT CAST(c.nc AS BIGINT) AS n_common,
+                   CAST(ue.u AS BIGINT) AS union_est,
+                   CAST(c.nc * ue.u // greatest(ue.mk, 1) AS BIGINT)
+                       AS inter_est
+            FROM c, ue
         """,
         "ivm_join": """
             SELECT l_orderkey, o_custkey,

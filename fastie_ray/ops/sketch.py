@@ -244,3 +244,61 @@ def cms_estimate(
         cells = _hash60([f"{d}:{tok}" for d in range(depth)]) % width
         out[tok] = int(grid[np.arange(depth), cells].min())
     return out
+
+
+def kmv_sketch(
+    ds: "ray.data.Dataset",
+    col: str,
+    k: int = 256,
+    salt: str = "kmv",
+) -> pd.DataFrame:
+    """K-MINIMUM-VALUES distinct sketch (Bar-Yossef et al. 2002; the
+    Theta-sketch family): the ``k`` smallest 60-bit md5 hashes of the
+    DISTINCT values — a fixed-size, MERGEABLE, deterministic state
+    (same data → same sketch → SQL-exact, like the HLL/CMS states
+    above). Per-batch bottom-k combiner (blocks × k rows merge on the
+    driver); returns the sorted (h,) hash frame."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].dropna().drop_duplicates()
+        h = _hash60(salt + ":" + v.astype(str))
+        return pd.DataFrame({"h": np.sort(h)[:k]})
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    h = np.unique(cand["h"].to_numpy())[:k]
+    return pd.DataFrame({"h": h.astype(np.int64)})
+
+
+def kmv_overlap_estimate(
+    sk_a: pd.DataFrame, sk_b: pd.DataFrame, k: int = 256
+) -> pd.DataFrame:
+    """Set algebra on two KMV sketches, all-integer:
+
+        merged   = k smallest of S_A ∪ S_B (the KMV of A ∪ B)
+        union̂    = (k−1) · 2⁶⁰ // merged[k−1]   (k-th minimum inverts
+                   the density of distinct hashes)
+        jaccard̂  = |merged ∩ S_A ∩ S_B| / k
+        inter̂    = ⌊jaccard̂_num · union̂ / k⌋
+
+    Deterministic given the data, so the driver oracle reproduces
+    every number from the same ORDER BY hash LIMIT k construction.
+    Returns one row (n_common, union_est, inter_est)."""
+    a = set(sk_a["h"].to_numpy().tolist())
+    b = set(sk_b["h"].to_numpy().tolist())
+    merged = np.sort(np.array(sorted(a | b), dtype=np.int64))[:k]
+    mset = set(merged.tolist())
+    common = len(mset & a & b)
+    if len(merged) >= k:
+        kth = int(merged[-1])
+        union_est = (k - 1) * (1 << 60) // max(kth, 1)
+    else:
+        # sketch never filled: it IS the exact distinct hash set
+        union_est = len(merged)
+    inter_est = common * union_est // max(len(merged), 1)
+    return pd.DataFrame(
+        {
+            "n_common": [np.int64(common)],
+            "union_est": [np.int64(union_est)],
+            "inter_est": [np.int64(inter_est)],
+        }
+    )

@@ -4913,6 +4913,42 @@ def _q_kmv_overlap(sf_dir: str):
     return kmv_overlap_estimate(sa, sb, k=64)
 
 
+def _q_ks_drift(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov drift statistic
+    (``ops.stats.ks_stat``): click vs purchase value distributions,
+    integer cross-multiplied CDFs (the nonparametric companion to
+    psi_drift's binned test)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from fastie_ray.ops.stats import ks_stat
+
+    def side(kind: str):
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"],
+            filter=pc.field("event_type") == kind, override_num_blocks=16,
+        )
+        return ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"cents": (df["value"] * 100).round().astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+
+    return ks_stat(side("click"), side("purchase"), "cents")
+
+
+def _q_fd_check(sf_dir: str):
+    """Functional-dependency audit (``ops.stats.fd_violations``):
+    sources mapping to more than one language — distinct-pair
+    combiner, one exchange, only violators leave it."""
+    from fastie_ray.ops.stats import fd_violations
+
+    docs = _read(sf_dir, "documents", columns=["source", "lang"])
+    return fd_violations(docs, "source", "lang")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5097,6 +5133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": _q_weighted_median,
         "skyline": _q_skyline,
         "kmv_overlap": _q_kmv_overlap,
+        "ks_drift": _q_ks_drift,
+        "fd_check": _q_fd_check,
     }
 
 
@@ -7564,6 +7602,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.nc * ue.u // greatest(ue.mk, 1) AS BIGINT)
                        AS inter_est
             FROM c, ue
+        """,
+        "ks_drift": """
+            WITH a AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                       count(*) AS n
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+            b AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                       count(*) AS n
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            u AS (
+                SELECT coalesce(a.v, b.v) AS v,
+                       coalesce(a.n, 0) AS na, coalesce(b.n, 0) AS nb
+                FROM a FULL JOIN b ON a.v = b.v),
+            c AS (
+                SELECT v, sum(na) OVER (ORDER BY v) AS ca,
+                       sum(nb) OVER (ORDER BY v) AS cb,
+                       (SELECT sum(na) FROM u) AS ta,
+                       (SELECT sum(nb) FROM u) AS tb
+                FROM u)
+            SELECT CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS d_num,
+                   CAST(max(ta) AS BIGINT) AS n_a,
+                   CAST(max(tb) AS BIGINT) AS n_b,
+                   CAST(max(abs(ca * tb - cb * ta)) * 1000000
+                        // (max(ta) * max(tb)) AS BIGINT) AS ks_e6
+            FROM c
+        """,
+        "fd_check": """
+            SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_values
+            FROM documents GROUP BY source
+            HAVING count(DISTINCT lang) > 1
         """,
         "ivm_join": """
             SELECT l_orderkey, o_custkey,

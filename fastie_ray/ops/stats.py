@@ -974,3 +974,84 @@ def skyline_2d(
     return local_sky(
         cand.rename(columns={"x": x_col, "y": y_col})
     ).rename(columns={"x": x_col, "y": y_col}).reset_index(drop=True)
+
+
+def ks_stat(
+    ds_a: "ray.data.Dataset",
+    ds_b: "ray.data.Dataset",
+    col: str,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic — the
+    nonparametric drift test next to ``psi_drift``'s binned one:
+    D = max over values of |CDF_A − CDF_B|, computed as the integer
+    cross-product max |cumA·n_B − cumB·n_A| so no float division
+    touches the comparison (ties, plateaus and boundary steps are all
+    exact). Returns one row (d_num, n_a, n_b, ks_e6 = ⌊D·10⁶⌋).
+
+    Scale shape: one value-count combiner + exchange per side (the
+    domain-bounded ``value_counts`` contract — quantize first for
+    open domains, or lift with the ``open_quantiles`` rid scheme); the
+    driver merges the two distinct-value count tables and takes one
+    vectorized cummax."""
+    ca = value_counts(ds_a, col, n_buckets).to_pandas()
+    cb = value_counts(ds_b, col, n_buckets).to_pandas()
+    m = ca.merge(cb, on=col, how="outer", suffixes=("_a", "_b")).fillna(0)
+    m = m.sort_values(col)
+    na = int(m["n_a"].sum())
+    nb = int(m["n_b"].sum())
+    cum_a = m["n_a"].astype("int64").cumsum().to_numpy()
+    cum_b = m["n_b"].astype("int64").cumsum().to_numpy()
+    diff = np.abs(cum_a * np.int64(nb) - cum_b * np.int64(na))
+    d_num = int(diff.max()) if len(diff) else 0
+    ks_e6 = (d_num * 1_000_000) // (na * nb) if na and nb else 0
+    return pd.DataFrame(
+        {
+            "d_num": [np.int64(d_num)],
+            "n_a": [np.int64(na)],
+            "n_b": [np.int64(nb)],
+            "ks_e6": [np.int64(ks_e6)],
+        }
+    )
+
+
+def fd_violations(
+    ds: "ray.data.Dataset",
+    det_col: str,
+    dep_col: str,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Functional-dependency audit (the FD-discovery primitive of data
+    profiling, next to ``dq_checks``): which determinant values map to
+    MORE than one dependent value, and how many. Distinct
+    (det, dep) combiner → ONE det-bucketed exchange counting distinct
+    dependents; only violating determinants (> 1) leave it. Returns
+    (det_col, n_values)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[det_col, dep_col]].drop_duplicates()
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[det_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").drop_duplicates([det_col, dep_col])
+        out = g.groupby(det_col, as_index=False).agg(
+            n_values=(dep_col, "nunique")
+        )
+        out = out[out["n_values"] > 1]
+        out["n_values"] = out["n_values"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

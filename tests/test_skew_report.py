@@ -75,3 +75,47 @@ def test_skyline_2d_matches_bruteforce():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+def test_ks_stat_matches_scipy_free_reference():
+    from fastie_ray.ops.stats import ks_stat
+
+    rng = np.random.default_rng(67)
+    a = pd.DataFrame({"v": rng.integers(0, 100, 1200).astype(np.int64)})
+    b = pd.DataFrame(
+        {"v": (rng.integers(0, 100, 900) + 10).astype(np.int64)}
+    )
+    got = ks_stat(_ds(a, 3), _ds(b, 3), "v", n_buckets=4)
+    # reference: step CDFs over the merged support
+    vals = np.sort(np.unique(np.concatenate([a["v"], b["v"]])))
+    ca = np.searchsorted(np.sort(a["v"].to_numpy()), vals, side="right")
+    cb = np.searchsorted(np.sort(b["v"].to_numpy()), vals, side="right")
+    d_num = int(np.abs(ca * len(b) - cb * len(a)).max())
+    assert int(got["d_num"].iloc[0]) == d_num
+    assert int(got["ks_e6"].iloc[0]) == d_num * 1_000_000 // (
+        len(a) * len(b)
+    )
+    # identical samples -> zero drift
+    z = ks_stat(_ds(a, 3), _ds(a.copy(), 2), "v", n_buckets=4)
+    assert int(z["d_num"].iloc[0]) == 0
+
+
+def test_fd_violations_bruteforce():
+    from fastie_ray.ops.stats import fd_violations
+
+    df = pd.DataFrame(
+        {
+            "det": ["a", "a", "b", "b", "c", "c", "c"],
+            "dep": ["x", "y", "x", "x", "p", "q", "r"],
+        }
+    )
+    got = (
+        fd_violations(_ds(df, 3), "det", "dep", n_buckets=4)
+        .to_pandas()
+        .sort_values("det")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame({"det": ["a", "c"], "n_values": [2, 3]}).astype(
+        {"n_values": "int64"}
+    )
+    pd.testing.assert_frame_equal(got, want)

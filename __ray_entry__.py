@@ -4949,6 +4949,80 @@ def _q_fd_check(sf_dir: str):
     return fd_violations(docs, "source", "lang")
 
 
+def _q_sssp(sf_dir: str):
+    """Weighted SSSP (distributed Bellman-Ford, ``ops.graph.sssp``)
+    over the undirected customer↔supplier graph (weight = 1 +
+    (custkey+suppkey) % 7), seeded at nation-0 customers; node ids
+    fold as cust·2 / supp·2+1. Exact (count, sum) fixed-point test."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import sssp
+    from fastie_ray.ops.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_suppkey"], right_cols=["o_orderkey", "o_custkey"],
+    )
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["o_custkey"].astype("int64")
+        s = df["l_suppkey"].astype("int64")
+        w = 1 + (c + s) % 7
+        fwd = pd.DataFrame({"src": c * 2, "dst": s * 2 + 1, "w": w})
+        rev = pd.DataFrame({"src": s * 2 + 1, "dst": c * 2, "w": w})
+        return pd.concat([fwd, rev], ignore_index=True).drop_duplicates()
+
+    edges = dedup_exact(
+        j.map_batches(mk, batch_format="pandas"), ["src", "dst", "w"],
+        n_buckets=16,
+    )
+    seeds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df.loc[df["c_nationkey"] == 0, "c_custkey"].astype("int64") * 2}
+        ),
+        batch_format="pandas",
+    )
+    return sssp(edges, seeds, weight_col="w", max_rounds=12, n_buckets=16)
+
+
+def _sssp_sql(rounds: int = 12) -> str:
+    """Unrolled Bellman-Ford oracle (MATERIALIZED rounds)."""
+    ctes = [
+        """je AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        """edges AS MATERIALIZED (
+            SELECT c * 2 AS src, s * 2 + 1 AS dst, 1 + (c + s) % 7 AS w
+            FROM je
+            UNION ALL
+            SELECT s * 2 + 1, c * 2, 1 + (c + s) % 7 FROM je)""",
+        """d0 AS MATERIALIZED (
+            SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+            FROM customer WHERE c_nationkey = 0)""",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+                SELECT e.dst AS node, min(d.dist + e.w) AS dist
+                FROM edges e JOIN d{t - 1} d ON e.src = d.node
+                GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""d{t} AS MATERIALIZED (
+                SELECT node, min(dist) AS dist FROM (
+                    SELECT node, dist FROM d{t - 1}
+                    UNION ALL SELECT node, dist FROM c{t})
+                GROUP BY 1)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5135,6 +5209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_overlap": _q_kmv_overlap,
         "ks_drift": _q_ks_drift,
         "fd_check": _q_fd_check,
+        "sssp": _q_sssp,
     }
 
 
@@ -7634,6 +7709,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
             HAVING count(DISTINCT lang) > 1
         """,
+        "sssp": _sssp_sql(rounds=12),
         "ivm_join": """
             SELECT l_orderkey, o_custkey,
                    count(*) AS n_items,

@@ -1857,3 +1857,103 @@ def local_clustering(
         )
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def sssp(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    weight_col: str = "w",
+    max_rounds: int = 12,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Weighted single-source(-set) shortest paths — distributed
+    Bellman-Ford (the weighted generalization of ``khop_reachability``
+    's BFS): INTEGER edge weights ≥ 0, seeds start at distance 0,
+    per round every edge relaxes ``dist(dst) ← min(dist(dst),
+    dist(src) + w)``. Distances only DECREASE and are bounded below,
+    so the total-distance sum is a monotone exact fixed-point test
+    (one driver scalar per round, same convention as ``scc``'s
+    colors). RAISES if ``max_rounds`` rounds don't converge (rounds
+    needed = shortest-path hop diameter). Unreached nodes are absent
+    from the output (∞ has no integer encoding worth shipping).
+
+    Per round: one edge⋈dist task hash join + one bucketed min
+    exchange; dist tables node-sized, pinned + compacted (NOTES
+    15/19). Returns (node, dist)."""
+    import pyarrow as pa
+    import ray.data
+
+    d_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+    edges = edges.repartition(n_buckets).materialize()
+
+    def add_nb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = _bucket(df["node"], n_buckets)
+        return df
+
+    def min_final(g: pd.DataFrame) -> pa.Table:
+        out = g.drop(columns="__b").groupby("node", as_index=False)[
+            "dist"
+        ].min()
+        return pa.Table.from_pandas(
+            out.astype({"node": "int64", "dist": "int64"}),
+            preserve_index=False, schema=d_schema,
+        )
+
+    dist = seeds.map_batches(
+        lambda df: pa.Table.from_pandas(
+            pd.DataFrame(
+                {"node": df["node"].astype("int64")}
+            ).drop_duplicates().assign(dist=np.int64(0)),
+            preserve_index=False, schema=d_schema,
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    prev_sum = None
+    converged = False
+    for _r in range(max_rounds):
+        j = hash_join(
+            edges, dist, on="src", right_on="node",
+            left_cols=["src", "dst", weight_col],
+            right_cols=["node", "dist"], n_buckets=n_buckets,
+        )
+
+        def relax(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "node": df["dst"],
+                    "dist": df["dist"].astype("int64")
+                    + df[weight_col].astype("int64"),
+                }
+            )
+            return out.groupby("node", as_index=False)["dist"].min()
+
+        dist = (
+            j.map_batches(relax, batch_format="pandas")
+            .union(dist)
+            .map_batches(add_nb, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(min_final, batch_format="pandas")
+            .repartition(max(1, n_buckets // 4))
+            .materialize()
+        )
+        parts = dist.map_batches(
+            lambda df: pd.DataFrame(
+                {"s": [np.int64(df["dist"].sum())],
+                 "n": [np.int64(len(df))]}
+            ),
+            batch_format="pandas",
+        ).to_pandas()
+        # (count, sum) pair: any relaxation strictly decreases a dist
+        # (sum drops) or adds a node (count grows) — equality of BOTH
+        # is the exact fixed point
+        s = (int(parts["s"].sum()), int(parts["n"].sum()))
+        if s == prev_sum:
+            converged = True
+            break
+        prev_sum = s
+    if not converged:
+        raise RuntimeError(f"sssp: not converged after {max_rounds} rounds")
+    return dist

@@ -75,3 +75,50 @@ def test_condensation_levels_bruteforce():
         {"comp": [0, 10, 20, 30], "level": [0, 1, 2, 0]}
     ).astype("int64")
     pd.testing.assert_frame_equal(got.astype("int64"), want)
+
+
+def test_sssp_matches_dijkstra():
+    import heapq
+
+    from fastie_ray.ops.graph import sssp
+
+    rng = np.random.default_rng(71)
+    rows = []
+    for _ in range(120):
+        a, b = rng.integers(0, 30, 2)
+        if a != b:
+            w = int(rng.integers(1, 9))
+            rows.append((int(a), int(b), w))
+            rows.append((int(b), int(a), w))
+    edges = pd.DataFrame(rows, columns=["src", "dst", "w"]).drop_duplicates(
+        ["src", "dst"]
+    ).astype("int64")
+    seeds = pd.DataFrame({"node": np.array([0, 7], dtype=np.int64)})
+
+    got = (
+        sssp(_ds(edges, 3), _ds(seeds, 1), max_rounds=32, n_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    adj: dict = {}
+    for s, d, w in edges.itertuples(index=False):
+        adj.setdefault(s, []).append((d, w))
+    dist = {0: 0, 7: 0}
+    pq = [(0, 0), (0, 7)]
+    while pq:
+        dd, u = heapq.heappop(pq)
+        if dd > dist.get(u, 1 << 60):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = dd + w
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    want = (
+        pd.DataFrame(sorted(dist.items()), columns=["node", "dist"])
+        .astype("int64")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want)

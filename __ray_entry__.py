@@ -5023,6 +5023,40 @@ def _sssp_sql(rounds: int = 12) -> str:
     )
 
 
+def _q_spatial_pairs(sf_dir: str):
+    """Spatial L∞ distance self-join (``ops.spatial.
+    grid_distance_self_join``): planted integer points from event ids,
+    radius-sized grid cells, 3×3 replication with single emission in
+    the right point's cell — one exchange, no dedup."""
+    import pandas as pd
+
+    from fastie_ray.ops.spatial import grid_distance_self_join
+
+    ev = _read(sf_dir, "events", columns=["event_id"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        i = df["event_id"].astype("int64")
+
+        def h(prefix: str) -> "pd.Series":
+            return i.map(
+                lambda v: int(
+                    hashlib.md5(f"{prefix}:{v}".encode()).hexdigest()[:8], 16
+                )
+                % 10000
+            )
+
+        # md5-grid coordinates: a multiplicative plant is a structured
+        # permutation with ZERO close pairs in both dims at once
+        return pd.DataFrame({"id": i, "x": h("sx"), "y": h("sy")})
+
+    return grid_distance_self_join(
+        ev.map_batches(plant, batch_format="pandas"),
+        radius=16, n_buckets=16,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5210,6 +5244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift": _q_ks_drift,
         "fd_check": _q_fd_check,
         "sssp": _q_sssp,
+        "spatial_pairs": _q_spatial_pairs,
     }
 
 
@@ -7710,6 +7745,23 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(DISTINCT lang) > 1
         """,
         "sssp": _sssp_sql(rounds=12),
+        "spatial_pairs": """
+            WITH p AS (
+                SELECT event_id AS id,
+                       CAST(('0x' || substr(md5('sx:'
+                           || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 10000 AS x,
+                       CAST(('0x' || substr(md5('sy:'
+                           || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 10000 AS y
+                FROM events)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(b.x - a.x AS BIGINT) AS dx,
+                   CAST(b.y - a.y AS BIGINT) AS dy
+            FROM p a JOIN p b
+                 ON a.id < b.id AND abs(a.x - b.x) <= 16
+                AND abs(a.y - b.y) <= 16
+        """,
         "ivm_join": """
             SELECT l_orderkey, o_custkey,
                    count(*) AS n_items,

@@ -5057,6 +5057,19 @@ def _q_spatial_pairs(sf_dir: str):
     )
 
 
+def _q_join_cardinality(sf_dir: str):
+    """Planner-grade exact join cardinality WITHOUT running the join
+    (``ops.join.join_size_estimate``): Σ per-key count products for
+    lineitem⋈orders plus side totals and the max single-key product
+    (the salting-decision number)."""
+    from fastie_ray.ops.join import join_size_estimate
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    return join_size_estimate(li, orders, on="l_orderkey",
+                              right_on="o_orderkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5245,6 +5258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_check": _q_fd_check,
         "sssp": _q_sssp,
         "spatial_pairs": _q_spatial_pairs,
+        "join_cardinality": _q_join_cardinality,
     }
 
 
@@ -7745,6 +7759,20 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(DISTINCT lang) > 1
         """,
         "sssp": _sssp_sql(rounds=12),
+        "join_cardinality": """
+            WITH cl AS (SELECT l_orderkey AS k, count(*) AS n
+                        FROM lineitem GROUP BY 1),
+            cr AS (SELECT o_orderkey AS k, count(*) AS n
+                   FROM orders GROUP BY 1),
+            j AS (SELECT cl.n AS nl, cr.n AS nr
+                  FROM cl JOIN cr USING (k))
+            SELECT CAST(sum(nl * nr) AS BIGINT) AS join_rows,
+                   (SELECT count(*) FROM lineitem) AS n_left,
+                   (SELECT count(*) FROM orders) AS n_right,
+                   count(*) AS n_match_keys,
+                   CAST(max(nl * nr) AS BIGINT) AS max_key_product
+            FROM j
+        """,
         "spatial_pairs": """
             WITH p AS (
                 SELECT event_id AS id,

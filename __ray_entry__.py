@@ -5070,6 +5070,35 @@ def _q_join_cardinality(sf_dir: str):
                               right_on="o_orderkey")
 
 
+def _q_ldiv_audit(sf_dir: str):
+    """l-diversity audit (``ops.privacy.l_diversity_audit``):
+    equivalence classes on (nation, custkey%10) whose market-segment
+    diversity is < 4 — the homogeneity-attack complement of
+    kanon_audit."""
+    import pandas as pd
+
+    from fastie_ray.ops.privacy import l_diversity_audit
+
+    cust = _read(
+        sf_dir, "customer",
+        columns=["c_nationkey", "c_custkey", "c_mktsegment"],
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": df["c_nationkey"],
+                "kb": df["c_custkey"].astype("int64") % 10,
+                "c_mktsegment": df["c_mktsegment"],
+            }
+        )
+
+    return l_diversity_audit(
+        cust.map_batches(prep, batch_format="pandas"),
+        ["c_nationkey", "kb"], "c_mktsegment", l=4, n_buckets=8,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5259,6 +5288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp": _q_sssp,
         "spatial_pairs": _q_spatial_pairs,
         "join_cardinality": _q_join_cardinality,
+        "ldiv_audit": _q_ldiv_audit,
     }
 
 
@@ -7852,6 +7882,14 @@ def oracle_sql() -> dict[str, str]:
         "kanon_audit": """
             SELECT c_nationkey, c_mktsegment, count(*) AS n_rows
             FROM customer GROUP BY 1, 2 HAVING count(*) < 8
+        """,
+        "ldiv_audit": """
+            SELECT c_nationkey, c_custkey % 10 AS kb,
+                   count(*) AS n_rows,
+                   CAST(count(DISTINCT c_mktsegment) AS BIGINT)
+                       AS n_sensitive
+            FROM customer GROUP BY 1, 2
+            HAVING count(DISTINCT c_mktsegment) < 4
         """,
         "trigram_search": """
             SELECT 'window vector' AS pattern, doc_id FROM documents

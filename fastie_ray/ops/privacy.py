@@ -143,3 +143,58 @@ def k_anonymity_audit(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def l_diversity_audit(
+    ds: "ray.data.Dataset",
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """l-diversity audit (Machanavajjhala 2007) — k-anonymity's
+    companion: an equivalence class whose SENSITIVE attribute takes
+    fewer than ``l`` distinct values leaks it even when the class is
+    large (homogeneity attack). Returns the risky classes
+    (quasi values, class size, n_sensitive < l).
+
+    Distinct (quasi, sensitive) combiner + class-size combiner → ONE
+    quasi-bucketed exchange counting both; only risky classes leave."""
+    quasi_cols = list(quasi_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[quasi_cols + [sensitive_col]].copy()
+        g = out.groupby(quasi_cols + [sensitive_col], as_index=False).agg(
+            n_rows=(sensitive_col, "count")
+        )
+        return g
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        key = df[quasi_cols[0]].astype(str)
+        for c in quasi_cols[1:]:
+            key = key + "\x00" + df[c].astype(str)
+        h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").groupby(
+            quasi_cols + [sensitive_col], as_index=False
+        )["n_rows"].sum()
+        out = g.groupby(quasi_cols, as_index=False).agg(
+            n_rows=("n_rows", "sum"),
+            n_sensitive=(sensitive_col, "nunique"),
+        )
+        out = out[out["n_sensitive"] < l]
+        return out.astype({"n_rows": "int64", "n_sensitive": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -79,3 +79,36 @@ def test_trigram_search_exact_and_short_pattern():
 
     with pytest.raises(ValueError):
         trigram_search(_ds(docs, 2), ["ab"])
+
+
+def test_l_diversity_audit_bruteforce():
+    from fastie_ray.ops.privacy import l_diversity_audit
+
+    rng = np.random.default_rng(83)
+    df = pd.DataFrame(
+        {
+            "zone": rng.integers(0, 12, 300).astype(np.int64),
+            "disease": rng.choice(["a", "b", "c", "d"], 300),
+        }
+    )
+    # sparse zones guarantee risky (low-diversity) classes
+    df = pd.concat(
+        [df, pd.DataFrame({"zone": [100, 100, 101], "disease": ["a", "a", "b"]})],
+        ignore_index=True,
+    )
+    got = (
+        l_diversity_audit(_ds(df, 4), ["zone"], "disease", l=4, n_buckets=4)
+        .to_pandas()
+        .sort_values("zone")
+        .reset_index(drop=True)
+    )
+    want = df.groupby("zone", as_index=False).agg(
+        n_rows=("disease", "count"), n_sensitive=("disease", "nunique")
+    )
+    want = (
+        want[want["n_sensitive"] < 4]
+        .astype({"n_rows": "int64", "n_sensitive": "int64"})
+        .sort_values("zone")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -5099,6 +5099,19 @@ def _q_ldiv_audit(sf_dir: str):
     )
 
 
+def _q_prop_sample(sf_dir: str):
+    """Exact proportional stratified sampling with largest-remainder
+    apportionment (``ops.sampling.proportional_sample``): a 100-doc
+    budget split across languages by Hamilton's method, each stratum
+    drawn with the deterministic bottom-k md5 sketch."""
+    from fastie_ray.ops.sampling import proportional_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return proportional_sample(
+        docs, total_k=100, group_col="lang", id_col="doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5289,6 +5302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_pairs": _q_spatial_pairs,
         "join_cardinality": _q_join_cardinality,
         "ldiv_audit": _q_ldiv_audit,
+        "prop_sample": _q_prop_sample,
     }
 
 
@@ -7486,6 +7500,31 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY vec_id, sub
                                           ORDER BY dist, code) AS rk
                 FROM d) WHERE rk = 1
+        """,
+        "prop_sample": """
+            WITH s AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+            t AS (SELECT sum(n) AS nt FROM s),
+            a AS (SELECT lang, n, (n * 100) // t.nt AS base,
+                         n * 100 - ((n * 100) // t.nt) * t.nt AS rem
+                  FROM s, t),
+            lo AS (SELECT 100 - sum(base) AS leftover FROM a),
+            r AS (SELECT lang, n, base, rem,
+                         row_number() OVER (ORDER BY rem DESC, n DESC,
+                                            lang) AS pr
+                  FROM a),
+            k AS (SELECT lang,
+                         least(base + CASE WHEN pr <=
+                             (SELECT leftover FROM lo) THEN 1 ELSE 0 END,
+                             n) AS kg
+                  FROM r),
+            h AS (SELECT lang, doc_id,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY CAST(('0x' || substr(md5('prop:'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT), doc_id) AS rank
+                  FROM documents)
+            SELECT h.lang, h.doc_id, CAST(h.rank AS BIGINT) AS rank
+            FROM h JOIN k USING (lang) WHERE h.rank <= k.kg
         """,
         "grouped_sample": """
             SELECT lang, doc_id, rank FROM (

@@ -314,3 +314,95 @@ def grouped_bottom_k_sample(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def proportional_sample(
+    ds: "ray.data.Dataset",
+    total_k: int,
+    group_col: str,
+    id_col: str,
+    salt: str = "prop:",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """EXACT proportional stratified allocation: a total budget of
+    ``total_k`` rows split across strata by the LARGEST-REMAINDER
+    (Hamilton) method — ⌊total_k·n_g/N⌋ each, the leftover seats going
+    to the biggest remainders (ties → larger group, then group asc) —
+    then each stratum's exact quota drawn with the per-group bottom-k
+    md5 sketch. Deterministic end-to-end, so the SQL oracle replays
+    both the apportionment arithmetic and the draw.
+
+    Scale shape: group sizes via a per-batch combiner merged on the
+    driver (STRATA-bounded, the established group-table contract); the
+    draw is one group-bucketed exchange where each batch pre-reduces
+    to its own per-group bottom-max(k_g) rows. Output
+    (group, id, rank ≤ k_g)."""
+    import hashlib
+
+    import ray
+
+    sizes = (
+        ds.map_batches(
+            lambda df: df.groupby(group_col, as_index=False).agg(
+                n=(group_col, "count")
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(group_col, as_index=False)["n"]
+        .sum()
+    )
+    n_total = int(sizes["n"].sum())
+    base = (sizes["n"] * total_k) // n_total
+    rem_num = sizes["n"] * total_k - base * n_total  # remainder · N
+    order = sizes.assign(base=base, rem=rem_num).sort_values(
+        ["rem", "n", group_col], ascending=[False, False, True]
+    )
+    leftover = total_k - int(base.sum())
+    order["extra"] = 0
+    order.iloc[:leftover, order.columns.get_loc("extra")] = 1
+    k_map = {
+        g: int(min(b + e, n))
+        for g, n, b, e in zip(
+            order[group_col], order["n"], order["base"], order["extra"]
+        )
+    }
+    k_ref = ray.put(k_map)
+    k_max = max(k_map.values()) if k_map else 0
+
+    def local_bk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[group_col, id_col]].copy()
+        out["__h"] = np.array(
+            [
+                int(hashlib.md5((salt + str(v)).encode()).hexdigest()[:8], 16)
+                for v in df[id_col]
+            ],
+            dtype=np.int64,
+        )
+        out = out.sort_values([group_col, "__h", id_col])
+        return out.groupby(group_col, as_index=False, sort=False).head(k_max)
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        km = ray.get(k_ref)
+        g = g.drop(columns="__b").sort_values([group_col, "__h", id_col])
+        g["rank"] = g.groupby(group_col, sort=False).cumcount() + 1
+        g["__k"] = g[group_col].map(km).fillna(0).astype("int64")
+        out = g[g["rank"] <= g["__k"]][[group_col, id_col, "rank"]]
+        out["rank"] = out["rank"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(local_bk, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

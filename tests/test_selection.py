@@ -54,3 +54,46 @@ def test_greedy_coverage_matches_reference_and_stops():
     got2 = greedy_coverage(_ds(small, 2), k=5, n_buckets=4)
     assert len(got2) == 1  # doc 0 covers everything; doc 1 adds nothing
     assert got2.iloc[0]["doc_id"] == 0 and got2.iloc[0]["gain"] == 3
+
+
+def test_proportional_sample_allocation_and_determinism():
+    from fastie_ray.ops.sampling import proportional_sample
+
+    rng = np.random.default_rng(89)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(1000, dtype=np.int64),
+            "g": rng.choice(["a", "b", "c", "d"], 1000, p=[0.5, 0.3, 0.15, 0.05]),
+        }
+    )
+    got = (
+        proportional_sample(_ds(df, 3), total_k=77, group_col="g",
+                            id_col="doc_id")
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 77
+    # largest-remainder reference allocation
+    sizes = df.groupby("g").size()
+    n = int(sizes.sum())
+    base = (sizes * 77) // n
+    rem = sizes * 77 - base * n
+    order = sorted(
+        sizes.index, key=lambda g: (-int(rem[g]), -int(sizes[g]), g)
+    )
+    alloc = dict(base)
+    for g in order[: 77 - int(base.sum())]:
+        alloc[g] += 1
+    assert got.groupby("g").size().to_dict() == {
+        g: k for g, k in alloc.items() if k > 0
+    }
+    # per-group allocations exact and block-invariant
+    got2 = (
+        proportional_sample(_ds(df, 7), total_k=77, group_col="g",
+                            id_col="doc_id")
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)

@@ -5112,6 +5112,45 @@ def _q_prop_sample(sf_dir: str):
     )
 
 
+def _q_abandoned_clicks(sf_dir: str):
+    """Temporal ANTI-join (cart abandonment): clicks with NO purchase
+    by the same user within 30 min — the band join's pair ids feed a
+    task anti-join, so the negative predicate never materializes the
+    cross product (``band_join`` + ``hash_join(how="anti")``)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from fastie_ray.ops.interval import band_join
+    from fastie_ray.ops.join import hash_join
+
+    def ev(kind: str):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+            filter=pc.field("event_type") == kind,
+            override_num_blocks=16,
+        )
+
+    clicks = ev("click")
+    pairs = band_join(
+        clicks, ev("purchase"), key_col="user_id", ts_col="ts",
+        band="30min", direction="forward", id_col="event_id", n_buckets=16,
+    )
+    converted = pairs.map_batches(
+        lambda df: pd.DataFrame({"cid": df["id_left"]}).drop_duplicates(),
+        batch_format="pandas",
+    )
+    out = hash_join(
+        clicks, converted, on="event_id", right_on="cid", how="anti",
+        left_cols=["event_id", "user_id"], n_buckets=16,
+    )
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id"]].astype("int64"),
+        batch_format="pandas",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5303,6 +5342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_cardinality": _q_join_cardinality,
         "ldiv_audit": _q_ldiv_audit,
         "prop_sample": _q_prop_sample,
+        "abandoned_clicks": _q_abandoned_clicks,
     }
 
 
@@ -7636,6 +7676,17 @@ def oracle_sql() -> dict[str, str]:
                             FILTER (WHERE event_type = 'purchase'), 0)
                        AS sum_purchase_e2
             FROM events GROUP BY user_id
+        """,
+        "abandoned_clicks": """
+            SELECT c.event_id, c.user_id
+            FROM events c
+            WHERE c.event_type = 'click'
+              AND NOT EXISTS (
+                SELECT 1 FROM events p
+                WHERE p.event_type = 'purchase'
+                  AND p.user_id = c.user_id
+                  AND p.ts >= c.ts
+                  AND p.ts <= c.ts + INTERVAL 30 MINUTE)
         """,
         "stream_join": """
             SELECT c.user_id, c.event_id AS click_id,

@@ -86,7 +86,9 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "bitext_pairs", "lpa_communities", "rolling_avg",
                  "interval_overlaps", "pq_codes",
                  "line_dedup", "hits", "scc", "running_total",
-                 "stream_join", "ivm_join", "vocab_build", "mis"):
+                 "stream_join", "ivm_join", "vocab_build", "mis",
+                 "sssp", "spatial_pairs", "coverage_picks",
+                 "price_quantiles"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

@@ -5151,6 +5151,30 @@ def _q_abandoned_clicks(sf_dir: str):
     )
 
 
+def _q_term_drift(sf_dir: str):
+    """Corpus keyness drift (``ops.text_analysis.term_drift``): the 30
+    terms most over-represented in each half (doc_id parity split,
+    rare-token plant), integer cross-product scores — no float rates."""
+    import pandas as pd
+
+    from fastie_ray.ops.text_analysis import term_drift
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "m": did % 2,
+                "text": df["text"] + " tk" + (did % 211).astype(str),
+            }
+        )
+
+    return term_drift(
+        ds.map_batches(plant, batch_format="pandas"), "m", k=30
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5343,6 +5367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ldiv_audit": _q_ldiv_audit,
         "prop_sample": _q_prop_sample,
         "abandoned_clicks": _q_abandoned_clicks,
+        "term_drift": _q_term_drift,
     }
 
 
@@ -7815,6 +7840,42 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM p b
                 WHERE b.cents <= a.cents AND b.qty >= a.qty
                   AND (b.cents < a.cents OR b.qty > a.qty))
+        """,
+        "term_drift": """
+            WITH planted AS (
+                SELECT doc_id % 2 AS m,
+                       text || ' tk' || CAST(doc_id % 211 AS VARCHAR)
+                           AS text
+                FROM documents),
+            tok AS (
+                SELECT m, unnest(regexp_extract_all(lower(text),
+                                                    '[a-z0-9]+')) AS token
+                FROM planted),
+            c AS (
+                SELECT token,
+                       sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS n_a,
+                       sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS n_b
+                FROM tok GROUP BY 1),
+            t AS (SELECT sum(n_a) AS na, sum(n_b) AS nb FROM c),
+            s AS (SELECT token, n_a, n_b,
+                         n_b * t.na - n_a * t.nb AS score
+                  FROM c, t),
+            up AS (SELECT token, n_a, n_b, score,
+                          row_number() OVER (ORDER BY score DESC, token)
+                              AS r
+                   FROM s),
+            dn AS (SELECT token, n_a, n_b, score,
+                          row_number() OVER (ORDER BY score ASC, token)
+                              AS r
+                   FROM s)
+            SELECT token, CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(score AS BIGINT) AS score, 'up' AS direction
+            FROM up WHERE r <= 30
+            UNION ALL
+            SELECT token, CAST(n_a AS BIGINT), CAST(n_b AS BIGINT),
+                   CAST(score AS BIGINT), 'down'
+            FROM dn WHERE r <= 30
         """,
         "kmv_overlap": """
             WITH ha AS (

@@ -406,3 +406,96 @@ def readability_batch(
 
 def readability_scores(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     return ds.map_batches(readability_batch, batch_format="pandas")
+
+
+def term_drift(
+    ds: "ray.data.Dataset",
+    split_mask_col: str,
+    k: int = 50,
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Corpus-drift KEYNESS: the terms most over-represented in slice B
+    vs slice A (``split_mask_col`` ∈ {0=A, 1=B}) by the integer
+    cross-product score n_B(t)·N_A − n_A(t)·N_B — the sign/order of
+    the rate difference n_B/N_B − n_A/N_A without a float division
+    (the log-odds family's monotone integer core). Top-``k`` each
+    direction, ties → term ASC.
+
+    One (term, slice) count combiner → one term-bucketed exchange with
+    per-bucket local top-k both ways → driver merges buckets × 2k
+    rows. Returns (token, n_a, n_b, score, direction)."""
+    _TOKEN_RE = r"[A-Za-z0-9]+"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.DataFrame(
+            {
+                "tok": df[text_col].str.lower().str.findall(_TOKEN_RE),
+                "m": df[split_mask_col].astype("int64"),
+            }
+        ).explode("tok").dropna(subset=["tok"])
+        g = toks.groupby(["tok", "m"], as_index=False).agg(n=("m", "count"))
+        return g
+
+    totals = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(
+            lambda df: df.groupby("m", as_index=False)["n"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("m")["n"]
+        .sum()
+    )
+    n_a = int(totals.get(0, 0))
+    n_b = int(totals.get(1, 0))
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["tok"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").groupby(["tok", "m"], as_index=False)[
+            "n"
+        ].sum()
+        w = g.pivot_table(index="tok", columns="m", values="n",
+                          aggfunc="sum", fill_value=0)
+        out = pd.DataFrame(
+            {
+                "token": w.index,
+                "n_a": w[0].to_numpy(dtype=np.int64) if 0 in w else 0,
+                "n_b": w[1].to_numpy(dtype=np.int64) if 1 in w else 0,
+            }
+        )
+        out["score"] = (
+            out["n_b"] * np.int64(n_a) - out["n_a"] * np.int64(n_b)
+        )
+        up = out.sort_values(["score", "token"],
+                             ascending=[False, True]).head(k)
+        dn = out.sort_values(["score", "token"],
+                             ascending=[True, True]).head(k)
+        return pd.concat([up, dn], ignore_index=True)
+
+    cand = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(local_topk, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates("token")
+    )
+    up = cand.sort_values(["score", "token"],
+                          ascending=[False, True]).head(k).copy()
+    up["direction"] = "up"
+    dn = cand.sort_values(["score", "token"],
+                          ascending=[True, True]).head(k).copy()
+    dn["direction"] = "down"
+    out = pd.concat([up, dn], ignore_index=True)
+    for c in ("n_a", "n_b", "score"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)

@@ -228,3 +228,45 @@ def test_grouped_ntile_equal_share_buckets(ray_session):
     assert list(b["bucket"]) == [0, 0, 1, 1, 2, 2, 3]
     # bucket order follows the key order
     assert (a.groupby("bucket")["k"].max().diff().dropna() > 0).all()
+
+
+def test_term_drift_matches_bruteforce():
+    from fastie_ray.ops.text_analysis import term_drift
+
+    rng = np.random.default_rng(97)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for d in range(120):
+        m = d % 2
+        # slice B over-uses the high-index words
+        p = np.ones(25)
+        if m:
+            p[15:] = 3.0
+        p /= p.sum()
+        rows.append((m, " ".join(rng.choice(vocab, size=20, p=p))))
+    df = pd.DataFrame(rows, columns=["m", "text"])
+    got = term_drift(_ds(df, 4), "m", k=5, n_buckets=4)
+
+    toks = (
+        df.assign(tok=df["text"].str.findall(r"[a-z0-9]+"))
+        .explode("tok")
+    )
+    c = toks.groupby(["tok", "m"]).size().unstack(fill_value=0)
+    na, nb = int(c[0].sum()), int(c[1].sum())
+    s = pd.DataFrame(
+        {
+            "token": c.index,
+            "n_a": c[0].to_numpy(),
+            "n_b": c[1].to_numpy(),
+        }
+    )
+    s["score"] = s["n_b"] * na - s["n_a"] * nb
+    up = s.sort_values(["score", "token"], ascending=[False, True]).head(5)
+    dn = s.sort_values(["score", "token"], ascending=[True, True]).head(5)
+    want = pd.concat(
+        [up.assign(direction="up"), dn.assign(direction="down")],
+        ignore_index=True,
+    ).astype({"n_a": "int64", "n_b": "int64", "score": "int64"})
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )

@@ -5175,6 +5175,18 @@ def _q_term_drift(sf_dir: str):
     )
 
 
+def _q_markov_eval(sf_dir: str):
+    """Temporal backtest of the first-order Markov next-event model
+    (``ops.sequence.markov_next_eval``): train on pairs before
+    2024-01-20, score per-prev argmax accuracy on the rest."""
+    from fastie_ray.ops.sequence import markov_next_eval
+
+    ev = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    return markov_next_eval(ev, cut_ts="2024-01-20")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5368,6 +5380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prop_sample": _q_prop_sample,
         "abandoned_clicks": _q_abandoned_clicks,
         "term_drift": _q_term_drift,
+        "markov_eval": _q_markov_eval,
     }
 
 
@@ -7876,6 +7889,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(n_a AS BIGINT), CAST(n_b AS BIGINT),
                    CAST(score AS BIGINT), 'down'
             FROM dn WHERE r <= 30
+        """,
+        "markov_eval": """
+            WITH seq AS (
+                SELECT user_id, event_type, ts, event_id,
+                       lead(event_type) OVER w AS nxt,
+                       lead(ts) OVER w AS t_next
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            pairs AS (
+                SELECT event_type AS prev, nxt, t_next FROM seq
+                WHERE nxt IS NOT NULL),
+            train AS (
+                SELECT prev, nxt, count(*) AS n FROM pairs
+                WHERE t_next < TIMESTAMP '2024-01-20' GROUP BY 1, 2),
+            model AS (
+                SELECT prev, nxt AS pred FROM (
+                    SELECT prev, nxt,
+                           row_number() OVER (PARTITION BY prev
+                               ORDER BY n DESC, nxt) AS r
+                    FROM train) WHERE r = 1),
+            test AS (
+                SELECT prev, nxt FROM pairs
+                WHERE t_next >= TIMESTAMP '2024-01-20')
+            SELECT t.prev AS prev_type, count(*) AS n_test,
+                   CAST(sum(CASE WHEN m.pred = t.nxt THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct
+            FROM test t LEFT JOIN model m ON m.prev = t.prev
+            GROUP BY 1
         """,
         "kmv_overlap": """
             WITH ha AS (

@@ -248,3 +248,111 @@ def validity_intervals(
         .groupby("__b")
         .map_groups(lead_in_bucket, batch_format="pandas")
     )
+
+
+def markov_next_eval(
+    ds: "ray.data.Dataset",
+    cut_ts: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Temporal TRAIN-ON-PAST / EVALUATE-ON-FUTURE for the first-order
+    Markov next-event model — the backtest shape every sequence model
+    ships with: consecutive (prev → next) pairs split at ``cut_ts`` by
+    the NEXT event's time, the train side fit as per-prev argmax
+    (count DESC, type ASC — deterministic), the test side scored
+    against it. Returns (prev_type, n_test, n_correct).
+
+    Scale shape: pair generation is ONE key-bucketed exchange
+    (per-key sort + shift), materialized once for its two consumers
+    (NOTES fact 19); model and metrics are TYPE-VOCABULARY-bounded
+    driver tables (the documented small-table contract)."""
+    import ray
+
+    cols = [key_col, ts_col, type_col, id_col]
+    cut_us = int(
+        pd.Timestamp(cut_ts).to_datetime64().astype("datetime64[us]")
+        .astype(np.int64)
+    )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").sort_values([key_col, ts_col, id_col])
+        same = g[key_col].eq(g[key_col].shift(-1))
+        t_next = (
+            pd.to_datetime(g[ts_col]).shift(-1).to_numpy()
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        out = pd.DataFrame(
+            {
+                "prev": g[type_col].to_numpy(),
+                "nxt": g[type_col].shift(-1).to_numpy(),
+                "t_next": t_next,
+            }
+        )
+        return out[same.to_numpy()].reset_index(drop=True)
+
+    pair_ds = (
+        ds.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pairs, batch_format="pandas")
+        .materialize()
+    )
+
+    train = (
+        pair_ds.map_batches(
+            lambda df: df.loc[df["t_next"] < cut_us]
+            .groupby(["prev", "nxt"], as_index=False)
+            .agg(n=("t_next", "count")),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["prev", "nxt"], as_index=False)["n"]
+        .sum()
+    )
+    model = dict(
+        train.sort_values(["prev", "n", "nxt"],
+                          ascending=[True, False, True])
+        .drop_duplicates("prev")[["prev", "nxt"]]
+        .itertuples(index=False)
+    )
+    model_ref = ray.put(model)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(model_ref)
+        t = df[df["t_next"] >= cut_us]
+        if len(t) == 0:
+            return pd.DataFrame(
+                {"prev": pd.Series([], dtype=object),
+                 "n_test": pd.Series([], dtype="int64"),
+                 "n_correct": pd.Series([], dtype="int64")}
+            )
+        pred = t["prev"].map(m)
+        ok = (pred == t["nxt"]).astype("int64")
+        out = pd.DataFrame({"prev": t["prev"], "ok": ok})
+        g = out.groupby("prev", as_index=False).agg(
+            n_test=("ok", "count"), n_correct=("ok", "sum")
+        )
+        return g
+
+    res = (
+        pair_ds.map_batches(score, batch_format="pandas")
+        .to_pandas()
+        .groupby("prev", as_index=False)[["n_test", "n_correct"]]
+        .sum()
+    )
+    res = res.rename(columns={"prev": "prev_type"})
+    return res.astype({"n_test": "int64", "n_correct": "int64"}).sort_values(
+        "prev_type"
+    ).reset_index(drop=True)

@@ -97,3 +97,50 @@ def test_dq_helpers():
         _ds(child, 2), _ds(parent, 2), on="fk", right_on="pk", n_buckets=4
     )
     assert (orph, total) == (2, 5)
+
+
+def test_markov_next_eval_bruteforce():
+    from fastie_ray.ops.sequence import markov_next_eval
+
+    rng = np.random.default_rng(101)
+    n = 300
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 20 * 86400_000, n), unit="ms"),
+            "event_type": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    cut = "2024-01-12"
+    got = markov_next_eval(_ds(ev, 4), cut_ts=cut)
+
+    s = ev.sort_values(["user_id", "ts", "event_id"])
+    same = s["user_id"].eq(s["user_id"].shift(-1))
+    pairs = pd.DataFrame(
+        {
+            "prev": s["event_type"],
+            "nxt": s["event_type"].shift(-1),
+            "t": s["ts"].shift(-1),
+        }
+    )[same]
+    cut_ts = pd.Timestamp(cut)
+    train = pairs[pairs["t"] < cut_ts]
+    cnt = train.groupby(["prev", "nxt"]).size().reset_index(name="n")
+    model = dict(
+        cnt.sort_values(["prev", "n", "nxt"], ascending=[True, False, True])
+        .drop_duplicates("prev")[["prev", "nxt"]]
+        .itertuples(index=False)
+    )
+    test = pairs[pairs["t"] >= cut_ts]
+    ok = test["prev"].map(model) == test["nxt"]
+    want = (
+        pd.DataFrame({"prev_type": test["prev"], "ok": ok.astype("int64")})
+        .groupby("prev_type", as_index=False)
+        .agg(n_test=("ok", "count"), n_correct=("ok", "sum"))
+        .astype({"n_test": "int64", "n_correct": "int64"})
+        .sort_values("prev_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

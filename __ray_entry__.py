@@ -5187,6 +5187,44 @@ def _q_markov_eval(sf_dir: str):
     return markov_next_eval(ev, cut_ts="2024-01-20")
 
 
+def _q_conformal(sf_dir: str):
+    """Split-conformal calibration: the 90th-percentile nonconformity
+    threshold from the calibration split (doc_id%3==0, exact
+    ``open_quantiles``), then the coverage it actually achieves on the
+    rest — the distribution-free prediction-set recipe, all integer."""
+    import pandas as pd
+
+    from fastie_ray.ops.stats import open_quantiles
+
+    ds = _planted_scores(sf_dir)
+
+    calib = ds.map_batches(
+        lambda df: df.loc[df["doc_id"] % 3 == 0, ["score"]],
+        batch_format="pandas",
+    )
+    tau = int(
+        open_quantiles(calib, "score", [0.9])["value"].iloc[0]
+    )
+
+    def cover(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[df["doc_id"] % 3 != 0]
+        return pd.DataFrame(
+            {
+                "n_eval": [len(t)],
+                "n_covered": [int((t["score"] <= tau).sum())],
+            }
+        )
+
+    agg = ds.map_batches(cover, batch_format="pandas").to_pandas().sum()
+    return pd.DataFrame(
+        {
+            "tau": pd.array([tau], dtype="int64"),
+            "n_eval": pd.array([int(agg["n_eval"])], dtype="int64"),
+            "n_covered": pd.array([int(agg["n_covered"])], dtype="int64"),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5381,6 +5419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "abandoned_clicks": _q_abandoned_clicks,
         "term_drift": _q_term_drift,
         "markov_eval": _q_markov_eval,
+        "conformal": _q_conformal,
     }
 
 
@@ -7917,6 +7956,22 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_correct
             FROM test t LEFT JOIN model m ON m.prev = t.prev
             GROUP BY 1
+        """,
+        "conformal": """
+            WITH s AS (
+                SELECT doc_id,
+                       (doc_id * 37) % 1000
+                       + CASE WHEN doc_id % 5 < 2 THEN 300 ELSE 0 END
+                           AS score
+                FROM documents),
+            tau AS (
+                SELECT CAST(quantile_disc(score, 0.9) AS BIGINT) AS t
+                FROM s WHERE doc_id % 3 = 0)
+            SELECT tau.t AS tau,
+                   count(*) AS n_eval,
+                   CAST(sum(CASE WHEN s.score <= tau.t THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_covered
+            FROM s, tau WHERE s.doc_id % 3 != 0 GROUP BY tau.t
         """,
         "kmv_overlap": """
             WITH ha AS (

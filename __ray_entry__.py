@@ -5225,6 +5225,34 @@ def _q_conformal(sf_dir: str):
     )
 
 
+def _q_perm_test(sf_dir: str):
+    """Exact-arithmetic permutation significance test
+    (``ops.stats.permutation_test``): user-parity split of event
+    values vs 48 md5-bit pseudo-permutations, cross-multiplied
+    integer statistics — the experimentation-platform test, fully
+    SQL-reproducible."""
+    import pandas as pd
+
+    from fastie_ray.ops.stats import permutation_test
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "grp": df["user_id"].astype("int64") % 2,
+                "value": df["value"],
+            }
+        )
+
+    return permutation_test(
+        ev.map_batches(prep, batch_format="pandas"),
+        id_col="event_id", group_col="grp", value_col="value",
+        n_perms=48,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5420,6 +5448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_drift": _q_term_drift,
         "markov_eval": _q_markov_eval,
         "conformal": _q_conformal,
+        "perm_test": _q_perm_test,
     }
 
 
@@ -7972,6 +8001,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN s.score <= tau.t THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_covered
             FROM s, tau WHERE s.doc_id % 3 != 0 GROUP BY tau.t
+        """,
+        "perm_test": """
+            WITH src AS (
+                SELECT user_id % 2 AS grp,
+                       CAST(round(value * 100) AS BIGINT) AS c,
+                       CAST(('0x' || substr(md5('perm:'
+                           || CAST(event_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS h
+                FROM events),
+            t AS (SELECT sum(c) AS s, count(*) AS n FROM src),
+            obs AS (
+                SELECT sum(c) FILTER (WHERE grp = 1) AS s1,
+                       count(*) FILTER (WHERE grp = 1) AS n1
+                FROM src),
+            p AS (
+                SELECT r.j,
+                       sum(c) FILTER (WHERE (h >> r.j) & 1 = 1) AS s1,
+                       count(*) FILTER (WHERE (h >> r.j) & 1 = 1) AS n1
+                FROM src, range(48) r(j) GROUP BY r.j),
+            os AS (
+                SELECT abs(obs.s1 * (t.n - obs.n1)
+                           - (t.s - obs.s1) * obs.n1) AS v
+                FROM obs, t),
+            ps AS (
+                SELECT abs(p.s1 * (t.n - p.n1)
+                           - (t.s - p.s1) * p.n1) AS v
+                FROM p, t)
+            SELECT CAST((SELECT v FROM os) AS BIGINT) AS obs_stat,
+                   CAST((SELECT count(*) FROM ps
+                         WHERE v >= (SELECT v FROM os)) AS BIGINT)
+                       AS n_extreme,
+                   CAST(48 AS BIGINT) AS n_perms
         """,
         "kmv_overlap": """
             WITH ha AS (

@@ -1055,3 +1055,80 @@ def fd_violations(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def permutation_test(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    n_perms: int = 64,
+    salt: str = "perm",
+) -> pd.DataFrame:
+    """Exact-arithmetic PERMUTATION TEST for a difference in means —
+    the experimentation-platform significance test, with md5-bit
+    pseudo-permutations so the whole computation (assignments, test
+    statistics, p-value numerator) is deterministic and
+    SQL-reproducible. Permutation j assigns each unit by BIT j of
+    md5(salt:id) (one hash per row covers 64 permutations), and every
+    statistic is the cross-multiplied integer
+
+        stat = |s₁·n₀ − s₀·n₁|        (value in integer cents)
+
+    which orders identically to |mean₁ − mean₀| without a float
+    division. Returns one row: (obs_stat, n_extreme, n_perms) where
+    ``n_extreme`` counts permutations with stat ≥ observed (the
+    p-value numerator; add-one correction is the caller's choice).
+
+    One per-batch combiner → driver merge of blocks × (n_perms + 1)
+    fixed-size partial rows; nothing row-sized leaves the workers."""
+    import hashlib
+
+    if n_perms > 60:
+        # 15 hex chars = 60 bits: fits SIGNED int64 on both sides (16
+        # chars can exceed BIGINT range in the SQL oracle)
+        raise ValueError("n_perms > 60 needs more md5 bits per row")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df[value_col] * 100).round().astype("int64").to_numpy()
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"perm": [], "s1": [], "n1": [],
+                                 "s": [], "n": []})
+        bits = np.array(
+            [int(hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16)
+             for v in df[id_col].astype("int64")],
+            dtype=np.uint64,
+        )
+        rows = []
+        # perm -1 = the OBSERVED grouping
+        obs = df[group_col].astype("int64").to_numpy()
+        rows.append((-1, int(cents[obs == 1].sum()), int((obs == 1).sum())))
+        for j in range(n_perms):
+            m = ((bits >> np.uint64(j)) & np.uint64(1)).astype(bool)
+            rows.append((j, int(cents[m].sum()), int(m.sum())))
+        out = pd.DataFrame(rows, columns=["perm", "s1", "n1"])
+        out["s"] = np.int64(cents.sum())
+        out["n"] = np.int64(n)
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("perm", as_index=False)[["s1", "n1", "s", "n"]].sum()
+    s_tot = int(agg["s"].iloc[0])
+    n_tot = int(agg["n"].iloc[0])
+
+    def stat(row) -> int:
+        s1, n1 = int(row["s1"]), int(row["n1"])
+        s0, n0 = s_tot - s1, n_tot - n1
+        return abs(s1 * n0 - s0 * n1)
+
+    obs = stat(agg[agg["perm"] == -1].iloc[0])
+    perm_stats = agg[agg["perm"] >= 0].apply(stat, axis=1)
+    n_extreme = int((perm_stats >= obs).sum())
+    return pd.DataFrame(
+        {
+            "obs_stat": [np.int64(obs)],
+            "n_extreme": [np.int64(n_extreme)],
+            "n_perms": [np.int64(n_perms)],
+        }
+    )

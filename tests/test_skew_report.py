@@ -119,3 +119,27 @@ def test_fd_violations_bruteforce():
         {"n_values": "int64"}
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_permutation_test_detects_planted_effect():
+    from fastie_ray.ops.stats import permutation_test
+
+    rng = np.random.default_rng(103)
+    n = 2000
+    grp = (np.arange(n) % 2).astype(np.int64)
+    value = np.round(rng.uniform(0, 10, n), 2) + grp * 5.0  # big effect
+    df = pd.DataFrame(
+        {"id": np.arange(n, dtype=np.int64), "grp": grp, "value": value}
+    )
+    got = permutation_test(_ds(df, 4), "id", "grp", "value", n_perms=48)
+    # planted effect should beat (almost) every random split
+    assert int(got["n_extreme"].iloc[0]) == 0
+
+    # null: observed split IS one of the md5 bit splits' family
+    df0 = df.assign(value=np.round(rng.uniform(0, 10, n), 2))
+    got0 = permutation_test(_ds(df0, 4), "id", "grp", "value", n_perms=48)
+    assert int(got0["n_extreme"].iloc[0]) > 0
+
+    # block invariance
+    got2 = permutation_test(_ds(df, 7), "id", "grp", "value", n_perms=48)
+    pd.testing.assert_frame_equal(got, got2)

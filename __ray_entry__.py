@@ -5253,6 +5253,91 @@ def _q_perm_test(sf_dir: str):
     )
 
 
+def _q_matching(sf_dir: str):
+    """Deterministic greedy maximal matching (``ops.graph.
+    greedy_matching``) over the customer↔supplier graph — the parallel
+    one-to-one pairing primitive; md5 edge priorities, local-min-at-
+    both-endpoints rounds."""
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import greedy_matching
+    from fastie_ray.ops.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_suppkey"], right_cols=["o_orderkey", "o_custkey"],
+    )
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["o_custkey"].astype("int64") * 2
+        s = df["l_suppkey"].astype("int64") * 2 + 1
+        return pd.DataFrame(
+            {"a": np.minimum(c, s), "b": np.maximum(c, s)}
+        ).drop_duplicates()
+
+    edges = dedup_exact(
+        j.map_batches(mk, batch_format="pandas"), ["a", "b"], n_buckets=16
+    )
+    return greedy_matching(edges, max_rounds=12, n_buckets=16)
+
+
+def _matching_sql(rounds: int = 12) -> str:
+    """Unrolled greedy-matching oracle (MATERIALIZED rounds)."""
+    ctes = [
+        """je AS MATERIALIZED (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        """e0 AS MATERIALIZED (
+            SELECT least(c * 2, s * 2 + 1) AS a,
+                   greatest(c * 2, s * 2 + 1) AS b,
+                   CAST(('0x' || substr(md5('gm:'
+                       || CAST(least(c * 2, s * 2 + 1) AS VARCHAR) || ':'
+                       || CAST(greatest(c * 2, s * 2 + 1) AS VARCHAR)),
+                       1, 15)) AS BIGINT) AS p
+            FROM je)""",
+        "m0 AS MATERIALIZED (SELECT a, b, 0 AS rnd FROM e0 WHERE 1 = 0)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""nm{t} AS MATERIALIZED (
+                SELECT node, min(p) AS m FROM (
+                    SELECT a AS node, p FROM e{t - 1}
+                    UNION ALL SELECT b, p FROM e{t - 1})
+                GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+                SELECT e.a, e.b FROM e{t - 1} e
+                JOIN nm{t} x ON x.node = e.a AND x.m = e.p
+                JOIN nm{t} y ON y.node = e.b AND y.m = e.p)"""
+        )
+        ctes.append(
+            f"""mn{t} AS MATERIALIZED (
+                SELECT a AS node FROM w{t}
+                UNION SELECT b FROM w{t})"""
+        )
+        ctes.append(
+            f"""e{t} AS MATERIALIZED (
+                SELECT a, b, p FROM e{t - 1}
+                WHERE a NOT IN (SELECT node FROM mn{t})
+                  AND b NOT IN (SELECT node FROM mn{t}))"""
+        )
+        ctes.append(
+            f"""m{t} AS MATERIALIZED (
+                SELECT a, b, rnd FROM m{t - 1}
+                UNION ALL SELECT a, b, {t} AS rnd FROM w{t})"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT a, b, CAST(rnd AS BIGINT) AS round FROM m{rounds}"""
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5449,6 +5534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_eval": _q_markov_eval,
         "conformal": _q_conformal,
         "perm_test": _q_perm_test,
+        "matching": _q_matching,
     }
 
 
@@ -8097,6 +8183,7 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(DISTINCT lang) > 1
         """,
         "sssp": _sssp_sql(rounds=12),
+        "matching": _matching_sql(rounds=12),
         "join_cardinality": """
             WITH cl AS (SELECT l_orderkey AS k, count(*) AS n
                         FROM lineitem GROUP BY 1),

@@ -1957,3 +1957,135 @@ def sssp(
     if not converged:
         raise RuntimeError(f"sssp: not converged after {max_rounds} rounds")
     return dist
+
+
+def greedy_matching(
+    edges: "ray.data.Dataset",
+    max_rounds: int = 12,
+    n_buckets: int = 16,
+    salt: str = "gm",
+) -> "ray.data.Dataset":
+    """Deterministic MAXIMAL MATCHING — the edge-domain Luby: each
+    round every edge whose md5 priority is the minimum at BOTH
+    endpoints joins the matching; its endpoints (and their incident
+    edges) leave the graph. The parallel pairing primitive (record
+    linkage one-to-one assignment, dedup pair resolution). DISTINCT
+    (a, b), a < b, INTEGER node ids.
+
+    Priorities are md5(salt:a:b) (60 bits); an adjacent-collision tie
+    simply leaves both edges for a later round — identically on the
+    Ray and SQL sides, so determinism survives without a tie-fold.
+    Always ≥ 1 edge (the global minimum) matches per round, and in
+    expectation a constant fraction of edges drops — ``max_rounds``
+    bounds the tail, with a LOUD failure if edges remain.
+
+    Per round: one per-node min exchange + one winners pass + two
+    anti-joins, all edge-sized. Returns (a, b, round)."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data
+
+    e_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("p", pa.int64())]
+    )
+
+    def prio(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["a", "b"]].astype("int64").copy()
+        out["p"] = np.array(
+            [
+                int(hashlib.md5(f"{salt}:{a}:{b}".encode()).hexdigest()[:15],
+                    16)
+                for a, b in zip(out["a"], out["b"])
+            ],
+            dtype=np.int64,
+        )
+        return out
+
+    rem = (
+        edges.map_batches(prio, batch_format="pandas")
+        .repartition(n_buckets)
+        .materialize()
+    )
+    matched_parts = []
+
+    def add_nb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = _bucket(df["node"], n_buckets)
+        return df
+
+    for rnd in range(1, max_rounds + 1):
+        if rem.count() == 0:
+            break
+
+        def nm_partial(df: pd.DataFrame) -> pd.DataFrame:
+            both = pd.concat(
+                [df[["a", "p"]].rename(columns={"a": "node"}),
+                 df[["b", "p"]].rename(columns={"b": "node"})],
+                ignore_index=True,
+            )
+            return both.groupby("node", as_index=False)["p"].min()
+
+        def nm_final(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.drop(columns="__b").groupby("node", as_index=False)[
+                "p"
+            ].min()
+            return out.rename(columns={"p": "nm"}).astype(
+                {"node": "int64", "nm": "int64"}
+            )
+
+        nm = (
+            rem.map_batches(nm_partial, batch_format="pandas")
+            .map_batches(add_nb, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(nm_final, batch_format="pandas")
+        )
+        wa = hash_join(
+            rem, nm, on="a", right_on="node",
+            left_cols=["a", "b", "p"], right_cols=["node", "nm"],
+            n_buckets=n_buckets,
+        )
+        wb = hash_join(
+            wa, nm, on="b", right_on="node",
+            left_cols=["a", "b", "p", "nm"], right_cols=["node", "nm"],
+            n_buckets=n_buckets, suffix="_b",
+        )
+        winners = wb.map_batches(
+            lambda df, r=rnd: df.loc[
+                (df["p"] == df["nm"]) & (df["p"] == df["nm_b"]),
+                ["a", "b"],
+            ].assign(round=np.int64(r)),
+            batch_format="pandas",
+        ).materialize()
+        if winners.count() == 0:
+            # only possible via adjacent priority collisions; retrying
+            # cannot make progress
+            raise RuntimeError("greedy_matching: no winner in a round")
+        matched_parts.append(winners)
+        mnodes = winners.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": pd.concat([df["a"], df["b"]]).astype("int64")}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        ).materialize()
+        rem = hash_join(
+            rem, mnodes, on="a", right_on="node", how="anti",
+            left_cols=["a", "b", "p"], n_buckets=n_buckets,
+        )
+        rem = (
+            hash_join(
+                rem, mnodes, on="b", right_on="node", how="anti",
+                left_cols=["a", "b", "p"], n_buckets=n_buckets,
+            )
+            .repartition(max(1, n_buckets // 4))
+            .materialize()
+        )
+
+    if rem.count() > 0:
+        raise RuntimeError(
+            f"greedy_matching: edges remain after {max_rounds} rounds"
+        )
+    out = matched_parts[0]
+    for p in matched_parts[1:]:
+        out = out.union(p)
+    return out

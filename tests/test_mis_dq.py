@@ -144,3 +144,64 @@ def test_markov_next_eval_bruteforce():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def _greedy_matching_ref(edges: pd.DataFrame) -> list:
+    out = []
+    rem = [
+        (a, b,
+         int(hashlib.md5(f"gm:{a}:{b}".encode()).hexdigest()[:15], 16))
+        for a, b in edges[["a", "b"]].itertuples(index=False)
+    ]
+    rnd = 0
+    while rem:
+        rnd += 1
+        nm: dict = {}
+        for a, b, p in rem:
+            nm[a] = min(nm.get(a, p), p)
+            nm[b] = min(nm.get(b, p), p)
+        win = [(a, b) for a, b, p in rem if nm[a] == p and nm[b] == p]
+        assert win
+        taken = set()
+        for a, b in win:
+            out.append((a, b, rnd))
+            taken |= {a, b}
+        rem = [(a, b, p) for a, b, p in rem
+               if a not in taken and b not in taken]
+    return out
+
+
+def test_greedy_matching_reference_and_invariants():
+    from fastie_ray.ops.graph import greedy_matching
+
+    rng = np.random.default_rng(107)
+    e = pd.DataFrame(
+        {
+            "a": rng.integers(0, 40, 150).astype(np.int64),
+            "b": rng.integers(0, 40, 150).astype(np.int64),
+        }
+    )
+    lo, hi = e.min(axis=1), e.max(axis=1)
+    e = pd.DataFrame({"a": lo, "b": hi})
+    e = e[e["a"] < e["b"]].drop_duplicates().reset_index(drop=True)
+
+    got = (
+        greedy_matching(_ds(e, 3), max_rounds=20, n_buckets=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    want = (
+        pd.DataFrame(_greedy_matching_ref(e), columns=["a", "b", "round"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # matching invariants: node-disjoint, maximal
+    used = pd.concat([got["a"], got["b"]])
+    assert used.is_unique
+    matched = set(used)
+    for a, b in e[["a", "b"]].itertuples(index=False):
+        assert a in matched or b in matched, "not maximal"

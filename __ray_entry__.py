@@ -5338,6 +5338,36 @@ def _matching_sql(rounds: int = 12) -> str:
     )
 
 
+def _q_grouped_ks(sf_dir: str):
+    """Per-event-type KS drift between the first and second half of
+    the event stream (``ops.stats.grouped_ks``): distributed per-group
+    integer CDF cross-products, no driver value table."""
+    import pandas as pd
+
+    from fastie_ray.ops.stats import grouped_ks
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    cut = pd.Timestamp("2024-01-16").value // 1000
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            pd.to_datetime(df["ts"]).astype("datetime64[us]")
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "m": (t >= cut).astype("int64"),
+                "cents": (df["value"] * 100).round().astype("int64"),
+            }
+        )
+
+    return grouped_ks(
+        ev.map_batches(prep, batch_format="pandas"),
+        "event_type", "m", "cents",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5535,6 +5565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conformal": _q_conformal,
         "perm_test": _q_perm_test,
         "matching": _q_matching,
+        "grouped_ks": _q_grouped_ks,
     }
 
 
@@ -8150,6 +8181,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.nc * ue.u // greatest(ue.mk, 1) AS BIGINT)
                        AS inter_est
             FROM c, ue
+        """,
+        "grouped_ks": """
+            WITH src AS (
+                SELECT event_type,
+                       CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN 1 ELSE 0 END AS m,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events),
+            c AS (
+                SELECT event_type, v,
+                       sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS na,
+                       sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS nb
+                FROM src GROUP BY 1, 2),
+            t AS (
+                SELECT event_type, sum(na) AS ta, sum(nb) AS tb
+                FROM c GROUP BY 1),
+            w AS (
+                SELECT c.event_type, c.v,
+                       sum(c.na) OVER (PARTITION BY c.event_type
+                                       ORDER BY c.v) AS ca,
+                       sum(c.nb) OVER (PARTITION BY c.event_type
+                                       ORDER BY c.v) AS cb,
+                       t.ta, t.tb
+                FROM c JOIN t USING (event_type))
+            SELECT event_type,
+                   CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS d_num,
+                   CAST(max(ta) AS BIGINT) AS n_a,
+                   CAST(max(tb) AS BIGINT) AS n_b,
+                   CAST(max(abs(ca * tb - cb * ta)) * 1000000
+                        // (max(ta) * max(tb)) AS BIGINT) AS ks_e6
+            FROM w GROUP BY 1
         """,
         "ks_drift": """
             WITH a AS (

@@ -1132,3 +1132,74 @@ def permutation_test(
             "n_perms": [np.int64(n_perms)],
         }
     )
+
+
+def grouped_ks(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    mask_col: str,
+    value_col: str,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-group exact KS drift (the monitored-per-segment version of
+    ``ks_stat``): rows carry (group, slice ∈ {0,1}, integer value);
+    returns one row per group (group, d_num, n_a, n_b, ks_e6).
+
+    Fully distributed — no driver value table: per-batch
+    (group, value, slice) count combiner → ONE group-bucketed exchange
+    whose final sorts each group's distinct values and takes the
+    integer cross-product cummax in place. Partitioning contract is
+    per-group DISTINCT-VALUE volume (quantize first if a group's raw
+    domain is corpus-sized)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "g": df[group_col],
+                "v": df[value_col].astype("int64"),
+                "m": df[mask_col].astype("int64"),
+            }
+        )
+        out = g.groupby(["g", "v", "m"], as_index=False).agg(n=("m", "count"))
+        return out
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["g"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").groupby(["g", "v", "m"], as_index=False)[
+            "n"
+        ].sum()
+        rows = []
+        for grp, sub in g.groupby("g", sort=True):
+            w = sub.pivot_table(index="v", columns="m", values="n",
+                                aggfunc="sum", fill_value=0)
+            na_col = w[0] if 0 in w else pd.Series(0, index=w.index)
+            nb_col = w[1] if 1 in w else pd.Series(0, index=w.index)
+            w = pd.DataFrame({"na": na_col, "nb": nb_col}).sort_index()
+            n_a = int(w["na"].sum())
+            n_b = int(w["nb"].sum())
+            ca = w["na"].cumsum().to_numpy(dtype=np.int64)
+            cb = w["nb"].cumsum().to_numpy(dtype=np.int64)
+            d_num = (
+                int(np.abs(ca * n_b - cb * n_a).max()) if len(w) else 0
+            )
+            ks = (d_num * 1_000_000) // (n_a * n_b) if n_a and n_b else 0
+            rows.append((grp, d_num, n_a, n_b, ks))
+        return pd.DataFrame(
+            rows, columns=[group_col, "d_num", "n_a", "n_b", "ks_e6"]
+        ).astype({"d_num": "int64", "n_a": "int64", "n_b": "int64",
+                  "ks_e6": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -143,3 +143,38 @@ def test_permutation_test_detects_planted_effect():
     # block invariance
     got2 = permutation_test(_ds(df, 7), "id", "grp", "value", n_perms=48)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_grouped_ks_matches_global_per_group():
+    from fastie_ray.ops.stats import grouped_ks, ks_stat
+
+    rng = np.random.default_rng(109)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["p", "q", "r"], n),
+            "m": rng.integers(0, 2, n).astype(np.int64),
+            "v": rng.integers(0, 60, n).astype(np.int64),
+        }
+    )
+    # shift slice 1 of group q -> real drift there
+    df.loc[(df["g"] == "q") & (df["m"] == 1), "v"] += 25
+    got = (
+        grouped_ks(_ds(df, 4), "g", "m", "v", n_buckets=4)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    for grp in ("p", "q", "r"):
+        sub = df[df["g"] == grp]
+        ref = ks_stat(
+            _ds(sub[sub["m"] == 0][["v"]], 2),
+            _ds(sub[sub["m"] == 1][["v"]], 2),
+            "v", n_buckets=4,
+        )
+        row = got[got["g"] == grp].iloc[0]
+        for c in ("d_num", "n_a", "n_b", "ks_e6"):
+            assert int(row[c]) == int(ref[c].iloc[0]), (grp, c)
+    kq = int(got.loc[got["g"] == "q", "ks_e6"].iloc[0])
+    kp = int(got.loc[got["g"] == "p", "ks_e6"].iloc[0])
+    assert kq > kp

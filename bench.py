@@ -88,7 +88,7 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "line_dedup", "hits", "scc", "running_total",
                  "stream_join", "ivm_join", "vocab_build", "mis",
                  "sssp", "spatial_pairs", "coverage_picks",
-                 "price_quantiles"):
+                 "price_quantiles", "perm_test", "grouped_ks"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

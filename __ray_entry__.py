@@ -5368,6 +5368,31 @@ def _q_grouped_ks(sf_dir: str):
     )
 
 
+def _q_grouped_open_quantiles(sf_dir: str):
+    """Per-event-type EXACT quantiles over the unbounded value-cents
+    domain (``ops.stats.grouped_open_quantiles``): three streaming
+    histogram passes, zero exchanges — removes grouped_quantiles'
+    bounded-value-domain contract."""
+    import pandas as pd
+
+    from fastie_ray.ops.stats import grouped_open_quantiles
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "cents": (df["value"] * 100).round().astype("int64"),
+            }
+        )
+
+    return grouped_open_quantiles(
+        ev.map_batches(prep, batch_format="pandas"),
+        "event_type", "cents", [0.25, 0.5, 0.9],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5566,6 +5591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perm_test": _q_perm_test,
         "matching": _q_matching,
         "grouped_ks": _q_grouped_ks,
+        "grouped_open_quantiles": _q_grouped_open_quantiles,
     }
 
 
@@ -8212,6 +8238,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(abs(ca * tb - cb * ta)) * 1000000
                         // (max(ta) * max(tb)) AS BIGINT) AS ks_e6
             FROM w GROUP BY 1
+        """,
+        "grouped_open_quantiles": """
+            WITH src AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events)
+            SELECT event_type, CAST(0.25 AS DOUBLE) AS q,
+                   CAST(quantile_disc(c, 0.25) AS BIGINT) AS value
+            FROM src GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.5,
+                   CAST(quantile_disc(c, 0.5) AS BIGINT)
+            FROM src GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9,
+                   CAST(quantile_disc(c, 0.9) AS BIGINT)
+            FROM src GROUP BY event_type
         """,
         "ks_drift": """
             WITH a AS (

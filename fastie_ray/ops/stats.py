@@ -938,6 +938,143 @@ def open_quantiles(
     return res.reset_index(drop=True)
 
 
+def grouped_open_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    qs: list[float],
+    n_ranges: int = 1024,
+) -> pd.DataFrame:
+    """EXACT per-group ``quantile_disc`` over an UNBOUNDED integer
+    value domain — ``open_quantiles`` lifted to groups, removing
+    ``grouped_quantiles``' bounded-VALUE-domain contract (its exchange
+    ships every distinct (group, value) pair; here nothing larger than
+    a ≤ groups × n_ranges histogram ever reduces).
+
+    Contract: the GROUP domain stays bounded (event types, languages —
+    the same contract as ``skew_report``/``grouped_quantiles``); the
+    value domain per group may be corpus-sized.
+
+    Pass 0: per-batch (group, min, max, n) combiner → driver merge
+    gives each group its own range grid. Pass 1: per-batch
+    (group, rid) histogram combiner → driver locates each (group, q)'s
+    target rid and in-rid offset with exact ``Fraction`` boundaries
+    k = ⌈q·n_g⌉. Pass 2: per-batch (group, rid, value) counts for ONLY
+    target (group, rid) pairs (≤ groups × len(qs) rids ship, value
+    COUNTS not rows — a hot value costs nothing) → driver walks each
+    sorted count list to the offset. Three streaming passes, zero
+    exchanges, no sort anywhere."""
+    from fractions import Fraction
+
+    fracs = [(float(q), Fraction(str(q))) for q in qs]
+
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({group_col: [], "mn": [], "mx": [], "n": []})
+        v = df[col].astype("int64")
+        out = pd.DataFrame({group_col: df[group_col], "v": v})
+        return out.groupby(group_col, as_index=False).agg(
+            mn=("v", "min"), mx=("v", "max"), n=("v", "count")
+        )
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(mm) == 0:
+        return pd.DataFrame({group_col: [], "q": [], "value": []})
+    mm = mm.groupby(group_col, as_index=False).agg(
+        mn=("mn", "min"), mx=("mx", "max"), n=("n", "sum")
+    )
+    # group -> (lo, range_size, n_g); bounded by the group domain
+    grid = {
+        row[group_col]: (
+            int(row["mn"]),
+            max(1, (int(row["mx"]) - int(row["mn"])) // n_ranges + 1),
+            int(row["n"]),
+        )
+        for row in mm.to_dict("records")
+    }
+
+    def _rid(df: pd.DataFrame) -> tuple[pd.Series, np.ndarray]:
+        g = df[group_col]
+        v = df[col].astype("int64").to_numpy()
+        lo = g.map(lambda k: grid[k][0]).to_numpy(dtype=np.int64)
+        rs = g.map(lambda k: grid[k][1]).to_numpy(dtype=np.int64)
+        return g, (v - lo) // rs
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({group_col: [], "rid": [], "n": []})
+        g, rid = _rid(df)
+        out = pd.DataFrame({group_col: g, "rid": rid})
+        return out.groupby([group_col, "rid"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby([group_col, "rid"], as_index=False)["n"]
+        .sum()
+        .sort_values([group_col, "rid"])
+    )
+
+    # (group, rid) -> [(q, offset_within_rid)]
+    targets: dict[tuple, list] = {}
+    for key, grp in hist.groupby(group_col, sort=False):
+        cum = grp["n"].cumsum().to_numpy()
+        rids = grp["rid"].to_numpy()
+        n_g = grid[key][2]
+        for qf, f in fracs:
+            k = -(-(f.numerator * n_g) // f.denominator)  # ceil(q·n_g)
+            k = int(min(max(1, k), n_g))
+            idx = int(np.searchsorted(cum, k, side="left"))
+            before = int(cum[idx - 1]) if idx > 0 else 0
+            targets.setdefault((key, int(rids[idx])), []).append(
+                (qf, k - before)
+            )
+
+    def val_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({group_col: [], "rid": [], "v": [], "n": []})
+        g, rid = _rid(df)
+        keys = pd.Series(list(zip(g, rid)), index=df.index)
+        m = keys.isin(targets).to_numpy()
+        sub = pd.DataFrame(
+            {
+                group_col: g[m],
+                "rid": rid[m],
+                "v": df[col].astype("int64")[m],
+            }
+        )
+        return sub.groupby(
+            [group_col, "rid", "v"], as_index=False
+        ).size().rename(columns={"size": "n"})
+
+    vals = (
+        ds.map_batches(val_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby([group_col, "rid", "v"], as_index=False)["n"]
+        .sum()
+    )
+    out = []
+    for (key, rid), wants in targets.items():
+        sub = vals[
+            (vals[group_col] == key) & (vals["rid"] == rid)
+        ].sort_values("v")
+        cum = sub["n"].cumsum().to_numpy()
+        for qf, off in wants:
+            j = int(np.searchsorted(cum, off, side="left"))
+            out.append((key, qf, int(sub["v"].iloc[j])))
+    res = pd.DataFrame(out, columns=[group_col, "q", "value"]).sort_values(
+        [group_col, "q"]
+    )
+    res["q"] = res["q"].astype("float64")
+    res["value"] = res["value"].astype("int64")
+    return res.reset_index(drop=True)
+
+
 def skyline_2d(
     ds: "ray.data.Dataset",
     x_col: str,

@@ -72,3 +72,26 @@ def test_open_quantiles_weighted():
             int(got.loc[got["q"] == q, "value"].iloc[0])
             == _disc(expanded, q)
         ), q
+
+
+def test_grouped_open_quantiles_vs_numpy():
+    from fastie_ray.ops.stats import grouped_open_quantiles
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 6000),
+            "x": rng.integers(-10**12, 10**12, 6000).astype(np.int64),
+        }
+    )
+    # one group gets a hot value to exercise the in-rid count walk
+    hot = df.index[df["g"] == "b"][:1500]
+    df.loc[hot, "x"] = 777
+    qs = [0.01, 0.5, 0.9, 1.0]
+    got = grouped_open_quantiles(_ds(df, 4), "g", "x", qs)
+    for g in ("a", "b", "c"):
+        v = df.loc[df["g"] == g, "x"].to_numpy()
+        for q in qs:
+            want = _disc(v, q)
+            row = got[(got["g"] == g) & (got["q"] == q)]
+            assert int(row["value"].iloc[0]) == want, (g, q)

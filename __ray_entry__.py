@@ -5393,6 +5393,52 @@ def _q_grouped_open_quantiles(sf_dir: str):
     )
 
 
+def _q_range_lookup(sf_dir: str):
+    """Point-in-range lookup join (``ops.interval.range_lookup``,
+    exchange mode — the GeoIP/tier-bracket enrichment shape): price
+    cents resolved against 24 gap-separated brackets via domain
+    chunking, ONE exchange, single emission; per-bracket rollup. The
+    broadcast (dimension-table) mode is parity-pinned in pytest."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.interval import range_lookup
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"cents": (df["l_extendedprice"] * 100).round().astype("int64")}
+        )
+
+    k = np.arange(24, dtype=np.int64)
+    ranges = ray.data.from_pandas(
+        pd.DataFrame(
+            {"range_id": k, "lo": k * 500_000, "hi": k * 500_000 + 449_999}
+        )
+    )
+    looked = range_lookup(
+        li.map_batches(prep, batch_format="pandas"),
+        ranges, "cents", mode="exchange", chunk=500_000,
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("range_id", as_index=False).agg(
+            n=("x", "count"), sum_cents=("x", "sum")
+        )
+
+    out = (
+        looked.map_batches(agg, batch_format="pandas")
+        .to_pandas()
+        .groupby("range_id", as_index=False)
+        .sum()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -5592,6 +5638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matching": _q_matching,
         "grouped_ks": _q_grouped_ks,
         "grouped_open_quantiles": _q_grouped_open_quantiles,
+        "range_lookup": _q_range_lookup,
     }
 
 
@@ -8255,6 +8302,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, 0.9,
                    CAST(quantile_disc(c, 0.9) AS BIGINT)
             FROM src GROUP BY event_type
+        """,
+        "range_lookup": """
+            WITH r AS (
+                SELECT CAST(k AS BIGINT) AS range_id,
+                       CAST(k * 500000 AS BIGINT) AS lo,
+                       CAST(k * 500000 + 449999 AS BIGINT) AS hi
+                FROM range(0, 24) t(k)),
+            p AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                FROM lineitem)
+            SELECT range_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS sum_cents
+            FROM p JOIN r ON p.c BETWEEN r.lo AND r.hi
+            GROUP BY 1
         """,
         "ks_drift": """
             WITH a AS (

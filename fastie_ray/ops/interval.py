@@ -161,6 +161,167 @@ def interval_overlap_join(
     )
 
 
+def range_lookup(
+    points: "ray.data.Dataset",
+    ranges: "ray.data.Dataset",
+    x_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    range_id_col: str = "range_id",
+    mode: str = "broadcast",
+    chunk: int | None = None,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Point-in-range LOOKUP join — enrich a point stream with the id
+    of the range ``[lo, hi]`` (inclusive) containing it: the GeoIP /
+    tax-bracket / tier-table shape (reference analogue: the alias-dict
+    enrichment of stages/link.py generalized from equality to interval
+    containment). Points matching no range are dropped (inner
+    semantics); a point matching several ranges emits one row per
+    match in ``exchange`` mode (``broadcast`` mode requires
+    non-overlapping ranges and raises otherwise).
+
+    Two scale shapes, parity-tested against each other:
+
+    - ``mode="broadcast"`` (the production lookup-table case): the
+      range table is dimension-sized → ``ray.put`` its sorted
+      (lo, hi, id) arrays ONCE, every task resolves batches with one
+      ``np.searchsorted`` against plasma-shared arrays — streaming,
+      ZERO exchanges, no per-batch re-ship. Requires sorted
+      NON-overlapping ranges (checked at build).
+    - ``mode="exchange"`` (range table itself corpus-sized): the
+      integer domain is chunked at ``chunk`` width; each range
+      replicates to the chunks it covers (factor = len/chunk + 1 —
+      pick ``chunk`` at or above typical range length), each point
+      sits in exactly ITS OWN chunk, and the containing range always
+      has a copy there — one (chunk-bucketed) exchange, single
+      emission, no dedup pass (same canonical-chunk argument as
+      ``interval_overlap_join``, degenerate because a point is a
+      zero-length interval).
+
+    Returns points' rows (x, range_id)."""
+    import ray
+
+    if mode == "broadcast":
+        rdf = ranges.to_pandas().sort_values(lo_col).reset_index(drop=True)
+        los = rdf[lo_col].to_numpy(dtype=np.int64)
+        his = rdf[hi_col].to_numpy(dtype=np.int64)
+        if np.any(his[:-1] >= los[1:]) or np.any(his < los):
+            raise ValueError(
+                "broadcast mode requires sorted non-overlapping ranges"
+            )
+        ids = rdf[range_id_col].to_numpy(dtype=np.int64)
+        tab_ref = ray.put((los, his, ids))
+
+        def lookup(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame(
+                    {
+                        "x": np.array([], dtype=np.int64),
+                        range_id_col: np.array([], dtype=np.int64),
+                    }
+                )
+            lo_a, hi_a, id_a = ray.get(tab_ref)
+            x = df[x_col].to_numpy(dtype=np.int64)
+            j = np.searchsorted(lo_a, x, side="right") - 1
+            jc = np.clip(j, 0, None)
+            ok = (j >= 0) & (x <= hi_a[jc])
+            return pd.DataFrame(
+                {"x": x[ok], range_id_col: id_a[jc[ok]]}
+            )
+
+        return points.map_batches(lookup, batch_format="pandas")
+
+    if mode != "exchange":
+        raise ValueError(f"mode must be broadcast|exchange, got {mode!r}")
+    if chunk is None or chunk <= 0:
+        raise ValueError("exchange mode requires a positive chunk width")
+
+    def _b(c: np.ndarray) -> np.ndarray:
+        h = pd.util.hash_pandas_object(
+            pd.Series(c), index=False
+        ).to_numpy()
+        return (h % np.uint64(n_buckets)).astype(np.int64)
+
+    def rep_ranges(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "x": np.array([], dtype=np.int64),
+                    "rid": np.array([], dtype=np.int64),
+                    "lo": np.array([], dtype=np.int64),
+                    "hi": np.array([], dtype=np.int64),
+                    "__chunk": np.array([], dtype=np.int64),
+                    "__side": np.array([], dtype=object),
+                    "__b": np.array([], dtype=np.int64),
+                }
+            )
+        lo = df[lo_col].to_numpy(dtype=np.int64)
+        hi = df[hi_col].to_numpy(dtype=np.int64)
+        c0 = np.floor_divide(lo, chunk)
+        n_chunks = np.floor_divide(hi, chunk) - c0 + 1
+        idx = np.repeat(np.arange(len(df)), n_chunks)
+        offs = np.concatenate([np.arange(n) for n in n_chunks])
+        out = pd.DataFrame(
+            {
+                "x": np.int64(0),
+                "rid": df[range_id_col].to_numpy(dtype=np.int64)[idx],
+                "lo": lo[idx],
+                "hi": hi[idx],
+                "__chunk": c0[idx] + offs,
+                "__side": "r",
+            }
+        )
+        out["__b"] = _b(out["__chunk"].to_numpy())
+        return out
+
+    def rep_points(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return rep_ranges(df)
+        x = df[x_col].to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "x": x,
+                "rid": np.int64(0),
+                "lo": np.int64(0),
+                "hi": np.int64(0),
+                "__chunk": np.floor_divide(x, chunk),
+                "__side": "p",
+            }
+        )
+        out["__b"] = _b(out["__chunk"].to_numpy())
+        return out
+
+    tagged = points.map_batches(rep_points, batch_format="pandas").union(
+        ranges.map_batches(rep_ranges, batch_format="pandas")
+    )
+    schema = pa.schema([("x", pa.int64()), (range_id_col, pa.int64())])
+
+    def match(g: pd.DataFrame) -> pa.Table:
+        p = g[g["__side"] == "p"]
+        r = g[g["__side"] == "r"]
+        if len(p) == 0 or len(r) == 0:
+            return schema.empty_table()
+        m = p[["x", "__chunk"]].merge(
+            r[["rid", "lo", "hi", "__chunk"]], on="__chunk"
+        )
+        m = m[(m["lo"] <= m["x"]) & (m["x"] <= m["hi"])]
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "x": m["x"].astype("int64"),
+                    range_id_col: m["rid"].astype("int64"),
+                }
+            ),
+            preserve_index=False,
+            schema=schema,
+        )
+
+    return tagged.groupby("__b").map_groups(
+        lambda g: match(g.drop(columns="__b")), batch_format="pandas"
+    )
+
+
 def band_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

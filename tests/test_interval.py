@@ -73,3 +73,90 @@ def test_long_intervals_and_bucket_invariance(ray_session):
         ds = ray.data.from_pandas(df).repartition(3)
         out = _sorted(interval_overlap_join(ds, bucket=bucket, self_pairs=True))
         pd.testing.assert_frame_equal(out, ref)
+
+
+# ------------------------------------------------------- range_lookup
+
+
+def _rl_ranges(n=20, width=90, gap=30, start=-500):
+    lo = start + np.arange(n, dtype=np.int64) * (width + gap)
+    return pd.DataFrame(
+        {
+            "range_id": np.arange(n, dtype=np.int64),
+            "lo": lo,
+            "hi": lo + width - 1,
+        }
+    )
+
+
+def _rl_ref(pts, rng_df):
+    m = pts.assign(_k=1).merge(rng_df.assign(_k=1), on="_k")
+    m = m[(m["lo"] <= m["x"]) & (m["x"] <= m["hi"])]
+    return (
+        m[["x", "range_id"]]
+        .astype("int64")
+        .sort_values(["x", "range_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_range_lookup_modes_parity_and_bruteforce(ray_session):
+    from fastie_ray.ops.interval import range_lookup
+
+    rng = np.random.default_rng(11)
+    pts = pd.DataFrame(
+        {"x": rng.integers(-600, 2500, 3000).astype(np.int64)}
+    )
+    rngs = _rl_ranges()
+    ref = _rl_ref(pts, rngs)
+    for mode, kw in (("broadcast", {}), ("exchange", {"chunk": 100})):
+        got = (
+            range_lookup(
+                ray.data.from_pandas(pts).repartition(4),
+                ray.data.from_pandas(rngs),
+                "x",
+                mode=mode,
+                **kw,
+            )
+            .to_pandas()
+            .sort_values(["x", "range_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False), mode
+
+
+def test_range_lookup_overlapping_ranges(ray_session):
+    from fastie_ray.ops.interval import range_lookup
+
+    # overlapping ranges: exchange emits one row per match,
+    # broadcast refuses
+    rngs = pd.DataFrame(
+        {
+            "range_id": np.array([0, 1], dtype=np.int64),
+            "lo": np.array([0, 50], dtype=np.int64),
+            "hi": np.array([100, 150], dtype=np.int64),
+        }
+    )
+    pts = pd.DataFrame({"x": np.array([75, 120, 200], dtype=np.int64)})
+    got = (
+        range_lookup(
+            ray.data.from_pandas(pts),
+            ray.data.from_pandas(rngs),
+            "x",
+            mode="exchange",
+            chunk=64,
+        )
+        .to_pandas()
+        .sort_values(["x", "range_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _rl_ref(pts, rngs), check_dtype=False)
+    import pytest
+
+    with pytest.raises(ValueError):
+        range_lookup(
+            ray.data.from_pandas(pts),
+            ray.data.from_pandas(rngs),
+            "x",
+            mode="broadcast",
+        )

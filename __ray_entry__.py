@@ -5368,6 +5368,100 @@ def _q_grouped_ks(sf_dir: str):
     )
 
 
+def _order_tri_edges(sf_dir: str):
+    """Chain+skip order graph: per customer, consecutive orders chained
+    (rn → rn+1) AND second-neighbor skips (rn → rn+2), so every interior
+    triple forms a triangle — the deterministic triangle-bearing source
+    for ktruss. Endpoints canonicalized in STRING order (matches the
+    op's internal keys and SQL least/greatest)."""
+    import numpy as np
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (df["o_custkey"].to_numpy() % 16).astype("int64")
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+        ok = ("o" + g["o_orderkey"].astype(str)).to_numpy()
+        ck = g["o_custkey"].to_numpy()
+        frames = []
+        for d in (1, 2):
+            same = ck[:-d] == ck[d:]
+            x = ok[:-d][same]
+            y = ok[d:][same]
+            frames.append(
+                pd.DataFrame(
+                    {"a": np.minimum(x, y), "b": np.maximum(x, y)}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        orders.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def _q_ktruss(sf_dir: str):
+    """Bounded-round k-truss peeling (k=3, 2 synchronized rounds) over
+    the chain+skip order graph (``ops.graph.ktruss_peel``): per round
+    one edge-support computation (SV-oriented wedges → per-edge
+    triangle counts) + a streaming filter; survivors carry their final
+    exact support. Triangle-free components (2-order customers) peel
+    in round 1; oracle is the unrolled per-round support/filter CTE
+    chain."""
+    from fastie_ray.ops.graph import ktruss_peel
+
+    return ktruss_peel(_order_tri_edges(sf_dir), k=3, rounds=2, n_buckets=16)
+
+
+def _ktruss_sql(k: int = 3, rounds: int = 2) -> str:
+    """Unrolled k-truss oracle (adjacency + common-neighbor support +
+    filter CTE triple per round, final support recount) over the
+    chain+skip order graph — mirrors ``_q_ktruss`` exactly."""
+    ctes = [
+        """o AS (SELECT o_custkey AS c, o_orderkey AS ok,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+            FROM orders)""",
+        """ch AS (SELECT 'o' || a.ok AS x, 'o' || b.ok AS y
+            FROM o a JOIN o b ON a.c = b.c AND b.rn = a.rn + 1)""",
+        """sk AS (SELECT 'o' || a.ok AS x, 'o' || b.ok AS y
+            FROM o a JOIN o b ON a.c = b.c AND b.rn = a.rn + 2)""",
+        """e0 AS MATERIALIZED (
+            SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+            FROM (SELECT * FROM ch UNION ALL SELECT * FROM sk))""",
+    ]
+    for r in range(rounds + 1):
+        ctes.append(
+            f"""adj{r} AS MATERIALIZED (
+                SELECT a AS x, b AS y FROM e{r}
+                UNION ALL SELECT b, a FROM e{r})"""
+        )
+        ctes.append(
+            f"""sup{r} AS MATERIALIZED (
+                SELECT e.a, e.b, count(q.y) AS sup
+                FROM e{r} e
+                LEFT JOIN adj{r} p ON p.x = e.a
+                LEFT JOIN adj{r} q ON q.x = e.b AND q.y = p.y
+                GROUP BY e.a, e.b)"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""e{r + 1} AS MATERIALIZED (
+                    SELECT a, b FROM sup{r} WHERE sup >= {k - 2})"""
+            )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT a, b, CAST(sup AS BIGINT) AS support FROM sup{rounds}"""
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -5639,6 +5733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_ks": _q_grouped_ks,
         "grouped_open_quantiles": _q_grouped_open_quantiles,
         "range_lookup": _q_range_lookup,
+        "ktruss": _q_ktruss,
     }
 
 
@@ -6047,6 +6142,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, rank AS rank_scaled FROM r3
         """,
         "kcore": _kcore_sql(k=2, rounds=4),
+        "ktruss": _ktruss_sql(k=3, rounds=2),
         "lpa_communities": _lpa_sql(rounds=4),
         "graph_components": r"""
             WITH RECURSIVE pair AS (

@@ -5462,6 +5462,17 @@ def _ktruss_sql(k: int = 3, rounds: int = 2) -> str:
     )
 
 
+def _q_link_pred(sf_dir: str):
+    """Top-50 missing links by common-neighbor count over the
+    chain+skip order graph (``ops.graph.link_prediction``): wedge
+    enumeration grouped by center with per-task pre-aggregation, one
+    pair-bucketed count exchange, task anti-join against known edges,
+    per-bucket top-k; deterministic (cn DESC, u, v) total order."""
+    from fastie_ray.ops.graph import link_prediction
+
+    return link_prediction(_order_tri_edges(sf_dir), k=50, n_buckets=16)
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -5734,6 +5745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_open_quantiles": _q_grouped_open_quantiles,
         "range_lookup": _q_range_lookup,
         "ktruss": _q_ktruss,
+        "link_pred": _q_link_pred,
     }
 
 
@@ -6143,6 +6155,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore": _kcore_sql(k=2, rounds=4),
         "ktruss": _ktruss_sql(k=3, rounds=2),
+        "link_pred": """
+            WITH o AS (
+                SELECT o_custkey AS c, o_orderkey AS ok,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey) AS rn
+                FROM orders),
+            ch AS (SELECT 'o' || a.ok AS x, 'o' || b.ok AS y
+                   FROM o a JOIN o b ON a.c = b.c AND b.rn = a.rn + 1),
+            sk AS (SELECT 'o' || a.ok AS x, 'o' || b.ok AS y
+                   FROM o a JOIN o b ON a.c = b.c AND b.rn = a.rn + 2),
+            e0 AS MATERIALIZED (
+                SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                FROM (SELECT * FROM ch UNION ALL SELECT * FROM sk)),
+            adj AS MATERIALIZED (
+                SELECT a AS x, b AS y FROM e0
+                UNION ALL SELECT b, a FROM e0),
+            cnt AS MATERIALIZED (
+                SELECT p.y AS u, q.y AS v, count(*) AS cn
+                FROM adj p JOIN adj q ON p.x = q.x AND p.y < q.y
+                GROUP BY 1, 2)
+            SELECT u, v, CAST(cn AS BIGINT) AS cn
+            FROM cnt
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e0 e WHERE e.a = cnt.u AND e.b = cnt.v)
+            ORDER BY cn DESC, u, v
+            LIMIT 50
+        """,
         "lpa_communities": _lpa_sql(rounds=4),
         "graph_components": r"""
             WITH RECURSIVE pair AS (

@@ -5473,6 +5473,18 @@ def _q_link_pred(sf_dir: str):
     return link_prediction(_order_tri_edges(sf_dir), k=50, n_buckets=16)
 
 
+def _q_ed1_pairs(sf_dir: str):
+    """FastSS deletion-neighborhood fuzzy join (``ops.blocking.
+    ed1_pairs``): all customer-name pairs at Levenshtein distance
+    exactly 1, complete WITHOUT an all-pairs scan — variant-bucketed
+    exchange, canonical-variant single emission, in-group exact
+    verification."""
+    from fastie_ray.ops.blocking import ed1_pairs
+
+    cust = _read(sf_dir, "customer", columns=["c_name"])
+    return ed1_pairs(cust, "c_name", n_buckets=16)
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -5746,6 +5758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_lookup": _q_range_lookup,
         "ktruss": _q_ktruss,
         "link_pred": _q_link_pred,
+        "ed1_pairs": _q_ed1_pairs,
     }
 
 
@@ -6155,6 +6168,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore": _kcore_sql(k=2, rounds=4),
         "ktruss": _ktruss_sql(k=3, rounds=2),
+        "ed1_pairs": """
+            WITH n AS (SELECT DISTINCT c_name AS s FROM customer)
+            SELECT a.s AS u, b.s AS v
+            FROM n a JOIN n b
+              ON a.s < b.s AND levenshtein(a.s, b.s) = 1
+        """,
         "link_pred": """
             WITH o AS (
                 SELECT o_custkey AS c, o_orderkey AS ok,

@@ -237,3 +237,86 @@ def golden_records(
         .groupby("__b")
         .map_groups(merge, batch_format="pandas")
     )
+
+def ed1_pairs(
+    ds: "ray.data.Dataset",
+    col: str,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """ALL unordered pairs of DISTINCT strings at Levenshtein distance
+    exactly 1 — the FastSS deletion-neighborhood fuzzy join (typo-level
+    entity matching / id-collision audits), EXACT and complete without
+    an all-pairs comparison.
+
+    Completeness: ed(s, t) ≤ 1 ⇒ D₁(s) ∩ D₁(t) ≠ ∅ where D₁(s) =
+    {s} ∪ one-char deletions (a substitution shares the common
+    deletion; an insertion/deletion shares the shorter string itself).
+    The converse over-generates (e.g. "ab"/"ba" share "a"), so groups
+    VERIFY with exact Levenshtein.
+
+    Scale shape: per-batch distinct-value combiner → variant emission
+    ((len+1)× amplification of the DISTINCT string table, not the
+    corpus) → ONE variant-bucketed exchange. A pair sharing several
+    variants would be emitted by several groups, so each group
+    recomputes min(D₁(u) ∩ D₁(v)) FROM THE PAIR ITSELF and emits only
+    in that canonical variant's group — single emission, no dedup
+    exchange (the canonical-chunk rule at the variant level). In-group
+    cost is density²; hot variants come from very short strings (the
+    documented FastSS caveat — prefilter by length if the domain has
+    them). Output (u, v), u < v."""
+    import pyarrow as pa
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        ss = pd.unique(df[col].astype(str))
+        out_v, out_s = [], []
+        for s in ss:
+            vs = {s}
+            vs.update(s[:i] + s[i + 1:] for i in range(len(s)))
+            out_v.extend(vs)
+            out_s.extend([s] * len(vs))
+        return pd.DataFrame({"variant": out_v, "s": out_s})
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["variant"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    schema = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        rows_u, rows_v = [], []
+        for variant, grp in g.groupby("variant", sort=False):
+            ss = sorted(set(grp["s"]))
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    u, v = ss[i], ss[j]
+                    if abs(len(u) - len(v)) > 1 or _levenshtein(u, v) != 1:
+                        continue
+                    du = {u}
+                    du.update(u[:p] + u[p + 1:] for p in range(len(u)))
+                    dv = {v}
+                    dv.update(v[:p] + v[p + 1:] for p in range(len(v)))
+                    if min(du & dv) == variant:
+                        rows_u.append(u)
+                        rows_v.append(v)
+        return pa.Table.from_pandas(
+            pd.DataFrame({"u": rows_u, "v": rows_v}),
+            preserve_index=False,
+            schema=schema,
+        )
+
+    # cross-batch duplicate strings collapse inside the variant groups
+    # (pairs are over the distinct set), so no global distinct pass is
+    # needed before emission
+    return (
+        ds.map_batches(variants, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(
+            lambda g: pairs(g.drop(columns="__b")), batch_format="pandas"
+        )
+    )

@@ -120,3 +120,44 @@ def test_golden_records_islands_and_survivorship(ray_session):
     assert list(out["canonical"]) == [
         "acme corpa", "acme corporation intl", "beta sitex",
     ]
+
+
+def test_ed1_pairs_bruteforce_and_single_emission(ray_session):
+    from fastie_ray.ops.blocking import _levenshtein, ed1_pairs
+
+    rng = np.random.default_rng(13)
+    words = list(
+        {
+            "".join(rng.choice(list("abc"), rng.integers(1, 6)))
+            for _ in range(120)
+        }
+    )
+    # duplicates across blocks must not double-emit
+    df = pd.DataFrame({"w": words + words[:30]})
+    got = (
+        ed1_pairs(ray.data.from_pandas(df).repartition(4), "w", n_buckets=4)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        [
+            (u, v)
+            for i, u in enumerate(sorted(set(words)))
+            for v in sorted(set(words))[i + 1:]
+            if _levenshtein(u, v) == 1
+        ],
+        columns=["u", "v"],
+    )
+    assert got.duplicated().sum() == 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ed1_pairs_swap_is_not_matched(ray_session):
+    from fastie_ray.ops.blocking import ed1_pairs
+
+    # "ab"/"ba" share deletion variants but ed=2 — must verify away
+    df = pd.DataFrame({"w": ["ab", "ba", "abc"]})
+    got = ed1_pairs(ray.data.from_pandas(df), "w", n_buckets=2).to_pandas()
+    got = set(map(tuple, got[["u", "v"]].itertuples(index=False)))
+    assert got == {("ab", "abc")}

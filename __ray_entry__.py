@@ -5485,6 +5485,36 @@ def _q_ed1_pairs(sf_dir: str):
     return ed1_pairs(cust, "c_name", n_buckets=16)
 
 
+def _q_containment(sf_dir: str):
+    """Directional set-containment join (``ops.neardup.
+    containment_pairs``): quote / subset-document detection. Token
+    structure is PLANTED from doc_id (NOTES fact: the synth text
+    vocabulary is 31 tokens — degenerate for set-similarity): docs in
+    groups of 8 carry nested token prefixes {g<gid>_0 .. g<gid>_(n-1)},
+    n = doc_id % 6 + 2, so containment(a→b) = 1 iff n_a ≤ n_b within a
+    group. Threshold 0.99 keeps exactly the full containments."""
+    import pandas as pd
+
+    from fastie_ray.ops.neardup import containment_pairs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        rows_id, rows_t = [], []
+        for d in df["doc_id"].astype(int):
+            gid = d // 8
+            for k in range(d % 6 + 2):
+                rows_id.append(d)
+                rows_t.append(f"g{gid}_{k}")
+        return pd.DataFrame({"id": pd.Series(rows_id, dtype="int64"),
+                             "token": rows_t})
+
+    return containment_pairs(
+        docs.map_batches(toks, batch_format="pandas"),
+        threshold=0.99, assume_distinct=True, n_buckets=16,
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -5759,6 +5789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss": _q_ktruss,
         "link_pred": _q_link_pred,
         "ed1_pairs": _q_ed1_pairs,
+        "containment": _q_containment,
     }
 
 
@@ -6168,6 +6199,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore": _kcore_sql(k=2, rounds=4),
         "ktruss": _ktruss_sql(k=3, rounds=2),
+        "containment": """
+            WITH tok AS (
+                SELECT CAST(doc_id AS BIGINT) AS id,
+                       'g' || CAST(doc_id // 8 AS BIGINT) || '_'
+                           || CAST(k AS BIGINT) AS t
+                FROM documents CROSS JOIN range(0, 8) r(k)
+                WHERE k < doc_id % 6 + 2),
+            sz AS (SELECT id, count(*) AS n FROM tok GROUP BY 1),
+            inter AS (
+                SELECT a.id AS ia, b.id AS ib, count(*) AS m
+                FROM tok a JOIN tok b ON a.t = b.t AND a.id <> b.id
+                GROUP BY 1, 2)
+            SELECT ia AS id_a, ib AS id_b,
+                   CAST(m * 1000000 // sz.n AS BIGINT) AS containment_e6
+            FROM inter JOIN sz ON sz.id = inter.ia
+            WHERE m * 1000000 >= 990000 * sz.n
+        """,
         "ed1_pairs": """
             WITH n AS (SELECT DISTINCT c_name AS s FROM customer)
             SELECT a.s AS u, b.s AS v

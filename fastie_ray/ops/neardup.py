@@ -1147,3 +1147,209 @@ def semantic_dedup(
         .groupby("__b")
         .map_groups(prune, batch_format="pandas")
     )
+
+def containment_pairs(
+    tokens: "ray.data.Dataset",
+    id_col: str = "id",
+    token_col: str = "token",
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    assume_distinct: bool = False,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Directional set-CONTAINMENT join over a pre-tokenized
+    (id, token) table: all ordered pairs (a, b) with
+    |T(a) ∩ T(b)| / |T(a)| ≥ threshold — the quote / boilerplate-wrap
+    / subset-document detector the symmetric Jaccard ops miss (a short
+    doc fully inside a long one has low Jaccard but containment 1.0).
+    Integer-exact: emits containment_e6 = ⌊inter·10⁶ / |T(a)|⌋ and the
+    filter is the cross-multiplied inter·10⁶ ≥ thresh_e6·|T(a)|.
+
+    Scale shape: EXACT intersection counts from the postings exchange
+    itself — per-token groups emit per-batch pre-aggregated unordered
+    pair counts (Σ over tokens = |A∩B|), ONE pair-bucketed count
+    aggregate, then two task hash_joins attach |T(a)| / |T(b)| and the
+    directional filter fans each unordered pair into 0–2 ordered rows.
+    No set payload ever ships; candidate volume is Σ_t df(t)² — the
+    co-citation/cooc bound. Hot tokens dominate it: ``max_df`` drops
+    tokens with document frequency > max_df from BOTH the postings and
+    the sizes (containment over the df-capped vocabulary — the
+    standard stopword-cap semantic, documented, SQL-reproducible).
+    Unless ``assume_distinct``, (id, token) rows are globally deduped
+    first (duplicate rows would inflate counts). Ids must be int64
+    (the pair exchanges emit typed integer frames)."""
+    thresh_e6 = int(round(threshold * 1_000_000))
+    if not assume_distinct:
+        from fastie_ray.ops.dedup import dedup_exact
+
+        tokens = dedup_exact(tokens, [id_col, token_col], n_buckets=n_buckets)
+
+    if max_df is not None:
+        # df per token (one token-bucketed count) → broadcast-free
+        # heavy-token DROP folded into the postings scan via a task
+        # anti-join (heavy set is usually tiny but unbounded in theory)
+        from fastie_ray.ops.join import hash_join
+
+        def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby(token_col, as_index=False).size()
+            return out.rename(columns={"size": "n"})
+
+        def add_bt(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            if len(df) == 0:
+                df["__b"] = np.array([], dtype=np.int64)
+                return df
+            h = pd.util.hash_pandas_object(
+                df[token_col], index=False
+            ).to_numpy()
+            df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            return df
+
+        def heavy(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.drop(columns="__b").groupby(
+                token_col, as_index=False
+            )["n"].sum()
+            return out.loc[out["n"] > max_df, [token_col]]
+
+        heavy_ds = (
+            tokens.map_batches(df_partial, batch_format="pandas")
+            .map_batches(add_bt, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(heavy, batch_format="pandas")
+        )
+        tokens = hash_join(
+            tokens, heavy_ds, on=token_col, how="anti",
+            left_cols=[id_col, token_col], n_buckets=n_buckets,
+        )
+
+    tokens = tokens.repartition(n_buckets).materialize()
+
+    # |T(id)| sizes: per-batch combiner → one id-bucketed exchange
+    def sz_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(id_col, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    def add_bi(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[id_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def sz_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(id_col, as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    sizes = (
+        tokens.map_batches(sz_partial, batch_format="pandas")
+        .map_batches(add_bi, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(sz_final, batch_format="pandas")
+    )
+
+    # postings exchange: per-token unordered pair counts, pre-aggregated
+    def add_bt2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[token_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        m = g.merge(g, on=token_col, suffixes=("_1", "_2"))
+        m = m[m[id_col + "_1"] < m[id_col + "_2"]]
+        if len(m) == 0:
+            return pd.DataFrame(
+                {"ia": pd.Series([], dtype="int64"),
+                 "ib": pd.Series([], dtype="int64"),
+                 "inter": pd.Series([], dtype="int64")}
+            )
+        out = (
+            m.groupby([id_col + "_1", id_col + "_2"], as_index=False)
+            .size()
+            .rename(columns={id_col + "_1": "ia", id_col + "_2": "ib",
+                             "size": "inter"})
+        )
+        out["inter"] = out["inter"].astype("int64")
+        return out
+
+    def add_bp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = (
+            pd.util.hash_pandas_object(df["ia"], index=False).to_numpy()
+            ^ pd.util.hash_pandas_object(df["ib"], index=False).to_numpy()
+        )
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def inter_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(["ia", "ib"], as_index=False)[
+            "inter"
+        ].sum()
+        out["inter"] = out["inter"].astype("int64")
+        return out
+
+    inter = (
+        tokens.map_batches(add_bt2, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pair_counts, batch_format="pandas")
+        .map_batches(add_bp, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(inter_final, batch_format="pandas")
+    )
+
+    from fastie_ray.ops.join import hash_join
+
+    with_na = hash_join(
+        inter, sizes, on="ia", right_on=id_col,
+        left_cols=["ia", "ib", "inter"], right_cols=[id_col, "n"],
+        n_buckets=n_buckets,
+    )
+    with_nb = hash_join(
+        with_na, sizes, on="ib", right_on=id_col,
+        left_cols=["ia", "ib", "inter", "n"], right_cols=[id_col, "n"],
+        n_buckets=n_buckets, suffix="_b",
+    )
+
+    def directional(df: pd.DataFrame):
+        import pyarrow as pa
+
+        inter_v = df["inter"].to_numpy(dtype=np.int64)
+        na = df["n"].to_numpy(dtype=np.int64)
+        nb = df["n_b"].to_numpy(dtype=np.int64)
+        ia = df["ia"].to_numpy(dtype=np.int64)
+        ib = df["ib"].to_numpy(dtype=np.int64)
+        fwd = inter_v * 1_000_000 >= thresh_e6 * na
+        rev = inter_v * 1_000_000 >= thresh_e6 * nb
+        out = pd.DataFrame(
+            {
+                "id_a": np.concatenate([ia[fwd], ib[rev]]),
+                "id_b": np.concatenate([ib[fwd], ia[rev]]),
+                "containment_e6": np.concatenate(
+                    [
+                        inter_v[fwd] * 1_000_000 // na[fwd],
+                        inter_v[rev] * 1_000_000 // nb[rev],
+                    ]
+                ),
+            }
+        )
+        # typed Arrow out: sparse pair blocks can be empty (NOTES 3/12)
+        return pa.Table.from_pandas(
+            out,
+            preserve_index=False,
+            schema=pa.schema(
+                [("id_a", pa.int64()), ("id_b", pa.int64()),
+                 ("containment_e6", pa.int64())]
+            ),
+        )
+
+    return with_nb.map_batches(directional, batch_format="pandas")

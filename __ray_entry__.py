@@ -5515,6 +5515,89 @@ def _q_containment(sf_dir: str):
     )
 
 
+def _q_temporal_reach(sf_dir: str):
+    """Time-respecting reachability (``ops.graph.temporal_reach``):
+    earliest arrival from seed users {0..4} over the event HANDOFF
+    graph (user of event i → user of event i+1, usable at event i+1's
+    timestamp — dense event ids make edge building an equi-join, no
+    sort). Paths must have nondecreasing timestamps; 4 bounded rounds,
+    monotone-sum fixpoint short-circuit."""
+    import pandas as pd
+
+    from fastie_ray.ops.graph import temporal_reach
+    from fastie_ray.ops.join import hash_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def lhs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": df["event_id"].astype("int64") + 1,
+                "src": df["user_id"].astype("int64"),
+            }
+        )
+
+    def rhs(df: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            pd.to_datetime(df["ts"]).astype("datetime64[us]")
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "k": df["event_id"].astype("int64"),
+                "dst": df["user_id"].astype("int64"),
+                "ts_us": t,
+            }
+        )
+
+    edges = hash_join(
+        ev.map_batches(lhs, batch_format="pandas"),
+        ev.map_batches(rhs, batch_format="pandas"),
+        on="k", left_cols=["k", "src"], right_cols=["k", "dst", "ts_us"],
+        n_buckets=16,
+    ).map_batches(
+        lambda df: df.loc[df["src"] != df["dst"], ["src", "dst", "ts_us"]],
+        batch_format="pandas",
+    )
+    seeds = pd.DataFrame({"node": range(5), "arrival_us": [0] * 5})
+    return temporal_reach(edges, seeds, rounds=4, n_buckets=16)
+
+
+def _temporal_reach_sql(rounds: int = 4) -> str:
+    """Unrolled earliest-arrival oracle (one expand/min-merge CTE pair
+    per round) over the event handoff graph — mirrors
+    ``_q_temporal_reach`` exactly."""
+    ctes = [
+        """ev AS (SELECT CAST(event_id AS BIGINT) AS eid,
+                 CAST(user_id AS BIGINT) AS u, epoch_us(ts) AS t
+          FROM events)""",
+        """e AS MATERIALIZED (
+            SELECT a.u AS src, b.u AS dst, b.t AS ts
+            FROM ev a JOIN ev b ON b.eid = a.eid + 1 AND a.u <> b.u)""",
+        """l0 AS MATERIALIZED (
+            SELECT CAST(k AS BIGINT) AS node, CAST(0 AS BIGINT) AS a
+            FROM range(0, 5) r(k))""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+                SELECT e.dst AS node, min(e.ts) AS a
+                FROM l{r} l JOIN e ON e.src = l.node AND e.ts >= l.a
+                GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""l{r + 1} AS MATERIALIZED (
+                SELECT node, min(a) AS a
+                FROM (SELECT * FROM l{r} UNION ALL SELECT * FROM c{r})
+                GROUP BY 1)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT node, CAST(a AS BIGINT) AS arrival_us FROM l{rounds}"""
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -5790,6 +5873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pred": _q_link_pred,
         "ed1_pairs": _q_ed1_pairs,
         "containment": _q_containment,
+        "temporal_reach": _q_temporal_reach,
     }
 
 
@@ -6199,6 +6283,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore": _kcore_sql(k=2, rounds=4),
         "ktruss": _ktruss_sql(k=3, rounds=2),
+        "temporal_reach": _temporal_reach_sql(rounds=4),
         "containment": """
             WITH tok AS (
                 SELECT CAST(doc_id AS BIGINT) AS id,

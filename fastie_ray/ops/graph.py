@@ -938,6 +938,107 @@ def link_prediction(
     return out.reset_index(drop=True)
 
 
+def temporal_reach(
+    edges: "ray.data.Dataset",
+    seeds: pd.DataFrame,
+    rounds: int = 4,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Time-respecting reachability (contact tracing / influence
+    propagation / taint tracking): EARLIEST ARRIVAL time at every node
+    reachable from the seed set along paths whose edge timestamps are
+    nondecreasing — the temporal-graph op a static k-hop can't express
+    (an edge is usable only at its own timestamp, so reachability
+    depends on WHEN you arrive).
+
+    Input: temporal edges (src, dst, ts_us) — traversing src→dst is
+    possible iff current arrival ≤ ts_us, arriving at ts_us; ``seeds``
+    is a small (node, arrival_us) frame. ``rounds`` bounds hops
+    (bounded-round semantics like ``kcore_peel`` — reproducible in an
+    unrolled SQL oracle); converged earlier rounds short-circuit via
+    the exact integer fixpoint test (label count equal AND arrival sum
+    equal: min-merge is monotone, so any change strictly lowers the
+    sum or adds a node — the ``scc`` monotone-sum trick).
+
+    Per round: ONE task hash_join (labels ⋈ edges on node=src, ts
+    filter folded into the downstream map), one dst-bucketed
+    min-exchange, one label-merge min-exchange; labels are node-sized,
+    edges pinned once (iterative ops re-run upstream lineage
+    otherwise, NOTES fact 19), per-round block discipline
+    (NOTES fact 15). Returns (node, arrival_us)."""
+    import ray.data
+
+    from fastie_ray.ops.join import hash_join
+
+    edges = edges.repartition(n_buckets).materialize()
+    labels = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "node": seeds["node"].astype("int64"),
+                "a": seeds["arrival_us"].astype("int64"),
+            }
+        )
+    ).materialize()
+
+    def add_bn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = _bucket(df["node"], n_buckets)
+        return df
+
+    def min_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("node", as_index=False)["a"].min()
+        out["a"] = out["a"].astype("int64")
+        return out
+
+    def _stats(lab) -> tuple[int, int]:
+        # (count, arrival-sum) via per-batch partials — the label table
+        # is node-sized, never driver-collected
+        parts = lab.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": [np.int64(len(df))],
+                 "s": [np.int64(df["a"].sum()) if len(df) else np.int64(0)]}
+            ),
+            batch_format="pandas",
+        ).to_pandas()
+        if len(parts) == 0:
+            return 0, 0
+        return int(parts["n"].sum()), int(parts["s"].sum())
+
+    n_prev, s_prev = _stats(labels)
+    for _ in range(rounds):
+        cand = hash_join(
+            labels, edges, on="node", right_on="src",
+            left_cols=["node", "a"], right_cols=["src", "dst", "ts_us"],
+            n_buckets=n_buckets,
+        )
+
+        def step(df: pd.DataFrame) -> pd.DataFrame:
+            ok = df["ts_us"].to_numpy() >= df["a"].to_numpy()
+            out = pd.DataFrame(
+                {"node": df["dst"].to_numpy()[ok],
+                 "a": df["ts_us"].to_numpy()[ok]}
+            )
+            # per-batch combiner before the min exchange
+            return out.groupby("node", as_index=False)["a"].min()
+
+        labels = (
+            labels.union(cand.map_batches(step, batch_format="pandas"))
+            .map_batches(add_bn, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(min_final, batch_format="pandas")
+            .repartition(n_buckets)
+            .materialize()
+        )
+        n_cur, s_cur = _stats(labels)
+        if (n_cur, s_cur) == (n_prev, s_prev):
+            break
+        n_prev, s_prev = n_cur, s_cur
+    return labels.map_batches(
+        lambda df: df.rename(columns={"a": "arrival_us"}),
+        batch_format="pandas",
+    )
+
+
 def random_walks(
     edges: "ray.data.Dataset",
     walk_len: int = 4,

@@ -5598,6 +5598,35 @@ def _temporal_reach_sql(rounds: int = 4) -> str:
     )
 
 
+def _q_grouped_auc(sf_dir: str):
+    """Per-segment exact ROC-AUC (``ops.metrics.grouped_auc_exact``,
+    the fairness-slice audit): three planted segments with different
+    positive score shifts (+100/+250/+400), so per-segment AUCs
+    differ; zero driver steps — per-group midrank scans run inside the
+    group-bucketed final task."""
+    import pandas as pd
+
+    from fastie_ray.ops.metrics import grouped_auc_exact
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype("int64")
+        label = (did % 5 < 2).astype("int64")
+        seg = did % 3
+        return pd.DataFrame(
+            {
+                "seg": "seg" + seg.astype(str),
+                "score": (did * 37) % 1000 + (100 + 150 * seg) * label,
+                "label": label,
+            }
+        )
+
+    return grouped_auc_exact(
+        ds.map_batches(plant, batch_format="pandas"), "seg", "score", "label"
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -5874,6 +5903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ed1_pairs": _q_ed1_pairs,
         "containment": _q_containment,
         "temporal_reach": _q_temporal_reach,
+        "grouped_auc": _q_grouped_auc,
     }
 
 
@@ -6284,6 +6314,37 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(k=2, rounds=4),
         "ktruss": _ktruss_sql(k=3, rounds=2),
         "temporal_reach": _temporal_reach_sql(rounds=4),
+        "grouped_auc": """
+            WITH s AS (
+                SELECT 'seg' || CAST(doc_id % 3 AS BIGINT) AS seg,
+                       (doc_id * 37) % 1000
+                       + CASE WHEN doc_id % 5 < 2
+                              THEN 100 + 150 * (doc_id % 3) ELSE 0 END
+                           AS score,
+                       CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0 END AS label
+                FROM documents),
+            g AS (SELECT seg, score, count(*) AS n, sum(label) AS np
+                  FROM s GROUP BY 1, 2),
+            o AS (SELECT seg, score, n, np,
+                         coalesce(sum(n) OVER (PARTITION BY seg
+                             ORDER BY score
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS rb
+                  FROM g),
+            t AS (SELECT seg,
+                         CAST(sum(np * (2 * rb + n + 1)) AS BIGINT)
+                             AS two_rpos,
+                         CAST(sum(np) AS BIGINT) AS n_pos,
+                         CAST(sum(n) - sum(np) AS BIGINT) AS n_neg
+                  FROM o GROUP BY seg)
+            SELECT seg,
+                   two_rpos - n_pos * (n_pos + 1) AS u2, n_pos, n_neg,
+                   CASE WHEN n_pos * n_neg = 0 THEN 0
+                        ELSE CAST((two_rpos - n_pos * (n_pos + 1))
+                             * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
+                   END AS auc_e6
+            FROM t
+        """,
         "containment": """
             WITH tok AS (
                 SELECT CAST(doc_id AS BIGINT) AS id,

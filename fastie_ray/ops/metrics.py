@@ -165,6 +165,80 @@ def auc_exact(
     )
 
 
+def grouped_auc_exact(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-SEGMENT exact ROC-AUC (``auc_exact`` lifted to groups — the
+    fairness/segment-eval audit: a model can hit 0.9 overall and 0.55
+    on one slice): same integer Mann-Whitney midrank arithmetic, but
+    with NO driver step at all — the (group, score) count combiner
+    bounds the exchange by group×score domain, all of a group's scores
+    co-locate in one bucket (hash on group), and the per-group prefix
+    scan runs vectorized inside the final task. Returns a Dataset of
+    (group, u2, n_pos, n_neg, auc_e6); degenerate one-class groups get
+    auc_e6 = 0 (den = 0), matching the SQL guard."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                group_col: df[group_col],
+                "score": df[score_col].astype("int64"),
+                "pos": df[label_col].astype("int64"),
+            }
+        )
+        return g.groupby([group_col, "score"], as_index=False).agg(
+            n=("pos", "count"), np_=("pos", "sum")
+        )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.drop(columns="__b")
+            .groupby([group_col, "score"], as_index=False)[["n", "np_"]]
+            .sum()
+            .sort_values([group_col, "score"])
+        )
+        rows = []
+        for key, grp in g.groupby(group_col, sort=False):
+            n = grp["n"].to_numpy(dtype=np.int64)
+            np_pos = grp["np_"].to_numpy(dtype=np.int64)
+            rank_below = np.concatenate([[0], np.cumsum(n)[:-1]])
+            two_rpos = int((np_pos * (2 * rank_below + n + 1)).sum())
+            n_pos = int(np_pos.sum())
+            n_neg = int(n.sum()) - n_pos
+            u2 = two_rpos - n_pos * (n_pos + 1)
+            den = 2 * n_pos * n_neg
+            rows.append(
+                (key, u2, n_pos, n_neg,
+                 (u2 * 1_000_000) // den if den else 0)
+            )
+        out = pd.DataFrame(
+            rows, columns=[group_col, "u2", "n_pos", "n_neg", "auc_e6"]
+        )
+        for c in ("u2", "n_pos", "n_neg", "auc_e6"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def calibration_bins(
     ds: "ray.data.Dataset",
     score_col: str,

@@ -77,3 +77,39 @@ def test_calibration_bins_matches_pandas():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_auc_matches_sklearn_free_reference(ray_session):
+    from fastie_ray.ops.metrics import grouped_auc_exact
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "seg": rng.choice(["a", "b", "c"], n),
+            "score": rng.integers(0, 50, n).astype("int64"),
+            "label": rng.integers(0, 2, n).astype("int64"),
+        }
+    )
+    # one degenerate single-class segment
+    df.loc[df["seg"] == "c", "label"] = 1
+    got = (
+        grouped_auc_exact(
+            ray.data.from_pandas(df).repartition(4),
+            "seg", "score", "label", n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("seg")
+        .reset_index(drop=True)
+    )
+    for seg, grp in df.groupby("seg"):
+        pos = grp.loc[grp["label"] == 1, "score"].to_numpy()
+        neg = grp.loc[grp["label"] == 0, "score"].to_numpy()
+        row = got[got["seg"] == seg].iloc[0]
+        if len(pos) == 0 or len(neg) == 0:
+            assert row["auc_e6"] == 0
+            continue
+        wins = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        want = (2 * wins + ties) * 1_000_000 // (2 * len(pos) * len(neg))
+        assert row["auc_e6"] == want, seg

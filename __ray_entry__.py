@@ -5627,6 +5627,37 @@ def _q_grouped_auc(sf_dir: str):
     )
 
 
+def _q_interval_union(sf_dir: str):
+    """Per-user interval union (``ops.interval.interval_coalesce``,
+    the uptime/covered-time op): events become [ts, ts + 1..90 min)
+    activity spans; two-phase chunk-clipped coalesce (1-day chunks),
+    only boundary spans cross the second exchange."""
+    import pandas as pd
+
+    from fastie_ray.ops.interval import interval_coalesce
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            pd.to_datetime(df["ts"]).astype("datetime64[us]")
+            .astype("int64")
+        )
+        dur = (1 + df["event_id"].astype("int64") % 90) * 60_000_000
+        return pd.DataFrame(
+            {
+                "k": df["user_id"].astype("int64"),
+                "s_us": t,
+                "e_us": t + dur,
+            }
+        )
+
+    return interval_coalesce(
+        ev.map_batches(prep, batch_format="pandas"),
+        chunk=86_400_000_000, n_buckets=16,
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -5904,6 +5935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment": _q_containment,
         "temporal_reach": _q_temporal_reach,
         "grouped_auc": _q_grouped_auc,
+        "interval_union": _q_interval_union,
     }
 
 
@@ -6314,6 +6346,30 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(k=2, rounds=4),
         "ktruss": _ktruss_sql(k=3, rounds=2),
         "temporal_reach": _temporal_reach_sql(rounds=4),
+        "interval_union": """
+            WITH iv AS (
+                SELECT CAST(user_id AS BIGINT) AS k,
+                       epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + (1 + event_id % 90) * 60000000 AS e
+                FROM events),
+            o AS (SELECT k, s, e,
+                         max(e) OVER (PARTITION BY k ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS me
+                  FROM iv),
+            f AS (SELECT k, s, e,
+                         CASE WHEN me IS NULL OR s > me THEN 1 ELSE 0 END
+                             AS ng
+                  FROM o),
+            g AS (SELECT k, s, e,
+                         sum(ng) OVER (PARTITION BY k ORDER BY s, e)
+                             AS gid
+                  FROM f)
+            SELECT k, CAST(min(s) AS BIGINT) AS s,
+                   CAST(max(e) AS BIGINT) AS e
+            FROM g GROUP BY k, gid
+        """,
         "grouped_auc": """
             WITH s AS (
                 SELECT 'seg' || CAST(doc_id % 3 AS BIGINT) AS seg,

@@ -322,6 +322,162 @@ def range_lookup(
     )
 
 
+def _coalesce_frame(df: pd.DataFrame, by: list[str]) -> pd.DataFrame:
+    """Vectorized gaps-and-islands union of half-open [s, e) intervals
+    within each ``by`` group (touch semantics: s == prev max e merges)."""
+    df = df.sort_values(by + ["s", "e"]).reset_index(drop=True)
+    me = df.groupby(by)["e"].transform(lambda x: x.cummax().shift(1))
+    new_grp = (me.isna() | (df["s"] > me)).astype(np.int64)
+    gid = new_grp.groupby([df[c] for c in by]).cumsum()
+    out = df.groupby(by + [gid.rename("__g")], as_index=False).agg(
+        s=("s", "min"), e=("e", "max")
+    )
+    return out[by + ["s", "e"]]
+
+
+def interval_coalesce(
+    ds: "ray.data.Dataset",
+    key_col: str = "k",
+    s_col: str = "s_us",
+    e_col: str = "e_us",
+    chunk: int = 86_400_000_000,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Coalesce overlapping-or-touching half-open intervals ``[s, e)``
+    per key into their union spans (uptime/SLA accounting, session
+    unions, covered-time dedup). Touch semantics: ``[1,5)`` and
+    ``[5,9)`` merge. Columns are INT64 microseconds (never bucket on
+    datetimes - pandas promotes us->ns batch-dependently and the bucket
+    hash flips, NOTES fact 23). Empty/inverted intervals (e <= s) drop.
+
+    Two-phase scalable shape (the ``rolling_avg`` pattern - a hot
+    key's spans never land in one task whole):
+
+    - Phase 1: each interval replicates CLIPPED to the time chunks it
+      covers (batch-local pre-coalesce acts as a combiner), then ONE
+      (key, chunk)-bucketed exchange coalesces each chunk's fragments
+      with a vectorized running-max scan. A span strictly interior to
+      its chunk (s > chunk_lo AND e < chunk_hi) is separated from
+      every other chunk's content by a positive gap, so it is FINAL
+      and streams out. Spans touching a chunk edge (<= 2 per
+      (key, chunk) after coalescing) continue.
+    - Phase 2: ONE key-bucketed exchange over boundary spans only -
+      per key a sorted linear coalesce stitches cross-chunk chains.
+      Volume is O(keys x chunks touched), independent of per-chunk
+      interval density.
+
+    Returns (k, s, e) union spans."""
+    out_schema = pa.schema(
+        [("k", pa.int64()), ("s", pa.int64()), ("e", pa.int64())]
+    )
+    edge_schema = pa.schema(
+        [("k", pa.int64()), ("s", pa.int64()), ("e", pa.int64()),
+         ("__edge", pa.int64())]
+    )
+
+    def replicate(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        s = df[s_col].to_numpy(dtype=np.int64)
+        e = df[e_col].to_numpy(dtype=np.int64)
+        k = df[key_col].to_numpy(dtype=np.int64)
+        ok = e > s
+        s, e, k = s[ok], e[ok], k[ok]
+        if len(s) == 0:
+            return out_schema.empty_table()
+        c0 = s // chunk
+        c1 = (e - 1) // chunk  # half-open: e on a boundary stays left
+        n_chunks = c1 - c0 + 1
+        idx = np.repeat(np.arange(len(s)), n_chunks)
+        offs = np.concatenate([np.arange(n) for n in n_chunks])
+        cid = c0[idx] + offs
+        lo = cid * chunk
+        hi = lo + chunk
+        out = pd.DataFrame(
+            {
+                "k": k[idx],
+                "__chunk": cid,
+                "s": np.maximum(s[idx], lo),
+                "e": np.minimum(e[idx], hi),
+            }
+        )
+        out = _coalesce_frame(out, ["k", "__chunk"])  # batch combiner
+        return pa.Table.from_pandas(
+            out[["k", "s", "e"]], preserve_index=False, schema=out_schema
+        )
+
+    def add_bkc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = (
+            pd.util.hash_pandas_object(df["k"], index=False).to_numpy()
+            ^ pd.util.hash_pandas_object(
+                pd.Series(df["s"].to_numpy() // chunk), index=False
+            ).to_numpy()
+        )
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def chunk_final(g: pd.DataFrame) -> pa.Table:
+        g = g.drop(columns="__b").copy()
+        g["__chunk"] = g["s"] // chunk
+        out = _coalesce_frame(g, ["k", "__chunk"])
+        lo = out["__chunk"].to_numpy() * chunk
+        hi = lo + chunk
+        edge = (
+            (out["s"].to_numpy() == lo) | (out["e"].to_numpy() == hi)
+        ).astype(np.int64)
+        res = pd.DataFrame(
+            {"k": out["k"], "s": out["s"], "e": out["e"], "__edge": edge}
+        )
+        return pa.Table.from_pandas(
+            res, preserve_index=False, schema=edge_schema
+        )
+
+    per_chunk = (
+        ds.map_batches(replicate, batch_format="pandas")
+        .map_batches(add_bkc, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(chunk_final, batch_format="pandas")
+        .materialize()
+    )
+
+    def interiors_only(df: pd.DataFrame) -> pa.Table:
+        sub = df.loc[df["__edge"] == 0, ["k", "s", "e"]]
+        return pa.Table.from_pandas(
+            sub, preserve_index=False, schema=out_schema
+        )
+
+    def edges_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["__edge"] == 1, ["k", "s", "e"]]
+
+    def add_bk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["k"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def stitch(g: pd.DataFrame) -> pa.Table:
+        res = _coalesce_frame(g.drop(columns="__b"), ["k"])
+        return pa.Table.from_pandas(
+            res[["k", "s", "e"]], preserve_index=False, schema=out_schema
+        )
+
+    interiors = per_chunk.map_batches(interiors_only, batch_format="pandas")
+    stitched = (
+        per_chunk.map_batches(edges_only, batch_format="pandas")
+        .map_batches(add_bk, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(stitch, batch_format="pandas")
+    )
+    return interiors.union(stitched)
+
+
 def band_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -160,3 +160,80 @@ def test_range_lookup_overlapping_ranges(ray_session):
             "x",
             mode="broadcast",
         )
+
+
+# --------------------------------------------------- interval_coalesce
+
+
+def _ref_coalesce(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for k, grp in df.groupby("k"):
+        ivs = sorted(
+            (int(s), int(e))
+            for s, e in grp[["s_us", "e_us"]].itertuples(index=False)
+            if e > s
+        )
+        cur = None
+        for s, e in ivs:
+            if cur is None:
+                cur = [s, e]
+            elif s <= cur[1]:
+                cur[1] = max(cur[1], e)
+            else:
+                rows.append((k, cur[0], cur[1]))
+                cur = [s, e]
+        if cur is not None:
+            rows.append((k, cur[0], cur[1]))
+    out = pd.DataFrame(rows, columns=["k", "s", "e"]).astype("int64")
+    return out.sort_values(["k", "s"]).reset_index(drop=True)
+
+
+def test_interval_coalesce_bruteforce_and_chunk_invariance(ray_session):
+    from fastie_ray.ops.interval import interval_coalesce
+
+    rng = np.random.default_rng(31)
+    n = 800
+    s = rng.integers(0, 5000, n).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n).astype(np.int64),
+            "s_us": s,
+            "e_us": s + rng.integers(1, 400, n).astype(np.int64),
+        }
+    )
+    want = _ref_coalesce(df)
+    for chunk in (100, 1000, 10**9):  # spans crossing many/no chunks
+        got = (
+            interval_coalesce(
+                ray.data.from_pandas(df).repartition(4),
+                chunk=chunk, n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "s"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), chunk
+
+
+def test_interval_coalesce_touch_and_boundary(ray_session):
+    from fastie_ray.ops.interval import interval_coalesce
+
+    # [0,100) + [100,200) touch across a chunk boundary at 100;
+    # [300,301) is isolated; inverted interval drops
+    df = pd.DataFrame(
+        {
+            "k": pd.Series([1, 1, 1, 1], dtype="int64"),
+            "s_us": pd.Series([0, 100, 300, 50], dtype="int64"),
+            "e_us": pd.Series([100, 200, 301, 40], dtype="int64"),
+        }
+    )
+    got = (
+        interval_coalesce(ray.data.from_pandas(df), chunk=100, n_buckets=2)
+        .to_pandas()
+        .sort_values(["k", "s"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"k": [1, 1], "s": [0, 300], "e": [200, 301]}
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -5658,6 +5658,25 @@ def _q_interval_union(sf_dir: str):
     )
 
 
+def _q_trending(sf_dir: str):
+    """Trending leaderboard: top-3 users PER EVENT TYPE by time-decayed
+    activity (grouped decayed counters — ``ops.stats.decayed_counts``
+    with a composite key composed with ``sampling.grouped_topk``):
+    integer power-of-two decay + combiner-first per-group top-k."""
+    from fastie_ray.ops.sampling import grouped_topk
+    from fastie_ray.ops.stats import decayed_counts
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id", "ts"])
+    dec = decayed_counts(
+        ev, ["event_type", "user_id"], "ts", ref_ts="2024-01-31",
+        unit="1d", scale_bits=40, clamp=40,
+    )
+    return grouped_topk(
+        dec, k=3, group_col="event_type", value_col="decayed",
+        id_col="user_id",
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -5936,6 +5955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temporal_reach": _q_temporal_reach,
         "grouped_auc": _q_grouped_auc,
         "interval_union": _q_interval_union,
+        "trending": _q_trending,
     }
 
 
@@ -6346,6 +6366,23 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(k=2, rounds=4),
         "ktruss": _ktruss_sql(k=3, rounds=2),
         "temporal_reach": _temporal_reach_sql(rounds=4),
+        "trending": """
+            WITH d AS (
+                SELECT event_type, user_id,
+                       CAST(sum((CAST(1 AS BIGINT) << 40)
+                            >> least(greatest(
+                                (epoch_us(TIMESTAMP '2024-01-31')
+                                 - epoch_us(ts)) // 86400000000, 0), 40))
+                            AS BIGINT) AS decayed
+                FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, user_id, decayed,
+                         row_number() OVER (PARTITION BY event_type
+                             ORDER BY decayed DESC, user_id) AS rank
+                  FROM d)
+            SELECT event_type, user_id, decayed,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
+        """,
         "interval_union": """
             WITH iv AS (
                 SELECT CAST(user_id AS BIGINT) AS k,

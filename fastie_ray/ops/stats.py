@@ -703,7 +703,7 @@ def pivot_counts(
 
 def decayed_counts(
     ds: "ray.data.Dataset",
-    key_col: str,
+    key_col: "str | list[str]",
     ts_col: str,
     ref_ts: str,
     unit: str = "1d",
@@ -722,7 +722,10 @@ def decayed_counts(
     (float ``exp(-λ·age)`` sums are neither). ``clamp`` bounds the
     shift (and zeroes anything older than ``clamp`` units beyond
     ``scale_bits``). One per-batch combiner + one key-bucketed
-    exchange; payload is keys × one int."""
+    exchange; payload is keys × one int. ``key_col`` may be a LIST of
+    columns — the grouped variant (trending per category = compose
+    with ``sampling.grouped_topk`` downstream)."""
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     ref_us = int(
         pd.Timestamp(ref_ts).to_datetime64().astype("datetime64[us]")
         .astype(np.int64)
@@ -738,20 +741,23 @@ def decayed_counts(
         )
         age = np.clip((ref_us - t) // unit_us, 0, clamp)
         w = np.int64(1 << scale_bits) >> age.astype(np.int64)
-        out = pd.DataFrame({key_col: df[key_col], "decayed": w})
-        return out.groupby(key_col, as_index=False)["decayed"].sum()
+        out = df[keys].copy()
+        out["decayed"] = w
+        return out.groupby(keys, as_index=False)["decayed"].sum()
 
     def add_b(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         if len(df) == 0:
             df["__b"] = np.array([], dtype=np.int64)
             return df
-        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        h = pd.util.hash_pandas_object(df[keys[0]], index=False).to_numpy()
+        for c in keys[1:]:
+            h = h ^ pd.util.hash_pandas_object(df[c], index=False).to_numpy()
         df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
         return df
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop(columns="__b").groupby(key_col, as_index=False)[
+        out = g.drop(columns="__b").groupby(keys, as_index=False)[
             "decayed"
         ].sum()
         out["decayed"] = out["decayed"].astype("int64")

@@ -120,3 +120,40 @@ def test_cross_source_overlap_matches_bruteforce():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_decayed_counts_composite_key_matches_single(ray_session):
+    # composite (g, k) totals must equal per-slice single-key totals
+    from fastie_ray.ops.stats import decayed_counts
+
+    rng = np.random.default_rng(41)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], n),
+            "k": rng.integers(0, 8, n).astype("int64"),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 20 * 86400, n), unit="s"),
+        }
+    )
+    both = (
+        decayed_counts(
+            ray.data.from_pandas(df).repartition(3),
+            ["g", "k"], "ts", ref_ts="2024-01-31", n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["g", "k"])
+        .reset_index(drop=True)
+    )
+    for gv in ("x", "y"):
+        single = (
+            decayed_counts(
+                ray.data.from_pandas(df[df["g"] == gv].reset_index(drop=True)),
+                "k", "ts", ref_ts="2024-01-31", n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        sub = both[both["g"] == gv][["k", "decayed"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(sub, single, check_dtype=False)

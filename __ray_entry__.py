@@ -5677,6 +5677,20 @@ def _q_trending(sf_dir: str):
     )
 
 
+def _q_top_paths(sf_dir: str):
+    """Length-3 user-journey counts (``ops.sequence.
+    path_counts_scalable``): two-phase n-gram mining — in-chunk
+    trigrams local, only each (user, day)'s first/last 2 events cross
+    the second exchange with global-consecutiveness rank checks; hot
+    users never co-locate whole."""
+    from fastie_ray.ops.sequence import path_counts_scalable
+
+    ev = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    return path_counts_scalable(ev, n=3, bucket="1d", n_buckets=16)
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -5956,6 +5970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_auc": _q_grouped_auc,
         "interval_union": _q_interval_union,
         "trending": _q_trending,
+        "top_paths": _q_top_paths,
     }
 
 
@@ -6366,6 +6381,17 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(k=2, rounds=4),
         "ktruss": _ktruss_sql(k=3, rounds=2),
         "temporal_reach": _temporal_reach_sql(rounds=4),
+        "top_paths": """
+            WITH o AS (
+                SELECT event_type AS t0,
+                       lead(event_type, 1) OVER w AS t1,
+                       lead(event_type, 2) OVER w AS t2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT t0, t1, t2, count(*) AS n_paths
+            FROM o WHERE t2 IS NOT NULL
+            GROUP BY 1, 2, 3
+        """,
         "trending": """
             WITH d AS (
                 SELECT event_type, user_id,

@@ -356,3 +356,243 @@ def markov_next_eval(
     return res.astype({"n_test": "int64", "n_correct": "int64"}).sort_values(
         "prev_type"
     ).reset_index(drop=True)
+
+def _ngram_counts_frame(
+    g: pd.DataFrame, n: int, type_col: str, mask_cols: list[str]
+) -> pd.DataFrame:
+    """Count n-grams of ``type_col`` over consecutive SORTED rows whose
+    ``mask_cols`` values all match across the window (vectorized
+    shifted-compare — no groupby.apply)."""
+    ok = np.ones(len(g), dtype=bool)
+    for j in range(1, n):
+        for c in mask_cols:
+            ok &= (g[c] == g[c].shift(j)).to_numpy()
+    if not ok.any():
+        return pd.DataFrame(
+            {f"t{i}": pd.Series([], dtype=object) for i in range(n)}
+        ).assign(n_paths=pd.Series([], dtype="int64"))
+    cols = {
+        f"t{i}": g[type_col].shift(n - 1 - i).to_numpy()[ok]
+        for i in range(n)
+    }
+    out = pd.DataFrame(cols)
+    out = out.groupby(list(cols), as_index=False).size().rename(
+        columns={"size": "n_paths"}
+    )
+    out["n_paths"] = out["n_paths"].astype("int64")
+    return out
+
+
+def path_counts(
+    ds: "ray.data.Dataset",
+    n: int = 3,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Counts of length-``n`` event-type PATHS (consecutive per key,
+    ordered by (ts, id)) — the product-analytics sequence-mining table
+    behind "top user journeys". One key-bucketed exchange; a hot key
+    lands in one task (see ``path_counts_scalable`` for the two-phase
+    shape). Returns (t0..t{n-1}, n_paths), type-domain bounded."""
+    cols = [key_col, ts_col, type_col, id_col]
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def count_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col])
+        return _ngram_counts_frame(g, n, type_col, [key_col])
+
+    parts = (
+        ds.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(count_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    tcols = [f"t{i}" for i in range(n)]
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {**{c: pd.Series([], dtype=object) for c in tcols},
+             "n_paths": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby(tcols, as_index=False)["n_paths"].sum()
+    out["n_paths"] = out["n_paths"].astype("int64")
+    return out.sort_values(tcols).reset_index(drop=True)
+
+
+def path_counts_scalable(
+    ds: "ray.data.Dataset",
+    n: int = 3,
+    bucket: str = "1d",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Same output as ``path_counts`` WITHOUT co-locating a key's whole
+    history (the ``transition_counts_scalable`` shape generalized to
+    n-grams): phase 1 buckets on (key, time-chunk) and counts n-grams
+    fully inside a chunk; only each (key, chunk)'s FIRST and LAST
+    ``n-1`` events (with their in-chunk rank and chunk size) cross the
+    second key-bucketed exchange, where an n-gram is counted iff its
+    events are pairwise GLOBALLY consecutive — same chunk with rank
+    step 1, or chunk-boundary step last→first — and it spans ≥ 2
+    chunks (in-chunk n-grams were counted in phase 1, so no double
+    count). Boundary volume is O(keys × chunks touched × (n−1)),
+    independent of in-chunk density."""
+    cols = [key_col, ts_col, type_col, id_col]
+    bucket_td = pd.Timedelta(bucket)
+    keep = n - 1
+    tcols = [f"t{i}" for i in range(n)]
+
+    def add_kb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            df["__tb"] = pd.Series([], dtype="datetime64[us]")
+            return df
+        tb = pd.to_datetime(df[ts_col]).dt.floor(bucket_td)
+        h = (
+            pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+            ^ pd.util.hash_pandas_object(tb, index=False).to_numpy()
+        )
+        df["__tb"] = tb
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def in_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "__tb", ts_col, id_col]).reset_index(
+            drop=True
+        )
+        grams = _ngram_counts_frame(g, n, type_col, [key_col, "__tb"])
+        grp = g.groupby([key_col, "__tb"], sort=False)
+        r = grp.cumcount().to_numpy() + 1
+        sz = grp[type_col].transform("size").to_numpy()
+        edge_m = (r <= keep) | (r > sz - keep)
+        edges = pd.DataFrame(
+            {
+                "key": g[key_col].to_numpy()[edge_m],
+                "tb": g["__tb"].to_numpy()[edge_m],
+                "ts": g[ts_col].to_numpy()[edge_m],
+                "eid": g[id_col].to_numpy()[edge_m],
+                "typ": g[type_col].to_numpy()[edge_m],
+                "r": r[edge_m],
+                "sz": sz[edge_m],
+            }
+        )
+        out = pd.DataFrame(
+            {
+                "kind": ["gram"] * len(grams) + ["edge"] * len(edges),
+                **{
+                    c: list(grams[c]) + [None] * len(edges)
+                    for c in tcols
+                },
+                "n_paths": list(grams["n_paths"]) + [0] * len(edges),
+                "key": [None] * len(grams) + list(edges["key"]),
+                "tb": [pd.NaT] * len(grams) + list(edges["tb"]),
+                "ts": [pd.NaT] * len(grams) + list(edges["ts"]),
+                "eid": [0] * len(grams) + list(edges["eid"]),
+                "typ": [None] * len(grams) + list(edges["typ"]),
+                "r": [0] * len(grams) + list(edges["r"]),
+                "sz": [0] * len(grams) + list(edges["sz"]),
+            }
+        )
+        out["n_paths"] = out["n_paths"].astype("int64")
+        for c in ("eid", "r", "sz"):
+            out[c] = out[c].astype("int64")
+        out["tb"] = pd.to_datetime(out["tb"])
+        out["ts"] = pd.to_datetime(out["ts"])
+        return out
+
+    phase1 = (
+        ds.map_batches(add_kb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(in_chunk, batch_format="pandas")
+        .materialize()
+    )
+    in_grams = phase1.map_batches(
+        lambda df: df[df["kind"] == "gram"][tcols + ["n_paths"]],
+        batch_format="pandas",
+    ).to_pandas()
+
+    def add_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["kind"] == "edge"][
+            ["key", "tb", "ts", "eid", "typ", "r", "sz"]
+        ].copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["key"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def cross_chunk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").sort_values(
+            ["key", "tb", "ts", "eid"]
+        ).reset_index(drop=True)
+        same_key1 = (g["key"] == g["key"].shift()).to_numpy()
+        # adjacent-position global consecutiveness
+        same_tb = (g["tb"] == g["tb"].shift()).to_numpy()
+        step_in = same_tb & (g["r"].to_numpy() == g["r"].shift().to_numpy() + 1)
+        step_x = (
+            ~same_tb
+            & (g["r"].shift().to_numpy() == g["sz"].shift().to_numpy())
+            & (g["r"].to_numpy() == 1)
+        )
+        consec = (step_in | step_x) & same_key1
+        # window ending at i is valid iff all n-1 adjacent steps are
+        # consecutive: win[i] = AND_j consec[i-j], j = 0..n-2
+        win = np.ones(len(g), dtype=bool)
+        for j in range(0, n - 1):
+            shifted = np.concatenate(
+                [[False] * j, consec[: len(g) - j]]
+            ) if j else consec
+            win &= shifted
+        # spans >= 2 chunks: NOT all same tb across the window
+        all_same_tb = np.ones(len(g), dtype=bool)
+        for j in range(1, n):
+            all_same_tb &= (g["tb"] == g["tb"].shift(j)).to_numpy()
+        win &= ~all_same_tb
+        if not win.any():
+            return pd.DataFrame(
+                {**{c: pd.Series([], dtype=object) for c in tcols},
+                 "n_paths": pd.Series([], dtype="int64")}
+            )
+        cols_ = {
+            f"t{i}": g["typ"].shift(n - 1 - i).to_numpy()[win]
+            for i in range(n)
+        }
+        out = pd.DataFrame(cols_)
+        out = out.groupby(tcols, as_index=False).size().rename(
+            columns={"size": "n_paths"}
+        )
+        out["n_paths"] = out["n_paths"].astype("int64")
+        return out
+
+    cross = (
+        phase1.map_batches(add_k, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(cross_chunk, batch_format="pandas")
+        .to_pandas()
+    )
+    frames = [f for f in (in_grams, cross) if len(f)]
+    if not frames:
+        return pd.DataFrame(
+            {**{c: pd.Series([], dtype=object) for c in tcols},
+             "n_paths": pd.Series([], dtype="int64")}
+        )
+    out = pd.concat(frames, ignore_index=True).groupby(
+        tcols, as_index=False
+    )["n_paths"].sum()
+    out["n_paths"] = out["n_paths"].astype("int64")
+    return out.sort_values(tcols).reset_index(drop=True)

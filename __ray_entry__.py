@@ -5691,6 +5691,17 @@ def _q_top_paths(sf_dir: str):
     return path_counts_scalable(ev, n=3, bucket="1d", n_buckets=16)
 
 
+def _q_hopping_uniques(sf_dir: str):
+    """Active users per sliding hour per event type (``ops.windows.
+    hopping_window_distinct``): exact windowed COUNT DISTINCT whose
+    member-hashed first exchange keeps a hot window's members spread
+    across buckets (disjoint partial counts add)."""
+    from fastie_ray.ops.windows import hopping_window_distinct
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "user_id"])
+    return hopping_window_distinct(ds, size="1h", hop="30min")
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -5971,6 +5982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_union": _q_interval_union,
         "trending": _q_trending,
         "top_paths": _q_top_paths,
+        "hopping_uniques": _q_hopping_uniques,
     }
 
 
@@ -6381,6 +6393,14 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(k=2, rounds=4),
         "ktruss": _ktruss_sql(k=3, rounds=2),
         "temporal_reach": _temporal_reach_sql(rounds=4),
+        "hopping_uniques": """
+            SELECT time_bucket(INTERVAL '30 minutes', ts)
+                     - i * INTERVAL '30 minutes' AS window_start,
+                   event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events CROSS JOIN range(2) t(i)
+            GROUP BY 1, 2
+        """,
         "top_paths": """
             WITH o AS (
                 SELECT event_type AS t0,

@@ -238,6 +238,98 @@ def hopping_window_agg(
     )
 
 
+def hopping_window_distinct(
+    ds: "ray.data.Dataset",
+    size: str = "1h",
+    hop: str = "30min",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    member_col: str = "user_id",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """EXACT windowed COUNT DISTINCT — unique ``member_col`` per
+    (hopping window, key): the "active users per sliding hour" op that
+    ``hopping_window_agg`` (row counts/sums) can't express.
+
+    Scale shape — a hot window's members NEVER co-locate: the partial
+    combiner replicates events to their ``size/hop`` windows and
+    batch-dedups (window, key, member); the first exchange buckets on
+    hash(MEMBER), so every copy of a (w, k, m) triple shares a bucket
+    and an in-task dedup is globally complete, while a window's
+    members spread across all buckets; each bucket emits per-(w, k)
+    partial distinct counts (disjoint member sets → counts ADD), and a
+    second tiny window-bucketed exchange sums them. Exchange volume:
+    batch-distinct triples, then buckets × windows × keys ints."""
+    size_td, hop_td = pd.Timedelta(size), pd.Timedelta(hop)
+    assert size_td % hop_td == pd.Timedelta(0), "hop must divide size"
+    n_rep = size_td // hop_td
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[ts_col].dt.floor(hop)
+        frames = []
+        for i in range(n_rep):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "window_start": (base - i * hop_td).astype(
+                            "datetime64[us]"
+                        ),
+                        key_col: df[key_col],
+                        "m": df[member_col],
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return out.drop_duplicates(["window_start", key_col, "m"])
+
+    def add_bm(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["m"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").drop_duplicates(
+            ["window_start", key_col, "m"]
+        )
+        out = g.groupby(["window_start", key_col], as_index=False).agg(
+            n_distinct=("m", "count")
+        )
+        out["n_distinct"] = out["n_distinct"].astype("int64")
+        return out
+
+    def add_bw(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(
+            df["window_start"], index=False
+        ).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(
+            ["window_start", key_col], as_index=False
+        )["n_distinct"].sum()
+        out["n_distinct"] = out["n_distinct"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_bm, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .map_batches(add_bw, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def session_window_agg(
     ds: "ray.data.Dataset",
     gap: str = "30min",

@@ -157,3 +157,44 @@ def test_decayed_counts_composite_key_matches_single(ray_session):
         )
         sub = both[both["g"] == gv][["k", "decayed"]].reset_index(drop=True)
         pd.testing.assert_frame_equal(sub, single, check_dtype=False)
+
+
+def test_hopping_window_distinct_bruteforce(ray_session):
+    from fastie_ray.ops.windows import hopping_window_distinct
+
+    rng = np.random.default_rng(43)
+    n = 900
+    df = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 3 * 86400, n), unit="s"),
+            "event_type": rng.choice(["a", "b"], n),
+            "user_id": rng.integers(0, 30, n).astype("int64"),
+        }
+    )
+    got = (
+        hopping_window_distinct(
+            ray.data.from_pandas(df).repartition(4),
+            size="1h", hop="30min", n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    frames = []
+    for i in range(2):
+        f = df.copy()
+        f["window_start"] = f["ts"].dt.floor("30min") - pd.Timedelta(
+            "30min"
+        ) * i
+        frames.append(f)
+    rep = pd.concat(frames, ignore_index=True)
+    want = (
+        rep.groupby(["window_start", "event_type"], as_index=False)
+        .agg(n_distinct=("user_id", "nunique"))
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want["window_start"] = want["window_start"].astype("datetime64[us]")
+    want["n_distinct"] = want["n_distinct"].astype("int64")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -5702,6 +5702,54 @@ def _q_hopping_uniques(sf_dir: str):
     return hopping_window_distinct(ds, size="1h", hop="30min")
 
 
+def _q_cuped(sf_dir: str):
+    """CUPED variance-reduced A/B readout (``ops.linear_train.
+    cuped_adjust``): per-user pre-period (X) / experiment-period (Y)
+    cents rolled up in one user-bucketed exchange, arm = user_id % 2,
+    pooled θ from exact integer sufficient stats."""
+    import pandas as pd
+
+    from fastie_ray.ops.linear_train import cuped_adjust
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    cut = pd.Timestamp("2024-01-16")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.to_datetime(df["ts"])
+        cents = (df["value"] * 100).round().astype("int64")
+        g = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "x": cents.where(t < cut, 0),
+                "y": cents.where(t >= cut, 0),
+            }
+        )
+        return g.groupby("user_id", as_index=False)[["x", "y"]].sum()
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = pd.Series([], dtype="int64")
+            return df
+        df["__b"] = (df["user_id"].to_numpy() % 16).astype("int64")
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("user_id", as_index=False)[
+            ["x", "y"]
+        ].sum()
+        out["arm"] = (out["user_id"] % 2).astype("int64")
+        return out[["arm", "x", "y"]]
+
+    units = (
+        ev.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+    return cuped_adjust(units, "arm", "x", "y")
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -5983,6 +6031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending": _q_trending,
         "top_paths": _q_top_paths,
         "hopping_uniques": _q_hopping_uniques,
+        "cuped": _q_cuped,
     }
 
 
@@ -6393,6 +6442,41 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(k=2, rounds=4),
         "ktruss": _ktruss_sql(k=3, rounds=2),
         "temporal_reach": _temporal_reach_sql(rounds=4),
+        "cuped": """
+            WITH u AS (
+                SELECT user_id,
+                       CAST(user_id % 2 AS BIGINT) AS arm,
+                       sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS x,
+                       sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS y
+                FROM events GROUP BY 1),
+            g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(x) AS HUGEINT) AS sx,
+                         CAST(sum(y) AS HUGEINT) AS sy,
+                         CAST(sum(x * x) AS HUGEINT) AS sxx,
+                         CAST(sum(x * y) AS HUGEINT) AS sxy
+                  FROM u),
+            gg AS (SELECT n, sx, sy,
+                          n * sxy - sx * sy AS cov_num,
+                          n * sxx - sx * sx AS var_num
+                   FROM g),
+            a AS (SELECT arm, CAST(count(*) AS HUGEINT) AS na,
+                         CAST(sum(x) AS HUGEINT) AS sxa,
+                         CAST(sum(y) AS HUGEINT) AS sya
+                  FROM u GROUP BY 1)
+            SELECT arm, CAST(na AS BIGINT) AS n,
+                   CAST(sya * 1000000 // na AS BIGINT) AS mean_y_e6,
+                   CAST((sya * var_num * g2.n
+                         - cov_num * (sxa * g2.n - g2.sx * na))
+                        * 1000000 // (na * g2.n * var_num)
+                        AS BIGINT) AS adj_mean_e6,
+                   CAST(cov_num * 1000000 // var_num AS BIGINT)
+                       AS theta_e6
+            FROM a, gg g2
+        """,
         "hopping_uniques": """
             SELECT time_bucket(INTERVAL '30 minutes', ts)
                      - i * INTERVAL '30 minutes' AS window_start,

@@ -258,3 +258,80 @@ def uncertainty_sample(
     out = cand.sort_values(["margin", id_col]).head(k)
     out[score_col] = out[score_col].astype("int64")
     return out.reset_index(drop=True)
+
+def cuped_adjust(
+    ds: "ray.data.Dataset",
+    arm_col: str = "arm",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> pd.DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13 — the
+    standard experimentation-platform adjustment): per experiment arm,
+    the covariate-adjusted mean
+
+        adj_a = Ȳ_a − θ·(X̄_a − X̄)      θ = cov(X, Y) / var(X)
+
+    over per-UNIT integer metrics (X = pre-period covariate, Y =
+    experiment metric, e.g. cents) — pooled θ, as in production CUPED.
+
+    Everything is EXACT integer arithmetic on sufficient statistics:
+    one per-batch (arm → n, Σx, Σy, Σx², Σxy) combiner, an arm-domain
+    driver merge (fixed width — nothing row-sized moves), then
+    Python bigints build the single-fraction numerator/denominator
+
+        adj_a = [Σy_a·V·n − C·(Σx_a·n − Σx·n_a)] / (n_a·n·V)
+        C = n·Σxy − Σx·Σy,   V = n·Σx² − (Σx)²
+
+    scaled 1e6 with TRUNCATING division (SQL's ``//`` truncates toward
+    zero on negatives, unlike Python's floor — matched explicitly so a
+    negative θ or adjustment reproduces bit-for-bit in HUGEINT).
+    Returns (arm, n, mean_y_e6, adj_mean_e6, theta_e6); V = 0
+    (constant covariate) degrades to θ = 0 = no adjustment."""
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a < 0) == (b < 0) else -q
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "arm": df[arm_col],
+                "x": df[x_col].astype("int64"),
+                "y": df[y_col].astype("int64"),
+            }
+        )
+        g["xx"] = g["x"] * g["x"]
+        g["xy"] = g["x"] * g["y"]
+        out = g.groupby("arm", as_index=False).agg(
+            n=("x", "count"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), sxy=("xy", "sum"),
+        )
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    arms = parts.groupby("arm", as_index=False).sum()
+    n = int(arms["n"].sum())
+    sx = int(arms["sx"].sum())
+    sy = int(arms["sy"].sum())
+    sxx = int(arms["sxx"].sum())
+    sxy = int(arms["sxy"].sum())
+    cov_num = n * sxy - sx * sy
+    var_num = n * sxx - sx * sx
+    theta_e6 = tdiv(cov_num * 1_000_000, var_num) if var_num else 0
+    rows = []
+    for r in arms.itertuples():
+        na, sxa, sya = int(r.n), int(r.sx), int(r.sy)
+        mean_y_e6 = tdiv(sya * 1_000_000, na)
+        if var_num:
+            num = sya * var_num * n - cov_num * (sxa * n - sx * na)
+            den = na * n * var_num
+            adj_e6 = tdiv(num * 1_000_000, den)
+        else:
+            adj_e6 = mean_y_e6
+        rows.append((r.arm, na, mean_y_e6, adj_e6, theta_e6))
+    out = pd.DataFrame(
+        rows, columns=["arm", "n", "mean_y_e6", "adj_mean_e6", "theta_e6"]
+    ).sort_values("arm").reset_index(drop=True)
+    for c in ("n", "mean_y_e6", "adj_mean_e6", "theta_e6"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -159,3 +159,44 @@ def test_uncertainty_sample_picks_smallest_margins(ray_session):
     out = uncertainty_sample(ds, k=3)
     assert list(out["doc_id"]) == [2, 1, 5]  # margins 0, 1, 1 (tie by id)
     assert list(out["margin"]) == [0, 1, 1]
+
+
+def test_cuped_matches_float_reference_and_reduces_variance(ray_session):
+    from fastie_ray.ops.linear_train import cuped_adjust
+
+    rng = np.random.default_rng(47)
+    n = 2000
+    x = rng.integers(0, 10_000, n).astype("int64")
+    arm = (np.arange(n) % 2).astype("int64")
+    # y correlated with x plus a small arm effect
+    y = (x * 3 // 2 + rng.integers(0, 2000, n) + 500 * arm).astype("int64")
+    df = pd.DataFrame({"arm": arm, "x": x, "y": y})
+    got = cuped_adjust(
+        ray.data.from_pandas(df).repartition(4), "arm", "x", "y"
+    )
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    assert abs(got["theta_e6"].iloc[0] / 1e6 - theta) < 1e-3
+    xbar = x.mean()
+    for _, row in got.iterrows():
+        m = arm == row["arm"]
+        adj = y[m].mean() - theta * (x[m].mean() - xbar)
+        assert abs(row["adj_mean_e6"] / 1e6 - adj) < 1e-2, row["arm"]
+        # CUPED must shrink the adjusted-metric variance
+        yadj = y[m] - theta * (x[m] - xbar)
+        assert yadj.var() < y[m].var()
+
+
+def test_cuped_constant_covariate_degrades_to_raw_means(ray_session):
+    from fastie_ray.ops.linear_train import cuped_adjust
+
+    df = pd.DataFrame(
+        {
+            "arm": pd.Series([0, 0, 1, 1], dtype="int64"),
+            "x": pd.Series([7, 7, 7, 7], dtype="int64"),
+            "y": pd.Series([10, 20, 30, 50], dtype="int64"),
+        }
+    )
+    got = cuped_adjust(ray.data.from_pandas(df), "arm", "x", "y")
+    assert got["theta_e6"].tolist() == [0, 0]
+    assert got["adj_mean_e6"].tolist() == got["mean_y_e6"].tolist()
+    assert got["mean_y_e6"].tolist() == [15_000_000, 40_000_000]

@@ -5750,6 +5750,71 @@ def _q_cuped(sf_dir: str):
     return cuped_adjust(units, "arm", "x", "y")
 
 
+def _q_landmarks(sf_dir: str):
+    """Landmark distance sketch (``ops.graph.landmark_distances``):
+    min-hop ≤ 3 from the first order of customers 2/4/6/8 over the
+    undirected chain/cycle order graph — all landmarks in ONE BFS over
+    (node, landmark) labels."""
+    import duckdb
+
+    from fastie_ray.ops.graph import landmark_distances
+
+    # landmarks are tiny and deterministic: first order of 4 fixed
+    # customers (driver-side lookup of 4 scalars, not a data motion)
+    lms = [
+        "o" + str(r[0])
+        for r in duckdb.sql(
+            f"""SELECT min(o_orderkey) FROM '{sf_dir}/orders.parquet'
+                WHERE o_custkey IN (2, 4, 6, 8) GROUP BY o_custkey
+                ORDER BY o_custkey"""
+        ).fetchall()
+    ]
+    return landmark_distances(
+        _order_chain_edges(sf_dir), lms, k=3, n_buckets=16
+    )
+
+
+def _landmarks_sql(k: int = 3) -> str:
+    """Unrolled multi-landmark BFS oracle (one expand/min-merge CTE per
+    hop over (node, lm) labels) — mirrors ``_q_landmarks``."""
+    ctes = [
+        """o AS (SELECT o_custkey AS c, o_orderkey AS ok,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+            count(*) OVER (PARTITION BY o_custkey) AS n FROM orders)""",
+        """chain AS (SELECT 'o' || a.ok AS a, 'o' || b.ok AS b
+            FROM o a JOIN o b ON a.c = b.c AND b.rn = a.rn + 1)""",
+        """cyc AS (SELECT 'o' || l.ok AS a, 'o' || f.ok AS b
+            FROM o l JOIN o f ON l.c = f.c AND l.rn = l.n AND f.rn = 1
+            AND l.n >= 2 AND l.c % 2 = 0)""",
+        "j AS (SELECT a, b FROM chain UNION SELECT a, b FROM cyc)",
+        """adj AS MATERIALIZED (
+            SELECT a AS src, b AS dst FROM j
+            UNION SELECT b, a FROM j)""",
+        """lmk AS (SELECT 'o' || min(ok) AS node FROM o
+            WHERE c IN (2, 4, 6, 8) GROUP BY c)""",
+        """v0 AS MATERIALIZED (
+            SELECT node, node AS lm, CAST(0 AS BIGINT) AS hop FROM lmk)""",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""v{i} AS MATERIALIZED (
+                SELECT node, lm, hop FROM v{i - 1}
+                UNION ALL
+                SELECT c.node, c.lm, CAST({i} AS BIGINT)
+                FROM (SELECT DISTINCT e.dst AS node, f.lm
+                      FROM v{i - 1} f JOIN adj e ON e.src = f.node
+                      WHERE f.hop = {i - 1}) c
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM v{i - 1} p
+                    WHERE p.node = c.node AND p.lm = c.lm))"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT node, lm AS landmark, hop FROM v{k}"""
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -6032,6 +6097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_paths": _q_top_paths,
         "hopping_uniques": _q_hopping_uniques,
         "cuped": _q_cuped,
+        "landmarks": _q_landmarks,
     }
 
 
@@ -6442,6 +6508,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(k=2, rounds=4),
         "ktruss": _ktruss_sql(k=3, rounds=2),
         "temporal_reach": _temporal_reach_sql(rounds=4),
+        "landmarks": _landmarks_sql(k=3),
         "cuped": """
             WITH u AS (
                 SELECT user_id,

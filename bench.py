@@ -88,7 +88,11 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "line_dedup", "hits", "scc", "running_total",
                  "stream_join", "ivm_join", "vocab_build", "mis",
                  "sssp", "spatial_pairs", "coverage_picks",
-                 "price_quantiles", "perm_test", "grouped_ks"):
+                 "price_quantiles", "perm_test", "grouped_ks",
+                 "ktruss", "link_pred", "ed1_pairs", "containment",
+                 "temporal_reach", "interval_union", "top_paths",
+                 "hopping_uniques", "trending", "cuped", "range_lookup",
+                 "grouped_open_quantiles", "grouped_auc"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

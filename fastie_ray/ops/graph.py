@@ -938,6 +938,115 @@ def link_prediction(
     return out.reset_index(drop=True)
 
 
+def landmark_distances(
+    edges: "ray.data.Dataset",
+    landmarks: list[str],
+    k: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Multi-landmark BFS distance table — ``(node, landmark, hop)``
+    with hop = min distance ≤ ``k`` from each landmark: the landmark
+    distance-sketch primitive (shortest-path estimation d(u,v) ≤
+    d(u,l)+d(l,v), graph embeddings, centrality screening). All
+    landmarks advance in ONE BFS over (node, landmark) labels — L
+    landmarks cost one traversal, not L.
+
+    Per hop (``khop_reachability``'s Pregel superstep lifted to keyed
+    labels): frontier ⋈ edges via a task hash_join on node=src (node
+    ids + landmark tags ship, never payload), then one
+    (node, landmark)-bucketed tag-union exchange computes
+    new = distinct(candidates) − visited, stamps hop, and emits
+    visited ∪ new; the next frontier is the block-local hop == i
+    filter. Early-exits when a hop adds nothing. Labels are
+    L × reachable-set sized, never driver-collected; the adjacency is
+    materialized once."""
+    import ray.data
+
+    from fastie_ray.ops.join import hash_join
+
+    if not directed:
+        rev = edges.map_batches(
+            lambda df, s=src, d=dst: pd.DataFrame({s: df[d], d: df[s]}),
+            batch_format="pandas",
+        )
+        adj = edges.select_columns([src, dst]).union(rev)
+    else:
+        adj = edges.select_columns([src, dst])
+    adj = adj.repartition(n_buckets).materialize()
+
+    seed = pd.DataFrame(
+        {"node": list(landmarks), "lm": list(landmarks)}
+    ).drop_duplicates()
+    seed["hop"] = np.int64(0)
+    visited = ray.data.from_pandas(seed).materialize()
+    frontier = visited
+
+    def add_bnl(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = (
+            pd.util.hash_pandas_object(df["node"], index=False).to_numpy()
+            ^ pd.util.hash_pandas_object(df["lm"], index=False).to_numpy()
+        )
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    for i in range(1, k + 1):
+        cand = hash_join(
+            frontier, adj, on="node", right_on=src,
+            left_cols=["node", "lm"], right_cols=[src, dst],
+            n_buckets=n_buckets,
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df[dst], "lm": df["lm"]}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        )
+
+        def merge(g: pd.DataFrame, hop=i) -> pd.DataFrame:
+            g = g.drop(columns="__b")
+            old = g[g["hop"] >= 0]
+            new = g[g["hop"] < 0][["node", "lm"]].drop_duplicates()
+            new = new.merge(
+                old[["node", "lm"]], on=["node", "lm"],
+                how="left", indicator=True,
+            )
+            new = new[new["_merge"] == "left_only"][["node", "lm"]].copy()
+            new["hop"] = np.int64(hop)
+            out = pd.concat(
+                [old[["node", "lm", "hop"]], new], ignore_index=True
+            )
+            out["hop"] = out["hop"].astype("int64")
+            return out
+
+        tagged_new = cand.map_batches(
+            lambda df: df.assign(hop=np.int64(-1)), batch_format="pandas"
+        )
+        visited = (
+            visited.union(tagged_new)
+            .map_batches(add_bnl, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(merge, batch_format="pandas")
+            .repartition(n_buckets)
+            .materialize()
+        )
+        frontier = visited.map_batches(
+            lambda df, hop=i: df.loc[df["hop"] == hop, ["node", "lm"]],
+            batch_format="pandas",
+        ).materialize()
+        if frontier.count() == 0:
+            break
+    return visited.map_batches(
+        lambda df: df.rename(columns={"lm": "landmark"}),
+        batch_format="pandas",
+    )
+
+
 def temporal_reach(
     edges: "ray.data.Dataset",
     seeds: pd.DataFrame,

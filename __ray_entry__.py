@@ -5815,6 +5815,32 @@ def _landmarks_sql(k: int = 3) -> str:
     )
 
 
+def _q_trailing_spend(sf_dir: str):
+    """Per-user 7-day trailing spend per observed day (``ops.rolling.
+    trailing_window_sums``, the RANGE-frame feature next to
+    rolling_avg's ROWS frame): daily combiner → one key exchange →
+    encoded-position searchsorted windows, no per-key loop."""
+    import pandas as pd
+
+    from fastie_ray.ops.rolling import trailing_window_sums
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "ts": df["ts"],
+                "cents": (df["value"] * 100).round().astype("int64"),
+            }
+        )
+
+    return trailing_window_sums(
+        ev.map_batches(prep, batch_format="pandas"),
+        "user_id", "ts", "cents", window_days=7,
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -6098,6 +6124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_uniques": _q_hopping_uniques,
         "cuped": _q_cuped,
         "landmarks": _q_landmarks,
+        "trailing_spend": _q_trailing_spend,
     }
 
 
@@ -6509,6 +6536,19 @@ def oracle_sql() -> dict[str, str]:
         "ktruss": _ktruss_sql(k=3, rounds=2),
         "temporal_reach": _temporal_reach_sql(rounds=4),
         "landmarks": _landmarks_sql(k=3),
+        "trailing_spend": """
+            WITH d AS (
+                SELECT CAST(user_id AS BIGINT) AS user_id,
+                       CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS c
+                FROM events GROUP BY 1, 2)
+            SELECT user_id, day,
+                   CAST(sum(c) OVER (PARTITION BY user_id ORDER BY day
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS sum_7d
+            FROM d
+        """,
         "cuped": """
             WITH u AS (
                 SELECT user_id,

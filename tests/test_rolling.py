@@ -78,3 +78,59 @@ def test_rolling_k1_identity(ray_session):
     assert (out["n_window"] == 1).all()
     expect = df.sort_values("event_id")["value"].round(4).to_numpy()
     assert np.allclose(out["roll_sum"].to_numpy(), expect)
+
+
+def test_trailing_window_sums_bruteforce(ray_session):
+    from fastie_ray.ops.rolling import trailing_window_sums
+
+    rng = np.random.default_rng(51)
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 10, n).astype("int64"),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 40 * 86400, n), unit="s"),
+            "cents": rng.integers(1, 500, n).astype("int64"),
+        }
+    )
+    got = (
+        trailing_window_sums(
+            ray.data.from_pandas(df).repartition(4),
+            "user_id", "ts", "cents", window_days=7, n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "day"])
+        .reset_index(drop=True)
+    )
+    daily = df.assign(
+        day=df["ts"].dt.floor("D").astype("datetime64[s]").astype("int64")
+        // 86400
+    ).groupby(["user_id", "day"], as_index=False)["cents"].sum()
+    rows = []
+    for u, grp in daily.groupby("user_id"):
+        for _, r in grp.iterrows():
+            m = (grp["day"] > r["day"] - 7) & (grp["day"] <= r["day"])
+            rows.append((u, r["day"], int(grp.loc[m, "cents"].sum())))
+    want = pd.DataFrame(rows, columns=["user_id", "day", "sum_7d"]).astype(
+        "int64"
+    ).sort_values(["user_id", "day"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_trailing_window_sums_window_one_is_daily(ray_session):
+    from fastie_ray.ops.rolling import trailing_window_sums
+
+    df = pd.DataFrame(
+        {
+            "user_id": pd.Series([1, 1, 1], dtype="int64"),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 09:00", "2024-01-03 00:00"]
+            ),
+            "cents": pd.Series([10, 5, 7], dtype="int64"),
+        }
+    )
+    got = trailing_window_sums(
+        ray.data.from_pandas(df), "user_id", "ts", "cents",
+        window_days=1, n_buckets=2,
+    ).to_pandas().sort_values("day")
+    assert got["sum_1d"].tolist() == [15, 7]

@@ -5841,6 +5841,32 @@ def _q_trailing_spend(sf_dir: str):
     )
 
 
+def _q_theil_sen(sf_dir: str):
+    """Per-event-type Theil-Sen robust trend (``ops.linear_train.
+    theil_sen_slope``): median pairwise slope over daily cents totals —
+    the outlier-immune companion to trend_by_type's OLS; daily
+    combiner bounds per-group pair volume by the calendar."""
+    import pandas as pd
+
+    from fastie_ray.ops.linear_train import theil_sen_slope
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def daily(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.to_datetime(df["ts"]).to_numpy().astype("datetime64[D]")
+        return pd.DataFrame(
+            {
+                "g": df["event_type"],
+                "x": t.astype("int64"),
+                "y": (df["value"] * 100).round().astype("int64"),
+            }
+        )
+
+    return theil_sen_slope(
+        ev.map_batches(daily, batch_format="pandas"), "g", "x", "y"
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -6125,6 +6151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cuped": _q_cuped,
         "landmarks": _q_landmarks,
         "trailing_spend": _q_trailing_spend,
+        "theil_sen": _q_theil_sen,
     }
 
 
@@ -6536,6 +6563,21 @@ def oracle_sql() -> dict[str, str]:
         "ktruss": _ktruss_sql(k=3, rounds=2),
         "temporal_reach": _temporal_reach_sql(rounds=4),
         "landmarks": _landmarks_sql(k=3),
+        "theil_sen": """
+            WITH d AS (
+                SELECT event_type AS g,
+                       CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS x,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS y
+                FROM events GROUP BY 1, 2),
+            p AS (
+                SELECT a.g,
+                       (b.y - a.y) * 1000000 // (b.x - a.x) AS s
+                FROM d a JOIN d b ON a.g = b.g AND a.x < b.x)
+            SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(quantile_disc(s, 0.5) AS BIGINT) AS slope_e6
+            FROM p GROUP BY 1
+        """,
         "trailing_spend": """
             WITH d AS (
                 SELECT CAST(user_id AS BIGINT) AS user_id,

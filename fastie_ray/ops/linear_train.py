@@ -335,3 +335,84 @@ def cuped_adjust(
     for c in ("n", "mean_y_e6", "adj_mean_e6", "theta_e6"):
         out[c] = out[c].astype("int64")
     return out
+
+def theil_sen_slope(
+    ds: "ray.data.Dataset",
+    group_col: str = "g",
+    x_col: str = "x",
+    y_col: str = "y",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-group Theil-Sen ROBUST trend — the median of all pairwise
+    slopes (y_j−y_i)/(x_j−x_i), x_i < x_j — the outlier-immune
+    companion to ``grouped_ols`` (one wild day cannot flip the sign,
+    unlike least squares; breakdown point 29%).
+
+    Contract: feed PRE-AGGREGATED per-(group, x) points (e.g. daily
+    totals — the ``trend_by_type`` shape), so per-group volume is
+    calendar-bounded and the in-task O(n²) pair enumeration is safe; a
+    single group-bucketed exchange co-locates each group. Slopes are
+    integer slope_e6 = trunc(Δy·10⁶ / Δx) (TRUNCATING division — SQL
+    ``//`` semantics on negative Δy), median with quantile_disc
+    semantics (smallest value with cum count ≥ ⌈n/2⌉). Duplicate-x
+    pairs are skipped, as in the classic estimator. Returns
+    (group, n_pairs, slope_e6)."""
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                group_col: df[group_col],
+                "x": df[x_col].astype("int64"),
+                "y": df[y_col].astype("int64"),
+            }
+        )
+        # combiner: collapse duplicate (group, x) by summing y so the
+        # exchange ships at most group×x-domain rows
+        return out.groupby([group_col, "x"], as_index=False)["y"].sum()
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.drop(columns="__b")
+            .groupby([group_col, "x"], as_index=False)["y"]
+            .sum()
+            .sort_values([group_col, "x"])
+        )
+        rows = []
+        for key, grp in g.groupby(group_col, sort=False):
+            x = grp["x"].to_numpy(dtype=np.int64)
+            y = grp["y"].to_numpy(dtype=np.int64)
+            i, j = np.triu_indices(len(x), k=1)
+            dx = x[j] - x[i]
+            dy = y[j] - y[i]
+            ok = dx != 0
+            dx, dy = dx[ok], dy[ok]
+            if len(dx) == 0:
+                continue
+            # truncating division matching SQL // on negative dy
+            q = np.abs(dy) * 1_000_000 // np.abs(dx)
+            slopes = np.where(np.sign(dy) * np.sign(dx) < 0, -q, q)
+            slopes.sort()
+            k = -(-len(slopes) // 2)  # ceil(n/2)
+            rows.append((key, len(slopes), int(slopes[k - 1])))
+        out = pd.DataFrame(
+            rows, columns=[group_col, "n_pairs", "slope_e6"]
+        )
+        out["n_pairs"] = out["n_pairs"].astype("int64")
+        out["slope_e6"] = out["slope_e6"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(prep, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

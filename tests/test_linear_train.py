@@ -200,3 +200,46 @@ def test_cuped_constant_covariate_degrades_to_raw_means(ray_session):
     assert got["theta_e6"].tolist() == [0, 0]
     assert got["adj_mean_e6"].tolist() == got["mean_y_e6"].tolist()
     assert got["mean_y_e6"].tolist() == [15_000_000, 40_000_000]
+
+
+def test_theil_sen_bruteforce_and_outlier_immunity(ray_session):
+    from fastie_ray.ops.linear_train import theil_sen_slope
+
+    rng = np.random.default_rng(53)
+    rows = []
+    for g, slope in (("a", 30), ("b", -20)):
+        x = np.arange(25, dtype=np.int64)
+        y = slope * x + rng.integers(-3, 4, 25)
+        rows.append(pd.DataFrame({"g": g, "x": x, "y": y}))
+    df = pd.concat(rows, ignore_index=True)
+    # one wild outlier in group a must not flip the estimate
+    df.loc[5, "y"] = 10**7
+    got = (
+        theil_sen_slope(
+            ray.data.from_pandas(df).repartition(4), "g", "x", "y",
+            n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+
+    def ref(sub):
+        sub = sub.groupby("x", as_index=False)["y"].sum()
+        x, y = sub["x"].to_numpy(), sub["y"].to_numpy()
+        ss = []
+        for i in range(len(x)):
+            for j in range(i + 1, len(x)):
+                dy, dx = int(y[j] - y[i]), int(x[j] - x[i])
+                q = abs(dy) * 1_000_000 // abs(dx)
+                ss.append(-q if (dy < 0) != (dx < 0) else q)
+        ss.sort()
+        return len(ss), ss[-(-len(ss) // 2) - 1]
+
+    for g in ("a", "b"):
+        n_pairs, med = ref(df[df["g"] == g])
+        row = got[got["g"] == g].iloc[0]
+        assert (row["n_pairs"], row["slope_e6"]) == (n_pairs, med), g
+    # robust: group a's median slope stays near 30e6 despite the spike
+    a = got[got["g"] == "a"]["slope_e6"].iloc[0]
+    assert 25_000_000 < a < 35_000_000

@@ -5867,6 +5867,92 @@ def _q_theil_sen(sf_dir: str):
     )
 
 
+def _q_new_vs_returning(sf_dir: str):
+    """Growth-analytics daily split: active users per day partitioned
+    into NEW (first-ever day) vs RETURNING. Shape: distinct (user, day)
+    combiner → one user-bucketed exchange computing each user's first
+    day AND emitting its (day, is_new) rows in place (no join back) →
+    tiny day-bucketed count final."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.to_datetime(df["ts"]).to_numpy().astype("datetime64[D]")
+        out = pd.DataFrame(
+            {"u": df["user_id"].astype("int64"), "day": t.astype("int64")}
+        )
+        return out.drop_duplicates()
+
+    def add_bu(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = pd.Series([], dtype="int64")
+            return df
+        df["__b"] = (df["u"].to_numpy() % 16).astype("int64")
+        return df
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").drop_duplicates(["u", "day"])
+        first = g.groupby("u")["day"].transform("min")
+        out = pd.DataFrame(
+            {
+                "day": g["day"],
+                "is_new": (g["day"] == first).astype("int64"),
+            }
+        )
+        return out.groupby(["day", "is_new"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    def add_bd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = pd.Series([], dtype="int64")
+            return df
+        df["__b"] = (df["day"].to_numpy() % 16).astype("int64")
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(
+            ["day", "is_new"], as_index=False
+        )["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        ev.map_batches(days, batch_format="pandas")
+        .map_batches(add_bu, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_user, batch_format="pandas")
+        .map_batches(add_bd, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def _q_id_gaps(sf_dir: str):
+    """Offset-continuity audit (``ops.profile.id_gaps``): missing
+    event_id ranges after planting single holes (id % 97 == 0) and
+    10-wide runs (id % 1000 in 500..509) — range-bucketed internal
+    gaps + summary-stitched cross-range gaps."""
+    import pandas as pd
+
+    from fastie_ray.ops.profile import id_gaps
+
+    ev = _read(sf_dir, "events", columns=["event_id"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["event_id"].astype("int64")
+        keep = (i % 97 != 0) & ~((i % 1000).between(500, 509))
+        return pd.DataFrame({"id": i[keep]})
+
+    return id_gaps(
+        ev.map_batches(plant, batch_format="pandas"), "id",
+        range_size=1000, n_buckets=16,
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -6152,6 +6238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "landmarks": _q_landmarks,
         "trailing_spend": _q_trailing_spend,
         "theil_sen": _q_theil_sen,
+        "new_vs_returning": _q_new_vs_returning,
+        "id_gaps": _q_id_gaps,
     }
 
 
@@ -6563,6 +6651,30 @@ def oracle_sql() -> dict[str, str]:
         "ktruss": _ktruss_sql(k=3, rounds=2),
         "temporal_reach": _temporal_reach_sql(rounds=4),
         "landmarks": _landmarks_sql(k=3),
+        "id_gaps": """
+            WITH ids AS (
+                SELECT DISTINCT CAST(event_id AS BIGINT) AS id
+                FROM events
+                WHERE event_id % 97 <> 0
+                  AND event_id % 1000 NOT BETWEEN 500 AND 509),
+            o AS (SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids)
+            SELECT id + 1 AS gap_start, nxt - 1 AS gap_end
+            FROM o WHERE nxt > id + 1
+        """,
+        "new_vs_returning": """
+            WITH ud AS (
+                SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+                       CAST(datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) AS day
+                FROM events),
+            f AS (SELECT u, min(day) AS first_day FROM ud GROUP BY 1)
+            SELECT ud.day,
+                   CAST(CASE WHEN ud.day = f.first_day
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_new,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ud JOIN f ON f.u = ud.u
+            GROUP BY 1, 2
+        """,
         "theil_sen": """
             WITH d AS (
                 SELECT event_type AS g,

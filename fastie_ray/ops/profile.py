@@ -186,3 +186,74 @@ def dq_report(entries: list) -> pd.DataFrame:
     return out.astype({"n_violations": "int64", "n_rows": "int64"}).sort_values(
         "check_name"
     ).reset_index(drop=True)
+
+def id_gaps(
+    ds: "ray.data.Dataset",
+    id_col: str = "id",
+    range_size: int = 100_000,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """All missing-id RANGES (gap_start, gap_end inclusive) in an
+    integer id column — the offset-continuity audit (Kafka offsets,
+    autoincrement keys, event sequence gaps).
+
+    Scale shape: ids bucket by rid = id // range_size so consecutive
+    ids co-locate; each (rid) group emits its INTERNAL gaps (sorted
+    diff > 1, vectorized) plus one (rid, min, max) summary row; the
+    driver sorts only the occupied-rid summary table (id-span /
+    range_size rows — pick ``range_size`` so that stays small) and
+    closes CROSS-range gaps between consecutive summaries, which also
+    covers entirely-empty ranges. Duplicate ids collapse in-group;
+    nothing id-sized reaches the driver."""
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"id": df[id_col].astype("int64")})
+        if len(out) == 0:
+            out["__rid"] = pd.Series([], dtype="int64")
+            out["__b"] = pd.Series([], dtype="int64")
+            return out
+        out["__rid"] = out["id"].to_numpy() // range_size
+        h = pd.util.hash_pandas_object(out["__rid"], index=False).to_numpy()
+        out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def in_range(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rid, grp in g.groupby("__rid", sort=False):
+            ids = np.unique(grp["id"].to_numpy(dtype=np.int64))
+            d = np.diff(ids)
+            gi = np.nonzero(d > 1)[0]
+            for i in gi:
+                rows.append(("gap", ids[i] + 1, ids[i + 1] - 1))
+            rows.append(("sum", int(ids[0]), int(ids[-1])))
+        out = pd.DataFrame(rows, columns=["kind", "lo", "hi"])
+        out["lo"] = out["lo"].astype("int64")
+        out["hi"] = out["hi"].astype("int64")
+        return out
+
+    parts = (
+        ds.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(in_range, batch_format="pandas")
+        .to_pandas()
+    )
+    gaps = parts[parts["kind"] == "gap"][["lo", "hi"]]
+    sums = parts[parts["kind"] == "sum"].sort_values("lo")
+    lo = sums["lo"].to_numpy(dtype=np.int64)
+    hi = sums["hi"].to_numpy(dtype=np.int64)
+    cross = pd.DataFrame(
+        {
+            "lo": hi[:-1] + 1,
+            "hi": lo[1:] - 1,
+        }
+    )
+    cross = cross[cross["hi"] >= cross["lo"]]
+    out = (
+        pd.concat([gaps, cross], ignore_index=True)
+        .rename(columns={"lo": "gap_start", "hi": "gap_end"})
+        .sort_values("gap_start")
+        .reset_index(drop=True)
+    )
+    out["gap_start"] = out["gap_start"].astype("int64")
+    out["gap_end"] = out["gap_end"].astype("int64")
+    return out

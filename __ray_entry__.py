@@ -5953,6 +5953,96 @@ def _q_id_gaps(sf_dir: str):
     )
 
 
+def _q_first_touch(sf_dir: str):
+    """FIRST-touch attribution (the complement of asof_clicks' nearest/
+    last-touch): for each purchase, the EARLIEST same-user click within
+    the 30-min lookback — band_join pairs reduced by a per-purchase
+    max-delta argmin (ties broken by click id, deterministic), one
+    purchase-bucketed exchange over pair ids only."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from fastie_ray.ops.interval import band_join
+
+    def ev(kind: str):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+            filter=pc.field("event_type") == kind,
+            override_num_blocks=16,
+        )
+
+    pairs = band_join(
+        ev("click"), ev("purchase"), key_col="user_id", ts_col="ts",
+        band="30min", direction="forward", id_col="event_id", n_buckets=16,
+    )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = pd.Series([], dtype="int64")
+            return df
+        df["__b"] = (df["id_right"].to_numpy() % 16).astype("int64")
+        return df
+
+    def first_click(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").sort_values(
+            ["id_right", "delta_us", "id_left"],
+            ascending=[True, False, True],
+        )
+        out = g.groupby("id_right", as_index=False).first()
+        return pd.DataFrame(
+            {
+                "purchase_id": out["id_right"].astype("int64"),
+                "click_id": out["id_left"].astype("int64"),
+                "delta_us": out["delta_us"].astype("int64"),
+            }
+        )
+
+    return (
+        pairs.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(first_click, batch_format="pandas")
+    )
+
+
+def _q_uptime_totals(sf_dir: str):
+    """Covered-time accounting: per-user TOTAL active microseconds =
+    Σ(e − s) over the coalesced span union (overlaps counted once) —
+    the SLA/uptime rollup on top of ``interval_coalesce``; per-batch
+    partial sums + one tiny key-bucketed final."""
+    import pandas as pd
+
+    union = _q_interval_union(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"k": df["k"], "cov": df["e"] - df["s"]}
+        )
+        return out.groupby("k", as_index=False)["cov"].sum()
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = pd.Series([], dtype="int64")
+            return df
+        df["__b"] = (df["k"].to_numpy() % 16).astype("int64")
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("k", as_index=False)["cov"].sum()
+        out["covered_us"] = out["cov"].astype("int64")
+        return out[["k", "covered_us"]]
+
+    return (
+        union.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -6240,6 +6330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen": _q_theil_sen,
         "new_vs_returning": _q_new_vs_returning,
         "id_gaps": _q_id_gaps,
+        "first_touch": _q_first_touch,
+        "uptime_totals": _q_uptime_totals,
     }
 
 
@@ -6651,6 +6743,49 @@ def oracle_sql() -> dict[str, str]:
         "ktruss": _ktruss_sql(k=3, rounds=2),
         "temporal_reach": _temporal_reach_sql(rounds=4),
         "landmarks": _landmarks_sql(k=3),
+        "uptime_totals": """
+            WITH iv AS (
+                SELECT CAST(user_id AS BIGINT) AS k,
+                       epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + (1 + event_id % 90) * 60000000 AS e
+                FROM events),
+            o AS (SELECT k, s, e,
+                         max(e) OVER (PARTITION BY k ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS me
+                  FROM iv),
+            f AS (SELECT k, s, e,
+                         CASE WHEN me IS NULL OR s > me THEN 1 ELSE 0 END
+                             AS ng
+                  FROM o),
+            g AS (SELECT k, s, e,
+                         sum(ng) OVER (PARTITION BY k ORDER BY s, e)
+                             AS gid
+                  FROM f),
+            u AS (SELECT k, min(s) AS s, max(e) AS e
+                  FROM g GROUP BY k, gid)
+            SELECT k, CAST(sum(e - s) AS BIGINT) AS covered_us
+            FROM u GROUP BY k
+        """,
+        "first_touch": """
+            WITH c AS (SELECT event_id AS cid, user_id, ts
+                       FROM events WHERE event_type = 'click'),
+            p AS (SELECT event_id AS pid, user_id, ts
+                  FROM events WHERE event_type = 'purchase'),
+            j AS (SELECT p.pid, c.cid,
+                         epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+                  FROM p JOIN c ON c.user_id = p.user_id
+                   AND c.ts <= p.ts
+                   AND p.ts - c.ts <= INTERVAL '30 minutes'),
+            r AS (SELECT pid, cid, delta_us,
+                         row_number() OVER (PARTITION BY pid
+                             ORDER BY delta_us DESC, cid) AS rn
+                  FROM j)
+            SELECT pid AS purchase_id, cid AS click_id,
+                   CAST(delta_us AS BIGINT) AS delta_us
+            FROM r WHERE rn = 1
+        """,
         "id_gaps": """
             WITH ids AS (
                 SELECT DISTINCT CAST(event_id AS BIGINT) AS id

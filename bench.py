@@ -92,7 +92,9 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "ktruss", "link_pred", "ed1_pairs", "containment",
                  "temporal_reach", "interval_union", "top_paths",
                  "hopping_uniques", "trending", "cuped", "range_lookup",
-                 "grouped_open_quantiles", "grouped_auc"):
+                 "grouped_open_quantiles", "grouped_auc", "landmarks",
+                 "trailing_spend", "theil_sen", "new_vs_returning",
+                 "id_gaps", "first_touch", "uptime_totals"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

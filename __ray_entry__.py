@@ -5285,20 +5285,44 @@ def _q_matching(sf_dir: str):
     return greedy_matching(edges, max_rounds=12, n_buckets=16)
 
 
-def _matching_sql(rounds: int = 12) -> str:
-    """Unrolled greedy-matching oracle (MATERIALIZED rounds)."""
-    ctes = [
-        """je AS MATERIALIZED (
-            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-            FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
-        """e0 AS MATERIALIZED (
-            SELECT least(c * 2, s * 2 + 1) AS a,
-                   greatest(c * 2, s * 2 + 1) AS b,
-                   CAST(('0x' || substr(md5('gm:'
-                       || CAST(least(c * 2, s * 2 + 1) AS VARCHAR) || ':'
-                       || CAST(greatest(c * 2, s * 2 + 1) AS VARCHAR)),
-                       1, 15)) AS BIGINT) AS p
-            FROM je)""",
+def _matching_sql(rounds: int = 12, weighted: bool = False) -> str:
+    """Unrolled greedy-matching oracle (MATERIALIZED rounds). With
+    ``weighted`` the edge priority is (2²²−1−Σquantity)·2⁴⁰ + md5_40
+    — the locally-dominant weighted matching."""
+    if weighted:
+        src = [
+            """je AS MATERIALIZED (
+                SELECT o_custkey AS c, l_suppkey AS s,
+                       CAST(round(sum(l_quantity)) AS BIGINT) AS w
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY 1, 2)""",
+            """e0 AS MATERIALIZED (
+                SELECT least(c * 2, s * 2 + 1) AS a,
+                       greatest(c * 2, s * 2 + 1) AS b,
+                       (4194303 - w) * 1099511627776
+                       + CAST(('0x' || substr(md5('gm:'
+                           || CAST(least(c * 2, s * 2 + 1) AS VARCHAR)
+                           || ':'
+                           || CAST(greatest(c * 2, s * 2 + 1) AS VARCHAR)),
+                           1, 10)) AS BIGINT) AS p
+                FROM je)""",
+        ]
+    else:
+        src = [
+            """je AS MATERIALIZED (
+                SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+            """e0 AS MATERIALIZED (
+                SELECT least(c * 2, s * 2 + 1) AS a,
+                       greatest(c * 2, s * 2 + 1) AS b,
+                       CAST(('0x' || substr(md5('gm:'
+                           || CAST(least(c * 2, s * 2 + 1) AS VARCHAR)
+                           || ':'
+                           || CAST(greatest(c * 2, s * 2 + 1) AS VARCHAR)),
+                           1, 15)) AS BIGINT) AS p
+                FROM je)""",
+        ]
+    ctes = src + [
         "m0 AS MATERIALIZED (SELECT a, b, 0 AS rnd FROM e0 WHERE 1 = 0)",
     ]
     for t in range(1, rounds + 1):
@@ -5335,6 +5359,70 @@ def _matching_sql(rounds: int = 12) -> str:
         "WITH " + ",\n".join(ctes)
         + f"""
         SELECT a, b, CAST(rnd AS BIGINT) AS round FROM m{rounds}"""
+    )
+
+
+def _q_weighted_matching(sf_dir: str):
+    """Locally-dominant WEIGHTED matching (Preis ½-approx of
+    max-weight matching, ``greedy_matching(weight_col=...)``): the
+    customer↔supplier graph weighted by total lineitem quantity —
+    heaviest-at-both-endpoints rounds, md5 tie-break in the low
+    bits."""
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.graph import greedy_matching
+    from fastie_ray.ops.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_quantity"]
+    )
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_suppkey", "l_quantity"],
+        right_cols=["o_orderkey", "o_custkey"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["o_custkey"].astype("int64") * 2
+        s = df["l_suppkey"].astype("int64") * 2 + 1
+        out = pd.DataFrame(
+            {
+                "a": np.minimum(c, s),
+                "b": np.maximum(c, s),
+                "w": df["l_quantity"].round().astype("int64"),
+            }
+        )
+        return out.groupby(["a", "b"], as_index=False)["w"].sum()
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = pd.Series([], dtype="int64")
+            return df
+        h = (
+            pd.util.hash_pandas_object(df["a"], index=False).to_numpy()
+            ^ pd.util.hash_pandas_object(df["b"], index=False).to_numpy()
+        )
+        df["__b"] = (h % np.uint64(16)).astype("int64")
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(["a", "b"], as_index=False)[
+            "w"
+        ].sum()
+        out["w"] = out["w"].astype("int64")
+        return out
+
+    edges = (
+        j.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+    return greedy_matching(
+        edges, max_rounds=12, n_buckets=16, weight_col="w"
     )
 
 
@@ -6043,6 +6131,92 @@ def _q_uptime_totals(sf_dir: str):
     )
 
 
+def _q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (the classic CRM rollup): per user
+    Recency (days since last event, vs the corpus max day), Frequency
+    (events), Monetary (cents), each cut at its exact quartile
+    boundaries (``ops.stats.open_quantiles`` over the user table —
+    streaming histogram passes, never a sort), labels assigned by a
+    broadcast searchsorted map. Scores use quantile_disc semantics:
+    score = #{quartile boundaries q25/q50/q75 that are < value} + 1,
+    identical to the SQL CASE chain."""
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.stats import open_quantiles
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.to_datetime(df["ts"]).to_numpy().astype("datetime64[D]")
+        out = pd.DataFrame(
+            {
+                "u": df["user_id"].astype("int64"),
+                "day": t.astype("int64"),
+                "cents": (df["value"] * 100).round().astype("int64"),
+            }
+        )
+        return out.groupby("u", as_index=False).agg(
+            last_day=("day", "max"), f=("day", "count"), m=("cents", "sum")
+        )
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = pd.Series([], dtype="int64")
+            return df
+        df["__b"] = (df["u"].to_numpy() % 16).astype("int64")
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("u", as_index=False).agg(
+            last_day=("last_day", "max"), f=("f", "sum"), m=("m", "sum")
+        )
+        return out
+
+    users = (
+        ev.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+        .materialize()  # consumed by 4 passes (max day + 3 quantile runs)
+    )
+    max_day = int(
+        users.map_batches(
+            lambda df: pd.DataFrame({"mx": [df["last_day"].max()]})
+            if len(df)
+            else pd.DataFrame({"mx": []}),
+            batch_format="pandas",
+        )
+        .to_pandas()["mx"]
+        .max()
+    )
+    rec = users.map_batches(
+        lambda df: pd.DataFrame(
+            {"u": df["u"], "r": max_day - df["last_day"], "f": df["f"],
+             "m": df["m"]}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    qs = [0.25, 0.5, 0.75]
+    cuts = {
+        c: open_quantiles(rec, c, qs)["value"].to_numpy(dtype=np.int64)
+        for c in ("r", "f", "m")
+    }
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"u": df["u"]})
+        for c in ("r", "f", "m"):
+            v = df[c].to_numpy(dtype=np.int64)
+            # score = #{boundaries < v} + 1 (quantile_disc CASE chain)
+            out[c + "_score"] = (
+                np.searchsorted(cuts[c], v, side="left") + 1
+            ).astype(np.int64)
+        return out
+
+    return rec.map_batches(label, batch_format="pandas")
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -6332,6 +6506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "id_gaps": _q_id_gaps,
         "first_touch": _q_first_touch,
         "uptime_totals": _q_uptime_totals,
+        "rfm_segments": _q_rfm_segments,
+        "weighted_matching": _q_weighted_matching,
     }
 
 
@@ -6743,6 +6919,40 @@ def oracle_sql() -> dict[str, str]:
         "ktruss": _ktruss_sql(k=3, rounds=2),
         "temporal_reach": _temporal_reach_sql(rounds=4),
         "landmarks": _landmarks_sql(k=3),
+        "rfm_segments": """
+            WITH u AS (
+                SELECT CAST(user_id AS BIGINT) AS u,
+                       max(datediff('day', DATE '1970-01-01',
+                           CAST(ts AS DATE))) AS last_day,
+                       CAST(count(*) AS BIGINT) AS f,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS m
+                FROM events GROUP BY 1),
+            r AS (SELECT u,
+                         (SELECT max(last_day) FROM u) - last_day AS rr,
+                         f, m
+                  FROM u),
+            q AS (SELECT quantile_disc(rr, 0.25) AS r1,
+                         quantile_disc(rr, 0.50) AS r2,
+                         quantile_disc(rr, 0.75) AS r3,
+                         quantile_disc(f, 0.25) AS f1,
+                         quantile_disc(f, 0.50) AS f2,
+                         quantile_disc(f, 0.75) AS f3,
+                         quantile_disc(m, 0.25) AS m1,
+                         quantile_disc(m, 0.50) AS m2,
+                         quantile_disc(m, 0.75) AS m3
+                  FROM r)
+            SELECT u,
+                   CAST(CASE WHEN rr <= r1 THEN 1 WHEN rr <= r2 THEN 2
+                             WHEN rr <= r3 THEN 3 ELSE 4 END AS BIGINT)
+                       AS r_score,
+                   CAST(CASE WHEN f <= f1 THEN 1 WHEN f <= f2 THEN 2
+                             WHEN f <= f3 THEN 3 ELSE 4 END AS BIGINT)
+                       AS f_score,
+                   CAST(CASE WHEN m <= m1 THEN 1 WHEN m <= m2 THEN 2
+                             WHEN m <= m3 THEN 3 ELSE 4 END AS BIGINT)
+                       AS m_score
+            FROM r, q
+        """,
         "uptime_totals": """
             WITH iv AS (
                 SELECT CAST(user_id AS BIGINT) AS k,
@@ -9318,6 +9528,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sssp": _sssp_sql(rounds=12),
         "matching": _matching_sql(rounds=12),
+        "weighted_matching": _matching_sql(rounds=12, weighted=True),
         "join_cardinality": """
             WITH cl AS (SELECT l_orderkey AS k, count(*) AS n
                         FROM lineitem GROUP BY 1),

@@ -2493,6 +2493,7 @@ def greedy_matching(
     max_rounds: int = 12,
     n_buckets: int = 16,
     salt: str = "gm",
+    weight_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Deterministic MAXIMAL MATCHING — the edge-domain Luby: each
     round every edge whose md5 priority is the minimum at BOTH
@@ -2509,7 +2510,16 @@ def greedy_matching(
     bounds the tail, with a LOUD failure if edges remain.
 
     Per round: one per-node min exchange + one winners pass + two
-    anti-joins, all edge-sized. Returns (a, b, round)."""
+    anti-joins, all edge-sized. Returns (a, b, round).
+
+    With ``weight_col`` (non-negative int64 < 2²²) the same loop
+    computes the LOCALLY-DOMINANT weighted matching (Preis'99 — the
+    parallel ½-approximation of maximum-weight matching): an edge
+    matches when it is the HEAVIEST at both endpoints; priority
+    encodes (2²²−1−w) in the high bits with a 40-bit md5 tie-break in
+    the low bits, so the min-at-both-endpoints machinery, the SQL
+    oracle shape and the collision-defers-identically argument all
+    carry over unchanged."""
     import hashlib
 
     import pyarrow as pa
@@ -2521,14 +2531,29 @@ def greedy_matching(
 
     def prio(df: pd.DataFrame) -> pd.DataFrame:
         out = df[["a", "b"]].astype("int64").copy()
-        out["p"] = np.array(
+        if weight_col is None:
+            out["p"] = np.array(
+                [
+                    int(hashlib.md5(
+                        f"{salt}:{a}:{b}".encode()
+                    ).hexdigest()[:15], 16)
+                    for a, b in zip(out["a"], out["b"])
+                ],
+                dtype=np.int64,
+            )
+            return out
+        w = df[weight_col].astype("int64").to_numpy()
+        if len(w) and (w.min() < 0 or w.max() >= (1 << 22)):
+            raise ValueError("weights must be in [0, 2**22)")
+        md40 = np.array(
             [
-                int(hashlib.md5(f"{salt}:{a}:{b}".encode()).hexdigest()[:15],
+                int(hashlib.md5(f"{salt}:{a}:{b}".encode()).hexdigest()[:10],
                     16)
                 for a, b in zip(out["a"], out["b"])
             ],
             dtype=np.int64,
         )
+        out["p"] = (((1 << 22) - 1 - w) << 40) | md40
         return out
 
     rem = (

@@ -205,3 +205,66 @@ def test_greedy_matching_reference_and_invariants():
     matched = set(used)
     for a, b in e[["a", "b"]].itertuples(index=False):
         assert a in matched or b in matched, "not maximal"
+
+
+def test_weighted_matching_locally_dominant_reference(ray_session):
+    import hashlib
+
+    from fastie_ray.ops.graph import greedy_matching
+
+    rng = np.random.default_rng(61)
+    n_nodes, n_edges = 24, 70
+    u = rng.integers(0, n_nodes, n_edges)
+    v = rng.integers(0, n_nodes, n_edges)
+    m = u != v
+    df = pd.DataFrame(
+        {
+            "a": np.minimum(u[m], v[m]).astype("int64"),
+            "b": np.maximum(u[m], v[m]).astype("int64"),
+        }
+    ).drop_duplicates().reset_index(drop=True)
+    df["w"] = rng.integers(1, 1000, len(df)).astype("int64")
+
+    def prio(a, b, w):
+        md = int(hashlib.md5(f"gm:{a}:{b}".encode()).hexdigest()[:10], 16)
+        return (((1 << 22) - 1 - int(w)) << 40) | md
+
+    # reference: iterated locally-dominant rounds
+    e = {(int(r.a), int(r.b)): prio(r.a, r.b, r.w) for r in df.itertuples()}
+    want = []
+    rnd = 0
+    while e:
+        rnd += 1
+        node_min = {}
+        for (a, b), p in e.items():
+            node_min[a] = min(node_min.get(a, p), p)
+            node_min[b] = min(node_min.get(b, p), p)
+        winners = [
+            (a, b) for (a, b), p in e.items()
+            if node_min[a] == p and node_min[b] == p
+        ]
+        assert winners
+        want.extend((a, b, rnd) for a, b in sorted(winners))
+        gone = {x for ab in winners for x in ab}
+        e = {k: p for k, p in e.items() if k[0] not in gone and k[1] not in gone}
+    want_df = pd.DataFrame(want, columns=["a", "b", "round"]).astype("int64")
+    want_df = want_df.sort_values(["a", "b"]).reset_index(drop=True)
+
+    got = (
+        greedy_matching(
+            ray.data.from_pandas(df).repartition(3),
+            max_rounds=20, n_buckets=4, weight_col="w",
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, want_df)
+    # round 1 must take the global min-priority (heaviest, md5-broken)
+    # edge — it is locally dominant by construction
+    best = min(
+        ((prio(r.a, r.b, r.w), int(r.a), int(r.b)) for r in df.itertuples())
+    )
+    r1 = got[got["round"] == 1]
+    assert ((r1["a"] == best[1]) & (r1["b"] == best[2])).any()

@@ -6217,6 +6217,41 @@ def _q_rfm_segments(sf_dir: str):
     return rec.map_batches(label, batch_format="pandas")
 
 
+_PERC_RULES = {
+    1: ["filter", "join"],
+    2: ["spark", "stream", "query"],
+    3: ["window", "vector"],
+    4: ["merge"],
+    5: ["customer", "agg", "hash"],
+}
+
+
+def _q_percolate(sf_dir: str):
+    """Percolator / saved-search fan-out (``ops.retrieval.
+    match_rules``): every doc matched against 5 stored conjunctive
+    keyword rules — broadcast rule table, one distinct (row, token)
+    membership frame per batch, one isin + match-count per rule; zero
+    exchanges."""
+    from fastie_ray.ops.retrieval import match_rules
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return match_rules(docs, _PERC_RULES)
+
+
+def _percolate_sql() -> str:
+    parts = []
+    for rid, terms in _PERC_RULES.items():
+        conds = " AND ".join(
+            f"list_contains(string_split(text, ' '), '{t}')" for t in terms
+        )
+        parts.append(
+            f"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                       CAST({rid} AS BIGINT) AS rule_id
+                FROM documents WHERE {conds}"""
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -6508,6 +6543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uptime_totals": _q_uptime_totals,
         "rfm_segments": _q_rfm_segments,
         "weighted_matching": _q_weighted_matching,
+        "percolate": _q_percolate,
     }
 
 
@@ -9529,6 +9565,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp": _sssp_sql(rounds=12),
         "matching": _matching_sql(rounds=12),
         "weighted_matching": _matching_sql(rounds=12, weighted=True),
+        "percolate": _percolate_sql(),
         "join_cardinality": """
             WITH cl AS (SELECT l_orderkey AS k, count(*) AS n
                         FROM lineitem GROUP BY 1),

@@ -208,3 +208,67 @@ def rrf_fuse(
         .groupby("__b")
         .map_groups(fuse, batch_format="pandas")
     )
+
+def match_rules(
+    ds: "ray.data.Dataset",
+    rules: dict[int, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Percolator / reverse search — match every document against a
+    STORED set of conjunctive keyword rules (alerting, routing,
+    saved-search fan-out): emit (doc_id, rule_id) for each rule whose
+    terms ALL appear as whitespace tokens of the doc.
+
+    Scale shape: the rule table is dimension-sized → ``ray.put`` once,
+    streamed zero-exchange matching. Per batch, docs tokenize ONCE
+    into a distinct (row, token) membership frame; each rule is then
+    ONE vectorized isin + a per-row match-count equality (the inverted
+    percolation layout) — no per-doc Python loop. Duplicate tokens
+    collapse; term order ignored (conjunction semantics, same as the
+    SQL list_contains chain)."""
+    import ray
+
+    rules_ref = ray.put(
+        {int(k): [str(t) for t in v] for k, v in rules.items()}
+    )
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        rl = ray.get(rules_ref)
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "rule_id": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = df[id_col].astype("int64").to_numpy()
+        toks = df[text_col].astype(str).str.split()
+        # membership frame: (row position, distinct token), built once
+        mem = pd.DataFrame(
+            {
+                "pos": np.repeat(
+                    np.arange(len(df)), toks.str.len().to_numpy()
+                ),
+                "tok": np.concatenate(toks.to_numpy()),
+            }
+        ).drop_duplicates()
+        frames = []
+        for rid, terms in rl.items():
+            hits = mem[mem["tok"].isin(set(terms))]
+            cnt = hits.groupby("pos").size()
+            pos = cnt.index[cnt.to_numpy() == len(set(terms))]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        id_col: ids[pos.to_numpy()],
+                        "rule_id": np.int64(rid),
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {id_col: [], "rule_id": []}
+        )
+        return out.astype({id_col: "int64", "rule_id": "int64"})
+
+    return ds.map_batches(match, batch_format="pandas")

@@ -100,3 +100,32 @@ def test_bm25_rare_term_outranks_common(ray_session):
     assert got.iloc[0]["doc_id"] in (0, 4)
     ref = _ref_bm25(texts, {"q": "date"}, k=5)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), ref)
+
+
+def test_match_rules_conjunction_and_dupes(ray_session):
+    from fastie_ray.ops.retrieval import match_rules
+
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 3, 4], dtype="int64"),
+            "text": [
+                "alpha beta gamma",
+                "alpha alpha delta",   # dup tokens collapse
+                "beta gamma",
+                "alpha beta beta",
+            ],
+        }
+    )
+    rules = {10: ["alpha", "beta"], 20: ["delta"], 30: ["alpha"],
+             40: ["alpha", "zeta"]}
+    got = (
+        match_rules(ray.data.from_pandas(df).repartition(2), rules)
+        .to_pandas()
+        .sort_values(["doc_id", "rule_id"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        [(1, 10), (1, 30), (2, 20), (2, 30), (4, 10), (4, 30)],
+        columns=["doc_id", "rule_id"],
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -6252,6 +6252,17 @@ def _percolate_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _q_itemsets3(sf_dir: str):
+    """Apriori level-3 frequent itemsets (``ops.cooc.
+    frequent_triples``): token triples with doc support ≥ 40 — L2
+    pruning + broadcast candidates, candidate-bounded count
+    exchange."""
+    from fastie_ray.ops.cooc import frequent_triples
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return frequent_triples(ds, min_support=40, per_doc_cap=16)
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -6544,6 +6555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm_segments,
         "weighted_matching": _q_weighted_matching,
         "percolate": _q_percolate,
+        "itemsets3": _q_itemsets3,
     }
 
 
@@ -9566,6 +9578,26 @@ def oracle_sql() -> dict[str, str]:
         "matching": _matching_sql(rounds=12),
         "weighted_matching": _matching_sql(rounds=12, weighted=True),
         "percolate": _percolate_sql(),
+        "itemsets3": """
+            WITH tk AS (
+                SELECT doc_id, tok FROM (
+                    SELECT doc_id, tok,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY tok) AS rk
+                    FROM (SELECT DISTINCT doc_id, tok FROM (
+                        SELECT doc_id,
+                               unnest(regexp_extract_all(lower(text),
+                                                         '[a-z0-9]+')) AS tok
+                        FROM documents))
+                ) WHERE rk <= 16
+            )
+            SELECT a.tok AS item_a, b.tok AS item_b, c.tok AS item_c,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM tk a
+            JOIN tk b ON a.doc_id = b.doc_id AND a.tok < b.tok
+            JOIN tk c ON a.doc_id = c.doc_id AND b.tok < c.tok
+            GROUP BY 1, 2, 3 HAVING count(*) >= 40
+        """,
         "join_cardinality": """
             WITH cl AS (SELECT l_orderkey AS k, count(*) AS n
                         FROM lineitem GROUP BY 1),

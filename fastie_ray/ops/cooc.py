@@ -272,3 +272,148 @@ def assoc_rules(
         return out[out["conf_e6"] >= min_conf_e6]
 
     return rules.map_batches(score, batch_format="pandas")
+
+def frequent_triples(
+    ds: "ray.data.Dataset",
+    min_support: int = 5,
+    per_doc_cap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Apriori LEVEL-3: all token triples {a < b < c} whose document
+    support ≥ ``min_support`` — the itemset-mining step above
+    ``assoc_rules``' pairs (recommendation bundles, co-topic
+    discovery). Same per-doc lexicographic ``per_doc_cap`` and
+    tokenizer as ``cooc_pairs``, so levels are mutually consistent.
+
+    Apriori shape (the pruning IS the scale story — counting all
+    C(cap,3) triples per doc against an unpruned key space would
+    explode the exchange): one pair-count exchange yields the frequent
+    PAIRS; the support-pruned L2 table is driver-merged (pruned ≪
+    vocab², the broadcast-candidate contract of ``heavy_hitters``) and
+    candidate triples are those whose THREE sub-pairs are all
+    frequent; the candidate key set broadcasts via ``ray.put`` and the
+    second pass counts ONLY candidate triples (per-batch combiner →
+    one bucketed exchange). Returns (item_a, item_b, item_c,
+    support)."""
+    import ray
+
+    def _capped_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            pd.DataFrame(
+                {
+                    "doc": df[id_col].to_numpy(),
+                    "tok": df[text_col].str.lower().str.findall(_TOKEN_RE),
+                }
+            )
+            .explode("tok")
+            .dropna(subset=["tok"])
+            .drop_duplicates()
+            .sort_values(["doc", "tok"])
+        )
+        return toks[
+            toks.groupby("doc", sort=False).cumcount() < per_doc_cap
+        ]
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _capped_tokens(df)
+        pairs = toks.merge(toks, on="doc", suffixes=("_a", "_b"))
+        pairs = pairs[pairs["tok_a"] < pairs["tok_b"]]
+        return pairs.groupby(["tok_a", "tok_b"], as_index=False).agg(
+            n=("doc", "count")
+        )
+
+    def add_bp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(
+            df["tok_a"] + "\x00" + df["tok_b"], index=False
+        ).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def pair_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(
+            ["tok_a", "tok_b"], as_index=False
+        )["n"].sum()
+        return out[out["n"] >= min_support][["tok_a", "tok_b"]]
+
+    l2 = (
+        ds.map_batches(pair_partial, batch_format="pandas")
+        .map_batches(add_bp, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pair_final, batch_format="pandas")
+        .to_pandas()
+    )
+    pairs = set(map(tuple, l2.itertuples(index=False)))
+    # Apriori candidate generation + subset prune, all on the pruned L2
+    by_first: dict = {}
+    for a, b in pairs:
+        by_first.setdefault(a, []).append(b)
+    cands = set()
+    for a, bs in by_first.items():
+        bs = sorted(bs)
+        for i in range(len(bs)):
+            for j in range(i + 1, len(bs)):
+                if (bs[i], bs[j]) in pairs:
+                    cands.add((a, bs[i], bs[j]))
+    cand_ref = ray.put(cands)
+
+    def tri_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(cand_ref)
+        if not cs:
+            return pd.DataFrame(
+                {"item_a": pd.Series([], dtype=object),
+                 "item_b": pd.Series([], dtype=object),
+                 "item_c": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        items = {t for c in cs for t in c}
+        toks = _capped_tokens(df)
+        toks = toks[toks["tok"].isin(items)]
+        t2 = toks.merge(toks, on="doc", suffixes=("_a", "_b"))
+        t2 = t2[t2["tok_a"] < t2["tok_b"]]
+        t3 = t2.merge(
+            toks.rename(columns={"tok": "tok_c"}), on="doc"
+        )
+        t3 = t3[t3["tok_b"] < t3["tok_c"]]
+        key = pd.Series(
+            list(zip(t3["tok_a"], t3["tok_b"], t3["tok_c"])),
+            index=t3.index,
+        )
+        t3 = t3[key.isin(cs).to_numpy()] if len(t3) else t3
+        out = t3.groupby(
+            ["tok_a", "tok_b", "tok_c"], as_index=False
+        ).agg(n=("doc", "count"))
+        out.columns = ["item_a", "item_b", "item_c", "n"]
+        return out
+
+    def add_bt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(
+            df["item_a"] + "\x00" + df["item_b"] + "\x00" + df["item_c"],
+            index=False,
+        ).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def tri_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(
+            ["item_a", "item_b", "item_c"], as_index=False
+        )["n"].sum()
+        out = out[out["n"] >= min_support].rename(columns={"n": "support"})
+        out["support"] = out["support"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(tri_partial, batch_format="pandas")
+        .map_batches(add_bt, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(tri_final, batch_format="pandas")
+    )

@@ -270,3 +270,47 @@ def test_term_drift_matches_bruteforce():
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+def test_frequent_triples_bruteforce_and_apriori_prune(ray_session):
+    from itertools import combinations
+
+    from fastie_ray.ops.cooc import frequent_triples
+
+    rng = np.random.default_rng(67)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(120):
+        toks = rng.choice(vocab, size=rng.integers(3, 8), replace=False)
+        docs.append((i, " ".join(toks)))
+    # plant a guaranteed-frequent triple
+    for i in range(120, 150):
+        docs.append((i, "aa bb cc " + rng.choice(vocab)))
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    min_s = 8
+    got = (
+        frequent_triples(
+            ray.data.from_pandas(df).repartition(3),
+            min_support=min_s, per_doc_cap=16, n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["item_a", "item_b", "item_c"])
+        .reset_index(drop=True)
+    )
+    from collections import Counter
+
+    cnt = Counter()
+    for _, r in df.iterrows():
+        ts = sorted(set(r["text"].lower().split()))[:16]
+        for tri in combinations(ts, 3):
+            cnt[tri] += 1
+    want = pd.DataFrame(
+        [(a, b, c, n) for (a, b, c), n in sorted(cnt.items()) if n >= min_s],
+        columns=["item_a", "item_b", "item_c", "support"],
+    )
+    want["support"] = want["support"].astype("int64")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (
+        (got["item_a"] == "aa") & (got["item_b"] == "bb")
+        & (got["item_c"] == "cc")
+    ).any()

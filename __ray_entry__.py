@@ -6263,6 +6263,119 @@ def _q_itemsets3(sf_dir: str):
     return frequent_triples(ds, min_support=40, per_doc_cap=16)
 
 
+def _q_analyze_hist(sf_dir: str):
+    """ANALYZE-style equi-depth histogram (the optimizer-statistics
+    artifact): 8 buckets over price cents — boundaries from
+    ``open_quantiles`` (streaming histogram refinement, no sort),
+    bucket assignment by broadcast searchsorted (#{boundaries < v},
+    the RFM tie convention), counts + sums per bucket in one tiny
+    exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.stats import open_quantiles
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"cents": (df["l_extendedprice"] * 100).round().astype("int64")}
+        )
+
+    cents = li.map_batches(prep, batch_format="pandas").materialize()
+    qs = [i / 8 for i in range(1, 8)]
+    bounds = open_quantiles(cents, "cents", qs)["value"].to_numpy(
+        dtype=np.int64
+    )
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["cents"].to_numpy(dtype=np.int64)
+        b = np.searchsorted(bounds, v, side="left").astype(np.int64)
+        out = pd.DataFrame({"bucket": b, "cents": v})
+        return out.groupby("bucket", as_index=False).agg(
+            n=("cents", "count"), sum_cents=("cents", "sum")
+        )
+
+    out = (
+        cents.map_batches(assign, batch_format="pandas")
+        .to_pandas()
+        .groupby("bucket", as_index=False)
+        .sum()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out
+
+
+def _q_densest(sf_dir: str):
+    """Parallel Charikar densest-subgraph peeling trajectory
+    (``ops.graph.densest_rounds``, ε = 0.1) over the chain+skip order
+    graph: integer cross-multiplied removal threshold, one degree
+    exchange + two semi-joins per round."""
+    from fastie_ray.ops.graph import densest_rounds
+
+    return densest_rounds(
+        _order_tri_edges(sf_dir), eps_e6=100_000, max_rounds=8,
+        n_buckets=16,
+    )
+
+
+def _densest_sql(eps_e6: int = 100_000, rounds: int = 8) -> str:
+    """Unrolled densest-peeling oracle (degree/stats/keep/shrink CTE
+    quadruple per round) over the chain+skip order graph — mirrors
+    ``_q_densest`` exactly."""
+    ctes = [
+        """o AS (SELECT o_custkey AS c, o_orderkey AS ok,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+            FROM orders)""",
+        """ch AS (SELECT 'o' || a.ok AS x, 'o' || b.ok AS y
+            FROM o a JOIN o b ON a.c = b.c AND b.rn = a.rn + 1)""",
+        """sk AS (SELECT 'o' || a.ok AS x, 'o' || b.ok AS y
+            FROM o a JOIN o b ON a.c = b.c AND b.rn = a.rn + 2)""",
+        """e0 AS MATERIALIZED (
+            SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+            FROM (SELECT * FROM ch UNION ALL SELECT * FROM sk))""",
+    ]
+    stats = []
+    for r in range(rounds):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT a AS node FROM e{r}
+                    UNION ALL SELECT b FROM e{r})
+                GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""st{r} AS MATERIALIZED (
+                SELECT (SELECT count(*) FROM d{r}) AS n,
+                       (SELECT count(*) FROM e{r}) AS ecnt)"""
+        )
+        ctes.append(
+            f"""kp{r} AS MATERIALIZED (
+                SELECT node FROM d{r}, st{r}
+                WHERE deg * n * 1000000 > 2 * {1_000_000 + eps_e6} * ecnt)"""
+        )
+        ctes.append(
+            f"""e{r + 1} AS MATERIALIZED (
+                SELECT a, b FROM e{r}
+                WHERE a IN (SELECT node FROM kp{r})
+                  AND b IN (SELECT node FROM kp{r}))"""
+        )
+        stats.append(
+            f"SELECT {r} AS round, n AS n_nodes, ecnt AS n_edges FROM st{r}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + """
+        SELECT CAST(round AS BIGINT) AS round,
+               CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST(n_edges AS BIGINT) AS n_edges
+        FROM ("""
+        + " UNION ALL ".join(stats)
+        + ") WHERE n_nodes > 0"
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -6556,6 +6669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_matching": _q_weighted_matching,
         "percolate": _q_percolate,
         "itemsets3": _q_itemsets3,
+        "analyze_hist": _q_analyze_hist,
+        "densest": _q_densest,
     }
 
 
@@ -9578,6 +9693,28 @@ def oracle_sql() -> dict[str, str]:
         "matching": _matching_sql(rounds=12),
         "weighted_matching": _matching_sql(rounds=12, weighted=True),
         "percolate": _percolate_sql(),
+        "densest": _densest_sql(eps_e6=100_000, rounds=8),
+        "analyze_hist": """
+            WITH src AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+                FROM lineitem),
+            q AS (SELECT quantile_disc(c, 0.125) AS b1,
+                         quantile_disc(c, 0.25) AS b2,
+                         quantile_disc(c, 0.375) AS b3,
+                         quantile_disc(c, 0.5) AS b4,
+                         quantile_disc(c, 0.625) AS b5,
+                         quantile_disc(c, 0.75) AS b6,
+                         quantile_disc(c, 0.875) AS b7
+                  FROM src)
+            SELECT CAST(CASE WHEN c <= b1 THEN 0 WHEN c <= b2 THEN 1
+                             WHEN c <= b3 THEN 2 WHEN c <= b4 THEN 3
+                             WHEN c <= b5 THEN 4 WHEN c <= b6 THEN 5
+                             WHEN c <= b7 THEN 6 ELSE 7 END AS BIGINT)
+                       AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS sum_cents
+            FROM src, q GROUP BY 1
+        """,
         "itemsets3": """
             WITH tk AS (
                 SELECT doc_id, tok FROM (

@@ -1047,6 +1047,93 @@ def landmark_distances(
     )
 
 
+def densest_rounds(
+    edges: "ray.data.Dataset",
+    eps_e6: int = 100_000,
+    max_rounds: int = 8,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Parallel Charikar densest-subgraph PEELING (Bahmani et al.,
+    VLDB'12): each round removes EVERY node whose degree ≤
+    2·(1+ε)·density — O(log n) rounds, and the densest round-prefix is
+    a 2(1+ε)-approximation of the densest subgraph (dense-community /
+    spam-cluster mining on the KG edge layer). ε = eps_e6/10⁶; the
+    removal test is the exact integer cross-multiplication
+    deg·N·10⁶ ≤ 2·(10⁶+eps_e6)·E, so rounds are bit-reproducible in
+    an unrolled SQL oracle.
+
+    Per round: one node-degree exchange (driver reads only the two
+    scalars N, E) + two task semi-joins shrink the edge set (the
+    ``kcore_peel`` machinery), per-round block discipline + edge
+    materialize. Returns the density TRAJECTORY (round, n_nodes,
+    n_edges) for rounds with nodes remaining — the argmax prefix is
+    the approximate densest subgraph (pytest-pinned); stops early on
+    an empty graph."""
+    from fastie_ray.ops.join import hash_join
+
+    e = edges.repartition(n_buckets).materialize()
+    rows = []
+    for rnd in range(max_rounds):
+        def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+            both = pd.concat([df["a"], df["b"]], ignore_index=True)
+            return both.value_counts().rename_axis("node").reset_index(
+                name="deg"
+            )
+
+        def add_bn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__b"] = _bucket(df["node"], n_buckets)
+            return df
+
+        def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.drop(columns="__b").groupby("node", as_index=False)[
+                "deg"
+            ].sum()
+            out["deg"] = out["deg"].astype("int64")
+            return out
+
+        degrees = (
+            e.map_batches(deg_partial, batch_format="pandas")
+            .map_batches(add_bn, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(deg_final, batch_format="pandas")
+            .materialize()
+        )
+        n_nodes = degrees.count()
+        if n_nodes == 0:
+            break
+        n_edges = e.count()
+        rows.append((rnd, n_nodes, n_edges))
+        thresh_rhs = 2 * (1_000_000 + eps_e6) * n_edges
+
+        keep = (
+            degrees.map_batches(
+                lambda df, n=n_nodes, rhs=thresh_rhs: df.loc[
+                    df["deg"].to_numpy() * n * 1_000_000 > rhs, ["node"]
+                ],
+                batch_format="pandas",
+            )
+            .repartition(n_buckets)
+            .materialize()
+        )
+        e = hash_join(
+            e, keep, on="a", right_on="node", how="semi",
+            left_cols=["a", "b"], n_buckets=n_buckets,
+        )
+        e = (
+            hash_join(
+                e, keep, on="b", right_on="node", how="semi",
+                left_cols=["a", "b"], n_buckets=n_buckets,
+            )
+            .repartition(n_buckets)
+            .materialize()
+        )
+    out = pd.DataFrame(rows, columns=["round", "n_nodes", "n_edges"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def temporal_reach(
     edges: "ray.data.Dataset",
     seeds: pd.DataFrame,

@@ -108,3 +108,41 @@ def test_ktruss_triangle_free_peels_empty(ray_session):
     )
     got = _got(edges, 3, 2)
     assert len(got) == 0
+
+
+def test_densest_rounds_vs_reference(ray_session):
+    from fastie_ray.ops.graph import densest_rounds
+
+    # planted: a K6 clique (density 2.5) buried in a sparse path
+    clique = [
+        (f"c{i}", f"c{j}") for i in range(6) for j in range(i + 1, 6)
+    ]
+    path = [(f"p{i}", f"p{i+1}") for i in range(30)]
+    bridge = [("c0", "p0")]
+    edges = pd.DataFrame(clique + path + bridge, columns=["a", "b"])
+    got = densest_rounds(
+        ray.data.from_pandas(edges).repartition(3),
+        eps_e6=100_000, max_rounds=8, n_buckets=4,
+    )
+
+    # single-process reference
+    e = {tuple(sorted(t)) for t in edges.itertuples(index=False)}
+    want = []
+    for rnd in range(8):
+        deg = {}
+        for a, b in e:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        if not deg:
+            break
+        n, m = len(deg), len(e)
+        want.append((rnd, n, m))
+        keep = {v for v, d in deg.items() if d * n * 10**6 > 2 * 1_100_000 * m}
+        e = {(a, b) for a, b in e if a in keep and b in keep}
+    want_df = pd.DataFrame(
+        want, columns=["round", "n_nodes", "n_edges"]
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, want_df)
+    # the densest prefix must recover (at least) the clique's density
+    dens = (got["n_edges"] * 1_000_000 // got["n_nodes"]).max()
+    assert dens >= 2_000_000  # K6 density 2.5, path-diluted start ~1

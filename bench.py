@@ -94,7 +94,9 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "hopping_uniques", "trending", "cuped", "range_lookup",
                  "grouped_open_quantiles", "grouped_auc", "landmarks",
                  "trailing_spend", "theil_sen", "new_vs_returning",
-                 "id_gaps", "first_touch", "uptime_totals"):
+                 "id_gaps", "first_touch", "uptime_totals",
+                 "rfm_segments", "weighted_matching", "percolate",
+                 "itemsets3", "analyze_hist", "densest"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

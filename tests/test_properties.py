@@ -367,3 +367,108 @@ def test_bloom_has_no_false_negatives(keys):
     bits = bloom_bits(ds, "k", m_bits=1 << 16, k=3)
     ok = _bloom_test(pd.Series(keys), bits, 1 << 16, 3)
     assert ok.all()  # every inserted key passes — no false negatives
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),            # key
+            st.integers(0, 400),          # start
+            st.integers(1, 120),          # length
+        ),
+        min_size=1, max_size=60,
+    )
+)
+def test_coalesce_frame_matches_sweep_union(ivs):
+    """_coalesce_frame (gaps-and-islands kernel of interval_coalesce)
+    vs a brute-force boolean-line sweep (touch semantics, half-open)."""
+    import pandas as pd
+
+    from fastie_ray.ops.interval import _coalesce_frame
+
+    df = pd.DataFrame(
+        [(k, s, s + ln) for k, s, ln in ivs], columns=["k", "s", "e"]
+    )
+    got = _coalesce_frame(df, ["k"]).sort_values(["k", "s"]).reset_index(
+        drop=True
+    )
+    for k, grp in df.groupby("k"):
+        line = np.zeros(600, dtype=bool)
+        for _, r in grp.iterrows():
+            line[r["s"]:r["e"]] = True
+        # reconstruct spans from the boolean line
+        spans = []
+        i = 0
+        while i < len(line):
+            if line[i]:
+                j = i
+                while j < len(line) and line[j]:
+                    j += 1
+                spans.append((i, j))
+                i = j
+            else:
+                i += 1
+        sub = got[got["k"] == k][["s", "e"]]
+        assert list(map(tuple, sub.itertuples(index=False))) == spans, k
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40), st.integers(1, 50)),
+        min_size=1, max_size=80,
+    ),
+    st.integers(1, 9),
+)
+def test_trailing_window_kernel_matches_bruteforce(rows, w):
+    """The encoded-position cumsum/searchsorted trailing-window kernel
+    (final stage of trailing_window_sums) vs per-(key, day) brute
+    force."""
+    import pandas as pd
+
+    g = (
+        pd.DataFrame(rows, columns=["k", "day", "v"])
+        .groupby(["k", "day"], as_index=False)["v"]
+        .sum()
+        .sort_values(["k", "day"])
+        .reset_index(drop=True)
+    )
+    k = g["k"].to_numpy(dtype=np.int64)
+    day = g["day"].to_numpy(dtype=np.int64)
+    v = g["v"].to_numpy(dtype=np.int64)
+    codes = __import__("pandas").factorize(k)[0].astype(np.int64)
+    enc = codes * (1 << 24) + day
+    cum = np.cumsum(v)
+    j = np.searchsorted(enc, enc - (w - 1), side="left")
+    trailing = cum - np.where(j > 0, cum[np.maximum(j - 1, 0)], 0)
+    for i in range(len(g)):
+        m = (k == k[i]) & (day > day[i] - w) & (day <= day[i])
+        assert trailing[i] == v[m].sum(), (k[i], day[i])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(-10**12, 10**12), st.integers(1, 10**9))
+def test_tdiv_matches_sql_truncation(a, b):
+    """cuped's truncating division == DuckDB integer `//` semantics."""
+    import duckdb
+
+    q = abs(a) // abs(b)
+    tdiv = q if a >= 0 else -q
+    want = duckdb.sql(f"SELECT CAST({a} AS BIGINT) // {b}").fetchone()[0]
+    assert tdiv == int(want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="abc", min_size=0, max_size=7),
+       st.text(alphabet="abc", min_size=0, max_size=7))
+def test_ed1_deletion_neighborhood_completeness(x, y):
+    """FastSS invariant: lev(x,y) ≤ 1 ⟹ D1(x) ∩ D1(y) ≠ ∅ — the
+    completeness direction ed1_pairs' blocking relies on."""
+    from fastie_ray.ops.blocking import _levenshtein
+
+    def d1(s):
+        return {s} | {s[:i] + s[i + 1:] for i in range(len(s))}
+
+    if _levenshtein(x, y) <= 1:
+        assert d1(x) & d1(y), (x, y)

@@ -6376,6 +6376,46 @@ def _densest_sql(eps_e6: int = 100_000, rounds: int = 8) -> str:
     )
 
 
+def _q_triad_census(sf_dir: str):
+    """Directed triad closure census (``ops.graph.
+    triad_closure_census``) over the event handoff graph: cyclic vs
+    transitive (feed-forward) 2-path closures — the directed-motif
+    counts the undirected triangle ops can't see."""
+    import pandas as pd
+
+    from fastie_ray.ops.graph import triad_closure_census
+    from fastie_ray.ops.join import hash_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def lhs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": df["event_id"].astype("int64") + 1,
+                "src": "u" + df["user_id"].astype(str),
+            }
+        )
+
+    def rhs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": df["event_id"].astype("int64"),
+                "dst": "u" + df["user_id"].astype(str),
+            }
+        )
+
+    edges = hash_join(
+        ev.map_batches(lhs, batch_format="pandas"),
+        ev.map_batches(rhs, batch_format="pandas"),
+        on="k", left_cols=["k", "src"], right_cols=["k", "dst"],
+        n_buckets=16,
+    ).map_batches(
+        lambda df: df.loc[df["src"] != df["dst"], ["src", "dst"]],
+        batch_format="pandas",
+    )
+    return triad_closure_census(edges, n_buckets=16)
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -6671,6 +6711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "itemsets3": _q_itemsets3,
         "analyze_hist": _q_analyze_hist,
         "densest": _q_densest,
+        "triad_census": _q_triad_census,
     }
 
 
@@ -9694,6 +9735,25 @@ def oracle_sql() -> dict[str, str]:
         "weighted_matching": _matching_sql(rounds=12, weighted=True),
         "percolate": _percolate_sql(),
         "densest": _densest_sql(eps_e6=100_000, rounds=8),
+        "triad_census": """
+            WITH ev AS (SELECT CAST(event_id AS BIGINT) AS eid,
+                               'u' || CAST(user_id AS BIGINT) AS u
+                        FROM events),
+            e AS MATERIALIZED (
+                SELECT DISTINCT a.u AS src, b.u AS dst
+                FROM ev a JOIN ev b ON b.eid = a.eid + 1 AND a.u <> b.u),
+            p AS MATERIALIZED (
+                SELECT x.src AS a, x.dst AS b, y.dst AS c
+                FROM e x JOIN e y ON y.src = x.dst AND y.dst <> x.src),
+            cyc AS (SELECT count(*) AS n FROM p
+                    JOIN e z ON z.src = p.c AND z.dst = p.a),
+            tr AS (SELECT count(*) AS n FROM p
+                   JOIN e z ON z.src = p.a AND z.dst = p.c)
+            SELECT CAST(cyc.n AS BIGINT) AS cyclic_paths,
+                   CAST(tr.n AS BIGINT) AS transitive_paths,
+                   CAST(cyc.n // 3 AS BIGINT) AS n_cycles
+            FROM cyc, tr
+        """,
         "analyze_hist": """
             WITH src AS (
                 SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c

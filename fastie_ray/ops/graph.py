@@ -1134,6 +1134,123 @@ def densest_rounds(
     return out
 
 
+def triad_closure_census(
+    edges: "ray.data.Dataset",
+    max_degree: int | None = None,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Directed TRIAD closure census — the social-network-analysis
+    counts the undirected triangle ops can't see: over DISTINCT
+    directed edges (src, dst), count 2-paths a→b→c closed CYCLICALLY
+    (edge c→a; each 3-cycle contributes 3 such paths, so
+    n_cycles = cyclic_paths / 3) vs TRANSITIVELY (edge a→c — the
+    hierarchy/feed-forward motif). Reciprocal edge pairs make a path
+    count in both columns, as the path-closure definition says.
+
+    Scale shape: in- and out-edges co-locate per CENTER b via one
+    bucketed exchange; in-group a×c pair enumeration pre-aggregates to
+    (a, c, n_paths) — volume Σ indeg(b)·outdeg(b), the directed wedge
+    bound (cap hubs with ``max_degree``, the ``link_prediction``
+    trade) — then TWO task hash joins against the edge set (keys only)
+    check the two closures and blocks×1 partial sums reach the driver.
+    Returns one row (cyclic_paths, transitive_paths, n_cycles)."""
+    from fastie_ray.ops.join import hash_join
+
+    e = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["src"].astype(str), "dst": df["dst"].astype(str)}
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+    from fastie_ray.ops.dedup import dedup_exact
+
+    e = dedup_exact(e, ["src", "dst"], n_buckets=n_buckets).materialize()
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        outs = pd.DataFrame(
+            {"center": df["src"], "other": df["dst"], "side": "o"}
+        )
+        ins = pd.DataFrame(
+            {"center": df["dst"], "other": df["src"], "side": "i"}
+        )
+        return pd.concat([ins, outs], ignore_index=True)
+
+    def add_bc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["center"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        if max_degree is not None:
+            deg = g.groupby("center")["other"].transform("size")
+            g = g[deg <= max_degree]
+        i = g[g["side"] == "i"][["center", "other"]].rename(
+            columns={"other": "a"}
+        )
+        o = g[g["side"] == "o"][["center", "other"]].rename(
+            columns={"other": "c"}
+        )
+        m = i.merge(o, on="center")
+        m = m[m["a"] != m["c"]]
+        if len(m) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object),
+                 "c": pd.Series([], dtype=object),
+                 "n_paths": pd.Series([], dtype="int64")}
+            )
+        out = m.groupby(["a", "c"], as_index=False).size().rename(
+            columns={"size": "n_paths"}
+        )
+        out["n_paths"] = out["n_paths"].astype("int64")
+        return out
+
+    paths = (
+        e.map_batches(tag, batch_format="pandas")
+        .map_batches(add_bc, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(wedge_pairs, batch_format="pandas")
+        .materialize()  # consumed by both closure joins
+    )
+
+    def closed_sum(key_fn) -> int:
+        keyed = paths.map_batches(
+            lambda df: pd.DataFrame(
+                {"k": key_fn(df), "n_paths": df["n_paths"]}
+            ),
+            batch_format="pandas",
+        )
+        ekeys = e.map_batches(
+            lambda df: pd.DataFrame({"k": df["src"] + "|" + df["dst"]}),
+            batch_format="pandas",
+        )
+        hit = hash_join(
+            keyed, ekeys, on="k", how="semi",
+            left_cols=["k", "n_paths"], n_buckets=n_buckets,
+        )
+        parts = hit.map_batches(
+            lambda df: pd.DataFrame(
+                {"s": [np.int64(df["n_paths"].sum()) if len(df) else np.int64(0)]}
+            ),
+            batch_format="pandas",
+        ).to_pandas()
+        return int(parts["s"].sum()) if len(parts) else 0
+
+    cyc = closed_sum(lambda df: df["c"] + "|" + df["a"])
+    tr = closed_sum(lambda df: df["a"] + "|" + df["c"])
+    return pd.DataFrame(
+        {
+            "cyclic_paths": [np.int64(cyc)],
+            "transitive_paths": [np.int64(tr)],
+            "n_cycles": [np.int64(cyc // 3)],
+        }
+    )
+
+
 def temporal_reach(
     edges: "ray.data.Dataset",
     seeds: pd.DataFrame,

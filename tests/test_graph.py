@@ -555,3 +555,51 @@ def test_lpa_matches_reference_on_random_graph(ray_session):
         out = lpa_communities(edges, rounds=rounds, n_buckets=4).to_pandas()
         got = dict(zip(out["node"], out["community_id"]))
         assert got == _ref_lpa(pairs, rounds)
+
+
+def test_triad_closure_census_known_motifs(ray_session):
+    from fastie_ray.ops.graph import triad_closure_census
+
+    # one 3-cycle (x→y→z→x), one feed-forward (p→q, q→r, p→r),
+    # plus a dangling edge
+    edges = pd.DataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x"),
+         ("p", "q"), ("q", "r"), ("p", "r"),
+         ("r", "s")],
+        columns=["src", "dst"],
+    )
+    got = triad_closure_census(
+        ray.data.from_pandas(edges), n_buckets=4
+    )
+    assert got["cyclic_paths"].iloc[0] == 3
+    assert got["n_cycles"].iloc[0] == 1
+    assert got["transitive_paths"].iloc[0] == 1
+
+
+def test_triad_closure_census_bruteforce(ray_session):
+    from fastie_ray.ops.graph import triad_closure_census
+
+    rng = np.random.default_rng(71)
+    n = 120
+    u = rng.integers(0, 15, n)
+    v = rng.integers(0, 15, n)
+    m = u != v
+    edges = pd.DataFrame(
+        {"src": [f"n{i}" for i in u[m]], "dst": [f"n{i}" for i in v[m]]}
+    ).drop_duplicates().reset_index(drop=True)
+    es = set(map(tuple, edges.itertuples(index=False)))
+    cyc = tr = 0
+    for a, b in es:
+        for b2, c in es:
+            if b2 != b or c == a:
+                continue
+            if (c, a) in es:
+                cyc += 1
+            if (a, c) in es:
+                tr += 1
+    got = triad_closure_census(
+        ray.data.from_pandas(edges).repartition(3), n_buckets=4
+    )
+    assert got["cyclic_paths"].iloc[0] == cyc
+    assert got["transitive_paths"].iloc[0] == tr
+    assert got["n_cycles"].iloc[0] == cyc // 3

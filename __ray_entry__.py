@@ -6416,6 +6416,42 @@ def _q_triad_census(sf_dir: str):
     return triad_closure_census(edges, n_buckets=16)
 
 
+def _q_bot_scores(sf_dir: str):
+    """Scripted-traffic detector (``ops.sequence.gap_regularity``):
+    per-user inter-event gap CV² in exact integers; a metronome bot
+    (user 9999, exact 60 s cadence, synthesized from the first 200
+    event ids) must flag while organic users don't."""
+    import pandas as pd
+
+    from fastie_ray.ops.sequence import gap_regularity
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ts": pd.to_datetime(df["ts"]),
+            }
+        )
+        k = base["event_id"][base["event_id"] < 200]
+        bot = pd.DataFrame(
+            {
+                "event_id": 10_000_000 + k,
+                "user_id": pd.Series(9999, index=k.index, dtype="int64"),
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(k.to_numpy(), unit="m"),
+            }
+        )
+        return pd.concat([base, bot], ignore_index=True)
+
+    return gap_regularity(
+        ev.map_batches(plant, batch_format="pandas"),
+        min_gaps=8, cv2_thresh_e6=10_000,
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -6712,6 +6748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyze_hist": _q_analyze_hist,
         "densest": _q_densest,
         "triad_census": _q_triad_census,
+        "bot_scores": _q_bot_scores,
     }
 
 
@@ -9735,6 +9772,40 @@ def oracle_sql() -> dict[str, str]:
         "weighted_matching": _matching_sql(rounds=12, weighted=True),
         "percolate": _percolate_sql(),
         "densest": _densest_sql(eps_e6=100_000, rounds=8),
+        "bot_scores": """
+            WITH base AS (
+                SELECT CAST(event_id AS BIGINT) AS eid,
+                       CAST(user_id AS BIGINT) AS u, ts
+                FROM events
+                UNION ALL
+                SELECT 10000000 + k, 9999,
+                       TIMESTAMP '2024-01-01' + k * INTERVAL '1 minute'
+                FROM range(0, 200) r(k)),
+            g AS (
+                SELECT u,
+                       (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                            PARTITION BY u ORDER BY ts, eid))
+                       // 1000000 AS gp
+                FROM base),
+            s AS (
+                SELECT u, CAST(count(gp) AS HUGEINT) AS n,
+                       CAST(sum(gp) AS HUGEINT) AS sm,
+                       CAST(sum(gp * gp) AS HUGEINT) AS ss
+                FROM g WHERE gp IS NOT NULL GROUP BY 1)
+            SELECT u AS user_id,
+                   CAST(n AS BIGINT) AS n_gaps,
+                   CAST(sm AS BIGINT) AS gap_sum_s,
+                   CAST(n * ss - sm * sm AS BIGINT) AS var_num,
+                   CAST(CASE WHEN sm = 0 THEN 0
+                        ELSE (n * ss - sm * sm) * 1000000 // (sm * sm)
+                        END AS BIGINT) AS cv2_e6,
+                   CAST(CASE WHEN n >= 8
+                             AND (CASE WHEN sm = 0 THEN 0
+                                  ELSE (n * ss - sm * sm) * 1000000
+                                       // (sm * sm) END) < 10000
+                        THEN 1 ELSE 0 END AS BIGINT) AS flagged
+            FROM s
+        """,
         "triad_census": """
             WITH ev AS (SELECT CAST(event_id AS BIGINT) AS eid,
                                'u' || CAST(user_id AS BIGINT) AS u

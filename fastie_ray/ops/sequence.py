@@ -596,3 +596,84 @@ def path_counts_scalable(
     )["n_paths"].sum()
     out["n_paths"] = out["n_paths"].astype("int64")
     return out.sort_values(tcols).reset_index(drop=True)
+
+def gap_regularity(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gaps: int = 8,
+    cv2_thresh_e6: int = 10_000,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Bot / scripted-traffic detector from INTER-EVENT GAP regularity:
+    humans are bursty, schedulers are metronomes. Per key, over
+    consecutive event gaps g_i (µs, ordered by (ts, id)):
+
+        var_num = n·Σg² − (Σg)²          (scaled variance numerator)
+        cv2_e6  = ⌊var_num·10⁶ / (Σg)²⌋  (squared coefficient of
+                                          variation — dimensionless,
+                                          so fast AND slow metronomes
+                                          both flag)
+
+    flagged = (n ≥ min_gaps) AND (cv2_e6 < cv2_thresh_e6). Gaps are
+    WHOLE SECONDS (µs floor-divided — g² in µs overflows int64 at
+    month-scale gaps; both sides floor identically). All integer
+    arithmetic — SQL-exact via lag() + HUGEINT aggregates.
+
+    Scale shape: ONE key-bucketed exchange; per-key volume is the
+    key's event count (the sessionization contract — for adversarial
+    hot keys use the two-phase (key, time-chunk) boundary pattern of
+    ``transition_counts_scalable``). Keys with Σg = 0 (all identical
+    timestamps) get cv2_e6 = 0 (perfectly regular). Returns
+    (key, n_gaps, gap_sum_s, var_num, cv2_e6, flagged)."""
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key_col, ts_col, id_col]].copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").sort_values([key_col, ts_col, id_col])
+        t = (
+            pd.to_datetime(g[ts_col]).to_numpy().astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        same = (g[key_col] == g[key_col].shift()).to_numpy()
+        gaps = pd.DataFrame(
+            {
+                "k": g[key_col].to_numpy()[same],
+                "g": ((t - np.concatenate([[0], t[:-1]]))
+                      // 1_000_000)[same],
+            }
+        )
+        rows = []
+        for k, grp in gaps.groupby("k", sort=False):
+            gv = grp["g"].to_numpy(dtype=np.int64)
+            n = len(gv)
+            s = int(gv.sum())
+            ss = int((gv.astype(object) ** 2).sum())  # bigint-safe
+            var_num = n * ss - s * s
+            cv2 = (var_num * 1_000_000) // (s * s) if s else 0
+            rows.append(
+                (k, n, s, var_num,
+                 cv2, int(n >= min_gaps and cv2 < cv2_thresh_e6))
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=[key_col, "n_gaps", "gap_sum_s", "var_num",
+                     "cv2_e6", "flagged"],
+        )
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_key, batch_format="pandas")
+    )

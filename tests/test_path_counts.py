@@ -73,3 +73,43 @@ def test_path_counts_sparse_chunks(ray_session):
         ray.data.from_pandas(df), n=3, bucket="1d", n_buckets=2
     )
     pd.testing.assert_frame_equal(got, _ref(df, 3), check_dtype=False)
+
+
+def test_gap_regularity_flags_metronome_not_human(ray_session):
+    from fastie_ray.ops.sequence import gap_regularity
+
+    rng = np.random.default_rng(73)
+    rows = []
+    # bot: exact 30 s cadence
+    for i in range(20):
+        rows.append((i, 1, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=30 * i)))
+    # human: bursty gaps
+    t = pd.Timestamp("2024-01-01")
+    for i in range(20):
+        t += pd.Timedelta(seconds=int(rng.integers(5, 4000)))
+        rows.append((100 + i, 2, t))
+    # too few events to flag, even though regular
+    for i in range(3):
+        rows.append((200 + i, 3, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=60 * i)))
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    got = (
+        gap_regularity(
+            ray.data.from_pandas(df).repartition(3),
+            min_gaps=8, cv2_thresh_e6=10_000, n_buckets=4,
+        )
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert got.loc[1, "flagged"] == 1 and got.loc[1, "var_num"] == 0
+    assert got.loc[2, "flagged"] == 0 and got.loc[2, "cv2_e6"] > 10_000
+    assert got.loc[3, "flagged"] == 0 and got.loc[3, "n_gaps"] == 2
+    # exact stats vs brute force for the human (seconds from µs)
+    tus = (
+        df[df["user_id"] == 2].sort_values("ts")["ts"]
+        .astype("datetime64[us]").astype("int64").to_numpy()
+    )
+    gs = np.diff(tus) // 1_000_000
+    n, s, ss = len(gs), int(gs.sum()), int((gs.astype(object) ** 2).sum())
+    assert got.loc[2, "n_gaps"] == n
+    assert got.loc[2, "gap_sum_s"] == s
+    assert got.loc[2, "var_num"] == n * ss - s * s

@@ -6452,6 +6452,32 @@ def _q_bot_scores(sf_dir: str):
     )
 
 
+def _q_ed1_lookup(sf_dir: str):
+    """Typo-tolerant dictionary lookup (``ops.blocking.ed1_lookup``,
+    the entity-linking companion to ed1_pairs): customer names with
+    planted typos (every 3rd name loses its 5th char, the rest gain a
+    trailing 'X') resolved against the clean name dictionary at
+    Levenshtein ≤ 1."""
+    import pandas as pd
+
+    from fastie_ray.ops.blocking import ed1_lookup
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def corrupt(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["c_name"].astype(str)
+        typo = n.str.slice(0, 4) + n.str.slice(5)
+        appended = n + "X"
+        return pd.DataFrame(
+            {"q": typo.where(df["c_custkey"] % 3 == 0, appended)}
+        )
+
+    return ed1_lookup(
+        cust.map_batches(corrupt, batch_format="pandas"),
+        cust, "q", "c_name", n_buckets=16,
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -6749,6 +6775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "densest": _q_densest,
         "triad_census": _q_triad_census,
         "bot_scores": _q_bot_scores,
+        "ed1_lookup": _q_ed1_lookup,
     }
 
 
@@ -9772,6 +9799,17 @@ def oracle_sql() -> dict[str, str]:
         "weighted_matching": _matching_sql(rounds=12, weighted=True),
         "percolate": _percolate_sql(),
         "densest": _densest_sql(eps_e6=100_000, rounds=8),
+        "ed1_lookup": """
+            WITH d AS (SELECT DISTINCT c_name AS e FROM customer),
+            q AS (SELECT DISTINCT
+                     CASE WHEN c_custkey % 3 = 0
+                          THEN substr(c_name, 1, 4) || substr(c_name, 6)
+                          ELSE c_name || 'X' END AS q
+                  FROM customer)
+            SELECT q.q AS query, d.e AS entry,
+                   CAST(levenshtein(q.q, d.e) AS BIGINT) AS edit_dist
+            FROM q, d WHERE levenshtein(q.q, d.e) <= 1
+        """,
         "bot_scores": """
             WITH base AS (
                 SELECT CAST(event_id AS BIGINT) AS eid,

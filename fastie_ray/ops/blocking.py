@@ -320,3 +320,86 @@ def ed1_pairs(
             lambda g: pairs(g.drop(columns="__b")), batch_format="pandas"
         )
     )
+
+def ed1_lookup(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_col: str,
+    right_col: str,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Typo-tolerant DICTIONARY lookup — all (query, entry) pairs of
+    DISTINCT left strings × DISTINCT right strings at Levenshtein
+    distance ≤ 1 (including exact matches): the entity-linking /
+    alias-resolution companion to ``ed1_pairs`` (self-join). Same
+    FastSS deletion-neighborhood machinery: both sides emit their D₁
+    variants into ONE variant-bucketed exchange; a pair sharing
+    several variants is emitted only in its min shared variant's group
+    (recomputed from the pair itself — single emission, no dedup
+    exchange); in-group exact Levenshtein verification. Returns
+    (query, entry, edit_dist)."""
+    import pyarrow as pa
+
+    def variants(col: str, side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            ss = pd.unique(df[col].astype(str))
+            out_v, out_s = [], []
+            for s in ss:
+                vs = {s}
+                vs.update(s[:i] + s[i + 1:] for i in range(len(s)))
+                out_v.extend(vs)
+                out_s.extend([s] * len(vs))
+            return pd.DataFrame(
+                {"variant": out_v, "s": out_s, "side": side}
+            )
+
+        return fn
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["variant"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    schema = pa.schema(
+        [("query", pa.string()), ("entry", pa.string()),
+         ("edit_dist", pa.int64())]
+    )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        rows = []
+        for variant, grp in g.groupby("variant", sort=False):
+            ls = sorted(set(grp.loc[grp["side"] == "l", "s"]))
+            rs = sorted(set(grp.loc[grp["side"] == "r", "s"]))
+            for q in ls:
+                dq = {q}
+                dq.update(q[:p] + q[p + 1:] for p in range(len(q)))
+                for e in rs:
+                    if abs(len(q) - len(e)) > 1:
+                        continue
+                    d = _levenshtein(q, e)
+                    if d > 1:
+                        continue
+                    de = {e}
+                    de.update(e[:p] + e[p + 1:] for p in range(len(e)))
+                    if min(dq & de) == variant:
+                        rows.append((q, e, d))
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["query", "entry", "edit_dist"]),
+            preserve_index=False,
+            schema=schema,
+        )
+
+    tagged = left.map_batches(
+        variants(left_col, "l"), batch_format="pandas"
+    ).union(right.map_batches(variants(right_col, "r"), batch_format="pandas"))
+    return (
+        tagged.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(
+            lambda g: pairs(g.drop(columns="__b")), batch_format="pandas"
+        )
+    )

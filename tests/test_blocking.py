@@ -161,3 +161,34 @@ def test_ed1_pairs_swap_is_not_matched(ray_session):
     got = ed1_pairs(ray.data.from_pandas(df), "w", n_buckets=2).to_pandas()
     got = set(map(tuple, got[["u", "v"]].itertuples(index=False)))
     assert got == {("ab", "abc")}
+
+
+def test_ed1_lookup_bruteforce(ray_session):
+    from fastie_ray.ops.blocking import _levenshtein, ed1_lookup
+
+    rng = np.random.default_rng(79)
+    dic = list({"".join(rng.choice(list("abc"), 4)) for _ in range(40)})
+    qs = list({"".join(rng.choice(list("abc"), rng.integers(3, 6)))
+               for _ in range(50)})
+    got = (
+        ed1_lookup(
+            ray.data.from_pandas(pd.DataFrame({"q": qs + qs[:10]})),
+            ray.data.from_pandas(pd.DataFrame({"e": dic})),
+            "q", "e", n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["query", "entry"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        [
+            (q, e, _levenshtein(q, e))
+            for q in sorted(set(qs))
+            for e in sorted(dic)
+            if _levenshtein(q, e) <= 1
+        ],
+        columns=["query", "entry", "edit_dist"],
+    )
+    want["edit_dist"] = want["edit_dist"].astype("int64")
+    assert got.duplicated().sum() == 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

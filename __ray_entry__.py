@@ -6478,6 +6478,75 @@ def _q_ed1_lookup(sf_dir: str):
     )
 
 
+def _q_top_reach(sf_dir: str):
+    """Top-10 items by distinct-user REACH (popularity by unique
+    audience, not raw volume — the recsys/ads ranking that needs exact
+    windowless count-distinct): item = props.$.k (vectorized regex
+    extract); distinct (item, user) combiner → user-hashed exchange
+    with per-bucket partial reach counts (disjoint member sets ADD,
+    the hopping_uniques shape) → item-bucketed sum + per-bucket top-k,
+    driver merges buckets × k rows; deterministic (reach DESC, item)
+    order."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["user_id", "props"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(
+            r'"k":\s*(-?\d+)', expand=False
+        ).astype("int64")
+        out = pd.DataFrame(
+            {"item": k, "u": df["user_id"].astype("int64")}
+        )
+        return out.drop_duplicates()
+
+    def add_bu(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = pd.Series([], dtype="int64")
+            return df
+        df["__b"] = (df["u"].to_numpy() % 16).astype("int64")
+        return df
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").drop_duplicates(["item", "u"])
+        out = g.groupby("item", as_index=False).agg(reach=("u", "count"))
+        out["reach"] = out["reach"].astype("int64")
+        return out
+
+    def add_bi(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = pd.Series([], dtype="int64")
+            return df
+        df["__b"] = (df["item"].to_numpy() % 16).astype("int64")
+        return df
+
+    def topk_local(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("item", as_index=False)[
+            "reach"
+        ].sum()
+        return out.sort_values(
+            ["reach", "item"], ascending=[False, True]
+        ).head(10)
+
+    cand = (
+        ev.map_batches(pairs, batch_format="pandas")
+        .map_batches(add_bu, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .map_batches(add_bi, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(topk_local, batch_format="pandas")
+        .to_pandas()
+    )
+    out = cand.sort_values(
+        ["reach", "item"], ascending=[False, True]
+    ).head(10)
+    out["reach"] = out["reach"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -6776,6 +6845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triad_census": _q_triad_census,
         "bot_scores": _q_bot_scores,
         "ed1_lookup": _q_ed1_lookup,
+        "top_reach": _q_top_reach,
     }
 
 
@@ -9799,6 +9869,16 @@ def oracle_sql() -> dict[str, str]:
         "weighted_matching": _matching_sql(rounds=12, weighted=True),
         "percolate": _percolate_sql(),
         "densest": _densest_sql(eps_e6=100_000, rounds=8),
+        "top_reach": """
+            WITH x AS (
+                SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+                       CAST(user_id AS BIGINT) AS u
+                FROM events)
+            SELECT item, CAST(count(DISTINCT u) AS BIGINT) AS reach
+            FROM x GROUP BY 1
+            ORDER BY reach DESC, item
+            LIMIT 10
+        """,
         "ed1_lookup": """
             WITH d AS (SELECT DISTINCT c_name AS e FROM customer),
             q AS (SELECT DISTINCT

@@ -6547,6 +6547,37 @@ def _q_top_reach(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_grouped_weighted_median(sf_dir: str):
+    """Per-returnflag WEIGHTED price quantiles (weight = quantity) via
+    ``grouped_open_quantiles(weight_col=...)`` — the grouped member of
+    the weighted-quantile family; boundary ⌈q·W_g⌉ exact, oracle is a
+    PARTITION BY cumulative-weight window."""
+    import pandas as pd
+
+    from fastie_ray.ops.stats import grouped_open_quantiles
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": df["l_returnflag"],
+                "cents": (df["l_extendedprice"] * 100).round().astype(
+                    "int64"
+                ),
+                "w": df["l_quantity"].round().astype("int64"),
+            }
+        )
+
+    return grouped_open_quantiles(
+        li.map_batches(prep, batch_format="pandas"),
+        "g", "cents", [0.5, 0.9], weight_col="w",
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -6846,6 +6877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bot_scores": _q_bot_scores,
         "ed1_lookup": _q_ed1_lookup,
         "top_reach": _q_top_reach,
+        "grouped_weighted_median": _q_grouped_weighted_median,
     }
 
 
@@ -9869,6 +9901,24 @@ def oracle_sql() -> dict[str, str]:
         "weighted_matching": _matching_sql(rounds=12, weighted=True),
         "percolate": _percolate_sql(),
         "densest": _densest_sql(eps_e6=100_000, rounds=8),
+        "grouped_weighted_median": """
+            WITH src AS (
+                SELECT l_returnflag AS g,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                       CAST(round(l_quantity) AS BIGINT) AS w
+                FROM lineitem),
+            cw AS (SELECT g, c, sum(w) AS w FROM src GROUP BY 1, 2),
+            o AS (SELECT g, c,
+                         sum(w) OVER (PARTITION BY g ORDER BY c) AS cum,
+                         sum(w) OVER (PARTITION BY g) AS tw
+                  FROM cw)
+            SELECT g, CAST(0.5 AS DOUBLE) AS q,
+                   CAST(min(c) AS BIGINT) AS value
+            FROM o WHERE cum >= (tw + 1) // 2 GROUP BY g
+            UNION ALL
+            SELECT g, 0.9, CAST(min(c) AS BIGINT)
+            FROM o WHERE cum >= (9 * tw + 9) // 10 GROUP BY g
+        """,
         "top_reach": """
             WITH x AS (
                 SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item,

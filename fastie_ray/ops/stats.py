@@ -950,6 +950,7 @@ def grouped_open_quantiles(
     col: str,
     qs: list[float],
     n_ranges: int = 1024,
+    weight_col: str | None = None,
 ) -> pd.DataFrame:
     """EXACT per-group ``quantile_disc`` over an UNBOUNDED integer
     value domain — ``open_quantiles`` lifted to groups, removing
@@ -969,18 +970,31 @@ def grouped_open_quantiles(
     target (group, rid) pairs (≤ groups × len(qs) rids ship, value
     COUNTS not rows — a hot value costs nothing) → driver walks each
     sorted count list to the offset. Three streaming passes, zero
-    exchanges, no sort anywhere."""
+    exchanges, no sort anywhere.
+
+    With ``weight_col`` (positive int64) every count becomes a weight
+    SUM and the boundary is ⌈q·W_g⌉ — the exact per-group WEIGHTED
+    quantile (importance-weighted group medians; the grouped member of
+    ``open_quantiles``' weighted mode), reproduced in SQL by a
+    PARTITION BY cumulative-weight window."""
     from fractions import Fraction
 
     fracs = [(float(q), Fraction(str(q))) for q in qs]
+
+    def _w(df: pd.DataFrame) -> pd.Series:
+        if weight_col is None:
+            return pd.Series(np.ones(len(df), dtype=np.int64), index=df.index)
+        return df[weight_col].astype("int64")
 
     def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame({group_col: [], "mn": [], "mx": [], "n": []})
         v = df[col].astype("int64")
-        out = pd.DataFrame({group_col: df[group_col], "v": v})
+        out = pd.DataFrame(
+            {group_col: df[group_col], "v": v, "w": _w(df)}
+        )
         return out.groupby(group_col, as_index=False).agg(
-            mn=("v", "min"), mx=("v", "max"), n=("v", "count")
+            mn=("v", "min"), mx=("v", "max"), n=("w", "sum")
         )
 
     mm = (
@@ -1013,10 +1027,8 @@ def grouped_open_quantiles(
         if len(df) == 0:
             return pd.DataFrame({group_col: [], "rid": [], "n": []})
         g, rid = _rid(df)
-        out = pd.DataFrame({group_col: g, "rid": rid})
-        return out.groupby([group_col, "rid"], as_index=False).size().rename(
-            columns={"size": "n"}
-        )
+        out = pd.DataFrame({group_col: g, "rid": rid, "n": _w(df)})
+        return out.groupby([group_col, "rid"], as_index=False)["n"].sum()
 
     hist = (
         ds.map_batches(hist_partial, batch_format="pandas")
@@ -1052,11 +1064,12 @@ def grouped_open_quantiles(
                 group_col: g[m],
                 "rid": rid[m],
                 "v": df[col].astype("int64")[m],
+                "n": _w(df)[m],
             }
         )
         return sub.groupby(
             [group_col, "rid", "v"], as_index=False
-        ).size().rename(columns={"size": "n"})
+        )["n"].sum()
 
     vals = (
         ds.map_batches(val_partial, batch_format="pandas")

@@ -95,3 +95,26 @@ def test_grouped_open_quantiles_vs_numpy():
             want = _disc(v, q)
             row = got[(got["g"] == g) & (got["q"] == q)]
             assert int(row["value"].iloc[0]) == want, (g, q)
+
+
+def test_grouped_open_quantiles_weighted(ray_session):
+    from fastie_ray.ops.stats import grouped_open_quantiles
+
+    rng = np.random.default_rng(83)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 3000),
+            "x": rng.integers(-500, 500, 3000).astype(np.int64),
+            "w": rng.integers(1, 7, 3000).astype(np.int64),
+        }
+    )
+    got = grouped_open_quantiles(
+        _ds(df, 4), "g", "x", [0.5, 0.9], weight_col="w"
+    )
+    for g in ("a", "b"):
+        sub = df[df["g"] == g]
+        expanded = np.repeat(sub["x"].to_numpy(), sub["w"].to_numpy())
+        for q in (0.5, 0.9):
+            want = _disc(expanded, q)
+            row = got[(got["g"] == g) & (got["q"] == q)]
+            assert int(row["value"].iloc[0]) == want, (g, q)

@@ -440,12 +440,18 @@ def _topic_sql() -> str:
     """
 
 
-def _perceptron_sql(n_iter: int = 3, n_features: int = 64) -> str:
+def _perceptron_sql(
+    n_iter: int = 3,
+    n_features: int = 64,
+    label_expr: str = "CASE WHEN lang = 'en' THEN 1 ELSE -1 END",
+) -> str:
     """Unrolled full-batch integer-perceptron oracle: hashed-bigram
     features, one (score, violations, gradient, weights) CTE group per
-    iteration — mirrors ``ops.linear_train.perceptron_train``."""
+    iteration — mirrors ``ops.linear_train.perceptron_train``.
+    ``label_expr`` parameterizes the y derivation (the noisy-label
+    audit trains on planted flips)."""
     ctes = [
-        """docs AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        f"""docs AS (SELECT doc_id, {label_expr} AS y,
             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents)""",
         """tok AS (SELECT doc_id, y, unnest(toks) AS tok,
             generate_subscripts(toks, 1) AS i FROM docs)""",
@@ -579,10 +585,16 @@ def _walks_sql_over(
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
-def _classifier_sql(n_iter: int = 3, n_features: int = 64) -> str:
+def _classifier_sql(
+    n_iter: int = 3,
+    n_features: int = 64,
+    label_expr: str = "CASE WHEN lang = 'en' THEN 1 ELSE -1 END",
+) -> str:
     """Train-then-infer oracle: the perceptron unroll plus one scoring
     CTE over the final weights."""
-    base = _perceptron_sql(n_iter=n_iter, n_features=n_features)
+    base = _perceptron_sql(
+        n_iter=n_iter, n_features=n_features, label_expr=label_expr
+    )
     head, _, _ = base.rpartition("\nSELECT")
     return (
         head
@@ -603,6 +615,95 @@ def _uncertain_sql(n_iter: int = 3, n_features: int = 64, k: int = 50) -> str:
         "SELECT doc_id, score, CAST(abs(score) AS BIGINT) AS margin "
         f"FROM ({base}) ORDER BY margin, doc_id LIMIT {k}"
     )
+
+
+_NOISY_LABEL = (
+    "(CASE WHEN lang = 'en' THEN 1 ELSE -1 END)"
+    " * (CASE WHEN doc_id % 17 = 0 THEN -1 ELSE 1 END)"
+)
+
+
+def _noisy_sql(n_iter: int = 3, n_features: int = 64, k: int = 50) -> str:
+    """Confident-learning oracle: train on the PLANTED-FLIP labels,
+    then the k most-confident disagreements (pred != y, |score| desc)
+    are the suspected label errors."""
+    base = _perceptron_sql(
+        n_iter=n_iter, n_features=n_features, label_expr=_NOISY_LABEL
+    )
+    head, _, _ = base.rpartition("\nSELECT")
+    return (
+        head
+        + f""",
+        sf AS (SELECT f.doc, any_value(f.y) AS y,
+                      sum(f.cnt * w{n_iter}.w) AS score
+               FROM f JOIN w{n_iter} USING (bucket) GROUP BY f.doc)
+        SELECT doc AS doc_id, CAST(score AS BIGINT) AS score,
+               CAST(y AS BIGINT) AS label
+        FROM sf
+        WHERE (CASE WHEN score > 0 THEN 1 ELSE -1 END) <> y
+        ORDER BY abs(score) DESC, doc LIMIT {k}"""
+    )
+
+
+def _q_noisy_labels(sf_dir: str):
+    """Label-noise audit (confident-learning shape): 1-in-17 labels are
+    planted flips; the integer perceptron trains ON the noisy labels,
+    scores the corpus, and the 50 most-CONFIDENT disagreements
+    (pred != label, largest |score|) are the suspected errors —
+    train + score streaming passes, one task hash_join to reattach
+    labels, local top-k combiner (complete per-doc rows → per-batch
+    top-k + driver merge is exact)."""
+    import pandas as pd
+
+    from fastie_ray.ops.join import hash_join
+    from fastie_ray.ops.linear_train import (
+        perceptron_score,
+        perceptron_train,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def lab(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        clean = (df["lang"] == "en").map({True: 1, False: -1})
+        flip = (df["doc_id"].astype("int64") % 17 == 0).map(
+            {True: -1, False: 1}
+        )
+        df["y"] = (clean * flip).astype("int64")
+        return df
+
+    labeled = ds.map_batches(lab, batch_format="pandas")
+    w = perceptron_train(labeled, "y", n_iter=3, n_features=64)
+    scored = perceptron_score(ds, w["weight"].to_numpy(), n_features=64)
+    joined = hash_join(
+        scored,
+        labeled.map_batches(
+            lambda df: df[["doc_id", "y"]], batch_format="pandas"
+        ),
+        on="doc_id", left_cols=["doc_id", "score", "pred"],
+        right_cols=["doc_id", "y"], n_buckets=16,
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["pred"] != df["y"]].copy()
+        df["margin"] = df["score"].abs()
+        df = df.sort_values(
+            ["margin", "doc_id"], ascending=[False, True]
+        ).head(50)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "score": df["score"].astype("int64"),
+                "label": df["y"].astype("int64"),
+            }
+        )
+
+    cand = joined.map_batches(topk, batch_format="pandas").to_pandas()
+    cand["margin"] = cand["score"].abs()
+    out = cand.sort_values(
+        ["margin", "doc_id"], ascending=[False, True]
+    ).head(50)[["doc_id", "score", "label"]]
+    return out.reset_index(drop=True)
 
 
 def _kcenter_sql(k: int = 5) -> str:
@@ -6878,6 +6979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ed1_lookup": _q_ed1_lookup,
         "top_reach": _q_top_reach,
         "grouped_weighted_median": _q_grouped_weighted_median,
+        "noisy_labels": _q_noisy_labels,
     }
 
 
@@ -7153,6 +7255,7 @@ def oracle_sql() -> dict[str, str]:
         "perceptron": _perceptron_sql(n_iter=3, n_features=64),
         "classifier_preds": _classifier_sql(n_iter=3, n_features=64),
         "uncertain_docs": _uncertain_sql(n_iter=3, n_features=64, k=50),
+        "noisy_labels": _noisy_sql(n_iter=3, n_features=64, k=50),
         "infer_batches": """
             WITH c AS (
                 SELECT doc_id,

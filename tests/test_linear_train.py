@@ -243,3 +243,38 @@ def test_theil_sen_bruteforce_and_outlier_immunity(ray_session):
     # robust: group a's median slope stays near 30e6 despite the spike
     a = got[got["g"] == "a"]["slope_e6"].iloc[0]
     assert 25_000_000 < a < 35_000_000
+
+
+def test_noisy_label_audit_recovers_planted_flips(ray_session):
+    from fastie_ray.ops.join import hash_join
+    from fastie_ray.ops.linear_train import (
+        perceptron_score,
+        perceptron_train,
+    )
+
+    # separable corpus: class +1 says "alpha beta", class -1 "gamma
+    # delta"; every 10th label is flipped. A majority-fit classifier
+    # must disagree exactly on the flips.
+    n = 200
+    rows = []
+    for i in range(n):
+        pos = i % 2 == 0
+        text = "alpha beta alpha" if pos else "gamma delta gamma"
+        y = 1 if pos else -1
+        if i % 10 == 0:
+            y = -y
+        rows.append((i, text, y))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "y"])
+    ds = ray.data.from_pandas(df).repartition(3)
+    w = perceptron_train(ds, "y", n_iter=3, n_features=64)
+    scored = perceptron_score(ds, w["weight"].to_numpy(), n_features=64)
+    joined = hash_join(
+        scored, ds.map_batches(
+            lambda d: d[["doc_id", "y"]], batch_format="pandas"
+        ),
+        on="doc_id", left_cols=["doc_id", "score", "pred"],
+        right_cols=["doc_id", "y"], n_buckets=4,
+    ).to_pandas()
+    flagged = set(joined.loc[joined["pred"] != joined["y"], "doc_id"])
+    want = {i for i in range(n) if i % 10 == 0}
+    assert flagged == want

@@ -97,7 +97,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "id_gaps", "first_touch", "uptime_totals",
                  "rfm_segments", "weighted_matching", "percolate",
                  "itemsets3", "analyze_hist", "densest",
-                 "triad_census", "bot_scores", "ed1_lookup", "top_reach"):
+                 "triad_census", "bot_scores", "ed1_lookup", "top_reach",
+                 "grouped_weighted_median", "noisy_labels"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

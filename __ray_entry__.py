@@ -6679,6 +6679,69 @@ def _q_grouped_weighted_median(sf_dir: str):
     )
 
 
+def _q_landing_exit(sf_dir: str):
+    """Landing/exit analysis: counts of (first event type, last event
+    type) per 30-min-gap session — the entry/exit-page product metric.
+    One user-bucketed exchange: vectorized gap/cumsum sessionization
+    (the session_window_agg kernel) + per-session first/last + a
+    types²-bounded local count; driver merges blocks × ≤ types²
+    rows."""
+    import numpy as np
+    import pandas as pd
+
+    ev = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    gap_us = 30 * 60 * 1_000_000
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = pd.Series([], dtype="int64")
+            return df
+        df["__b"] = (df["user_id"].to_numpy() % 16).astype("int64")
+        return df
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").sort_values(
+            ["user_id", "ts", "event_id"]
+        )
+        t = (
+            pd.to_datetime(g["ts"]).to_numpy().astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        new_user = (g["user_id"] != g["user_id"].shift()).to_numpy()
+        brk = new_user | (
+            t - np.concatenate([[0], t[:-1]]) > gap_us
+        )
+        sid = np.cumsum(brk)
+        s = pd.DataFrame(
+            {"sid": sid, "et": g["event_type"].to_numpy()}
+        )
+        firsts = s.groupby("sid")["et"].first()
+        lasts = s.groupby("sid")["et"].last()
+        out = pd.DataFrame(
+            {"landing": firsts.to_numpy(), "exit": lasts.to_numpy()}
+        )
+        out = out.groupby(["landing", "exit"], as_index=False).size().rename(
+            columns={"size": "n_sessions"}
+        )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        return out
+
+    parts = (
+        ev.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["landing", "exit"], as_index=False)[
+        "n_sessions"
+    ].sum()
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out.sort_values(["landing", "exit"]).reset_index(drop=True)
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -6980,6 +7043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_reach": _q_top_reach,
         "grouped_weighted_median": _q_grouped_weighted_median,
         "noisy_labels": _q_noisy_labels,
+        "landing_exit": _q_landing_exit,
     }
 
 
@@ -10004,6 +10068,28 @@ def oracle_sql() -> dict[str, str]:
         "weighted_matching": _matching_sql(rounds=12, weighted=True),
         "percolate": _percolate_sql(),
         "densest": _densest_sql(eps_e6=100_000, rounds=8),
+        "landing_exit": """
+            WITH x AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), y AS (
+                SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS sess
+                FROM x
+            ), z AS (
+                SELECT user_id, sess,
+                       first(event_type ORDER BY ts, event_id) AS landing,
+                       last(event_type ORDER BY ts, event_id) AS exit
+                FROM y GROUP BY 1, 2)
+            SELECT landing, exit,
+                   CAST(count(*) AS BIGINT) AS n_sessions
+            FROM z GROUP BY 1, 2
+        """,
         "grouped_weighted_median": """
             WITH src AS (
                 SELECT l_returnflag AS g,

@@ -6742,6 +6742,75 @@ def _q_landing_exit(sf_dir: str):
     return out.sort_values(["landing", "exit"]).reset_index(drop=True)
 
 
+def _q_conversion_daily(sf_dir: str):
+    """Daily click→purchase conversion rate: clicks per day (by click
+    ts), converted clicks = clicks with a same-user purchase within 30
+    min (DISTINCT click ids from the band_join pair table — one
+    click counts once however many purchases follow), integer
+    conv_e6 = ⌊converted·10⁶ / clicks⌋. Pair ids only ever ship."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from fastie_ray.ops.interval import band_join
+    from fastie_ray.ops.join import hash_join
+
+    def ev(kind: str):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+            filter=pc.field("event_type") == kind,
+            override_num_blocks=16,
+        )
+
+    clicks = ev("click").materialize()  # consumed by 2 branches
+    pairs = band_join(
+        clicks, ev("purchase"), key_col="user_id", ts_col="ts",
+        band="30min", direction="forward", id_col="event_id", n_buckets=16,
+    )
+    converted_ids = pairs.map_batches(
+        lambda df: pd.DataFrame({"cid": df["id_left"]}).drop_duplicates(),
+        batch_format="pandas",
+    )
+    conv_clicks = hash_join(
+        clicks, converted_ids, on="event_id", right_on="cid", how="semi",
+        left_cols=["event_id", "ts"], n_buckets=16,
+    )
+
+    def daily(name: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            d = (
+                pd.to_datetime(df["ts"]).to_numpy()
+                .astype("datetime64[D]").astype("int64")
+            )
+            out = pd.DataFrame({"day": d})
+            return out.groupby("day", as_index=False).size().rename(
+                columns={"size": name}
+            )
+
+        return fn
+
+    all_daily = (
+        clicks.map_batches(daily("n_clicks"), batch_format="pandas")
+        .to_pandas()
+        .groupby("day", as_index=False)
+        .sum()
+    )
+    conv_daily = (
+        conv_clicks.map_batches(daily("n_conv"), batch_format="pandas")
+        .to_pandas()
+        .groupby("day", as_index=False)
+        .sum()
+    )
+    out = all_daily.merge(conv_daily, on="day", how="left").fillna(0)
+    out["n_clicks"] = out["n_clicks"].astype("int64")
+    out["n_conv"] = out["n_conv"].astype("int64")
+    out["conv_e6"] = (
+        out["n_conv"] * 1_000_000 // out["n_clicks"]
+    ).astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -7044,6 +7113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_weighted_median": _q_grouped_weighted_median,
         "noisy_labels": _q_noisy_labels,
         "landing_exit": _q_landing_exit,
+        "conversion_daily": _q_conversion_daily,
     }
 
 
@@ -10068,6 +10138,30 @@ def oracle_sql() -> dict[str, str]:
         "weighted_matching": _matching_sql(rounds=12, weighted=True),
         "percolate": _percolate_sql(),
         "densest": _densest_sql(eps_e6=100_000, rounds=8),
+        "conversion_daily": """
+            WITH c AS (SELECT event_id AS cid, user_id, ts
+                       FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+            conv AS (
+                SELECT DISTINCT c.cid
+                FROM c JOIN p ON p.user_id = c.user_id
+                 AND c.ts <= p.ts
+                 AND p.ts - c.ts <= INTERVAL '30 minutes'),
+            d AS (
+                SELECT CAST(datediff('day', DATE '1970-01-01',
+                            CAST(c.ts AS DATE)) AS BIGINT) AS day,
+                       count(*) AS n_clicks,
+                       sum(CASE WHEN conv.cid IS NOT NULL
+                           THEN 1 ELSE 0 END) AS n_conv
+                FROM c LEFT JOIN conv ON conv.cid = c.cid
+                GROUP BY 1)
+            SELECT day, CAST(n_clicks AS BIGINT) AS n_clicks,
+                   CAST(n_conv AS BIGINT) AS n_conv,
+                   CAST(n_conv * 1000000 // n_clicks AS BIGINT)
+                       AS conv_e6
+            FROM d
+        """,
         "landing_exit": """
             WITH x AS (
                 SELECT user_id, ts, event_id, event_type,

@@ -6811,6 +6811,38 @@ def _q_conversion_daily(sf_dir: str):
     return out.sort_values("day").reset_index(drop=True)
 
 
+def _q_grouped_psi(sf_dir: str):
+    """Per-event-type PSI drift between the month's halves
+    (``ops.stats.grouped_psi_drift``): the segment drift monitor —
+    a calm global PSI can hide one collapsing segment; full grid +
+    Laplace terms computed inside the group exchange, no driver
+    step."""
+    import pandas as pd
+
+    from fastie_ray.ops.stats import grouped_psi_drift
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    cut = pd.Timestamp("2024-01-16").value // 1000
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            pd.to_datetime(df["ts"]).astype("datetime64[us]")
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "m": (t >= cut).astype("int64"),
+                "cents": (df["value"] * 100 + 0.5).astype("int64"),
+            }
+        )
+
+    return grouped_psi_drift(
+        ev.map_batches(prep, batch_format="pandas"),
+        "event_type", "m", "cents", n_bins=16, bin_width=1000,
+    )
+
+
 def _q_grouped_open_quantiles(sf_dir: str):
     """Per-event-type EXACT quantiles over the unbounded value-cents
     domain (``ops.stats.grouped_open_quantiles``): three streaming
@@ -7114,6 +7146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "noisy_labels": _q_noisy_labels,
         "landing_exit": _q_landing_exit,
         "conversion_daily": _q_conversion_daily,
+        "grouped_psi": _q_grouped_psi,
     }
 
 
@@ -10138,6 +10171,41 @@ def oracle_sql() -> dict[str, str]:
         "weighted_matching": _matching_sql(rounds=12, weighted=True),
         "percolate": _percolate_sql(),
         "densest": _densest_sql(eps_e6=100_000, rounds=8),
+        "grouped_psi": """
+            WITH c AS (
+                SELECT event_type AS g, ts,
+                       least(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                             // 1000, 15) AS bin
+                FROM events),
+            gs AS (SELECT DISTINCT g FROM c),
+            bins AS (SELECT unnest(range(16)) AS bin),
+            grid AS (SELECT g, bin FROM gs CROSS JOIN bins),
+            ca AS (SELECT g, bin, count(*) AS n FROM c
+                   WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2),
+            cb AS (SELECT g, bin, count(*) AS n FROM c
+                   WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1, 2),
+            ta AS (SELECT g, count(*) AS t FROM c
+                   WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+            tb AS (SELECT g, count(*) AS t FROM c
+                   WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+            j AS (
+                SELECT grid.g, grid.bin,
+                       CAST(coalesce(ca.n, 0) AS BIGINT) AS n_a,
+                       CAST(coalesce(cb.n, 0) AS BIGINT) AS n_b,
+                       (coalesce(ca.n, 0) + 1)
+                           / (coalesce(ta.t, 0) + 16.0) AS pa,
+                       (coalesce(cb.n, 0) + 1)
+                           / (coalesce(tb.t, 0) + 16.0) AS pb
+                FROM grid
+                LEFT JOIN ca USING (g, bin)
+                LEFT JOIN cb USING (g, bin)
+                LEFT JOIN ta USING (g)
+                LEFT JOIN tb USING (g))
+            SELECT g AS event_type, CAST(bin AS BIGINT) AS bin,
+                   n_a, n_b,
+                   round((pa - pb) * ln(pa / pb), 6) AS psi_term
+            FROM j
+        """,
         "conversion_daily": """
             WITH c AS (SELECT event_id AS cid, user_id, ts
                        FROM events WHERE event_type = 'click'),

@@ -602,6 +602,91 @@ def psi_drift(
     )
 
 
+def grouped_psi_drift(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    m_col: str,
+    value_col: str,
+    n_bins: int = 16,
+    bin_width: int = 1000,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-GROUP population stability index (``psi_drift`` lifted to
+    segments — per-language / per-source drift monitors; a global PSI
+    can look calm while one segment collapses): input rows carry the
+    group, a slice marker ``m ∈ {0, 1}`` (reference vs current) and an
+    integer value; output one row per (group, bin) with counts and the
+    Laplace-smoothed PSI term (rounded 6 dp, identical float op order
+    to the SQL oracle).
+
+    Scale shape: per-batch (group, m, bin) count combiner (≤ groups ×
+    2 × n_bins rows per batch) → ONE group-bucketed exchange; the full
+    n_bins grid, totals, shares and terms compute vectorized inside
+    the final task — no driver step at all (the ``grouped_ks``
+    contract: group domain bounded, everything else unbounded)."""
+    import math
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = np.minimum(
+            df[value_col].to_numpy(dtype=np.int64) // bin_width, n_bins - 1
+        )
+        out = pd.DataFrame(
+            {
+                group_col: df[group_col],
+                "m": df[m_col].astype("int64"),
+                "bin": b,
+            }
+        )
+        return out.groupby(
+            [group_col, "m", "bin"], as_index=False
+        ).size().rename(columns={"size": "n"})
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").groupby(
+            [group_col, "m", "bin"], as_index=False
+        )["n"].sum()
+        rows = []
+        for key, grp in g.groupby(group_col, sort=False):
+            na = (
+                grp[grp["m"] == 0].set_index("bin")["n"]
+                .reindex(range(n_bins), fill_value=0).astype("int64")
+            )
+            nb = (
+                grp[grp["m"] == 1].set_index("bin")["n"]
+                .reindex(range(n_bins), fill_value=0).astype("int64")
+            )
+            ta, tb = int(na.sum()), int(nb.sum())
+            for i in range(n_bins):
+                pa = (int(na[i]) + 1) / (ta + n_bins)
+                pb = (int(nb[i]) + 1) / (tb + n_bins)
+                rows.append(
+                    (key, i, int(na[i]), int(nb[i]),
+                     round((pa - pb) * math.log(pa / pb), 6))
+                )
+        out = pd.DataFrame(
+            rows, columns=[group_col, "bin", "n_a", "n_b", "psi_term"]
+        )
+        for c in ("bin", "n_a", "n_b"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def grouped_mad(
     ds: "ray.data.Dataset",
     group_col: str,

@@ -118,3 +118,41 @@ def test_grouped_open_quantiles_weighted(ray_session):
             want = _disc(expanded, q)
             row = got[(got["g"] == g) & (got["q"] == q)]
             assert int(row["value"].iloc[0]) == want, (g, q)
+
+
+def test_grouped_psi_matches_global_per_slice(ray_session):
+    from fastie_ray.ops.stats import grouped_psi_drift, psi_drift
+
+    rng = np.random.default_rng(89)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], n),
+            "m": rng.integers(0, 2, n).astype("int64"),
+            "v": rng.integers(0, 16_000, n).astype("int64"),
+        }
+    )
+    got = (
+        grouped_psi_drift(
+            ray.data.from_pandas(df).repartition(4),
+            "g", "m", "v", n_bins=16, bin_width=1000, n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["g", "bin"])
+        .reset_index(drop=True)
+    )
+    for gv in ("x", "y"):
+        sub = df[df["g"] == gv]
+        want = psi_drift(
+            ray.data.from_pandas(
+                sub[sub["m"] == 0][["v"]].reset_index(drop=True)
+            ),
+            ray.data.from_pandas(
+                sub[sub["m"] == 1][["v"]].reset_index(drop=True)
+            ),
+            "v", n_bins=16, bin_width=1000,
+        )
+        part = got[got["g"] == gv][
+            ["bin", "n_a", "n_b", "psi_term"]
+        ].reset_index(drop=True)
+        pd.testing.assert_frame_equal(part, want, check_dtype=False)

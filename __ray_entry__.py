@@ -7936,10 +7936,10 @@ def oracle_sql() -> dict[str, str]:
                    FROM toks t JOIN qterms q USING (token) GROUP BY 1,2,3),
             scored AS (
                 SELECT tf.qid, tf.doc_id,
-                       SUM(CAST(round(ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5))
+                       CAST(SUM(CAST(round(ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5))
                            * tf.tf*(1.2+1.0)
                            / (tf.tf + 1.2*(1.0-0.75+0.75*dl.dl/(s.tot*1.0/s.n)))
-                           * 1e6) AS BIGINT)) AS score_scaled
+                           * 1e6) AS BIGINT)) AS BIGINT) AS score_scaled
                 FROM tf JOIN dft d USING (token) JOIN dl USING (doc_id), stats s
                 GROUP BY 1,2),
             ranked AS (SELECT qid, doc_id, score_scaled,

@@ -457,6 +457,12 @@ def fuzzy_dedup_keep_best(
     itself for keep-latest-crawl). Returns (doc_id, cluster_size) for
     kept docs; unpaired docs are singletons (size 1).
 
+    ``score_col`` MUST be an integer dtype (the exchange carries it as
+    int64; see the validation in ``tag_docs``). Float quality scores
+    would silently truncate — collapsing ties onto the wrong member —
+    so they are rejected: pre-scale to integers (e.g. round(score*1e6))
+    before calling.
+
     Scale shape: CC labels as a dataset, then TWO tag-union exchanges —
     (1) on the doc id: attach each member's score to its component and
     pass singleton docs straight through; (2) on the component id:
@@ -479,6 +485,12 @@ def fuzzy_dedup_keep_best(
     )
 
     def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        if not pd.api.types.is_integer_dtype(df[score_col]):
+            raise TypeError(
+                f"fuzzy_dedup_keep_best requires an integer score_col; "
+                f"got {df[score_col].dtype!r} for {score_col!r} — "
+                "pre-scale float scores (e.g. round(score*1e6)) first"
+            )
         out = pd.DataFrame(
             {
                 "id": df[id_col].astype("int64"),

@@ -254,6 +254,20 @@ def salted_join(
     return both.groupby("__b").map_groups(merge, batch_format="pandas")
 
 
+def _bloom_key(values: pd.Series) -> pd.Series:
+    """Canonicalize a join-key series before Bloom hashing so both
+    sides hash equal-comparing values identically. pandas ``merge``
+    compares numerics across dtypes (int64 1 == float64 1.0), but
+    ``hash_pandas_object`` hashes bit patterns — without this, a
+    mixed-dtype key pair silently fails every Bloom probe and the
+    prefilter drops genuine matches. Numerics (incl. bool) go to
+    float64 (merge's own common dtype); ``+ 0.0`` folds -0.0 into
+    +0.0 so the two equal-comparing zero patterns hash alike."""
+    if pd.api.types.is_numeric_dtype(values) or pd.api.types.is_bool_dtype(values):
+        return values.astype("float64") + 0.0
+    return values
+
+
 def bloom_bits(
     ds: "ray.data.Dataset",
     col: str,
@@ -263,11 +277,12 @@ def bloom_bits(
     """Bloom filter of a key column: per-batch partial bit arrays
     (fixed ``m_bits/8`` bytes each), OR-merged on the driver —
     blocks × constant payload, never key-count-sized. The classic
-    runtime-filter build side."""
+    runtime-filter build side. Keys pass through ``_bloom_key`` so
+    the probe side (``_bloom_test``) matches across numeric dtypes."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(m_bits // 8, dtype=np.uint8)
-        v = df[col].dropna()
+        v = _bloom_key(df[col].dropna())
         if len(v):
             h1 = pd.util.hash_pandas_object(v, index=False).to_numpy()
             h2 = pd.util.hash_pandas_object(
@@ -289,6 +304,7 @@ def bloom_bits(
 
 
 def _bloom_test(values: pd.Series, bits: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    values = _bloom_key(values)
     h1 = pd.util.hash_pandas_object(values, index=False).to_numpy()
     h2 = pd.util.hash_pandas_object(
         values.astype(str) + "\x01", index=False

@@ -8,8 +8,10 @@ tables — the training-data-pipeline dedup family:
   hamming ≤ n_bands-1 ⇒ some band equal), verified by popcount;
 - ``jaccard_pairs``: exact n-gram Jaccard for explicit row pairs
   (vectorized per batch, no shuffle);
-- ``embedding_neardup``: all-pairs cosine ≥ threshold via per-batch
-  matmul against a broadcast (``ray.put`` once) normalized matrix.
+- ``embedding_neardup``: cosine ≥ threshold pairs via multi-table
+  random-hyperplane LSH — each row carries only its fixed-size bucket
+  keys into the exchange (recall math in the function docstring); no
+  corpus-sized broadcast anywhere.
 
 Scale notes (100 TB): in ``verify="exact"`` mode band rows carry the
 doc's shingle-hash set so verification happens inside the band group

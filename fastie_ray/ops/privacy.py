@@ -13,6 +13,11 @@ pseudo-noise, not a calibrated DP mechanism — real epsilon-DP needs a
 fresh secret random draw per release (swap ``_uniform`` for a CSPRNG
 and keep everything else). The pipeline shape (exact combiner +
 bounded exchange + pointwise noise) is the production shape either way.
+Additionally, ``dp_group_counts`` by default returns the EXACT count
+``n`` next to ``n_noisy`` (useful for auditing the mechanism); a frame
+containing ``n`` provides ZERO privacy if released. Pass
+``release_only=True`` to get a frame with the noisy column only —
+that is the only variant that may leave the trust boundary.
 """
 
 from __future__ import annotations
@@ -45,15 +50,21 @@ def dp_group_counts(
     sensitivity: float = 1.0,
     salt: str = "dp:",
     n_buckets: int = 8,
+    release_only: bool = False,
 ) -> pd.DataFrame:
     """(group, n, n_noisy): exact count per group plus the
     Laplace(sensitivity/epsilon)-noised release, rounded to 4 decimals.
     One combiner pass + one bucketed exchange; noise is added once per
-    GROUP on the reduced table, never per row."""
+    GROUP on the reduced table, never per row. Null group keys form
+    their own class (SQL GROUP BY semantics). The default frame
+    carries the EXACT ``n`` and must never be released as-is (see the
+    module HONESTY NOTE); ``release_only=True`` drops ``n``."""
     b = sensitivity / epsilon
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(group_col, as_index=False).agg(n=(group_col, "count"))
+        return (
+            df.groupby(group_col, dropna=False).size().reset_index(name="n")
+        )
 
     def add_b(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -67,7 +78,11 @@ def dp_group_counts(
         return df
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop(columns="__b").groupby(group_col, as_index=False)["n"].sum()
+        out = (
+            g.drop(columns="__b")
+            .groupby(group_col, as_index=False, dropna=False)["n"]
+            .sum()
+        )
         out["n"] = out["n"].astype("int64")
         out["n_noisy"] = [
             round(n + laplace_noise(salt + str(k), b), 4)
@@ -83,14 +98,17 @@ def dp_group_counts(
         .to_pandas()
     )
     if len(out) == 0:
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 group_col: pd.Series([], dtype=str),
                 "n": pd.Series([], dtype="int64"),
                 "n_noisy": pd.Series([], dtype="float64"),
             }
         )
-    return out.sort_values(group_col).reset_index(drop=True)
+    out = out.sort_values(group_col).reset_index(drop=True)
+    if release_only:
+        out = out.drop(columns=["n"])
+    return out
 
 
 def k_anonymity_audit(
@@ -109,12 +127,15 @@ def k_anonymity_audit(
     Scale shape: per-batch combiner on the quasi tuple → ONE bucketed
     exchange summing group sizes with the ``< k`` filter applied
     inside it — only risky classes (rare by definition) leave the
-    exchange; the corpus never does."""
+    exchange; the corpus never does. Null quasi values form their own
+    equivalence classes (``dropna=False`` / SQL GROUP BY semantics) —
+    a release gate that silently skipped null-bearing rows would leave
+    exactly those rows unaudited."""
     quasi_cols = list(quasi_cols)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(quasi_cols, as_index=False).agg(
-            n_rows=(quasi_cols[0], "count")
+        return (
+            df.groupby(quasi_cols, dropna=False).size().reset_index(name="n_rows")
         )
 
     def add_b(df: pd.DataFrame) -> pd.DataFrame:
@@ -130,9 +151,9 @@ def k_anonymity_audit(
         return df
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop(columns="__b").groupby(quasi_cols, as_index=False)[
-            "n_rows"
-        ].sum()
+        out = g.drop(columns="__b").groupby(
+            quasi_cols, as_index=False, dropna=False
+        )["n_rows"].sum()
         out = out[out["n_rows"] < k]
         out["n_rows"] = out["n_rows"].astype("int64")
         return out
@@ -159,15 +180,20 @@ def l_diversity_audit(
     (quasi values, class size, n_sensitive < l).
 
     Distinct (quasi, sensitive) combiner + class-size combiner → ONE
-    quasi-bucketed exchange counting both; only risky classes leave."""
+    quasi-bucketed exchange counting both; only risky classes leave.
+    Null quasi values form their own equivalence classes
+    (``dropna=False`` / SQL GROUP BY); null SENSITIVE values count
+    toward class size but not toward ``n_sensitive`` (SQL
+    COUNT(DISTINCT) semantics), so an all-null-sensitive class reports
+    n_sensitive=0 and is flagged."""
     quasi_cols = list(quasi_cols)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[quasi_cols + [sensitive_col]].copy()
-        g = out.groupby(quasi_cols + [sensitive_col], as_index=False).agg(
-            n_rows=(sensitive_col, "count")
+        return (
+            df.groupby(quasi_cols + [sensitive_col], dropna=False)
+            .size()
+            .reset_index(name="n_rows")
         )
-        return g
 
     def add_b(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -183,9 +209,9 @@ def l_diversity_audit(
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__b").groupby(
-            quasi_cols + [sensitive_col], as_index=False
+            quasi_cols + [sensitive_col], as_index=False, dropna=False
         )["n_rows"].sum()
-        out = g.groupby(quasi_cols, as_index=False).agg(
+        out = g.groupby(quasi_cols, as_index=False, dropna=False).agg(
             n_rows=("n_rows", "sum"),
             n_sensitive=(sensitive_col, "nunique"),
         )

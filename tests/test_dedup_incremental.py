@@ -154,3 +154,20 @@ def test_fuzzy_keep_best_transitive_chain(ray_session):
         {"doc_id": [2, 10, 20], "cluster_size": [3, 2, 1]}
     ).astype("int64")
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_fuzzy_keep_best_rejects_float_scores(ray_session):
+    """Float quality scores would silently truncate in the int64
+    exchange (ADVICE r2) — the op must raise instead."""
+    import pytest
+    import ray.data
+
+    from fastie_ray.ops.dedup import fuzzy_dedup_keep_best
+
+    docs = ray.data.from_items(
+        [{"doc_id": 1, "score": 0.9}, {"doc_id": 2, "score": 0.7}]
+    )
+    pairs = ray.data.from_items([{"doc_a": 1, "doc_b": 2}])
+    with pytest.raises((TypeError, Exception)) as ei:
+        fuzzy_dedup_keep_best(docs, pairs, score_col="score", n_buckets=2).to_pandas()
+    assert "integer score_col" in str(ei.value)

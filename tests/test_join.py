@@ -266,3 +266,48 @@ def test_join_size_estimate_exact():
     m = left.merge(right, left_on="k", right_on="rk")
     vc = m.groupby("k").size()
     assert int(est["max_key_product"].iloc[0]) == int(vc.max())
+
+
+def test_bloom_join_mixed_numeric_key_dtypes(ray_session):
+    """float64 left keys vs int64 right keys: the Bloom prefilter must
+    canonicalize before hashing or every genuine match is dropped
+    (ADVICE r2) — the result must equal the unfiltered hash_join."""
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.join import bloom_join, hash_join
+
+    left = ray.data.from_items(
+        [{"k": float(i % 60), "v": i} for i in range(500)]  # float64 keys
+    ).repartition(4)
+    right = ray.data.from_items(
+        [{"rk": k, "w": k * 2} for k in range(50)]  # int64 keys
+    )
+    a = (
+        bloom_join(left, right, on="k", right_on="rk", how="inner",
+                   left_cols=["k", "v"], right_cols=["rk", "w"], n_buckets=8)
+        .to_pandas()
+    )
+    b = (
+        hash_join(left, right, on="k", right_on="rk", how="inner",
+                  left_cols=["k", "v"], right_cols=["rk", "w"], n_buckets=8)
+        .to_pandas()
+    )
+    assert len(b) > 0  # the planted overlap actually matches
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+
+def test_bloom_test_negative_zero_and_int_float_equality():
+    import pandas as pd
+
+    from fastie_ray.ops.join import _bloom_key
+
+    # -0.0 and +0.0 compare equal in a merge → must hash identically
+    a = _bloom_key(pd.Series([-0.0, 1.0]))
+    b = _bloom_key(pd.Series([0.0, 1]))
+    assert (pd.util.hash_pandas_object(a, index=False).to_numpy()
+            == pd.util.hash_pandas_object(b, index=False).to_numpy()).all()

@@ -33,3 +33,50 @@ def test_dp_group_counts_exact_plus_bounded_noise(ray_session):
     # tighter epsilon -> larger scale
     loose = dp_group_counts(ds, "g", epsilon=0.1)
     assert (abs(loose["n_noisy"] - loose["n"]) >= abs(noise)).all()
+
+
+def test_privacy_audits_keep_null_classes(ray_session):
+    """Rows with null quasi-identifiers form their own equivalence
+    classes (ADVICE r2): a release gate that drops them leaves exactly
+    those rows unaudited. SQL GROUP BY keeps NULL classes."""
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.privacy import k_anonymity_audit, l_diversity_audit
+
+    rows = (
+        [{"zip": "94110", "age": 30, "dx": "flu"}] * 6  # safe class (k=5)
+        + [{"zip": None, "age": 41, "dx": "flu"}] * 2   # risky null class
+        + [{"zip": "10001", "age": 22, "dx": "cold"}]   # risky small class
+    )
+    ds = ray.data.from_items(rows).repartition(3)
+
+    ka = (
+        k_anonymity_audit(ds, ["zip", "age"], k=5, n_buckets=4)
+        .to_pandas()
+        .sort_values("n_rows")
+        .reset_index(drop=True)
+    )
+    assert len(ka) == 2
+    assert ka["n_rows"].tolist() == [1, 2]
+    assert ka["zip"].isna().sum() == 1  # the null class is audited
+
+    # l-diversity: the safe-k class is homogeneous (1 distinct dx < 2)
+    ld = l_diversity_audit(ds, ["zip", "age"], "dx", l=2, n_buckets=4).to_pandas()
+    assert (ld["n_sensitive"] < 2).all()
+    assert len(ld) == 3  # all three classes are homogeneous
+    assert ld["zip"].isna().sum() == 1
+
+
+def test_dp_group_counts_release_only_drops_exact_n(ray_session):
+    import ray.data
+
+    from fastie_ray.ops.privacy import dp_group_counts
+
+    ds = ray.data.from_items([{"g": "a"}] * 10 + [{"g": None}] * 3)
+    full = dp_group_counts(ds, "g", epsilon=1.0)
+    rel = dp_group_counts(ds, "g", epsilon=1.0, release_only=True)
+    assert "n" in full.columns and "n" not in rel.columns
+    assert list(rel.columns) == ["g", "n_noisy"]
+    # the null group key is counted (SQL GROUP BY semantics)
+    assert len(full) == 2 and full["n"].sum() == 13

@@ -6493,7 +6493,7 @@ def _q_triad_census(sf_dir: str):
         return pd.DataFrame(
             {
                 "k": df["event_id"].astype("int64") + 1,
-                "src": "u" + df["user_id"].astype(str),
+                "src": df["user_id"].astype("int64"),
             }
         )
 
@@ -6501,7 +6501,7 @@ def _q_triad_census(sf_dir: str):
         return pd.DataFrame(
             {
                 "k": df["event_id"].astype("int64"),
-                "dst": "u" + df["user_id"].astype(str),
+                "dst": df["user_id"].astype("int64"),
             }
         )
 

@@ -1151,20 +1151,29 @@ def triad_closure_census(
     bucketed exchange; in-group a×c pair enumeration pre-aggregates to
     (a, c, n_paths) — volume Σ indeg(b)·outdeg(b), the directed wedge
     bound (cap hubs with ``max_degree``, the ``link_prediction``
-    trade) — then TWO task hash joins against the edge set (keys only)
-    check the two closures and blocks×1 partial sums reach the driver.
+    trade) — then BOTH closure checks ride ONE (s, d)-bucketed
+    exchange: each path row is emitted twice ((c,a) tagged cyclic,
+    (a,c) tagged transitive), edges once, and the in-group two-column
+    merge sums per tag; blocks×1 partial sums reach the driver. Node
+    ids stay int64 when both endpoints are integers (no string
+    round-trip); otherwise they are compared as strings. THREE
+    exchanges total for the whole census.
     Returns one row (cyclic_paths, transitive_paths, n_cycles)."""
-    from fastie_ray.ops.join import hash_join
-
-    e = edges.map_batches(
-        lambda df: pd.DataFrame(
-            {"src": df["src"].astype(str), "dst": df["dst"].astype(str)}
-        ).drop_duplicates(),
-        batch_format="pandas",
-    )
     from fastie_ray.ops.dedup import dedup_exact
 
-    e = dedup_exact(e, ["src", "dst"], n_buckets=n_buckets).materialize()
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        s, d = df["src"], df["dst"]
+        if pd.api.types.is_integer_dtype(s) and pd.api.types.is_integer_dtype(d):
+            s, d = s.astype("int64"), d.astype("int64")
+        else:
+            s, d = s.astype(str), d.astype(str)
+        return pd.DataFrame({"src": s, "dst": d}).drop_duplicates()
+
+    e = dedup_exact(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["src", "dst"],
+        n_buckets=n_buckets,
+    ).materialize()
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         outs = pd.DataFrame(
@@ -1199,8 +1208,7 @@ def triad_closure_census(
         m = m[m["a"] != m["c"]]
         if len(m) == 0:
             return pd.DataFrame(
-                {"a": pd.Series([], dtype=object),
-                 "c": pd.Series([], dtype=object),
+                {"a": m["a"], "c": m["c"],
                  "n_paths": pd.Series([], dtype="int64")}
             )
         out = m.groupby(["a", "c"], as_index=False).size().rename(
@@ -1214,34 +1222,63 @@ def triad_closure_census(
         .map_batches(add_bc, batch_format="pandas")
         .groupby("__b")
         .map_groups(wedge_pairs, batch_format="pandas")
-        .materialize()  # consumed by both closure joins
     )
 
-    def closed_sum(key_fn) -> int:
-        keyed = paths.map_batches(
-            lambda df: pd.DataFrame(
-                {"k": key_fn(df), "n_paths": df["n_paths"]}
-            ),
-            batch_format="pandas",
+    # ONE closure exchange: path rows enter twice — as (s,d)=(c,a)
+    # tagged cyclic (n>0) and (s,d)=(a,c) tagged transitive (n<0,
+    # sign-encoding the tag so the exchange carries one int column) —
+    # edges enter once with n=0; the in-group merge keeps tagged rows
+    # whose (s,d) hits an edge row and partial-sums by sign.
+    def path_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cyc = pd.DataFrame(
+            {"s": df["c"], "d": df["a"], "n": df["n_paths"].astype("int64")}
         )
-        ekeys = e.map_batches(
-            lambda df: pd.DataFrame({"k": df["src"] + "|" + df["dst"]}),
-            batch_format="pandas",
+        tr = pd.DataFrame(
+            {"s": df["a"], "d": df["c"], "n": -df["n_paths"].astype("int64")}
         )
-        hit = hash_join(
-            keyed, ekeys, on="k", how="semi",
-            left_cols=["k", "n_paths"], n_buckets=n_buckets,
-        )
-        parts = hit.map_batches(
-            lambda df: pd.DataFrame(
-                {"s": [np.int64(df["n_paths"].sum()) if len(df) else np.int64(0)]}
-            ),
-            batch_format="pandas",
-        ).to_pandas()
-        return int(parts["s"].sum()) if len(parts) else 0
+        return pd.concat([cyc, tr], ignore_index=True)
 
-    cyc = closed_sum(lambda df: df["c"] + "|" + df["a"])
-    tr = closed_sum(lambda df: df["a"] + "|" + df["c"])
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"s": df["src"], "d": df["dst"],
+             "n": np.zeros(len(df), dtype=np.int64)}
+        )
+
+    def add_bsd(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = (
+            pd.util.hash_pandas_object(df["s"], index=False).to_numpy()
+            + np.uint64(0x9E3779B97F4A7C15)
+            * pd.util.hash_pandas_object(df["d"], index=False).to_numpy()
+        )
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def closed_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        ek = g.loc[g["n"] == 0, ["s", "d"]]
+        pk = g[g["n"] != 0]
+        hit = pk.merge(ek, on=["s", "d"], how="inner", sort=False)["n"]
+        return pd.DataFrame(
+            {
+                "cyc": [np.int64(hit[hit > 0].sum())],
+                "tr": [np.int64(-hit[hit < 0].sum())],
+            }
+        )
+
+    parts = (
+        paths.map_batches(path_rows, batch_format="pandas")
+        .union(e.map_batches(edge_rows, batch_format="pandas"))
+        .map_batches(add_bsd, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(closed_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    cyc = int(parts["cyc"].sum()) if len(parts) else 0
+    tr = int(parts["tr"].sum()) if len(parts) else 0
     return pd.DataFrame(
         {
             "cyclic_paths": [np.int64(cyc)],

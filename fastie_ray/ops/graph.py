@@ -619,147 +619,91 @@ def kcore_peel(
     )
 
 
-def _edge_support(
-    e: "ray.data.Dataset", n_buckets: int
-) -> "ray.data.Dataset":
-    """Per-edge triangle SUPPORT of an undirected simple graph given as
-    DISTINCT canonical (a, b) rows with a < b in STRING order
-    (materialized upstream — consumed by four passes here):
-    (a, b, support).
+def _support_pass(oriented, thresh: int | None, n_buckets: int):
+    """One k-truss support round over ORIENTED edges (lo, hi) held in a
+    :class:`fastie_ray.state.exchange.BlockSet` — THREE raw-task
+    exchanges total:
 
-    Same Suri-Vassilvitskii (deg, id) orientation as ``triangle_count``
-    (wedge volume O(m^1.5) under skew), but each closed wedge
-    (c; u, v) credits ALL THREE of its triangle's edges, so the match
-    join keeps the center and fans out 3 support rows per triangle,
-    then one edge-key-bucketed count exchange + a left join back onto
-    the edge set (unsupported edges get 0)."""
-    from fastie_ray.ops.join import hash_join
+    1. key=lo: in-group self-merge enumerates wedges (c; u, v) with
+       u < v (string canonical — the wedge key IS the closing edge's
+       canonical key), and the same group re-emits its edge rows keyed
+       canonically;
+    2. key=(x, y): wedges meet the edge set — matched wedges credit
+       the closing edge IN PLACE (its edge row is in this group) and
+       emit (c,u)/(c,v) support partials; edges pass through;
+    3. key=(x, y): partial sums land on their edge row. With
+       ``thresh`` set, emit surviving ORIENTED edges (the peel step,
+       fused into the exchange); with ``thresh=None`` emit the final
+       (a, b, support) table.
 
-    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        both = pd.concat([df["a"], df["b"]], ignore_index=True)
-        return both.value_counts().rename_axis("node").reset_index(name="deg")
+    vs the previous Dataset form (degree agg + 2 joins + wedge groupby
+    + semi join + count exchange + left join = 7 sort barriers per
+    round): same row movement, 3 task-level exchanges, no sorts."""
 
-    def add_bn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__b"] = _bucket(df["node"], n_buckets)
-        return df
-
-    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop(columns="__b").groupby("node", as_index=False)["deg"].sum()
-        out["deg"] = out["deg"].astype("int64")
-        return out
-
-    degrees = (
-        e.map_batches(deg_partial, batch_format="pandas")
-        .map_batches(add_bn, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(deg_final, batch_format="pandas")
-    )
-    with_da = hash_join(
-        e, degrees, on="a", right_on="node",
-        left_cols=["a", "b"], right_cols=["node", "deg"], n_buckets=n_buckets,
-    )
-    with_db = hash_join(
-        with_da, degrees, on="b", right_on="node",
-        left_cols=["a", "b", "deg"], right_cols=["node", "deg"],
-        n_buckets=n_buckets, suffix="_b",
-    )
-
-    def orient(df: pd.DataFrame) -> pd.DataFrame:
-        a_lo = df["deg"] <= df["deg_b"]  # a < b input → ties keep a low
-        lo = df["a"].where(a_lo, df["b"])
-        hi = df["b"].where(a_lo, df["a"])
-        return pd.DataFrame({"lo": lo, "hi": hi})
-
-    oriented = with_db.map_batches(orient, batch_format="pandas").materialize()
-
-    def add_blo(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__b"] = _bucket(df["lo"], n_buckets)
-        return df
-
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="__b")
+    def wedge_and_edges(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="lo", suffixes=("_1", "_2"))
         m = m[m["hi_1"] < m["hi_2"]]
-        # wedge key = the (u, v) closing edge, canonical; keep center
-        return pd.DataFrame(
-            {"c": m["lo"], "u": m["hi_1"], "v": m["hi_2"],
-             "wk": m["hi_1"] + "|" + m["hi_2"]}
+        w = pd.DataFrame(
+            {"x": m["hi_1"], "y": m["hi_2"], "c": m["lo"],
+             "n": np.full(len(m), -2, dtype=np.int64)}
         )
+        elo = g["lo"].where(g["lo"] < g["hi"], g["hi"])
+        ehi = g["hi"].where(g["lo"] < g["hi"], g["lo"])
+        ed = pd.DataFrame(
+            {"x": elo, "y": ehi, "c": g["lo"],
+             "n": np.full(len(g), -1, dtype=np.int64)}
+        )
+        return pd.concat([w, ed], ignore_index=True)
 
-    wedge_ds = (
-        oriented.map_batches(add_blo, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(wedges, batch_format="pandas")
-    )
-
-    def ekey(df: pd.DataFrame) -> pd.DataFrame:
-        lo = df["lo"].where(df["lo"] < df["hi"], df["hi"])
-        hi = df["hi"].where(df["lo"] < df["hi"], df["lo"])
-        return pd.DataFrame({"wk": lo + "|" + hi})
-
-    tri = hash_join(
-        wedge_ds,
-        oriented.map_batches(ekey, batch_format="pandas"),
-        on="wk", how="semi", left_cols=["c", "u", "v", "wk"],
-        n_buckets=n_buckets,
-    )
-
-    # each triangle (c, u, v) supports edges (c,u), (c,v), (u,v) —
-    # emit per-batch pre-aggregated counts on canonical edge keys
-    def credit(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame({"ek": pd.Series([], dtype=object),
-                                 "support": pd.Series([], dtype="int64")})
-        def ck(x: pd.Series, y: pd.Series) -> pd.Series:
-            lo = x.where(x < y, y)
-            hi = y.where(x < y, x)
-            return lo + "|" + hi
-        ks = pd.concat(
-            [ck(df["c"], df["u"]), ck(df["c"], df["v"]), df["wk"]],
+    def verify_credit(g: pd.DataFrame) -> pd.DataFrame:
+        ed = g[g["n"] == -1]
+        wd = g[g["n"] == -2]
+        # matched wedges: closing pair (x, y) present as an edge
+        hit = wd.merge(ed[["x", "y"]].drop_duplicates(), on=["x", "y"])
+        # in-place closing-edge credits: per (x, y) wedge count
+        close = hit.groupby(["x", "y"], as_index=False).size()
+        close = pd.DataFrame(
+            {"x": close["x"], "y": close["y"], "c": close["x"],
+             "n": close["size"].astype("int64")}
+        )
+        # (c, u) and (c, v) credits, canonical keys, pre-aggregated
+        def ck(p: pd.Series, q: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"x": p.where(p < q, q), "y": q.where(p < q, p)}
+            )
+        cred = pd.concat(
+            [ck(hit["c"], hit["x"]), ck(hit["c"], hit["y"])],
             ignore_index=True,
         )
-        return ks.value_counts().rename_axis("ek").reset_index(name="support")
+        cred = cred.groupby(["x", "y"], as_index=False).size()
+        cred = pd.DataFrame(
+            {"x": cred["x"], "y": cred["y"], "c": cred["x"],
+             "n": cred["size"].astype("int64")}
+        )
+        return pd.concat([ed, close, cred], ignore_index=True)
 
-    def add_bek(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__b"] = _bucket(df["ek"], n_buckets)
-        return df
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        ed = g[g["n"] == -1]
+        sup = (
+            g[g["n"] > 0]
+            .groupby(["x", "y"], as_index=False)["n"].sum()
+            .rename(columns={"n": "support"})
+        )
+        m = ed.merge(sup, on=["x", "y"], how="left")
+        m["support"] = m["support"].fillna(0).astype("int64")
+        if thresh is None:
+            return pd.DataFrame(
+                {"a": m["x"], "b": m["y"], "support": m["support"]}
+            )
+        m = m[m["support"] >= thresh]
+        # rebuild orientation: c recorded lo
+        return pd.DataFrame(
+            {"lo": m["c"], "hi": m["y"].where(m["c"] == m["x"], m["x"])}
+        )
 
-    def sup_final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop(columns="__b").groupby("ek", as_index=False)[
-            "support"
-        ].sum()
-        out["support"] = out["support"].astype("int64")
-        return out
-
-    support = (
-        tri.map_batches(credit, batch_format="pandas")
-        .map_batches(add_bek, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(sup_final, batch_format="pandas")
-    )
-
-    keyed = e.map_batches(
-        lambda df: df.assign(ek=df["a"] + "|" + df["b"]),
-        batch_format="pandas",
-    )
-    out = hash_join(
-        keyed, support, on="ek", how="left",
-        left_cols=["a", "b", "ek"], right_cols=["ek", "support"],
-        n_buckets=n_buckets,
-    )
-    return out.map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "a": df["a"],
-                "b": df["b"],
-                "support": df["support"].fillna(0).astype("int64"),
-            }
-        ),
-        batch_format="pandas",
-    )
+    tagged = oriented.exchange(["lo"], wedge_and_edges, n_buckets)
+    credited = tagged.exchange(["x", "y"], verify_credit, n_buckets)
+    return credited.exchange(["x", "y"], finish, n_buckets)
 
 
 def ktruss_peel(
@@ -775,22 +719,27 @@ def ktruss_peel(
     (a, b, support) — the edge-cohesion analogue of ``kcore_peel``
     (community cores, spam-link pruning on the KG edge layer).
 
-    Per round: one ``_edge_support`` pass (degree exchange + 2
-    orientation relabels + wedge groupby + wedge⋈edge semi +
-    support count + left join) then a streaming filter; the edge set
-    re-materializes per round at ``n_buckets`` blocks (block-count
-    discipline — exchanges COMPOUND block counts, NOTES fact 15) and
-    short-circuits when a round removes nothing (fixpoint: further
-    rounds are identity, bit-identical to running them). Bounded-round
-    semantics like ``kcore_peel`` keep the result reproducible in an
-    unrolled SQL oracle; run with rounds ≥ cascade depth for the true
-    k-truss. Support recounts are edge-set-sized, never corpus-sized.
+    Runs on the raw-task :class:`~fastie_ray.state.exchange.BlockSet`
+    exchange (the iterative-loop latency primitive — sort barriers,
+    not payload, dominated the Dataset form at small scale): edges are
+    ORIENTED ONCE by round-0 (degree, id) order — any consistent total
+    order enumerates each triangle exactly once, and round-0 degrees
+    upper-bound every later round's, so the Suri-Vassilvitskii
+    Σ outdeg² wedge bound keeps holding as edges peel — then each
+    round is ONE 3-exchange ``_support_pass`` with the peel filter
+    fused into its last exchange. Short-circuits when a round removes
+    nothing (fixpoint: further rounds are identity, bit-identical to
+    running them). Bounded-round semantics like ``kcore_peel`` keep
+    the result reproducible in an unrolled SQL oracle; run with
+    rounds ≥ cascade depth for the true k-truss. Support recounts are
+    edge-set-sized, never corpus-sized.
 
     Input contract: DISTINCT undirected edges, no self loops (each
     unordered pair appears once, either orientation). Endpoints are
     re-canonicalized to STRING order a < b here — every internal edge
-    key is a string concat, so the caller's ordering convention (e.g.
-    numeric) must not leak through."""
+    key is a string comparison, so the caller's ordering convention
+    (e.g. numeric) must not leak through."""
+    from fastie_ray.state.exchange import BlockSet
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         a = df["a"].astype(str)
@@ -799,26 +748,65 @@ def ktruss_peel(
             {"a": a.where(a < b, b), "b": b.where(a < b, a)}
         )
 
-    e = (
-        edges.map_batches(canon, batch_format="pandas")
-        .repartition(n_buckets)
-        .materialize()
+    e = BlockSet.from_dataset(edges).exchange(
+        ["a", "b"], lambda g: g.drop_duplicates(), n_buckets, map_fn=canon
     )
-    thresh = k - 2
-    for _ in range(rounds):
-        sup = _edge_support(e, n_buckets).materialize()
-        survivors = (
-            sup.map_batches(
-                lambda df: df.loc[df["support"] >= thresh, ["a", "b"]],
-                batch_format="pandas",
-            )
-            .repartition(n_buckets)
-            .materialize()
+
+    # orient once: X1 (key=node) computes full degrees in-group and
+    # attaches them to each incident edge half; X2 (key=edge) merges
+    # the two halves into (lo, hi) by (deg, id) order — 2 exchanges
+    # for what was a degree aggregate + two hash joins.
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
+                "other": pd.concat([df["b"], df["a"]], ignore_index=True),
+            }
         )
-        if survivors.count() == e.count():
+
+    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
+        deg = (
+            g.groupby("node")["other"].transform("size")
+            if len(g)
+            else pd.Series([], dtype="int64")
+        )
+        return pd.DataFrame(
+            {"node": g["node"], "other": g["other"],
+             "deg": deg.astype("int64")}
+        )
+
+    half = e.exchange(["node"], attach_deg, n_buckets, map_fn=endpoints)
+
+    def canon_half(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["node"].where(df["node"] < df["other"], df["other"])
+        b = df["other"].where(df["node"] < df["other"], df["node"])
+        return pd.DataFrame(
+            {"a": a, "b": b, "node": df["node"], "deg": df["deg"]}
+        )
+
+    def orient(g: pd.DataFrame) -> pd.DataFrame:
+        da = g.loc[g["node"] == g["a"], ["a", "b", "deg"]]
+        db = g.loc[g["node"] == g["b"], ["a", "b", "deg"]].rename(
+            columns={"deg": "deg_b"}
+        )
+        m = da.merge(db, on=["a", "b"])
+        a_lo = m["deg"] <= m["deg_b"]  # a < b input → ties keep a low
+        return pd.DataFrame(
+            {"lo": m["a"].where(a_lo, m["b"]),
+             "hi": m["b"].where(a_lo, m["a"])}
+        )
+
+    oriented = half.exchange(["a", "b"], orient, n_buckets, map_fn=canon_half)
+
+    thresh = k - 2
+    n_edges = oriented.count()
+    for _ in range(rounds):
+        survivors = _support_pass(oriented, thresh, n_buckets)
+        n_surv = survivors.count()
+        if n_surv == n_edges:
             break
-        e = survivors
-    return _edge_support(e, n_buckets)
+        oriented, n_edges = survivors, n_surv
+    return _support_pass(oriented, None, n_buckets).to_dataset()
 
 
 def link_prediction(

@@ -1,0 +1,197 @@
+"""Low-latency raw-task hash exchange over plasma-resident pandas
+blocks — the primitive behind the iterative graph fixpoint loops
+(k-truss, MIS, SCC, densest-subgraph, ...).
+
+Why not `groupby("__b").map_groups`: a Ray Data all-to-all is a SORT
+barrier plus operator bring-up; measured ~0.24 s per exchange on a
+16-block toy input and ~0.7-1 s inside real chained lineages (NOTES
+fact 11). An iterative algorithm runs 3-7 exchanges per round for
+k-30 rounds, so the *barrier floor*, not payload, dominates wall time
+at small-to-medium scale. The same exchange expressed as raw tasks —
+one split task per block with ``num_returns=n_buckets``, one reduce
+task per bucket — measures ~0.05 s: it is exactly the map-reduce
+shuffle Ray Data performs internally, minus the sort, the operator
+graph bring-up and the per-stage driver synchronization.
+
+Scale shape (100 TB): identical data movement to the Dataset exchange
+— every row crosses the wire once, partitioned by key hash, objects
+live in (and spill from) the object store. `n_buckets` plays the role
+of output partitions; size it to the cluster (tasks = blocks +
+n_buckets per exchange). What is *lost* vs Dataset is streaming
+backpressure between pipeline stages — acceptable because the loops
+this serves materialize per round anyway (their fixpoint tests need
+counts), and per-round state (edge/label tables) is a bounded fraction
+of the corpus, not the corpus itself. Use Datasets for the wide
+streaming pipelines; use this for tight fixpoint loops over
+already-reduced state.
+
+Correctness notes: buckets are `hash_pandas_object(key) % n_buckets`
+— ALL rows of a key land in one bucket, so a per-bucket pandas
+group_fn sees every row of each of its keys (same contract as the
+`groupby("__b").map_groups` idiom used elsewhere). Empty buckets stay
+typed: split emits `df[mask]` slices which preserve dtypes, and the
+reduce concat of typed empties keeps the schema (avoids the Ray
+zero-row sentinel problem of NOTES facts 12/18 by construction).
+
+Determinism: reduce concatenates its parts in input-block order, so
+any group_fn that is order-sensitive must sort internally (the same
+discipline all map_groups consumers here already follow).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+def _hash_bucket(df: pd.DataFrame, cols: Sequence[str], n: int) -> np.ndarray:
+    if len(df) == 0:
+        return np.array([], dtype=np.int64)
+    h = pd.util.hash_pandas_object(df[cols[0]], index=False).to_numpy()
+    for c in cols[1:]:
+        h = h + np.uint64(0x9E3779B97F4A7C15) * pd.util.hash_pandas_object(
+            df[c], index=False
+        ).to_numpy()
+    return (h % np.uint64(n)).astype(np.int64)
+
+
+@ray.remote
+def _split(df: pd.DataFrame, cols: tuple, n: int):
+    # zero-row blocks can be column-less Ray sentinels (NOTES fact 12)
+    # — never hash/slice them, they contribute nothing downstream
+    if len(df) == 0:
+        return df if n == 1 else tuple(df for _ in range(n))
+    b = _hash_bucket(df, cols, n)
+    if n == 1:
+        return df
+    return tuple(df[b == i] for i in range(n))
+
+
+@ray.remote
+def _split_mapped(df: pd.DataFrame, map_fn, cols: tuple, n: int):
+    if len(df) == 0:
+        return df if n == 1 else tuple(df for _ in range(n))
+    df = map_fn(df)
+    b = _hash_bucket(df, cols, n)
+    if n == 1:
+        return df
+    return tuple(df[b == i] for i in range(n))
+
+
+@ray.remote
+def _reduce(group_fn, *parts):
+    # like map_batches, group_fn never sees a zero-row input — empty
+    # buckets flow through as empty frames
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pd.DataFrame()
+    g = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    return group_fn(g).reset_index(drop=True)
+
+
+@ray.remote
+def _apply(fn, df: pd.DataFrame):
+    if len(df) == 0:
+        return df
+    return fn(df).reset_index(drop=True)
+
+
+@ray.remote
+def _count(df: pd.DataFrame) -> int:
+    return len(df)
+
+
+@ray.remote
+def _concat(*parts):
+    return pd.concat(parts, ignore_index=True)
+
+
+class BlockSet:
+    """A list of plasma ObjectRefs of pandas DataFrames with raw-task
+    bulk operators. All operators are lazy task submissions; only
+    `count()` / `to_pandas()` block the driver."""
+
+    def __init__(self, refs: list):
+        self.refs = list(refs)
+
+    # -- construction / export ------------------------------------
+    @classmethod
+    def from_dataset(cls, ds: "ray.data.Dataset") -> "BlockSet":
+        return cls(ds.to_pandas_refs())
+
+    @classmethod
+    def from_pandas(cls, df: pd.DataFrame, n_blocks: int = 1) -> "BlockSet":
+        n_blocks = max(1, min(n_blocks, max(1, len(df))))
+        parts = np.array_split(df, n_blocks)
+        return cls([ray.put(p.reset_index(drop=True)) for p in parts])
+
+    def to_dataset(self) -> "ray.data.Dataset":
+        import ray.data as rd
+
+        return rd.from_pandas_refs(self.refs)
+
+    def to_pandas(self) -> pd.DataFrame:
+        parts = ray.get(self.refs)
+        return pd.concat(parts, ignore_index=True)
+
+    # -- bulk ops --------------------------------------------------
+    def map(self, fn: Callable[[pd.DataFrame], pd.DataFrame]) -> "BlockSet":
+        """Per-block task — the map_batches analogue."""
+        return BlockSet([_apply.remote(fn, r) for r in self.refs])
+
+    def exchange(
+        self,
+        key_cols: Sequence[str],
+        group_fn: Callable[[pd.DataFrame], pd.DataFrame],
+        n_buckets: int = 16,
+        map_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    ) -> "BlockSet":
+        """Hash-partition on ``key_cols`` and apply ``group_fn`` once
+        per bucket (all rows of a key co-locate). ``map_fn`` fuses a
+        per-block transform into the split task (no extra task wave)."""
+        cols = tuple(key_cols)
+        if map_fn is None:
+            outs = [
+                _split.options(num_returns=n_buckets if n_buckets > 1 else 1).remote(
+                    r, cols, n_buckets
+                )
+                for r in self.refs
+            ]
+        else:
+            outs = [
+                _split_mapped.options(
+                    num_returns=n_buckets if n_buckets > 1 else 1
+                ).remote(r, map_fn, cols, n_buckets)
+                for r in self.refs
+            ]
+        if n_buckets == 1:
+            return BlockSet([_reduce.remote(group_fn, *outs)])
+        return BlockSet(
+            [_reduce.remote(group_fn, *[o[i] for o in outs]) for i in range(n_buckets)]
+        )
+
+    def union(self, *others: "BlockSet") -> "BlockSet":
+        refs = list(self.refs)
+        for o in others:
+            refs.extend(o.refs)
+        return BlockSet(refs)
+
+    def compact(self, n_blocks: int) -> "BlockSet":
+        """Fold blocks into ``n_blocks`` concat tasks (block-count
+        discipline for loops — NOTES fact 15)."""
+        if len(self.refs) <= n_blocks:
+            return self
+        groups = np.array_split(np.arange(len(self.refs)), n_blocks)
+        return BlockSet(
+            [_concat.remote(*[self.refs[i] for i in g]) for g in groups if len(g)]
+        )
+
+    def count(self) -> int:
+        return int(sum(ray.get([_count.remote(r) for r in self.refs])))

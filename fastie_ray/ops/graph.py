@@ -2166,17 +2166,22 @@ def mis(
     internally (a self-loop could never win against itself and would
     deadlock the round structure).
 
-    Scale shape per round: one edge⋈priority task hash join + one
-    bucketed neighbor-min exchange + anti-join shrink — node/edge-sized
-    tables only, materialized + compacted per round (NOTES 15/19).
+    Runs on the raw-task :class:`~fastie_ray.state.exchange.BlockSet`
+    (sort barriers, not payload, dominated the Dataset form — NOTES
+    fact 11): the symmetrized edge table is hash-partitioned ONCE by
+    dst and once by src into pinned plasma buckets; each round then
+    moves only the (shrinking) node-priority table through THREE
+    exchanges — (1) key=node vs edges-by-dst: per-src neighbor-min
+    partials; (2) key=node vs edges-by-src: fold partials, pick
+    strict-local-min winners, fan out their neighbors as removals;
+    (3) key=node: apply removals. Unique priorities make adjacent
+    same-round winners impossible, so the removal pass is exact. At
+    10⁹⁺ edges the pinned partitions are the win that matters: rounds
+    re-ship node state (two ints per node), never the edge stream.
     Returns (node, in_mis ∈ {0,1})."""
     import hashlib
 
-    import pyarrow as pa
-    import ray.data
-
-    pr_schema = pa.schema([("node", pa.int64()), ("c", pa.int64())])
-    node_schema = pa.schema([("node", pa.int64())])
+    from fastie_ray.state.exchange import BlockSet
 
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         e = df[df["src"] != df["dst"]]
@@ -2186,16 +2191,11 @@ def mis(
             ignore_index=True,
         ).drop_duplicates().astype("int64")
 
-    def add_nb(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__b"] = _bucket(df["node"], n_buckets)
-        return df
-
-    edges = (
-        edges.map_batches(sym, batch_format="pandas")
-        .repartition(n_buckets)
-        .materialize()
-    )
+    ebs = BlockSet.from_dataset(edges)
+    # duplicates across blocks are harmless (min / set-membership are
+    # idempotent) — per-block dedup inside sym() bounds the payload
+    e_by_dst = ebs.partition(["dst"], n_buckets, map_fn=sym)
+    e_by_src = ebs.partition(["src"], n_buckets, map_fn=sym)
 
     def prio_of(nodes: pd.Series) -> np.ndarray:
         p = np.array(
@@ -2205,132 +2205,95 @@ def mis(
         )
         return p * np.int64(node_cap) + nodes.to_numpy(dtype=np.int64)
 
-    def nodes_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df["src"].drop_duplicates()})
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = sym(df)
+        return pd.DataFrame({"node": pd.unique(s["src"])}).astype("int64")
 
-    def nodes_final(g: pd.DataFrame) -> pa.Table:
-        out = g.drop(columns="__b").drop_duplicates("node")
-        return pa.Table.from_pandas(
-            out.astype({"node": "int64"}), preserve_index=False,
-            schema=node_schema,
+    def node_prio(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.drop_duplicates("node").reset_index(drop=True)
+        return pd.DataFrame(
+            {"node": n["node"].astype("int64"), "c": prio_of(n["node"])}
         )
 
-    all_nodes = (
-        edges.map_batches(nodes_partial, batch_format="pandas")
-        .map_batches(add_nb, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(nodes_final, batch_format="pandas")
-        .materialize()
-    )
+    all_nodes = ebs.exchange(["node"], node_prio, n_buckets, map_fn=node_partial)
+    rem = all_nodes
+    n_rem = rem.count()
+    winners_parts: list[BlockSet] = []
 
-    rem = all_nodes.map_batches(
-        lambda df: pa.Table.from_pandas(
-            pd.DataFrame({"node": df["node"].astype("int64"),
-                          "c": prio_of(df["node"])}),
-            preserve_index=False, schema=pr_schema,
-        ),
-        batch_format="pandas",
-    ).materialize()
-    rem_edges = edges
-    mis_parts = []
+    # round-local row tags: 0 = live (node, c=priority),
+    # 1 = winner, 2 = neighbor-min partial (c=partial min), 3 = removal
+    def x1(g: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        out = [g.assign(t=np.int8(0))]
+        if len(g) and len(e):
+            m = e.merge(g[["node", "c"]], left_on="dst", right_on="node")
+            nm = m.groupby("src", as_index=False)["c"].min()
+            out.append(
+                pd.DataFrame(
+                    {"node": nm["src"].astype("int64"),
+                     "c": nm["c"].astype("int64"), "t": np.int8(2)}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def x2(g: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        live = g[g["t"] == 0]
+        nm = g[g["t"] == 2].groupby("node")["c"].min()
+        nmv = live["node"].map(nm)
+        win = nmv.isna() | (live["c"] < nmv)
+        winners = live.loc[win.to_numpy()]
+        out = [live.loc[~win.to_numpy()], winners.assign(t=np.int8(1))]
+        if len(winners) and len(e):
+            nbr = e.loc[
+                e["src"].isin(winners["node"].to_numpy()), "dst"
+            ].drop_duplicates()
+            out.append(
+                pd.DataFrame(
+                    {"node": nbr.astype("int64"),
+                     "c": np.int64(0), "t": np.int8(3)}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def x3(g: pd.DataFrame) -> pd.DataFrame:
+        removed = g.loc[g["t"] == 3, "node"].to_numpy()
+        live = g[g["t"] == 0]
+        if len(removed):
+            live = live[~live["node"].isin(removed)]
+        return pd.concat([live, g[g["t"] == 1]], ignore_index=True)
 
     for _r in range(max_rounds):
-        if rem.count() == 0:
+        if n_rem == 0:
             break
-        # neighbor minimum priority per remaining node
-        j = hash_join(
-            rem_edges, rem, on="dst", right_on="node",
-            left_cols=["src", "dst"], right_cols=["node", "c"],
-            n_buckets=n_buckets,
+        tagged = rem.exchange(["node"], x1, n_buckets, side=e_by_dst)
+        tagged = tagged.exchange(["node"], x2, n_buckets, side=e_by_src)
+        out = tagged.exchange(["node"], x3, n_buckets)
+        winners_parts.append(
+            out.map(lambda df: df.loc[df["t"] == 1, ["node"]])
         )
+        rem = out.map(lambda df: df.loc[df["t"] == 0, ["node", "c"]])
+        n_rem = rem.count()
 
-        def nm_partial(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.groupby("src", as_index=False)["c"].min()
-            return out.rename(columns={"src": "node", "c": "nm"})
-
-        def nm_final(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.drop(columns="__b").groupby("node", as_index=False)[
-                "nm"
-            ].min()
-            return out.astype({"node": "int64", "nm": "int64"})
-
-        nm = (
-            j.map_batches(nm_partial, batch_format="pandas")
-            .map_batches(add_nb, batch_format="pandas")
-            .groupby("__b")
-            .map_groups(nm_final, batch_format="pandas")
-        )
-        winners = hash_join(
-            rem, nm, on="node", how="left",
-            left_cols=["node", "c"], right_cols=["node", "nm"],
-            n_buckets=n_buckets,
-        ).map_batches(
-            lambda df: pa.Table.from_pandas(
-                df.loc[
-                    df["nm"].isna() | (df["c"] < df["nm"]), ["node"]
-                ].astype({"node": "int64"}),
-                preserve_index=False, schema=node_schema,
-            ),
-            batch_format="pandas",
-        ).materialize()
-        mis_parts.append(winners)
-
-        # removed = winners ∪ neighbors(winners)
-        nbrs = hash_join(
-            rem_edges, winners, on="src", right_on="node", how="semi",
-            left_cols=["src", "dst"], n_buckets=n_buckets,
-        ).map_batches(
-            lambda df: pd.DataFrame(
-                {"node": df["dst"].drop_duplicates().astype("int64")}
-            ),
-            batch_format="pandas",
-        )
-        removed = (
-            winners.union(nbrs)
-            .map_batches(add_nb, batch_format="pandas")
-            .groupby("__b")
-            .map_groups(nodes_final, batch_format="pandas")
-            .materialize()
-        )
-        rem = hash_join(
-            rem, removed, on="node", how="anti",
-            left_cols=["node", "c"], n_buckets=n_buckets,
-        ).repartition(max(1, n_buckets // 4)).materialize()
-        # rem_edges is NOT filtered: the next round's edge⋈rem join on
-        # dst drops edges whose dst left the graph, and an edge whose
-        # src left only produces an nm row that the winners LEFT join
-        # (driven from the shrunken rem) never reads — identical
-        # semantics, two anti-join exchanges + one materialize fewer
-        # per round (measured 22.8 s → see NOTES). At 10⁹⁺-edge scale
-        # re-shipping the full edge table every round loses to
-        # shrinking once rounds × unfiltered-volume exceeds the two
-        # exchanges; re-introduce the src/dst anti-joins there.
-
-    if rem.count() > 0:
+    if n_rem > 0:
         raise RuntimeError(
             f"mis: graph not exhausted after {max_rounds} rounds"
         )
 
-    in_mis = mis_parts[0]
-    for p in mis_parts[1:]:
-        in_mis = in_mis.union(p)
-    in_mis = in_mis.materialize()
-    out_mis = in_mis.map_batches(
-        lambda df: pd.DataFrame(
-            {"node": df["node"].astype("int64"), "in_mis": np.int64(1)}
-        ),
-        batch_format="pandas",
-    )
-    out_rest = hash_join(
-        all_nodes, in_mis, on="node", how="anti",
-        left_cols=["node"], n_buckets=n_buckets,
-    ).map_batches(
-        lambda df: pd.DataFrame(
-            {"node": df["node"].astype("int64"), "in_mis": np.int64(0)}
-        ),
-        batch_format="pandas",
-    )
-    return out_mis.union(out_rest)
+    win_all = winners_parts[0].union(*winners_parts[1:])
+
+    def label(g: pd.DataFrame) -> pd.DataFrame:
+        hit = g.loc[g["t"] == 1, "node"].to_numpy()
+        nodes = g.loc[g["t"] == 0, ["node"]]
+        return pd.DataFrame(
+            {"node": nodes["node"].astype("int64"),
+             "in_mis": nodes["node"].isin(hit).astype("int64")}
+        )
+
+    result = all_nodes.map(
+        lambda df: df[["node"]].assign(t=np.int8(0))
+    ).union(
+        win_all.map(lambda df: df.assign(t=np.int8(1)))
+    ).exchange(["node"], label, n_buckets)
+    return result.to_dataset()
 
 
 def condensation_levels(

@@ -97,6 +97,24 @@ def _reduce(group_fn, *parts):
 
 
 @ray.remote
+def _reduce_side(group_fn, side, *parts):
+    """Reduce with a pinned per-bucket side table: ``group_fn(g, side)``.
+    Unlike plain ``_reduce``, runs even when the exchanged rows are
+    empty (the side table alone can produce output, e.g. a frontier
+    that died in this bucket but whose edges must still pass through)
+    UNLESS both are empty."""
+    parts = [p for p in parts if len(p)]
+    if not parts and len(side) == 0:
+        return pd.DataFrame()
+    g = (
+        pd.concat(parts, ignore_index=True)
+        if len(parts) > 1
+        else (parts[0] if parts else pd.DataFrame())
+    )
+    return group_fn(g, side).reset_index(drop=True)
+
+
+@ray.remote
 def _apply(fn, df: pd.DataFrame):
     if len(df) == 0:
         return df
@@ -110,7 +128,16 @@ def _count(df: pd.DataFrame) -> int:
 
 @ray.remote
 def _concat(*parts):
-    return pd.concat(parts, ignore_index=True)
+    live = [p for p in parts if len(p)]
+    if not live:
+        # keep a typed schema if any part has one (sentinels don't)
+        for p in parts:
+            if len(p.columns):
+                return p
+        return pd.DataFrame()
+    if len(live) == 1:
+        return live[0].reset_index(drop=True)
+    return pd.concat(live, ignore_index=True)
 
 
 class BlockSet:
@@ -152,10 +179,18 @@ class BlockSet:
         group_fn: Callable[[pd.DataFrame], pd.DataFrame],
         n_buckets: int = 16,
         map_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+        side: list | None = None,
     ) -> "BlockSet":
         """Hash-partition on ``key_cols`` and apply ``group_fn`` once
         per bucket (all rows of a key co-locate). ``map_fn`` fuses a
-        per-block transform into the split task (no extra task wave)."""
+        per-block transform into the split task (no extra task wave).
+
+        ``side``: per-bucket pinned ObjectRefs from :meth:`partition`
+        (same ``n_buckets`` AND same key hash — i.e. key columns whose
+        values hash identically). ``group_fn(g, side_df)`` then joins
+        the moving rows against a STATIC table that never re-ships —
+        the iterative-loop shape where the edge table is partitioned
+        once and only the (shrinking) per-round state crosses the wire."""
         cols = tuple(key_cols)
         if map_fn is None:
             outs = [
@@ -171,11 +206,47 @@ class BlockSet:
                 ).remote(r, map_fn, cols, n_buckets)
                 for r in self.refs
             ]
+        if side is not None:
+            if len(side) != n_buckets:
+                raise ValueError(
+                    f"side has {len(side)} buckets, exchange has {n_buckets}"
+                )
+            if n_buckets == 1:
+                return BlockSet([_reduce_side.remote(group_fn, side[0], *outs)])
+            return BlockSet(
+                [
+                    _reduce_side.remote(group_fn, side[i], *[o[i] for o in outs])
+                    for i in range(n_buckets)
+                ]
+            )
         if n_buckets == 1:
             return BlockSet([_reduce.remote(group_fn, *outs)])
         return BlockSet(
             [_reduce.remote(group_fn, *[o[i] for o in outs]) for i in range(n_buckets)]
         )
+
+    def partition(
+        self,
+        key_cols: Sequence[str],
+        n_buckets: int = 16,
+        map_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+    ) -> list:
+        """Materialize ONE hash partitioning as ``n_buckets`` pinned
+        per-bucket ObjectRefs (each one concatenated DataFrame) for use
+        as an :meth:`exchange` ``side=``. Pays the shuffle once; every
+        later exchange against it ships only the moving side."""
+        cols = tuple(key_cols)
+        split = _split if map_fn is None else _split_mapped
+        args = (cols, n_buckets) if map_fn is None else (map_fn, cols, n_buckets)
+        outs = [
+            split.options(num_returns=n_buckets if n_buckets > 1 else 1).remote(
+                r, *args
+            )
+            for r in self.refs
+        ]
+        if n_buckets == 1:
+            return [_concat.remote(*outs)]
+        return [_concat.remote(*[o[i] for o in outs]) for i in range(n_buckets)]
 
     def union(self, *others: "BlockSet") -> "BlockSet":
         refs = list(self.refs)

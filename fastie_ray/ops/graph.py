@@ -1933,7 +1933,7 @@ def scc(
        would have colored r). Mark count is monotone — fixed point is
        again a driver scalar.
     3. Marked nodes are assigned ``scc_id = color`` and removed
-       (anti-joins on nodes and both edge endpoints).
+       (node extraction + both-endpoint edge filters).
 
     Phases bound the color-DAG depth (each phase extracts every
     root-colored SCC layer); ``max_rounds`` bounds propagation within
@@ -1941,207 +1941,234 @@ def scc(
     ``lpa_communities``. If the graph is not exhausted the op RAISES
     rather than returning silently-wrong singletons.
 
-    Scale shape: everything is node- or edge-sized tag-union
-    exchanges and task hash joins; per-round tables are materialized
-    (NOTES fact 19) and compacted to ≤ rows/``rows_per_block`` typed
-    Arrow blocks (facts 15/18 — schema-less empty-sentinel discipline
-    when sparse phases leave most blocks empty)."""
-    import pyarrow as pa
-    import ray.data
+    Runs on the raw-task :class:`~fastie_ray.state.exchange.BlockSet`
+    (the Dataset form paid ~6 sort barriers per propagation round —
+    NOTES fact 11): the phase's edge table is hash-partitioned ONCE by
+    src into pinned plasma buckets; each forward round then moves only
+    the node-sized color table through TWO exchanges (join vs pinned
+    edges → per-dst min partials; fold partials) with a per-block
+    scalar probe as the fixed-point test. The same-color edge set
+    lands bucketed by dst, so each backward round is again two
+    node-table exchanges against pinned edges. Block count is fixed at
+    ``n_buckets`` throughout — no per-round repartition discipline
+    needed (the Dataset version's NOTES-15 hazard). ``rows_per_block``
+    is retained for signature compatibility (block sizing is
+    ``n_buckets``-fixed here)."""
+    from fastie_ray.state.exchange import BlockSet
 
-    node_schema = pa.schema([("node", pa.int64())])
-    color_schema = pa.schema([("node", pa.int64()), ("color", pa.int64())])
+    empty_edges = pd.DataFrame(
+        {"src": pd.Series([], dtype="int64"),
+         "dst": pd.Series([], dtype="int64")}
+    )
+    empty_colors = pd.DataFrame(
+        {"node": pd.Series([], dtype="int64"),
+         "color": pd.Series([], dtype="int64")}
+    )
 
-    def _k(n_rows: int) -> int:
-        return max(1, min(n_buckets, n_rows // rows_per_block + 1))
-
-    edges = edges.repartition(n_buckets).materialize()
+    ebs = (
+        BlockSet.from_dataset(edges)
+        .map(lambda df: df[["src", "dst"]].astype("int64"))
+        .compact(n_buckets)
+    )
 
     def nodes_partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"node": pd.concat([df["src"], df["dst"]]).drop_duplicates()}
+            {"node": pd.concat(
+                [df["src"], df["dst"]], ignore_index=True
+            ).drop_duplicates().astype("int64")}
         )
 
-    def add_nb(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__b"] = _bucket(df["node"], n_buckets)
-        return df
-
-    def nodes_final(g: pd.DataFrame) -> pa.Table:
-        out = g.drop(columns="__b").drop_duplicates("node")
-        return pa.Table.from_pandas(
-            out.astype({"node": "int64"}), preserve_index=False,
-            schema=node_schema,
-        )
-
-    rem_nodes = (
-        edges.map_batches(nodes_partial, batch_format="pandas")
-        .map_batches(add_nb, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(nodes_final, batch_format="pandas")
-        .materialize()
+    nodes = ebs.exchange(
+        ["node"], lambda g: g.drop_duplicates("node"),
+        n_buckets, map_fn=nodes_partial,
     )
-    rem_edges = edges
-    assigned = []
+    parts: list[BlockSet] = []
 
     for _phase in range(n_phases):
-        n_rem = rem_nodes.count()
+        n_rem = nodes.count()
         if n_rem == 0:
             break
-        k = _k(n_rem)
-        rem_nodes = rem_nodes.repartition(k).materialize()
+        e_by_src = ebs.partition(["src"], n_buckets)
 
-        # ---- 1. forward min colors to fixed point
-        colors = rem_nodes.map_batches(
-            lambda df: pa.Table.from_pandas(
-                pd.DataFrame(
-                    {"node": df["node"].astype("int64"),
-                     "color": df["node"].astype("int64")}
-                ),
-                preserve_index=False, schema=color_schema,
-            ),
-            batch_format="pandas",
-        ).materialize()
+        # ---- 1. forward min colors to fixed point (2 exchanges/round)
+        colors = nodes.map(
+            lambda df: pd.DataFrame(
+                {"node": df["node"], "color": df["node"]}
+            ).astype("int64")
+        )
+
+        def fwd_join(g: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0:
+                return empty_colors
+            out = [g[["node", "color"]]]
+            if len(e):
+                m = e.merge(g, left_on="src", right_on="node")
+                if len(m):
+                    nm = m.groupby("dst", as_index=False)["color"].min()
+                    out.append(
+                        pd.DataFrame(
+                            {"node": nm["dst"], "color": nm["color"]}
+                        ).astype("int64")
+                    )
+            return pd.concat(out, ignore_index=True)
+
+        def fwd_fold(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False)["color"].min()
+
         prev_sum = None
         for _r in range(max_rounds):
-            j = hash_join(
-                rem_edges, colors, on="src", right_on="node",
-                left_cols=["src", "dst"], right_cols=["node", "color"],
-                n_buckets=n_buckets,
-            )
-
-            def contrib(df: pd.DataFrame) -> pd.DataFrame:
-                out = df.groupby("dst", as_index=False)["color"].min()
-                return out.rename(columns={"dst": "node"})
-
-            def min_final(g: pd.DataFrame) -> pa.Table:
-                out = g.drop(columns="__b").groupby(
-                    "node", as_index=False
-                )["color"].min()
-                return pa.Table.from_pandas(
-                    out.astype({"node": "int64", "color": "int64"}),
-                    preserve_index=False, schema=color_schema,
+            colors = colors.exchange(
+                ["node"], fwd_join, n_buckets, side=e_by_src
+            ).exchange(["node"], fwd_fold, n_buckets)
+            csum = sum(
+                colors.scalar(
+                    lambda df: int(df["color"].sum()) if len(df) else 0
                 )
-
-            colors = (
-                j.map_batches(contrib, batch_format="pandas")
-                .union(colors)
-                .map_batches(add_nb, batch_format="pandas")
-                .groupby("__b")
-                .map_groups(min_final, batch_format="pandas")
-                .repartition(k)
-                .materialize()
-            )
-            csum = int(
-                colors.map_batches(
-                    lambda df: pd.DataFrame(
-                        {"s": [np.int64(df["color"].sum())]}
-                    ),
-                    batch_format="pandas",
-                )
-                .to_pandas()["s"]
-                .sum()
             )
             if csum == prev_sum:
                 break
             prev_sum = csum
 
-        # ---- 2. same-color edge set for this phase
-        ce = hash_join(
-            rem_edges, colors, on="src", right_on="node",
-            left_cols=["src", "dst"], right_cols=["node", "color"],
-            n_buckets=n_buckets, suffix="_cs",
-        )
-        ce = hash_join(
-            ce, colors, on="dst", right_on="node",
-            left_cols=["src", "dst", "color"],
-            right_cols=["node", "color"], n_buckets=n_buckets, suffix="_cd",
-        )
-        ce = (
-            ce.map_batches(
-                lambda df: df.loc[
-                    df["color"] == df["color_cd"], ["src", "dst"]
-                ].astype("int64"),
-                batch_format="pandas",
+        # ---- 2. same-color edge set, landing bucketed by dst
+        def ce_join(g: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0:
+                return pd.DataFrame(
+                    {"k": pd.Series([], dtype="int64"),
+                     "src": pd.Series([], dtype="int64"),
+                     "dst": pd.Series([], dtype="int64"),
+                     "csrc": pd.Series([], dtype="int64"),
+                     "t": pd.Series([], dtype="int8")}
+                )
+            cp = pd.DataFrame(
+                {"k": g["node"], "src": g["node"], "dst": g["node"],
+                 "csrc": g["color"], "t": np.int8(0)}
             )
-            .repartition(k)
-            .materialize()
-        )
+            if len(e) == 0:
+                return cp
+            m = e.merge(g, left_on="src", right_on="node")
+            ed = pd.DataFrame(
+                {"k": m["dst"], "src": m["src"], "dst": m["dst"],
+                 "csrc": m["color"], "t": np.int8(1)}
+            )
+            return pd.concat([cp, ed], ignore_index=True)
 
-        # ---- 3. backward marks from color roots
-        marked = colors.map_batches(
-            lambda df: pa.Table.from_pandas(
-                df.loc[df["node"] == df["color"], ["node"]].astype(
-                    {"node": "int64"}
-                ),
-                preserve_index=False, schema=node_schema,
-            ),
-            batch_format="pandas",
-        ).materialize()
+        def ce_filter(g: pd.DataFrame) -> pd.DataFrame:
+            cmap = g.loc[g["t"] == 0].set_index("k")["csrc"]
+            ed = g[g["t"] == 1]
+            if len(ed) == 0:
+                return empty_edges
+            cdst = ed["k"].map(cmap)
+            keep = ed[(ed["csrc"] == cdst).to_numpy()]
+            return pd.DataFrame(
+                {"src": keep["src"], "dst": keep["dst"]}
+            ).astype("int64")
+
+        ce = colors.exchange(
+            ["node"], ce_join, n_buckets, side=e_by_src
+        ).exchange(["k"], ce_filter, n_buckets)
+        # ce.refs are bucketed by hash(dst) — usable directly as a side
+
+        # ---- 3. backward marks from color roots (2 exchanges/round)
+        marked = colors.map(
+            lambda df: df.loc[df["node"] == df["color"], ["node"]]
+        ).exchange(["node"], lambda g: g.drop_duplicates("node"), n_buckets)
+
+        def bk_join(g: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0:
+                return pd.DataFrame(
+                    {"node": pd.Series([], dtype="int64")}
+                )
+            out = [g[["node"]]]
+            if len(e):
+                cand = e.loc[
+                    e["dst"].isin(g["node"].to_numpy()), "src"
+                ].drop_duplicates()
+                out.append(pd.DataFrame({"node": cand.astype("int64")}))
+            return pd.concat(out, ignore_index=True)
+
         prev_n = marked.count()
         for _r in range(max_rounds):
-            cand = hash_join(
-                ce, marked, on="dst", right_on="node", how="semi",
-                left_cols=["src", "dst"], n_buckets=n_buckets,
-            ).map_batches(
-                lambda df: pd.DataFrame(
-                    {"node": df["src"].drop_duplicates().astype("int64")}
-                ),
-                batch_format="pandas",
-            )
-            marked = (
-                marked.union(cand)
-                .map_batches(add_nb, batch_format="pandas")
-                .groupby("__b")
-                .map_groups(nodes_final, batch_format="pandas")
-                .repartition(k)
-                .materialize()
-            )
+            marked = marked.exchange(
+                ["node"], bk_join, n_buckets, side=ce.refs
+            ).exchange(["node"], lambda g: g.drop_duplicates("node"), n_buckets)
             n_marked = marked.count()
             if n_marked == prev_n:
                 break
             prev_n = n_marked
 
-        # ---- assign scc_id = color to marked nodes, shrink the graph
-        part = hash_join(
-            marked, colors, on="node",
-            left_cols=["node"], right_cols=["node", "color"],
-            n_buckets=n_buckets,
-        ).map_batches(
-            lambda df: pd.DataFrame(
-                {"node": df["node"].astype("int64"),
-                 "scc_id": df["color"].astype("int64")}
-            ),
-            batch_format="pandas",
-        ).materialize()
-        assigned.append(part)
-
-        rem_nodes = hash_join(
-            rem_nodes, marked, on="node", how="anti",
-            left_cols=["node"], n_buckets=n_buckets,
-        ).materialize()
-        rem_edges = hash_join(
-            rem_edges, marked, on="src", right_on="node", how="anti",
-            left_cols=["src", "dst"], n_buckets=n_buckets,
-        )
-        rem_edges = (
-            hash_join(
-                rem_edges, marked, on="dst", right_on="node", how="anti",
-                left_cols=["src", "dst"], n_buckets=n_buckets,
+        # ---- extract SCCs + shrink nodes (one exchange)
+        def extract(g: pd.DataFrame) -> pd.DataFrame:
+            cm = g[g["t"] == 0]
+            mk = g.loc[g["t"] == 1, "node"].to_numpy()
+            hit = cm["node"].isin(mk).to_numpy()
+            part = cm.loc[hit]
+            rem = cm.loc[~hit]
+            return pd.concat(
+                [
+                    pd.DataFrame(
+                        {"node": part["node"], "color": part["color"],
+                         "t": np.int8(1)}
+                    ),
+                    pd.DataFrame(
+                        {"node": rem["node"], "color": rem["color"],
+                         "t": np.int8(0)}
+                    ),
+                ],
+                ignore_index=True,
             )
-            .repartition(k)
-            .materialize()
+
+        tagged = colors.map(lambda df: df.assign(t=np.int8(0))).union(
+            marked.map(
+                lambda df: df.assign(color=np.int64(0), t=np.int8(1))[
+                    ["node", "color", "t"]
+                ]
+            )
+        ).exchange(["node"], extract, n_buckets)
+        parts.append(
+            tagged.map(
+                lambda df: pd.DataFrame(
+                    {"node": df.loc[df["t"] == 1, "node"],
+                     "scc_id": df.loc[df["t"] == 1, "color"]}
+                ).astype("int64")
+            )
+        )
+        nodes = tagged.map(lambda df: df.loc[df["t"] == 0, ["node"]])
+
+        # ---- shrink edges on both endpoints: marked is already
+        # bucketed by node, so it serves as the pinned side for the
+        # dst pass; the src pass filters against the pinned e_by_src
+        def drop_src(g: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+            if len(e) == 0:
+                return empty_edges
+            if len(g) == 0:
+                return e[["src", "dst"]]
+            return e.loc[
+                ~e["src"].isin(g["node"].to_numpy()), ["src", "dst"]
+            ]
+
+        def drop_dst(g: pd.DataFrame, m: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0:
+                return empty_edges
+            if len(m) == 0:
+                return g[["src", "dst"]]
+            return g.loc[
+                ~g["dst"].isin(m["node"].to_numpy()), ["src", "dst"]
+            ]
+
+        survivors = marked.exchange(
+            ["node"], drop_src, n_buckets, side=e_by_src
+        )
+        ebs = survivors.exchange(
+            ["dst"], drop_dst, n_buckets, side=marked.refs
         )
 
-    if rem_nodes.count() > 0:
+    if nodes.count() > 0:
         raise RuntimeError(
             "scc: graph not exhausted after "
             f"{n_phases} phases — raise n_phases/max_rounds"
         )
-    out = assigned[0]
-    for p in assigned[1:]:
-        out = out.union(p)
-    return out
+    out = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    return out.to_dataset()
 
 
 def mis(
@@ -2222,7 +2249,17 @@ def mis(
 
     # round-local row tags: 0 = live (node, c=priority),
     # 1 = winner, 2 = neighbor-min partial (c=partial min), 3 = removal
+    empty_tagged = pd.DataFrame(
+        {"node": pd.Series([], dtype="int64"),
+         "c": pd.Series([], dtype="int64"),
+         "t": pd.Series([], dtype="int8")}
+    )
+
     def x1(g: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        # side-exchange buckets can have edges but no moving rows —
+        # nothing to join, nothing to pass through
+        if len(g) == 0:
+            return empty_tagged
         out = [g.assign(t=np.int8(0))]
         if len(g) and len(e):
             m = e.merge(g[["node", "c"]], left_on="dst", right_on="node")
@@ -2236,6 +2273,8 @@ def mis(
         return pd.concat(out, ignore_index=True)
 
     def x2(g: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty_tagged
         live = g[g["t"] == 0]
         nm = g[g["t"] == 2].groupby("node")["c"].min()
         nmv = live["node"].map(nm)

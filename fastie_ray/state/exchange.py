@@ -127,6 +127,11 @@ def _count(df: pd.DataFrame) -> int:
 
 
 @ray.remote
+def _scalar(fn, df: pd.DataFrame):
+    return fn(df)
+
+
+@ray.remote
 def _concat(*parts):
     live = [p for p in parts if len(p)]
     if not live:
@@ -266,3 +271,9 @@ class BlockSet:
 
     def count(self) -> int:
         return int(sum(ray.get([_count.remote(r) for r in self.refs])))
+
+    def scalar(self, fn: Callable[[pd.DataFrame], object]) -> list:
+        """Apply a per-block scalar probe and return the list of
+        results (driver combines — the fixpoint-test primitive:
+        e.g. sum of per-block label sums)."""
+        return ray.get([_scalar.remote(fn, r) for r in self.refs])

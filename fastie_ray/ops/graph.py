@@ -1050,72 +1050,78 @@ def densest_rounds(
     deg·N·10⁶ ≤ 2·(10⁶+eps_e6)·E, so rounds are bit-reproducible in
     an unrolled SQL oracle.
 
-    Per round: one node-degree exchange (driver reads only the two
-    scalars N, E) + two task semi-joins shrink the edge set (the
-    ``kcore_peel`` machinery), per-round block discipline + edge
-    materialize. Returns the density TRAJECTORY (round, n_nodes,
-    n_edges) for rounds with nodes remaining — the argmax prefix is
-    the approximate densest subgraph (pytest-pinned); stops early on
-    an empty graph."""
-    from fastie_ray.ops.join import hash_join
+    Runs on the raw-task :class:`~fastie_ray.state.exchange.BlockSet`:
+    per round ONE degree exchange (per-block partials fused into the
+    split task), one per-block scalar probe that yields BOTH driver
+    scalars (N from the row count, E from Σdeg/2 — no separate edge
+    count), then two edge exchanges that semi-filter against the
+    surviving-node table pinned block-for-block from the degree
+    exchange's own node-bucketed output. Node state, not the edge
+    stream, is what the filter side holds; edges cross the wire once
+    per endpoint pass, the same movement the Dataset semi-joins paid
+    plus ~6 sort barriers per round (NOTES fact 11). Returns the
+    density TRAJECTORY (round, n_nodes, n_edges) for rounds with nodes
+    remaining — the argmax prefix is the approximate densest subgraph
+    (pytest-pinned); stops early on an empty graph."""
+    from fastie_ray.state.exchange import BlockSet
 
-    e = edges.repartition(n_buckets).materialize()
+    empty_e = pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"),
+         "b": pd.Series([], dtype="int64")}
+    )
+
+    e = (
+        BlockSet.from_dataset(edges)
+        .map(lambda df: df[["a", "b"]])
+        .compact(n_buckets)
+    )
+
+    # node ids keep their input dtype (string or integer) — only the
+    # counts are typed
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([df["a"], df["b"]], ignore_index=True)
+        out = both.value_counts().rename_axis("node").reset_index(name="deg")
+        out["deg"] = out["deg"].astype("int64")
+        return out
+
+    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["deg"].sum()
+        out["deg"] = out["deg"].astype("int64")
+        return out
+
+    def semi(col):
+        def f(g: pd.DataFrame, keep: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0 or len(keep) == 0:
+                return empty_e
+            return g.loc[
+                g[col].isin(keep["node"].to_numpy()), ["a", "b"]
+            ]
+        return f
+
     rows = []
     for rnd in range(max_rounds):
-        def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
-            both = pd.concat([df["a"], df["b"]], ignore_index=True)
-            return both.value_counts().rename_axis("node").reset_index(
-                name="deg"
-            )
-
-        def add_bn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__b"] = _bucket(df["node"], n_buckets)
-            return df
-
-        def deg_final(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.drop(columns="__b").groupby("node", as_index=False)[
-                "deg"
-            ].sum()
-            out["deg"] = out["deg"].astype("int64")
-            return out
-
-        degrees = (
-            e.map_batches(deg_partial, batch_format="pandas")
-            .map_batches(add_bn, batch_format="pandas")
-            .groupby("__b")
-            .map_groups(deg_final, batch_format="pandas")
-            .materialize()
+        degrees = e.exchange(
+            ["node"], deg_final, n_buckets, map_fn=deg_partial
         )
-        n_nodes = degrees.count()
+        stats = degrees.scalar(
+            lambda df: (len(df), int(df["deg"].sum()) if len(df) else 0)
+        )
+        n_nodes = sum(s[0] for s in stats)
         if n_nodes == 0:
             break
-        n_edges = e.count()
+        n_edges = sum(s[1] for s in stats) // 2
         rows.append((rnd, n_nodes, n_edges))
         thresh_rhs = 2 * (1_000_000 + eps_e6) * n_edges
 
-        keep = (
-            degrees.map_batches(
-                lambda df, n=n_nodes, rhs=thresh_rhs: df.loc[
-                    df["deg"].to_numpy() * n * 1_000_000 > rhs, ["node"]
-                ],
-                batch_format="pandas",
-            )
-            .repartition(n_buckets)
-            .materialize()
+        keep = degrees.map(
+            lambda df, n=n_nodes, rhs=thresh_rhs: df.loc[
+                df["deg"].to_numpy() * n * 1_000_000 > rhs, ["node"]
+            ]
         )
-        e = hash_join(
-            e, keep, on="a", right_on="node", how="semi",
-            left_cols=["a", "b"], n_buckets=n_buckets,
-        )
-        e = (
-            hash_join(
-                e, keep, on="b", right_on="node", how="semi",
-                left_cols=["a", "b"], n_buckets=n_buckets,
-            )
-            .repartition(n_buckets)
-            .materialize()
-        )
+        # keep.refs are node-bucketed (degree exchange key) — pinned
+        # side for both endpoint filters
+        e = e.exchange(["a"], semi("a"), n_buckets, side=keep.refs)
+        e = e.exchange(["b"], semi("b"), n_buckets, side=keep.refs)
     out = pd.DataFrame(rows, columns=["round", "n_nodes", "n_edges"])
     for c in out.columns:
         out[c] = out[c].astype("int64")

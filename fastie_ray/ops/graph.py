@@ -1812,108 +1812,100 @@ def hits(
     d≈5000 three rounds stay far inside int64), exactly as production
     HITS runs a handful of power steps.
 
-    Scale shape per iteration: 2 task-based edge⋈score hash joins +
-    2 bucketed sum exchanges, all node- or edge-sized. The edge table
-    is materialized ONCE (NOTES fact 19: an unmaterialized lineage
-    re-executes per consumer); score tables are node-sized and
-    compacted to ``n_buckets`` blocks each round (NOTES fact 15: block
-    counts compound through chained exchanges). Returns
-    ``(node, hub, auth)`` over src ∪ dst nodes, missing side = 0."""
-    import ray.data
+    Runs on the raw-task :class:`~fastie_ray.state.exchange.BlockSet`:
+    the edge table is pinned ONCE by src and once by dst; each power
+    half-step is then ONE node-keyed exchange that FOLDS the incoming
+    score partials and joins the pinned edge bucket to emit the next
+    side's partials — 2 exchanges per iteration plus one final
+    assembly exchange (the Dataset form paid 2 hash joins + 2 sort
+    aggregates + materializes per iteration). Only node-sized score
+    partials ever re-ship; the edge stream crosses the wire exactly
+    twice, at pin time. Returns ``(node, hub, auth)`` over src ∪ dst
+    nodes, missing side = 0."""
+    from fastie_ray.state.exchange import BlockSet
 
-    edges = edges.repartition(n_buckets).materialize()
+    ebs = BlockSet.from_dataset(edges).map(
+        lambda df: df[["src", "dst"]]
+    ).compact(n_buckets)
+    e_by_src = ebs.partition(["src"], n_buckets)
+    e_by_dst = ebs.partition(["dst"], n_buckets)
 
     def nodes_partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"node": pd.concat([df["src"], df["dst"]]).drop_duplicates()}
+            {"node": pd.concat(
+                [df["src"], df["dst"]], ignore_index=True
+            ).drop_duplicates()}
         )
 
-    def nodes_final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates("node").reset_index(drop=True)
-
-    def add_b(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__b"] = _bucket(df["node"], n_buckets)
-        return df
-
-    nodes = (
-        edges.map_batches(nodes_partial, batch_format="pandas")
-        .map_batches(add_b, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(
-            lambda g: nodes_final(g.drop(columns="__b")), batch_format="pandas"
-        )
-        .materialize()
+    nodes = ebs.exchange(
+        ["node"], lambda g: g.drop_duplicates("node"),
+        n_buckets, map_fn=nodes_partial,
     )
 
-    hub = nodes.map_batches(
-        lambda df: df.assign(score=np.int64(1)), batch_format="pandas"
-    ).materialize()
+    # row tags through the power chain: 0 = node row, 1 = current
+    # score partials (fold-by-sum pending), 2 = finished auth
+    def fold_join(src_col: str, dst_col: str, emit_fold: bool):
+        def f(g: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+            if len(g) == 0:
+                return pd.DataFrame()
+            s = g.groupby("node", as_index=False)["score"].sum()
+            out = []
+            if emit_fold:
+                out.append(
+                    pd.DataFrame(
+                        {"node": s["node"],
+                         "score": s["score"].astype("int64"),
+                         "t": np.int8(2)}
+                    )
+                )
+            if len(e):
+                m = e.merge(s, left_on=src_col, right_on="node")
+                p = m.groupby(dst_col, as_index=False)["score"].sum()
+                out.append(
+                    pd.DataFrame(
+                        {"node": p[dst_col],
+                         "score": p["score"].astype("int64"),
+                         "t": np.int8(1)}
+                    )
+                )
+            if not out:
+                return pd.DataFrame()
+            return pd.concat(out, ignore_index=True)
+        return f
 
-    def _sum_scores(joined, key_out: str):
-        """Per-batch combiner on the emit key, one bucketed exchange."""
-
-        def partial(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.groupby(key_out, as_index=False)["score"].sum()
-            return out.rename(columns={key_out: "node"})
-
-        def final(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.groupby("node", as_index=False)["score"].sum()
-            out["score"] = out["score"].astype("int64")
-            return out
-
-        return (
-            joined.map_batches(partial, batch_format="pandas")
-            .map_batches(add_b, batch_format="pandas")
-            .groupby("__b")
-            .map_groups(
-                lambda g: final(g.drop(columns="__b")), batch_format="pandas"
-            )
-            .repartition(n_buckets)
-            .materialize()
-        )
-
-    auth = None
-    for _ in range(n_iter):
-        j = hash_join(
-            edges, hub, on="src", right_on="node",
-            left_cols=["src", "dst"], right_cols=["node", "score"],
-            n_buckets=n_buckets,
-        )
-        auth = _sum_scores(j, "dst")
-        j2 = hash_join(
-            edges, auth, on="dst", right_on="node",
-            left_cols=["src", "dst"], right_cols=["node", "score"],
-            n_buckets=n_buckets,
-        )
-        hub = _sum_scores(j2, "src")
-
-    h = hash_join(
-        nodes, hub.map_batches(
-            lambda df: df.rename(columns={"score": "hub"}), batch_format="pandas"
-        ),
-        on="node", how="left",
-        left_cols=["node"], right_cols=["node", "hub"], n_buckets=n_buckets,
+    cur = nodes.map(
+        lambda df: df.assign(score=np.int64(1), t=np.int8(1))
     )
-    ha = hash_join(
-        h, auth.map_batches(
-            lambda df: df.rename(columns={"score": "auth"}), batch_format="pandas"
-        ),
-        on="node", how="left",
-        left_cols=["node", "hub"], right_cols=["node", "auth"],
-        n_buckets=n_buckets,
-    )
+    for i in range(n_iter):
+        last = i == n_iter - 1
+        # fold hub partials → hub_i, emit auth partials (keyed dst)
+        cur = cur.exchange(
+            ["node"], fold_join("src", "dst", emit_fold=False),
+            n_buckets, side=e_by_src,
+        )
+        # fold auth partials → auth_{i+1} (kept on the last step),
+        # emit hub partials (keyed src)
+        cur = cur.exchange(
+            ["node"], fold_join("dst", "src", emit_fold=last),
+            n_buckets, side=e_by_dst,
+        )
 
-    def fill(df: pd.DataFrame) -> pd.DataFrame:
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g[g["t"] == 0]
+        hub = g[g["t"] == 1].groupby("node")["score"].sum()
+        auth = g[g["t"] == 2].groupby("node")["score"].sum()
         return pd.DataFrame(
             {
-                "node": df["node"],
-                "hub": df["hub"].fillna(0).astype("int64"),
-                "auth": df["auth"].fillna(0).astype("int64"),
+                "node": nd["node"],
+                "hub": nd["node"].map(hub).fillna(0).astype("int64"),
+                "auth": nd["node"].map(auth).fillna(0).astype("int64"),
             }
         )
 
-    return ha.map_batches(fill, batch_format="pandas")
+    out = cur.union(
+        nodes.map(lambda df: df.assign(score=np.int64(0), t=np.int8(0)))
+    ).exchange(["node"], assemble, n_buckets)
+    return out.to_dataset()
 
 
 def scc(

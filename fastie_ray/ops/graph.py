@@ -2751,12 +2751,7 @@ def greedy_matching(
     carry over unchanged."""
     import hashlib
 
-    import pyarrow as pa
-    import ray.data
-
-    e_schema = pa.schema(
-        [("a", pa.int64()), ("b", pa.int64()), ("p", pa.int64())]
-    )
+    from fastie_ray.state.exchange import BlockSet
 
     def prio(df: pd.DataFrame) -> pd.DataFrame:
         out = df[["a", "b"]].astype("int64").copy()
@@ -2785,90 +2780,107 @@ def greedy_matching(
         out["p"] = (((1 << 22) - 1 - w) << 40) | md40
         return out
 
-    rem = (
-        edges.map_batches(prio, batch_format="pandas")
-        .repartition(n_buckets)
-        .materialize()
-    )
-    matched_parts = []
+    # Raw-task BlockSet loop — FOUR node/edge-sized exchanges per
+    # round, no sort barriers (the Dataset form paid a min aggregate +
+    # two hash joins + two anti joins + materializes per round):
+    #   X1 key=node:   edge halves meet; per-endpoint min priority is
+    #                  attached in place (transform, no second join);
+    #   X2 key=(a,b):  both halves of an edge meet; winner iff
+    #                  min(nm_a, nm_b) == p (nm ≤ p always ⇒ both == p);
+    #   X3 key=node:   matched endpoints kill incident halves;
+    #   X4 key=(a,b):  an edge survives iff BOTH its halves survived.
+    rem = BlockSet.from_dataset(edges).map(prio).compact(n_buckets)
+    n_rem = rem.count()
+    matched_parts: list[BlockSet] = []
 
-    def add_nb(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__b"] = _bucket(df["node"], n_buckets)
-        return df
+    def halves(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [df.assign(node=df["a"]), df.assign(node=df["b"])],
+            ignore_index=True,
+        )[["node", "a", "b", "p"]]
+
+    def attach_nm(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["nm"] = g.groupby("node")["p"].transform("min").astype("int64")
+        return g
+
+    def decide(rnd: int):
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby(["a", "b"], as_index=False).agg(
+                p=("p", "first"), nmin=("nm", "min")
+            )
+            # nm ≤ p at each endpoint, so min(nm_a, nm_b) == p ⇔ the
+            # edge is the minimum at BOTH endpoints
+            win = (agg["nmin"] == agg["p"]).to_numpy()
+            w = agg.loc[win]
+            lose = agg.loc[~win]
+            out = [
+                pd.DataFrame(
+                    {"node": np.int64(0), "a": lose["a"], "b": lose["b"],
+                     "p": lose["p"], "rnd": np.int64(0), "t": np.int8(0)}
+                ),
+                pd.DataFrame(
+                    {"node": np.int64(0), "a": w["a"], "b": w["b"],
+                     "p": w["p"], "rnd": np.int64(rnd), "t": np.int8(1)}
+                ),
+                pd.DataFrame(
+                    {"node": pd.concat([w["a"], w["b"]], ignore_index=True),
+                     "a": np.int64(0), "b": np.int64(0), "p": np.int64(0),
+                     "rnd": np.int64(0), "t": np.int8(2)}
+                ),
+            ]
+            return pd.concat(out, ignore_index=True)
+        return f
+
+    def x3_map(df: pd.DataFrame) -> pd.DataFrame:
+        ed = df[df["t"] == 0]
+        h = pd.concat(
+            [ed.assign(node=ed["a"]), ed.assign(node=ed["b"])],
+            ignore_index=True,
+        )
+        return pd.concat(
+            [h, df[df["t"] == 2]], ignore_index=True
+        )[["node", "a", "b", "p", "t"]]
+
+    def x3_drop_dead(g: pd.DataFrame) -> pd.DataFrame:
+        dead = g.loc[g["t"] == 2, "node"].to_numpy()
+        ok = g[g["t"] == 0]
+        if len(dead):
+            ok = ok[~ok["node"].isin(dead)]
+        return ok[["a", "b", "p"]]
+
+    def x4_both(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["a", "b", "p"], as_index=False).size()
+        return c.loc[c["size"] == 2, ["a", "b", "p"]].astype("int64")
 
     for rnd in range(1, max_rounds + 1):
-        if rem.count() == 0:
+        if n_rem == 0:
             break
-
-        def nm_partial(df: pd.DataFrame) -> pd.DataFrame:
-            both = pd.concat(
-                [df[["a", "p"]].rename(columns={"a": "node"}),
-                 df[["b", "p"]].rename(columns={"b": "node"})],
-                ignore_index=True,
+        tagged = rem.exchange(
+            ["node"], attach_nm, n_buckets, map_fn=halves
+        ).exchange(["a", "b"], decide(rnd), n_buckets)
+        winners = tagged.map(
+            lambda df: df.loc[df["t"] == 1, ["a", "b", "rnd"]].rename(
+                columns={"rnd": "round"}
             )
-            return both.groupby("node", as_index=False)["p"].min()
-
-        def nm_final(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.drop(columns="__b").groupby("node", as_index=False)[
-                "p"
-            ].min()
-            return out.rename(columns={"p": "nm"}).astype(
-                {"node": "int64", "nm": "int64"}
-            )
-
-        nm = (
-            rem.map_batches(nm_partial, batch_format="pandas")
-            .map_batches(add_nb, batch_format="pandas")
-            .groupby("__b")
-            .map_groups(nm_final, batch_format="pandas")
         )
-        wa = hash_join(
-            rem, nm, on="a", right_on="node",
-            left_cols=["a", "b", "p"], right_cols=["node", "nm"],
-            n_buckets=n_buckets,
-        )
-        wb = hash_join(
-            wa, nm, on="b", right_on="node",
-            left_cols=["a", "b", "p", "nm"], right_cols=["node", "nm"],
-            n_buckets=n_buckets, suffix="_b",
-        )
-        winners = wb.map_batches(
-            lambda df, r=rnd: df.loc[
-                (df["p"] == df["nm"]) & (df["p"] == df["nm_b"]),
-                ["a", "b"],
-            ].assign(round=np.int64(r)),
-            batch_format="pandas",
-        ).materialize()
         if winners.count() == 0:
             # only possible via adjacent priority collisions; retrying
             # cannot make progress
             raise RuntimeError("greedy_matching: no winner in a round")
         matched_parts.append(winners)
-        mnodes = winners.map_batches(
-            lambda df: pd.DataFrame(
-                {"node": pd.concat([df["a"], df["b"]]).astype("int64")}
-            ).drop_duplicates(),
-            batch_format="pandas",
-        ).materialize()
-        rem = hash_join(
-            rem, mnodes, on="a", right_on="node", how="anti",
-            left_cols=["a", "b", "p"], n_buckets=n_buckets,
-        )
-        rem = (
-            hash_join(
-                rem, mnodes, on="b", right_on="node", how="anti",
-                left_cols=["a", "b", "p"], n_buckets=n_buckets,
-            )
-            .repartition(max(1, n_buckets // 4))
-            .materialize()
-        )
+        rem = tagged.exchange(
+            ["node"], x3_drop_dead, n_buckets, map_fn=x3_map
+        ).exchange(["a", "b"], x4_both, n_buckets)
+        n_rem = rem.count()
 
-    if rem.count() > 0:
+    if n_rem > 0:
         raise RuntimeError(
             f"greedy_matching: edges remain after {max_rounds} rounds"
         )
     out = matched_parts[0]
-    for p in matched_parts[1:]:
-        out = out.union(p)
-    return out
+    if len(matched_parts) > 1:
+        out = out.union(*matched_parts[1:])
+    return out.map(
+        lambda df: df.astype({"a": "int64", "b": "int64", "round": "int64"})
+    ).to_dataset()

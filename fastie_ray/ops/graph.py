@@ -1669,27 +1669,21 @@ def lpa_communities(
     (count DESC, label ASC) is total — so an unrolled per-round SQL
     CTE chain reproduces it exactly.
 
-    Scale shape per round (same discipline as ``pagerank``):
-
-    - ONE task-based ``hash_join`` of the pinned symmetric edge table
-      against the node-sized label table on src;
-    - neighbour-label counts combine per batch by (dst, label), then
-      ONE bucketed exchange merges partials and takes the in-group
-      argmax — a node's rows all share its hash bucket, so the argmax
-      is globally complete.  Hot nodes cost one group, never a row
-      scan.
-    - the label table is materialized per round at a bounded block
-      count (NOTES facts 15/19: pin iterative inputs, compact per
-      round so exchange fan-out doesn't compound).
-
-    Symmetrization + edge dedup happen in ONE dst-bucketed exchange up
-    front (both directions of a pair land in their dst's bucket).
-    Every node of an edge-built graph has degree ≥ 1 after
-    symmetrization, so no keep-old-label fallback row is needed.
+    Runs on the raw-task :class:`~fastie_ray.state.exchange.BlockSet`:
+    symmetrization + dedup happen in ONE src-keyed exchange whose
+    output buckets double as the PINNED edge side for every round (and
+    as the label initializer — after symmetrization every node appears
+    as a src, already in its own hash bucket). Each round is then TWO
+    node-table exchanges: labels meet the pinned edges (join on src →
+    per-(dst, label) count partials), then partials fold and take the
+    deterministic argmax. Only the node-sized label table re-ships per
+    round; the Dataset form paid a hash join + sort aggregate +
+    repartition + materialize per round (NOTES fact 11).
 
     Returns a Dataset (node, community_id) — corpus-sized, never
     collected on the driver.
     """
+    from fastie_ray.state.exchange import BlockSet
 
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         a = df[[src_col, dst_col]].rename(
@@ -1698,98 +1692,47 @@ def lpa_communities(
         b = df[[dst_col, src_col]].rename(
             columns={dst_col: "src", src_col: "dst"}
         )
-        out = pd.concat([a, b], ignore_index=True)
-        if len(out) == 0:
-            out["__b"] = np.array([], dtype=np.int64)
-            return out
-        h = pd.util.hash_pandas_object(out["dst"], index=False).to_numpy()
-        out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return out
+        return pd.concat([a, b], ignore_index=True)
 
-    def dedup(g: pd.DataFrame) -> pa.Table:
-        g = g.drop_duplicates(["src", "dst"])[["src", "dst"]]
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    sym_edges = (
-        edges.map_batches(sym, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(dedup, batch_format="pandas")
-        .materialize()  # reused every round — pin the lineage once
+    ebs = BlockSet.from_dataset(edges).exchange(
+        ["src"],
+        lambda g: g.drop_duplicates(["src", "dst"]),
+        n_buckets,
+        map_fn=sym,
     )
 
-    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["dst"]].drop_duplicates()
-        return pd.DataFrame({"node": out["dst"], "lab": out["dst"]})
-
-    def node_dedup(g: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(
-            g.drop_duplicates("node")[["node", "lab"]], preserve_index=False
-        )
-
-    def add_nb(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        if len(df) == 0:
-            df["__b"] = np.array([], dtype=np.int64)
-            return df
-        h = pd.util.hash_pandas_object(df["node"], index=False).to_numpy()
-        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return df
-
-    labels = (
-        sym_edges.map_batches(init_labels, batch_format="pandas")
-        .map_batches(add_nb, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(
-            lambda g: node_dedup(g.drop(columns="__b")), batch_format="pandas"
-        )
-        .repartition(n_buckets)
-        .materialize()
+    labels = ebs.map(
+        lambda df: pd.DataFrame({"node": df["src"], "lab": df["src"]})
+        .drop_duplicates("node")
+        .reset_index(drop=True)
     )
+
+    def count_nbr_labels(g: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or len(e) == 0:
+            return pd.DataFrame()
+        m = e.merge(g, left_on="src", right_on="node")
+        out = m.groupby(["dst", "lab"], as_index=False).size()
+        out = out.rename(columns={"size": "cnt", "dst": "node"})
+        out["cnt"] = out["cnt"].astype("int64")
+        return out[["node", "lab", "cnt"]]
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["node", "lab"], as_index=False)["cnt"].sum()
+        g = g.sort_values(
+            ["node", "cnt", "lab"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("node")
+        return g[["node", "lab"]]
 
     for _ in range(rounds):
-        joined = hash_join(
-            sym_edges,
-            labels,
-            on="src",
-            right_on="node",
-            left_cols=["src", "dst"],
-            right_cols=["node", "lab"],
-            n_buckets=n_buckets,
-        )
+        labels = labels.exchange(
+            ["node"], count_nbr_labels, n_buckets, side=ebs.refs
+        ).exchange(["node"], argmax, n_buckets)
 
-        def count_partial(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.groupby(["dst", "lab"], as_index=False).size()
-            out = out.rename(columns={"size": "cnt", "dst": "node"})
-            out["cnt"] = out["cnt"].astype("int64")
-            return out
-
-        def argmax(g: pd.DataFrame) -> pa.Table:
-            g = g.groupby(["node", "lab"], as_index=False)["cnt"].sum()
-            g = g.sort_values(
-                ["node", "cnt", "lab"],
-                ascending=[True, False, True],
-                kind="mergesort",
-            ).drop_duplicates("node")
-            return pa.Table.from_pandas(
-                g[["node", "lab"]], preserve_index=False
-            )
-
-        labels = (
-            joined.map_batches(count_partial, batch_format="pandas")
-            .map_batches(add_nb, batch_format="pandas")
-            .groupby("__b")
-            .map_groups(
-                lambda g: argmax(g.drop(columns="__b")),
-                batch_format="pandas",
-            )
-            .repartition(n_buckets)
-            .materialize()
-        )
-
-    def rename(df: pd.DataFrame) -> pd.DataFrame:
-        return df.rename(columns={"lab": "community_id"})
-
-    return labels.map_batches(rename, batch_format="pandas")
+    return labels.map(
+        lambda df: df.rename(columns={"lab": "community_id"})
+    ).to_dataset()
 
 
 def hits(

@@ -370,6 +370,7 @@ def incremental_join_delta(
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
     n_buckets: int = 32,
+    suffix: str = "_r",
 ) -> "ray.data.Dataset":
     """Incremental VIEW MAINTENANCE for an inner equi-join under
     append-only updates (the lakehouse "don't recompute the join"
@@ -381,21 +382,78 @@ def incremental_join_delta(
     with the old materialized result is EXACTLY the fresh full join
     (parity-pinned in pytest; the driver oracle runs the full join).
 
-    Scale shape: three task ``hash_join``s whose combined exchange
-    volume is |ΔL|·(1 + sel) + |L| + … — the full sides ship ONCE
-    (against the delta), the deltas twice; when deltas are small this
-    is ~|L|+|R| versus the 2(|L|+|R|) of a recompute, and the win
-    compounds every increment. Aggregate downstream of the join folds
-    per the additive-merge pattern (``pipelines/kg.merge_edge_aggregates``)."""
+    All three delta terms share the join key, so they are computed in
+    ONE raw-task :class:`~fastie_ray.state.exchange.BlockSet` exchange
+    over the four tagged inputs — each table crosses the wire exactly
+    once (|L|+|R|+|ΔL|+|ΔΡ| total; the previous three-hash_join form
+    shipped each delta twice and paid three sort barriers). Rows of a
+    key co-locate, so each bucket materializes its slice of the three
+    merge terms locally and the union is complete."""
+    from fastie_ray.state.exchange import BlockSet
+
     right_on = right_on or on
-    kw = dict(
-        on=on, right_on=right_on, left_cols=left_cols,
-        right_cols=right_cols, n_buckets=n_buckets,
+    left_cols = (
+        list(left_cols) if left_cols is not None
+        else list(base_left.schema().names)
     )
-    d1 = hash_join(delta_left, base_right, **kw)
-    d2 = hash_join(base_left, delta_right, **kw)
-    d3 = hash_join(delta_left, delta_right, **kw)
-    return d1.union(d2).union(d3)
+    right_cols = (
+        list(right_cols) if right_cols is not None
+        else list(base_right.schema().names)
+    )
+    right_out = {
+        c: (c + suffix if c in left_cols else c)
+        for c in right_cols if c != right_on
+    }
+    r_val_cols = [right_out[c] for c in right_cols if c != right_on]
+    out_cols = left_cols + r_val_cols
+    all_cols = list(out_cols)
+
+    def tag(t: int, cols_in: list, rename: dict):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[cols_in].rename(columns=rename)
+            for c in all_cols:
+                if c not in out.columns:
+                    out[c] = pd.NA
+            out["__t"] = np.int8(t)
+            return out[all_cols + ["__t"]]
+        return f
+
+    r_rename = dict(right_out)
+    r_rename[right_on] = on
+    r_in = right_cols
+
+    parts = [
+        BlockSet.from_dataset(base_left).map(tag(0, left_cols, {})),
+        BlockSet.from_dataset(delta_left).map(tag(1, left_cols, {})),
+        BlockSet.from_dataset(base_right).map(tag(2, r_in, r_rename)),
+        BlockSet.from_dataset(delta_right).map(tag(3, r_in, r_rename)),
+    ]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        def side(t: int, cols: list) -> pd.DataFrame:
+            return g.loc[g["__t"] == t, cols].infer_objects()
+
+        lb = side(0, left_cols)
+        ld = side(1, left_cols)
+        rcols = [on] + r_val_cols
+        rb = side(2, rcols)
+        rd = side(3, rcols)
+        terms = []
+        if len(ld) and len(rb):
+            terms.append(ld.merge(rb, on=on, sort=False))
+        if len(lb) and len(rd):
+            terms.append(lb.merge(rd, on=on, sort=False))
+        if len(ld) and len(rd):
+            terms.append(ld.merge(rd, on=on, sort=False))
+        if not terms:
+            return pd.DataFrame()
+        return pd.concat(terms, ignore_index=True)[out_cols]
+
+    return (
+        parts[0].union(*parts[1:])
+        .exchange([on], merge, n_buckets)
+        .to_dataset()
+    )
 
 
 def join_size_estimate(

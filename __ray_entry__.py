@@ -1923,6 +1923,37 @@ def _q_scd2_intervals(sf_dir: str):
     return validity_intervals(ds)
 
 
+# Frozen BPE merge table for the SQL-oracled encode half: learned ONCE
+# from the sf0.01 vocab (learn_bpe, n_merges=32) and pinned as a
+# literal so the Ray query and the DuckDB oracle segment with the
+# exact same ranked merge list at every scale factor. Symbols never
+# contain spaces ([A-Za-z0-9]+ tokens), so "a b" strings key the
+# pair → rank lookup on both sides.
+_BPE_FROZEN_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"),
+]
+
+
+def _q_bpe_encode_apply(sf_dir: str):
+    """BPE ENCODE against a frozen merge table (the inference half,
+    split from the rows-only ``bpe_encode`` training loop so it can be
+    SQL-oracled): broadcast the pinned 32-merge list and segment every
+    document — (id, n_tokens, n_subwords). The oracle replays the
+    min-(rank, leftmost) merge loop as a recursive CTE over DISTINCT
+    tokens (vocabulary-bounded, like the engine's per-batch distinct
+    segmentation) and maps counts back per document."""
+    from fastie_ray.ops.bpe import bpe_encode_docs
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bpe_encode_docs(docs, _BPE_FROZEN_MERGES)
+
+
 def _q_bpe_encode(sf_dir: str):
     """Full BPE pipeline: learn 64 merges from the corpus vocab table
     (one corpus-sized aggregate; the merge loop is vocabulary-bounded,
@@ -6942,6 +6973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_comentions": _q_entity_comentions,
         "lang_heavy_tokens": _q_lang_heavy_tokens,
         "bpe_encode": _q_bpe_encode,
+        "bpe_encode_apply": _q_bpe_encode_apply,
         "cdc_state": _q_cdc_state,
         "windowed_delta": _q_windowed_delta,
         "skew_join": _q_skew_join,
@@ -7226,6 +7258,10 @@ def oracle_sql() -> dict[str, str]:
         for i, f in enumerate(w.facts)
     )
     EIDS = f"eids(i, sub_eid, obj_eid) AS (VALUES {eid_rows})"
+
+    BPE_MLIST = (
+        "[" + ", ".join(f"'{a} {b}'" for a, b in _BPE_FROZEN_MERGES) + "]"
+    )
 
     TOKS = "regexp_split_to_array(trim(text), '\\s+')"
     TRI = (
@@ -8398,6 +8434,53 @@ def oracle_sql() -> dict[str, str]:
                 WHERE length(token) >= 2
             )
             SELECT pair, count(*) AS n_occ FROM pairs GROUP BY pair
+        """,
+        # Recursive-CTE replay of apply_bpe's min-(rank, leftmost-i)
+        # merge loop over DISTINCT tokens (vocab-bounded, ≤ len(token)
+        # rounds each); list_position gives the 1-based merge rank
+        # (0 = absent in this DuckDB — nullif'd to the 999999 sentinel).
+        "bpe_encode_apply": f"""
+            WITH RECURSIVE
+            tok AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS token
+                FROM documents
+            ),
+            tokn AS (SELECT doc_id, token, count(*) AS n FROM tok GROUP BY 1, 2),
+            dtok AS (SELECT DISTINCT token FROM tokn),
+            seg(token, syms, it) AS (
+                SELECT token, regexp_extract_all(token, '.'), 0 FROM dtok
+                UNION ALL
+                SELECT token,
+                       list_slice(syms, 1, best[2] - 1)
+                         || [syms[best[2]] || syms[best[2] + 1]]
+                         || list_slice(syms, best[2] + 2, len(syms)),
+                       it + 1
+                FROM (
+                    SELECT token, syms, it,
+                           list_aggregate(
+                               list_transform(range(1, len(syms)),
+                                   i -> [coalesce(nullif(list_position(
+                                             {BPE_MLIST},
+                                             syms[i] || ' ' || syms[i + 1]), 0),
+                                         999999), i]),
+                               'min') AS best
+                    FROM seg
+                ) WHERE best IS NOT NULL AND best[1] < 999999
+            ),
+            sub AS (
+                SELECT token, CAST(len(arg_max(syms, it)) AS BIGINT) AS n_sub
+                FROM seg GROUP BY token
+            ),
+            per AS (
+                SELECT t.doc_id, SUM(t.n) AS n_tokens,
+                       SUM(t.n * s.n_sub) AS n_subwords
+                FROM tokn t JOIN sub s USING (token) GROUP BY 1
+            )
+            SELECT d.doc_id AS id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(p.n_subwords, 0) AS BIGINT) AS n_subwords
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "hll_overlap": """
             WITH reg AS (

@@ -256,69 +256,71 @@ def ed1_pairs(
 
     Scale shape: per-batch distinct-value combiner → variant emission
     ((len+1)× amplification of the DISTINCT string table, not the
-    corpus) → ONE variant-bucketed exchange. A pair sharing several
-    variants would be emitted by several groups, so each group
-    recomputes min(D₁(u) ∩ D₁(v)) FROM THE PAIR ITSELF and emits only
-    in that canonical variant's group — single emission, no dedup
-    exchange (the canonical-chunk rule at the variant level). In-group
-    cost is density²; hot variants come from very short strings (the
-    documented FastSS caveat — prefilter by length if the domain has
-    them). Output (u, v), u < v."""
-    import pyarrow as pa
+    corpus), each deletion variant CARRYING ITS DELETION POSITION →
+    ONE variant-bucketed raw-task exchange. The position makes
+    verification pure algebra, no Levenshtein and no D₁-set
+    intersections (ed(u,v)=1 is: substitution at p ⟺ u and v delete
+    the SAME position p to the SAME variant — unique (w,p) per pair,
+    so single emission is automatic even for repeated-char strings;
+    insertion/deletion ⟺ the shared variant IS the shorter string —
+    its unique shared variant). In-group work is two vectorized
+    pandas self/cross merges; hot variants come from very short
+    strings (the documented FastSS caveat — prefilter by length if
+    the domain has them). Output (u, v), u < v."""
+    from fastie_ray.state.exchange import BlockSet
 
     def variants(df: pd.DataFrame) -> pd.DataFrame:
         ss = pd.unique(df[col].astype(str))
-        out_v, out_s = [], []
+        out_v, out_s, out_p = [], [], []
         for s in ss:
-            vs = {s}
-            vs.update(s[:i] + s[i + 1:] for i in range(len(s)))
-            out_v.extend(vs)
-            out_s.extend([s] * len(vs))
-        return pd.DataFrame({"variant": out_v, "s": out_s})
-
-    def add_b(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        if len(df) == 0:
-            df["__b"] = np.array([], dtype=np.int64)
-            return df
-        h = pd.util.hash_pandas_object(df["variant"], index=False).to_numpy()
-        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return df
-
-    schema = pa.schema([("u", pa.string()), ("v", pa.string())])
-
-    def pairs(g: pd.DataFrame) -> pa.Table:
-        rows_u, rows_v = [], []
-        for variant, grp in g.groupby("variant", sort=False):
-            ss = sorted(set(grp["s"]))
-            for i in range(len(ss)):
-                for j in range(i + 1, len(ss)):
-                    u, v = ss[i], ss[j]
-                    if abs(len(u) - len(v)) > 1 or _levenshtein(u, v) != 1:
-                        continue
-                    du = {u}
-                    du.update(u[:p] + u[p + 1:] for p in range(len(u)))
-                    dv = {v}
-                    dv.update(v[:p] + v[p + 1:] for p in range(len(v)))
-                    if min(du & dv) == variant:
-                        rows_u.append(u)
-                        rows_v.append(v)
-        return pa.Table.from_pandas(
-            pd.DataFrame({"u": rows_u, "v": rows_v}),
-            preserve_index=False,
-            schema=schema,
+            out_v.append(s)
+            out_s.append(s)
+            out_p.append(-1)
+            for i in range(len(s)):
+                out_v.append(s[:i] + s[i + 1:])
+                out_s.append(s)
+                out_p.append(i)
+        return pd.DataFrame(
+            {"variant": out_v, "s": out_s,
+             "pos": pd.Series(out_p, dtype="int64")}
         )
 
-    # cross-batch duplicate strings collapse inside the variant groups
-    # (pairs are over the distinct set), so no global distinct pass is
-    # needed before emission
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # cross-batch duplicate strings re-emit identical variant rows
+        g = g.drop_duplicates()
+        dele = g[g["pos"] >= 0]
+        selfr = g.loc[g["pos"] < 0, ["variant"]]
+        # insertion/deletion pairs: longer string × the variant string
+        # itself (unique shared variant ⇒ emitted once); dedupe the
+        # repeated-char case (several positions → same variant)
+        cross = dele.merge(selfr, on="variant")[["variant", "s"]]
+        cross = cross.drop_duplicates()
+        # substitution pairs: same (variant, deletion position)
+        eq = dele.merge(dele, on=["variant", "pos"])
+        eq = eq[eq["s_x"] < eq["s_y"]]
+        cu = np.where(
+            cross["s"].to_numpy() < cross["variant"].to_numpy(),
+            cross["s"].to_numpy(), cross["variant"].to_numpy(),
+        )
+        cv = np.where(
+            cross["s"].to_numpy() < cross["variant"].to_numpy(),
+            cross["variant"].to_numpy(), cross["s"].to_numpy(),
+        )
+        return pd.DataFrame(
+            {
+                "u": pd.Series(
+                    np.concatenate([cu, eq["s_x"].to_numpy()]), dtype=object
+                ),
+                "v": pd.Series(
+                    np.concatenate([cv, eq["s_y"].to_numpy()]), dtype=object
+                ),
+            }
+        )
+
     return (
-        ds.map_batches(variants, batch_format="pandas")
-        .map_batches(add_b, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(
-            lambda g: pairs(g.drop(columns="__b")), batch_format="pandas"
-        )
+        BlockSet.from_dataset(ds)
+        .exchange(["variant"], pairs, n_buckets=n_buckets, map_fn=variants)
+        .to_dataset()
     )
 
 def ed1_lookup(
@@ -332,74 +334,86 @@ def ed1_lookup(
     DISTINCT left strings × DISTINCT right strings at Levenshtein
     distance ≤ 1 (including exact matches): the entity-linking /
     alias-resolution companion to ``ed1_pairs`` (self-join). Same
-    FastSS deletion-neighborhood machinery: both sides emit their D₁
-    variants into ONE variant-bucketed exchange; a pair sharing
-    several variants is emitted only in its min shared variant's group
-    (recomputed from the pair itself — single emission, no dedup
-    exchange); in-group exact Levenshtein verification. Returns
-    (query, entry, edit_dist)."""
-    import pyarrow as pa
+    FastSS deletion-neighborhood machinery as ``ed1_pairs``: both
+    sides emit their D₁ variants (each deletion carrying its deletion
+    POSITION) into ONE variant-bucketed raw-task exchange, and
+    verification is pure algebra — ed=0 ⟺ both self rows meet at the
+    string itself; substitution (ed=1, equal length) ⟺ same
+    (variant, position) across sides; insertion/deletion (ed=1) ⟺
+    one side's self row meets the other side's deletion row — each
+    pair's witness is unique, so emission is single with no dedup
+    exchange and no Levenshtein. Returns (query, entry, edit_dist)."""
+    from fastie_ray.state.exchange import BlockSet
 
     def variants(col: str, side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             ss = pd.unique(df[col].astype(str))
-            out_v, out_s = [], []
+            out_v, out_s, out_p = [], [], []
             for s in ss:
-                vs = {s}
-                vs.update(s[:i] + s[i + 1:] for i in range(len(s)))
-                out_v.extend(vs)
-                out_s.extend([s] * len(vs))
+                out_v.append(s)
+                out_s.append(s)
+                out_p.append(-1)
+                for i in range(len(s)):
+                    out_v.append(s[:i] + s[i + 1:])
+                    out_s.append(s)
+                    out_p.append(i)
             return pd.DataFrame(
-                {"variant": out_v, "s": out_s, "side": side}
+                {"variant": out_v, "s": out_s,
+                 "pos": pd.Series(out_p, dtype="int64"), "side": side}
             )
 
         return fn
 
-    def add_b(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        if len(df) == 0:
-            df["__b"] = np.array([], dtype=np.int64)
-            return df
-        h = pd.util.hash_pandas_object(df["variant"], index=False).to_numpy()
-        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return df
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        l_self = g.loc[(g["side"] == "l") & (g["pos"] < 0), ["variant", "s"]]
+        r_self = g.loc[(g["side"] == "r") & (g["pos"] < 0), ["variant", "s"]]
+        l_del = g.loc[(g["side"] == "l") & (g["pos"] >= 0),
+                      ["variant", "s", "pos"]]
+        r_del = g.loc[(g["side"] == "r") & (g["pos"] >= 0),
+                      ["variant", "s", "pos"]]
+        frames = []
+        # ed=0: exact matches meet at their own self variant
+        ex = l_self.merge(r_self, on="variant")
+        if len(ex):
+            frames.append(
+                pd.DataFrame({"query": ex["s_x"], "entry": ex["s_y"],
+                              "edit_dist": np.int64(0)})
+            )
+        # ed=1 substitution: same (variant, deletion position)
+        sub = l_del.merge(r_del, on=["variant", "pos"])
+        sub = sub[sub["s_x"] != sub["s_y"]]
+        if len(sub):
+            frames.append(
+                pd.DataFrame({"query": sub["s_x"], "entry": sub["s_y"],
+                              "edit_dist": np.int64(1)})
+            )
+        # ed=1 insertion/deletion: longer query × entry-as-variant,
+        # and query-as-variant × longer entry (dedupe repeated-char
+        # multi-position emissions)
+        c1 = l_del.merge(r_self, on="variant")[["s_x", "variant"]]
+        c1 = c1.drop_duplicates()
+        if len(c1):
+            frames.append(
+                pd.DataFrame({"query": c1["s_x"], "entry": c1["variant"],
+                              "edit_dist": np.int64(1)})
+            )
+        c2 = l_self.merge(r_del, on="variant")[["variant", "s_y"]]
+        c2 = c2.drop_duplicates()
+        if len(c2):
+            frames.append(
+                pd.DataFrame({"query": c2["variant"], "entry": c2["s_y"],
+                              "edit_dist": np.int64(1)})
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"query": pd.Series([], dtype=object),
+                 "entry": pd.Series([], dtype=object),
+                 "edit_dist": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(frames, ignore_index=True)
 
-    schema = pa.schema(
-        [("query", pa.string()), ("entry", pa.string()),
-         ("edit_dist", pa.int64())]
+    tagged = BlockSet.from_dataset(left).map(variants(left_col, "l")).union(
+        BlockSet.from_dataset(right).map(variants(right_col, "r"))
     )
-
-    def pairs(g: pd.DataFrame) -> pa.Table:
-        rows = []
-        for variant, grp in g.groupby("variant", sort=False):
-            ls = sorted(set(grp.loc[grp["side"] == "l", "s"]))
-            rs = sorted(set(grp.loc[grp["side"] == "r", "s"]))
-            for q in ls:
-                dq = {q}
-                dq.update(q[:p] + q[p + 1:] for p in range(len(q)))
-                for e in rs:
-                    if abs(len(q) - len(e)) > 1:
-                        continue
-                    d = _levenshtein(q, e)
-                    if d > 1:
-                        continue
-                    de = {e}
-                    de.update(e[:p] + e[p + 1:] for p in range(len(e)))
-                    if min(dq & de) == variant:
-                        rows.append((q, e, d))
-        return pa.Table.from_pandas(
-            pd.DataFrame(rows, columns=["query", "entry", "edit_dist"]),
-            preserve_index=False,
-            schema=schema,
-        )
-
-    tagged = left.map_batches(
-        variants(left_col, "l"), batch_format="pandas"
-    ).union(right.map_batches(variants(right_col, "r"), batch_format="pandas"))
-    return (
-        tagged.map_batches(add_b, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(
-            lambda g: pairs(g.drop(columns="__b")), batch_format="pandas"
-        )
-    )
+    return tagged.exchange(["variant"], pairs, n_buckets=n_buckets).to_dataset()

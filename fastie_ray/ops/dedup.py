@@ -42,13 +42,7 @@ def dedup_exact(
     """
     keys = list(keys)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            df[_BUCKET] = np.array([], dtype=np.int64)
-            return df
-        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
-        df = df.copy()
-        df[_BUCKET] = (h % np.uint64(n_buckets)).astype(np.int64)
+    def pre_dedup(df: pd.DataFrame) -> pd.DataFrame:
         # pre-dedup inside the batch: shrinks the shuffle for free
         return df.drop_duplicates(subset=keys)
 
@@ -56,12 +50,18 @@ def dedup_exact(
         out = g.drop_duplicates(subset=keys)
         return post(out) if post is not None else out
 
-    out = (
-        ds.map_batches(add_bucket, batch_format="pandas")
-        .groupby(_BUCKET)
-        .map_groups(drop_dupes, batch_format="pandas")
+    # raw-task exchange instead of groupby(_BUCKET).map_groups: same
+    # data movement minus the Ray Data sort barrier (NOTES facts
+    # 10/11); drop_dupes handles multiple true keys per hash bucket by
+    # construction, and input dtypes pass through untouched (no
+    # NA-padded union concat)
+    from fastie_ray.state.exchange import BlockSet
+
+    return (
+        BlockSet.from_dataset(ds)
+        .exchange(keys, drop_dupes, n_buckets=n_buckets, map_fn=pre_dedup)
+        .to_dataset()
     )
-    return out.drop_columns([_BUCKET])
 
 
 def dedup_docs_exact(

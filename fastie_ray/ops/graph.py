@@ -1153,7 +1153,7 @@ def triad_closure_census(
     round-trip); otherwise they are compared as strings. THREE
     exchanges total for the whole census.
     Returns one row (cyclic_paths, transitive_paths, n_cycles)."""
-    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.state.exchange import BlockSet
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         s, d = df["src"], df["dst"]
@@ -1163,11 +1163,17 @@ def triad_closure_census(
             s, d = s.astype(str), d.astype(str)
         return pd.DataFrame({"src": s, "dst": d}).drop_duplicates()
 
-    e = dedup_exact(
-        edges.map_batches(canon, batch_format="pandas"),
+    # Exchange 1 — distinct edges, keyed (src, dst). The resulting
+    # buckets double as the PINNED closure side of exchange 3: the
+    # closure exchange keys path rows on (s, d) with the same
+    # _hash_bucket mix over the same canon'd values, so edge bucket i
+    # holds exactly the edges whose (s, d) paths land in bucket i.
+    e = BlockSet.from_dataset(edges).exchange(
         ["src", "dst"],
+        lambda g: g.drop_duplicates(),
         n_buckets=n_buckets,
-    ).materialize()
+        map_fn=canon,
+    )
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         outs = pd.DataFrame(
@@ -1178,17 +1184,7 @@ def triad_closure_census(
         )
         return pd.concat([ins, outs], ignore_index=True)
 
-    def add_bc(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        if len(df) == 0:
-            df["__b"] = np.array([], dtype=np.int64)
-            return df
-        h = pd.util.hash_pandas_object(df["center"], index=False).to_numpy()
-        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return df
-
     def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="__b")
         if max_degree is not None:
             deg = g.groupby("center")["other"].transform("size")
             g = g[deg <= max_degree]
@@ -1211,18 +1207,16 @@ def triad_closure_census(
         out["n_paths"] = out["n_paths"].astype("int64")
         return out
 
-    paths = (
-        e.map_batches(tag, batch_format="pandas")
-        .map_batches(add_bc, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(wedge_pairs, batch_format="pandas")
-    )
+    # Exchange 2 — wedge pairs, keyed center (tag fused into the split)
+    paths = e.exchange(["center"], wedge_pairs, n_buckets=n_buckets, map_fn=tag)
 
-    # ONE closure exchange: path rows enter twice — as (s,d)=(c,a)
-    # tagged cyclic (n>0) and (s,d)=(a,c) tagged transitive (n<0,
-    # sign-encoding the tag so the exchange carries one int column) —
-    # edges enter once with n=0; the in-group merge keeps tagged rows
-    # whose (s,d) hits an edge row and partial-sums by sign.
+    # Exchange 3 — ONE closure exchange: each path row enters twice —
+    # as (s,d)=(c,a) tagged cyclic (n>0) and (s,d)=(a,c) tagged
+    # transitive (n<0, sign-encoding the tag so the exchange carries
+    # one int column) — while the distinct-edge buckets from exchange 1
+    # ride along PINNED as the side table (same (s,d) hash, zero
+    # re-shipping); the in-group merge keeps tagged rows whose (s,d)
+    # hits an edge row and partial-sums by sign.
     def path_rows(df: pd.DataFrame) -> pd.DataFrame:
         cyc = pd.DataFrame(
             {"s": df["c"], "d": df["a"], "n": df["n_paths"].astype("int64")}
@@ -1232,30 +1226,11 @@ def triad_closure_census(
         )
         return pd.concat([cyc, tr], ignore_index=True)
 
-    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"s": df["src"], "d": df["dst"],
-             "n": np.zeros(len(df), dtype=np.int64)}
-        )
-
-    def add_bsd(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        if len(df) == 0:
-            df["__b"] = np.array([], dtype=np.int64)
-            return df
-        h = (
-            pd.util.hash_pandas_object(df["s"], index=False).to_numpy()
-            + np.uint64(0x9E3779B97F4A7C15)
-            * pd.util.hash_pandas_object(df["d"], index=False).to_numpy()
-        )
-        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return df
-
-    def closed_partial(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="__b")
-        ek = g.loc[g["n"] == 0, ["s", "d"]]
-        pk = g[g["n"] != 0]
-        hit = pk.merge(ek, on=["s", "d"], how="inner", sort=False)["n"]
+    def closed_partial(g: pd.DataFrame, edges_b: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or len(edges_b) == 0:
+            return pd.DataFrame({"cyc": [np.int64(0)], "tr": [np.int64(0)]})
+        ek = edges_b.rename(columns={"src": "s", "dst": "d"})
+        hit = g.merge(ek, on=["s", "d"], how="inner", sort=False)["n"]
         return pd.DataFrame(
             {
                 "cyc": [np.int64(hit[hit > 0].sum())],
@@ -1263,14 +1238,10 @@ def triad_closure_census(
             }
         )
 
-    parts = (
-        paths.map_batches(path_rows, batch_format="pandas")
-        .union(e.map_batches(edge_rows, batch_format="pandas"))
-        .map_batches(add_bsd, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(closed_partial, batch_format="pandas")
-        .to_pandas()
-    )
+    parts = paths.exchange(
+        ["s", "d"], closed_partial, n_buckets=n_buckets,
+        map_fn=path_rows, side=e.refs,
+    ).to_pandas()
     cyc = int(parts["cyc"].sum()) if len(parts) else 0
     tr = int(parts["tr"].sum()) if len(parts) else 0
     return pd.DataFrame(

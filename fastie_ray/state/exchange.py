@@ -87,12 +87,22 @@ def _split_mapped(df: pd.DataFrame, map_fn, cols: tuple, n: int):
 
 @ray.remote
 def _reduce(group_fn, *parts):
-    # like map_batches, group_fn never sees a zero-row input — empty
-    # buckets flow through as empty frames
-    parts = [p for p in parts if len(p)]
-    if not parts:
-        return pd.DataFrame()
-    g = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+    live = [p for p in parts if len(p)]
+    if not live:
+        # Empty bucket: split slices preserve dtypes, so feed group_fn
+        # a TYPED zero-row input to get a typed zero-row OUTPUT block —
+        # column-less empties break downstream Acero joins (NOTES fact
+        # 3). Fall back to the bare sentinel if group_fn assumes rows.
+        typed = next((p for p in parts if len(p.columns)), None)
+        if typed is None:
+            return pd.DataFrame()
+        try:
+            # head(0): schema only — an empty bucket must emit NO rows
+            # even when group_fn would synthesize summary rows
+            return group_fn(typed).head(0).reset_index(drop=True)
+        except Exception:
+            return pd.DataFrame()
+    g = pd.concat(live, ignore_index=True) if len(live) > 1 else live[0]
     return group_fn(g).reset_index(drop=True)
 
 
@@ -164,9 +174,23 @@ class BlockSet:
         parts = np.array_split(df, n_blocks)
         return cls([ray.put(p.reset_index(drop=True)) for p in parts])
 
-    def to_dataset(self) -> "ray.data.Dataset":
+    def to_dataset(self, drop_empty: bool = True) -> "ray.data.Dataset":
+        """Export as a Dataset. ``drop_empty`` (default) filters
+        zero-row blocks first: Ray Data map operators BYPASS empty
+        blocks, so a zero-row block would flow past every downstream
+        map_batches with its PRE-map schema and crash schema-sensitive
+        consumers (Acero joins: "no match for FieldRef"). Costs one
+        blocking count round on the refs."""
         import ray.data as rd
 
+        if drop_empty:
+            counts = ray.get([_count.remote(r) for r in self.refs])
+            live = [r for r, c in zip(self.refs, counts) if c]
+            if live:
+                return rd.from_pandas_refs(live)
+            blocks = ray.get(self.refs)
+            typed = next((b for b in blocks if len(b.columns)), blocks[0])
+            return rd.from_pandas(typed)
         return rd.from_pandas_refs(self.refs)
 
     def to_pandas(self) -> pd.DataFrame:

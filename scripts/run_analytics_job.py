@@ -37,7 +37,9 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--num-cpus", type=int, default=None)
-    args = ap.parse_args()
+    from fastie_ray.config import job_argv
+
+    args = ap.parse_args(job_argv())
 
     import ray
 

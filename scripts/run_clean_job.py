@@ -34,7 +34,9 @@ def main() -> int:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--keep-text", action="store_true",
                     help="materialize redacted text, not just lineage columns")
-    args = ap.parse_args()
+    from fastie_ray.config import job_argv
+
+    args = ap.parse_args(job_argv())
 
     import ray
 

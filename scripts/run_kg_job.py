@@ -43,7 +43,9 @@ def main() -> int:
                     help="post-job OPTIMIZE: merge small partitions to "
                          "~this many rows (0 = off); runs only after the "
                          "write commits (single-writer rule)")
-    args = ap.parse_args()
+    from fastie_ray.config import job_argv
+
+    args = ap.parse_args(job_argv())
 
     import ray
 

@@ -98,7 +98,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "rfm_segments", "weighted_matching", "percolate",
                  "itemsets3", "analyze_hist", "densest",
                  "triad_census", "bot_scores", "ed1_lookup", "top_reach",
-                 "grouped_weighted_median", "noisy_labels", "landing_exit", "conversion_daily", "grouped_psi"):
+                 "grouped_weighted_median", "noisy_labels", "landing_exit", "conversion_daily", "grouped_psi",
+                 "bpe_encode_apply"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

@@ -103,126 +103,132 @@ def _distributed_cc(
 def _distributed_cc_ds(
     edges: "ray.data.Dataset", n_buckets: int, max_rounds: int
 ) -> "ray.data.Dataset":
-    """Min-label propagation with ds.join relabels; the labels stay a
-    DATASET (renamed to component_id) — never collected to the driver."""
+    """Min-label propagation + pointer doubling on raw-task exchanges
+    (r3 rewrite of the ds.join version): the symmetric adjacency is
+    hash-partitioned by node ONCE and PINNED (``BlockSet.partition``);
+    each round is exactly three exchanges —
+
+      1. labels keyed node, adjacency riding as the pinned side:
+         per-bucket merge emits min-candidate messages to each
+         neighbor (combiner) plus the bucket's own labels;
+      2. keyed node: final min per node, old comp carried for the
+         convergence test;
+      3. keyed comp (tag-union): pointer doubling comp ← comp(comp)
+         — every comp value is itself a node id, so the lookup is
+         total — with the changed count read off the output by a
+         per-block scalar probe (no extra exchange).
+
+    vs the previous shape (two Acero ds.join + one Ray Data sort +
+    two materializes + a join-based changed count per round): same
+    data movement, no aggregator actors (NOTES facts 1-2), no sort
+    barriers, and edges never re-ship. Labels never become a driver
+    structure. Node ids are strings by contract."""
     import ray.data  # noqa: F401
 
-    import pyarrow as pa
+    from fastie_ray.state.exchange import BlockSet
 
-    # typed Arrow out of both pandas maps: a sparse edge set leaves
-    # most blocks empty, zero-row pandas blocks lose their schema
-    # (NOTES fact 3), and the Acero joins below crash on the resulting
-    # schema-less sentinels. Node ids are strings by contract (every
-    # caller keys on string node ids).
-    _sym_schema = pa.schema([("node", pa.string()), ("nbr", pa.string())])
-    _lab_schema = pa.schema([("node", pa.string()), ("comp", pa.string())])
+    nb = join_partitions(n_buckets)
 
-    def both_dirs(df: pd.DataFrame) -> "pa.Table":
-        out = pd.DataFrame(
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=object),
+                 "nbr": pd.Series([], dtype=object)}
+            )
+        return pd.DataFrame(
             {
-                "node": pd.concat([df["u"], df["v"]], ignore_index=True),
-                "nbr": pd.concat([df["v"], df["u"]], ignore_index=True),
+                "node": pd.concat(
+                    [df["u"].astype(str), df["v"].astype(str)],
+                    ignore_index=True,
+                ),
+                "nbr": pd.concat(
+                    [df["v"].astype(str), df["u"].astype(str)],
+                    ignore_index=True,
+                ),
             }
         )
-        return pa.Table.from_pandas(out, schema=_sym_schema, preserve_index=False)
 
-    sym = edges.map_batches(both_dirs, batch_format="pandas")
-
-    # labels: start with comp = node (nodes from the edge list)
-    def init_labels(df: pd.DataFrame) -> "pa.Table":
-        out = pd.DataFrame({"node": df["node"].unique()})
-        out["comp"] = out["node"]
-        return pa.Table.from_pandas(out, schema=_lab_schema, preserve_index=False)
-
-    labels = dedup_exact(
-        sym.map_batches(init_labels, batch_format="pandas"), ["node"], n_buckets
-    ).materialize()
-    # compaction width for the per-round label table: blocks ≤ rows so
-    # schema-less zero-row pandas sentinels (which BYPASS map functions
-    # — map_batches/map_groups never see empty blocks, NOTES fact 12 —
-    # and crash the Acero comp-key joins) merge into typed blocks. The
-    # width also grows with the label-table SIZE: a fixed cpu-derived
-    # count would pack a 10⁹-node label table into a handful of
-    # multi-GB blocks; cap blocks at ~1M label rows (~100 MB of two
-    # short string columns) so per-round compaction stays spillable.
-    n_nodes = labels.count()
-    k_blocks = max(
-        1,
-        min(n_nodes, max(join_partitions(n_buckets), -(-n_nodes // _LABEL_ROWS_PER_BLOCK))),
+    sym_parts = BlockSet.from_dataset(edges).partition(
+        ["node"], nb, map_fn=both_dirs
     )
-    labels = labels.repartition(k_blocks).materialize()
+
+    # init: comp = node, per pinned bucket (already node-partitioned —
+    # no exchange, bucket-aligned with sym_parts by construction)
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = df["node"].unique() if len(df) else []
+        return pd.DataFrame(
+            {"node": pd.Series(nodes, dtype=object),
+             "comp": pd.Series(nodes, dtype=object)}
+        )
+
+    labels = BlockSet(sym_parts).map(init_labels)
+
+    _EMPTY_NC = pd.DataFrame(
+        {"node": pd.Series([], dtype=object),
+         "comp": pd.Series([], dtype=object),
+         "t": pd.Series([], dtype=object)}
+    )
+
+    def msgs(g: pd.DataFrame, sym_b: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "node" not in g.columns:
+            return _EMPTY_NC.copy()
+        own = pd.DataFrame(
+            {"node": g["node"], "comp": g["comp"], "t": "o"}
+        )
+        if len(sym_b) == 0:
+            return own
+        m = sym_b.merge(g[["node", "comp"]], on="node", sort=False)
+        cand = (
+            m.groupby("nbr", as_index=False)["comp"].min()
+            .rename(columns={"nbr": "node"})
+        )
+        cand["t"] = "c"
+        return pd.concat([own, cand], ignore_index=True)
+
+    def new_min(g: pd.DataFrame) -> pd.DataFrame:
+        mn = g.groupby("node", as_index=False)["comp"].min()
+        old = g.loc[g["t"] == "o", ["node", "comp"]].rename(
+            columns={"comp": "comp_old"}
+        )
+        return mn.merge(old, on="node", how="left")
+
+    def ptr_rows(df: pd.DataFrame) -> pd.DataFrame:
+        q = pd.DataFrame(
+            {"key": df["comp"], "node": df["node"],
+             "comp_old": df["comp_old"], "t": "q"}
+        )
+        s = pd.DataFrame(
+            {"key": df["node"], "node": df["node"],
+             "comp_old": df["comp"], "t": "s"}
+        )
+        # for serve rows, comp_old carries the VALUE to serve (comp)
+        return pd.concat([q, s], ignore_index=True)
+
+    def jump(g: pd.DataFrame) -> pd.DataFrame:
+        serve = g.loc[g["t"] == "s", ["key", "comp_old"]].rename(
+            columns={"comp_old": "comp"}
+        ).drop_duplicates("key")
+        q = g.loc[g["t"] == "q", ["key", "node", "comp_old"]]
+        m = q.merge(serve, on="key", how="left", sort=False)
+        m["comp"] = m["comp"].fillna(m["key"])
+        return m[["node", "comp", "comp_old"]]
 
     for _ in range(max_rounds):
-        # comp of each neighbor: join sym(nbr) with labels(node)
-        j = sym.join(
-            labels,
-            join_type="inner",
-            num_partitions=join_partitions(n_buckets),
-            on=("nbr",),
-            right_on=("node",),
-            right_suffix="_r",
-        )
-        # candidate label per node = min(neighbor comps); combiner first
-
-        def partial_min(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby("node", as_index=False)["comp"].min()
-
-        cand = j.select_columns(["node", "comp"]).map_batches(
-            partial_min, batch_format="pandas"
-        )
-        merged = labels.union(cand)
-        new_labels = (
-            merged.map_batches(_bucketize("node", n_buckets), batch_format="pandas")
-            .groupby("__b")
-            .map_groups(partial_min_grouped, batch_format="pandas")
-            .repartition(k_blocks)  # fold empty sentinels into typed blocks
-        ).materialize()
-        # pointer doubling: comp ← comp(comp). Every comp value is itself
-        # a node id (init comp=node; mins of node ids stay node ids), so
-        # the self-join is total. Combined with the min-propagation step
-        # this converges in ~O(log diameter) rounds instead of O(diameter)
-        # — long alias chains stop being the round-count worst case.
-        jumped = new_labels.join(
-            new_labels,
-            join_type="inner",
-            num_partitions=join_partitions(n_buckets),
-            on=("comp",),
-            right_on=("node",),
-            right_suffix="_r",
-        )
-        new_labels = jumped.map_batches(
-            lambda df: pa.Table.from_pandas(
-                pd.DataFrame({"node": df["node"], "comp": df["comp_r"]}),
-                schema=_lab_schema,
-                preserve_index=False,
-            ),
-            batch_format="pandas",
-        ).repartition(k_blocks).materialize()
-        # converged? (cheap: count of changed labels)
-        changed = (
-            labels.join(
-                new_labels,
-                join_type="inner",
-                num_partitions=join_partitions(n_buckets),
-                on=("node",),
-                right_on=("node",),
-                right_suffix="_new",
+        cand = labels.exchange(["node"], msgs, n_buckets=nb, side=sym_parts)
+        nl = cand.exchange(["node"], new_min, n_buckets=nb)
+        jumped = nl.exchange(["key"], jump, n_buckets=nb, map_fn=ptr_rows)
+        changed = sum(
+            jumped.scalar(
+                lambda df: int((df["comp"] != df["comp_old"]).sum())
+                if len(df) and "comp" in df.columns else 0
             )
-            .map_batches(
-                lambda df: pd.DataFrame(
-                    {"changed": [int((df["comp"] != df["comp_new"]).sum())]}
-                ),
-                batch_format="pandas",
-            )
-            .sum("changed")
         )
-        labels = new_labels
+        labels = jumped.map(lambda df: df[["node", "comp"]])
         if not changed:
             break
-    return labels.map_batches(
-        lambda df: df.rename(columns={"comp": "component_id"}),
-        batch_format="pandas",
-    )
+    return labels.map(
+        lambda df: df.rename(columns={"comp": "component_id"})
+    ).to_dataset()
 
 
 def _bucketize(col: str, n_buckets: int):

@@ -5693,6 +5693,44 @@ def _q_link_pred(sf_dir: str):
     return link_prediction(_order_tri_edges(sf_dir), k=50, n_buckets=16)
 
 
+def _q_ra_links(sf_dir: str):
+    """Resource-allocation link prediction (``ops.graph.
+    link_prediction(weight="ra")``): top-50 missing links over the
+    chain+skip order graph scored Σ_{z∈CN(u,v)} 1/deg(z), carried
+    integer-exact as floor(1e6/deg) — the rational member of the
+    common-neighbor family (Adamic-Adar's 1/log deg would not
+    hash-match a SQL oracle). Same wedge pipeline as ``link_pred``
+    with a per-center weight."""
+    from fastie_ray.ops.graph import link_prediction
+
+    return link_prediction(
+        _order_tri_edges(sf_dir), k=50, n_buckets=16, weight="ra"
+    )
+
+
+def _q_tc_ancestors(sf_dir: str):
+    """KG hierarchy closure (``ops.graph.transitive_closure``): all
+    (node, ancestor) pairs of the planted part taxonomy
+    (parent(p) = p // 2, a binary tree — depth ~log₂ |part|), closed
+    by pointer-doubling composition in ⌈log₂ depth⌉ rounds of two
+    exchanges each. Oracle: recursive CTE ancestor chain."""
+    import pandas as pd
+
+    from fastie_ray.ops.graph import transitive_closure
+
+    part = _read(sf_dir, "part", columns=["p_partkey"])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["p_partkey"].astype("int64")
+        p = p[p >= 2]
+        return pd.DataFrame({"node": p, "parent": p // 2})
+
+    return transitive_closure(
+        part.map_batches(edges, batch_format="pandas"),
+        src_col="node", dst_col="parent", max_rounds=8, n_buckets=16,
+    )
+
+
 def _q_ed1_pairs(sf_dir: str):
     """FastSS deletion-neighborhood fuzzy join (``ops.blocking.
     ed1_pairs``): all customer-name pairs at Levenshtein distance
@@ -7148,6 +7186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_lookup": _q_range_lookup,
         "ktruss": _q_ktruss,
         "link_pred": _q_link_pred,
+        "ra_links": _q_ra_links,
+        "tc_ancestors": _q_tc_ancestors,
         "ed1_pairs": _q_ed1_pairs,
         "containment": _q_containment,
         "temporal_reach": _q_temporal_reach,
@@ -7899,6 +7939,46 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM e0 e WHERE e.a = cnt.u AND e.b = cnt.v)
             ORDER BY cn DESC, u, v
             LIMIT 50
+        """,
+        "ra_links": """
+            WITH o AS (
+                SELECT o_custkey AS c, o_orderkey AS ok,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey) AS rn
+                FROM orders),
+            ch AS (SELECT 'o' || a.ok AS x, 'o' || b.ok AS y
+                   FROM o a JOIN o b ON a.c = b.c AND b.rn = a.rn + 1),
+            sk AS (SELECT 'o' || a.ok AS x, 'o' || b.ok AS y
+                   FROM o a JOIN o b ON a.c = b.c AND b.rn = a.rn + 2),
+            e0 AS MATERIALIZED (
+                SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+                FROM (SELECT * FROM ch UNION ALL SELECT * FROM sk)),
+            adj AS MATERIALIZED (
+                SELECT a AS x, b AS y FROM e0
+                UNION ALL SELECT b, a FROM e0),
+            deg AS MATERIALIZED (
+                SELECT x, 1000000 // count(*) AS w FROM adj GROUP BY x),
+            cnt AS MATERIALIZED (
+                SELECT p.y AS u, q.y AS v, SUM(d.w) AS ra
+                FROM adj p JOIN adj q ON p.x = q.x AND p.y < q.y
+                JOIN deg d ON d.x = p.x
+                GROUP BY 1, 2)
+            SELECT u, v, CAST(ra AS BIGINT) AS ra_e6
+            FROM cnt
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e0 e WHERE e.a = cnt.u AND e.b = cnt.v)
+            ORDER BY ra DESC, u, v
+            LIMIT 50
+        """,
+        "tc_ancestors": """
+            WITH RECURSIVE anc(node, ancestor) AS (
+                SELECT CAST(p_partkey AS BIGINT),
+                       CAST(p_partkey // 2 AS BIGINT)
+                FROM part WHERE p_partkey >= 2
+                UNION
+                SELECT node, ancestor // 2 FROM anc WHERE ancestor >= 2
+            )
+            SELECT node, ancestor FROM anc
         """,
         "lpa_communities": _lpa_sql(rounds=4),
         "graph_components": r"""

@@ -814,12 +814,18 @@ def link_prediction(
     k: int = 50,
     max_degree: int | None = None,
     n_buckets: int = 16,
+    weight: str = "cn",
 ) -> pd.DataFrame:
     """Common-neighbor link prediction over an undirected simple graph
     (DISTINCT canonical string-ordered (a, b) rows): the top-``k``
     NON-edge pairs ranked by common-neighbor count (the classic
-    missing-link / KG-completion baseline; Adamic-Adar and resource
-    allocation are the same wedge pipeline with a per-center weight).
+    missing-link / KG-completion baseline). ``weight="ra"`` switches
+    the per-center contribution from 1 to the RESOURCE-ALLOCATION
+    index 1/deg(center), carried integer-exact as
+    ``floor(1e6 / deg)`` in column ``ra_e6`` (Adamic-Adar's 1/log deg
+    is transcendental and would not hash-match a SQL oracle; RA is the
+    rational member of the family and empirically the stronger
+    predictor — Zhou et al. 2009).
     Deterministic total order (cn DESC, u, v) so boundary ties are
     reproducible.
 
@@ -852,6 +858,8 @@ def link_prediction(
         df["__b"] = _bucket(df["c"], n_buckets)
         return df
 
+    score = "cn" if weight == "cn" else "ra_e6"
+
     def wedge_counts(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__b")
         if max_degree is not None:
@@ -861,16 +869,30 @@ def link_prediction(
             return pd.DataFrame(
                 {"u": pd.Series([], dtype=object),
                  "v": pd.Series([], dtype=object),
-                 "cn": pd.Series([], dtype="int64")}
+                 score: pd.Series([], dtype="int64")}
             )
+        if weight == "ra":
+            # full adjacency of each center co-locates in its bucket,
+            # so deg is exact here; integer weight keeps the SQL oracle
+            # hash-exact
+            g = g.copy()
+            g["w"] = (
+                1_000_000 // g.groupby("c")["n"].transform("size")
+            ).astype("int64")
         m = g.merge(g, on="c", suffixes=("_1", "_2"))
         m = m[m["n_1"] < m["n_2"]]
-        out = (
-            m.groupby(["n_1", "n_2"], as_index=False)
-            .size()
-            .rename(columns={"n_1": "u", "n_2": "v", "size": "cn"})
-        )
-        out["cn"] = out["cn"].astype("int64")
+        if weight == "ra":
+            out = (
+                m.groupby(["n_1", "n_2"], as_index=False)["w_1"].sum()
+                .rename(columns={"n_1": "u", "n_2": "v", "w_1": score})
+            )
+        else:
+            out = (
+                m.groupby(["n_1", "n_2"], as_index=False)
+                .size()
+                .rename(columns={"n_1": "u", "n_2": "v", "size": score})
+            )
+        out[score] = out[score].astype("int64")
         return out
 
     def add_bp(df: pd.DataFrame) -> pd.DataFrame:
@@ -880,9 +902,9 @@ def link_prediction(
 
     def cn_final(g: pd.DataFrame) -> pd.DataFrame:
         out = g.drop(columns="__b").groupby(["u", "v"], as_index=False)[
-            "cn"
+            score
         ].sum()
-        out["cn"] = out["cn"].astype("int64")
+        out[score] = out[score].astype("int64")
         out["pk"] = out["u"] + "|" + out["v"]
         return out
 
@@ -901,28 +923,28 @@ def link_prediction(
             lambda df: pd.DataFrame({"pk": df["a"] + "|" + df["b"]}),
             batch_format="pandas",
         ),
-        on="pk", how="anti", left_cols=["u", "v", "cn", "pk"],
+        on="pk", how="anti", left_cols=["u", "v", score, "pk"],
         n_buckets=n_buckets,
     )
 
     def topk_local(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(
-            ["cn", "u", "v"], ascending=[False, True, True]
-        ).head(k)[["u", "v", "cn"]]
+            [score, "u", "v"], ascending=[False, True, True]
+        ).head(k)[["u", "v", score]]
 
     cand = non_edges.map_batches(
         topk_local, batch_format="pandas"
     ).to_pandas()
     out = cand.sort_values(
-        ["cn", "u", "v"], ascending=[False, True, True]
+        [score, "u", "v"], ascending=[False, True, True]
     ).head(k)
     if len(out) == 0:
         return pd.DataFrame(
             {"u": pd.Series([], dtype=object),
              "v": pd.Series([], dtype=object),
-             "cn": pd.Series([], dtype="int64")}
+             score: pd.Series([], dtype="int64")}
         )
-    out["cn"] = out["cn"].astype("int64")
+    out[score] = out[score].astype("int64")
     return out.reset_index(drop=True)
 
 
@@ -2797,4 +2819,73 @@ def greedy_matching(
         out = out.union(*matched_parts[1:])
     return out.map(
         lambda df: df.astype({"a": "int64", "b": "int64", "round": "int64"})
+    ).to_dataset()
+
+
+def transitive_closure(
+    edges: "ray.data.Dataset",
+    src_col: str = "node",
+    dst_col: str = "parent",
+    max_rounds: int = 8,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """All (node, ancestor) pairs reachable through repeated
+    ``src → dst`` hops — the KG HIERARCHY CLOSURE (subclass-of /
+    part-of expansion, the materialization every ontology-aware query
+    engine precomputes).
+
+    Pointer-DOUBLING composition (R ← R ∪ R∘R), so depth-d chains
+    close in ⌈log₂ d⌉ rounds instead of d: each round is ONE tag-union
+    compose exchange keyed on the mid node (rows of R enter twice —
+    once keyed by their head as the LEFT factor, once keyed by their
+    tail as the RIGHT factor) and ONE (node, ancestor) dedup exchange;
+    a blocking pair count per round detects the fixpoint. Payload per
+    round is closure-sized (the output itself re-ships O(log d) times
+    — the standard doubling trade against d rounds of linear
+    chaining). Works on DAGs; on a cyclic input it still converges to
+    reachability pairs (x reaches y, x ≠ y kept as emitted).
+
+    Returns a Dataset of (node, ancestor)."""
+    from fastie_ray.state.exchange import BlockSet
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"x": df[src_col], "y": df[dst_col]}
+        ).drop_duplicates()
+
+    R = BlockSet.from_dataset(edges).exchange(
+        ["x", "y"], lambda g: g.drop_duplicates(), n_buckets=n_buckets,
+        map_fn=canon,
+    )
+    n_prev = R.count()
+
+    def factor_rows(df: pd.DataFrame) -> pd.DataFrame:
+        left = pd.DataFrame(
+            {"k": df["y"], "x": df["x"], "y": df["y"], "t": "l"}
+        )
+        right = pd.DataFrame(
+            {"k": df["x"], "x": df["x"], "y": df["y"], "t": "r"}
+        )
+        return pd.concat([left, right], ignore_index=True)
+
+    def compose(g: pd.DataFrame) -> pd.DataFrame:
+        L = g.loc[g["t"] == "l", ["k", "x"]]
+        Rf = g.loc[g["t"] == "r", ["k", "y"]]
+        m = L.merge(Rf, on="k", sort=False)
+        return m.loc[m["x"] != m["y"], ["x", "y"]].drop_duplicates()
+
+    for _ in range(max_rounds):
+        hops = R.exchange(
+            ["k"], compose, n_buckets=n_buckets, map_fn=factor_rows
+        )
+        R = R.union(hops).exchange(
+            ["x", "y"], lambda g: g.drop_duplicates(), n_buckets=n_buckets
+        )
+        n_now = R.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+
+    return R.map(
+        lambda df: df.rename(columns={"x": "node", "y": "ancestor"})
     ).to_dataset()

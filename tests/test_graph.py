@@ -603,3 +603,82 @@ def test_triad_closure_census_bruteforce(ray_session):
     assert got["cyclic_paths"].iloc[0] == cyc
     assert got["transitive_paths"].iloc[0] == tr
     assert got["n_cycles"].iloc[0] == cyc // 3
+
+
+def test_transitive_closure_chain_and_cycle(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.graph import transitive_closure
+
+    # chain 1←2←3←4←5 (parent = n-1) plus a 2-cycle 10↔11
+    edges = pd.DataFrame(
+        {"node": [2, 3, 4, 5, 10, 11], "parent": [1, 2, 3, 4, 11, 10]}
+    )
+    out = (
+        transitive_closure(
+            ray.data.from_pandas(edges).repartition(3),
+            max_rounds=6, n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["node", "ancestor"])
+        .reset_index(drop=True)
+    )
+    got = set(zip(out["node"], out["ancestor"]))
+    want = {(n, a) for n in range(2, 6) for a in range(1, n)}
+    want |= {(10, 11), (11, 10)}
+    assert got == want
+
+
+def test_transitive_closure_doubling_depth(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.graph import transitive_closure
+
+    # depth-40 chain closes within 8 doubling rounds (2^6 ≥ 40, plus
+    # the fixpoint-detection round) — linear chaining would need 40
+    n = 41
+    edges = pd.DataFrame({"node": range(2, n + 1), "parent": range(1, n)})
+    out = transitive_closure(
+        ray.data.from_pandas(edges), max_rounds=8, n_buckets=4
+    ).to_pandas()
+    assert len(out) == n * (n - 1) // 2
+
+
+def test_link_prediction_ra_weight_bruteforce(ray_session):
+    import itertools
+
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.graph import link_prediction
+
+    rng = __import__("random").Random(7)
+    nodes = [f"n{i:02d}" for i in range(14)]
+    es = sorted({
+        tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)
+    })
+    edges = pd.DataFrame(es, columns=["a", "b"])
+    out = link_prediction(
+        ray.data.from_pandas(edges).repartition(3),
+        k=10, n_buckets=4, weight="ra",
+    )
+
+    adj: dict[str, set[str]] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores = {}
+    for u, v in itertools.combinations(sorted(adj), 2):
+        if v in adj[u]:
+            continue
+        cn = adj[u] & adj[v]
+        if cn:
+            scores[(u, v)] = sum(1_000_000 // len(adj[z]) for z in cn)
+    want = sorted(
+        ((s, u, v) for (u, v), s in scores.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:10]
+    got = list(zip(out["ra_e6"], out["u"], out["v"]))
+    assert got == want

@@ -159,6 +159,57 @@ def _q_kg_events(sf_dir: str):
     return doc_events(_pages(sf_dir), world_ref=world_ref, concurrency=_conc())
 
 
+def _q_kg_edge_history(sf_dir: str):
+    """TEMPORAL KG maintenance: per distinct surface triple, the
+    capture-time validity window (first_seen_s / last_seen_s, seconds
+    since the synth epoch = doc_id by construction, ``sources/pages.py``)
+    and support count — the SCD-ish edge-history table a
+    continuously-crawled KG keeps next to its edge aggregate. One
+    streaming pass (the headline doc_triples operator) feeding ONE
+    (s, p, o)-keyed exchange with per-batch min/max/count combiners."""
+    import pandas as pd
+
+    import ray
+
+    from fastie_ray.pipelines.kg import doc_triples
+    from fastie_ray.state.exchange import BlockSet
+
+    world_ref = ray.put(_world())
+    triples = doc_triples(
+        _pages(sf_dir), world_ref=world_ref, concurrency=_conc()
+    )
+    KEYS = ["subject", "predicate", "object"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["url"].str[-6:].astype("int64")
+        g = pd.DataFrame(
+            {
+                "subject": df["subject"], "predicate": df["predicate"],
+                "object": df["object"],
+                "first_seen_s": d, "last_seen_s": d, "n_seen": 1,
+            }
+        )
+        return g.groupby(KEYS, as_index=False).agg(
+            first_seen_s=("first_seen_s", "min"),
+            last_seen_s=("last_seen_s", "max"),
+            n_seen=("n_seen", "sum"),
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(KEYS, as_index=False).agg(
+            first_seen_s=("first_seen_s", "min"),
+            last_seen_s=("last_seen_s", "max"),
+            n_seen=("n_seen", "sum"),
+        )
+        for c in ("first_seen_s", "last_seen_s", "n_seen"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return BlockSet.from_dataset(triples).exchange(
+        KEYS, final, n_buckets=16, map_fn=partial
+    ).to_dataset()
+
+
 def _q_uie(sf_dir: str):
     import ray
 
@@ -7065,6 +7116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,
         "kg_events": _q_kg_events,
+        "kg_edge_history": _q_kg_edge_history,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -8726,6 +8778,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN facts f ON f.i = d.doc_id % {NF}
             JOIN eids e ON e.i = f.i
+            GROUP BY 1, 2, 3
+        """,
+        "kg_edge_history": f"""
+            WITH {FACTS}
+            SELECT f.subject AS subject, f.predicate AS predicate,
+                   f.object AS object,
+                   CAST(min(d.doc_id) AS BIGINT) AS first_seen_s,
+                   CAST(max(d.doc_id) AS BIGINT) AS last_seen_s,
+                   count(*) AS n_seen
+            {JOIN}
             GROUP BY 1, 2, 3
         """,
         "blocking_pairs": f"""

@@ -4818,6 +4818,89 @@ def _q_calibration(sf_dir: str):
     )
 
 
+def _q_grouped_calibration(sf_dir: str):
+    """Per-SEGMENT reliability bins (``ops.metrics.calibration_bins``
+    with ``group_col``): the calibration audit sliced by language —
+    the fairness/drift report that catches a model calibrated on
+    average but off for one segment. Same planted score construction
+    as ``calibration``; bins keyed (lang, bin)."""
+    import pandas as pd
+
+    from fastie_ray.ops.metrics import calibration_bins
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype("int64")
+        label = (did % 5 < 2).astype("int64")
+        return pd.DataFrame(
+            {"lang": df["lang"], "score": (did * 37) % 1000 + 300 * label,
+             "label": label}
+        )
+
+    return calibration_bins(
+        docs.map_batches(plant, batch_format="pandas"),
+        "score", "label", bin_width=100, group_col="lang",
+    )
+
+
+def _q_grouped_perm_test(sf_dir: str):
+    """Per-segment permutation test (``ops.stats.
+    grouped_permutation_test``): one exact-integer p-value numerator
+    PER EVENT TYPE (user-parity split vs 48 md5-bit
+    pseudo-permutations over each segment's own rows) — the sliced
+    experimentation readout."""
+    import pandas as pd
+
+    from fastie_ray.ops.stats import grouped_permutation_test
+
+    ev = _read(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "value", "event_type"],
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "grp": df["user_id"].astype("int64") % 2,
+                "value": df["value"],
+                "segment": df["event_type"],
+            }
+        )
+
+    return grouped_permutation_test(
+        ev.map_batches(prep, batch_format="pandas"),
+        "event_id", "grp", "value", "segment", n_perms=48,
+    )
+
+
+def _q_kfold_folds(sf_dir: str):
+    """Leakage-safe k-fold CV assignment (``ops.splits.kfold_assign``):
+    every document of a source lands in the same of 5 folds
+    (fold = md5('fold:' || source)[:8] % 5) — exchange-free,
+    resume-stable, SQL-auditable."""
+    from fastie_ray.ops.splits import kfold_assign
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return kfold_assign(docs, "source", k=5).select_columns(
+        ["doc_id", "source", "fold"]
+    )
+
+
+def _q_balanced_sample(sf_dir: str):
+    """Class-balanced downsampling (``ops.sampling.
+    class_balanced_sample``): at most 50 docs per language, selected
+    by md5 rank — per-batch per-label combiner keeps the exchange at
+    batches × labels × 50 rows, never a hot class in full."""
+    from fastie_ray.ops.sampling import class_balanced_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return class_balanced_sample(
+        docs, label_col="lang", id_col="doc_id", per_class=50
+    )
+
+
 def _q_skew_report(sf_dir: str):
     """Key-skew audit (``ops.stats.skew_report``) over lineitem's
     supplier key — top-1/top-16 shares and the Gini coefficient of
@@ -7232,6 +7315,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_eval": _q_markov_eval,
         "conformal": _q_conformal,
         "perm_test": _q_perm_test,
+        "grouped_perm_test": _q_grouped_perm_test,
+        "grouped_calibration": _q_grouped_calibration,
+        "kfold_folds": _q_kfold_folds,
+        "balanced_sample": _q_balanced_sample,
         "matching": _q_matching,
         "grouped_ks": _q_grouped_ks,
         "grouped_open_quantiles": _q_grouped_open_quantiles,
@@ -10265,6 +10352,72 @@ def oracle_sql() -> dict[str, str]:
                          WHERE v >= (SELECT v FROM os)) AS BIGINT)
                        AS n_extreme,
                    CAST(48 AS BIGINT) AS n_perms
+        """,
+        "grouped_perm_test": """
+            WITH src AS (
+                SELECT event_type AS segment, user_id % 2 AS grp,
+                       CAST(round(value * 100) AS BIGINT) AS c,
+                       CAST(('0x' || substr(md5('perm:'
+                           || CAST(event_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS h
+                FROM events),
+            t AS (SELECT segment, sum(c) AS s, count(*) AS n
+                  FROM src GROUP BY 1),
+            obs AS (
+                SELECT segment,
+                       coalesce(sum(c) FILTER (WHERE grp = 1), 0) AS s1,
+                       count(*) FILTER (WHERE grp = 1) AS n1
+                FROM src GROUP BY 1),
+            p AS (
+                SELECT segment, r.j,
+                       coalesce(sum(c) FILTER (WHERE (h >> r.j) & 1 = 1),
+                                0) AS s1,
+                       count(*) FILTER (WHERE (h >> r.j) & 1 = 1) AS n1
+                FROM src, range(48) r(j) GROUP BY 1, 2),
+            os AS (
+                SELECT obs.segment,
+                       abs(obs.s1 * (t.n - obs.n1)
+                           - (t.s - obs.s1) * obs.n1) AS v
+                FROM obs JOIN t USING (segment)),
+            ps AS (
+                SELECT p.segment,
+                       abs(p.s1 * (t.n - p.n1)
+                           - (t.s - p.s1) * p.n1) AS v
+                FROM p JOIN t USING (segment))
+            SELECT os.segment AS segment,
+                   CAST(os.v AS BIGINT) AS obs_stat,
+                   CAST((SELECT count(*) FROM ps
+                         WHERE ps.segment = os.segment
+                           AND ps.v >= os.v) AS BIGINT) AS n_extreme,
+                   CAST(48 AS BIGINT) AS n_perms
+            FROM os
+        """,
+        "grouped_calibration": """
+            SELECT lang,
+                   ((doc_id * 37) % 1000
+                    + CASE WHEN doc_id % 5 < 2 THEN 300 ELSE 0 END) // 100
+                       AS bin,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos
+            FROM documents GROUP BY 1, 2
+        """,
+        "kfold_folds": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                   CAST(('0x' || substr(md5('fold:' || source), 1, 8))
+                        AS BIGINT) % 5 AS fold
+            FROM documents
+        """,
+        "balanced_sample": """
+            SELECT lang AS label, CAST(doc_id AS BIGINT) AS id
+            FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 50
         """,
         "kmv_overlap": """
             WITH ha AS (

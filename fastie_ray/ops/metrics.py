@@ -245,18 +245,24 @@ def calibration_bins(
     label_col: str,
     bin_width: int = 100,
     n_buckets: int = 8,
+    group_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Reliability-diagram bins over integer scores: per score bucket,
     (n, n_pos) — the calibration audit next to AUC (a model can rank
-    well and still be miscalibrated). One combiner + one exchange;
-    payload is bins × two ints."""
+    well and still be miscalibrated). ``group_col`` makes it the
+    per-SEGMENT reliability report (the fairness/drift slice audit) —
+    bins keyed (group, bin), same one combiner + one exchange;
+    payload is segments × bins × two ints."""
+    keys = ([group_col] if group_col else []) + ["bin"]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame(
             {"bin": df[score_col].astype("int64") // bin_width,
              "pos": df[label_col].astype("int64")}
         )
-        return g.groupby("bin", as_index=False).agg(
+        if group_col:
+            g[group_col] = df[group_col].to_numpy()
+        return g.groupby(keys, as_index=False).agg(
             n=("pos", "count"), n_pos=("pos", "sum")
         )
 
@@ -265,13 +271,12 @@ def calibration_bins(
         if len(df) == 0:
             df["__b"] = np.array([], dtype=np.int64)
             return df
-        df["__b"] = (
-            df["bin"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
-        ).astype(np.int64)
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
         return df
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop(columns="__b").groupby("bin", as_index=False)[
+        out = g.drop(columns="__b").groupby(keys, as_index=False)[
             ["n", "n_pos"]
         ].sum()
         return out.astype({"bin": "int64", "n": "int64", "n_pos": "int64"})

@@ -93,6 +93,56 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def class_balanced_sample(
+    ds: "ray.data.Dataset",
+    label_col: str,
+    id_col: str,
+    per_class: int = 50,
+    n_buckets: int = 8,
+    salt: str = "bal:",
+) -> "ray.data.Dataset":
+    """CLASS-BALANCED downsampling: keep at most ``per_class`` rows per
+    label, selected by md5 rank (deterministic, resume-stable, and
+    SQL-auditable: row_number() over (partition by label order by
+    md5(salt || id), id) ≤ per_class). The skew-killer for long-tailed
+    label distributions before classifier training.
+
+    Scale shape: a hot class never co-locates in full — each batch
+    keeps its local ``per_class`` smallest (md5, id) rows per label
+    (combiner), so the exchange carries ≤ batches × labels ×
+    per_class rows; the per-label final selection happens in one
+    label-keyed exchange."""
+    import ray.data  # noqa: F401
+
+    from fastie_ray.state.exchange import BlockSet
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "label": df[label_col].to_numpy(),
+                "id": df[id_col].astype("int64"),
+            }
+        )
+        out["h"] = np.array(
+            [hashlib.md5((salt + str(i)).encode()).hexdigest()
+             for i in out["id"]],
+            dtype=object,
+        )
+        out = out.sort_values(["label", "h", "id"], kind="mergesort")
+        return out.groupby("label", sort=False).head(per_class)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["label", "h", "id"], kind="mergesort")
+        out = g.groupby("label", sort=False).head(per_class)
+        return out[["label", "id"]].reset_index(drop=True)
+
+    return (
+        BlockSet.from_dataset(ds)
+        .exchange(["label"], final, n_buckets=n_buckets, map_fn=local)
+        .to_dataset()
+    )
+
+
 def grouped_topk(
     ds: "ray.data.Dataset",
     k: int,

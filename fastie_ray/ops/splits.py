@@ -69,6 +69,33 @@ def leakage_safe_split(
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def kfold_assign(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    k: int = 5,
+    salt: str = "fold:",
+) -> "ray.data.Dataset":
+    """LEAKAGE-SAFE k-fold cross-validation assignment: adds ``fold``
+    (int64 in [0, k)) with every row of a ``group_col`` value (site,
+    host, author) in the SAME fold, so no group straddles a train/eval
+    boundary — the CV analogue of :func:`leakage_safe_split`.
+    Exchange-free (md5 of the group key per batch) and auditable in
+    ANSI SQL: fold = md5(salt || group)[:8] as int % k."""
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        uniq = pd.unique(df[group_col])
+        lut = {
+            g: int(hashlib.md5((salt + str(g)).encode()).hexdigest()[:8], 16)
+            % k
+            for g in uniq
+        }
+        df["fold"] = df[group_col].map(lut).astype("int64")
+        return df
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 def shuffle_shards(
     ds: "ray.data.Dataset",
     id_col: str,

@@ -1375,6 +1375,69 @@ def permutation_test(
     )
 
 
+def grouped_permutation_test(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    segment_col: str,
+    n_perms: int = 48,
+    salt: str = "perm",
+) -> pd.DataFrame:
+    """Per-SEGMENT exact-arithmetic permutation test — the
+    experimentation readout sliced by market/platform/cohort (one
+    p-value numerator per segment, each over that segment's own rows
+    and its own md5-bit pseudo-permutations; same integer
+    cross-multiplied statistic as :func:`permutation_test`). One
+    per-batch combiner → driver merge of blocks × segments ×
+    (n_perms + 1) fixed-size partial rows. Returns one row per
+    segment: (segment, obs_stat, n_extreme, n_perms), segment-sorted."""
+    import hashlib
+
+    if n_perms > 60:
+        raise ValueError("n_perms > 60 needs more md5 bits per row")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for seg, sub in df.groupby(segment_col, sort=False):
+            cents = (sub[value_col] * 100).round().astype("int64").to_numpy()
+            bits = np.array(
+                [int(hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16)
+                 for v in sub[id_col].astype("int64")],
+                dtype=np.uint64,
+            )
+            obs = sub[group_col].astype("int64").to_numpy()
+            s, n = int(cents.sum()), len(sub)
+            rows.append((seg, -1, int(cents[obs == 1].sum()),
+                         int((obs == 1).sum()), s, n))
+            for j in range(n_perms):
+                m = ((bits >> np.uint64(j)) & np.uint64(1)).astype(bool)
+                rows.append((seg, j, int(cents[m].sum()), int(m.sum()), s, n))
+        return pd.DataFrame(
+            rows, columns=["segment", "perm", "s1", "n1", "s", "n"]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["segment", "perm"], as_index=False)[
+        ["s1", "n1", "s", "n"]
+    ].sum()
+    out_rows = []
+    for seg, sub in agg.groupby("segment", sort=True):
+        s_tot = int(sub["s"].iloc[0])
+        n_tot = int(sub["n"].iloc[0])
+
+        def stat(row) -> int:
+            s1, n1 = int(row["s1"]), int(row["n1"])
+            return abs(s1 * (n_tot - n1) - (s_tot - s1) * n1)
+
+        obs = stat(sub[sub["perm"] == -1].iloc[0])
+        ps = sub[sub["perm"] >= 0].apply(stat, axis=1)
+        out_rows.append((seg, obs, int((ps >= obs).sum()), n_perms))
+    return pd.DataFrame(
+        out_rows, columns=["segment", "obs_stat", "n_extreme", "n_perms"]
+    ).astype({"obs_stat": "int64", "n_extreme": "int64", "n_perms": "int64"})
+
+
 def grouped_ks(
     ds: "ray.data.Dataset",
     group_col: str,

@@ -6414,25 +6414,16 @@ def _q_uptime_totals(sf_dir: str):
         )
         return out.groupby("k", as_index=False)["cov"].sum()
 
-    def add_b(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        if len(df) == 0:
-            df["__b"] = pd.Series([], dtype="int64")
-            return df
-        df["__b"] = (df["k"].to_numpy() % 16).astype("int64")
-        return df
-
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop(columns="__b").groupby("k", as_index=False)["cov"].sum()
+        out = g.groupby("k", as_index=False)["cov"].sum()
         out["covered_us"] = out["cov"].astype("int64")
         return out[["k", "covered_us"]]
 
-    return (
-        union.map_batches(partial, batch_format="pandas")
-        .map_batches(add_b, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(final, batch_format="pandas")
-    )
+    from fastie_ray.state.exchange import BlockSet
+
+    return BlockSet.from_dataset(union).exchange(
+        ["k"], final, n_buckets=16, map_fn=partial
+    ).to_dataset()
 
 
 def _q_rfm_segments(sf_dir: str):

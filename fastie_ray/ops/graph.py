@@ -2565,92 +2565,95 @@ def sssp(
     's BFS): INTEGER edge weights ≥ 0, seeds start at distance 0,
     per round every edge relaxes ``dist(dst) ← min(dist(dst),
     dist(src) + w)``. Distances only DECREASE and are bounded below,
-    so the total-distance sum is a monotone exact fixed-point test
-    (one driver scalar per round, same convention as ``scc``'s
-    colors). RAISES if ``max_rounds`` rounds don't converge (rounds
-    needed = shortest-path hop diameter). Unreached nodes are absent
-    from the output (∞ has no integer encoding worth shipping).
+    so the (count, sum) pair of the dist table is a monotone exact
+    fixed-point test. RAISES if ``max_rounds`` rounds don't converge
+    (rounds needed = shortest-path hop diameter). Unreached nodes are
+    absent from the output (∞ has no integer encoding worth shipping).
 
-    Per round: one edge⋈dist task hash join + one bucketed min
-    exchange; dist tables node-sized, pinned + compacted (NOTES
-    15/19). Returns (node, dist)."""
-    import pyarrow as pa
-    import ray.data
+    Raw-task shape (r3): the edge table is hash-partitioned by src
+    ONCE and PINNED; each round is ONE exchange of the (node-sized,
+    shrinking-churn) dist table against the pinned edge buckets
+    (relax candidates + own-dist pass-through, min-combined) plus ONE
+    node-keyed min exchange and a per-block scalar probe — no Acero
+    join, no sort barrier, no per-round materialize. Returns
+    (node, dist)."""
+    from fastie_ray.state.exchange import BlockSet
 
-    d_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
-
-    edges = edges.repartition(n_buckets).materialize()
-
-    def add_nb(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__b"] = _bucket(df["node"], n_buckets)
-        return df
-
-    def min_final(g: pd.DataFrame) -> pa.Table:
-        out = g.drop(columns="__b").groupby("node", as_index=False)[
-            "dist"
-        ].min()
-        return pa.Table.from_pandas(
-            out.astype({"node": "int64", "dist": "int64"}),
-            preserve_index=False, schema=d_schema,
+    def edge_canon(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "dst": pd.Series([], dtype="int64"),
+                 "w": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "node": df["src"].astype("int64"),
+                "dst": df["dst"].astype("int64"),
+                "w": df[weight_col].astype("int64"),
+            }
         )
 
-    dist = seeds.map_batches(
-        lambda df: pa.Table.from_pandas(
-            pd.DataFrame(
-                {"node": df["node"].astype("int64")}
-            ).drop_duplicates().assign(dist=np.int64(0)),
-            preserve_index=False, schema=d_schema,
-        ),
-        batch_format="pandas",
-    ).materialize()
+    edge_parts = BlockSet.from_dataset(edges).partition(
+        ["node"], n_buckets, map_fn=edge_canon
+    )
 
-    prev_sum = None
+    def seed_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"node": df["node"].astype("int64")})
+        out = out.drop_duplicates()
+        out["dist"] = np.int64(0)
+        return out
+
+    dist = BlockSet.from_dataset(seeds).exchange(
+        ["node"],
+        lambda g: g.groupby("node", as_index=False)["dist"].min(),
+        n_buckets=n_buckets, map_fn=seed_rows,
+    )
+
+    _EMPTY_ND = pd.DataFrame(
+        {"node": pd.Series([], dtype="int64"),
+         "dist": pd.Series([], dtype="int64")}
+    )
+
+    def relax(g: pd.DataFrame, eb: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "node" not in g.columns:
+            return _EMPTY_ND.copy()
+        own = g[["node", "dist"]]
+        if len(eb) == 0:
+            return own
+        m = eb.merge(own, on="node", sort=False)
+        cand = pd.DataFrame(
+            {"node": m["dst"],
+             "dist": m["dist"].astype("int64") + m["w"]}
+        ).groupby("node", as_index=False)["dist"].min()
+        return pd.concat([own, cand], ignore_index=True)
+
+    def min_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["dist"].min()
+        return out.astype({"node": "int64", "dist": "int64"})
+
+    prev = None
     converged = False
     for _r in range(max_rounds):
-        j = hash_join(
-            edges, dist, on="src", right_on="node",
-            left_cols=["src", "dst", weight_col],
-            right_cols=["node", "dist"], n_buckets=n_buckets,
+        cand = dist.exchange(
+            ["node"], relax, n_buckets=n_buckets, side=edge_parts
         )
-
-        def relax(df: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame(
-                {
-                    "node": df["dst"],
-                    "dist": df["dist"].astype("int64")
-                    + df[weight_col].astype("int64"),
-                }
-            )
-            return out.groupby("node", as_index=False)["dist"].min()
-
-        dist = (
-            j.map_batches(relax, batch_format="pandas")
-            .union(dist)
-            .map_batches(add_nb, batch_format="pandas")
-            .groupby("__b")
-            .map_groups(min_final, batch_format="pandas")
-            .repartition(max(1, n_buckets // 4))
-            .materialize()
+        dist = cand.exchange(["node"], min_final, n_buckets=n_buckets)
+        parts = dist.scalar(
+            lambda df: (int(df["dist"].sum()), len(df))
+            if len(df) and "dist" in df.columns else (0, 0)
         )
-        parts = dist.map_batches(
-            lambda df: pd.DataFrame(
-                {"s": [np.int64(df["dist"].sum())],
-                 "n": [np.int64(len(df))]}
-            ),
-            batch_format="pandas",
-        ).to_pandas()
         # (count, sum) pair: any relaxation strictly decreases a dist
         # (sum drops) or adds a node (count grows) — equality of BOTH
         # is the exact fixed point
-        s = (int(parts["s"].sum()), int(parts["n"].sum()))
-        if s == prev_sum:
+        s = (sum(p[0] for p in parts), sum(p[1] for p in parts))
+        if s == prev:
             converged = True
             break
-        prev_sum = s
+        prev = s
     if not converged:
         raise RuntimeError(f"sssp: not converged after {max_rounds} rounds")
-    return dist
+    return dist.to_dataset()
 
 
 def greedy_matching(

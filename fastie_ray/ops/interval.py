@@ -375,16 +375,23 @@ def interval_coalesce(
          ("__edge", pa.int64())]
     )
 
-    def replicate(df: pd.DataFrame) -> pa.Table:
+    _EMPTY_KSE = pd.DataFrame(
+        {"k": pd.Series([], dtype="int64"),
+         "__chunk": pd.Series([], dtype="int64"),
+         "s": pd.Series([], dtype="int64"),
+         "e": pd.Series([], dtype="int64")}
+    )
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return out_schema.empty_table()
+            return _EMPTY_KSE.copy()
         s = df[s_col].to_numpy(dtype=np.int64)
         e = df[e_col].to_numpy(dtype=np.int64)
         k = df[key_col].to_numpy(dtype=np.int64)
         ok = e > s
         s, e, k = s[ok], e[ok], k[ok]
         if len(s) == 0:
-            return out_schema.empty_table()
+            return _EMPTY_KSE.copy()
         c0 = s // chunk
         c1 = (e - 1) // chunk  # half-open: e on a boundary stays left
         n_chunks = c1 - c0 + 1
@@ -401,80 +408,48 @@ def interval_coalesce(
                 "e": np.minimum(e[idx], hi),
             }
         )
-        out = _coalesce_frame(out, ["k", "__chunk"])  # batch combiner
-        return pa.Table.from_pandas(
-            out[["k", "s", "e"]], preserve_index=False, schema=out_schema
-        )
+        return _coalesce_frame(out, ["k", "__chunk"])  # batch combiner
 
-    def add_bkc(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        if len(df) == 0:
-            df["__b"] = np.array([], dtype=np.int64)
-            return df
-        h = (
-            pd.util.hash_pandas_object(df["k"], index=False).to_numpy()
-            ^ pd.util.hash_pandas_object(
-                pd.Series(df["s"].to_numpy() // chunk), index=False
-            ).to_numpy()
-        )
-        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return df
-
-    def chunk_final(g: pd.DataFrame) -> pa.Table:
-        g = g.drop(columns="__b").copy()
-        g["__chunk"] = g["s"] // chunk
+    def chunk_final(g: pd.DataFrame) -> pd.DataFrame:
         out = _coalesce_frame(g, ["k", "__chunk"])
         lo = out["__chunk"].to_numpy() * chunk
         hi = lo + chunk
         edge = (
             (out["s"].to_numpy() == lo) | (out["e"].to_numpy() == hi)
         ).astype(np.int64)
-        res = pd.DataFrame(
-            {"k": out["k"], "s": out["s"], "e": out["e"], "__edge": edge}
-        )
-        return pa.Table.from_pandas(
-            res, preserve_index=False, schema=edge_schema
+        return pd.DataFrame(
+            {"k": out["k"].astype("int64"), "s": out["s"].astype("int64"),
+             "e": out["e"].astype("int64"), "__edge": edge}
         )
 
-    per_chunk = (
-        ds.map_batches(replicate, batch_format="pandas")
-        .map_batches(add_bkc, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(chunk_final, batch_format="pandas")
-        .materialize()
-    )
-
-    def interiors_only(df: pd.DataFrame) -> pa.Table:
-        sub = df.loc[df["__edge"] == 0, ["k", "s", "e"]]
-        return pa.Table.from_pandas(
-            sub, preserve_index=False, schema=out_schema
+    def interiors_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["__edge"] == 0, ["k", "s", "e"]].reset_index(
+            drop=True
         )
 
     def edges_only(df: pd.DataFrame) -> pd.DataFrame:
         return df.loc[df["__edge"] == 1, ["k", "s", "e"]]
 
-    def add_bk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        if len(df) == 0:
-            df["__b"] = np.array([], dtype=np.int64)
-            return df
-        h = pd.util.hash_pandas_object(df["k"], index=False).to_numpy()
-        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
-        return df
-
-    def stitch(g: pd.DataFrame) -> pa.Table:
-        res = _coalesce_frame(g.drop(columns="__b"), ["k"])
-        return pa.Table.from_pandas(
-            res[["k", "s", "e"]], preserve_index=False, schema=out_schema
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        res = _coalesce_frame(g, ["k"])
+        return res[["k", "s", "e"]].astype(
+            {"k": "int64", "s": "int64", "e": "int64"}
         )
 
-    interiors = per_chunk.map_batches(interiors_only, batch_format="pandas")
-    stitched = (
-        per_chunk.map_batches(edges_only, batch_format="pandas")
-        .map_batches(add_bk, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(stitch, batch_format="pandas")
+    # two raw-task exchanges (no sort barriers, no mid-pipeline
+    # materialize): phase 1 keyed (k, chunk) — the replicate combiner
+    # fused into the split — phase 2 keyed k over boundary spans only;
+    # interior spans stream straight out of the phase-1 buckets
+    from fastie_ray.state.exchange import BlockSet
+
+    per_chunk = BlockSet.from_dataset(ds).exchange(
+        ["k", "__chunk"], chunk_final, n_buckets=n_buckets,
+        map_fn=replicate,
     )
+    interiors = per_chunk.map(interiors_only).to_dataset()
+    stitched = per_chunk.exchange(
+        ["k"], stitch, n_buckets=n_buckets, map_fn=edges_only
+    ).to_dataset()
     return interiors.union(stitched)
 
 

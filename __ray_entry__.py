@@ -5830,6 +5830,36 @@ def _q_link_pred(sf_dir: str):
     return link_prediction(_order_tri_edges(sf_dir), k=50, n_buckets=16)
 
 
+def _q_anf_reach(sf_dir: str):
+    """HyperANF neighborhood-function sketch (``ops.graph.anf_reach``):
+    per-node 64-register HLL state over the ≤3-hop out-reachable set
+    of the order-chain graph, propagated by register-max message
+    passing over pinned reversed edges. Driver-compared output is the
+    integer state summary (regs_nonzero, rho_sum); the oracle replays
+    bounded recursive reach + GROUP BY register MAX."""
+    import pandas as pd
+
+    from fastie_ray.ops.graph import anf_reach
+
+    o = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+
+    def chain(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderkey"])
+        nxt = df.groupby("o_custkey")["o_orderkey"].shift(-1)
+        ok = nxt.notna()
+        return pd.DataFrame(
+            {
+                "src": "o" + df.loc[ok, "o_orderkey"].astype(str),
+                "dst": "o" + nxt[ok].astype("int64").astype(str),
+            }
+        )
+
+    # per-customer chains co-locate in one batch for the shift: tiny
+    # table, one block
+    edges = o.repartition(1).map_batches(chain, batch_format="pandas")
+    return anf_reach(edges, max_hops=3, n_registers=64, n_buckets=16)
+
+
 def _q_ra_links(sf_dir: str):
     """Resource-allocation link prediction (``ops.graph.
     link_prediction(weight="ra")``): top-50 missing links over the
@@ -7320,6 +7350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss": _q_ktruss,
         "link_pred": _q_link_pred,
         "ra_links": _q_ra_links,
+        "anf_reach": _q_anf_reach,
         "tc_ancestors": _q_tc_ancestors,
         "ed1_pairs": _q_ed1_pairs,
         "containment": _q_containment,
@@ -8102,6 +8133,36 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM e0 e WHERE e.a = cnt.u AND e.b = cnt.v)
             ORDER BY ra DESC, u, v
             LIMIT 50
+        """,
+        "anf_reach": """
+            WITH RECURSIVE o AS (
+                SELECT o_custkey AS c, o_orderkey AS ok,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderkey) AS rn
+                FROM orders),
+            ch AS (SELECT 'o' || a.ok AS x, 'o' || b.ok AS y
+                   FROM o a JOIN o b ON a.c = b.c AND b.rn = a.rn + 1),
+            nodes AS (SELECT x AS v FROM ch UNION SELECT y FROM ch),
+            reach(v, u, h) AS (
+                SELECT v, v, 0 FROM nodes
+                UNION
+                SELECT r.v, c.y, r.h + 1
+                FROM reach r JOIN ch c ON c.x = r.u WHERE r.h < 3
+            ),
+            p AS (SELECT DISTINCT v, u FROM reach),
+            hx AS (SELECT v, CAST(('0x' || substr(md5(u), 1, 15))
+                                  AS BIGINT) AS h FROM p),
+            reg AS (SELECT v, h % 64 AS register,
+                           CASE WHEN h // 64 = 0 THEN 61
+                                ELSE bit_count(((h // 64) & -(h // 64))
+                                               - 1) + 1
+                           END AS rho
+                    FROM hx),
+            m AS (SELECT v, register, max(rho) AS mr FROM reg GROUP BY 1, 2)
+            SELECT v AS node,
+                   count(*) AS regs_nonzero,
+                   CAST(sum(mr) AS BIGINT) AS rho_sum
+            FROM m GROUP BY 1
         """,
         "tc_ancestors": """
             WITH RECURSIVE anc(node, ancestor) AS (

@@ -2892,3 +2892,124 @@ def transitive_closure(
     return R.map(
         lambda df: df.rename(columns={"x": "node", "y": "ancestor"})
     ).to_dataset()
+
+
+def anf_reach(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 3,
+    n_registers: int = 64,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """HyperANF (Boldi-Rosa-Vigna 2011): the per-node NEIGHBORHOOD
+    FUNCTION sketch — each node carries an ``n_registers``-byte HLL
+    register array over its ≤``max_hops``-hop OUT-reachable set,
+    propagated by register-wise max message passing. THE way to
+    estimate reach / effective diameter on graphs where exact per-node
+    reachability sets are quadratic.
+
+    Raw-task shape (the sssp/CC skeleton): edges are hash-partitioned
+    by their DST once and PINNED (messages flow w → v for edge v→w);
+    each hop is one exchange of the node-sized register table against
+    the pinned buckets (candidate registers + own pass-through,
+    max-combined in the bucket) plus one node-keyed max merge. Payload
+    per hop: nodes × n_registers bytes — constant per node, never a
+    reachability set.
+
+    Determinism / oracle design mirrors ``ops.sketch``: registers are
+    md5-derived (60-bit hash, rho = trailing zeros of h//R plus one,
+    all-zero sentinel 61), so the propagated STATE is SQL-verifiable
+    bit-for-bit against a bounded recursive-CTE reach + GROUP BY
+    register MAX. Returns per node the integer state summary
+    (node, regs_nonzero, rho_sum); the float reach estimate derives
+    from the state on the driver (``ops.sketch.hll_estimate``)."""
+    from fastie_ray.ops.sketch import _hash60
+    from fastie_ray.state.exchange import BlockSet
+
+    R = n_registers
+
+    def rev_canon(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=object),
+                 "to": pd.Series([], dtype=object)}
+            )
+        return pd.DataFrame(
+            {"node": df[dst_col].astype(str), "to": df[src_col].astype(str)}
+        ).drop_duplicates()
+
+    ebs = BlockSet.from_dataset(edges)
+    eparts = ebs.partition(["node"], n_buckets, map_fn=rev_canon)
+
+    def _max_merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("node", kind="mergesort")
+        arr = np.frombuffer(
+            b"".join(df["regs"]), dtype=np.uint8
+        ).reshape(len(df), R)
+        nodes = df["node"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, nodes[1:] != nodes[:-1]])
+        out = np.maximum.reduceat(arr, starts, axis=0)
+        return pd.DataFrame(
+            {"node": nodes[starts], "regs": [r.tobytes() for r in out]}
+        )
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        e = rev_canon(df)
+        return pd.DataFrame(
+            {"node": pd.concat([e["node"], e["to"]], ignore_index=True)}
+        ).drop_duplicates()
+
+    def init_regs(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(g["node"])
+        h = _hash60(nodes)
+        reg = (h % R).astype(np.int64)
+        rest = h // R
+        rho = np.full(len(nodes), 61, dtype=np.uint8)
+        nz = rest != 0
+        low = rest[nz] & -rest[nz]
+        rho[nz] = (np.log2(low.astype(np.float64)).astype(np.int64) + 1).astype(
+            np.uint8
+        )
+        arr = np.zeros((len(nodes), R), dtype=np.uint8)
+        arr[np.arange(len(nodes)), reg] = rho
+        return pd.DataFrame(
+            {"node": nodes, "regs": [a.tobytes() for a in arr]}
+        )
+
+    regs = ebs.exchange(["node"], init_regs, n_buckets=n_buckets,
+                        map_fn=endpoints)
+
+    _EMPTY_NR = pd.DataFrame(
+        {"node": pd.Series([], dtype=object),
+         "regs": pd.Series([], dtype=object)}
+    )
+
+    def relax(g: pd.DataFrame, eb: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "node" not in g.columns:
+            return _EMPTY_NR.copy()
+        own = g[["node", "regs"]]
+        if len(eb) == 0:
+            return own
+        m = eb.merge(own, on="node", sort=False)
+        cand = pd.DataFrame({"node": m["to"], "regs": m["regs"]})
+        return _max_merge(pd.concat([own, cand], ignore_index=True))
+
+    for _ in range(max_hops):
+        cand = regs.exchange(["node"], relax, n_buckets=n_buckets,
+                             side=eparts)
+        regs = cand.exchange(["node"], _max_merge, n_buckets=n_buckets)
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        arr = np.frombuffer(
+            b"".join(df["regs"]), dtype=np.uint8
+        ).reshape(len(df), R)
+        return pd.DataFrame(
+            {
+                "node": df["node"],
+                "regs_nonzero": (arr > 0).sum(axis=1).astype("int64"),
+                "rho_sum": arr.sum(axis=1, dtype=np.int64),
+            }
+        )
+
+    return regs.map(summarize).to_dataset()

@@ -682,3 +682,42 @@ def test_link_prediction_ra_weight_bruteforce(ray_session):
     )[:10]
     got = list(zip(out["ra_e6"], out["u"], out["v"]))
     assert got == want
+
+
+def test_anf_reach_state_and_estimate(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.graph import anf_reach
+    from fastie_ray.ops.sketch import _hash60
+
+    # star + chain: c -> s_i (50 leaves), plus chain c0->c1->c2->c3
+    edges = pd.DataFrame(
+        {"src": ["c"] * 50 + ["c0", "c1", "c2"],
+         "dst": [f"s{i}" for i in range(50)] + ["c1", "c2", "c3"]}
+    )
+    out = (
+        anf_reach(ray.data.from_pandas(edges).repartition(3),
+                  max_hops=3, n_registers=64, n_buckets=4)
+        .to_pandas().set_index("node")
+    )
+    # exact register state for the hub: self + 50 leaves
+    import numpy as np
+
+    members = ["c"] + [f"s{i}" for i in range(50)]
+    h = _hash60(pd.Index(members))
+    reg = (h % 64).astype(np.int64)
+    rest = h // 64
+    rho = np.full(len(members), 61, dtype=np.int64)
+    nz = rest != 0
+    rho[nz] = np.log2((rest[nz] & -rest[nz]).astype(np.float64)).astype(
+        np.int64
+    ) + 1
+    regs = np.zeros(64, dtype=np.int64)
+    np.maximum.at(regs, reg, rho)
+    assert out.loc["c", "regs_nonzero"] == int((regs > 0).sum())
+    assert out.loc["c", "rho_sum"] == int(regs.sum())
+    # a leaf reaches only itself; chain head reaches all 4 chain nodes
+    assert out.loc["s0", "regs_nonzero"] == 1
+    c0 = _hash60(pd.Index(["c0", "c1", "c2", "c3"]))
+    assert out.loc["c0", "regs_nonzero"] == len(set(c0 % 64))

@@ -1297,83 +1297,86 @@ def temporal_reach(
     equal: min-merge is monotone, so any change strictly lowers the
     sum or adds a node — the ``scc`` monotone-sum trick).
 
-    Per round: ONE task hash_join (labels ⋈ edges on node=src, ts
-    filter folded into the downstream map), one dst-bucketed
-    min-exchange, one label-merge min-exchange; labels are node-sized,
-    edges pinned once (iterative ops re-run upstream lineage
-    otherwise, NOTES fact 19), per-round block discipline
-    (NOTES fact 15). Returns (node, arrival_us)."""
-    import ray.data
+    Raw-task shape (the sssp skeleton): the temporal edge table is
+    hash-partitioned by src ONCE and PINNED; each round is one relax
+    exchange of the node-sized arrival table against the pinned
+    buckets (time-filtered candidates + own pass-through, min-combined
+    in the bucket) plus one node-keyed min exchange and a per-block
+    scalar probe. Returns (node, arrival_us)."""
+    from fastie_ray.state.exchange import BlockSet
 
-    from fastie_ray.ops.join import hash_join
+    def edge_canon(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "dst": pd.Series([], dtype="int64"),
+                 "ts": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "node": df["src"].astype("int64"),
+                "dst": df["dst"].astype("int64"),
+                "ts": df["ts_us"].astype("int64"),
+            }
+        )
 
-    edges = edges.repartition(n_buckets).materialize()
-    labels = ray.data.from_pandas(
+    edge_parts = BlockSet.from_dataset(edges).partition(
+        ["node"], n_buckets, map_fn=edge_canon
+    )
+
+    labels = BlockSet.from_pandas(
         pd.DataFrame(
             {
                 "node": seeds["node"].astype("int64"),
                 "a": seeds["arrival_us"].astype("int64"),
             }
-        )
-    ).materialize()
+        ).groupby("node", as_index=False)["a"].min(),
+        n_blocks=1,
+    ).exchange(
+        ["node"],
+        lambda g: g.groupby("node", as_index=False)["a"].min(),
+        n_buckets=n_buckets,
+    )
 
-    def add_bn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__b"] = _bucket(df["node"], n_buckets)
-        return df
+    _EMPTY_NA = pd.DataFrame(
+        {"node": pd.Series([], dtype="int64"),
+         "a": pd.Series([], dtype="int64")}
+    )
+
+    def relax(g: pd.DataFrame, eb: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "node" not in g.columns:
+            return _EMPTY_NA.copy()
+        own = g[["node", "a"]]
+        if len(eb) == 0:
+            return own
+        m = eb.merge(own, on="node", sort=False)
+        ok = m["ts"].to_numpy() >= m["a"].to_numpy()
+        cand = pd.DataFrame(
+            {"node": m["dst"].to_numpy()[ok], "a": m["ts"].to_numpy()[ok]}
+        ).groupby("node", as_index=False)["a"].min()
+        return pd.concat([own, cand], ignore_index=True)
 
     def min_final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop(columns="__b").groupby("node", as_index=False)["a"].min()
-        out["a"] = out["a"].astype("int64")
-        return out
+        out = g.groupby("node", as_index=False)["a"].min()
+        return out.astype({"node": "int64", "a": "int64"})
 
-    def _stats(lab) -> tuple[int, int]:
-        # (count, arrival-sum) via per-batch partials — the label table
-        # is node-sized, never driver-collected
-        parts = lab.map_batches(
-            lambda df: pd.DataFrame(
-                {"n": [np.int64(len(df))],
-                 "s": [np.int64(df["a"].sum()) if len(df) else np.int64(0)]}
-            ),
-            batch_format="pandas",
-        ).to_pandas()
-        if len(parts) == 0:
-            return 0, 0
-        return int(parts["n"].sum()), int(parts["s"].sum())
-
-    n_prev, s_prev = _stats(labels)
+    prev = None
     for _ in range(rounds):
-        cand = hash_join(
-            labels, edges, on="node", right_on="src",
-            left_cols=["node", "a"], right_cols=["src", "dst", "ts_us"],
-            n_buckets=n_buckets,
+        cand = labels.exchange(
+            ["node"], relax, n_buckets=n_buckets, side=edge_parts
         )
-
-        def step(df: pd.DataFrame) -> pd.DataFrame:
-            ok = df["ts_us"].to_numpy() >= df["a"].to_numpy()
-            out = pd.DataFrame(
-                {"node": df["dst"].to_numpy()[ok],
-                 "a": df["ts_us"].to_numpy()[ok]}
-            )
-            # per-batch combiner before the min exchange
-            return out.groupby("node", as_index=False)["a"].min()
-
-        labels = (
-            labels.union(cand.map_batches(step, batch_format="pandas"))
-            .map_batches(add_bn, batch_format="pandas")
-            .groupby("__b")
-            .map_groups(min_final, batch_format="pandas")
-            .repartition(n_buckets)
-            .materialize()
+        labels = cand.exchange(["node"], min_final, n_buckets=n_buckets)
+        parts = labels.scalar(
+            lambda df: (len(df), int(df["a"].sum()))
+            if len(df) and "a" in df.columns else (0, 0)
         )
-        n_cur, s_cur = _stats(labels)
-        if (n_cur, s_cur) == (n_prev, s_prev):
+        s = (sum(p[0] for p in parts), sum(p[1] for p in parts))
+        if s == prev:
             break
-        n_prev, s_prev = n_cur, s_cur
-    return labels.map_batches(
-        lambda df: df.rename(columns={"a": "arrival_us"}),
-        batch_format="pandas",
-    )
+        prev = s
+    return labels.map(
+        lambda df: df.rename(columns={"a": "arrival_us"})
+    ).to_dataset()
 
 
 def random_walks(

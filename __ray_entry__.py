@@ -1266,6 +1266,34 @@ def _q_minhash_dups(sf_dir: str):
     return minhash_lsh_dups(docs, threshold=0.7, concurrency=4)
 
 
+def _q_neardup_incremental(sf_dir: str):
+    """Incremental near-dup (``ops.neardup.minhash_dups_against``):
+    a crawl increment (every 5th document, verbatim, id + 1e6) checked
+    against the standing corpus — all cross pairs at shingle Jaccard
+    ≥ 0.7. Oracle: exact pairwise Jaccard increment × base (the synth
+    corpus is template-heavy, so non-planted near-dups are expected
+    and must match too)."""
+    import pandas as pd
+
+    from fastie_ray.ops.neardup import minhash_dups_against
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inc(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"].astype("int64") % 5 == 0]
+        return pd.DataFrame(
+            {
+                "doc_id": sub["doc_id"].astype("int64") + 1_000_000,
+                "text": sub["text"],
+            }
+        )
+
+    return minhash_dups_against(
+        docs, docs.map_batches(inc, batch_format="pandas"),
+        threshold=0.7, concurrency=4,
+    )
+
+
 def _q_dup_clusters(sf_dir: str):
     """Dedup statistics (the FineWeb/CCNet dup-cluster-size report):
     MinHash near-dup pairs → distributed CC over the pair graph →
@@ -7145,6 +7173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
         "dup_clusters": _q_dup_clusters,
+        "neardup_incremental": _q_neardup_incremental,
         "simhash_dups": _q_simhash_dups,
         "jaccard_prefix": _q_jaccard_prefix,
         "embed_neardup": _q_embed_neardup,
@@ -7484,6 +7513,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM tri a JOIN tri b ON a.doc_id < b.doc_id
             )
             SELECT doc_a, doc_b,
+                   CAST(floor(inter * 1000000.0 / uni) AS BIGINT) AS jaccard_e6
+            FROM p WHERE inter * 1.0 / uni >= 0.7
+        """,
+        "neardup_incremental": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            tri AS (SELECT doc_id, {TRI} AS g FROM t),
+            inc AS (SELECT doc_id + 1000000 AS doc_id, g FROM tri
+                    WHERE doc_id % 5 = 0),
+            p AS (
+                SELECT i.doc_id AS inc_id, b.doc_id AS base_id,
+                       len(list_intersect(i.g, b.g)) AS inter,
+                       len(list_distinct(list_concat(i.g, b.g))) AS uni
+                FROM inc i, tri b
+            )
+            SELECT inc_id, base_id,
                    CAST(floor(inter * 1000000.0 / uni) AS BIGINT) AS jaccard_e6
             FROM p WHERE inter * 1.0 / uni >= 0.7
         """,

@@ -141,9 +141,11 @@ class MinHashBander:
         bands: int = 32,
         seed: int = 42,
         carry: str = "shingles",
+        side_col: str | None = None,
     ):
         assert num_perm % bands == 0
         assert carry in ("shingles", "signature", "none")
+        self.side_col = side_col
         self.id_col, self.text_col = id_col, text_col
         self.shingle_k, self.num_perm, self.bands = shingle_k, num_perm, bands
         self.rows_per_band = num_perm // bands
@@ -192,6 +194,14 @@ class MinHashBander:
                 np.concatenate(key_parts) if n else np.empty(0, np.int64)
             ),
         }
+        if self.side_col is not None:
+            sides = (
+                batch[self.side_col].to_pylist()
+                if isinstance(batch, pa.Table) else list(batch[self.side_col])
+            )
+            cols["side"] = pa.array(
+                np.repeat(np.asarray(sides, dtype=np.int32), b)
+            )
         if self.carry != "none":
             col = "shingles" if self.carry == "shingles" else "sig"
             counts = np.repeat(lengths, b)
@@ -1355,3 +1365,117 @@ def containment_pairs(
         )
 
     return with_nb.map_batches(directional, batch_format="pandas")
+
+
+def _cross_pairs_in_partition(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Exact-Jaccard verification of CROSS-SIDE candidates within one
+    coarse partition (same vectorized bucket prefilter as
+    ``_pairs_in_partition``, pairs restricted to increment × base)."""
+    out = []
+    sizes = g.groupby(["band", "key"])["doc_id"].transform("size")
+    cand = g[sizes >= 2]
+    payload: dict[tuple[int, int], np.ndarray] = {}
+    pairs: set[tuple[int, int]] = set()
+    for (_, _), grp in cand.groupby(["band", "key"]):
+        sides = grp["side"].to_numpy()
+        gids = grp["doc_id"].to_numpy()
+        if sides.min() == sides.max():
+            continue  # single-sided bucket: no cross pair
+        for sd, did, sh in zip(sides, gids, grp["shingles"]):
+            k = (int(sd), int(did))
+            if k not in payload:
+                payload[k] = np.asarray(sh, dtype=np.uint64)
+        inc = np.unique(gids[sides == 1])
+        bas = np.unique(gids[sides == 0])
+        for i in inc:
+            for b in bas:
+                pairs.add((int(i), int(b)))
+    for i, b in sorted(pairs):
+        A, B = payload[(1, i)], payload[(0, b)]
+        inter = len(np.intersect1d(A, B, assume_unique=True))
+        union = len(A) + len(B) - inter
+        if union and inter / union >= threshold:
+            out.append((i, b, inter * 1_000_000 // union))
+    return pd.DataFrame(
+        {
+            "inc_id": pd.Series([r[0] for r in out], dtype="int64"),
+            "base_id": pd.Series([r[1] for r in out], dtype="int64"),
+            "jaccard_e6": pd.Series([r[2] for r in out], dtype="int64"),
+        }
+    )
+
+
+def minhash_dups_against(
+    base: "ray.data.Dataset",
+    increment: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.7,
+    seed: int = 42,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """INCREMENTAL near-dup detection: all (increment doc, base doc)
+    pairs with shingle Jaccard ≥ ``threshold`` — the daily-crawl shape
+    of ``minhash_lsh_dups`` (new documents checked against the
+    standing corpus; the near-dup analogue of
+    ``ops.dedup.dedup_against``). Same banding, same recall math, same
+    exact-Jaccard verification; only cross-side pairs are generated,
+    so a dup-heavy BASE costs nothing beyond its band rows.
+
+    Scale note: both sides are banded here with the same permutation
+    params, but at production scale the base's banded table is the
+    artifact you PERSIST (bucketed parquet on (band, key) —
+    ``ops.bucketed_io``) and only the increment is banded per run;
+    the exchange and verification are unchanged. Returns
+    (inc_id, base_id, jaccard_e6)."""
+    from fastie_ray.ops.dedup import dedup_exact
+
+    kw = dict(
+        id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+        num_perm=num_perm, bands=bands, seed=seed, carry="shingles",
+    )
+
+    # ONE bander pool over the tagged union — two side-by-side pools
+    # can together cover every CPU and starve their own downstream
+    # exchange (NOTES fact 4, observed as a deadlock at num_cpus=8)
+    def tag(side: int):
+        def fn(t):
+            import pyarrow as pa
+
+            return t.append_column(
+                "__side", pa.array(np.full(len(t), side, dtype=np.int32))
+            )
+
+        return fn
+
+    tagged = base.map_batches(tag(0), batch_format="pyarrow").union(
+        increment.map_batches(tag(1), batch_format="pyarrow")
+    )
+    banded = tagged.map_batches(
+        MinHashBander,
+        fn_constructor_kwargs=dict(kw, side_col="__side"),
+        batch_format="pyarrow", concurrency=_pool_size(concurrency),
+    )
+
+    def add_part(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        part = pc.cast(pc.bit_wise_and(t["key"], 63), pa.int32())
+        return t.append_column("__part", part)
+
+    pairs = (
+        banded
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda g: _cross_pairs_in_partition(
+                g.drop(columns="__part"), threshold
+            ),
+            batch_format="pandas",
+        )
+    )
+    return dedup_exact(pairs, ["inc_id", "base_id"])

@@ -5522,6 +5522,19 @@ def _q_conformal(sf_dir: str):
     )
 
 
+def _q_bootstrap_ci(sf_dir: str):
+    """Poisson-bootstrap CI for the mean order price (``ops.stats.
+    poisson_bootstrap_mean``): md5-deterministic Poisson(1) weights
+    per (replicate, row) — the streaming bootstrap that needs no
+    global resample draw; integer (Σw·cents, Σw) pairs end to end,
+    CI = 2nd-smallest / 2nd-largest of 16 replicate means."""
+    from fastie_ray.ops.stats import poisson_bootstrap_mean
+
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return poisson_bootstrap_mean(o, "o_orderkey", "o_totalprice",
+                                  n_boot=16)
+
+
 def _q_perm_test(sf_dir: str):
     """Exact-arithmetic permutation significance test
     (``ops.stats.permutation_test``): user-parity split of event
@@ -7368,6 +7381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_eval": _q_markov_eval,
         "conformal": _q_conformal,
         "perm_test": _q_perm_test,
+        "bootstrap_ci": _q_bootstrap_ci,
         "grouped_perm_test": _q_grouped_perm_test,
         "grouped_calibration": _q_grouped_calibration,
         "kfold_folds": _q_kfold_folds,
@@ -10451,6 +10465,36 @@ def oracle_sql() -> dict[str, str]:
                          WHERE v >= (SELECT v FROM os)) AS BIGINT)
                        AS n_extreme,
                    CAST(48 AS BIGINT) AS n_perms
+        """,
+        "bootstrap_ci": """
+            WITH src AS (
+                SELECT o_orderkey AS id,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                FROM orders),
+            reps AS (
+                SELECT r.j AS b, c,
+                       CAST(('0x' || substr(md5('boot:' || r.j || ':'
+                           || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+                FROM src, range(16) r(j)),
+            w AS (SELECT b, c, CASE WHEN u >= 424136118829305344 THEN 1 ELSE 0 END + CASE WHEN u >= 848272237658610688 THEN 1 ELSE 0 END + CASE WHEN u >= 1060340297073263360 THEN 1 ELSE 0 END + CASE WHEN u >= 1131029650211480960 THEN 1 ELSE 0 END + CASE WHEN u >= 1148701988496035328 THEN 1 ELSE 0 END + CASE WHEN u >= 1152236456152946176 THEN 1 ELSE 0 END + CASE WHEN u >= 1152825534095764608 THEN 1 ELSE 0 END + CASE WHEN u >= 1152909688087595776 THEN 1 ELSE 0 END + CASE WHEN u >= 1152920207336574720 THEN 1 ELSE 0 END AS w FROM reps),
+            agg AS (SELECT b, sum(c * w) AS s, sum(w) AS n
+                    FROM w GROUP BY b),
+            ranked AS (
+                SELECT s, n,
+                       row_number() OVER (ORDER BY s * 1.0 / n, b) AS rn
+                FROM agg),
+            obs AS (SELECT sum(c) AS s, count(*) AS n FROM src)
+            SELECT CAST(obs.s AS BIGINT) AS obs_num,
+                   CAST(obs.n AS BIGINT) AS obs_den,
+                   CAST((SELECT s FROM ranked WHERE rn = 2) AS BIGINT)
+                       AS lo_num,
+                   CAST((SELECT n FROM ranked WHERE rn = 2) AS BIGINT)
+                       AS lo_den,
+                   CAST((SELECT s FROM ranked WHERE rn = 15) AS BIGINT)
+                       AS hi_num,
+                   CAST((SELECT n FROM ranked WHERE rn = 15) AS BIGINT)
+                       AS hi_den
+            FROM obs
         """,
         "grouped_perm_test": """
             WITH src AS (

@@ -1375,6 +1375,79 @@ def permutation_test(
     )
 
 
+# 60-bit integer cutoffs of the Poisson(1) CDF (k = 0..8; weight =
+# number of cutoffs ≤ u for a 60-bit uniform u) — shared verbatim with
+# the SQL oracle so the pseudo-weights are engine-independent.
+POISSON1_CUTS_60 = (
+    424136118829305344, 848272237658610688, 1060340297073263360,
+    1131029650211480960, 1148701988496035328, 1152236456152946176,
+    1152825534095764608, 1152909688087595776, 1152920207336574720,
+)
+
+
+def poisson_bootstrap_mean(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    value_col: str,
+    n_boot: int = 16,
+    salt: str = "boot",
+) -> pd.DataFrame:
+    """POISSON BOOTSTRAP confidence interval for a mean — the
+    distributed bootstrap (resampling a 100-TB table multinomially
+    needs a global draw; giving every row an INDEPENDENT Poisson(1)
+    weight per replicate needs nothing but the row — the classic
+    streaming/MapReduce bootstrap). Weights are md5-deterministic
+    (u = 60 bits of md5(salt:b:id), w = #Poisson-CDF cutoffs ≤ u), so
+    the whole computation is reproducible and SQL-checkable.
+
+    Every statistic stays an integer PAIR (Σw·cents, Σw): replicates
+    are ranked by their float ratio with the replicate index as the
+    tie-break (IEEE double division is identical in numpy and DuckDB),
+    and the CI bounds are the 2nd-smallest and 2nd-largest replicate
+    means (≈ the 6.25/93.75 band at the default 16 replicates — a
+    deterministic order-statistic rule, documented rather than
+    interpolated). Returns ONE row:
+    (obs_num, obs_den, lo_num, lo_den, hi_num, hi_den), all int64
+    cents — callers divide. One per-batch combiner → driver merge of
+    blocks × (n_boot + 1) fixed-size partials."""
+    import hashlib
+
+    cuts = np.array(POISSON1_CUTS_60, dtype=np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df[value_col] * 100).round().astype("int64").to_numpy()
+        ids = df[id_col].astype("int64").to_numpy()
+        rows = [(-1, int(cents.sum()), len(df))]
+        for b in range(n_boot):
+            u = np.fromiter(
+                (int(hashlib.md5(f"{salt}:{b}:{v}".encode()).hexdigest()[:15],
+                     16) for v in ids),
+                dtype=np.int64, count=len(ids),
+            )
+            w = np.searchsorted(cuts, u, side="right").astype(np.int64)
+            rows.append((b, int((cents * w).sum()), int(w.sum())))
+        return pd.DataFrame(rows, columns=["b", "s", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("b", as_index=False)[["s", "n"]].sum()
+    obs = agg[agg["b"] == -1].iloc[0]
+    reps = agg[agg["b"] >= 0].copy()
+    reps["ratio"] = reps["s"].to_numpy(dtype=np.float64) / reps["n"].to_numpy(
+        dtype=np.float64
+    )
+    reps = reps.sort_values(["ratio", "b"], kind="mergesort").reset_index(
+        drop=True
+    )
+    lo, hi = reps.iloc[1], reps.iloc[len(reps) - 2]
+    return pd.DataFrame(
+        {
+            "obs_num": [np.int64(obs["s"])], "obs_den": [np.int64(obs["n"])],
+            "lo_num": [np.int64(lo["s"])], "lo_den": [np.int64(lo["n"])],
+            "hi_num": [np.int64(hi["s"])], "hi_den": [np.int64(hi["n"])],
+        }
+    )
+
+
 def grouped_permutation_test(
     ds: "ray.data.Dataset",
     id_col: str,

@@ -247,3 +247,31 @@ def test_grouped_mad_robust_to_outliers(ray_session):
     assert a["median"] == 3 and a["mad"] == 1
     b = out[out["g"] == "b"].iloc[0]
     assert b["median"] == 10 and b["mad"] == 0
+
+
+def test_poisson_bootstrap_ci_brackets_mean(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.stats import poisson_bootstrap_mean
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {"id": np.arange(4000), "v": rng.normal(50.0, 5.0, 4000).round(2)}
+    )
+    out = poisson_bootstrap_mean(
+        ray.data.from_pandas(df).repartition(5), "id", "v", n_boot=16
+    ).iloc[0]
+    obs = out["obs_num"] / out["obs_den"]
+    lo = out["lo_num"] / out["lo_den"]
+    hi = out["hi_num"] / out["hi_den"]
+    assert lo <= obs <= hi
+    # bootstrap spread ~ sigma/sqrt(n) ~ 0.08 cents-scale; the band
+    # must be tight around the observed mean, not degenerate
+    assert 0 < hi - lo < 100  # cents
+    # determinism: identical on re-run
+    out2 = poisson_bootstrap_mean(
+        ray.data.from_pandas(df).repartition(3), "id", "v", n_boot=16
+    ).iloc[0]
+    assert (out == out2).all()

@@ -190,7 +190,14 @@ class BlockSet:
                 return rd.from_pandas_refs(live)
             blocks = ray.get(self.refs)
             typed = next((b for b in blocks if len(b.columns)), blocks[0])
-            return rd.from_pandas(typed)
+            # an all-empty result must keep its schema: zero-row PANDAS
+            # blocks lose columns in Ray's metadata path (NOTES fact
+            # 3), zero-row ARROW tables don't
+            import pyarrow as pa
+
+            return rd.from_arrow(pa.Table.from_pandas(
+                typed, preserve_index=False
+            ))
         return rd.from_pandas_refs(self.refs)
 
     def to_pandas(self) -> pd.DataFrame:

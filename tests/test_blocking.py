@@ -192,3 +192,43 @@ def test_ed1_lookup_bruteforce(ray_session):
     want["edit_dist"] = want["edit_dist"].astype("int64")
     assert got.duplicated().sum() == 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_ed1_pairs_hypothesis_vs_bruteforce(ray_session):
+    """Property: the deletion-POSITION algebra (same (variant, pos) ⟺
+    substitution; shared variant == shorter string ⟺ ins/del) emits
+    exactly the Levenshtein-distance-1 pairs — adversarial universe of
+    short repeated-char strings where the old D₁-set reasoning was
+    subtlest."""
+    import itertools
+
+    import pandas as pd
+    import ray.data
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fastie_ray.ops.blocking import _levenshtein, ed1_pairs
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="ab1", min_size=0, max_size=4),
+            min_size=2, max_size=12, unique=True,
+        )
+    )
+    def check(strings):
+        df = pd.DataFrame({"s": strings})
+        out = ed1_pairs(
+            ray.data.from_pandas(df).repartition(2), "s", n_buckets=3
+        ).to_pandas()
+        # Dataset.to_pandas drops zero-row blocks, so an empty result
+        # arrives column-less (Ray behavior, NOTES fact 34)
+        got = sorted(zip(out["u"], out["v"])) if len(out) else []
+        want = sorted(
+            (min(a, b), max(a, b))
+            for a, b in itertools.combinations(sorted(set(strings)), 2)
+            if _levenshtein(a, b) == 1
+        )
+        assert got == want, (strings, got, want)
+
+    check()

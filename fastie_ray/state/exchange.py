@@ -17,13 +17,18 @@ Scale shape (100 TB): identical data movement to the Dataset exchange
 — every row crosses the wire once, partitioned by key hash, objects
 live in (and spill from) the object store. `n_buckets` plays the role
 of output partitions; size it to the cluster (tasks = blocks +
-n_buckets per exchange). What is *lost* vs Dataset is streaming
-backpressure between pipeline stages — acceptable because the loops
-this serves materialize per round anyway (their fixpoint tests need
-counts), and per-round state (edge/label tables) is a bounded fraction
-of the corpus, not the corpus itself. Use Datasets for the wide
-streaming pipelines; use this for tight fixpoint loops over
-already-reduced state.
+n_buckets per exchange) AND to worker memory: each reduce concatenates
+its whole bucket into one pandas frame, so n_buckets must keep the
+largest bucket inside a worker heap — the standard hash-join partition
+contract, checked by the caller, not spilled for you (Ray Data's
+sort-based shuffle spills; prefer it when a single reduce bucket can
+exceed memory). What is *lost* vs Dataset is streaming backpressure
+between pipeline stages — acceptable because the loops this serves
+materialize per round anyway (their fixpoint tests need counts), and
+per-round state (edge/label tables) is a bounded fraction of the
+corpus, not the corpus itself. Use Datasets for the wide streaming
+pipelines; use this for tight fixpoint loops over already-reduced
+state and medium-cardinality exchanges.
 
 Correctness notes: buckets are `hash_pandas_object(key) % n_buckets`
 — ALL rows of a key land in one bucket, so a per-bucket pandas

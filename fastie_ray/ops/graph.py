@@ -840,10 +840,14 @@ def link_prediction(
     contributions, documented trade), or pre-sample the adjacency.
 
     Edge-set-sized exchanges only; the driver never sees more than
-    ``n_buckets × k`` candidate rows."""
-    from fastie_ray.ops.join import hash_join
+    ``n_buckets × k`` candidate rows. Raw-task shape (r3): wedge
+    enumeration is one center-keyed exchange (symmetrization fused
+    into the split); the final count, the known-edge ANTI-join (the
+    canonical edge set rides PINNED on the same (u, v) hash) and the
+    per-bucket top-k all happen in the second exchange."""
+    from fastie_ray.state.exchange import BlockSet
 
-    edges = edges.repartition(n_buckets).materialize()
+    ebs = BlockSet.from_dataset(edges)
 
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -853,15 +857,16 @@ def link_prediction(
             }
         )
 
-    def add_bc(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__b"] = _bucket(df["c"], n_buckets)
-        return df
+    def edge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"u": df["a"], "v": df["b"]}
+        ).drop_duplicates()
+
+    edge_parts = ebs.partition(["u", "v"], n_buckets, map_fn=edge_pairs)
 
     score = "cn" if weight == "cn" else "ra_e6"
 
     def wedge_counts(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="__b")
         if max_degree is not None:
             deg = g.groupby("c")["n"].transform("size")
             g = g[deg <= max_degree]
@@ -895,45 +900,29 @@ def link_prediction(
         out[score] = out[score].astype("int64")
         return out
 
-    def add_bp(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__b"] = _bucket(df["u"] + "|" + df["v"], n_buckets)
-        return df
-
-    def cn_final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop(columns="__b").groupby(["u", "v"], as_index=False)[
-            score
-        ].sum()
+    def cn_final(g: pd.DataFrame, eb: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "u" not in g.columns:
+            return pd.DataFrame(
+                {"u": pd.Series([], dtype=object),
+                 "v": pd.Series([], dtype=object),
+                 score: pd.Series([], dtype="int64")}
+            )
+        out = g.groupby(["u", "v"], as_index=False)[score].sum()
         out[score] = out[score].astype("int64")
-        out["pk"] = out["u"] + "|" + out["v"]
-        return out
-
-    cn = (
-        edges.map_batches(sym, batch_format="pandas")
-        .map_batches(add_bc, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(wedge_counts, batch_format="pandas")
-        .map_batches(add_bp, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(cn_final, batch_format="pandas")
-    )
-    non_edges = hash_join(
-        cn,
-        edges.map_batches(
-            lambda df: pd.DataFrame({"pk": df["a"] + "|" + df["b"]}),
-            batch_format="pandas",
-        ),
-        on="pk", how="anti", left_cols=["u", "v", score, "pk"],
-        n_buckets=n_buckets,
-    )
-
-    def topk_local(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(
+        if len(eb):
+            out = out.merge(
+                eb, on=["u", "v"], how="left", indicator=True, sort=False
+            )
+            out = out.loc[out["_merge"] == "left_only",
+                          ["u", "v", score]]
+        return out.sort_values(
             [score, "u", "v"], ascending=[False, True, True]
-        ).head(k)[["u", "v", score]]
+        ).head(k)
 
-    cand = non_edges.map_batches(
-        topk_local, batch_format="pandas"
+    wedges = ebs.exchange(["c"], wedge_counts, n_buckets=n_buckets,
+                          map_fn=sym)
+    cand = wedges.exchange(
+        ["u", "v"], cn_final, n_buckets=n_buckets, side=edge_parts,
     ).to_pandas()
     out = cand.sort_values(
         [score, "u", "v"], ascending=[False, True, True]

@@ -421,6 +421,68 @@ def _q_kmeans_assign(sf_dir: str):
     return kmeans_assign(ds, cids, cents).select_columns(["vec_id", "cluster_id"])
 
 
+def _q_cluster_keywords(sf_dir: str):
+    """Corpus cartography: the per-CLUSTER keyword report — k-means
+    cluster assignments (``ops.clustering.kmeans_assign``, vec_id ==
+    doc_id by construction) hash-joined to the token stream, then the
+    top-5 tokens per cluster by occurrence count (ties: token asc) via
+    a (cluster, token)-combined count + one cluster-keyed top-k
+    exchange. The map-of-the-corpus artifact every curation UI shows."""
+    import pandas as pd
+
+    from fastie_ray.ops.clustering import init_centroids, kmeans_assign
+    from fastie_ray.ops.join import hash_join
+    from fastie_ray.state.exchange import BlockSet
+    from fastie_ray.ops.text_index import _TOKEN_RE
+
+    emb = _read(sf_dir, "embeddings")
+    cids, cents = init_centroids(emb, k=10)
+    assign = kmeans_assign(emb, cids, cents).select_columns(
+        ["vec_id", "cluster_id"]
+    )
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].str.lower().str.findall(_TOKEN_RE)
+        out = pd.DataFrame(
+            {"vec_id": df["doc_id"].astype("int64").repeat(t.map(len)),
+             "token": [x for lst in t for x in lst]}
+        )
+        return out.groupby(["vec_id", "token"], as_index=False).size()
+
+    joined = hash_join(
+        docs.map_batches(toks, batch_format="pandas"), assign,
+        on="vec_id", left_cols=["vec_id", "token", "size"],
+        right_cols=["vec_id", "cluster_id"], n_buckets=16,
+    )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["cluster_id", "token"], as_index=False)[
+            "size"
+        ].sum()
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cluster_id", "token"], as_index=False)[
+            "size"
+        ].sum()
+        out = out.sort_values(
+            ["cluster_id", "size", "token"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        out = out.groupby("cluster_id", sort=False).head(5)
+        return pd.DataFrame(
+            {
+                "cluster_id": out["cluster_id"].astype("int64"),
+                "token": out["token"],
+                "n_occ": out["size"].astype("int64"),
+            }
+        )
+
+    return BlockSet.from_dataset(joined).exchange(
+        ["cluster_id"], topk, n_buckets=8, map_fn=combine
+    ).to_dataset()
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Full Lloyd's (8 iterations) → cluster sizes. Iterative centroid
     averages are not SQL-expressible — rows-only driver check; the
@@ -7275,6 +7337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "grouped_topk": _q_grouped_topk,
         "kmeans_assign": _q_kmeans_assign,
+        "cluster_keywords": _q_cluster_keywords,
         "kmeans_clusters": _q_kmeans_clusters,
         "doc_frequency": _q_doc_frequency,
         "tfidf_terms": _q_tfidf_terms,
@@ -9412,6 +9475,38 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM documents
             ) WHERE rank <= 5
+        """,
+        "cluster_keywords": """
+            WITH cent AS (
+                SELECT vec_id AS cid, embedding AS cvec
+                FROM embeddings ORDER BY vec_id LIMIT 10
+            ), d AS (
+                SELECT e.vec_id, c.cid,
+                       list_distance(e.embedding, c.cvec) AS dist
+                FROM embeddings e CROSS JOIN cent c
+            ), a AS (
+                SELECT vec_id, cid AS cluster_id FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist, cid) AS rn
+                    FROM d) WHERE rn = 1
+            ), tok AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(text,
+                           '[A-Za-z0-9]+'))) AS token
+                FROM documents
+            ), cnt AS (
+                SELECT a.cluster_id, t.token, count(*) AS n
+                FROM tok t JOIN a ON a.vec_id = t.doc_id
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT cluster_id, token, n,
+                       row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n DESC, token) AS rn
+                FROM cnt)
+            SELECT CAST(cluster_id AS BIGINT) AS cluster_id, token,
+                   CAST(n AS BIGINT) AS n_occ
+            FROM r WHERE rn <= 5
         """,
         "kmeans_assign": """
             WITH cent AS (

@@ -6807,6 +6807,28 @@ def _densest_sql(eps_e6: int = 100_000, rounds: int = 8) -> str:
     )
 
 
+def _q_butterflies(sf_dir: str):
+    """Bipartite BUTTERFLY count (``ops.graph.butterfly_count``) over
+    the distinct (user, event_type) incidence graph — 2×2 bicliques,
+    the motif primitive of user-item graphs where triangles cannot
+    exist. Two exchanges: per-user item pairs, then per-item-pair
+    common-user counts with C(cu, 2) partial sums."""
+    import pandas as pd
+
+    from fastie_ray.ops.graph import butterfly_count
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"u": df["user_id"].astype("int64"), "i": df["event_type"]}
+        ).drop_duplicates()
+
+    return butterfly_count(
+        ev.map_batches(prep, batch_format="pandas"), n_buckets=16
+    )
+
+
 def _q_triad_census(sf_dir: str):
     """Directed triad closure census (``ops.graph.
     triad_closure_census``) over the event handoff graph: cyclic vs
@@ -7481,6 +7503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "analyze_hist": _q_analyze_hist,
         "densest": _q_densest,
         "triad_census": _q_triad_census,
+        "butterflies": _q_butterflies,
         "bot_scores": _q_bot_scores,
         "ed1_lookup": _q_ed1_lookup,
         "top_reach": _q_top_reach,
@@ -8284,6 +8307,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS regs_nonzero,
                    CAST(sum(mr) AS BIGINT) AS rho_sum
             FROM m GROUP BY 1
+        """,
+        "butterflies": """
+            WITH e AS (
+                SELECT DISTINCT CAST(user_id AS VARCHAR) AS u, event_type AS i
+                FROM events),
+            w AS (
+                SELECT a.i AS i1, b.i AS i2, count(*) AS cu
+                FROM e a JOIN e b ON a.u = b.u AND a.i < b.i
+                GROUP BY 1, 2)
+            SELECT CAST(coalesce(sum(cu * (cu - 1) // 2), 0) AS BIGINT)
+                       AS n_butterflies,
+                   CAST(count(*) AS BIGINT) AS n_item_pairs,
+                   CAST(coalesce(sum(cu), 0) AS BIGINT) AS n_wedges
+            FROM w
         """,
         "tc_ancestors": """
             WITH RECURSIVE anc(node, ancestor) AS (

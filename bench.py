@@ -99,7 +99,10 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "itemsets3", "analyze_hist", "densest",
                  "triad_census", "bot_scores", "ed1_lookup", "top_reach",
                  "grouped_weighted_median", "noisy_labels", "landing_exit", "conversion_daily", "grouped_psi",
-                 "bpe_encode_apply"):
+                 "bpe_encode_apply", "anf_reach", "neardup_incremental",
+                 "tc_ancestors", "ra_links", "bootstrap_ci",
+                 "cluster_keywords", "butterflies", "kg_edge_history",
+                 "grouped_perm_test", "balanced_sample"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

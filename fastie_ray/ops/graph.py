@@ -3005,3 +3005,61 @@ def anf_reach(
         )
 
     return regs.map(summarize).to_dataset()
+
+
+def butterfly_count(
+    edges: "ray.data.Dataset",
+    u_col: str = "u",
+    i_col: str = "i",
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """BUTTERFLY counting — the bipartite motif (2×2 biclique:
+    two users × two items fully connected), the clustering primitive
+    of user-item / doc-term graphs where triangles cannot exist.
+    n_butterflies = Σ over item pairs C(common_users, 2).
+
+    Two exchanges over DISTINCT (u, i) edges: (1) keyed u — per-user
+    item pairs with a batch-distinct combiner (volume Σ deg(u)², the
+    wedge bound; cap hub users upstream if needed); (2) keyed item
+    pair — common-user counts, with the C(cu, 2) partial sums reduced
+    per bucket so the driver merges n_buckets scalar rows. Returns one
+    row (n_butterflies, n_item_pairs, n_wedges)."""
+    from fastie_ray.state.exchange import BlockSet
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"u": df[u_col].astype(str), "i": df[i_col].astype(str)}
+        ).drop_duplicates()
+
+    def item_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on="u", sort=False)
+        m = m[m["i_x"] < m["i_y"]]
+        out = m.groupby(["i_x", "i_y"], as_index=False).size()
+        out["size"] = out["size"].astype("int64")
+        return out
+
+    def partial_butterflies(g: pd.DataFrame) -> pd.DataFrame:
+        cu = g.groupby(["i_x", "i_y"], as_index=False)["size"].sum()["size"]
+        cu = cu.astype("int64")
+        return pd.DataFrame(
+            {
+                "bf": [np.int64((cu * (cu - 1) // 2).sum())],
+                "pairs": [np.int64(len(cu))],
+                "wedges": [np.int64(cu.sum())],
+            }
+        )
+
+    ebs = BlockSet.from_dataset(edges)
+    wedges = ebs.exchange(["u"], item_pairs, n_buckets=n_buckets,
+                          map_fn=canon)
+    parts = wedges.exchange(
+        ["i_x", "i_y"], partial_butterflies, n_buckets=n_buckets
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_butterflies": [np.int64(parts["bf"].sum() if len(parts) else 0)],
+            "n_item_pairs": [np.int64(parts["pairs"].sum() if len(parts) else 0)],
+            "n_wedges": [np.int64(parts["wedges"].sum() if len(parts) else 0)],
+        }
+    )

@@ -1479,3 +1479,161 @@ def minhash_dups_against(
         )
     )
     return dedup_exact(pairs, ["inc_id", "base_id"])
+
+
+def band_corpus_index(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    concurrency: int = 4,
+    n_parts: int = 64,
+) -> str:
+    """Persist the corpus's BANDED MinHash table as the standing
+    near-dup INDEX: one banding pass, written as parquet partitioned
+    by ``part = key & (n_parts-1)`` — the same coarse partition the
+    pair search groups on, so an incremental run opens only the
+    partitions its own band keys hit. Write is atomic per partition
+    (data file, then the directory-level ``_BANDING.json`` manifest
+    recording the banding params LAST — a reader refuses an index
+    whose params don't match its own). Returns ``out_dir``."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    banded = ds.map_batches(
+        MinHashBander,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col, shingle_k=shingle_k,
+            num_perm=num_perm, bands=bands, seed=seed, carry="shingles",
+        ),
+        batch_format="pyarrow",
+        concurrency=_pool_size(concurrency),
+    )
+
+    def add_part(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        part = pc.cast(
+            pc.bit_wise_and(t["key"], n_parts - 1), pa.int32()
+        )
+        return t.append_column("__part", part)
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["__part"].iloc[0]) if len(g) else -1
+        sub = g.drop(columns="__part")
+        # per-(band,key) groups stay whole inside a part by
+        # construction (part is a function of key)
+        pdir = os.path.join(out_dir, f"part={part}")
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(sub, preserve_index=False),
+            os.path.join(pdir, "data.parquet"),
+        )
+        return pd.DataFrame({"part": [part], "rows": [len(sub)]})
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_rows = (
+        banded.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(write_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    with open(os.path.join(out_dir, "_BANDING.json"), "w") as f:
+        json.dump(
+            {
+                "shingle_k": shingle_k, "num_perm": num_perm,
+                "bands": bands, "seed": seed, "n_parts": n_parts,
+                "rows": int(manifest_rows["rows"].sum()),
+            }, f,
+        )
+    return out_dir
+
+
+def minhash_dups_against_index(
+    index_dir: str,
+    increment: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """The PRODUCTION shape of :func:`minhash_dups_against`: the
+    standing corpus's banded table comes from a persisted
+    :func:`band_corpus_index` (banding params read from the index
+    manifest and applied to the increment — a param mismatch raises),
+    so only the INCREMENT is shingled/banded per run. Base band rows
+    load directly into the coarse partitions they were written under;
+    pair generation and exact-Jaccard verification are unchanged.
+    Returns (inc_id, base_id, jaccard_e6)."""
+    import json
+    import os
+
+    import numpy as np
+    import ray.data
+
+    from fastie_ray.ops.dedup import dedup_exact
+
+    with open(os.path.join(index_dir, "_BANDING.json")) as f:
+        params = json.load(f)
+    n_parts = int(params["n_parts"])
+
+    def tag_base(t):
+        import pyarrow as pa
+
+        if "part" in t.column_names:  # hive partition column from read
+            t = t.drop_columns(["part"])
+        return t.append_column(
+            "side", pa.array(np.zeros(len(t), dtype=np.int32))
+        )
+
+    base_banded = ray.data.read_parquet(index_dir).map_batches(
+        tag_base, batch_format="pyarrow"
+    )
+
+    def tag_inc(t):
+        import pyarrow as pa
+
+        return t.append_column(
+            "__side", pa.array(np.ones(len(t), dtype=np.int32))
+        )
+
+    inc_banded = increment.map_batches(
+        tag_inc, batch_format="pyarrow"
+    ).map_batches(
+        MinHashBander,
+        fn_constructor_kwargs=dict(
+            id_col=id_col, text_col=text_col,
+            shingle_k=int(params["shingle_k"]),
+            num_perm=int(params["num_perm"]), bands=int(params["bands"]),
+            seed=int(params["seed"]), carry="shingles", side_col="__side",
+        ),
+        batch_format="pyarrow",
+        concurrency=_pool_size(concurrency),
+    )
+
+    def add_part(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        part = pc.cast(pc.bit_wise_and(t["key"], n_parts - 1), pa.int32())
+        return t.append_column("__part", part)
+
+    pairs = (
+        base_banded.union(inc_banded)
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda g: _cross_pairs_in_partition(
+                g.drop(columns="__part"), threshold
+            ),
+            batch_format="pandas",
+        )
+    )
+    return dedup_exact(pairs, ["inc_id", "base_id"])

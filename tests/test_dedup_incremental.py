@@ -171,3 +171,45 @@ def test_fuzzy_keep_best_rejects_float_scores(ray_session):
     with pytest.raises((TypeError, Exception)) as ei:
         fuzzy_dedup_keep_best(docs, pairs, score_col="score", n_buckets=2).to_pandas()
     assert "integer score_col" in str(ei.value)
+
+
+def test_banded_index_mode_matches_direct(ray_session, tmp_path):
+    """minhash_dups_against_index (persisted banded base) must emit
+    exactly what minhash_dups_against (both sides banded per run)
+    emits — same params, same pairs, same integer jaccard."""
+    import pandas as pd
+    import ray.data
+
+    from fastie_ray.ops.neardup import (
+        band_corpus_index,
+        minhash_dups_against,
+        minhash_dups_against_index,
+    )
+
+    base = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+
+    def inc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"].astype("int64") % 7 == 0]
+        return pd.DataFrame(
+            {"doc_id": sub["doc_id"].astype("int64") + 5_000_000,
+             "text": sub["text"]}
+        )
+
+    inc = base.map_batches(inc_rows, batch_format="pandas")
+
+    idx = band_corpus_index(
+        base, str(tmp_path / "band_idx"), concurrency=2, n_parts=16
+    )
+    got = (
+        minhash_dups_against_index(idx, inc, threshold=0.7, concurrency=2)
+        .to_pandas().sort_values(["inc_id", "base_id"]).reset_index(drop=True)
+    )
+    want = (
+        minhash_dups_against(base, inc, threshold=0.7, concurrency=2)
+        .to_pandas().sort_values(["inc_id", "base_id"]).reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want)

@@ -213,6 +213,217 @@ def _q_kg_edge_history(sf_dir: str):
     ).to_dataset()
 
 
+def _q_kg_contradictions(sf_dir: str):
+    """KG QUALITY — temporal contradiction audit: for each (subject,
+    predicate) with two DISTINCT objects whose capture-time validity
+    windows overlap, emit the conflicting pair and the overlap window.
+    The shape a continuously-crawled KG runs before publishing edges
+    for functional-ish predicates (one CEO at a time, one capital at a
+    time). One streaming extraction pass feeding ONE exchange keyed on
+    (subject, predicate): the per-batch combiner reduces to per-(s,p,o)
+    windows, the bucket task finalizes windows and self-merges WITHIN
+    the (s,p) group — the pairwise step is bounded by per-subject
+    predicate fan-out (out-degree per predicate), never corpus-sized,
+    the same partitioning contract as the edge aggregate itself."""
+    import pandas as pd
+
+    import ray
+
+    from fastie_ray.pipelines.kg import doc_triples
+    from fastie_ray.state.exchange import BlockSet
+
+    world_ref = ray.put(_world())
+    triples = doc_triples(_pages(sf_dir), world_ref=world_ref, concurrency=_conc())
+    SPO = ["subject", "predicate", "object"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["url"].str[-6:].astype("int64")
+        g = pd.DataFrame(
+            {
+                "subject": df["subject"], "predicate": df["predicate"],
+                "object": df["object"], "first_seen_s": d, "last_seen_s": d,
+            }
+        )
+        return g.groupby(SPO, as_index=False).agg(
+            first_seen_s=("first_seen_s", "min"),
+            last_seen_s=("last_seen_s", "max"),
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby(SPO, as_index=False).agg(
+            first_seen_s=("first_seen_s", "min"),
+            last_seen_s=("last_seen_s", "max"),
+        )
+        m = h.merge(h, on=["subject", "predicate"], suffixes=("_a", "_b"))
+        m = m[m["object_a"] < m["object_b"]]
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "subject": pd.Series([], dtype="object"),
+                    "predicate": pd.Series([], dtype="object"),
+                    "object_a": pd.Series([], dtype="object"),
+                    "object_b": pd.Series([], dtype="object"),
+                    "overlap_start_s": pd.Series([], dtype="int64"),
+                    "overlap_end_s": pd.Series([], dtype="int64"),
+                }
+            )
+        m = m.assign(
+            overlap_start_s=m[["first_seen_s_a", "first_seen_s_b"]]
+            .max(axis=1).astype("int64"),
+            overlap_end_s=m[["last_seen_s_a", "last_seen_s_b"]]
+            .min(axis=1).astype("int64"),
+        )
+        m = m[m["overlap_start_s"] <= m["overlap_end_s"]]
+        return m[
+            ["subject", "predicate", "object_a", "object_b",
+             "overlap_start_s", "overlap_end_s"]
+        ].reset_index(drop=True)
+
+    return BlockSet.from_dataset(triples).exchange(
+        ["subject", "predicate"], final, n_buckets=16, map_fn=partial
+    ).to_dataset()
+
+
+def _q_kg_type_signatures(sf_dir: str):
+    """KG QUALITY — predicate type-signature audit: per (predicate,
+    subject_label, object_label), the number of extracted triple
+    instances. Over a real crawl this is the ontology-conformance
+    check (a `ceo_of` edge whose subject typed LOC is an extraction
+    bug). The surface→label gazetteer is the SMALL side: shipped once
+    in the task closure (200 entries here; `ray.put` + per-worker
+    cache at real alias-table sizes, same discipline as
+    `stages/link.py`), labels mapped inside the per-batch combiner, so
+    the exchange carries only the ≤ |preds|×|labels|² aggregate."""
+    import pandas as pd
+
+    import ray
+
+    from fastie_ray.pipelines.kg import doc_triples
+    from fastie_ray.state.exchange import BlockSet
+
+    w = _world()
+    gaz = dict(w.gazetteer)
+    world_ref = ray.put(w)
+    triples = doc_triples(_pages(sf_dir), world_ref=world_ref, concurrency=_conc())
+    KEYS = ["predicate", "sub_label", "obj_label"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "predicate": df["predicate"],
+                "sub_label": df["subject"].map(gaz),
+                "obj_label": df["object"].map(gaz),
+                "n": 1,
+            }
+        )
+        return g.groupby(KEYS, as_index=False)["n"].sum()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(KEYS, as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return BlockSet.from_dataset(triples).exchange(
+        ["predicate"], final, n_buckets=8, map_fn=partial
+    ).to_dataset()
+
+
+def _q_kg_provenance(sf_dir: str):
+    """KG QUALITY — provenance breadth per surface triple: how many
+    documents support the edge and across how many distinct crawl
+    languages (url path segment; the synth stand-in for distinct
+    domains/snapshots). Single-language single-doc edges are the ones
+    a production KG holds back for review. One exchange keyed on
+    (s, p, o); the per-batch combiner pre-reduces to distinct
+    (s, p, o, lang) rows with doc counts, so the wire carries at most
+    |distinct triples| × |langs| rows, not the corpus."""
+    import pandas as pd
+
+    import ray
+
+    from fastie_ray.pipelines.kg import doc_triples
+    from fastie_ray.state.exchange import BlockSet
+
+    world_ref = ray.put(_world())
+    triples = doc_triples(_pages(sf_dir), world_ref=world_ref, concurrency=_conc())
+    SPO = ["subject", "predicate", "object"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "subject": df["subject"], "predicate": df["predicate"],
+                "object": df["object"],
+                "lang": df["url"].str.split("/").str[-2],
+                "n_docs": 1,
+            }
+        )
+        return g.groupby(SPO + ["lang"], as_index=False)["n_docs"].sum()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby(SPO + ["lang"], as_index=False)["n_docs"].sum()
+        out = h.groupby(SPO, as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_langs=("lang", "nunique")
+        )
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["n_langs"] = out["n_langs"].astype("int64")
+        return out
+
+    return BlockSet.from_dataset(triples).exchange(
+        SPO, final, n_buckets=16, map_fn=partial
+    ).to_dataset()
+
+
+def _q_kg_degree_profile(sf_dir: str):
+    """KG QUALITY — per-entity degree profile over the CANONICAL edge
+    table (out-degree, in-degree, distinct outgoing predicates): the
+    hub/leaf census that sizes skew mitigation (salting thresholds)
+    for every downstream graph pass. Tag-union shape: each edge emits
+    one out-row and one in-row, ONE exchange keyed on entity id
+    reduces both sides together — no self-join, no second pass."""
+    import pandas as pd
+
+    from fastie_ray.pipelines.kg import graph_tables
+    from fastie_ray.state.exchange import BlockSet
+
+    edges = graph_tables(
+        _pages(sf_dir), world=_world(), concurrency=_conc(), want=("edges",)
+    )["edges"].select_columns(["subject_id", "predicate", "object_id"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "entity_id": df["subject_id"], "out_deg": 1, "in_deg": 0,
+                "predicate": df["predicate"],
+            }
+        )
+        inn = pd.DataFrame(
+            {
+                "entity_id": df["object_id"], "out_deg": 0, "in_deg": 1,
+                "predicate": "",
+            }
+        )
+        return pd.concat([out, inn], ignore_index=True)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        preds = (
+            g[g["predicate"] != ""]
+            .groupby("entity_id")["predicate"].nunique()
+        )
+        out = g.groupby("entity_id", as_index=False).agg(
+            out_deg=("out_deg", "sum"), in_deg=("in_deg", "sum")
+        )
+        out["n_out_predicates"] = (
+            out["entity_id"].map(preds).fillna(0).astype("int64")
+        )
+        out["out_deg"] = out["out_deg"].astype("int64")
+        out["in_deg"] = out["in_deg"].astype("int64")
+        return out
+
+    return BlockSet.from_dataset(edges).exchange(
+        ["entity_id"], final, n_buckets=16, map_fn=tag
+    ).to_dataset()
+
+
 def _q_uie(sf_dir: str):
     import ray
 
@@ -7350,6 +7561,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _q_kg_nodes,
         "kg_events": _q_kg_events,
         "kg_edge_history": _q_kg_edge_history,
+        "kg_contradictions": _q_kg_contradictions,
+        "kg_type_signatures": _q_kg_type_signatures,
+        "kg_provenance": _q_kg_provenance,
+        "kg_degree_profile": _q_kg_degree_profile,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9089,6 +9304,62 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_seen
             {JOIN}
             GROUP BY 1, 2, 3
+        """,
+        "kg_contradictions": f"""
+            WITH {FACTS},
+            h AS (
+                SELECT f.subject AS subject, f.predicate AS predicate,
+                       f.object AS object,
+                       CAST(min(d.doc_id) AS BIGINT) AS first_seen_s,
+                       CAST(max(d.doc_id) AS BIGINT) AS last_seen_s
+                {JOIN}
+                GROUP BY 1, 2, 3
+            )
+            SELECT a.subject AS subject, a.predicate AS predicate,
+                   a.object AS object_a, b.object AS object_b,
+                   greatest(a.first_seen_s, b.first_seen_s) AS overlap_start_s,
+                   least(a.last_seen_s, b.last_seen_s) AS overlap_end_s
+            FROM h a JOIN h b
+              ON a.subject = b.subject AND a.predicate = b.predicate
+             AND a.object < b.object
+            WHERE greatest(a.first_seen_s, b.first_seen_s)
+               <= least(a.last_seen_s, b.last_seen_s)
+        """,
+        "kg_type_signatures": f"""
+            WITH {FACTS}
+            SELECT f.predicate AS predicate, f.sub_label AS sub_label,
+                   f.obj_label AS obj_label, count(*) AS n
+            {JOIN}
+            GROUP BY 1, 2, 3
+        """,
+        "kg_provenance": f"""
+            WITH {FACTS}
+            SELECT f.subject AS subject, f.predicate AS predicate,
+                   f.object AS object, count(*) AS n_docs,
+                   CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+            {JOIN}
+            GROUP BY 1, 2, 3
+        """,
+        "kg_degree_profile": f"""
+            WITH {FACTS}, {EIDS},
+            ed AS (
+                SELECT DISTINCT e.sub_eid, f.predicate, e.obj_eid
+                FROM documents d
+                JOIN facts f ON f.i = d.doc_id % {NF}
+                JOIN eids e ON e.i = f.i
+            ),
+            t AS (
+                SELECT sub_eid AS entity_id, 1 AS o, 0 AS i2, predicate
+                FROM ed
+                UNION ALL
+                SELECT obj_eid, 0, 1, NULL FROM ed
+            )
+            SELECT entity_id,
+                   CAST(sum(o) AS BIGINT) AS out_deg,
+                   CAST(sum(i2) AS BIGINT) AS in_deg,
+                   CAST(count(DISTINCT predicate) AS BIGINT)
+                       AS n_out_predicates
+            FROM t GROUP BY 1
         """,
         "blocking_pairs": f"""
             WITH u AS (

@@ -102,7 +102,9 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "bpe_encode_apply", "anf_reach", "neardup_incremental",
                  "tc_ancestors", "ra_links", "bootstrap_ci",
                  "cluster_keywords", "butterflies", "kg_edge_history",
-                 "grouped_perm_test", "balanced_sample"):
+                 "grouped_perm_test", "balanced_sample",
+                 "kg_contradictions", "kg_type_signatures",
+                 "kg_provenance", "kg_degree_profile"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

@@ -6039,6 +6039,91 @@ def _q_grouped_ks(sf_dir: str):
     )
 
 
+def _q_rank_sum_drift(sf_dir: str):
+    """Per-event-type Mann-Whitney rank-sum drift between the first
+    and second half of the event stream
+    (``ops.stats.grouped_rank_sum``): doubled tie-averaged ranks keep
+    the U statistic integral; auc_e6 is the probability-of-superiority
+    reading. Same distinct-value count-combiner shape as grouped_ks."""
+    import pandas as pd
+
+    from fastie_ray.ops.stats import grouped_rank_sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    cut = pd.Timestamp("2024-01-16").value // 1000
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            pd.to_datetime(df["ts"]).astype("datetime64[us]")
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "m": (t >= cut).astype("int64"),
+                "cents": (df["value"] * 100).round().astype("int64"),
+            }
+        )
+
+    return grouped_rank_sum(
+        ev.map_batches(prep, batch_format="pandas"),
+        "event_type", "m", "cents",
+    )
+
+
+def _q_target_encode(sf_dir: str):
+    """Leakage-safe K-fold target encoding of event_type against the
+    cents label (``ops.encoding.target_encode_oof``): the encoding
+    table (category, fold, n_oof, te_scaled) where each fold's value
+    is the mean over every OTHER fold — what a training pipeline joins
+    back to rows by (category, fold) without target leakage. One
+    category-keyed exchange over per-batch (cat, fold, n, sum)
+    combiners."""
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.encoding import target_encode_oof
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "fold": (df["event_id"] % 5).astype("int64"),
+                "cents": np.floor(df["value"] * 100 + 0.5).astype("int64"),
+            }
+        )
+
+    return target_encode_oof(
+        ev.map_batches(prep, batch_format="pandas"),
+        "event_type", "fold", "cents",
+    )
+
+
+def _q_hashed_features(sf_dir: str):
+    """Feature hashing over the documents table
+    (``ops.encoding.hashed_features``): per doc, token counts folded
+    into 64 md5 buckets — the vocabulary-free encoder (no vocab build
+    pass, no broadcast, output width fixed at any corpus size). Pure
+    map stage."""
+    from fastie_ray.ops.encoding import hashed_features
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return hashed_features(ds, "doc_id", "text", n_buckets=64)
+
+
+def _q_script_mix(sf_dir: str):
+    """Per-document script census + code-mixing flag
+    (``ops.text_analysis.script_mix``): Latin/CJK/digit char counts,
+    the router signal for mixed-script web pages. Zero-exchange
+    vectorized scan."""
+    from fastie_ray.ops.text_analysis import script_mix
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return script_mix(ds)
+
+
 def _order_tri_edges(sf_dir: str):
     """Chain+skip order graph: per customer, consecutive orders chained
     (rn → rn+1) AND second-neighbor skips (rn → rn+2), so every interior
@@ -7727,6 +7812,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "landing_exit": _q_landing_exit,
         "conversion_daily": _q_conversion_daily,
         "grouped_psi": _q_grouped_psi,
+        "rank_sum_drift": _q_rank_sum_drift,
+        "target_encode": _q_target_encode,
+        "hashed_features": _q_hashed_features,
+        "script_mix": _q_script_mix,
     }
 
 
@@ -10995,6 +11084,89 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.nc * ue.u // greatest(ue.mk, 1) AS BIGINT)
                        AS inter_est
             FROM c, ue
+        """,
+        "rank_sum_drift": """
+            WITH src AS (
+                SELECT event_type,
+                       CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN 1 ELSE 0 END AS m,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events),
+            c AS (
+                SELECT event_type, v,
+                       sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS na,
+                       sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS nb
+                FROM src GROUP BY 1, 2),
+            w AS (
+                SELECT event_type, v, na, nb, na + nb AS t,
+                       coalesce(sum(na + nb) OVER (
+                           PARTITION BY event_type ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS c_prev
+                FROM c),
+            r AS (
+                SELECT event_type, sum(na) AS n_a, sum(nb) AS n_b,
+                       sum(nb * (2 * c_prev + t + 1)) AS r2_b
+                FROM w GROUP BY 1)
+            SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(r2_b - n_b * (n_b + 1) AS BIGINT) AS u2_b,
+                   CAST(CASE WHEN n_a > 0 AND n_b > 0
+                        THEN (1000000 * (r2_b - n_b * (n_b + 1)))
+                             // (2 * n_a * n_b)
+                        ELSE 0 END AS BIGINT) AS auc_e6
+            FROM r
+        """,
+        "target_encode": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(event_id % 5 AS BIGINT) AS fold,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+            g AS (
+                SELECT event_type, fold, count(*) AS n, sum(cents) AS s
+                FROM e GROUP BY 1, 2),
+            t AS (
+                SELECT event_type, sum(n) AS n_all, sum(s) AS s_all
+                FROM g GROUP BY 1)
+            SELECT g.event_type, g.fold,
+                   CAST(t.n_all - g.n AS BIGINT) AS n_oof,
+                   CAST((1000000 * (t.s_all - g.s)) // (t.n_all - g.n)
+                        AS BIGINT) AS te_scaled
+            FROM g JOIN t USING (event_type)
+            WHERE t.n_all - g.n > 0
+        """,
+        "hashed_features": """
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+            h AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+                           % 64 AS bucket
+                FROM tok)
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM h GROUP BY 1, 2
+        """,
+        "script_mix": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       length(text) - length(regexp_replace(
+                           text, '[A-Za-z]', '', 'g')) AS n_latin,
+                       length(text) - length(regexp_replace(
+                           text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk,
+                       length(text) - length(regexp_replace(
+                           text, '[0-9]', '', 'g')) AS n_digit
+                FROM documents)
+            SELECT doc_id, CAST(n_latin AS BIGINT) AS n_latin,
+                   CAST(n_cjk AS BIGINT) AS n_cjk,
+                   CAST(n_digit AS BIGINT) AS n_digit,
+                   CAST(CASE WHEN n_latin > 0 AND n_cjk > 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
+            FROM c
         """,
         "grouped_ks": """
             WITH src AS (

@@ -104,7 +104,9 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "cluster_keywords", "butterflies", "kg_edge_history",
                  "grouped_perm_test", "balanced_sample",
                  "kg_contradictions", "kg_type_signatures",
-                 "kg_provenance", "kg_degree_profile"):
+                 "kg_provenance", "kg_degree_profile",
+                 "rank_sum_drift", "target_encode",
+                 "hashed_features", "script_mix"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

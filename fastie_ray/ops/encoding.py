@@ -1,0 +1,140 @@
+"""Feature-engineering encoders over Ray Data: leakage-safe K-fold
+target encoding and feature hashing.
+
+Reference parity: the reference engine (FastIE) has no tabular
+feature-engineering stage — these are the EXTRA training-data ops a
+large-scale pipeline needs before a downstream learner (the same
+family as ops/linear_train.py's perceptron prep).
+
+Scale shapes:
+- ``target_encode_oof``: per-batch (category, fold, n, sum) combiner →
+  ONE exchange keyed on category; the bucket task sees one category's
+  per-fold partial sums (|folds| rows), computes all-fold totals and
+  each fold's out-of-fold mean locally. Wire volume is
+  |categories| × |folds| aggregate rows, never the event stream.
+- ``hashed_features``: pure per-row map (tokens live inside the row),
+  zero exchanges; the hash space (``n_buckets``) bounds output width
+  regardless of vocabulary growth — the property that makes feature
+  hashing the 100-TB encoder (no vocab build pass, no broadcast).
+
+Integer discipline: means are emitted as ``floor(1e6 · sum / n)``
+(int64) so results are bit-exact against the SQL oracle (NOTES fact
+32: int-vs-float is the hash-mismatch trap, integer width is not).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    import ray.data
+
+from fastie_ray.state.exchange import BlockSet
+
+
+def target_encode_oof(
+    ds: "ray.data.Dataset",
+    cat_col: str,
+    fold_col: str,
+    label_col: str,
+    scale: int = 1_000_000,
+    n_buckets: int = 8,
+) -> "ray.data.Dataset":
+    """K-fold out-of-fold target encoding table:
+    (category, fold, n_oof, te_scaled) where ``te_scaled =
+    floor(scale · (sum_all − sum_fold) / (n_all − n_fold))`` — the mean
+    of the label over every OTHER fold, the leakage-safe value a row in
+    ``fold`` would be encoded with. Folds whose out-of-fold count is
+    zero (category present in exactly one fold) are dropped, matching
+    SQL's division guard. ``label_col`` must already be integer
+    (pre-scale floats upstream, e.g. cents)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "cat": df[cat_col],
+                "fold": df[fold_col].astype("int64"),
+                "n": 1,
+                "s": df[label_col].astype("int64"),
+            }
+        )
+        return g.groupby(["cat", "fold"], as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["cat", "fold"], as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum")
+        )
+        tot = g.groupby("cat", as_index=False).agg(
+            n_all=("n", "sum"), s_all=("s", "sum")
+        )
+        m = g.merge(tot, on="cat")
+        m["n_oof"] = m["n_all"] - m["n"]
+        m = m[m["n_oof"] > 0]
+        m["te_scaled"] = (
+            np.int64(scale) * (m["s_all"] - m["s"])
+        ) // m["n_oof"]
+        out = m[["cat", "fold", "n_oof", "te_scaled"]].copy()
+        out.columns = [cat_col, "fold", "n_oof", "te_scaled"]
+        for c in ("fold", "n_oof", "te_scaled"):
+            out[c] = out[c].astype("int64")
+        return out.reset_index(drop=True)
+
+    return (
+        BlockSet.from_dataset(ds)
+        .exchange(["cat"], final, n_buckets=n_buckets, map_fn=partial)
+        .to_dataset()
+    )
+
+
+def _md5_bucket(tokens: pd.Index, n_buckets: int) -> dict:
+    # same hash family as the HLL/split oracles: first 60 bits of md5,
+    # SQL mirror CAST(('0x' || substr(md5(t),1,15)) AS BIGINT) % n
+    return {
+        t: int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_buckets
+        for t in tokens
+    }
+
+
+def hashed_features(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+    token_re: str = r"[a-z0-9]+",
+) -> "ray.data.Dataset":
+    """Feature hashing (the hashing trick): per document, token counts
+    folded into a fixed ``n_buckets``-wide hashed bag-of-words —
+    (id, bucket, n) rows. Tokens are lowercased ``token_re`` matches.
+    Pure map stage: each row's features derive from that row alone, so
+    the op pipelines with zero exchanges and the hash space never
+    needs a vocabulary pass."""
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(token_re)
+        e = pd.DataFrame(
+            {"id": df[id_col].repeat(toks.str.len()), "tok": np.concatenate(
+                [np.array(t, dtype=object) for t in toks]
+            ) if len(df) else np.array([], dtype=object)}
+        )
+        if len(e) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype=df[id_col].dtype),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        lut = _md5_bucket(pd.Index(e["tok"].unique()), n_buckets)
+        e["bucket"] = e["tok"].map(lut).astype("int64")
+        out = e.groupby(["id", "bucket"], as_index=False).size()
+        out.columns = [id_col, "bucket", "n"]
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return ds.map_batches(feats, batch_format="pandas")

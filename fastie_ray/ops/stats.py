@@ -1580,3 +1580,80 @@ def grouped_ks(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def grouped_rank_sum(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    mask_col: str,
+    value_col: str,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-group Mann-Whitney rank-sum test (the nonparametric sibling
+    of ``grouped_ks``): rows carry (group, slice ∈ {0,1}, integer
+    value); returns one row per group
+    (group, n_a, n_b, u2_b, auc_e6) where ``u2_b`` is TWICE the U
+    statistic of slice 1 (doubling keeps tie-averaged ranks integral:
+    the average rank over a tie run of length t starting after c
+    elements is c + (t+1)/2, so 2·rank = 2c + t + 1 is always an
+    integer) and ``auc_e6 = floor(1e6 · U_b / (n_a·n_b))`` — the
+    probability-of-superiority / AUC reading of U.
+
+    Same distribution shape as ``grouped_ks``: per-batch
+    (group, value, slice) count combiner → ONE group-bucketed exchange;
+    the final task sorts each group's distinct values once and applies
+    the closed-form tie-run rank sum — no per-row ranks ever
+    materialize, so the wire carries distinct-value counts only."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "g": df[group_col],
+                "v": df[value_col].astype("int64"),
+                "m": df[mask_col].astype("int64"),
+            }
+        )
+        return g.groupby(["g", "v", "m"], as_index=False).agg(n=("m", "count"))
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["g"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").groupby(["g", "v", "m"], as_index=False)[
+            "n"
+        ].sum()
+        rows = []
+        for grp, sub in g.groupby("g", sort=True):
+            w = sub.pivot_table(index="v", columns="m", values="n",
+                                aggfunc="sum", fill_value=0)
+            na_col = w[0] if 0 in w else pd.Series(0, index=w.index)
+            nb_col = w[1] if 1 in w else pd.Series(0, index=w.index)
+            w = pd.DataFrame({"na": na_col, "nb": nb_col}).sort_index()
+            n_a = int(w["na"].sum())
+            n_b = int(w["nb"].sum())
+            t = (w["na"] + w["nb"]).to_numpy(dtype=np.int64)
+            c_prev = np.concatenate(([0], np.cumsum(t)[:-1]))
+            rank2 = 2 * c_prev + t + 1  # doubled tie-averaged rank
+            r2_b = int((w["nb"].to_numpy(dtype=np.int64) * rank2).sum())
+            u2_b = r2_b - n_b * (n_b + 1)
+            auc = (
+                (1_000_000 * u2_b) // (2 * n_a * n_b) if n_a and n_b else 0
+            )
+            rows.append((grp, n_a, n_b, u2_b, auc))
+        return pd.DataFrame(
+            rows, columns=[group_col, "n_a", "n_b", "u2_b", "auc_e6"]
+        ).astype({"n_a": "int64", "n_b": "int64", "u2_b": "int64",
+                  "auc_e6": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

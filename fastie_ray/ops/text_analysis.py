@@ -499,3 +499,33 @@ def term_drift(
     for c in ("n_a", "n_b", "score"):
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)
+
+
+def script_mix(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Per-document script census: Latin / CJK / digit character
+    counts plus a code-mixing flag (both Latin AND CJK present) — the
+    web-crawl cleaning signal that routes mixed-script pages away from
+    single-language models and catches encoding mojibake. Pure
+    vectorized map (pandas ``str.count`` over compiled char classes),
+    zero exchanges; at 100 TB this is a throughput-bound scan stage."""
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col]
+        n_latin = s.str.count(r"[A-Za-z]").astype("int64")
+        n_cjk = s.str.count(r"[一-鿿]").astype("int64")
+        n_digit = s.str.count(r"[0-9]").astype("int64")
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "n_latin": n_latin,
+                "n_cjk": n_cjk,
+                "n_digit": n_digit,
+                "is_mixed": ((n_latin > 0) & (n_cjk > 0)).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(census, batch_format="pandas")

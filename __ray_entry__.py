@@ -424,6 +424,30 @@ def _q_kg_degree_profile(sf_dir: str):
     ).to_dataset()
 
 
+def _q_rw_corpus(sf_dir: str):
+    """Random-walk corpus over the canonical KG entity graph
+    (``ops.graph.random_walks``): one deterministic 3-step walk per
+    entity, hash-chosen next hops (md5-ranked out-neighbors) — the
+    DeepWalk/node2vec training-data generator, reproducible bit-exact
+    across reruns and in SQL. Adjacency ranked once and pinned; each
+    step is ONE frontier-sized exchange."""
+    import pandas as pd
+
+    from fastie_ray.ops.graph import random_walks
+    from fastie_ray.pipelines.kg import graph_tables
+
+    t = graph_tables(
+        _pages(sf_dir), world=_world(), concurrency=_conc(), want=("edges",)
+    )["edges"]
+    edges = t.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["subject_id"], "dst": df["object_id"]}
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+    return random_walks(edges, walk_len=3, n_buckets=16)
+
+
 def _q_uie(sf_dir: str):
     import ray
 
@@ -7650,6 +7674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_type_signatures": _q_kg_type_signatures,
         "kg_provenance": _q_kg_provenance,
         "kg_degree_profile": _q_kg_degree_profile,
+        "rw_corpus": _q_rw_corpus,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9428,6 +9453,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
             {JOIN}
             GROUP BY 1, 2, 3
+        """,
+        "rw_corpus": f"""
+            WITH {FACTS}, {EIDS},
+            ed AS (
+                SELECT DISTINCT e.sub_eid AS cur, e.obj_eid AS dst
+                FROM documents d
+                JOIN facts f ON f.i = d.doc_id % {NF}
+                JOIN eids e ON e.i = f.i
+            ),
+            adj AS (
+                SELECT cur, dst,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY cur ORDER BY dst) - 1
+                           AS BIGINT) AS rnk,
+                       CAST(count(*) OVER (PARTITION BY cur)
+                           AS BIGINT) AS outdeg
+                FROM ed
+            ),
+            nodes AS (SELECT cur AS n FROM ed UNION SELECT dst FROM ed),
+            f0 AS (SELECT n AS start, n AS node FROM nodes),
+            s1 AS (
+                SELECT f.start, a.dst AS node
+                FROM f0 f JOIN adj a ON a.cur = f.node
+                 AND a.rnk = CAST(('0x' || substr(md5(
+                         f.start || '|0|' || f.node), 1, 15)) AS BIGINT)
+                     % a.outdeg
+            ),
+            s2 AS (
+                SELECT f.start, a.dst AS node
+                FROM s1 f JOIN adj a ON a.cur = f.node
+                 AND a.rnk = CAST(('0x' || substr(md5(
+                         f.start || '|1|' || f.node), 1, 15)) AS BIGINT)
+                     % a.outdeg
+            ),
+            s3 AS (
+                SELECT f.start, a.dst AS node
+                FROM s2 f JOIN adj a ON a.cur = f.node
+                 AND a.rnk = CAST(('0x' || substr(md5(
+                         f.start || '|2|' || f.node), 1, 15)) AS BIGINT)
+                     % a.outdeg
+            )
+            SELECT start, CAST(0 AS BIGINT) AS step, node FROM f0
+            UNION ALL SELECT start, CAST(1 AS BIGINT), node FROM s1
+            UNION ALL SELECT start, CAST(2 AS BIGINT), node FROM s2
+            UNION ALL SELECT start, CAST(3 AS BIGINT), node FROM s3
         """,
         "kg_degree_profile": f"""
             WITH {FACTS}, {EIDS},

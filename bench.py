@@ -106,7 +106,7 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "kg_contradictions", "kg_type_signatures",
                  "kg_provenance", "kg_degree_profile",
                  "rank_sum_drift", "target_encode",
-                 "hashed_features", "script_mix"):
+                 "hashed_features", "script_mix", "rw_corpus"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

@@ -3063,3 +3063,138 @@ def butterfly_count(
             "n_wedges": [np.int64(parts["wedges"].sum() if len(parts) else 0)],
         }
     )
+
+
+def random_walks(
+    edges: "ray.data.Dataset",
+    walk_len: int = 3,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Deterministic random-walk corpus over a directed graph — the
+    graph-embedding training-data generator (DeepWalk/node2vec input):
+    one walk per node, ``walk_len`` steps, emitted as
+    (start, step, node) rows (step 0 = the start node itself; a walk
+    ends early at a node with no out-edges).
+
+    Determinism (the reproducibility contract a training-data pipeline
+    needs): at step t from node u on the walk started at s, the next
+    edge is the ``H(s|t|u) mod outdeg(u)``-th out-neighbor of u in
+    dst-sorted order, with H = first 60 bits of md5 — bit-exactly
+    reproducible in SQL (and across reruns/resumes) while still mixing
+    like a hash. No RNG state ships anywhere.
+
+    Scale shape: the edge table is ranked ONCE by a src-keyed exchange
+    (rank + outdeg per src are bucket-local since all of a src's edges
+    co-locate) and its per-bucket outputs are PINNED as the side of
+    every walk round — ``walk_len`` exchanges each carry only the
+    (shrinking) frontier, one row per live walk, never the edge table.
+    Frontier volume is bounded by #nodes per round regardless of walk
+    count × length products downstream."""
+    from fastie_ray.state.exchange import BlockSet
+
+    def edge_canon(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "src" not in df.columns:
+            return pd.DataFrame(
+                {"cur": pd.Series([], dtype="object"),
+                 "dst": pd.Series([], dtype="object")}
+            )
+        return pd.DataFrame(
+            {"cur": df["src"], "dst": df["dst"]}
+        ).drop_duplicates()
+
+    def rank_adj(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values(["cur", "dst"], kind="mergesort")
+        g["rnk"] = g.groupby("cur").cumcount().astype("int64")
+        g["outdeg"] = g.groupby("cur")["dst"].transform("size").astype("int64")
+        return g.reset_index(drop=True)
+
+    bs = BlockSet.from_dataset(edges)
+    # exchange output blocks ARE the hash buckets of ["cur"] (same
+    # _hash_bucket, same n_buckets) — reuse them directly as the
+    # pinned side of every walk round, no second partition pass
+    adj = bs.exchange(["cur"], rank_adj, n_buckets=n_buckets,
+                      map_fn=edge_canon)
+
+    def seed_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "cur" not in df.columns:
+            return pd.DataFrame(
+                {"cur": pd.Series([], dtype="object"),
+                 "start": pd.Series([], dtype="object")}
+            )
+        n = pd.concat([df["cur"], df["dst"]], ignore_index=True)
+        n = pd.Series(n.unique(), dtype="object")
+        return pd.DataFrame({"cur": n, "start": n})
+
+    frontier = bs.exchange(
+        ["cur"],
+        lambda g: g.drop_duplicates().reset_index(drop=True),
+        n_buckets=n_buckets,
+        map_fn=lambda df: seed_rows(edge_canon(df)),
+    )
+
+    _EMPTY_F = pd.DataFrame(
+        {"cur": pd.Series([], dtype="object"),
+         "start": pd.Series([], dtype="object")}
+    )
+
+    def walk_rows(bsx: BlockSet, step: int) -> BlockSet:
+        def emit(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "cur" not in df.columns:
+                return pd.DataFrame(
+                    {"start": pd.Series([], dtype="object"),
+                     "step": pd.Series([], dtype="int64"),
+                     "node": pd.Series([], dtype="object")}
+                )
+            return pd.DataFrame(
+                {"start": df["start"],
+                 "step": np.int64(step),
+                 "node": df["cur"]}
+            )
+
+        return bsx.map(emit)
+
+    out_parts = [walk_rows(frontier, 0)]
+    import hashlib as _hl
+
+    for t in range(walk_len):
+        def hop(g: pd.DataFrame, adj_b: pd.DataFrame, _t=t) -> pd.DataFrame:
+            if len(g) == 0 or "cur" not in g.columns or len(adj_b) == 0:
+                return _EMPTY_F.copy()
+            m = g.merge(adj_b, on="cur", sort=False)
+            if len(m) == 0:
+                return _EMPTY_F.copy()
+            key = (
+                m["start"].astype(str) + "|" + str(_t) + "|"
+                + m["cur"].astype(str)
+            )
+            idx = key.map(
+                lambda s: int(_hl.md5(s.encode()).hexdigest()[:15], 16)
+            ).to_numpy(dtype=np.uint64)
+            pick = m[(idx % m["outdeg"].to_numpy(dtype=np.uint64))
+                     == m["rnk"].to_numpy(dtype=np.uint64)]
+            return pd.DataFrame(
+                {"cur": pick["dst"], "start": pick["start"]}
+            ).reset_index(drop=True)
+
+        # ONE exchange per step: the split re-keys the frontier on its
+        # current node, the reduce joins bucket-local pinned adjacency
+        frontier = frontier.exchange(
+            ["cur"], hop, n_buckets=n_buckets, side=adj.refs
+        )
+        out_parts.append(walk_rows(frontier, t + 1))
+
+    result = out_parts[0]
+    result = result.union(*out_parts[1:])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "step" not in df.columns:
+            return pd.DataFrame(
+                {"start": pd.Series([], dtype="object"),
+                 "step": pd.Series([], dtype="int64"),
+                 "node": pd.Series([], dtype="object")}
+            )
+        df = df.copy()
+        df["step"] = df["step"].astype("int64")
+        return df
+
+    return result.map(finish).to_dataset()

@@ -147,3 +147,46 @@ def test_script_mix_counts():
     assert got["n_cjk"].tolist() == [0, 4, 1, 0]
     assert got["n_digit"].tolist() == [3, 0, 1, 0]
     assert got["is_mixed"].tolist() == [0, 0, 1, 0]
+
+
+def test_random_walks_matches_bruteforce():
+    import ray.data as rd
+
+    from fastie_ray.ops.graph import random_walks
+
+    edges = pd.DataFrame(
+        {"src": ["a", "a", "b", "c", "c", "d"],
+         "dst": ["b", "c", "c", "a", "d", "e"]}
+    )
+    got = (
+        random_walks(rd.from_pandas(edges), walk_len=3, n_buckets=4)
+        .to_pandas()
+        .sort_values(["start", "step"])
+        .reset_index(drop=True)
+    )
+    adj: dict[str, list[str]] = {}
+    for _, r in edges.iterrows():
+        adj.setdefault(r["src"], []).append(r["dst"])
+    for k in adj:
+        adj[k] = sorted(set(adj[k]))
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = []
+    for s in sorted(set(edges["src"]) | set(edges["dst"])):
+        cur = s
+        rows.append((s, 0, cur))
+        for t in range(3):
+            nb = adj.get(cur)
+            if not nb:
+                break
+            cur = nb[h(f"{s}|{t}|{cur}") % len(nb)]
+            rows.append((s, t + 1, cur))
+    want = (
+        pd.DataFrame(rows, columns=["start", "step", "node"])
+        .astype({"step": "int64"})
+        .sort_values(["start", "step"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

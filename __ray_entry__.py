@@ -426,14 +426,14 @@ def _q_kg_degree_profile(sf_dir: str):
 
 def _q_rw_corpus(sf_dir: str):
     """Random-walk corpus over the canonical KG entity graph
-    (``ops.graph.random_walks``): one deterministic 3-step walk per
-    entity, hash-chosen next hops (md5-ranked out-neighbors) — the
-    DeepWalk/node2vec training-data generator, reproducible bit-exact
-    across reruns and in SQL. Adjacency ranked once and pinned; each
-    step is ONE frontier-sized exchange."""
+    (``ops.graph.random_walks_frontier``): one deterministic 3-step
+    walk per entity, hash-chosen next hops (md5-ranked out-neighbors)
+    — the DeepWalk/node2vec training-data generator, reproducible
+    bit-exact across reruns and in SQL. Adjacency ranked once and
+    pinned; each step is ONE frontier-sized exchange."""
     import pandas as pd
 
-    from fastie_ray.ops.graph import random_walks
+    from fastie_ray.ops.graph import random_walks_frontier
     from fastie_ray.pipelines.kg import graph_tables
 
     t = graph_tables(
@@ -445,7 +445,7 @@ def _q_rw_corpus(sf_dir: str):
         ).drop_duplicates(),
         batch_format="pandas",
     )
-    return random_walks(edges, walk_len=3, n_buckets=16)
+    return random_walks_frontier(edges, walk_len=3, n_buckets=16)
 
 
 def _q_uie(sf_dir: str):

@@ -3065,7 +3065,7 @@ def butterfly_count(
     )
 
 
-def random_walks(
+def random_walks_frontier(
     edges: "ray.data.Dataset",
     walk_len: int = 3,
     n_buckets: int = 16,

@@ -152,14 +152,14 @@ def test_script_mix_counts():
 def test_random_walks_matches_bruteforce():
     import ray.data as rd
 
-    from fastie_ray.ops.graph import random_walks
+    from fastie_ray.ops.graph import random_walks_frontier
 
     edges = pd.DataFrame(
         {"src": ["a", "a", "b", "c", "c", "d"],
          "dst": ["b", "c", "c", "a", "d", "e"]}
     )
     got = (
-        random_walks(rd.from_pandas(edges), walk_len=3, n_buckets=4)
+        random_walks_frontier(rd.from_pandas(edges), walk_len=3, n_buckets=4)
         .to_pandas()
         .sort_values(["start", "step"])
         .reset_index(drop=True)

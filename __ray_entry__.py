@@ -448,6 +448,34 @@ def _q_rw_corpus(sf_dir: str):
     return random_walks_frontier(edges, walk_len=3, n_buckets=16)
 
 
+def _q_walk_skipgrams(sf_dir: str):
+    """SGNS training pairs from the KG random-walk corpus
+    (``ops.graph.walk_skipgrams`` over ``random_walks_frontier``):
+    window-2 positives within each walk plus one md5-chosen negative
+    per positive from the entity vocabulary, aggregated to
+    (center, context, label, n) — the word2vec/DeepWalk data half,
+    bit-exact vs the SQL oracle. One start-keyed exchange for pair
+    generation + one count exchange; vocab broadcast once."""
+    import pandas as pd
+
+    from fastie_ray.ops.graph import random_walks_frontier, walk_skipgrams
+    from fastie_ray.pipelines.kg import graph_tables
+
+    t = graph_tables(
+        _pages(sf_dir), world=_world(), concurrency=_conc(), want=("edges",)
+    )["edges"]
+    edges = t.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["subject_id"], "dst": df["object_id"]}
+        ).drop_duplicates(),
+        batch_format="pandas",
+    )
+    walks = random_walks_frontier(edges, walk_len=3, n_buckets=16)
+    return walk_skipgrams(
+        walks, window=2, negatives_per_pos=1, n_buckets=16
+    )
+
+
 def _q_uie(sf_dir: str):
     import ray
 
@@ -7675,6 +7703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_provenance": _q_kg_provenance,
         "kg_degree_profile": _q_kg_degree_profile,
         "rw_corpus": _q_rw_corpus,
+        "walk_skipgrams": _q_walk_skipgrams,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9498,6 +9527,82 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT start, CAST(1 AS BIGINT), node FROM s1
             UNION ALL SELECT start, CAST(2 AS BIGINT), node FROM s2
             UNION ALL SELECT start, CAST(3 AS BIGINT), node FROM s3
+        """,
+        "walk_skipgrams": f"""
+            WITH {FACTS}, {EIDS},
+            ed AS (
+                SELECT DISTINCT e.sub_eid AS cur, e.obj_eid AS dst
+                FROM documents d
+                JOIN facts f ON f.i = d.doc_id % {NF}
+                JOIN eids e ON e.i = f.i
+            ),
+            adj AS (
+                SELECT cur, dst,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY cur ORDER BY dst) - 1
+                           AS BIGINT) AS rnk,
+                       CAST(count(*) OVER (PARTITION BY cur)
+                           AS BIGINT) AS outdeg
+                FROM ed
+            ),
+            nodes AS (SELECT cur AS n FROM ed UNION SELECT dst FROM ed),
+            f0 AS (SELECT n AS start, n AS node FROM nodes),
+            s1 AS (
+                SELECT f.start, a.dst AS node
+                FROM f0 f JOIN adj a ON a.cur = f.node
+                 AND a.rnk = CAST(('0x' || substr(md5(
+                         f.start || '|0|' || f.node), 1, 15)) AS BIGINT)
+                     % a.outdeg
+            ),
+            s2 AS (
+                SELECT f.start, a.dst AS node
+                FROM s1 f JOIN adj a ON a.cur = f.node
+                 AND a.rnk = CAST(('0x' || substr(md5(
+                         f.start || '|1|' || f.node), 1, 15)) AS BIGINT)
+                     % a.outdeg
+            ),
+            s3 AS (
+                SELECT f.start, a.dst AS node
+                FROM s2 f JOIN adj a ON a.cur = f.node
+                 AND a.rnk = CAST(('0x' || substr(md5(
+                         f.start || '|2|' || f.node), 1, 15)) AS BIGINT)
+                     % a.outdeg
+            ),
+            w AS (
+                SELECT start, CAST(0 AS BIGINT) AS step, node FROM f0
+                UNION ALL SELECT start, CAST(1 AS BIGINT), node FROM s1
+                UNION ALL SELECT start, CAST(2 AS BIGINT), node FROM s2
+                UNION ALL SELECT start, CAST(3 AS BIGINT), node FROM s3
+            ),
+            vocab AS (
+                SELECT node,
+                       CAST(ROW_NUMBER() OVER (ORDER BY node) - 1
+                           AS BIGINT) AS rnk
+                FROM (SELECT DISTINCT node FROM w)
+            ),
+            vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+            p AS (
+                SELECT a.start, a.step AS i, b.step AS j,
+                       a.node AS center, b.node AS context
+                FROM w a JOIN w b ON a.start = b.start
+                WHERE abs(a.step - b.step) BETWEEN 1 AND 2
+            ),
+            neg AS (
+                SELECT p.center, vb.node AS context
+                FROM p CROSS JOIN vs
+                JOIN vocab vb ON vb.rnk =
+                    CAST(('0x' || substr(md5(
+                        'neg:' || p.start || ':'
+                        || CAST(p.i AS VARCHAR) || ':'
+                        || CAST(p.j AS VARCHAR) || ':0'), 1, 15))
+                        AS BIGINT) % vs.v
+            )
+            SELECT center, context, CAST(1 AS BIGINT) AS label,
+                   count(*) AS n
+            FROM p GROUP BY 1, 2
+            UNION ALL
+            SELECT center, context, CAST(0 AS BIGINT), count(*)
+            FROM neg GROUP BY 1, 2
         """,
         "kg_degree_profile": f"""
             WITH {FACTS}, {EIDS},

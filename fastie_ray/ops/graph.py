@@ -3198,3 +3198,124 @@ def random_walks_frontier(
         return df
 
     return result.map(finish).to_dataset()
+
+
+def walk_skipgrams(
+    walks: "ray.data.Dataset",
+    window: int = 2,
+    negatives_per_pos: int = 1,
+    salt: str = "neg",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Skip-gram-with-negative-sampling training pairs from a
+    random-walk corpus (the word2vec/DeepWalk data half): for every
+    walk position i, each node at distance 1..``window`` on the SAME
+    walk is a positive ``(center, context, label=1)``; each positive
+    occurrence also draws ``negatives_per_pos`` deterministic negative
+    contexts (label=0) from the corpus node vocabulary. Output is the
+    aggregated ``(center, context, label, n)`` table — the exact
+    multiset a distributed SGNS trainer would consume, reproducible
+    bit-for-bit across reruns.
+
+    Negative choice is the md5-grid convention: negative q for the
+    positive at (start, i, j) is ``vocab[int(md5(
+    f"{salt}:{start}:{i}:{j}:{q}")[:15], 16) % V]`` over the
+    node-sorted vocabulary — seedless, SQL-reproducible; collisions
+    with the true context are kept (standard SGNS behavior, and
+    determinism matters more than the tiny noise term).
+
+    Scale shape: walks are keyed by ``start`` (``random_walks_frontier``
+    emits one walk per start node), so ONE exchange on ``start``
+    co-locates every step of a walk and pair generation is
+    bucket-local (a within-bucket self-merge bounded by walk_len²
+    per walk); a second exchange sums counts per (center, context,
+    label). The node vocabulary is vocabulary-bounded (entity graphs:
+    alias vocab + NIL surfaces) and broadcast once via ``ray.put`` —
+    the same partitioning assumption ``random_walks`` documents. The
+    walk corpus is materialized once (it is nodes × walk_len rows,
+    NOT corpus-scale) so vocab and pair passes don't recompute the
+    upstream extraction pipeline."""
+    import hashlib
+
+    import ray
+
+    from fastie_ray.state.exchange import BlockSet
+
+    mat = walks.materialize()
+    vocab_parts = mat.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"].unique()})
+        if len(df) else pd.DataFrame({"node": pd.Series([], dtype="object")}),
+        batch_format="pandas",
+    ).to_pandas()
+    if len(vocab_parts) == 0:
+        return ray.data.from_items([]).map_batches(
+            lambda df: pd.DataFrame(
+                {"center": pd.Series([], dtype="object"),
+                 "context": pd.Series([], dtype="object"),
+                 "label": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            ),
+            batch_format="pandas",
+        )
+    vocab = np.sort(vocab_parts["node"].astype(str).unique())
+    vocab_ref = ray.put(vocab)
+    n_vocab = len(vocab)
+
+    _EMPTY = pd.DataFrame(
+        {"center": pd.Series([], dtype="object"),
+         "context": pd.Series([], dtype="object"),
+         "label": pd.Series([], dtype="int64"),
+         "n": pd.Series([], dtype="int64")}
+    )
+
+    def pair_gen(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "start" not in g.columns:
+            return _EMPTY.copy()
+        v = ray.get(vocab_ref)
+        a = g[["start", "step", "node"]]
+        m = a.merge(a, on="start", sort=False, suffixes=("_c", "_x"))
+        d = (m["step_c"] - m["step_x"]).abs()
+        m = m[(d >= 1) & (d <= window)]
+        if len(m) == 0:
+            return _EMPTY.copy()
+        pos = pd.DataFrame(
+            {"center": m["node_c"], "context": m["node_x"],
+             "label": np.int64(1)}
+        )
+        negs = []
+        for q in range(negatives_per_pos):
+            key = (
+                salt + ":" + m["start"].astype(str) + ":"
+                + m["step_c"].astype(str) + ":" + m["step_x"].astype(str)
+                + ":" + str(q)
+            )
+            idx = key.map(
+                lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            ).to_numpy(dtype=np.uint64) % np.uint64(n_vocab)
+            negs.append(pd.DataFrame(
+                {"center": m["node_c"].to_numpy(),
+                 "context": v[idx.astype(np.int64)],
+                 "label": np.int64(0)}
+            ))
+        out = pd.concat([pos, *negs], ignore_index=True)
+        out = out.groupby(
+            ["center", "context", "label"], as_index=False, sort=False
+        ).size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        out["label"] = out["label"].astype("int64")
+        return out
+
+    def sum_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "center" not in g.columns:
+            return _EMPTY.copy()
+        out = g.groupby(
+            ["center", "context", "label"], as_index=False, sort=False
+        )["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    bs = BlockSet.from_dataset(mat)
+    pairs = bs.exchange(["start"], pair_gen, n_buckets=n_buckets)
+    return pairs.exchange(
+        ["center", "context", "label"], sum_counts, n_buckets=n_buckets
+    ).to_dataset()

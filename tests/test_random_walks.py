@@ -68,3 +68,55 @@ def test_join_extension_walks_match_broadcast(ray_session):
         a.sort_values(key).reset_index(drop=True)[key + ["node"]],
         b.sort_values(key).reset_index(drop=True)[key + ["node"]],
     )
+
+
+def test_walk_skipgrams_match_bruteforce(ray_session):
+    import hashlib
+
+    import numpy as np
+    import ray.data
+
+    from fastie_ray.ops.graph import walk_skipgrams
+
+    # two hand-written walks: w1 = a,b,c,d ; w2 = b,c (keyed by start)
+    rows = [
+        ("a", 0, "a"), ("a", 1, "b"), ("a", 2, "c"), ("a", 3, "d"),
+        ("b", 0, "b"), ("b", 1, "c"),
+    ]
+    walks = ray.data.from_items(
+        [{"start": s, "step": t, "node": n} for s, t, n in rows]
+    )
+    got = (
+        walk_skipgrams(walks, window=2, negatives_per_pos=1, n_buckets=4)
+        .to_pandas()
+        .sort_values(["center", "context", "label"])
+        .reset_index(drop=True)
+    )
+
+    vocab = np.sort(np.unique([n for _, _, n in rows]))
+    counts: dict[tuple, int] = {}
+    by_walk: dict[str, list] = {}
+    for s, t, n in rows:
+        by_walk.setdefault(s, []).append((t, n))
+    for s, steps in by_walk.items():
+        for ti, ni in steps:
+            for tj, nj in steps:
+                if 1 <= abs(ti - tj) <= 2:
+                    counts[(ni, nj, 1)] = counts.get((ni, nj, 1), 0) + 1
+                    key = f"neg:{s}:{ti}:{tj}:0"
+                    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+                    neg = vocab[h % len(vocab)]
+                    counts[(ni, neg, 0)] = counts.get((ni, neg, 0), 0) + 1
+
+    want = pd.DataFrame(
+        [{"center": c, "context": x, "label": l, "n": n}
+         for (c, x, l), n in counts.items()]
+    ).sort_values(["center", "context", "label"]).reset_index(drop=True)
+    want["label"] = want["label"].astype("int64")
+    want["n"] = want["n"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["center", "context", "label", "n"]], want
+    )
+    # every positive drew exactly one negative
+    assert got.loc[got["label"] == 0, "n"].sum() == \
+        got.loc[got["label"] == 1, "n"].sum()

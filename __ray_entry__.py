@@ -7614,6 +7614,148 @@ def _q_range_lookup(sf_dir: str):
     return out
 
 
+
+def _q_char_entropy(sf_dir: str):
+    """Per-doc codepoint Shannon entropy over documents
+    (``ops.text_analysis.char_entropy_batch``): order-independent
+    per-term e6 floors make the transcendental sum SQL-exact."""
+    from fastie_ray.ops.text_analysis import char_entropy
+
+    return char_entropy(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_benford(sf_dir: str):
+    """Benford first-digit audit of event values per event_type
+    (``ops.stats.benford_audit``): integer-cents leading digit +
+    per-digit chi-square contribution, floored per term."""
+    from fastie_ray.ops.stats import benford_audit
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    return benford_audit(ev, "event_type", "value")
+
+
+def _q_autocorr(sf_dir: str):
+    """Lag-1..3 autocorrelation components of per-type daily event
+    counts (``ops.stats.lagged_autocorr``): exact int64 Pearson
+    numerator/denominators over the day-ordered series."""
+    from fastie_ray.ops.stats import lagged_autocorr
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+    return lagged_autocorr(ev, "event_type", "ts", max_lag=3)
+
+
+def _q_priority_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (``ops.sampling.priority_sample``): md5-hash priorities divided by
+    integer weights, k smallest win — reproducible across re-shards."""
+    import pandas as pd
+
+    from fastie_ray.ops.sampling import priority_sample
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    wd = docs.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"],
+             "w": (df["n_chars"] // 100 + 1).astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    return priority_sample(wd, k=50, weight_col="w")
+
+
+def _q_nb_lang(sf_dir: str):
+    """Multinomial naive-Bayes language classifier
+    (``ops.nbayes``): count model trained on even doc_ids (one
+    vocab-bounded exchange), broadcast via ray.put, argmax-scored over
+    odd doc_ids with per-term e6 floors (order-independent int sums —
+    the reference's classification stage as a generative model,
+    `fastie/models/` A15 analogue)."""
+    import ray
+
+    from fastie_ray.ops.nbayes import nb_score, nb_train
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    train = docs.filter(lambda r: r["doc_id"] % 2 == 0)
+    test = docs.filter(lambda r: r["doc_id"] % 2 == 1)
+    model_ref = ray.put(nb_train(train))
+    return nb_score(test, model_ref)
+
+
+def _q_modularity(sf_dir: str):
+    """Newman modularity of the NATION partition over the distinct
+    customer↔supplier co-order graph (``ops.graph.modularity``):
+    exact rational per-community q_num = 4·m·e_c − K_c² — the
+    community-quality gate after KG community detection."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import modularity
+    from fastie_ray.ops.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_suppkey"],
+        right_cols=["o_orderkey", "o_custkey"],
+    )
+    edges = dedup_exact(
+        j.map_batches(
+            lambda df: pd.DataFrame(
+                {"a": "c" + df["o_custkey"].astype(str),
+                 "b": "s" + df["l_suppkey"].astype(str)}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["a", "b"], n_buckets=16,
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"node": "c" + df["c_custkey"].astype(str),
+             "label": "n" + df["c_nationkey"].astype(str)}
+        ),
+        batch_format="pandas",
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"node": "s" + df["s_suppkey"].astype(str),
+             "label": "n" + df["s_nationkey"].astype(str)}
+        ),
+        batch_format="pandas",
+    )
+    return modularity(edges, cust.union(supp), n_buckets=16)
+
+
+def _q_edge_jaccard(sf_dir: str):
+    """Neighborhood-Jaccard weight of every edge of the subsampled
+    supplier co-supply graph (``ops.graph.edge_jaccard``) — the local
+    graph-sparsification weight; same edge build as clustering_coeff."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import edge_jaccard
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def distinct_os(df):
+        return df[df["l_orderkey"] % 20 == 0].drop_duplicates()
+
+    def pairs(g):
+        g = g.drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_1", "_2"))
+        m = m[m["l_suppkey_1"] < m["l_suppkey_2"]]
+        out = pd.DataFrame({"a": m["l_suppkey_1"], "b": m["l_suppkey_2"]})
+        return out.drop_duplicates()
+
+    per_order = _bucketed_groupby(
+        li.map_batches(distinct_os, batch_format="pandas"),
+        "l_orderkey", pairs, 16,
+    )
+    edges = dedup_exact(per_order, ["a", "b"], n_buckets=16)
+    return edge_jaccard(edges, n_buckets=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -7704,6 +7846,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_profile": _q_kg_degree_profile,
         "rw_corpus": _q_rw_corpus,
         "walk_skipgrams": _q_walk_skipgrams,
+        "char_entropy": _q_char_entropy,
+        "benford": _q_benford,
+        "autocorr": _q_autocorr,
+        "priority_sample": _q_priority_sample,
+        "nb_lang": _q_nb_lang,
+        "modularity": _q_modularity,
+        "edge_jaccard": _q_edge_jaccard,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -7961,6 +8110,159 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "char_entropy": r"""
+            WITH ch AS (
+                SELECT doc_id, length(text) AS n,
+                       unnest(regexp_extract_all(text, '[\s\S]')) AS c
+                FROM documents WHERE length(text) > 0),
+            hist AS (SELECT doc_id, n, c, count(*) AS cnt FROM ch GROUP BY 1,2,3)
+            SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(CAST(floor(1e6 * (CAST(cnt AS DOUBLE)/n)
+                        * log2(CAST(n AS DOUBLE)/cnt)) AS BIGINT)) AS BIGINT)
+                       AS entropy_e6
+            FROM hist GROUP BY doc_id, n
+        """,
+        "benford": r"""
+            WITH c AS (
+                SELECT event_type AS grp,
+                       CAST(floor(value*100) AS BIGINT) AS cents
+                FROM events WHERE floor(value*100) >= 1),
+            d AS (SELECT grp, CAST(substr(CAST(cents AS VARCHAR),1,1) AS BIGINT)
+                         AS digit FROM c),
+            o AS (SELECT grp, digit, count(*) AS n FROM d GROUP BY 1,2),
+            t AS (SELECT grp, SUM(n) AS n_group FROM o GROUP BY 1)
+            SELECT o.grp AS "group", o.digit, CAST(o.n AS BIGINT) AS n,
+                   CAST(t.n_group AS BIGINT) AS n_group,
+                   CAST(floor(1e6
+                        * (o.n - t.n_group*log10(1.0+1.0/o.digit))
+                        * (o.n - t.n_group*log10(1.0+1.0/o.digit))
+                        / (t.n_group*log10(1.0+1.0/o.digit))) AS BIGINT)
+                       AS chi_e6
+            FROM o JOIN t USING (grp)
+        """,
+        "autocorr": r"""
+            WITH daily AS (
+                SELECT event_type AS grp, date_trunc('day', ts) AS day,
+                       count(*) AS x
+                FROM events GROUP BY 1,2),
+            seq AS (SELECT grp, x,
+                           row_number() OVER (PARTITION BY grp ORDER BY day)
+                               AS rn
+                    FROM daily),
+            lags AS (SELECT unnest([1,2,3]) AS lag),
+            pairs AS (
+                SELECT a.grp, l.lag, a.x AS xa, b.x AS xb
+                FROM seq a JOIN lags l ON true
+                JOIN seq b ON b.grp = a.grp AND b.rn = a.rn + l.lag)
+            SELECT grp AS "group", CAST(lag AS BIGINT) AS lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count(*)*SUM(xa*xb) - SUM(xa)*SUM(xb) AS BIGINT) AS num,
+                   CAST(count(*)*SUM(xa*xa) - SUM(xa)*SUM(xa) AS BIGINT) AS den_a,
+                   CAST(count(*)*SUM(xb*xb) - SUM(xb)*SUM(xb) AS BIGINT) AS den_b
+            FROM pairs GROUP BY 1,2 HAVING count(*) >= 2
+        """,
+        "priority_sample": r"""
+            WITH w AS (SELECT doc_id, n_chars // 100 + 1 AS w FROM documents),
+            p AS (SELECT doc_id, CAST(w AS BIGINT) AS w,
+                         CAST(('0x' || substr(md5('psample:'
+                             || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) // w
+                             AS prio
+                  FROM w)
+            SELECT doc_id, w, prio FROM p ORDER BY prio, doc_id LIMIT 50
+        """,
+        "nb_lang": r"""
+            WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+            test AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+            ttok AS (SELECT lang, unnest(regexp_extract_all(lower(text),
+                            '[a-z0-9]+')) AS token FROM train),
+            cnt AS (SELECT lang, token, count(*) AS c FROM ttok GROUP BY 1,2),
+            nl AS (SELECT lang, SUM(c) AS n_l FROM cnt GROUP BY 1),
+            dl AS (SELECT lang, count(*) AS d_l FROM train GROUP BY 1),
+            stats AS (SELECT (SELECT count(*) FROM train) AS D,
+                             (SELECT count(DISTINCT token) FROM ttok) AS V),
+            stok AS (SELECT doc_id, lang AS true_lang,
+                            unnest(regexp_extract_all(lower(text),
+                                '[a-z0-9]+')) AS token FROM test),
+            stf AS (SELECT doc_id, true_lang, token, count(*) AS tf
+                    FROM stok GROUP BY 1,2,3),
+            langs AS (SELECT lang, n_l, d_l FROM nl JOIN dl USING (lang)),
+            terms AS (
+                SELECT s.doc_id, s.true_lang, l.lang,
+                       SUM(s.tf * CAST(floor(1e6*ln((coalesce(c.c,0)+1.0)
+                           /(l.n_l+st.V))) AS BIGINT)) AS tok_score
+                FROM stf s CROSS JOIN langs l CROSS JOIN stats st
+                LEFT JOIN cnt c ON c.lang = l.lang AND c.token = s.token
+                GROUP BY 1,2,3),
+            scored AS (
+                SELECT t.doc_id, t.true_lang, t.lang,
+                       t.tok_score + CAST(floor(1e6*ln(CAST(l.d_l AS DOUBLE)
+                           /st.D)) AS BIGINT) AS score
+                FROM terms t JOIN langs l ON l.lang = t.lang
+                CROSS JOIN stats st),
+            ranked AS (
+                SELECT doc_id, true_lang, lang, score,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, lang) AS rnk
+                FROM scored)
+            SELECT doc_id, lang AS pred, CAST(score AS BIGINT) AS score_e6,
+                   CAST(CASE WHEN lang = true_lang THEN 1 ELSE 0 END AS BIGINT)
+                       AS is_true
+            FROM ranked WHERE rnk = 1
+        """,
+        "modularity": r"""
+            WITH e AS (SELECT DISTINCT
+                           'c' || CAST(o_custkey AS VARCHAR) AS a,
+                           's' || CAST(l_suppkey AS VARCHAR) AS b
+                       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            lab AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+                           'n' || CAST(c_nationkey AS VARCHAR) AS label
+                    FROM customer
+                    UNION ALL
+                    SELECT 's' || CAST(s_suppkey AS VARCHAR),
+                           'n' || CAST(s_nationkey AS VARCHAR) FROM supplier),
+            le AS (SELECT e.a, e.b, la.label AS label_a, lb.label AS label_b
+                   FROM e JOIN lab la ON la.node = e.a
+                   JOIN lab lb ON lb.node = e.b),
+            m AS (SELECT count(*) AS m FROM e),
+            deg AS (SELECT node, label, count(*) AS deg FROM (
+                        SELECT a AS node, label_a AS label FROM le
+                        UNION ALL SELECT b, label_b FROM le)
+                    GROUP BY 1,2),
+            comm AS (SELECT label, SUM(deg) AS degree_sum,
+                            count(*) AS n_nodes FROM deg GROUP BY 1),
+            intra AS (SELECT label_a AS label, count(*) AS internal_edges
+                      FROM le WHERE label_a = label_b GROUP BY 1)
+            SELECT c.label, CAST(c.n_nodes AS BIGINT) AS n_nodes,
+                   CAST(coalesce(i.internal_edges,0) AS BIGINT)
+                       AS internal_edges,
+                   CAST(c.degree_sum AS BIGINT) AS degree_sum,
+                   CAST(4*m.m*coalesce(i.internal_edges,0)
+                        - c.degree_sum*c.degree_sum AS BIGINT) AS q_num,
+                   CAST(4*m.m*m.m AS BIGINT) AS four_m2
+            FROM comm c LEFT JOIN intra i USING (label) CROSS JOIN m
+        """,
+        "edge_jaccard": r"""
+            WITH lo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                        WHERE l_orderkey % 20 = 0),
+            e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+                  FROM lo a JOIN lo b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_suppkey < b.l_suppkey),
+            und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY 1),
+            cn AS (SELECT e.a, e.b, count(*) AS cn
+                   FROM e JOIN und x ON x.u = e.a
+                   JOIN und y ON y.u = e.b AND y.v = x.v
+                   GROUP BY 1,2)
+            SELECT e.a, e.b, CAST(coalesce(cn.cn,0) AS BIGINT) AS cn,
+                   CAST(da.deg AS BIGINT) AS deg_a,
+                   CAST(db.deg AS BIGINT) AS deg_b,
+                   CAST(coalesce(cn.cn,0)*1000000
+                        // (da.deg + db.deg - coalesce(cn.cn,0)) AS BIGINT)
+                       AS jac_e6
+            FROM e LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b
+            JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+        """,
         "minhash_dups": f"""
             WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
             tri AS (SELECT doc_id, {TRI} AS g FROM t),

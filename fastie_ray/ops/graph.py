@@ -3319,3 +3319,298 @@ def walk_skipgrams(
     return pairs.exchange(
         ["center", "context", "label"], sum_counts, n_buckets=n_buckets
     ).to_dataset()
+
+
+def modularity(
+    edges: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Newman modularity of a given node partition over an undirected
+    simple graph (DISTINCT canonical ``(a, b)``, ``a < b`` rows) —
+    the community-quality gate a KG-construction pipeline runs after
+    community detection (is the nation/type/LPA partition better than
+    chance?). ``labels`` is a (node, label) Dataset covering every
+    endpoint.
+
+    All-integer so the SQL oracle reproduces it exactly: with
+    m = |E|, e_c = # intra-community edges of c and K_c = Σ deg(v)
+    over v ∈ c,
+
+        Q·(4m²) = Σ_c q_num(c),   q_num(c) = 4·m·e_c − K_c²
+
+    Returns one row per community (label, n_nodes, internal_edges,
+    degree_sum, q_num) plus the global denominator in ``four_m2`` —
+    exact rational modularity, no float anywhere.
+
+    Scale shape: two task-based ``hash_join``s ship the node-sized
+    label table onto the edge stream (edges never re-key); degrees and
+    per-community sums are per-batch partials + ONE bucketed exchange
+    each. The returned frame is community-sized.
+    """
+    edges = edges.repartition(n_buckets).materialize()
+    labels = labels.materialize()
+
+    la = hash_join(
+        edges, labels, on="a", right_on="node",
+        left_cols=["a", "b"], right_cols=["node", "label"],
+        n_buckets=n_buckets,
+    )
+    lab = hash_join(
+        la, labels, on="b", right_on="node",
+        left_cols=["a", "b", "label"], right_cols=["node", "label"],
+        n_buckets=n_buckets, suffix="_b",
+    ).materialize()
+
+    # m: driver scalar (one tiny count aggregate)
+    m = edges.count()
+
+    # e_c: intra-edge counts — per-batch partial, one bucketed final
+    def intra_partial(df: pd.DataFrame) -> pd.DataFrame:
+        same = df[df["label"] == df["label_b"]]
+        out = same.groupby("label", as_index=False).size()
+        out = out.rename(columns={"size": "e"})
+        out["__b"] = _bucket(out["label"], n_buckets)
+        return out
+
+    def intra_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("label", as_index=False)["e"].sum()
+        out["e"] = out["e"].astype("int64")
+        return out
+
+    intra = (
+        lab.map_batches(intra_partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(intra_final, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # K_c and n_nodes: degree partials off the labelled edge stream
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.DataFrame(
+            {"node": pd.concat([df["a"], df["b"]], ignore_index=True),
+             "label": pd.concat([df["label"], df["label_b"]], ignore_index=True)}
+        )
+        out = both.groupby(["node", "label"], as_index=False).size()
+        out = out.rename(columns={"size": "deg"})
+        out["__b"] = _bucket(out["node"], n_buckets)
+        return out
+
+    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(
+            ["node", "label"], as_index=False
+        )["deg"].sum()
+        out["deg"] = out["deg"].astype("int64")
+        return out
+
+    def comm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("label", as_index=False).agg(
+            k_sum=("deg", "sum"), n_nodes=("node", "size")
+        )
+        out["__b"] = _bucket(out["label"], n_buckets)
+        return out
+
+    def comm_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("label", as_index=False).agg(
+            k_sum=("k_sum", "sum"), n_nodes=("n_nodes", "sum")
+        )
+        return out.astype({"k_sum": "int64", "n_nodes": "int64"})
+
+    comm = (
+        lab.map_batches(deg_partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(deg_final, batch_format="pandas")
+        .map_batches(comm_partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(comm_final, batch_format="pandas")
+        .to_pandas()
+    )
+
+    out = comm.merge(intra, on="label", how="left")
+    out["e"] = out["e"].fillna(0).astype("int64")
+    out["q_num"] = 4 * m * out["e"] - out["k_sum"] * out["k_sum"]
+    out["four_m2"] = np.int64(4) * m * m
+    out = out.rename(
+        columns={"e": "internal_edges", "k_sum": "degree_sum"}
+    )[["label", "n_nodes", "internal_edges", "degree_sum", "q_num", "four_m2"]]
+    return out.sort_values("label").reset_index(drop=True)
+
+
+def edge_jaccard(
+    edges: "ray.data.Dataset", n_buckets: int = 16
+) -> "ray.data.Dataset":
+    """Neighborhood-Jaccard weight for every EXISTING edge of an
+    undirected simple graph (DISTINCT canonical ``(a, b)``, ``a < b``):
+
+        jac(a,b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|
+                 = cn / (deg(a) + deg(b) − cn)
+
+    (endpoints stay in the union — a and b are each other's
+    neighbors, so the denominator is never 0). The classic local graph
+    sparsification / ego-similarity weight (Satuluri et al. 2011):
+    keep each node's top-jaccard edges and community structure
+    survives at a fraction of the edges. Returns
+    (a, b, cn, deg_a, deg_b, jac_e6) with ``jac_e6 =
+    1e6·cn // (deg_a+deg_b−cn)`` — all-integer, SQL-exact.
+
+    Scale shape: cn(a,b) = # wedges closing the edge — the same
+    degree-oriented wedge enumeration as ``local_clustering`` (each
+    wedge is generated at its lowest-degree corner, so hub centers
+    don't explode), matched against the edge set by ONE task-based
+    hash join, then two node-sized degree joins. No driver-side
+    adjacency ever materializes.
+    """
+    edges = edges.repartition(n_buckets).materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([df["a"], df["b"]], ignore_index=True)
+        out = both.value_counts().rename_axis("node").reset_index(name="deg")
+        out["__b"] = _bucket(out["node"], n_buckets)
+        return out
+
+    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("node", as_index=False)["deg"].sum()
+        out["deg"] = out["deg"].astype("int64")
+        return out
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(deg_final, batch_format="pandas")
+        .materialize()
+    )
+
+    with_da = hash_join(
+        edges, degrees, on="a", right_on="node",
+        left_cols=["a", "b"], right_cols=["node", "deg"], n_buckets=n_buckets,
+    )
+    with_db = hash_join(
+        with_da, degrees, on="b", right_on="node",
+        left_cols=["a", "b", "deg"], right_cols=["node", "deg"],
+        n_buckets=n_buckets, suffix="_b",
+    )
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a_lo = df["deg"] <= df["deg_b"]
+        lo = df["a"].where(a_lo, df["b"])
+        hi = df["b"].where(a_lo, df["a"])
+        return pd.DataFrame({"lo": lo, "hi": hi})
+
+    oriented = with_db.map_batches(orient, batch_format="pandas").materialize()
+
+    def add_blo(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = _bucket(df["lo"], n_buckets)
+        return df
+
+    def ukey(x: pd.Series, y: pd.Series) -> pd.Series:
+        lo = x.where(x < y, y)
+        hi = y.where(x < y, x)
+        return lo.astype(str) + "|" + hi.astype(str)
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        m = g.merge(g, on="lo", suffixes=("_1", "_2"))
+        m = m[m["hi_1"] < m["hi_2"]]
+        out = pd.DataFrame({"c": m["lo"], "u": m["hi_1"], "v": m["hi_2"]})
+        out["k"] = ukey(out["u"], out["v"])
+        return out
+
+    # each wedge generated ONCE, at its lowest-degree corner
+    wedge_ds = (
+        oriented.map_batches(add_blo, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    ekeys = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"k": df["a"].astype(str) + "|" + df["b"].astype(str)}
+        ),
+        batch_format="pandas",
+    ).materialize()
+    # closed wedges = triangles; each credits ALL THREE of its edges
+    # (cn(a,b) counts triangles THROUGH the edge, and the triangle's
+    # min-degree corner may be a or b itself — crediting only the
+    # leaf pair undercounts; pinned by the brute-force parity test)
+    tri = hash_join(
+        wedge_ds, ekeys, on="k", how="semi",
+        left_cols=["k", "c", "u", "v"], n_buckets=n_buckets,
+    )
+
+    def tri_edges(df: pd.DataFrame) -> pd.DataFrame:
+        def canon(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+            lo = x.where(x < y, y)
+            hi = y.where(x < y, x)
+            return pd.DataFrame({"a": lo, "b": hi})
+
+        three = pd.concat(
+            [
+                pd.DataFrame({"a": df["u"], "b": df["v"]}),
+                canon(df["c"], df["u"]),
+                canon(df["c"], df["v"]),
+            ],
+            ignore_index=True,
+        )
+        out = three.groupby(["a", "b"], as_index=False).size()
+        out = out.rename(columns={"size": "cn"})
+        out["__b"] = _bucket(
+            out["a"].astype(str) + "|" + out["b"].astype(str), n_buckets
+        )
+        return out
+
+    def cn_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(["a", "b"], as_index=False)[
+            "cn"
+        ].sum()
+        out["cn"] = out["cn"].astype("int64")
+        out["k"] = out["a"].astype(str) + "|" + out["b"].astype(str)
+        return out[["k", "a", "b", "cn"]]
+
+    closed = (
+        tri.map_batches(tri_edges, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(cn_final, batch_format="pandas")
+        .materialize()  # consumed by the anti-join AND the union
+    )
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["k"] = df["a"].astype(str) + "|" + df["b"].astype(str)
+        return df
+
+    # edges with zero common neighbors must still appear: anti-join
+    # the edge set against the closed pairs, union with cn=0
+    open_edges = hash_join(
+        edges.map_batches(key, batch_format="pandas"),
+        closed, on="k", right_on="k", how="anti",
+        left_cols=["k", "a", "b"], n_buckets=n_buckets,
+    ).map_batches(
+        lambda df: df.assign(cn=np.int64(0)), batch_format="pandas"
+    )
+    all_pairs = closed.union(open_edges)
+
+    j1 = hash_join(
+        all_pairs, degrees, on="a", right_on="node",
+        left_cols=["a", "b", "cn"], right_cols=["node", "deg"],
+        n_buckets=n_buckets,
+    )
+    j2 = hash_join(
+        j1, degrees, on="b", right_on="node",
+        left_cols=["a", "b", "cn", "deg"], right_cols=["node", "deg"],
+        n_buckets=n_buckets, suffix="_b",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        den = df["deg"] + df["deg_b"] - df["cn"]
+        return pd.DataFrame(
+            {
+                "a": df["a"], "b": df["b"],
+                "cn": df["cn"].astype("int64"),
+                "deg_a": df["deg"].astype("int64"),
+                "deg_b": df["deg_b"].astype("int64"),
+                "jac_e6": (df["cn"] * 1_000_000 // den).astype("int64"),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pandas")

@@ -456,3 +456,59 @@ def proportional_sample(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def priority_sample(
+    ds: "ray.data.Dataset",
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "psample",
+) -> pd.DataFrame:
+    """Deterministic WEIGHTED sampling without replacement (priority
+    sampling, Duffield-Lund-Thorup style with a hash in place of the
+    RNG): each row gets the integer priority
+
+        prio = hash60(salt:id) // max(weight, 1)
+
+    and the ``k`` smallest (prio, id) rows win — heavier rows draw
+    proportionally smaller priorities, so inclusion probability rises
+    with weight, yet the draw is a pure function of the data
+    (reproducible across re-shards/resumes, auditable in ANSI SQL via
+    the same md5-prefix arithmetic — no RNG state anywhere).
+
+    Scale shape: per-block bottom-k combiner → driver merges
+    ``n_blocks × k`` rows; no shuffle. Weights must be positive
+    integers (raises otherwise — float weights would demand float
+    division whose SQL parity is not guaranteed)."""
+    import hashlib as _h
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype=df[id_col].dtype if id_col in df else "int64"),
+                 weight_col: pd.Series([], dtype="int64"),
+                 "prio": pd.Series([], dtype="int64")}
+            )
+        if not pd.api.types.is_integer_dtype(df[weight_col]):
+            raise TypeError(
+                f"priority_sample requires an integer weight_col; got "
+                f"{df[weight_col].dtype!r} for {weight_col!r} — scale float "
+                f"weights to integers upstream (e.g. floor(w * 1e6))"
+            )
+        w = df[weight_col].to_numpy(dtype=np.int64)
+        if (w <= 0).any():
+            raise ValueError("priority_sample weights must be positive")
+        h = np.fromiter(
+            (int(_h.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16)
+             for v in df[id_col].astype(str)),
+            dtype=np.int64, count=len(df),
+        )
+        out = pd.DataFrame(
+            {id_col: df[id_col].to_numpy(), weight_col: w, "prio": h // w}
+        )
+        return out.nsmallest(k, ["prio", id_col])
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = cand.sort_values(["prio", id_col]).head(k).reset_index(drop=True)
+    return out.astype({weight_col: "int64", "prio": "int64"})

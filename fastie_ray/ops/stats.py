@@ -1657,3 +1657,143 @@ def grouped_rank_sum(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+
+def _bucket_series(keys: pd.Series, n_buckets: int) -> np.ndarray:
+    if len(keys) == 0:
+        return np.array([], dtype=np.int64)
+    h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+def benford_audit(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """First-significant-digit (Benford's law) audit per group — the
+    classic fabricated-/synthetic-data smell test for numeric columns
+    in a web-scale ingest. Values are floored to integer cents
+    (``floor(value·100)``, portable — SQL ``round`` is
+    half-away-from-zero while numpy's is banker's, so ``floor`` it is),
+    non-positive cents are dropped, and the leading DECIMAL digit is
+    taken from the integer's string form (identical in Python and SQL).
+
+    Returns one row per (group, digit 1-9):
+    (group, digit, n, n_group, chi_e6) where ``chi_e6 =
+    floor(1e6 · (n − n_group·p_d)² / (n_group·p_d))`` with
+    ``p_d = log10(1 + 1/d)`` — the per-digit χ² contribution, floored
+    INDEPENDENTLY per row so the frame is order-independent and
+    SQL-exact (sum chi_e6 over digits for the group statistic).
+
+    Scale shape: per-batch (group, digit) count combiner → ONE
+    group-bucketed exchange → per-group finish on a ≤9-row table.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df[value_col].to_numpy(dtype=np.float64) * 100.0)
+        keep = cents >= 1.0
+        g = df.loc[keep, group_col].to_numpy()
+        d = (
+            pd.Series(cents[keep].astype(np.int64)).astype(str).str[0]
+            .astype("int64").to_numpy()
+        )
+        out = pd.DataFrame({"g": g, "digit": d})
+        out = out.groupby(["g", "digit"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["__b"] = _bucket_series(out["g"], n_buckets)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").groupby(["g", "digit"], as_index=False)[
+            "n"
+        ].sum()
+        tot = g.groupby("g")["n"].transform("sum").to_numpy(dtype=np.float64)
+        n = g["n"].to_numpy(dtype=np.float64)
+        d = g["digit"].to_numpy(dtype=np.float64)
+        exp = tot * np.log10(1.0 + 1.0 / d)
+        chi = np.floor(1e6 * (n - exp) * (n - exp) / exp)
+        return pd.DataFrame(
+            {
+                "group": g["g"],
+                "digit": g["digit"].astype("int64"),
+                "n": g["n"].astype("int64"),
+                "n_group": tot.astype(np.int64),
+                "chi_e6": chi.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def lagged_autocorr(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    ts_col: str,
+    max_lag: int = 3,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Lag-1..``max_lag`` autocorrelation components of each group's
+    DAILY event-count series (seasonality / burstiness detector for
+    per-type event streams). For each lag the Pearson correlation of
+    (x_t, x_{t+lag}) over the day-ordered count series is reported as
+    EXACT int64 components — no float anywhere, so the SQL oracle
+    reproduces it bit-for-bit:
+
+        num   = n'·Σ x_t·x_{t+lag} − Σx_t·Σx_{t+lag}
+        den_a = n'·Σ x_t²          − (Σx_t)²
+        den_b = n'·Σ x_{t+lag}²    − (Σx_{t+lag})²
+
+    with n' = n − lag pairs taken over CONSECUTIVE POSITIONS of the
+    observed-day sequence (gap days are skipped positions, not zeros —
+    document the convention; r = num/√(den_a·den_b) for the reader).
+
+    Scale shape: per-batch (group, day) count combiner → ONE
+    group-bucketed exchange → per-group finish over the day-count
+    series (365 rows/year/group — group-state, never corpus-state).
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = pd.to_datetime(df[ts_col]).dt.floor("D")
+        out = pd.DataFrame({"g": df[group_col], "day": day})
+        out = out.groupby(["g", "day"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["__b"] = _bucket_series(out["g"], n_buckets)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").groupby(["g", "day"], as_index=False)[
+            "n"
+        ].sum()
+        rows = []
+        for grp, sub in g.groupby("g", sort=True):
+            x = sub.sort_values("day")["n"].to_numpy(dtype=np.int64)
+            n = len(x)
+            for lag in range(1, max_lag + 1):
+                np_ = n - lag
+                if np_ < 2:
+                    continue
+                a = x[:np_]
+                b = x[lag:]
+                s1 = int(a.sum()); s2 = int(b.sum())
+                s11 = int((a * a).sum()); s22 = int((b * b).sum())
+                s12 = int((a * b).sum())
+                rows.append(
+                    (grp, lag, np_, np_ * s12 - s1 * s2,
+                     np_ * s11 - s1 * s1, np_ * s22 - s2 * s2)
+                )
+        return pd.DataFrame(
+            rows, columns=["group", "lag", "n_pairs", "num", "den_a", "den_b"]
+        ).astype({"lag": "int64", "n_pairs": "int64", "num": "int64",
+                  "den_a": "int64", "den_b": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -529,3 +529,70 @@ def script_mix(
         )
 
     return ds.map_batches(census, batch_format="pandas")
+
+
+def char_entropy_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Per-doc codepoint Shannon entropy — the cheap gibberish /
+    boilerplate / low-diversity detector (near-zero entropy = repeated
+    filler; near-max = random bytes). Returns
+    (doc_id, n_chars, n_distinct, entropy_e6) with
+
+        entropy_e6 = Σ_chars floor(1e6 · (c/n) · log2(n/c))
+
+    floored PER TERM so the sum is order-independent int64 — the SQL
+    oracle reproduces it exactly whatever its group ordering (same
+    discipline as quality_batch's e6 ratios). Empty docs are dropped
+    (filter ``length(text) > 0`` in the oracle to match).
+
+    Vectorized: the batch's texts are joined once and decoded through
+    UTF-32 into a codepoint array (no per-char Python loop), doc ids
+    repeat by ``str.len`` (Python len == codepoint count == SQL
+    ``length``), and one pandas groupby builds every histogram.
+    """
+    t = df[text_col].astype(str)
+    lens = t.str.len().to_numpy(dtype=np.int64)
+    keep = lens > 0
+    t = t[keep]
+    ids = df.loc[keep, "doc_id"].to_numpy()
+    lens = lens[keep]
+    if len(t) == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "n_chars": pd.Series([], dtype="int64"),
+             "n_distinct": pd.Series([], dtype="int64"),
+             "entropy_e6": pd.Series([], dtype="int64")}
+        )
+    codes = np.frombuffer("".join(t.tolist()).encode("utf-32-le"), dtype=np.uint32)
+    idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+    hist = (
+        pd.DataFrame({"i": idx, "cp": codes})
+        .groupby(["i", "cp"], as_index=False)
+        .size()
+    )
+    c = hist["size"].to_numpy(dtype=np.float64)
+    n = lens[hist["i"].to_numpy()].astype(np.float64)
+    term = np.floor(1e6 * (c / n) * np.log2(n / c)).astype(np.int64)
+    per_doc = (
+        pd.DataFrame({"i": hist["i"], "term": term})
+        .groupby("i")
+        .agg(n_distinct=("term", "size"), entropy_e6=("term", "sum"))
+    )
+    out = pd.DataFrame(
+        {
+            "doc_id": ids[per_doc.index.to_numpy()],
+            "n_chars": lens[per_doc.index.to_numpy()],
+            "n_distinct": per_doc["n_distinct"].to_numpy(dtype=np.int64),
+            "entropy_e6": per_doc["entropy_e6"].to_numpy(dtype=np.int64),
+        }
+    )
+    return out
+
+
+def char_entropy(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Map ``char_entropy_batch`` over the corpus — embarrassingly
+    parallel, zero shuffles."""
+    return ds.map_batches(
+        lambda df: char_entropy_batch(df, text_col), batch_format="pandas"
+    )

@@ -1,0 +1,282 @@
+"""Brute-force parity tests for the round-3 continuation wave:
+modularity, edge_jaccard, char_entropy, benford_audit,
+lagged_autocorr, priority_sample, naive-Bayes scoring. Each new
+operator is checked against an independent reference computation on
+planted data (the driver oracle covers the SQL side; these pin the
+semantics at the unit level)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def planted_graph():
+    rng = np.random.RandomState(7)
+    rows = set()
+    for _ in range(220):
+        a, b = rng.randint(0, 60, 2)
+        if a == b:
+            continue
+        u, v = sorted((f"n{a:02d}", f"n{b:02d}"))
+        rows.add((u, v))
+    edges = pd.DataFrame(sorted(rows), columns=["a", "b"])
+    return rows, edges
+
+
+def test_modularity_brute_force(planted_graph):
+    from fastie_ray.ops.graph import modularity
+
+    rows, edges = planted_graph
+    labels = pd.DataFrame(
+        {"node": [f"n{i:02d}" for i in range(60)],
+         "label": [f"c{i % 4}" for i in range(60)]}
+    )
+    lab = dict(zip(labels.node, labels.label))
+    m = len(rows)
+    e_c, k_c, n_c, deg = Counter(), Counter(), Counter(), Counter()
+    for a, b in rows:
+        deg[a] += 1
+        deg[b] += 1
+        if lab[a] == lab[b]:
+            e_c[lab[a]] += 1
+    for v in deg:
+        k_c[lab[v]] += deg[v]
+        n_c[lab[v]] += 1
+    want = pd.DataFrame(
+        sorted(
+            (c, n_c[c], e_c[c], k_c[c], 4 * m * e_c[c] - k_c[c] ** 2,
+             4 * m * m)
+            for c in k_c
+        ),
+        columns=["label", "n_nodes", "internal_edges", "degree_sum",
+                 "q_num", "four_m2"],
+    )
+    got = modularity(
+        ray.data.from_pandas(edges), ray.data.from_pandas(labels), n_buckets=4
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # sanity: Σ q_num / 4m² is a valid modularity (|Q| ≤ 1)
+    assert abs(got["q_num"].sum()) <= got["four_m2"].iloc[0]
+
+
+def test_edge_jaccard_brute_force(planted_graph):
+    from fastie_ray.ops.graph import edge_jaccard
+
+    rows, edges = planted_graph
+    adj: dict = {}
+    deg: Counter = Counter()
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        deg[a] += 1
+        deg[b] += 1
+    recs = []
+    for a, b in sorted(rows):
+        cn = len(adj[a] & adj[b])
+        den = deg[a] + deg[b] - cn
+        recs.append((a, b, cn, deg[a], deg[b], cn * 1_000_000 // den))
+    want = pd.DataFrame(
+        recs, columns=["a", "b", "cn", "deg_a", "deg_b", "jac_e6"]
+    )
+    got = (
+        edge_jaccard(ray.data.from_pandas(edges), n_buckets=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_edge_jaccard_int_nodes():
+    """Integer node ids survive the pipeline (no string round-trip)."""
+    from fastie_ray.ops.graph import edge_jaccard
+
+    edges = pd.DataFrame(
+        {"a": [1, 1, 2, 2, 3], "b": [2, 3, 3, 4, 4]}
+    )  # K3 on {1,2,3} plus tail 4 hanging off 2 and 3
+    got = (
+        edge_jaccard(ray.data.from_pandas(edges), n_buckets=2)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert got["a"].dtype == np.int64
+    row12 = got[(got.a == 1) & (got.b == 2)].iloc[0]
+    assert row12["cn"] == 1 and row12["deg_a"] == 2 and row12["deg_b"] == 3
+    row34 = got[(got.a == 3) & (got.b == 4)].iloc[0]
+    assert row34["cn"] == 1  # common neighbor 2
+
+
+def test_char_entropy_brute_force():
+    from fastie_ray.ops.text_analysis import char_entropy_batch
+
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3],
+         "text": ["aaaa", "abab", "abcd", ""]}
+    )
+    got = char_entropy_batch(df).set_index("doc_id")
+    # empty doc dropped
+    assert 3 not in got.index
+    # uniform over 1 char: entropy 0
+    assert got.loc[0, "entropy_e6"] == 0 and got.loc[0, "n_distinct"] == 1
+    # 2 chars, p=.5 each: H = 1 bit → 2 × floor(1e6·0.5·1) = 1_000_000
+    assert got.loc[1, "entropy_e6"] == 1_000_000
+    # 4 distinct, p=.25: H = 2 bits
+    assert got.loc[2, "entropy_e6"] == 2_000_000
+    # per-term brute force on a mixed doc
+    text = "mississippi"
+    n = len(text)
+    c = Counter(text)
+    want = sum(
+        int(np.floor(1e6 * (v / n) * np.log2(n / v))) for v in c.values()
+    )
+    got2 = char_entropy_batch(
+        pd.DataFrame({"doc_id": [9], "text": [text]})
+    )
+    assert got2["entropy_e6"].iloc[0] == want
+    assert got2["n_distinct"].iloc[0] == len(c)
+
+
+def test_benford_audit_brute_force():
+    from fastie_ray.ops.stats import benford_audit
+
+    rng = np.random.RandomState(3)
+    vals = np.exp(rng.uniform(0, 10, 400))  # log-uniform ≈ Benford
+    df = pd.DataFrame(
+        {"g": np.where(np.arange(400) % 2 == 0, "x", "y"), "v": vals}
+    )
+    got = (
+        benford_audit(ray.data.from_pandas(df), "g", "v", n_buckets=2)
+        .to_pandas()
+        .sort_values(["group", "digit"])
+        .reset_index(drop=True)
+    )
+    cents = np.floor(vals * 100)
+    keep = cents >= 1
+    digits = pd.Series(cents[keep].astype(np.int64)).astype(str).str[0].astype(int)
+    groups = df["g"].to_numpy()[keep]
+    brute = (
+        pd.DataFrame({"group": groups, "digit": digits})
+        .groupby(["group", "digit"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+    )
+    merged = got.merge(brute, on=["group", "digit"], suffixes=("", "_want"))
+    assert len(merged) == len(got) == len(brute)
+    assert (merged["n"] == merged["n_want"]).all()
+    # chi term formula
+    r = got.iloc[0]
+    p = np.log10(1 + 1 / r["digit"])
+    exp = r["n_group"] * p
+    assert r["chi_e6"] == int(np.floor(1e6 * (r["n"] - exp) ** 2 / exp))
+
+
+def test_lagged_autocorr_brute_force():
+    from fastie_ray.ops.stats import lagged_autocorr
+
+    rng = np.random.RandomState(5)
+    ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        rng.randint(0, 30, 500), unit="D"
+    ) + pd.to_timedelta(rng.randint(0, 86400, 500), unit="s")
+    df = pd.DataFrame({"g": rng.choice(["a", "b"], 500), "ts": ts})
+    got = (
+        lagged_autocorr(ray.data.from_pandas(df), "g", "ts", max_lag=2,
+                        n_buckets=2)
+        .to_pandas()
+        .sort_values(["group", "lag"])
+        .reset_index(drop=True)
+    )
+    for (grp, lag), row in got.set_index(["group", "lag"]).iterrows():
+        series = (
+            df[df.g == grp]
+            .assign(day=lambda d: d.ts.dt.floor("D"))
+            .groupby("day")
+            .size()
+            .sort_index()
+            .to_numpy()
+        )
+        a, b = series[:-lag], series[lag:]
+        n = len(a)
+        assert row["n_pairs"] == n
+        assert row["num"] == n * (a * b).sum() - a.sum() * b.sum()
+        assert row["den_a"] == n * (a * a).sum() - a.sum() ** 2
+        assert row["den_b"] == n * (b * b).sum() - b.sum() ** 2
+        # components reconstruct numpy's Pearson r
+        r = row["num"] / np.sqrt(row["den_a"] * row["den_b"])
+        assert abs(r - np.corrcoef(a, b)[0, 1]) < 1e-12
+
+
+def test_priority_sample_deterministic_and_weighted():
+    from fastie_ray.ops.sampling import priority_sample
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(1000), "w": np.where(np.arange(1000) < 100, 50, 1)}
+    )
+    got = priority_sample(ray.data.from_pandas(df), k=100, weight_col="w")
+    # brute force: same hash arithmetic
+    prios = {
+        i: int(hashlib.md5(f"psample:{i}".encode()).hexdigest()[:15], 16) // w
+        for i, w in zip(df.doc_id, df.w)
+    }
+    want = sorted(prios, key=lambda i: (prios[i], i))[:100]
+    assert got["doc_id"].tolist() == want
+    # heavy rows (weight 50, 10% of pop) should dominate the sample
+    assert (got["doc_id"] < 100).mean() > 0.5
+    # resharding invariance: different block structure, same winners
+    got2 = priority_sample(
+        ray.data.from_pandas(df).repartition(7), k=100, weight_col="w"
+    )
+    assert got2["doc_id"].tolist() == want
+
+
+def test_priority_sample_rejects_bad_weights():
+    from fastie_ray.ops.sampling import priority_sample
+
+    df = pd.DataFrame({"doc_id": [1, 2], "w": [0.5, 1.5]})
+    with pytest.raises((TypeError, Exception)):
+        priority_sample(ray.data.from_pandas(df), k=1, weight_col="w")
+
+
+def test_naive_bayes_train_score():
+    from fastie_ray.ops.nbayes import nb_score, nb_train
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": [
+                "the cat sat", "le chat noir", "the dog ran", "le chien",
+                "the cat ran", "le chat", "dog and cat", "chien et chat",
+            ],
+            "lang": ["en", "fr", "en", "fr", "en", "fr", "en", "fr"],
+        }
+    )
+    ds = ray.data.from_pandas(docs)
+    # docs alternate en/fr, so split on doc_id//2 parity to keep both
+    # languages in the training half
+    train = ds.filter(lambda r: r["doc_id"] % 4 < 2)
+    test = ds.filter(lambda r: r["doc_id"] % 4 >= 2)
+    model = nb_train(train, n_buckets=2)
+    assert model["D"] == 4 and set(model["labels"]) == {"en", "fr"}
+    assert model["counts"][("en", "cat")] == 2
+    got = nb_score(test, model).to_pandas().set_index("doc_id")
+    # french test docs share tokens only with french training docs
+    assert got.loc[3, "pred"] == "fr" and got.loc[3, "is_true"] == 1
+    assert got.loc[7, "pred"] == "fr"
+    assert got.loc[2, "pred"] == "en" and got.loc[6, "pred"] == "en"
+    # score formula parity on one doc: 'le chien'
+    V, D = model["V"], model["D"]
+    n_fr = model["n_l"]["fr"]
+    want = int(np.floor(1e6 * np.log(model["d_l"]["fr"] / D)))
+    for tok in ["le", "chien"]:
+        c = model["counts"].get(("fr", tok), 0)
+        want += int(np.floor(1e6 * np.log((c + 1.0) / (n_fr + V))))
+    assert got.loc[3, "score_e6"] == want

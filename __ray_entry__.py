@@ -7756,6 +7756,67 @@ def _q_edge_jaccard(sf_dir: str):
     return edge_jaccard(edges, n_buckets=16)
 
 
+
+def _q_mutual_info(sf_dir: str):
+    """Pointwise-MI decomposition of lang × source on documents
+    (``ops.stats.mutual_info``): vocabulary-bounded cell table with
+    per-cell e6-floored PMI contributions."""
+    from fastie_ray.ops.stats import mutual_info
+
+    docs = _read(sf_dir, "documents", columns=["lang", "source"])
+    return mutual_info(docs, "lang", "source")
+
+
+def _q_assortativity(sf_dir: str):
+    """Degree-assortativity components of the subsampled supplier
+    co-supply graph (``ops.graph.degree_assortativity``): exact int64
+    Pearson moments over both edge orientations."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import degree_assortativity
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def distinct_os(df):
+        return df[df["l_orderkey"] % 20 == 0].drop_duplicates()
+
+    def pairs(g):
+        g = g.drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_1", "_2"))
+        m = m[m["l_suppkey_1"] < m["l_suppkey_2"]]
+        out = pd.DataFrame({"a": m["l_suppkey_1"], "b": m["l_suppkey_2"]})
+        return out.drop_duplicates()
+
+    per_order = _bucketed_groupby(
+        li.map_batches(distinct_os, batch_format="pandas"),
+        "l_orderkey", pairs, 16,
+    )
+    edges = dedup_exact(per_order, ["a", "b"], n_buckets=16)
+    return degree_assortativity(edges, n_buckets=16)
+
+
+def _q_kmv_distinct(sf_dir: str):
+    """Per-event-type KMV distinct-user estimate
+    (``ops.sketch.kmv_distinct_grouped``): mergeable bottom-64 hash
+    sketches, deterministic integer estimate."""
+    from fastie_ray.ops.sketch import kmv_distinct_grouped
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return kmv_distinct_grouped(ev, "event_type", "user_id", k=64)
+
+
+def _q_user_concentration(sf_dir: str):
+    """Per-event-type activity concentration
+    (``ops.stats.user_concentration``): top-5 user share + exact HHI
+    numerator (Σ n_u²) — the traffic-dominance audit."""
+    from fastie_ray.ops.stats import user_concentration
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return user_concentration(ev, "event_type", "user_id", k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -7853,6 +7914,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang": _q_nb_lang,
         "modularity": _q_modularity,
         "edge_jaccard": _q_edge_jaccard,
+        "mutual_info": _q_mutual_info,
+        "assortativity": _q_assortativity,
+        "kmv_distinct": _q_kmv_distinct,
+        "user_concentration": _q_user_concentration,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -8110,6 +8175,75 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "mutual_info": r"""
+            WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy
+                           FROM documents GROUP BY 1,2),
+            mx AS (SELECT x, SUM(n_xy) AS n_x FROM cells GROUP BY 1),
+            my AS (SELECT y, SUM(n_xy) AS n_y FROM cells GROUP BY 1),
+            tot AS (SELECT SUM(n_xy) AS N FROM cells)
+            SELECT c.x, c.y, CAST(c.n_xy AS BIGINT) AS n_xy,
+                   CAST(mx.n_x AS BIGINT) AS n_x,
+                   CAST(my.n_y AS BIGINT) AS n_y,
+                   CAST(floor(1e6 * (CAST(c.n_xy AS DOUBLE)/t.N)
+                        * log2(t.N*CAST(c.n_xy AS DOUBLE)
+                               /(CAST(mx.n_x AS DOUBLE)*my.n_y))) AS BIGINT)
+                       AS mi_term_e6
+            FROM cells c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot t
+        """,
+        "assortativity": r"""
+            WITH lo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                        WHERE l_orderkey % 20 = 0),
+            e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+                  FROM lo a JOIN lo b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_suppkey < b.l_suppkey),
+            und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY 1),
+            pairs AS (SELECT dx.deg AS x, dy.deg AS y FROM und
+                      JOIN deg dx ON dx.node = und.u
+                      JOIN deg dy ON dy.node = und.v)
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(x) AS BIGINT) AS sum_x,
+                   CAST(SUM(x*y) AS BIGINT) AS sum_xy,
+                   CAST(SUM(x*x) AS BIGINT) AS sum_x2,
+                   CAST(count(*)*SUM(x*y) - SUM(x)*SUM(x) AS BIGINT) AS num,
+                   CAST(count(*)*SUM(x*x) - SUM(x)*SUM(x) AS BIGINT) AS den
+            FROM pairs
+        """,
+        "kmv_distinct": r"""
+            WITH dv AS (SELECT DISTINCT event_type AS g, user_id AS v
+                        FROM events),
+            h AS (SELECT DISTINCT g,
+                         CAST(('0x' || substr(md5('kmvg:'
+                             || CAST(v AS VARCHAR)),1,15)) AS BIGINT) AS h
+                  FROM dv),
+            r AS (SELECT g, h,
+                         row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                  FROM h),
+            topk AS (SELECT g, h FROM r WHERE rn <= 64),
+            agg AS (SELECT g, count(*) AS n_hashes, max(h) AS kth
+                    FROM topk GROUP BY 1)
+            SELECT g AS "group", CAST(n_hashes AS BIGINT) AS n_hashes,
+                   CAST(coalesce(kth, 0) AS BIGINT) AS kth,
+                   CAST(CASE WHEN n_hashes >= 64
+                        THEN CAST(63 AS HUGEINT)
+                             * (CAST(1 AS HUGEINT) << 60) // kth
+                        ELSE n_hashes END AS BIGINT) AS distinct_est
+            FROM agg
+        """,
+        "user_concentration": r"""
+            WITH cu AS (SELECT event_type AS g, user_id AS u, count(*) AS n
+                        FROM events GROUP BY 1,2),
+            r AS (SELECT g, u, n,
+                         row_number() OVER (PARTITION BY g
+                             ORDER BY n DESC, u) AS rn
+                  FROM cu)
+            SELECT g AS "group", CAST(SUM(n) AS BIGINT) AS n_total,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(SUM(CASE WHEN rn <= 5 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_topk,
+                   CAST(SUM(n*n) AS BIGINT) AS sum_sq
+            FROM r GROUP BY g
+        """,
         "char_entropy": r"""
             WITH ch AS (
                 SELECT doc_id, length(text) AS n,

@@ -3614,3 +3614,79 @@ def edge_jaccard(
         )
 
     return j2.map_batches(finish, batch_format="pandas")
+
+
+def degree_assortativity(
+    edges: "ray.data.Dataset", n_buckets: int = 16
+) -> pd.DataFrame:
+    """Degree-assortativity components of an undirected simple graph
+    (DISTINCT canonical (a, b) rows) — do hubs attach to hubs (social
+    shape, r > 0) or to leaves (web/KG shape, r < 0)? Every edge is
+    taken in BOTH orientations (the standard Newman 2002 convention),
+    giving 2m (d_x, d_y) degree pairs; the Pearson correlation over
+    them is returned as EXACT int64 components (by symmetry the two
+    marginal sums coincide, so one denominator suffices):
+
+        r = num / den,  num = n·Σd_x d_y − (Σd_x)²,
+                        den = n·Σd_x²   − (Σd_x)²,   n = 2m
+
+    Single row (n_pairs, sum_x, sum_xy, sum_x2, num, den) — no float
+    anywhere, SQL-exact.
+
+    Scale shape: one degree exchange + two node-sized degree joins
+    onto the edge stream, then per-batch moment partials summed on
+    the driver (5 ints per batch)."""
+    edges = edges.repartition(n_buckets).materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([df["a"], df["b"]], ignore_index=True)
+        out = both.value_counts().rename_axis("node").reset_index(name="deg")
+        out["__b"] = _bucket(out["node"], n_buckets)
+        return out
+
+    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("node", as_index=False)["deg"].sum()
+        out["deg"] = out["deg"].astype("int64")
+        return out
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(deg_final, batch_format="pandas")
+        .materialize()
+    )
+    j1 = hash_join(
+        edges, degrees, on="a", right_on="node",
+        left_cols=["a", "b"], right_cols=["node", "deg"], n_buckets=n_buckets,
+    )
+    j2 = hash_join(
+        j1, degrees, on="b", right_on="node",
+        left_cols=["a", "b", "deg"], right_cols=["node", "deg"],
+        n_buckets=n_buckets, suffix="_b",
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        dx = df["deg"].to_numpy(dtype=np.int64)
+        dy = df["deg_b"].to_numpy(dtype=np.int64)
+        # both orientations: x-marginal = y-marginal = deg stream
+        return pd.DataFrame(
+            {
+                "n": [np.int64(2 * len(df))],
+                "sx": [np.int64(dx.sum() + dy.sum())],
+                "sxy": [np.int64(2 * (dx * dy).sum())],
+                "sx2": [np.int64((dx * dx).sum() + (dy * dy).sum())],
+            }
+        )
+
+    p = j2.map_batches(moments, batch_format="pandas").to_pandas().sum()
+    n, sx, sxy, sx2 = (int(p["n"]), int(p["sx"]), int(p["sxy"]), int(p["sx2"]))
+    return pd.DataFrame(
+        {
+            "n_pairs": [np.int64(n)],
+            "sum_x": [np.int64(sx)],
+            "sum_xy": [np.int64(sxy)],
+            "sum_x2": [np.int64(sx2)],
+            "num": [np.int64(n * sxy - sx * sx)],
+            "den": [np.int64(n * sx2 - sx * sx)],
+        }
+    )

@@ -1797,3 +1797,126 @@ def lagged_autocorr(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def mutual_info(
+    ds: "ray.data.Dataset",
+    x_col: str,
+    y_col: str,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Pointwise mutual-information decomposition of two categorical
+    columns (feature-selection / redundancy check: is ``source``
+    informative about ``lang``?). Returns one row per observed cell
+    (x, y, n_xy, n_x, n_y, mi_term_e6) with
+
+        mi_term_e6 = floor(1e6 · (n_xy/N) · log2(N·n_xy / (n_x·n_y)))
+
+    floored PER CELL (order-independent int64 — Σ mi_term_e6 is the
+    scaled mutual information, SQL-exact; negative terms are valid
+    PMI contributions).
+
+    Scale shape: per-batch cell-count combiner → ONE cell-bucketed
+    exchange; the finished cell table is VOCABULARY-bounded
+    (|X|·|Y| rows), so margins and terms are computed in a single
+    driver-side pass over it — never corpus-sized."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"x": df[x_col], "y": df[y_col]})
+        out = out.groupby(["x", "y"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["__b"] = _bucket_series(
+            out["x"].astype(str) + "|" + out["y"].astype(str), n_buckets
+        )
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(["x", "y"], as_index=False)[
+            "n"
+        ].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    big_n = int(cells["n"].sum())
+    nx = cells.groupby("x")["n"].transform("sum").to_numpy(dtype=np.int64)
+    ny = cells.groupby("y")["n"].transform("sum").to_numpy(dtype=np.int64)
+    nxy = cells["n"].to_numpy(dtype=np.float64)
+    term = np.floor(
+        1e6 * (nxy / big_n)
+        * np.log2(big_n * nxy / (nx.astype(np.float64) * ny.astype(np.float64)))
+    ).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "x": cells["x"], "y": cells["y"],
+            "n_xy": cells["n"].astype("int64"),
+            "n_x": nx, "n_y": ny,
+            "mi_term_e6": term,
+        }
+    )
+    return out.sort_values(["x", "y"]).reset_index(drop=True)
+
+
+def user_concentration(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    user_col: str,
+    k: int = 5,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-group activity-concentration audit: how dominated is each
+    group by its heaviest users? Returns one row per group
+    (group, n_total, n_users, n_topk, sum_sq) — ``n_topk`` is the
+    event count of the top-``k`` users (count DESC, user ASC: a total
+    order, so ties are deterministic) and ``sum_sq = Σ n_u²`` is the
+    Herfindahl-Hirschman numerator (HHI = sum_sq / n_total² — exact
+    rational, no float). Pareto share = n_topk / n_total.
+
+    Scale shape: per-batch (group, user) count combiner → ONE
+    group⊕user-bucketed exchange → per-bucket partial merge → ONE
+    group-bucketed exchange over per-user totals; per-group state is
+    user-vocabulary-sized within the group, aggregated to 5 ints."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"g": df[group_col], "u": df[user_col]})
+        out = out.groupby(["g", "u"], as_index=False).size()
+        out = out.rename(columns={"size": "n"})
+        out["__b"] = _bucket_series(
+            out["g"].astype(str) + "|" + out["u"].astype(str), n_buckets
+        )
+        return out
+
+    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(["g", "u"], as_index=False)[
+            "n"
+        ].sum()
+        out["__b"] = _bucket_series(out["g"], n_buckets)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        rows = []
+        for grp, sub in g.groupby("g", sort=True):
+            n = sub["n"].to_numpy(dtype=np.int64)
+            top = sub.sort_values(["n", "u"], ascending=[False, True]).head(k)
+            rows.append(
+                (grp, int(n.sum()), len(n), int(top["n"].sum()),
+                 int((n * n).sum()))
+            )
+        return pd.DataFrame(
+            rows, columns=["group", "n_total", "n_users", "n_topk", "sum_sq"]
+        ).astype({"n_total": "int64", "n_users": "int64",
+                  "n_topk": "int64", "sum_sq": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(merge_user, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

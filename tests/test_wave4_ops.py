@@ -280,3 +280,117 @@ def test_naive_bayes_train_score():
         c = model["counts"].get(("fr", tok), 0)
         want += int(np.floor(1e6 * np.log((c + 1.0) / (n_fr + V))))
     assert got.loc[3, "score_e6"] == want
+
+
+def test_mutual_info_brute_force():
+    from fastie_ray.ops.stats import mutual_info
+
+    rng = np.random.RandomState(11)
+    x = rng.choice(["a", "b", "c"], 600)
+    # y correlates with x: informative feature
+    y = np.where(rng.rand(600) < 0.7, x, rng.choice(["a", "b", "c"], 600))
+    df = pd.DataFrame({"x": x, "y": y})
+    got = mutual_info(ray.data.from_pandas(df), "x", "y", n_buckets=2)
+    big_n = len(df)
+    cells = df.groupby(["x", "y"]).size()
+    nx = df.groupby("x").size()
+    ny = df.groupby("y").size()
+    mi = 0
+    for (xv, yv), n_xy in cells.items():
+        row = got[(got.x == xv) & (got.y == yv)].iloc[0]
+        assert row["n_xy"] == n_xy
+        assert row["n_x"] == nx[xv] and row["n_y"] == ny[yv]
+        term = int(np.floor(
+            1e6 * (n_xy / big_n)
+            * np.log2(big_n * float(n_xy) / (float(nx[xv]) * float(ny[yv])))
+        ))
+        assert row["mi_term_e6"] == term
+        mi += term
+    # correlated columns carry positive MI
+    assert mi > 100_000
+
+
+def test_degree_assortativity_brute_force(planted_graph):
+    from fastie_ray.ops.graph import degree_assortativity
+
+    rows, edges = planted_graph
+    deg: Counter = Counter()
+    for a, b in rows:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in rows:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    x = np.array(xs, dtype=np.int64)
+    y = np.array(ys, dtype=np.int64)
+    n = len(x)
+    got = degree_assortativity(ray.data.from_pandas(edges), n_buckets=4)
+    assert got["n_pairs"].iloc[0] == n
+    assert got["sum_x"].iloc[0] == x.sum()
+    assert got["sum_xy"].iloc[0] == (x * y).sum()
+    assert got["sum_x2"].iloc[0] == (x * x).sum()
+    assert got["num"].iloc[0] == n * (x * y).sum() - x.sum() ** 2
+    assert got["den"].iloc[0] == n * (x * x).sum() - x.sum() ** 2
+    # components reconstruct numpy's Pearson r over the pair stream
+    r = got["num"].iloc[0] / got["den"].iloc[0]
+    assert abs(r - np.corrcoef(x, y)[0, 1]) < 1e-12
+
+
+def test_kmv_distinct_grouped_exact_and_estimate():
+    from fastie_ray.ops.sketch import _hash60, kmv_distinct_grouped
+
+    # small group: sketch never fills → exact count
+    small = pd.DataFrame({"g": ["s"] * 30, "v": np.arange(30) % 10})
+    # large group: 5000 distinct values through a k=64 sketch
+    large = pd.DataFrame({"g": ["l"] * 5000, "v": np.arange(5000)})
+    ds = ray.data.from_pandas(pd.concat([small, large], ignore_index=True))
+    got = (
+        kmv_distinct_grouped(ds, "g", "v", k=64, n_buckets=2)
+        .to_pandas()
+        .set_index("group")
+    )
+    assert got.loc["s", "n_hashes"] == 10
+    assert got.loc["s", "distinct_est"] == 10
+    # brute-force the large group's sketch
+    h = np.unique(_hash60("kmvg:" + pd.Series(np.arange(5000)).astype(str)))[:64]
+    want_est = 63 * (1 << 60) // int(h[-1])
+    assert got.loc["l", "kth"] == h[-1]
+    assert got.loc["l", "distinct_est"] == want_est
+    # estimate within 35% of truth (k=64 → σ ≈ 1/√62 ≈ 13%)
+    assert abs(want_est - 5000) / 5000 < 0.35
+    # resharding invariance
+    got2 = (
+        kmv_distinct_grouped(
+            ray.data.from_pandas(
+                pd.concat([large, small], ignore_index=True)
+            ).repartition(9),
+            "g", "v", k=64, n_buckets=2,
+        )
+        .to_pandas()
+        .set_index("group")
+    )
+    assert (got2["distinct_est"] == got["distinct_est"]).all()
+
+
+def test_user_concentration_brute_force():
+    from fastie_ray.ops.stats import user_concentration
+
+    rng = np.random.RandomState(13)
+    users = np.concatenate([np.zeros(50, dtype=int), rng.randint(0, 40, 300)])
+    df = pd.DataFrame({"g": ["t"] * 350, "u": users})
+    got = (
+        user_concentration(ray.data.from_pandas(df), "g", "u", k=5,
+                           n_buckets=2)
+        .to_pandas()
+        .iloc[0]
+    )
+    counts = df.groupby("u").size().sort_values(ascending=False)
+    # deterministic tie-break: count desc, user asc
+    order = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got["n_total"] == 350
+    assert got["n_users"] == len(counts)
+    assert got["n_topk"] == sum(n for _, n in order[:5])
+    assert got["sum_sq"] == int((counts.to_numpy() ** 2).sum())
+    # planted heavy user dominates
+    assert got["n_topk"] >= 50

@@ -7817,6 +7817,27 @@ def _q_user_concentration(sf_dir: str):
     return user_concentration(ev, "event_type", "user_id", k=5)
 
 
+
+def _q_rake_keyphrases(sf_dir: str):
+    """Corpus-level RAKE keyphrase extraction
+    (``ops.keyphrases.rake_keyphrases``): stopword-boundary candidate
+    phrases, integer word deg//freq scores, vocab-bounded exchanges."""
+    from fastie_ray.ops.keyphrases import rake_keyphrases
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return rake_keyphrases(docs, k=50)
+
+
+def _q_seq_patterns(sf_dir: str):
+    """Ordered event-type pair support (2-item PrefixSpan core,
+    ``ops.sequence.ordered_pair_support``): keys whose stream has some
+    x strictly before some y, via per-(key, type) extrema only."""
+    from fastie_ray.ops.sequence import ordered_pair_support
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return ordered_pair_support(ev, "user_id", "event_type", "ts")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -7918,6 +7939,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": _q_assortativity,
         "kmv_distinct": _q_kmv_distinct,
         "user_concentration": _q_user_concentration,
+        "rake_keyphrases": _q_rake_keyphrases,
+        "seq_patterns": _q_seq_patterns,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -8145,6 +8168,54 @@ _CLEAN_CTES = r"""
 """
 
 
+
+def _rake_sql() -> str:
+    from fastie_ray.ops.keyphrases import rake_stopword_values_sql
+
+    return f"""
+        WITH stop(w) AS (VALUES {rake_stopword_values_sql()}),
+        tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token,
+                   generate_subscripts(
+                       regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+                       AS ord
+            FROM documents),
+        runs AS (
+            SELECT doc_id, token, ord,
+                   ord - row_number() OVER (PARTITION BY doc_id
+                       ORDER BY ord) AS grp
+            FROM tok WHERE token NOT IN (SELECT w FROM stop)),
+        phr AS (
+            SELECT doc_id, grp,
+                   string_agg(token, ' ' ORDER BY ord) AS phrase,
+                   count(*) AS n_words
+            FROM runs GROUP BY 1, 2),
+        wstat AS (
+            SELECT token AS word, count(*) AS freq, SUM(n_words) AS deg
+            FROM runs JOIN phr USING (doc_id, grp) GROUP BY 1),
+        wscore AS (SELECT word, deg * 1000000 // freq AS score_e6
+                   FROM wstat),
+        pcount AS (SELECT phrase, n_words, count(*) AS n
+                   FROM phr GROUP BY 1, 2),
+        pwords AS (SELECT phrase,
+                          unnest(list_distinct(string_split(phrase, ' ')))
+                              AS word
+                   FROM (SELECT DISTINCT phrase FROM phr)),
+        pscore AS (SELECT p.phrase, SUM(w.score_e6) AS score_e6
+                   FROM pwords p JOIN wscore w USING (word) GROUP BY 1)
+        SELECT pc.phrase, CAST(pc.n AS BIGINT) AS n,
+               CAST(pc.n_words AS BIGINT) AS n_words,
+               CAST(ps.score_e6 AS BIGINT) AS score_e6
+        FROM pcount pc JOIN pscore ps USING (phrase)
+        ORDER BY score_e6 DESC, phrase LIMIT 50
+    """
+
+
+_RAKE_SQL = _rake_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     from fastie_ray.ops.urlnorm import canonical_url_sql as _canon_url_sql
     from fastie_ray.sources.pages import URL_SQL, facts_cte
@@ -8175,6 +8246,16 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "rake_keyphrases": _RAKE_SQL,
+        "seq_patterns": r"""
+            WITH pt AS (SELECT user_id AS k, event_type AS t,
+                               min(ts) AS mn, max(ts) AS mx
+                        FROM events GROUP BY 1,2)
+            SELECT a.t AS first_type, b.t AS then_type,
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM pt a JOIN pt b ON a.k = b.k AND a.mn < b.mx
+            GROUP BY 1,2
+        """,
         "mutual_info": r"""
             WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy
                            FROM documents GROUP BY 1,2),

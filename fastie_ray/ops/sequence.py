@@ -677,3 +677,74 @@ def gap_regularity(
         .groupby("__b")
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def ordered_pair_support(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Sequential-pattern support counts (the 2-item PrefixSpan core):
+    for every ORDERED event-type pair (x, y), the number of keys whose
+    stream contains some x strictly before some y — the ordered
+    sibling of the unordered ``itemsets3`` co-occurrence query.
+    Self-pairs (x, x) count keys with ≥ 2 occurrences of x.
+
+    The existence test reduces to per-(key, type) extrema:
+    ∃ x before y  ⇔  min_ts(x) < max_ts(y)  (for x = y: min < max).
+    So per-key state is TYPE-vocabulary-sized, never event-sized.
+
+    Returns (first_type, then_type, n_keys). Scale shape: per-batch
+    (key, type, min, max, n) combiner → ONE key-bucketed exchange →
+    per-key vocabulary² pair generation + count partials, summed on a
+    type-pair-bounded second exchange.
+
+    Tie discipline: STRICT ts inequality (equal-timestamp pairs do not
+    count — document and match in the oracle)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pd.DataFrame(
+                {"k": df[key_col], "t": df[type_col], "ts": df[ts_col]}
+            )
+            .groupby(["k", "t"], as_index=False)
+            .agg(mn=("ts", "min"), mx=("ts", "max"))
+        )
+        h = pd.util.hash_pandas_object(out["k"], index=False).to_numpy()
+        out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def per_key_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.drop(columns="__b")
+            .groupby(["k", "t"], as_index=False)
+            .agg(mn=("mn", "min"), mx=("mx", "max"))
+        )
+        m = g.merge(g, on="k", suffixes=("_x", "_y"))
+        m = m[m["mn_x"] < m["mx_y"]]
+        out = (
+            pd.DataFrame({"first_type": m["t_x"], "then_type": m["t_y"]})
+            .groupby(["first_type", "then_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_keys"})
+        )
+        out["n_keys"] = out["n_keys"].astype("int64")
+        out["__b"] = np.zeros(len(out), dtype=np.int64)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(
+            ["first_type", "then_type"], as_index=False
+        )["n_keys"].sum()
+        out["n_keys"] = out["n_keys"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_key_pairs, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

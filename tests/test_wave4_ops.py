@@ -394,3 +394,96 @@ def test_user_concentration_brute_force():
     assert got["sum_sq"] == int((counts.to_numpy() ** 2).sum())
     # planted heavy user dominates
     assert got["n_topk"] >= 50
+
+
+def test_rake_keyphrases_brute_force():
+    from fastie_ray.ops.keyphrases import RAKE_STOPWORDS, rake_keyphrases
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "Deep learning of the knowledge graph",
+                "the knowledge graph and deep learning",
+                "graph neural networks for knowledge graph completion",
+            ],
+        }
+    )
+    got = rake_keyphrases(ray.data.from_pandas(docs), k=10, n_buckets=2)
+    # brute force RAKE
+    stop = set(RAKE_STOPWORDS)
+    phrases = []
+    for t in docs.text:
+        run = []
+        for tok in t.lower().split():
+            if tok in stop:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(tok)
+        if run:
+            phrases.append(tuple(run))
+    freq: Counter = Counter()
+    deg: Counter = Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    score = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+    pcount = Counter(phrases)
+    want = sorted(
+        (
+            (" ".join(p), n, len(p), sum(score[w] for w in set(p)))
+            for p, n in pcount.items()
+        ),
+        key=lambda r: (-r[3], r[0]),
+    )[:10]
+    got_rows = list(got.itertuples(index=False, name=None))
+    assert got_rows == want
+    # multi-word phrases score above their member words (RAKE property)
+    kg = got[got.phrase == "knowledge graph"]
+    assert len(kg) == 1 and kg["n"].iloc[0] == 2
+
+
+def test_ordered_pair_support_brute_force():
+    from fastie_ray.ops.sequence import ordered_pair_support
+
+    rng = np.random.RandomState(17)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 25, n),
+            "event_type": rng.choice(["v", "c", "p"], n),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+        }
+    )
+    got = (
+        ordered_pair_support(ray.data.from_pandas(df), n_buckets=4)
+        .to_pandas()
+        .sort_values(["first_type", "then_type"])
+        .reset_index(drop=True)
+    )
+    brute: Counter = Counter()
+    for u, sub in df.groupby("user_id"):
+        ext = sub.groupby("event_type")["ts"].agg(["min", "max"])
+        for x in ext.index:
+            for y in ext.index:
+                if ext.loc[x, "min"] < ext.loc[y, "max"]:
+                    brute[(x, y)] += 1
+    want = pd.DataFrame(
+        sorted((x, y, n) for (x, y), n in brute.items()),
+        columns=["first_type", "then_type", "n_keys"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # resharding invariance
+    got2 = (
+        ordered_pair_support(
+            ray.data.from_pandas(df).repartition(9), n_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["first_type", "then_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)

@@ -7838,6 +7838,66 @@ def _q_seq_patterns(sf_dir: str):
     return ordered_pair_support(ev, "user_id", "event_type", "ts")
 
 
+
+def _q_best_stump(sf_dir: str):
+    """Distributed decision-stump split search (``ops.trees.best_stump``,
+    the GBDT histogram-aggregation node primitive): best threshold +
+    polarity per integer feature for the lang=='en' label, exact
+    misclassification counts."""
+    import pandas as pd
+
+    from fastie_ray.ops.trees import best_stump
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang", "n_chars"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_chars": df["n_chars"].astype("int64"),
+                "n_spaces": (
+                    df["text"].str.len() -
+                    df["text"].str.replace(" ", "", regex=False).str.len()
+                ).astype("int64"),
+                "y": (df["lang"] == "en").astype("int64"),
+            }
+        )
+
+    return best_stump(
+        docs.map_batches(feats, batch_format="pandas"),
+        ["n_chars", "n_spaces"], "y",
+    )
+
+
+def _q_neighbor_sample(sf_dir: str):
+    """Deterministic GraphSAGE-style neighbor fan-out sampling over
+    the co-supply graph (``ops.graph.neighbor_sample``): k smallest
+    md5 edge hashes per node — the degree cap for 2-hop expansion."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import neighbor_sample
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def distinct_os(df):
+        return df[df["l_orderkey"] % 20 == 0].drop_duplicates()
+
+    def pairs(g):
+        g = g.drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_1", "_2"))
+        m = m[m["l_suppkey_1"] < m["l_suppkey_2"]]
+        out = pd.DataFrame({"a": m["l_suppkey_1"], "b": m["l_suppkey_2"]})
+        return out.drop_duplicates()
+
+    per_order = _bucketed_groupby(
+        li.map_batches(distinct_os, batch_format="pandas"),
+        "l_orderkey", pairs, 16,
+    )
+    edges = dedup_exact(per_order, ["a", "b"], n_buckets=16)
+    return neighbor_sample(edges, k=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -7941,6 +8001,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_concentration": _q_user_concentration,
         "rake_keyphrases": _q_rake_keyphrases,
         "seq_patterns": _q_seq_patterns,
+        "best_stump": _q_best_stump,
+        "neighbor_sample": _q_neighbor_sample,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -8255,6 +8317,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_keys
             FROM pt a JOIN pt b ON a.k = b.k AND a.mn < b.mx
             GROUP BY 1,2
+        """,
+        "best_stump": r"""
+            WITH f0 AS (SELECT n_chars,
+                               length(text) - length(replace(text, ' ', ''))
+                                   AS n_spaces,
+                               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                        FROM documents),
+            lng AS (SELECT 'n_chars' AS feature, n_chars AS v, y FROM f0
+                    UNION ALL SELECT 'n_spaces', n_spaces, y FROM f0),
+            hist AS (SELECT feature, v, SUM(y) AS n1, count(*) - SUM(y) AS n0
+                     FROM lng GROUP BY 1, 2),
+            cum AS (SELECT feature, v,
+                           SUM(n1) OVER (PARTITION BY feature ORDER BY v)
+                               AS l1,
+                           SUM(n0) OVER (PARTITION BY feature ORDER BY v)
+                               AS l0,
+                           SUM(n1) OVER (PARTITION BY feature) AS t1,
+                           SUM(n0) OVER (PARTITION BY feature) AS t0
+                    FROM hist),
+            sc AS (SELECT feature, v, l1, l0, t1, t0,
+                          l0 + (t1 - l1) AS err_a,
+                          l1 + (t0 - l0) AS err_b,
+                          least(l0 + (t1 - l1), l1 + (t0 - l0)) AS err
+                   FROM cum),
+            best AS (SELECT *, row_number() OVER (PARTITION BY feature
+                                ORDER BY err, v) AS rn
+                     FROM sc)
+            SELECT feature, CAST(v AS BIGINT) AS threshold,
+                   CASE WHEN err_a <= err_b THEN 'le_pos' ELSE 'le_neg' END
+                       AS polarity,
+                   CAST(err AS BIGINT) AS err,
+                   CAST(l1 + l0 AS BIGINT) AS n_left,
+                   CAST(t1 + t0 AS BIGINT) AS n_total
+            FROM best WHERE rn = 1
+        """,
+        "neighbor_sample": r"""
+            WITH lo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                        WHERE l_orderkey % 20 = 0),
+            e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+                  FROM lo a JOIN lo b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_suppkey < b.l_suppkey),
+            und AS (SELECT a AS node, b AS nbr, a AS ea, b AS eb FROM e
+                    UNION ALL SELECT b, a, a, b FROM e),
+            h AS (SELECT node, nbr,
+                         CAST(('0x' || substr(md5('nbrs:'
+                             || CAST(ea AS VARCHAR) || '|'
+                             || CAST(eb AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                  FROM und),
+            r AS (SELECT node, nbr,
+                         row_number() OVER (PARTITION BY node
+                             ORDER BY h, nbr) AS rnk
+                  FROM h)
+            SELECT node, nbr, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 8
         """,
         "mutual_info": r"""
             WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy

@@ -3690,3 +3690,68 @@ def degree_assortativity(
             "den": [np.int64(n * sx2 - sx * sx)],
         }
     )
+
+
+def neighbor_sample(
+    edges: "ray.data.Dataset",
+    k: int = 8,
+    salt: str = "nbrs",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Deterministic per-node neighbor sampling (the GNN mini-batch
+    fan-out primitive, GraphSAGE-style): for every node of an
+    undirected simple graph (DISTINCT canonical (a, b) rows), keep its
+    ``k`` neighbors with the smallest md5 edge hashes — a pure
+    function of the edge set, so a resumed / re-sharded run (and the
+    SQL oracle's ``row_number() OVER (ORDER BY hash)``) selects the
+    identical subgraph. Returns (node, nbr, rnk) with rnk 1..k.
+
+    Scale shape: per-batch per-node bottom-k combiner over both edge
+    orientations (each batch ships ≤ k·nodes_in_batch rows) → ONE
+    node-bucketed exchange → per-node merge. Hub nodes never
+    concentrate more than k rows downstream — this IS the degree cap
+    that makes 2-hop expansion tractable at 100 TB."""
+    import hashlib as _h
+
+    def _hash(series: pd.Series) -> np.ndarray:
+        return np.fromiter(
+            (int(_h.md5(s.encode()).hexdigest()[:15], 16) for s in series),
+            dtype=np.int64, count=len(series),
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hkey = (
+            salt + ":" + df["a"].astype(str) + "|" + df["b"].astype(str)
+        )
+        h = _hash(hkey)
+        both = pd.DataFrame(
+            {
+                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
+                "nbr": pd.concat([df["b"], df["a"]], ignore_index=True),
+                "h": np.concatenate([h, h]),
+            }
+        )
+        out = (
+            both.sort_values(["node", "h", "nbr"])
+            .groupby("node", as_index=False)
+            .head(k)
+        )
+        hb = pd.util.hash_pandas_object(out["node"], index=False).to_numpy()
+        out = out.assign(__b=(hb % np.uint64(n_buckets)).astype(np.int64))
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").drop_duplicates(["node", "nbr", "h"])
+        g = (
+            g.sort_values(["node", "h", "nbr"])
+            .groupby("node", as_index=False)
+            .head(k)
+        )
+        g["rnk"] = g.groupby("node").cumcount().astype("int64") + 1
+        return g[["node", "nbr", "rnk"]]
+
+    return (
+        edges.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

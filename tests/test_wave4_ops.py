@@ -487,3 +487,90 @@ def test_ordered_pair_support_brute_force():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+
+
+def test_best_stump_brute_force():
+    from fastie_ray.ops.trees import best_stump
+
+    rng = np.random.RandomState(19)
+    x1 = rng.randint(0, 50, 500)
+    # x1 separates y well above 25; x2 is noise
+    y = ((x1 > 25) & (rng.rand(500) < 0.9)).astype(np.int64)
+    x2 = rng.randint(0, 10, 500)
+    df = pd.DataFrame({"f1": x1, "f2": x2, "y": y})
+    got = (
+        best_stump(ray.data.from_pandas(df), ["f1", "f2"], "y", n_buckets=2)
+        .to_pandas()
+        .set_index("feature")
+    )
+
+    def brute(f):
+        best = None
+        for t in sorted(df[f].unique()):
+            le = df[f] <= t
+            l1 = int((y[le.to_numpy()] == 1).sum())
+            l0 = int(le.sum()) - l1
+            t1, t0 = int(y.sum()), int((y == 0).sum())
+            err_a = l0 + (t1 - l1)
+            err_b = l1 + (t0 - l0)
+            e = min(err_a, err_b)
+            pol = "le_pos" if err_a <= err_b else "le_neg"
+            if best is None or e < best[2]:
+                best = (int(t), pol, e, l1 + l0)
+        return best
+
+    for f in ["f1", "f2"]:
+        t, pol, e, nl = brute(f)
+        row = got.loc[f]
+        assert row["threshold"] == t and row["polarity"] == pol
+        assert row["err"] == e and row["n_left"] == nl
+        assert row["n_total"] == 500
+    # the informative feature wins by a wide margin
+    assert got.loc["f1", "err"] < got.loc["f2", "err"] - 50
+    # its polarity is le_neg (high values are positive)
+    assert got.loc["f1", "polarity"] == "le_neg"
+
+
+def test_neighbor_sample_cap_and_determinism(planted_graph):
+    from fastie_ray.ops.graph import neighbor_sample
+
+    rows, edges = planted_graph
+    got = (
+        neighbor_sample(ray.data.from_pandas(edges), k=3, n_buckets=4)
+        .to_pandas()
+        .sort_values(["node", "rnk"])
+        .reset_index(drop=True)
+    )
+    deg: Counter = Counter()
+    adj: dict = {}
+    for a, b in rows:
+        deg[a] += 1
+        deg[b] += 1
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    per_node = got.groupby("node").size()
+    for node, n in per_node.items():
+        assert n == min(3, deg[node])  # exact fan-out cap
+    for _, r in got.iterrows():
+        assert r["nbr"] in adj[r["node"]]  # sampled edges are real
+    # brute-force hash order for one node
+    a0 = got["node"].iloc[0]
+    h = {}
+    for x, y in rows:
+        if a0 in (x, y):
+            hv = int(
+                hashlib.md5(f"nbrs:{x}|{y}".encode()).hexdigest()[:15], 16
+            )
+            h[y if x == a0 else x] = hv
+    want = [n for n, _ in sorted(h.items(), key=lambda kv: (kv[1], kv[0]))][:3]
+    assert got[got.node == a0]["nbr"].tolist() == want
+    # resharding invariance
+    got2 = (
+        neighbor_sample(
+            ray.data.from_pandas(edges).repartition(7), k=3, n_buckets=4
+        )
+        .to_pandas()
+        .sort_values(["node", "rnk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, got, check_dtype=False)

@@ -7898,6 +7898,36 @@ def _q_neighbor_sample(sf_dir: str):
     return neighbor_sample(edges, k=8)
 
 
+
+def _q_cart_tree(sf_dir: str):
+    """Greedy depth-2 CART tree (``ops.trees.greedy_tree``): one
+    (leaf, feature, value) histogram exchange per level, splits
+    broadcast back as a driver-sized dict — the distributed-GBDT node
+    loop with exact integer counts and an unrolled per-node oracle."""
+    import pandas as pd
+
+    from fastie_ray.ops.trees import greedy_tree
+
+    docs = _read(sf_dir, "documents", columns=["text", "lang", "n_chars"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_chars": df["n_chars"].astype("int64"),
+                "n_spaces": (
+                    df["text"].str.len() -
+                    df["text"].str.replace(" ", "", regex=False).str.len()
+                ).astype("int64"),
+                "y": (df["lang"] == "en").astype("int64"),
+            }
+        )
+
+    return greedy_tree(
+        docs.map_batches(feats, batch_format="pandas"),
+        ["n_chars", "n_spaces"], "y", depth=2,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8003,6 +8033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_patterns": _q_seq_patterns,
         "best_stump": _q_best_stump,
         "neighbor_sample": _q_neighbor_sample,
+        "cart_tree": _q_cart_tree,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -8317,6 +8348,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_keys
             FROM pt a JOIN pt b ON a.k = b.k AND a.mn < b.mx
             GROUP BY 1,2
+        """,
+        "cart_tree": r"""
+            WITH base AS MATERIALIZED (
+                SELECT n_chars,
+                       length(text) - length(replace(text, ' ', ''))
+                           AS n_spaces,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents),
+            l0 AS (SELECT 'n_chars' AS feature, n_chars AS v, y FROM base
+                   UNION ALL SELECT 'n_spaces', n_spaces, y FROM base),
+            h0 AS (SELECT feature, v, SUM(y) AS n1, count(*) - SUM(y) AS n0
+                   FROM l0 GROUP BY 1, 2),
+            c0 AS (SELECT feature, v,
+                          SUM(n1) OVER (PARTITION BY feature ORDER BY v)
+                              AS l1,
+                          SUM(n0) OVER (PARTITION BY feature ORDER BY v)
+                              AS l0_,
+                          SUM(n1) OVER (PARTITION BY feature) AS t1,
+                          SUM(n0) OVER (PARTITION BY feature) AS t0,
+                          count(*) OVER (PARTITION BY feature) AS ndist
+                   FROM h0),
+            s0 AS (SELECT *, l0_ + (t1 - l1) AS err_a,
+                          l1 + (t0 - l0_) AS err_b,
+                          least(l0_ + (t1 - l1), l1 + (t0 - l0_)) AS err
+                   FROM c0 WHERE ndist >= 2),
+            b0 AS MATERIALIZED (SELECT * FROM s0
+                   ORDER BY err, feature, v LIMIT 1),
+            a1 AS MATERIALIZED (
+                SELECT base.*,
+                       CASE WHEN (CASE WHEN b0.feature = 'n_chars'
+                                  THEN base.n_chars
+                                  ELSE base.n_spaces END) <= b0.v
+                       THEN 'L' ELSE 'R' END AS node
+                FROM base, b0),
+            lL AS (SELECT 'n_chars' AS feature, n_chars AS v, y
+                       FROM a1 WHERE node = 'L'
+                       UNION ALL
+                       SELECT 'n_spaces', n_spaces, y
+                       FROM a1 WHERE node = 'L'),
+            hL AS (SELECT feature, v, SUM(y) AS n1,
+                              count(*) - SUM(y) AS n0
+                       FROM lL GROUP BY 1, 2),
+            cL AS (SELECT feature, v,
+                              SUM(n1) OVER (PARTITION BY feature
+                                  ORDER BY v) AS l1,
+                              SUM(n0) OVER (PARTITION BY feature
+                                  ORDER BY v) AS l0_,
+                              SUM(n1) OVER (PARTITION BY feature) AS t1,
+                              SUM(n0) OVER (PARTITION BY feature) AS t0,
+                              count(*) OVER (PARTITION BY feature) AS ndist
+                       FROM hL),
+            sL AS (SELECT *, l0_ + (t1 - l1) AS err_a,
+                              l1 + (t0 - l0_) AS err_b,
+                              least(l0_ + (t1 - l1), l1 + (t0 - l0_)) AS err
+                       FROM cL WHERE ndist >= 2),
+            bL AS MATERIALIZED (SELECT * FROM sL
+                       ORDER BY err, feature, v LIMIT 1),
+            lR AS (SELECT 'n_chars' AS feature, n_chars AS v, y
+                       FROM a1 WHERE node = 'R'
+                       UNION ALL
+                       SELECT 'n_spaces', n_spaces, y
+                       FROM a1 WHERE node = 'R'),
+            hR AS (SELECT feature, v, SUM(y) AS n1,
+                              count(*) - SUM(y) AS n0
+                       FROM lR GROUP BY 1, 2),
+            cR AS (SELECT feature, v,
+                              SUM(n1) OVER (PARTITION BY feature
+                                  ORDER BY v) AS l1,
+                              SUM(n0) OVER (PARTITION BY feature
+                                  ORDER BY v) AS l0_,
+                              SUM(n1) OVER (PARTITION BY feature) AS t1,
+                              SUM(n0) OVER (PARTITION BY feature) AS t0,
+                              count(*) OVER (PARTITION BY feature) AS ndist
+                       FROM hR),
+            sR AS (SELECT *, l0_ + (t1 - l1) AS err_a,
+                              l1 + (t0 - l0_) AS err_b,
+                              least(l0_ + (t1 - l1), l1 + (t0 - l0_)) AS err
+                       FROM cR WHERE ndist >= 2),
+            bR AS MATERIALIZED (SELECT * FROM sR
+                       ORDER BY err, feature, v LIMIT 1)
+            SELECT '' AS node, feature, CAST(v AS BIGINT) AS threshold,
+                   CASE WHEN err_a <= err_b THEN 'le_pos' ELSE 'le_neg' END
+                       AS polarity,
+                   CAST(err AS BIGINT) AS err,
+                   CAST(t1 + t0 AS BIGINT) AS n_node,
+                   CAST(l1 + l0_ AS BIGINT) AS n_left
+            FROM b0
+            UNION ALL
+            SELECT 'L', feature, CAST(v AS BIGINT),
+                   CASE WHEN err_a <= err_b THEN 'le_pos' ELSE 'le_neg' END,
+                   CAST(err AS BIGINT), CAST(t1 + t0 AS BIGINT),
+                   CAST(l1 + l0_ AS BIGINT)
+            FROM bL
+            UNION ALL
+            SELECT 'R', feature, CAST(v AS BIGINT),
+                   CASE WHEN err_a <= err_b THEN 'le_pos' ELSE 'le_neg' END,
+                   CAST(err AS BIGINT), CAST(t1 + t0 AS BIGINT),
+                   CAST(l1 + l0_ AS BIGINT)
+            FROM bR
         """,
         "best_stump": r"""
             WITH f0 AS (SELECT n_chars,

@@ -103,3 +103,131 @@ def best_stump(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def greedy_tree(
+    ds: "ray.data.Dataset",
+    feature_cols: list[str],
+    label_col: str,
+    depth: int = 2,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Greedy depth-``depth`` CART tree over integer features and a
+    binary label — the full iterative extension of ``best_stump``:
+    one histogram exchange PER LEVEL keyed on (leaf, feature, value),
+    with the level's chosen splits broadcast back into the next
+    level's row→leaf assignment (a dict of ≤ 2^level entries — the
+    model is always driver-sized, the data never is).
+
+    Node split = argmin over (err, feature, threshold) of the
+    misclassification count with the better polarity (ties: polarity A
+    'le_pos' preferred) — a total order, so the tree is a pure
+    function of the data and the SQL oracle grows one unrolled CTE
+    block per node. Leaves with < 2 distinct (feature, value) rows or
+    err 0 stop early.
+
+    Returns one row per internal node:
+    (node, feature, threshold, polarity, err, n_node, n_left), node
+    addressed by its path string ('' root, then 'L'/'R' appended)."""
+
+    splits: dict[str, tuple[str, int, str]] = {}
+    out_rows: list[tuple] = []
+
+    for _level in range(depth):
+        frozen = dict(splits)  # level-consistent broadcast
+
+        def partial(df: pd.DataFrame, frozen=frozen) -> pd.DataFrame:
+            node = pd.Series("", index=df.index, dtype=object)
+            # replay splits level by level (path length == level)
+            for lvl in range(depth):
+                for path, (f, thr, _p) in frozen.items():
+                    if len(path) != lvl:
+                        continue
+                    at = node == path
+                    if at.any():
+                        side = np.where(df.loc[at, f] <= thr, "L", "R")
+                        node.loc[at] = path + pd.Series(
+                            side, index=df.index[at]
+                        )
+            y = df[label_col].to_numpy(dtype=np.int64)
+            frames = []
+            for f in feature_cols:
+                g = (
+                    pd.DataFrame(
+                        {"node": node.to_numpy(),
+                         "v": df[f].to_numpy(dtype=np.int64), "y": y}
+                    )
+                    .groupby(["node", "v"], as_index=False)
+                    .agg(n1=("y", "sum"), n=("y", "size"))
+                )
+                g["n0"] = g["n"] - g["n1"]
+                g["feature"] = f
+                frames.append(g[["node", "feature", "v", "n1", "n0"]])
+            out = pd.concat(frames, ignore_index=True)
+            h = pd.util.hash_pandas_object(
+                out["node"] + "|" + out["feature"], index=False
+            ).to_numpy()
+            out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            return out
+
+        def feat_best(g: pd.DataFrame) -> pd.DataFrame:
+            g = (
+                g.drop(columns="__b")
+                .groupby(["node", "feature", "v"], as_index=False)
+                .agg(n1=("n1", "sum"), n0=("n0", "sum"))
+            )
+            rows = []
+            for (node, f), sub in g.groupby(["node", "feature"], sort=True):
+                sub = sub.sort_values("v")
+                tot1 = int(sub["n1"].sum())
+                tot0 = int(sub["n0"].sum())
+                if len(sub) < 2:
+                    continue  # nothing to split on
+                l1 = sub["n1"].cumsum().to_numpy(dtype=np.int64)
+                l0 = sub["n0"].cumsum().to_numpy(dtype=np.int64)
+                err_a = l0 + (tot1 - l1)
+                err_b = l1 + (tot0 - l0)
+                err = np.minimum(err_a, err_b)
+                i = int(np.argmin(err))
+                pol = "le_pos" if err_a[i] <= err_b[i] else "le_neg"
+                rows.append(
+                    (node, f, int(sub["v"].iloc[i]), pol, int(err[i]),
+                     tot1 + tot0, int(l1[i] + l0[i]))
+                )
+            return pd.DataFrame(
+                rows, columns=["node", "feature", "threshold", "polarity",
+                               "err", "n_node", "n_left"],
+            )
+
+        cand = (
+            ds.map_batches(partial, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(feat_best, batch_format="pandas")
+            .to_pandas()
+        )
+        if len(cand) == 0:
+            break
+        # per-node argmin over (err, feature, threshold)
+        cand = cand.sort_values(
+            ["node", "err", "feature", "threshold"]
+        ).groupby("node", as_index=False).head(1)
+        grew = False
+        for r in cand.itertuples(index=False):
+            if len(r.node) != _level:
+                continue  # a leaf that stopped earlier
+            splits[r.node] = (r.feature, int(r.threshold), r.polarity)
+            out_rows.append(
+                (r.node, r.feature, int(r.threshold), r.polarity,
+                 int(r.err), int(r.n_node), int(r.n_left))
+            )
+            grew = True
+        if not grew:
+            break
+
+    out = pd.DataFrame(
+        out_rows,
+        columns=["node", "feature", "threshold", "polarity", "err",
+                 "n_node", "n_left"],
+    ).astype({"threshold": "int64", "err": "int64", "n_node": "int64",
+              "n_left": "int64"})
+    return out.sort_values("node").reset_index(drop=True)

@@ -574,3 +574,53 @@ def test_neighbor_sample_cap_and_determinism(planted_graph):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got2, got, check_dtype=False)
+
+
+def test_greedy_tree_brute_force():
+    from fastie_ray.ops.trees import greedy_tree
+
+    rng = np.random.RandomState(23)
+    f1 = rng.randint(0, 40, 600)
+    f2 = rng.randint(0, 40, 600)
+    # XOR-ish target: needs depth 2, a single stump can't separate it
+    y = (((f1 > 20) ^ (f2 > 20)) & (rng.rand(600) < 0.95)).astype(np.int64)
+    df = pd.DataFrame({"f1": f1, "f2": f2, "y": y})
+    got = greedy_tree(
+        ray.data.from_pandas(df), ["f1", "f2"], "y", depth=2, n_buckets=2
+    )
+
+    def best_split(sub):
+        best = None
+        for f in ["f1", "f2"]:
+            vals = sorted(sub[f].unique())
+            if len(vals) < 2:
+                continue
+            t1 = int(sub.y.sum())
+            t0 = len(sub) - t1
+            for t in vals:
+                le = sub[f] <= t
+                l1 = int(sub.y[le].sum())
+                l0 = int(le.sum()) - l1
+                err_a = l0 + (t1 - l1)
+                err_b = l1 + (t0 - l0)
+                e = min(err_a, err_b)
+                pol = "le_pos" if err_a <= err_b else "le_neg"
+                key = (e, f, t)
+                if best is None or key < (best[0], best[1], best[2]):
+                    best = (e, f, t, pol, len(sub), int(le.sum()))
+        return best
+
+    e, f, t, pol, nn, nl = best_split(df)
+    root = got[got.node == ""].iloc[0]
+    assert (root["feature"], root["threshold"], root["polarity"]) == (f, t, pol)
+    assert root["err"] == e and root["n_node"] == nn and root["n_left"] == nl
+    for side, cond in (("L", df[f] <= t), ("R", df[f] > t)):
+        sub = df[cond]
+        want = best_split(sub)
+        row = got[got.node == side].iloc[0]
+        assert (row["feature"], row["threshold"], row["polarity"]) == (
+            want[1], want[2], want[3]
+        )
+        assert row["err"] == want[0] and row["n_node"] == want[4]
+    # depth-2 tree beats the best stump on XOR data
+    assert got[got.node != ""]["err"].sum() < root["err"]

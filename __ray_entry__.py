@@ -7928,6 +7928,47 @@ def _q_cart_tree(sf_dir: str):
     )
 
 
+def _q_token_fertility(sf_dir: str):
+    """Per-language tokenizer-fertility census
+    (``ops.text_analysis.token_fertility``): docs / tokens / chars and
+    integer chars-per-token, one partial-sum combiner + tiny exchange."""
+    from fastie_ray.ops.text_analysis import token_fertility
+
+    docs = _read(sf_dir, "documents", columns=["lang", "text"])
+    return token_fertility(docs, group_col="lang")
+
+
+def _q_nfc_audit(sf_dir: str):
+    """Unicode NFC-normalization ingest audit
+    (``ops.text_analysis.nfc_audit``): raw vs NFC codepoint length and
+    an is_nfc flag per doc; DuckDB ``nfc_normalize`` is the UAX #15
+    oracle. Embarrassingly parallel."""
+    from fastie_ray.ops.text_analysis import nfc_audit
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return nfc_audit(docs)
+
+
+def _q_token_sort_dups(sf_dir: str):
+    """Token-order-insensitive duplicate groups
+    (``ops.neardup.token_sort_dups``): md5 of the sorted distinct token
+    set, one fingerprint-bucketed exchange."""
+    from fastie_ray.ops.neardup import token_sort_dups
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_sort_dups(docs)
+
+
+def _q_conjunctive_search(sf_dir: str):
+    """Boolean AND retrieval over token membership
+    (``ops.text_index.conjunctive_search``): broadcast query terms,
+    pure vectorized filter, zero shuffles."""
+    from fastie_ray.ops.text_index import conjunctive_search
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return conjunctive_search(docs, ["merge", "vector", "stream"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8034,6 +8075,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "best_stump": _q_best_stump,
         "neighbor_sample": _q_neighbor_sample,
         "cart_tree": _q_cart_tree,
+        "token_fertility": _q_token_fertility,
+        "nfc_audit": _q_nfc_audit,
+        "token_sort_dups": _q_token_sort_dups,
+        "conjunctive_search": _q_conjunctive_search,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -8501,6 +8546,48 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT node, nbr, CAST(rnk AS BIGINT) AS rnk
             FROM r WHERE rnk <= 8
+        """,
+        "token_fertility": r"""
+            SELECT lang AS "group",
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+')))
+                        AS BIGINT) AS n_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                   CAST((SUM(length(text)) * 1000)
+                        // GREATEST(SUM(len(regexp_extract_all(
+                               text, '[A-Za-z0-9]+'))), 1)
+                        AS BIGINT) AS chars_per_token_e3
+            FROM documents GROUP BY 1
+        """,
+        "nfc_audit": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(nfc_normalize(text)) AS BIGINT) AS n_nfc,
+                   CAST(CASE WHEN text = nfc_normalize(text)
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_nfc
+            FROM documents
+        """,
+        "token_sort_dups": r"""
+            WITH fp AS (SELECT doc_id,
+                               md5(array_to_string(list_sort(list_distinct(
+                                   regexp_extract_all(lower(text),
+                                       '[a-z0-9]+'))), ' ')) AS fingerprint
+                        FROM documents),
+            g AS (SELECT doc_id, fingerprint,
+                         count(*) OVER (PARTITION BY fingerprint) AS n_group
+                  FROM fp)
+            SELECT doc_id, fingerprint, CAST(n_group AS BIGINT) AS n_group
+            FROM g WHERE n_group >= 2
+        """,
+        "conjunctive_search": r"""
+            SELECT doc_id, CAST(3 AS BIGINT) AS n_terms_matched
+            FROM documents
+            WHERE regexp_matches(lower(text),
+                      '(^|[^a-z0-9])merge([^a-z0-9]|$)')
+              AND regexp_matches(lower(text),
+                      '(^|[^a-z0-9])vector([^a-z0-9]|$)')
+              AND regexp_matches(lower(text),
+                      '(^|[^a-z0-9])stream([^a-z0-9]|$)')
         """,
         "mutual_info": r"""
             WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy

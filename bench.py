@@ -106,7 +106,13 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "kg_contradictions", "kg_type_signatures",
                  "kg_provenance", "kg_degree_profile",
                  "rank_sum_drift", "target_encode",
-                 "hashed_features", "script_mix", "rw_corpus"):
+                 "hashed_features", "script_mix", "rw_corpus",
+                 "modularity", "edge_jaccard", "nb_lang", "char_entropy",
+                 "benford", "autocorr", "priority_sample", "mutual_info",
+                 "assortativity", "kmv_distinct", "user_concentration",
+                 "rake_keyphrases", "seq_patterns", "best_stump",
+                 "neighbor_sample", "cart_tree", "token_fertility",
+                 "nfc_audit", "token_sort_dups", "conjunctive_search"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

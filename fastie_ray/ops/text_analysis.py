@@ -596,3 +596,83 @@ def char_entropy(
     return ds.map_batches(
         lambda df: char_entropy_batch(df, text_col), batch_format="pandas"
     )
+
+
+def token_fertility(
+    ds: "ray.data.Dataset",
+    group_col: str = "lang",
+    text_col: str = "text",
+    n_buckets: int = 8,
+) -> "ray.data.Dataset":
+    """Per-group tokenizer-fertility census — the corpus-mix statistic
+    a multilingual training run budgets with (chars per token varies
+    ~3× across languages; token counts, not doc counts, are the cost
+    unit). Returns (group, n_docs, n_tokens, n_chars,
+    chars_per_token_e3 = n_chars·1000 // n_tokens) — all integer.
+
+    One per-batch partial-sum combiner → one tiny group exchange."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].astype(str)
+        out = pd.DataFrame(
+            {
+                "g": df[group_col],
+                "n_tokens": t.str.count(r"[A-Za-z0-9]+").astype("int64"),
+                "n_chars": t.str.len().astype("int64"),
+            }
+        )
+        agg = out.groupby("g", as_index=False).agg(
+            n_docs=("n_chars", "size"),
+            n_tokens=("n_tokens", "sum"),
+            n_chars=("n_chars", "sum"),
+        )
+        h = pd.util.hash_pandas_object(agg["g"], index=False).to_numpy()
+        agg["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return agg
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("g", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            n_tokens=("n_tokens", "sum"),
+            n_chars=("n_chars", "sum"),
+        )
+        out["chars_per_token_e3"] = (
+            out["n_chars"] * 1000 // out["n_tokens"].clip(lower=1)
+        )
+        return out.rename(columns={"g": "group"}).astype(
+            {"n_docs": "int64", "n_tokens": "int64", "n_chars": "int64",
+             "chars_per_token_e3": "int64"}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def nfc_audit(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Unicode-normalization audit: per doc, raw codepoint length vs
+    NFC-normalized length and an ``is_nfc`` flag — the ingest gate that
+    catches decomposed-form crawl shards before they poison exact-dedup
+    fingerprints (NFC('é') ≠ 'e'+combining-acute byte-wise, identical
+    to the reader). Python's unicodedata and DuckDB's
+    ``nfc_normalize`` both implement UAX #15, so the oracle matches
+    byte-for-byte. Embarrassingly parallel, zero shuffles."""
+    import unicodedata
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].astype(str)
+        norm = t.map(lambda s: unicodedata.normalize("NFC", s))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": t.str.len().astype("int64"),
+                "n_nfc": norm.str.len().astype("int64"),
+                "is_nfc": (t == norm).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(audit, batch_format="pandas")

@@ -262,3 +262,38 @@ def trigram_search(
         return out
 
     return verified.map_batches(verify, batch_format="pandas")
+
+
+def conjunctive_search(
+    ds: "ray.data.Dataset",
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Boolean AND retrieval: docs whose TOKEN set contains every query
+    term (token membership, not substring — 'graph' does not match
+    'graphics'). The query terms are broadcast constants, so the scale
+    shape is a pure vectorized filter — zero shuffles, zero index;
+    the indexed alternative for repeated queries is ``trigram_search``
+    above. Returns (doc_id, n_terms_matched) for full matches only
+    (n_terms_matched == len(terms), kept as an audit column)."""
+    import re as _re
+
+    pats = [
+        _re.compile(r"(?:^|[^a-z0-9])" + _re.escape(t) + r"(?:[^a-z0-9]|$)")
+        for t in terms
+    ]
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        low = df[text_col].astype(str).str.lower()
+        ok = np.ones(len(df), dtype=bool)
+        for p in pats:
+            ok &= low.str.contains(p).to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: df.loc[ok, id_col],
+                "n_terms_matched": np.int64(len(terms)),
+            }
+        )
+
+    return ds.map_batches(filt, batch_format="pandas")

@@ -7969,6 +7969,38 @@ def _q_conjunctive_search(sf_dir: str):
     return conjunctive_search(docs, ["merge", "vector", "stream"])
 
 
+def _q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary-growth curve
+    (``ops.text_analysis.vocab_growth``): new token types + cumulative
+    vocabulary per doc-id-range slice, token-first-occurrence exchange
+    only."""
+    from fastie_ray.ops.text_analysis import vocab_growth
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return vocab_growth(docs, n_growth_buckets=20, ngram=2)
+
+
+def _q_token_pmi(sf_dir: str):
+    """PMI collocations over the broadcast top-40-df vocabulary
+    (``ops.text_index.token_pmi``): doc-level pair presence, e6-floored
+    log2 PMI, pair space bounded at C(40, 2)."""
+    from fastie_ray.ops.text_index import token_pmi
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return token_pmi(docs, n_docs=docs.count(), k_vocab=40, min_count=5)
+
+
+def _q_content_chunks(sf_dir: str):
+    """Content-defined chunking census (``ops.chunking.content_chunks``,
+    the LBFS/FastCDC storage-dedup primitive): rolling-hash boundaries,
+    recurring-chunk (hash, len, n_occ, n_docs) rows, one hash-bucketed
+    exchange of 32-byte hashes."""
+    from fastie_ray.ops.chunking import content_chunks
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return content_chunks(docs, mod=16, min_occ=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8079,6 +8111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_audit": _q_nfc_audit,
         "token_sort_dups": _q_token_sort_dups,
         "conjunctive_search": _q_conjunctive_search,
+        "vocab_growth": _q_vocab_growth,
+        "token_pmi": _q_token_pmi,
+        "content_chunks": _q_content_chunks,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -8588,6 +8623,84 @@ def oracle_sql() -> dict[str, str]:
                       '(^|[^a-z0-9])vector([^a-z0-9]|$)')
               AND regexp_matches(lower(text),
                       '(^|[^a-z0-9])stream([^a-z0-9]|$)')
+        """,
+        "vocab_growth": r"""
+            WITH arrs AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text),
+                                     '[a-z0-9]+') AS a
+                          FROM documents),
+            toks AS (SELECT doc_id,
+                            unnest(list_transform(range(1, len(a)),
+                                i -> a[i] || ' ' || a[i + 1])) AS token
+                     FROM arrs),
+            firsts AS (SELECT token, min(doc_id) AS first_doc
+                       FROM toks GROUP BY 1),
+            w AS (SELECT (max(doc_id) + 20) // 20 AS width FROM documents),
+            b AS (SELECT first_doc // w.width AS bucket,
+                         count(*) AS new_types
+                  FROM firsts, w GROUP BY 1)
+            SELECT CAST(b.bucket AS BIGINT) AS bucket,
+                   CAST(b.bucket * w.width AS BIGINT) AS doc_lo,
+                   CAST(b.new_types AS BIGINT) AS new_types,
+                   CAST(SUM(b.new_types) OVER (ORDER BY b.bucket)
+                        AS BIGINT) AS cum_types
+            FROM b, w
+        """,
+        "token_pmi": r"""
+            WITH toks AS (SELECT DISTINCT doc_id, token
+                          FROM (SELECT doc_id,
+                                       lower(unnest(regexp_extract_all(
+                                           text, '[A-Za-z0-9]+'))) AS token
+                                FROM documents)),
+            dft AS (SELECT token, count(*) AS df FROM toks GROUP BY 1),
+            top AS (SELECT token, df FROM dft
+                    ORDER BY df DESC, token LIMIT 40),
+            pres AS (SELECT t.doc_id, t.token
+                     FROM toks t JOIN top USING (token)),
+            prs AS (SELECT a.token AS tok_a, b.token AS tok_b,
+                           count(*) AS n_ab
+                    FROM pres a JOIN pres b
+                        ON a.doc_id = b.doc_id AND a.token < b.token
+                    GROUP BY 1, 2),
+            tot AS (SELECT count(*) AS N FROM documents)
+            SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+                   CAST(da.df AS BIGINT) AS n_a,
+                   CAST(db.df AS BIGINT) AS n_b,
+                   CAST(floor(1e6 * log2(t.N * CAST(n_ab AS DOUBLE)
+                        / (CAST(da.df AS DOUBLE) * db.df)))
+                        AS BIGINT) AS pmi_e6
+            FROM prs JOIN top da ON da.token = tok_a
+                     JOIN top db ON db.token = tok_b
+            CROSS JOIN tot t
+            WHERE n_ab >= 5
+        """,
+        "content_chunks": r"""
+            WITH pos AS (SELECT doc_id, text,
+                                unnest(generate_series(1,
+                                    greatest(length(text) - 3, 0))) AS i
+                         FROM documents),
+            bnd AS (SELECT doc_id, text, i + 3 AS e FROM pos
+                    WHERE (ascii(substr(text, i, 1)) * 29791
+                         + ascii(substr(text, i + 1, 1)) * 961
+                         + ascii(substr(text, i + 2, 1)) * 31
+                         + ascii(substr(text, i + 3, 1))) % 16 = 0),
+            w AS (SELECT doc_id, text, e,
+                         lag(e, 1, 0) OVER (PARTITION BY doc_id
+                             ORDER BY e) AS pe
+                  FROM bnd),
+            mid AS (SELECT doc_id, substr(text, pe + 1, e - pe) AS chunk
+                    FROM w),
+            lastb AS (SELECT doc_id, max(e) AS le FROM bnd GROUP BY 1),
+            tails AS (SELECT d.doc_id,
+                             substr(d.text, coalesce(l.le, 0) + 1) AS chunk
+                      FROM documents d LEFT JOIN lastb l USING (doc_id)
+                      WHERE coalesce(l.le, 0) < length(d.text)),
+            allc AS (SELECT * FROM mid UNION ALL SELECT * FROM tails)
+            SELECT md5(chunk) AS chunk_hash,
+                   CAST(length(chunk) AS BIGINT) AS chunk_len,
+                   CAST(count(*) AS BIGINT) AS n_occ,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM allc GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "mutual_info": r"""
             WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy

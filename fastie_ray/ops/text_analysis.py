@@ -676,3 +676,90 @@ def nfc_audit(
         )
 
     return ds.map_batches(audit, batch_format="pandas")
+
+
+def vocab_growth(
+    ds: "ray.data.Dataset",
+    n_growth_buckets: int = 20,
+    ngram: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Heaps'-law vocabulary-growth curve: partition the doc-id range
+    into ``n_growth_buckets`` equal-width slices and count, per slice,
+    the token TYPES whose first occurrence (min doc_id) lands there,
+    plus the running cumulative vocabulary size. The corpus-freshness
+    diagnostic of a crawl pipeline (a flattening curve = the crawl is
+    re-reading itself).
+
+    Scale shape: the per-batch combiner emits one row per DISTINCT
+    (token, batch) carrying the batch-local min doc_id — occurrence
+    volume never leaves the batch; ONE token-bucketed exchange reduces
+    to global first occurrences and folds them straight into the
+    growth-bucket histogram (≤ n_growth_buckets rows per reduce
+    bucket), so the driver merges a buckets × n_growth_buckets table.
+    ``ngram > 1`` tracks space-joined word n-gram types instead of
+    unigrams (small fixed vocabularies saturate the unigram curve
+    immediately; the n-gram space keeps growing — the statistic Heaps
+    actually measured). Returns (bucket, doc_lo, new_types,
+    cum_types), int64."""
+    import ray.data  # noqa: F401
+
+    max_id = int(ds.max(id_col))
+    width = (max_id + n_growth_buckets) // n_growth_buckets
+
+    def to_types(ts: list[str]) -> list[str]:
+        if ngram == 1:
+            return ts
+        return [
+            " ".join(ts[i:i + ngram]) for i in range(len(ts) - ngram + 1)
+        ]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.DataFrame(
+            {
+                "doc": df[id_col].to_numpy(),
+                "token": df[text_col].str.lower()
+                .str.findall(r"[a-z0-9]+").map(to_types),
+            }
+        ).explode("token")
+        toks = toks.dropna(subset=["token"])
+        agg = toks.groupby("token", as_index=False)["doc"].min()
+        agg["__b"] = _bucket_hash(agg["token"], n_buckets)
+        return agg
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("token")["doc"].min()
+        b = (first // width).astype("int64")
+        out = b.value_counts().rename_axis("bucket").reset_index(
+            name="new_types"
+        )
+        return out.astype({"bucket": "int64", "new_types": "int64"})
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"bucket": pd.array([], dtype="int64"),
+             "doc_lo": pd.array([], dtype="int64"),
+             "new_types": pd.array([], dtype="int64"),
+             "cum_types": pd.array([], dtype="int64")}
+        )
+    out = (
+        parts.groupby("bucket", as_index=False)["new_types"].sum()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    out["doc_lo"] = out["bucket"] * width
+    out["cum_types"] = out["new_types"].cumsum()
+    return out[["bucket", "doc_lo", "new_types", "cum_types"]].astype("int64")
+
+
+def _bucket_hash(keys: pd.Series, n_buckets: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+    return (h % np.uint64(n_buckets)).astype(np.int64)

@@ -297,3 +297,85 @@ def conjunctive_search(
         )
 
     return ds.map_batches(filt, batch_format="pandas")
+
+
+def token_pmi(
+    ds: "ray.data.Dataset",
+    n_docs: int,
+    k_vocab: int = 40,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+) -> pd.DataFrame:
+    """PMI-scored collocations over the TOP-``k_vocab`` tokens by
+    document frequency (ties → token asc): for every unordered pair of
+    vocab tokens co-occurring in ≥ ``min_count`` docs,
+
+        pmi_e6 = floor(1e6 · log2(N·n_ab / (n_a·n_b)))
+
+    — the classic collocation score (Church & Hanks 1990), computed on
+    doc-level presence. Complements ``cooc.cooc_pairs`` (raw counts,
+    per-doc cap): here the vocabulary is df-ranked and BROADCAST, so
+    the pair space is C(k_vocab, 2) — a constant — regardless of
+    corpus size.
+
+    Scale shape: pass 1 is the df table + block-local top-k merge
+    (``top_vocab``); the pruned vocab is a broadcast constant. Pass 2
+    explodes only vocab tokens per doc (≤ k_vocab rows/doc), pairs
+    them batch-locally, and a per-batch combiner reduces to ≤
+    C(k_vocab, 2) rows per batch; ONE bucketed exchange sums, and the
+    driver finishes on a ≤ C(k_vocab, 2)-row table. Returns
+    (tok_a, tok_b, n_ab, n_a, n_b, pmi_e6), int64."""
+    vocab = top_vocab(doc_frequency(ds, text_col), k_vocab)
+    dfm = dict(zip(vocab["token"], vocab["df"].astype("int64")))
+    vset = set(dfm)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        t = _tokens_per_doc(df, text_col)
+        t = t[t["token"].isin(vset)].drop_duplicates(["doc_id", "token"])
+        m = t.merge(t, on="doc_id")
+        m = m[m["token_x"] < m["token_y"]]
+        out = (
+            m.groupby(["token_x", "token_y"], as_index=False)
+            .agg(n_ab=("doc_id", "count"))
+            .rename(columns={"token_x": "tok_a", "token_y": "tok_b"})
+        )
+        h = pd.util.hash_pandas_object(
+            out["tok_a"] + "|" + out["tok_b"], index=False
+        ).to_numpy()
+        out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby(
+            ["tok_a", "tok_b"], as_index=False
+        )["n_ab"].sum()
+        out["n_ab"] = out["n_ab"].astype("int64")
+        return out
+
+    agg = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(agg) == 0:
+        return pd.DataFrame(
+            {c: pd.array([], dtype="int64" if c.startswith("n") or
+                          c == "pmi_e6" else "object")
+             for c in ["tok_a", "tok_b", "n_ab", "n_a", "n_b", "pmi_e6"]}
+        )
+    agg = agg[agg["n_ab"] >= min_count].reset_index(drop=True)
+    agg["n_a"] = agg["tok_a"].map(dfm).astype("int64")
+    agg["n_b"] = agg["tok_b"].map(dfm).astype("int64")
+    # float op ORDER mirrors the SQL oracle exactly:
+    # log2(N * double(n_ab) / (double(n_a) * n_b))
+    ratio = (
+        float(n_docs) * agg["n_ab"].to_numpy(dtype=np.float64)
+    ) / (
+        agg["n_a"].to_numpy(dtype=np.float64)
+        * agg["n_b"].to_numpy(dtype=np.float64)
+    )
+    agg["pmi_e6"] = np.floor(1e6 * np.log2(ratio)).astype("int64")
+    return agg[["tok_a", "tok_b", "n_ab", "n_a", "n_b", "pmi_e6"]]

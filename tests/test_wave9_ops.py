@@ -1,0 +1,145 @@
+"""Brute-force parity tests for the round-3 wave-9 operators:
+vocab_growth (Heaps' curve), token_pmi (collocations over broadcast
+top-df vocab), content_chunks (content-defined chunking census)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def planted_docs():
+    rng = np.random.RandomState(23)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        n = rng.randint(5, 25)
+        toks = [vocab[j] for j in rng.randint(0, len(vocab), n)]
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    # planted shared span so content chunks recur across docs
+    rows.append({"doc_id": 500, "text": "aa bb cc dd ee ff gg hh ii jj"})
+    rows.append({"doc_id": 501, "text": "aa bb cc dd ee ff gg hh ii jj"})
+    df = pd.DataFrame(rows)
+    return df, ray.data.from_pandas(df)
+
+
+def _toks(s: str) -> list[str]:
+    return re.findall(r"[a-z0-9]+", s.lower())
+
+
+def test_vocab_growth_brute_force(planted_docs):
+    from fastie_ray.ops.text_analysis import vocab_growth
+
+    df, ds = planted_docs
+    got = vocab_growth(ds, n_growth_buckets=10, ngram=2)
+    max_id = int(df["doc_id"].max())
+    width = (max_id + 10) // 10
+    first: dict[str, int] = {}
+    for _, r in df.sort_values("doc_id").iterrows():
+        ts = _toks(r["text"])
+        for bg in (" ".join(p) for p in zip(ts, ts[1:])):
+            first.setdefault(bg, int(r["doc_id"]))
+    cnt = Counter(v // width for v in first.values())
+    want = pd.DataFrame(
+        sorted((b, b * width, n) for b, n in cnt.items()),
+        columns=["bucket", "doc_lo", "new_types"],
+    )
+    want["cum_types"] = want["new_types"].cumsum()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.astype("int64"), check_dtype=False
+    )
+    # the curve must actually grow over multiple slices
+    assert len(got) > 1
+    assert got["cum_types"].is_monotonic_increasing
+
+
+def test_token_pmi_brute_force(planted_docs):
+    from fastie_ray.ops.text_index import token_pmi
+
+    df, ds = planted_docs
+    n = len(df)
+    got = (
+        token_pmi(ds, n_docs=n, k_vocab=10, min_count=3)
+        .sort_values(["tok_a", "tok_b"])
+        .reset_index(drop=True)
+    )
+    pres: dict[str, set] = {}
+    for _, r in df.iterrows():
+        for t in set(_toks(r["text"])):
+            pres.setdefault(t, set()).add(r["doc_id"])
+    top = sorted(pres, key=lambda t: (-len(pres[t]), t))[:10]
+    rows = []
+    for i, a in enumerate(sorted(top)):
+        for b in sorted(top)[i + 1:]:
+            n_ab = len(pres[a] & pres[b])
+            if n_ab < 3:
+                continue
+            n_a, n_b = len(pres[a]), len(pres[b])
+            pmi = math.floor(
+                1e6 * math.log2(float(n) * n_ab / (float(n_a) * n_b))
+            )
+            rows.append((a, b, n_ab, n_a, n_b, pmi))
+    want = pd.DataFrame(
+        rows, columns=["tok_a", "tok_b", "n_ab", "n_a", "n_b", "pmi_e6"]
+    ).sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_chunk_doc_partitions_and_is_content_defined():
+    from fastie_ray.ops.chunking import chunk_doc
+
+    s = "the quick brown fox jumps over the lazy dog " * 4
+    chunks = chunk_doc(s, mod=16)
+    assert "".join(chunks) == s
+    assert all(chunks)
+    # content-defined: a prefix insertion re-aligns at the next
+    # boundary, so chunk suffixes are shared with the original
+    shifted = chunk_doc("XY" + s, mod=16)
+    assert "".join(shifted) == "XY" + s
+    assert set(chunks[1:]) & set(shifted) or len(chunks) <= 2
+
+
+def test_content_chunks_brute_force(planted_docs):
+    from fastie_ray.ops.chunking import chunk_doc, content_chunks
+
+    df, ds = planted_docs
+    got = (
+        content_chunks(ds, mod=16, min_occ=2)
+        .to_pandas()
+        .sort_values(["chunk_hash", "chunk_len"])
+        .reset_index(drop=True)
+    )
+    occ: Counter = Counter()
+    docs: dict = {}
+    for _, r in df.iterrows():
+        for ch in chunk_doc(r["text"], mod=16):
+            k = (hashlib.md5(ch.encode()).hexdigest(), len(ch))
+            occ[k] += 1
+            docs.setdefault(k, set()).add(r["doc_id"])
+    rows = [
+        (h, ln, n, len(docs[(h, ln)]))
+        for (h, ln), n in occ.items()
+        if n >= 2
+    ]
+    want = pd.DataFrame(
+        sorted(rows),
+        columns=["chunk_hash", "chunk_len", "n_occ", "n_docs"],
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the planted identical docs share every chunk
+    planted = [
+        k for k, ds_ in docs.items() if {500, 501} <= ds_
+    ]
+    assert planted

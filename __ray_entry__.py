@@ -8001,6 +8001,26 @@ def _q_content_chunks(sf_dir: str):
     return content_chunks(docs, mod=16, min_occ=2)
 
 
+def _q_mad_outliers(sf_dir: str):
+    """Median/MAD robust outlier gate per event type
+    (``ops.stats.mad_outliers``): integer-cents low medians via two
+    grouped-quantile exchanges, broadcast dicts, parallel filter."""
+    from fastie_ray.ops.stats import mad_outliers
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return mad_outliers(ev, "event_type", "value", "event_id", k=3)
+
+
+def _q_dict_encode(sf_dir: str):
+    """Dictionary-encode the corpus to (doc_id, pos, token_id) rows
+    (``ops.encoding.dict_encode``): range-keyed distributed dense-rank
+    vocab + broadcast map — the tokenize-and-materialize step."""
+    from fastie_ray.ops.encoding import dict_encode
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dict_encode(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8114,6 +8134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "token_pmi": _q_token_pmi,
         "content_chunks": _q_content_chunks,
+        "mad_outliers": _q_mad_outliers,
+        "dict_encode": _q_dict_encode,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -8701,6 +8723,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_occ,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
             FROM allc GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "mad_outliers": r"""
+            WITH v AS (SELECT event_id, event_type,
+                              CAST(floor(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            medr AS (SELECT event_type, cents,
+                            row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents) AS rn,
+                            count(*) OVER (PARTITION BY event_type) AS n
+                     FROM v),
+            med AS (SELECT event_type, cents AS med FROM medr
+                    WHERE rn = (n + 1) // 2),
+            d AS (SELECT v.event_id, v.event_type, v.cents, m.med,
+                         abs(v.cents - m.med) AS dev
+                  FROM v JOIN med m USING (event_type)),
+            madr AS (SELECT event_type, dev,
+                            row_number() OVER (PARTITION BY event_type
+                                ORDER BY dev) AS rn,
+                            count(*) OVER (PARTITION BY event_type) AS n
+                     FROM d),
+            mad AS (SELECT event_type, dev AS mad FROM madr
+                    WHERE rn = (n + 1) // 2)
+            SELECT d.event_id, d.event_type, d.cents, d.med,
+                   mad.mad, CAST(d.dev AS BIGINT) AS dev
+            FROM d JOIN mad USING (event_type)
+            WHERE d.dev > 3 * mad.mad
+        """,
+        "dict_encode": r"""
+            WITH arrs AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text),
+                                     '[a-z0-9]+') AS a
+                          FROM documents),
+            toks AS (SELECT doc_id, unnest(a) AS token,
+                            unnest(range(1, len(a) + 1)) AS pos
+                     FROM arrs),
+            vocab AS (SELECT token,
+                             row_number() OVER (ORDER BY token) - 1
+                                 AS token_id
+                      FROM (SELECT DISTINCT token FROM toks))
+            SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+                   CAST(v.token_id AS BIGINT) AS token_id
+            FROM toks t JOIN vocab v USING (token)
         """,
         "mutual_info": r"""
             WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy

@@ -113,7 +113,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "rake_keyphrases", "seq_patterns", "best_stump",
                  "neighbor_sample", "cart_tree", "token_fertility",
                  "nfc_audit", "token_sort_dups", "conjunctive_search",
-                 "vocab_growth", "token_pmi", "content_chunks"):
+                 "vocab_growth", "token_pmi", "content_chunks",
+                 "mad_outliers", "dict_encode"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

@@ -138,3 +138,107 @@ def hashed_features(
         return out
 
     return ds.map_batches(feats, batch_format="pandas")
+
+
+def vocab_ids(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Dense dictionary ids for the corpus token vocabulary:
+    (token, token_id) with id = the token's 0-based position in global
+    lexicographic order — the vocab half of dictionary encoding.
+
+    Distributed dense-rank WITHOUT a total-order sort barrier: the
+    distinct-token exchange is RANGE-keyed on the token's first
+    codepoint (an ordered coarse key, so bucket order == value order),
+    each range task sorts its own slice and emits local ranks, a
+    range-domain-sized count table prefix-sums to per-range offsets on
+    the driver, and one map adds offset + local rank. The ordered
+    coarse key replaces the global sort the same way
+    ``ops.rank.global_rank`` does for integer keys."""
+    import ray.data  # noqa: F401
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(r"[a-z0-9]+")
+        t = (
+            pd.DataFrame({"token": toks})
+            .explode("token")
+            .dropna(subset=["token"])
+            .drop_duplicates()
+        )
+        t["__r"] = (
+            t["token"].str.slice(0, 1).map(ord).astype("int64")
+        )
+        return t
+
+    def local_rank(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates(subset=["token"])
+            .sort_values("token")
+            .reset_index(drop=True)
+        )
+        out["__lr"] = np.arange(len(out), dtype=np.int64)
+        return out
+
+    ranked = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__r")
+        .map_groups(local_rank, batch_format="pandas")
+        .materialize()  # vocab-bounded; consumed twice below
+    )
+    counts = (
+        ranked.groupby("__r").count().to_pandas()
+        .sort_values("__r")
+        .reset_index(drop=True)
+    )
+    offs: dict[int, int] = {}
+    acc = 0
+    for _, r in counts.iterrows():
+        offs[int(r["__r"])] = acc
+        acc += int(r["count()"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        tid = (
+            df["__r"].map(offs).astype("int64") + df["__lr"]
+        ).astype("int64")
+        return pd.DataFrame({"token": df["token"], "token_id": tid})
+
+    return ranked.map_batches(assign, batch_format="pandas")
+
+
+def dict_encode(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Dictionary-encode the corpus: re-emit every document as
+    (``id_col``, pos, token_id) rows — 1-based token position, dense
+    lexicographic vocab id from ``vocab_ids`` — the
+    tokenize-and-materialize step that turns raw text into the integer
+    corpus a trainer streams. The vocab table is vocabulary-bounded by
+    construction and ships ONCE via ``ray.put``; the encode pass is
+    embarrassingly parallel, so corpus size only affects the streaming
+    write."""
+    import ray
+
+    vocab = vocab_ids(ds, text_col).to_pandas()
+    vmap_ref = ray.put(dict(zip(vocab["token"], vocab["token_id"])))
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        vmap = ray.get(vmap_ref)
+        toks = df[text_col].str.lower().str.findall(r"[a-z0-9]+")
+        t = pd.DataFrame(
+            {id_col: df[id_col].to_numpy(), "token": toks}
+        ).explode("token")
+        t = t.dropna(subset=["token"])
+        t["pos"] = t.groupby(id_col).cumcount() + 1
+        t["token_id"] = t["token"].map(vmap)
+        return pd.DataFrame(
+            {
+                id_col: t[id_col].astype("int64"),
+                "pos": t["pos"].astype("int64"),
+                "token_id": t["token_id"].astype("int64"),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pandas")

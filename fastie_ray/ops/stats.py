@@ -1920,3 +1920,75 @@ def user_concentration(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def mad_outliers(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Robust per-group outlier gate: flag rows whose integer-cents
+    value deviates from the group's LOW MEDIAN by more than
+    ``k`` × the group's MAD (median absolute deviation) — the
+    median/MAD screen that survives the very outliers a mean/stddev
+    z-score is skewed by. All arithmetic is integer (cents =
+    floor(value·100); low median = the ceil(n/2)-th order statistic),
+    so the SQL oracle reproduces it bit-for-bit.
+
+    Scale shape: two ``grouped_quantiles`` passes (per-batch
+    (group, value)-count combiners → ONE bucketed exchange each, the
+    exchange bounded by group × distinct-cents domain), each reduced
+    to a group-domain-sized dict broadcast in the filter closure; the
+    final pass is an embarrassingly parallel filter. Returns
+    (``id_col``, group, cents, med, mad, dev) for outlier rows."""
+
+    def cents_of(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "g": df[group_col],
+                "cents": np.floor(
+                    df[value_col].to_numpy(dtype=np.float64) * 100
+                ).astype("int64"),
+            }
+        )
+
+    cents = ds.map_batches(cents_of, batch_format="pandas")
+    med_df = grouped_quantiles(
+        cents, "g", "cents", [0.5], n_buckets
+    ).to_pandas()
+    med = dict(zip(med_df["g"], med_df["value"].astype("int64")))
+
+    def dev_of(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["dev"] = (
+            df["cents"] - df["g"].map(med).astype("int64")
+        ).abs().astype("int64")
+        return df
+
+    devs = cents.map_batches(dev_of, batch_format="pandas")
+    mad_df = grouped_quantiles(
+        devs, "g", "dev", [0.5], n_buckets
+    ).to_pandas()
+    mad = dict(zip(mad_df["g"], mad_df["value"].astype("int64")))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["g"].map(med).astype("int64")
+        md = df["g"].map(mad).astype("int64")
+        keep = df["dev"] > k * md
+        out = pd.DataFrame(
+            {
+                id_col: df.loc[keep, id_col],
+                group_col: df.loc[keep, "g"],
+                "cents": df.loc[keep, "cents"],
+                "med": m[keep],
+                "mad": md[keep],
+                "dev": df.loc[keep, "dev"],
+            }
+        )
+        return out
+
+    return devs.map_batches(flag, batch_format="pandas")

@@ -8021,6 +8021,36 @@ def _q_dict_encode(sf_dir: str):
     return dict_encode(docs)
 
 
+def _q_hll_sliding(sf_dir: str):
+    """Trailing-7-day sliding-window HLL distinct-user sketches per day
+    (``ops.sketch.hll_sliding_registers``): daily register partials
+    merged by rolling max — the streaming weekly-actives shape."""
+    from fastie_ray.ops.sketch import hll_sliding_registers
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+    return hll_sliding_registers(ev, "user_id", window_days=7)
+
+
+def _q_token_budget_select(sf_dir: str):
+    """Per-source token-budget selection
+    (``ops.selection.token_budget_select``): md5-shuffle order,
+    distributed grouped prefix sum, take-while ≤ 800 tokens."""
+    from fastie_ray.ops.selection import token_budget_select
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return token_budget_select(docs, budget=800)
+
+
+def _q_source_scorecard(sf_dir: str):
+    """Per-source ingest scorecard (``ops.profile.source_scorecard``):
+    volume, chars, language spread, corpus-wide exact-dup share — one
+    md5-bucketed exchange plus source-bounded combiners."""
+    from fastie_ray.ops.profile import source_scorecard
+
+    docs = _read(sf_dir, "documents", columns=["source", "lang", "text"])
+    return source_scorecard(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8136,6 +8166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_chunks": _q_content_chunks,
         "mad_outliers": _q_mad_outliers,
         "dict_encode": _q_dict_encode,
+        "hll_sliding": _q_hll_sliding,
+        "token_budget_select": _q_token_budget_select,
+        "source_scorecard": _q_source_scorecard,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -8765,6 +8798,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
                    CAST(v.token_id AS BIGINT) AS token_id
             FROM toks t JOIN vocab v USING (token)
+        """,
+        "hll_sliding": r"""
+            WITH ud AS (SELECT DISTINCT
+                            CAST(datediff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) AS BIGINT) AS day,
+                            CAST(user_id AS VARCHAR) AS s
+                        FROM events WHERE user_id IS NOT NULL),
+            h AS (SELECT day, CAST(('0x' || substr(md5(s), 1, 15))
+                             AS BIGINT) AS x
+                  FROM ud),
+            r AS (SELECT day, x % 256 AS register, x // 256 AS rest FROM h),
+            q AS (SELECT day, register,
+                         CASE WHEN rest = 0 THEN 61
+                              ELSE bit_count((rest & -rest) - 1) + 1
+                         END AS rho
+                  FROM r),
+            d AS (SELECT day, register, max(rho) AS mr FROM q GROUP BY 1, 2),
+            days AS (SELECT DISTINCT day FROM d)
+            SELECT days.day, CAST(d.register AS BIGINT) AS register,
+                   CAST(max(d.mr) AS BIGINT) AS max_rho
+            FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
+            GROUP BY 1, 2
+        """,
+        "token_budget_select": r"""
+            WITH t AS (SELECT doc_id, source,
+                              CAST(len(regexp_extract_all(text,
+                                   '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+                              md5('sel:' || CAST(doc_id AS VARCHAR)) AS rk
+                       FROM documents),
+            c AS (SELECT doc_id, source, n_tokens,
+                         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY rk, doc_id) AS cum
+                  FROM t)
+            SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT)
+                       AS cum_tokens
+            FROM c WHERE cum <= 800
+        """,
+        "source_scorecard": r"""
+            WITH base AS (SELECT source, count(*) AS n_docs,
+                                 SUM(length(text)) AS sum_chars,
+                                 count(DISTINCT lang) AS n_langs
+                          FROM documents GROUP BY 1),
+            m AS (SELECT md5(text) AS h, source, count(*) AS n
+                  FROM documents GROUP BY 1, 2),
+            t AS (SELECT h, SUM(n) AS tot FROM m GROUP BY 1),
+            d AS (SELECT m.source, SUM(m.n) AS n_dup_docs
+                  FROM m JOIN t USING (h)
+                  WHERE t.tot >= 2 GROUP BY 1)
+            SELECT b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
+                   CAST(coalesce(d.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+                   CAST(b.sum_chars AS BIGINT) AS sum_chars,
+                   CAST(b.sum_chars // b.n_docs AS BIGINT) AS mean_chars,
+                   CAST(b.n_langs AS BIGINT) AS n_langs
+            FROM base b LEFT JOIN d USING (source)
         """,
         "mutual_info": r"""
             WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy

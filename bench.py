@@ -114,7 +114,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "neighbor_sample", "cart_tree", "token_fertility",
                  "nfc_audit", "token_sort_dups", "conjunctive_search",
                  "vocab_growth", "token_pmi", "content_chunks",
-                 "mad_outliers", "dict_encode"):
+                 "mad_outliers", "dict_encode", "hll_sliding",
+                 "token_budget_select", "source_scorecard"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

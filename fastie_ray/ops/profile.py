@@ -257,3 +257,100 @@ def id_gaps(
     out["gap_start"] = out["gap_start"].astype("int64")
     out["gap_end"] = out["gap_end"].astype("int64")
     return out
+
+
+def source_scorecard(
+    ds: "ray.data.Dataset",
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Per-source ingest scorecard — the blocklist-derivation report a
+    crawl pipeline runs before admitting a source: doc volume, CHARS,
+    language spread and the source's share of corpus-wide EXACT
+    duplicates (a source whose docs keep appearing elsewhere is a
+    mirror or a spammer). Returns (source, n_docs, n_dup_docs,
+    sum_chars, mean_chars, n_langs), int64, mean floored.
+
+    Scale shape: base stats + language pairs come from per-batch
+    combiners (source-domain-bounded); duplicate attribution hashes
+    each doc ONCE (md5 of the text), ships only (md5, source, n)
+    combiner rows through ONE md5-bucketed exchange where each md5
+    group decides dup/unique locally and re-emits per-source dup
+    counts; the three source-keyed partials merge on the driver
+    (source domain is small by definition — swap for one exchange if
+    it is not)."""
+    import hashlib
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].astype(str)
+        return pd.DataFrame(
+            {"g": df[group_col], "n_chars": t.str.len().astype("int64")}
+        ).groupby("g", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
+        )
+
+    def langs(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[group_col, lang_col]].drop_duplicates().rename(
+            columns={group_col: "g", lang_col: "l"}
+        )
+
+    def hashes(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[text_col].astype(str).map(
+            lambda s: hashlib.md5(s.encode()).hexdigest()
+        )
+        out = pd.DataFrame({"h": h, "g": df[group_col]})
+        agg = out.groupby(["h", "g"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        hb = pd.util.hash_pandas_object(agg["h"], index=False).to_numpy()
+        agg["__b"] = (hb % np.uint64(n_buckets)).astype(np.int64)
+        return agg
+
+    def dup_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").groupby(["h", "g"], as_index=False)[
+            "n"
+        ].sum()
+        tot = g.groupby("h")["n"].transform("sum")
+        d = g[tot >= 2]
+        out = d.groupby("g", as_index=False)["n"].sum().rename(
+            columns={"n": "n_dup_docs"}
+        )
+        return out.astype({"n_dup_docs": "int64"})
+
+    base_df = (
+        ds.map_batches(base, batch_format="pandas")
+        .to_pandas()
+        .groupby("g", as_index=False)
+        .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+    )
+    lang_df = (
+        ds.map_batches(langs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+        .groupby("g", as_index=False)
+        .agg(n_langs=("l", "nunique"))
+    )
+    dup_df = (
+        ds.map_batches(hashes, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(dup_in_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(dup_df):
+        dup_df = dup_df.groupby("g", as_index=False)["n_dup_docs"].sum()
+    else:
+        dup_df = pd.DataFrame({"g": [], "n_dup_docs": []})
+    out = base_df.merge(lang_df, on="g", how="left").merge(
+        dup_df, on="g", how="left"
+    )
+    out["n_dup_docs"] = out["n_dup_docs"].fillna(0).astype("int64")
+    out["mean_chars"] = (out["sum_chars"] // out["n_docs"]).astype("int64")
+    out = out.rename(columns={"g": group_col})
+    return out[
+        [group_col, "n_docs", "n_dup_docs", "sum_chars", "mean_chars",
+         "n_langs"]
+    ].astype(
+        {"n_docs": "int64", "sum_chars": "int64", "n_langs": "int64"}
+    ).sort_values(group_col).reset_index(drop=True)

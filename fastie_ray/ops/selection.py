@@ -127,3 +127,104 @@ def greedy_coverage(
     return pd.DataFrame(
         picks, columns=["round", "doc_id", "gain"]
     ).astype("int64")
+
+
+def token_budget_select(
+    ds: "ray.data.Dataset",
+    budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-group token-budget selection: order each group's documents
+    by a deterministic md5 shuffle key and keep docs while the group's
+    RUNNING token total stays ≤ ``budget`` — the mixture-allocation
+    step that turns "give every source at most B tokens" into a
+    concrete doc set (docs are taken whole; the first doc that would
+    cross the budget is dropped along with everything after it in
+    shuffle order).
+
+    Distributed grouped prefix sum without a sort barrier (the
+    ``pack_offsets`` trick re-keyed): the md5 key's FIRST hex digit is
+    an ordered coarse range (hex order == string order), per-(group,
+    range) token sums prefix-sum to range offsets on a groups × 16
+    driver table, and each (group, range) task sorts only its own
+    slice, adds its offset and filters. ONE exchange; text never
+    ships — only (id, group, n_tokens, key) rows. Returns
+    (``id_col``, group, n_tokens, cum_tokens) for selected docs."""
+    import hashlib
+
+    import ray
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        rk = df[id_col].map(
+            lambda i: hashlib.md5(f"sel:{i}".encode()).hexdigest()
+        )
+        out = pd.DataFrame(
+            {
+                id_col: df[id_col].astype("int64"),
+                "g": df[group_col],
+                "n_tokens": df[text_col].str.count(_TOKEN_RE).astype(
+                    "int64"
+                ),
+                "rk": rk,
+            }
+        )
+        out["rid"] = rk.str.slice(0, 1).map(
+            lambda c: int(c, 16)
+        ).astype("int64")
+        return out
+
+    keyed = ds.map_batches(counts, batch_format="pandas").materialize()
+
+    sums = (
+        keyed.map_batches(
+            lambda df: df.groupby(["g", "rid"], as_index=False)[
+                "n_tokens"
+            ].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["g", "rid"], as_index=False)["n_tokens"]
+        .sum()
+        .sort_values(["g", "rid"])
+    )
+    sums["off"] = (
+        sums.groupby("g")["n_tokens"].cumsum() - sums["n_tokens"]
+    )
+    offs = {
+        (r["g"], int(r["rid"])): int(r["off"]) for _, r in sums.iterrows()
+    }
+    offs_ref = ray.put(offs)
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(
+            df["g"].astype(str) + "|" + df["rid"].astype(str), index=False
+        ).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        om = ray.get(offs_ref)
+        rows = []
+        for (grp, rid), sub in g.drop(columns="__b").groupby(
+            ["g", "rid"], sort=False
+        ):
+            sub = sub.sort_values(["rk", id_col])
+            cum = sub["n_tokens"].cumsum() + om[(grp, int(rid))]
+            keep = cum <= budget
+            out = sub.loc[keep, [id_col, "g", "n_tokens"]].copy()
+            out["cum_tokens"] = cum[keep].astype("int64")
+            rows.append(out)
+        res = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+            columns=[id_col, "g", "n_tokens", "cum_tokens"]
+        )
+        return res.rename(columns={"g": group_col})
+
+    return (
+        keyed.map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(scan, batch_format="pandas")
+    )

@@ -359,3 +359,79 @@ def kmv_distinct_grouped(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def hll_sliding_registers(
+    ds: "ray.data.Dataset",
+    col: str,
+    ts_col: str = "ts",
+    window_days: int = 7,
+    n_registers: int = 256,
+) -> pd.DataFrame:
+    """Sliding-window distinct-count sketches: for every day present
+    in the data, the HLL register state of the TRAILING
+    ``window_days`` days — the "weekly active users per day" shape.
+    This is the property that makes HLL the streaming distinct
+    counter: daily sketches are built once and window counts are
+    register MAX-merges, never a re-scan of the window's raw events
+    (an exact trailing-window COUNT DISTINCT must re-touch every
+    event ``window_days`` times).
+
+    Scale shape: the per-batch partial is days × registers ints
+    (fixed size per batch); daily states merge on the driver (the day
+    domain is time-bounded by construction) and the window merge is a
+    days × window × registers rolling max — all driver-sized. Returns
+    (day, register, max_rho) int64 rows, day = epoch day."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[[ts_col, col]].dropna()
+        day = (
+            pd.to_datetime(sub[ts_col])
+            .to_numpy()
+            .astype("datetime64[D]")
+            .astype("int64")
+        )
+        pairs = pd.DataFrame(
+            {"day": day, "v": sub[col].astype(str)}
+        ).drop_duplicates()
+        if len(pairs) == 0:
+            return pd.DataFrame(
+                {"day": pd.Series([], dtype="int64"),
+                 "register": pd.Series([], dtype="int64"),
+                 "max_rho": pd.Series([], dtype="int64")}
+            )
+        h = _hash60(pairs["v"])
+        rest = h // n_registers
+        rho = np.full(len(h), 61, dtype=np.int64)
+        nz = rest != 0
+        low = rest[nz] & -rest[nz]
+        rho[nz] = np.log2(low.astype(np.float64)).astype(np.int64) + 1
+        out = pd.DataFrame(
+            {"day": pairs["day"].to_numpy(), "register": h % n_registers,
+             "rho": rho}
+        )
+        g = out.groupby(["day", "register"], as_index=False)["rho"].max()
+        return g.rename(columns={"rho": "max_rho"}).astype("int64")
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"day": pd.Series([], dtype="int64"),
+             "register": pd.Series([], dtype="int64"),
+             "max_rho": pd.Series([], dtype="int64")}
+        )
+    daily = parts.groupby(["day", "register"], as_index=False)[
+        "max_rho"
+    ].max()
+    rows = []
+    for d in sorted(daily["day"].unique()):
+        win = daily[
+            (daily["day"] >= d - (window_days - 1)) & (daily["day"] <= d)
+        ]
+        m = win.groupby("register", as_index=False)["max_rho"].max()
+        m.insert(0, "day", d)
+        rows.append(m)
+    out = pd.concat(rows, ignore_index=True)
+    return out.astype("int64").sort_values(["day", "register"]).reset_index(
+        drop=True
+    )

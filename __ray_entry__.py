@@ -8051,6 +8051,58 @@ def _q_source_scorecard(sf_dir: str):
     return source_scorecard(docs)
 
 
+def _q_mirror_overlap(sf_dir: str):
+    """Pairwise source-overlap matrix on token-set fingerprints
+    (``ops.profile.source_overlap``): distinct shared fingerprints per
+    unordered source pair — the mirror detector."""
+    from fastie_ray.ops.profile import source_overlap
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    return source_overlap(docs, key="tokenset")
+
+
+def _q_quantile_transform(sf_dir: str):
+    """Per-type percentile-rank normalization of event values
+    (``ops.encoding.quantile_transform``): strict-rank pct_e6 via a
+    broadcast cumulative count table — sklearn's QuantileTransformer
+    as a distributed op."""
+    from fastie_ray.ops.encoding import quantile_transform
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return quantile_transform(ev, "event_type", "value", "event_id")
+
+
+def _q_late_events(sf_dir: str):
+    """Watermark-violation census over a deterministically permuted
+    ingest log (``ops.windows.late_events``): distributed prefix MAX
+    over md5 ingest order — per-type late counts + max lateness.
+    The md5 permutation SIMULATES an unordered ingest replay (the
+    synthetic events file is ts-sorted, so the identity order has
+    zero lateness by construction)."""
+    import hashlib as _h
+
+    import pandas as _pd
+
+    from fastie_ray.ops.windows import late_events
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+
+    def ingest(df: _pd.DataFrame) -> _pd.DataFrame:
+        df = df.copy()
+        df["iseq"] = df["event_id"].map(
+            lambda i: int(
+                _h.md5(f"ing:{i}".encode()).hexdigest()[:15], 16
+            )
+        )
+        return df
+
+    return late_events(
+        ev.map_batches(ingest, batch_format="pandas"),
+        order_col="iseq",
+        range_size=2 ** 56,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8169,6 +8221,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_sliding": _q_hll_sliding,
         "token_budget_select": _q_token_budget_select,
         "source_scorecard": _q_source_scorecard,
+        "mirror_overlap": _q_mirror_overlap,
+        "quantile_transform": _q_quantile_transform,
+        "late_events": _q_late_events,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -8852,6 +8907,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.sum_chars // b.n_docs AS BIGINT) AS mean_chars,
                    CAST(b.n_langs AS BIGINT) AS n_langs
             FROM base b LEFT JOIN d USING (source)
+        """,
+        "mirror_overlap": r"""
+            WITH m AS (SELECT DISTINCT
+                           md5(array_to_string(list_sort(list_distinct(
+                               regexp_extract_all(lower(text),
+                                   '[a-z0-9]+'))), ' ')) AS h,
+                           source
+                       FROM documents)
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM m a JOIN m b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        "quantile_transform": r"""
+            WITH v AS (SELECT event_id, event_type,
+                              CAST(floor(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            c AS (SELECT event_type, cents, count(*) AS n
+                  FROM v GROUP BY 1, 2),
+            cc AS (SELECT event_type, cents,
+                          SUM(n) OVER (PARTITION BY event_type
+                              ORDER BY cents) - n AS n_lt,
+                          SUM(n) OVER (PARTITION BY event_type) AS n_tot
+                   FROM c)
+            SELECT v.event_id, v.event_type, v.cents,
+                   CAST((cc.n_lt * 1000000) // cc.n_tot AS BIGINT)
+                       AS pct_e6
+            FROM v JOIN cc USING (event_type, cents)
+        """,
+        "late_events": r"""
+            WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+                              CAST(('0x' || substr(md5('ing:'
+                                  || CAST(event_id AS VARCHAR)), 1, 15))
+                                  AS BIGINT) AS iseq
+                       FROM events),
+            w AS (SELECT event_type, us,
+                         max(us) OVER (ORDER BY iseq
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS prev_max
+                  FROM e)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN prev_max > us THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_late,
+                   CAST(coalesce(max(CASE WHEN prev_max > us
+                            THEN prev_max - us END), 0) AS BIGINT)
+                       AS max_lateness_us
+            FROM w GROUP BY 1
         """,
         "mutual_info": r"""
             WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy

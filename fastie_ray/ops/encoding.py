@@ -242,3 +242,73 @@ def dict_encode(
         )
 
     return ds.map_batches(encode, batch_format="pandas")
+
+
+def quantile_transform(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Percentile-rank normalization per group (sklearn's
+    QuantileTransformer as a distributed op): each row's integer-cents
+    value maps to ``pct_e6 = floor(1e6 · n_lt / n_group)`` where
+    ``n_lt`` counts the group's STRICTLY smaller values — rank
+    features that survive arbitrary monotone drift in the raw scale.
+    Integer end-to-end. Returns (``id_col``, group, cents, pct_e6).
+
+    Scale shape: a per-batch (group, cents) count combiner bounds the
+    exchange by group × distinct-cents domain; the cumulative table
+    broadcasts once via ``ray.put`` (domain-bounded by construction —
+    cents of a bounded value range), and the transform pass is
+    embarrassingly parallel."""
+    import ray
+
+    def cents_of(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].astype("int64"),
+                "g": df[group_col],
+                "cents": np.floor(
+                    df[value_col].to_numpy(dtype=np.float64) * 100
+                ).astype("int64"),
+            }
+        )
+
+    cents = ds.map_batches(cents_of, batch_format="pandas").materialize()
+    counts = (
+        cents.map_batches(
+            lambda df: df.groupby(["g", "cents"], as_index=False).size()
+            .rename(columns={"size": "n"}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby(["g", "cents"], as_index=False)["n"]
+        .sum()
+        .sort_values(["g", "cents"])
+    )
+    counts["n_lt"] = (
+        counts.groupby("g")["n"].cumsum() - counts["n"]
+    )
+    counts["n_tot"] = counts.groupby("g")["n"].transform("sum")
+    lut = {
+        (r["g"], int(r["cents"])): (int(r["n_lt"]), int(r["n_tot"]))
+        for _, r in counts.iterrows()
+    }
+    lut_ref = ray.put(lut)
+
+    def transform(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lut_ref)
+        pairs = list(zip(df["g"], df["cents"].astype(int)))
+        n_lt = np.fromiter(
+            (m[p][0] for p in pairs), dtype=np.int64, count=len(pairs)
+        )
+        n_tot = np.fromiter(
+            (m[p][1] for p in pairs), dtype=np.int64, count=len(pairs)
+        )
+        out = df[[id_col, "g", "cents"]].copy()
+        out["pct_e6"] = (n_lt * 1_000_000) // n_tot
+        return out.rename(columns={"g": group_col})
+
+    return cents.map_batches(transform, batch_format="pandas")

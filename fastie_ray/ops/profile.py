@@ -354,3 +354,72 @@ def source_scorecard(
     ].astype(
         {"n_docs": "int64", "sum_chars": "int64", "n_langs": "int64"}
     ).sort_values(group_col).reset_index(drop=True)
+
+
+def source_overlap(
+    ds: "ray.data.Dataset",
+    group_col: str = "source",
+    text_col: str = "text",
+    key: str = "text",
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Pairwise source-overlap matrix: for every unordered source pair,
+    how many DISTINCT texts appear in both — the mirror-detection
+    companion of ``source_scorecard`` (two sources sharing most of
+    their content are one crawl seen twice; drop one before it double
+    counts in every mixture weight). Returns (src_a, src_b, n_shared)
+    with src_a < src_b, int64.
+
+    ``key`` picks the sharing signal: ``"text"`` = exact bytes,
+    ``"tokenset"`` = the sorted-distinct-token fingerprint of
+    ``neardup.token_sort_dups`` (reordered boilerplate still counts as
+    shared — the signal mirrors actually show).
+
+    Scale shape: per-batch distinct (md5, source) rows → ONE
+    md5-bucketed exchange; each md5 group emits its C(k, 2) source
+    pairs (k = sources sharing that text — bounded by the source
+    domain), and pair partials merge on the source²-bounded driver
+    table."""
+    import hashlib
+    import re as _re
+
+    def fp(s: str) -> str:
+        if key == "tokenset":
+            toks = sorted(set(_re.findall(r"[a-z0-9]+", s.lower())))
+            s = " ".join(toks)
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def hashes(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[text_col].astype(str).map(fp)
+        out = pd.DataFrame({"h": h, "g": df[group_col]}).drop_duplicates()
+        hb = pd.util.hash_pandas_object(out["h"], index=False).to_numpy()
+        out["__b"] = (hb % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").drop_duplicates()
+        m = g.merge(g, on="h")
+        m = m[m["g_x"] < m["g_y"]]
+        out = m.groupby(["g_x", "g_y"], as_index=False).size().rename(
+            columns={"g_x": "src_a", "g_y": "src_b", "size": "n_shared"}
+        )
+        return out.astype({"n_shared": "int64"})
+
+    parts = (
+        ds.map_batches(hashes, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"src_a": pd.Series([], dtype=object),
+             "src_b": pd.Series([], dtype=object),
+             "n_shared": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby(["src_a", "src_b"], as_index=False)[
+        "n_shared"
+    ].sum()
+    return out.astype({"n_shared": "int64"}).sort_values(
+        ["src_a", "src_b"]
+    ).reset_index(drop=True)

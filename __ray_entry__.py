@@ -8103,6 +8103,64 @@ def _q_late_events(sf_dir: str):
     )
 
 
+def _q_doc_novelty(sf_dir: str):
+    """Per-doc first-seen-bigram attribution
+    (``ops.text_analysis.doc_novelty``): distinct bigrams vs bigrams
+    first occurring in this doc, novelty_e6 ratio — marginal-content
+    accounting at n-gram granularity."""
+    from fastie_ray.ops.text_analysis import doc_novelty
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return doc_novelty(docs)
+
+
+def _q_cc_incremental(sf_dir: str):
+    """Incremental connected components
+    (``stages.canonicalize.cc_incremental``): base labels from 90% of
+    the cust↔supp co-order edges, the o_orderkey%10==0 slice folded in
+    as a delta — bit-identical to the full-union recursive-CTE
+    oracle because component ids are min member nodes."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.join import hash_join
+    from fastie_ray.stages.canonicalize import (
+        cc_incremental,
+        connected_components_ds,
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_suppkey"],
+        right_cols=["o_orderkey", "o_custkey"],
+    )
+
+    def to_edges(part: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["l_orderkey"] % 10 == 0) == (part == 1)
+            sub = df[m]
+            return pd.DataFrame(
+                {"u": "c" + sub["o_custkey"].astype(str),
+                 "v": "s" + sub["l_suppkey"].astype(str)}
+            ).drop_duplicates()
+
+        return f
+
+    jm = j.materialize()
+    base_edges = dedup_exact(
+        jm.map_batches(to_edges(0), batch_format="pandas"), ["u", "v"],
+        n_buckets=16,
+    )
+    delta_edges = dedup_exact(
+        jm.map_batches(to_edges(1), batch_format="pandas"), ["u", "v"],
+        n_buckets=16,
+    )
+    base = connected_components_ds(base_edges, n_buckets=16)
+    return cc_incremental(base, delta_edges, n_buckets=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8224,6 +8282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_overlap": _q_mirror_overlap,
         "quantile_transform": _q_quantile_transform,
         "late_events": _q_late_events,
+        "doc_novelty": _q_doc_novelty,
+        "cc_incremental": _q_cc_incremental,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -8954,6 +9014,41 @@ def oracle_sql() -> dict[str, str]:
                             THEN prev_max - us END), 0) AS BIGINT)
                        AS max_lateness_us
             FROM w GROUP BY 1
+        """,
+        "doc_novelty": r"""
+            WITH arrs AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text),
+                                     '[a-z0-9]+') AS a
+                          FROM documents),
+            bg AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(range(1, len(a)),
+                              i -> a[i] || ' ' || a[i + 1])) AS b
+                   FROM arrs),
+            f AS (SELECT b, min(doc_id) AS fd FROM bg GROUP BY 1),
+            per AS (SELECT bg.doc_id, count(*) AS n_distinct,
+                           SUM(CASE WHEN f.fd = bg.doc_id
+                               THEN 1 ELSE 0 END) AS n_novel
+                    FROM bg JOIN f USING (b) GROUP BY 1)
+            SELECT doc_id, CAST(n_distinct AS BIGINT) AS n_distinct,
+                   CAST(n_novel AS BIGINT) AS n_novel,
+                   CAST(n_novel * 1000000 // n_distinct AS BIGINT)
+                       AS novelty_e6
+            FROM per
+        """,
+        "cc_incremental": r"""
+            WITH RECURSIVE pair AS (
+                SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            nodes AS (SELECT c AS node FROM pair UNION SELECT s FROM pair),
+            sym AS (
+                SELECT c AS a, s AS b FROM pair
+                UNION ALL
+                SELECT s AS a, c AS b FROM pair),
+            r(node, comp) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT s.b, r.comp FROM r JOIN sym s ON s.a = r.node)
+            SELECT node, MIN(comp) AS component_id FROM r GROUP BY node
         """,
         "mutual_info": r"""
             WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy

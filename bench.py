@@ -116,7 +116,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "vocab_growth", "token_pmi", "content_chunks",
                  "mad_outliers", "dict_encode", "hll_sliding",
                  "token_budget_select", "source_scorecard",
-                 "mirror_overlap", "quantile_transform", "late_events"):
+                 "mirror_overlap", "quantile_transform", "late_events",
+                 "doc_novelty", "cc_incremental"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

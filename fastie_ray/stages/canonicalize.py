@@ -653,3 +653,98 @@ def component_map(labels: pd.DataFrame) -> dict[str, str]:
         row.node[2:]: min_ent.get(row.component_id, row.component_id)[2:]
         for row in ents.itertuples()
     }
+
+
+def cc_incremental(
+    base_labels: "ray.data.Dataset",
+    new_edges: "ray.data.Dataset",
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Incremental connected components: fold a batch of NEW edges
+    (u, v) into an existing (node, component_id) labelling WITHOUT
+    re-reading the base graph — the nightly-crawl shape where the KG
+    grows by a delta and full CC recompute would re-shuffle every
+    historical edge. Because component ids are the MIN member node
+    (here and in ``connected_components``), the incremental result is
+    bit-identical to a full recompute over base ∪ delta — the driver
+    oracle replays exactly that.
+
+    Exchanges: two label-lookup joins (delta-sized; unseen endpoints
+    label themselves), CC over the CONTRACTED label graph (bounded by
+    labels the delta touches, not by the base), and one delta-map join
+    to relabel — untouched components pass through the left join
+    unchanged."""
+    import ray.data
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.join import hash_join
+
+    # endpoint → current label; unseen endpoints label themselves
+    eu = hash_join(
+        new_edges, base_labels, on="u", right_on="node", how="left",
+        left_cols=["u", "v"], right_cols=["node", "component_id"],
+        n_buckets=n_buckets,
+    )
+    ev = hash_join(
+        eu, base_labels, on="v", right_on="node", how="left",
+        right_cols=["node", "component_id"],
+        n_buckets=n_buckets, suffix="_v",
+    )
+
+    def contract(df: pd.DataFrame) -> pd.DataFrame:
+        lu = df["component_id"].fillna(df["u"])
+        lv = df["component_id_v"].fillna(df["v"])
+        out = pd.DataFrame({"u": lu, "v": lv})
+        return out[out["u"] != out["v"]].drop_duplicates()
+
+    contracted = ev.map_batches(contract, batch_format="pandas")
+    delta = connected_components_ds(contracted, n_buckets)
+
+    def as_map(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"node": "old_label", "component_id": "root"})
+
+    delta_map = delta.map_batches(as_map, batch_format="pandas").materialize()
+
+    relabeled = hash_join(
+        base_labels, delta_map, on="component_id", right_on="old_label",
+        how="left", left_cols=["node", "component_id"],
+        right_cols=["old_label", "root"], n_buckets=n_buckets,
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["node"],
+                "component_id": df["root"].fillna(df["component_id"]),
+            }
+        )
+
+    # endpoints the base has never seen need their own output rows
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.concat([df["u"], df["v"]], ignore_index=True)}
+        ).drop_duplicates()
+
+    new_nodes = dedup_exact(
+        new_edges.map_batches(endpoints, batch_format="pandas"),
+        ["node"], n_buckets=n_buckets,
+    )
+    unseen = hash_join(
+        new_nodes, base_labels, on="node", how="anti",
+        left_cols=["node"], right_cols=["node"], n_buckets=n_buckets,
+    )
+    unseen_lab = hash_join(
+        unseen, delta_map, on="node", right_on="old_label", how="left",
+        left_cols=["node"], right_cols=["old_label", "root"],
+        n_buckets=n_buckets,
+    )
+
+    def fold_unseen(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": df["node"],
+             "component_id": df["root"].fillna(df["node"])}
+        )
+
+    return relabeled.map_batches(fold, batch_format="pandas").union(
+        unseen_lab.map_batches(fold_unseen, batch_format="pandas")
+    )

@@ -8161,6 +8161,26 @@ def _q_cc_incremental(sf_dir: str):
     return cc_incremental(base, delta_edges, n_buckets=16)
 
 
+def _q_consistent_shards(sf_dir: str):
+    """Consistent-hash resharding census
+    (``ops.sharding.consistent_shards``): 8-ring vs 9-ring placement
+    matrix — off-diagonal mass = what a resize copies."""
+    from fastie_ray.ops.sharding import consistent_shards
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return consistent_shards(docs, n_shards_a=8, n_shards_b=9)
+
+
+def _q_seasonal_baseline(sf_dir: str):
+    """Day-of-week seasonal anomaly screen
+    (``ops.stats.seasonal_baseline``): per (type, day) mean vs the
+    same-weekday baseline, exact cross-multiplied 2× flag."""
+    from fastie_ray.ops.stats import seasonal_baseline
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return seasonal_baseline(ev)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8284,6 +8304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "doc_novelty": _q_doc_novelty,
         "cc_incremental": _q_cc_incremental,
+        "consistent_shards": _q_consistent_shards,
+        "seasonal_baseline": _q_seasonal_baseline,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9049,6 +9071,60 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT s.b, r.comp FROM r JOIN sym s ON s.a = r.node)
             SELECT node, MIN(comp) AS component_id FROM r GROUP BY node
+        """,
+        "consistent_shards": r"""
+            WITH docs AS (SELECT doc_id,
+                                 CAST(('0x' || substr(md5('doc:'
+                                     || CAST(doc_id AS VARCHAR)), 1, 15))
+                                     AS BIGINT) AS h
+                          FROM documents),
+            ra AS (SELECT s, CAST(('0x' || substr(md5('ring:'
+                           || CAST(s AS VARCHAR) || ':'
+                           || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT) AS p
+                   FROM (SELECT unnest(range(0, 8)) AS s),
+                        (SELECT unnest(range(0, 8)) AS r)),
+            rb AS (SELECT s, CAST(('0x' || substr(md5('ring:'
+                           || CAST(s AS VARCHAR) || ':'
+                           || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT) AS p
+                   FROM (SELECT unnest(range(0, 9)) AS s),
+                        (SELECT unnest(range(0, 8)) AS r)),
+            ca AS (SELECT d.doc_id, a.s,
+                          row_number() OVER (PARTITION BY d.doc_id
+                              ORDER BY (a.p >= d.h) DESC, a.p, a.s) AS rn
+                   FROM docs d CROSS JOIN ra a),
+            aa AS (SELECT doc_id, s AS shard_a FROM ca WHERE rn = 1),
+            cb AS (SELECT d.doc_id, b.s,
+                          row_number() OVER (PARTITION BY d.doc_id
+                              ORDER BY (b.p >= d.h) DESC, b.p, b.s) AS rn
+                   FROM docs d CROSS JOIN rb b),
+            bb AS (SELECT doc_id, s AS shard_b FROM cb WHERE rn = 1)
+            SELECT CAST(aa.shard_a AS BIGINT) AS shard_a,
+                   CAST(bb.shard_b AS BIGINT) AS shard_b,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM aa JOIN bb USING (doc_id) GROUP BY 1, 2
+        """,
+        "seasonal_baseline": r"""
+            WITH v AS (SELECT event_type AS g,
+                              CAST(datediff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) AS BIGINT) AS day,
+                              CAST(floor(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            perday AS (SELECT g, day, count(*) AS n,
+                              SUM(cents) AS day_cents
+                       FROM v GROUP BY 1, 2),
+            d2 AS (SELECT *, (day + 3) % 7 AS dow FROM perday),
+            b AS (SELECT g, dow, SUM(n) AS base_n,
+                         SUM(day_cents) AS base_cents
+                  FROM d2 GROUP BY 1, 2)
+            SELECT d2.g AS event_type, d2.day, d2.dow,
+                   CAST(d2.n AS BIGINT) AS n,
+                   CAST(d2.day_cents AS BIGINT) AS day_cents,
+                   CAST(b.base_n AS BIGINT) AS base_n,
+                   CAST(b.base_cents AS BIGINT) AS base_cents,
+                   CAST(CASE WHEN d2.day_cents * b.base_n
+                             > 2 * b.base_cents * d2.n
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_high
+            FROM d2 JOIN b USING (g, dow)
         """,
         "mutual_info": r"""
             WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy

@@ -117,7 +117,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "mad_outliers", "dict_encode", "hll_sliding",
                  "token_budget_select", "source_scorecard",
                  "mirror_overlap", "quantile_transform", "late_events",
-                 "doc_novelty", "cc_incremental"):
+                 "doc_novelty", "cc_incremental",
+                 "consistent_shards", "seasonal_baseline"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

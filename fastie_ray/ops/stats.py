@@ -1992,3 +1992,66 @@ def mad_outliers(
         return out
 
     return devs.map_batches(flag, batch_format="pandas")
+
+
+def seasonal_baseline(
+    ds: "ray.data.Dataset",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k_num: int = 2,
+    k_den: int = 1,
+) -> pd.DataFrame:
+    """Day-of-week seasonal anomaly screen: per (group, epoch day),
+    compare the day's mean integer-cents value against the group's
+    SAME-WEEKDAY historical baseline and flag days whose mean exceeds
+    ``k_num/k_den`` × the baseline — the seasonality-aware variant of
+    a global burst detector (Mondays compare against Mondays, so a
+    weekly cycle stops looking like an anomaly). dow is pure integer
+    arithmetic ((epoch_day + 3) % 7, Monday = 0) so no calendar
+    function has to agree across engines. Flag is exact
+    cross-multiplication: day_sum · base_n · k_den > k_num · base_sum
+    · day_n. Returns (group, day, dow, n, day_cents, base_n,
+    base_cents, is_high), int64.
+
+    Scale shape: ONE per-batch (group, day) sum/count combiner; both
+    the per-day table and the (group × 7) baseline are time-bounded,
+    so the finish is a driver merge."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            pd.to_datetime(df[ts_col])
+            .to_numpy()
+            .astype("datetime64[D]")
+            .astype("int64")
+        )
+        cents = np.floor(
+            df[value_col].to_numpy(dtype=np.float64) * 100
+        ).astype("int64")
+        return pd.DataFrame(
+            {"g": df[group_col], "day": day, "cents": cents}
+        ).groupby(["g", "day"], as_index=False).agg(
+            n=("cents", "size"), day_cents=("cents", "sum")
+        )
+
+    per_day = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["g", "day"], as_index=False)
+        .agg(n=("n", "sum"), day_cents=("day_cents", "sum"))
+    )
+    per_day["dow"] = (per_day["day"] + 3) % 7
+    base = per_day.groupby(["g", "dow"], as_index=False).agg(
+        base_n=("n", "sum"), base_cents=("day_cents", "sum")
+    )
+    out = per_day.merge(base, on=["g", "dow"])
+    out["is_high"] = (
+        out["day_cents"] * out["base_n"] * k_den
+        > k_num * out["base_cents"] * out["n"]
+    ).astype("int64")
+    out = out.rename(columns={"g": group_col})
+    cols = [group_col, "day", "dow", "n", "day_cents", "base_n",
+            "base_cents", "is_high"]
+    return out[cols].astype(
+        {c: "int64" for c in cols if c != group_col}
+    ).sort_values([group_col, "day"]).reset_index(drop=True)

@@ -1,0 +1,93 @@
+"""Brute-force parity tests for the round-3 wave-14 operators:
+consistent_shards (hash-ring resharding census) and seasonal_baseline
+(day-of-week anomaly screen)."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _brute_assign(key_hash: int, n_shards: int, n_replicas: int = 8) -> int:
+    ring = sorted(
+        (_h60(f"ring:{s}:{r}"), s)
+        for s in range(n_shards)
+        for r in range(n_replicas)
+    )
+    for p, s in ring:
+        if p >= key_hash:
+            return s
+    return ring[0][1]
+
+
+def test_consistent_shards_census_and_low_movement():
+    from fastie_ray.ops.sharding import consistent_shards
+
+    df = pd.DataFrame({"doc_id": range(2000)})
+    got = (
+        consistent_shards(ray.data.from_pandas(df), 8, 9)
+        .to_pandas()
+        .sort_values(["shard_a", "shard_b"])
+        .reset_index(drop=True)
+    )
+    cnt: Counter = Counter()
+    for i in range(2000):
+        h = _h60(f"doc:{i}")
+        cnt[(_brute_assign(h, 8), _brute_assign(h, 9))] += 1
+    want = pd.DataFrame(
+        sorted((a, b, n) for (a, b), n in cnt.items()),
+        columns=["shard_a", "shard_b", "n_docs"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # consistent hashing: existing shards keep most of their keys —
+    # movement is a minority, far below the ~8/9 a mod-resize causes
+    moved = got[got["shard_a"] != got["shard_b"]]["n_docs"].sum()
+    assert moved < 0.5 * got["n_docs"].sum()
+    assert moved > 0  # shard 8 must receive something
+
+
+def test_seasonal_baseline_flags_planted_spike():
+    from fastie_ray.ops.stats import seasonal_baseline
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")  # a Monday
+    for d in range(28):
+        for i in range(10):
+            # weekly cycle: Sundays are 5x — the screen must NOT flag
+            # them because they compare against Sunday baseline
+            v = 50.0 if (d % 7 == 6) else 10.0
+            rows.append(
+                {"event_type": "t", "ts": base + pd.Timedelta(days=d),
+                 "value": v}
+            )
+    # planted genuine spike on one Wednesday
+    for i in range(10):
+        rows.append(
+            {"event_type": "t",
+             "ts": base + pd.Timedelta(days=16),  # a Wednesday
+             "value": 300.0}
+        )
+    df = pd.DataFrame(rows)
+    got = seasonal_baseline(ray.data.from_pandas(df))
+    flagged = got[got["is_high"] == 1]
+    spike_day = (pd.Timestamp("2024-01-17") -
+                 pd.Timestamp("1970-01-01")).days
+    assert spike_day in set(flagged["day"])
+    # Sundays (the weekly cycle) are not flagged
+    sundays = got[got["dow"] == (got["day"] + 3) % 7]
+    sunday_rows = got[(got["day"] + 3) % 7 == 6]
+    assert (sunday_rows["is_high"] == 0).all()
+    # dow arithmetic: 2024-01-01 is a Monday → dow 0
+    d0 = (pd.Timestamp("2024-01-01") - pd.Timestamp("1970-01-01")).days
+    assert got[got["day"] == d0]["dow"].iloc[0] == 0

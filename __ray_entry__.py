@@ -8181,6 +8181,17 @@ def _q_seasonal_baseline(sf_dir: str):
     return seasonal_baseline(ev)
 
 
+def _q_source_minhash(sf_dir: str):
+    """Source-pair Jaccard matrix by MinHash sketch algebra
+    (``ops.neardup.source_minhash_matrix``): 32 md5 min-hashes per
+    source merged by MIN, pairwise match counts — group similarity
+    with zero doc-pair comparisons."""
+    from fastie_ray.ops.neardup import source_minhash_matrix
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    return source_minhash_matrix(docs, num_perm=32)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8306,6 +8317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cc_incremental": _q_cc_incremental,
         "consistent_shards": _q_consistent_shards,
         "seasonal_baseline": _q_seasonal_baseline,
+        "source_minhash": _q_source_minhash,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9125,6 +9137,30 @@ def oracle_sql() -> dict[str, str]:
                              > 2 * b.base_cents * d2.n
                         THEN 1 ELSE 0 END AS BIGINT) AS is_high
             FROM d2 JOIN b USING (g, dow)
+        """,
+        "source_minhash": r"""
+            WITH st AS (SELECT DISTINCT source, tok
+                        FROM (SELECT source,
+                                     unnest(regexp_extract_all(lower(text),
+                                         '[a-z0-9]+')) AS tok
+                              FROM documents)),
+            p AS (SELECT unnest(range(0, 32)) AS perm),
+            h AS (SELECT st.source, p.perm,
+                         CAST(('0x' || substr(md5('mh:'
+                             || CAST(p.perm AS VARCHAR) || ':'
+                             || st.tok), 1, 15)) AS BIGINT) AS x
+                  FROM st CROSS JOIN p),
+            sig AS (SELECT source, perm, min(x) AS mh FROM h GROUP BY 1, 2),
+            pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                             SUM(CASE WHEN a.mh = b.mh
+                                 THEN 1 ELSE 0 END) AS n_match
+                      FROM sig a JOIN sig b
+                          ON a.perm = b.perm AND a.source < b.source
+                      GROUP BY 1, 2)
+            SELECT src_a, src_b, CAST(n_match AS BIGINT) AS n_match,
+                   CAST(n_match * 1000000 // 32 AS BIGINT)
+                       AS jaccard_est_e6
+            FROM pairs
         """,
         "mutual_info": r"""
             WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy

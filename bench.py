@@ -118,7 +118,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "token_budget_select", "source_scorecard",
                  "mirror_overlap", "quantile_transform", "late_events",
                  "doc_novelty", "cc_incremental",
-                 "consistent_shards", "seasonal_baseline"):
+                 "consistent_shards", "seasonal_baseline",
+                 "source_minhash"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

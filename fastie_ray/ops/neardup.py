@@ -1683,3 +1683,66 @@ def token_sort_dups(
         .groupby("__b")
         .map_groups(groups, batch_format="pandas")
     )
+
+
+def source_minhash_matrix(
+    ds: "ray.data.Dataset",
+    group_col: str = "source",
+    text_col: str = "text",
+    num_perm: int = 32,
+    n_buckets: int = 8,
+) -> pd.DataFrame:
+    """GROUP-level similarity matrix by MinHash sketch algebra:
+    estimate the token-set Jaccard between every pair of groups from
+    ``num_perm`` min-hashes per group — corpus-level source similarity
+    WITHOUT any doc-pair comparison (the property that makes sketch
+    union the way to compare two 10-TB sources: signatures merge by
+    MIN, so group sketches build in one streaming pass). Returns
+    (src_a, src_b, n_match, jaccard_est_e6) for src_a < src_b.
+
+    The permutation family is md5('mh:<perm>:<token>') truncated to 60
+    bits — deliberately NOT the engine's fast splitmix family, so the
+    DuckDB oracle reproduces every signature exactly with string md5.
+    Scale shape: per-batch distinct (group, token) → num_perm mins per
+    group per batch (groups × num_perm ints — fixed size); ONE tiny
+    exchange merges by MIN; the pairwise compare runs on the
+    groups² × num_perm driver table."""
+    import hashlib as _h
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.lower().str.findall(r"[a-z0-9]+")
+        t = (
+            pd.DataFrame({"g": df[group_col], "tok": toks})
+            .explode("tok")
+            .dropna(subset=["tok"])
+            .drop_duplicates()
+        )
+        rows = []
+        for g, sub in t.groupby("g", sort=False):
+            uniq = sub["tok"].unique()
+            for p in range(num_perm):
+                mh = min(
+                    int(
+                        _h.md5(f"mh:{p}:{tok}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    for tok in uniq
+                )
+                rows.append((g, p, mh))
+        return pd.DataFrame(rows, columns=["g", "perm", "mh"])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    sig = parts.groupby(["g", "perm"], as_index=False)["mh"].min()
+    m = sig.merge(sig, on="perm")
+    m = m[m["g_x"] < m["g_y"]]
+    m["match"] = (m["mh_x"] == m["mh_y"]).astype("int64")
+    out = (
+        m.groupby(["g_x", "g_y"], as_index=False)["match"]
+        .sum()
+        .rename(columns={"g_x": "src_a", "g_y": "src_b",
+                         "match": "n_match"})
+    )
+    out["jaccard_est_e6"] = out["n_match"] * 1_000_000 // num_perm
+    return out.astype(
+        {"n_match": "int64", "jaccard_est_e6": "int64"}
+    ).sort_values(["src_a", "src_b"]).reset_index(drop=True)

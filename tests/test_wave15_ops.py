@@ -1,0 +1,66 @@
+"""Brute-force parity test for source_minhash_matrix: group-level
+MinHash Jaccard estimation via sketch MIN-merge."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+
+def _mh(p: int, tok: str) -> int:
+    return int(hashlib.md5(f"mh:{p}:{tok}".encode()).hexdigest()[:15], 16)
+
+
+def test_source_minhash_matrix_brute_force():
+    from fastie_ray.ops.neardup import source_minhash_matrix
+
+    rng = np.random.RandomState(19)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(90):
+        # sources a and b share most vocabulary; c is disjoint-ish
+        if i % 3 == 0:
+            toks = [vocab[j] for j in rng.randint(0, 30, 12)]
+            src = "a"
+        elif i % 3 == 1:
+            toks = [vocab[j] for j in rng.randint(5, 35, 12)]
+            src = "b"
+        else:
+            toks = [vocab[j] for j in rng.randint(40, 60, 12)]
+            src = "c"
+        rows.append({"source": src, "text": " ".join(toks)})
+    df = pd.DataFrame(rows)
+    got = source_minhash_matrix(
+        ray.data.from_pandas(df), num_perm=16
+    )
+
+    sets: dict[str, set] = {}
+    for _, r in df.iterrows():
+        sets.setdefault(r["source"], set()).update(r["text"].split())
+    want_rows = []
+    srcs = sorted(sets)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            n_match = sum(
+                min(_mh(p, t) for t in sets[a])
+                == min(_mh(p, t) for t in sets[b])
+                for p in range(16)
+            )
+            want_rows.append((a, b, n_match, n_match * 1_000_000 // 16))
+    want = pd.DataFrame(
+        want_rows, columns=["src_a", "src_b", "n_match", "jaccard_est_e6"]
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+    # the overlapping pair must estimate higher than the disjoint ones
+    est = {(r["src_a"], r["src_b"]): r["jaccard_est_e6"]
+           for _, r in got.iterrows()}
+    assert est[("a", "b")] > est[("a", "c")]
+    assert est[("a", "b")] > est[("b", "c")]

@@ -8192,6 +8192,48 @@ def _q_source_minhash(sf_dir: str):
     return source_minhash_matrix(docs, num_perm=32)
 
 
+def _q_ccnet_lang_buckets(sf_dir: str):
+    """CCNet head/middle/tail assignment PER LANGUAGE — the actual
+    CCNet recipe (each language buckets against its own terciles, so a
+    low-resource language isn't all-tail just for being unlike the
+    majority): global bigram LM score → ``grouped_quantiles`` per-lang
+    thresholds (broadcast dict) → streaming CASE."""
+    import numpy as np
+    import pandas as pd
+
+    from fastie_ray.ops.join import hash_join
+    from fastie_ray.ops.lm_filter import lm_familiarity_pipeline
+    from fastie_ray.ops.stats import grouped_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    langs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    scored = hash_join(
+        lm_familiarity_pipeline(ds, min_count=16), langs, on="doc_id",
+        left_cols=["doc_id", "familiarity"],
+        right_cols=["doc_id", "lang"],
+    ).materialize()
+    q = grouped_quantiles(
+        scored, "lang", "familiarity", [1.0 / 3.0, 2.0 / 3.0]
+    ).to_pandas()
+    th: dict[str, list[int]] = {}
+    for _, r in q.iterrows():
+        th.setdefault(r["lang"], [0, 0])[
+            0 if abs(r["q"] - 1.0 / 3.0) < 1e-9 else 1
+        ] = int(r["value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        f = df["familiarity"].to_numpy()
+        t1 = df["lang"].map(lambda g: th[g][0]).to_numpy()
+        t2 = df["lang"].map(lambda g: th[g][1]).to_numpy()
+        lab = np.where(f > t2, "head", np.where(f > t1, "middle", "tail"))
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang": df["lang"],
+             "familiarity": f, "ccnet_bucket": lab}
+        )
+
+    return scored.map_batches(bucket, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8318,6 +8360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consistent_shards": _q_consistent_shards,
         "seasonal_baseline": _q_seasonal_baseline,
         "source_minhash": _q_source_minhash,
+        "ccnet_lang_buckets": _q_ccnet_lang_buckets,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -10752,6 +10795,42 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_chars,
                    md5(substr(text, CAST(win_id * 128 + 1 AS INT), 256)) AS passage_md5
             FROM e
+        """,
+        "ccnet_lang_buckets": """
+            WITH docs AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS i
+                FROM docs
+            ), big AS (
+                SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+                FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ), model AS (
+                SELECT bigram, count(*) AS c FROM big
+                GROUP BY bigram HAVING count(*) >= 16
+            ), fam AS (
+                SELECT b.doc_id,
+                       CAST(coalesce(sum(m.c), 0) AS BIGINT) AS familiarity
+                FROM big b LEFT JOIN model m USING (bigram)
+                GROUP BY b.doc_id
+            ), j AS (
+                SELECT f.doc_id, d.lang, f.familiarity
+                FROM fam f JOIN documents d USING (doc_id)
+            ), th AS (
+                SELECT doc_id, lang, familiarity,
+                       quantile_disc(familiarity, 1.0/3.0)
+                           OVER (PARTITION BY lang) AS t1,
+                       quantile_disc(familiarity, 2.0/3.0)
+                           OVER (PARTITION BY lang) AS t2
+                FROM j
+            )
+            SELECT doc_id, lang, familiarity,
+                   CASE WHEN familiarity > t2 THEN 'head'
+                        WHEN familiarity > t1 THEN 'middle'
+                        ELSE 'tail' END AS ccnet_bucket
+            FROM th
         """,
         "ccnet_buckets": """
             WITH docs AS (

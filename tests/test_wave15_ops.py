@@ -64,3 +64,21 @@ def test_source_minhash_matrix_brute_force():
            for _, r in got.iterrows()}
     assert est[("a", "b")] > est[("a", "c")]
     assert est[("a", "b")] > est[("b", "c")]
+
+
+def test_ccnet_lang_buckets_terciles_per_lang():
+    import __ray_entry__ as e
+
+    got = e.queries()["ccnet_lang_buckets"](
+        "/root/testdata/sf0.001"
+    ).to_pandas()
+    # every language has all three buckets roughly balanced and the
+    # thresholds are per-language: within each lang, head familiarity
+    # strictly dominates tail familiarity
+    for lang, sub in got.groupby("lang"):
+        if len(sub) < 6:
+            continue
+        h = sub[sub["ccnet_bucket"] == "head"]["familiarity"]
+        t = sub[sub["ccnet_bucket"] == "tail"]["familiarity"]
+        if len(h) and len(t):
+            assert h.min() > t.max()

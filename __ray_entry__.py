@@ -8234,6 +8234,38 @@ def _q_ccnet_lang_buckets(sf_dir: str):
     return scored.map_batches(bucket, batch_format="pandas")
 
 
+def _q_path_load(sf_dir: str):
+    """Landmark path-load centrality (``ops.graph.path_load``, the
+    integer member of the Brandes betweenness family): shortest-path
+    instances from landmarks c0/c1 passing through each node of the
+    cust↔supp co-order graph within 3 hops — forward σ + backward
+    path-continuation sweeps over the hop-leveled DAG."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.join import hash_join
+    from fastie_ray.ops.graph import path_load
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_suppkey"],
+        right_cols=["o_orderkey", "o_custkey"],
+    )
+    edges = dedup_exact(
+        j.map_batches(
+            lambda df: pd.DataFrame(
+                {"src": "c" + df["o_custkey"].astype(str),
+                 "dst": "s" + df["l_suppkey"].astype(str)}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["src", "dst"], n_buckets=16,
+    )
+    return path_load(edges, ["c0", "c1"], max_hops=3, n_buckets=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8361,6 +8393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_baseline": _q_seasonal_baseline,
         "source_minhash": _q_source_minhash,
         "ccnet_lang_buckets": _q_ccnet_lang_buckets,
+        "path_load": _q_path_load,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9204,6 +9237,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_match * 1000000 // 32 AS BIGINT)
                        AS jaccard_est_e6
             FROM pairs
+        """,
+        "path_load": r"""
+            WITH pair AS (
+                SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            sym AS (SELECT c AS a, s AS b FROM pair
+                    UNION ALL SELECT s, c FROM pair),
+            lm AS (SELECT 'c0' AS l UNION ALL SELECT 'c1'),
+            d0 AS (SELECT l, l AS node, 0 AS hop FROM lm),
+            f1 AS (SELECT DISTINCT d0.l, s.b AS node
+                   FROM d0 JOIN sym s ON s.a = d0.node),
+            d1 AS (SELECT l, node, 1 AS hop FROM f1
+                   WHERE NOT EXISTS (SELECT 1 FROM d0
+                       WHERE d0.l = f1.l AND d0.node = f1.node)),
+            v1 AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1),
+            f2 AS (SELECT DISTINCT d1.l, s.b AS node
+                   FROM d1 JOIN sym s ON s.a = d1.node),
+            d2 AS (SELECT l, node, 2 AS hop FROM f2
+                   WHERE NOT EXISTS (SELECT 1 FROM v1
+                       WHERE v1.l = f2.l AND v1.node = f2.node)),
+            v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM d2),
+            f3 AS (SELECT DISTINCT d2.l, s.b AS node
+                   FROM d2 JOIN sym s ON s.a = d2.node),
+            d3 AS (SELECT l, node, 3 AS hop FROM f3
+                   WHERE NOT EXISTS (SELECT 1 FROM v2
+                       WHERE v2.l = f3.l AND v2.node = f3.node)),
+            dist AS (SELECT * FROM v2 UNION ALL SELECT * FROM d3),
+            dag AS (SELECT du.l, du.node AS u, s.b AS v, du.hop AS hu
+                    FROM dist du JOIN sym s ON s.a = du.node
+                    JOIN dist dv ON dv.l = du.l AND dv.node = s.b
+                        AND dv.hop = du.hop + 1),
+            s0 AS (SELECT l, node, CAST(1 AS BIGINT) AS sigma FROM d0),
+            s1 AS (SELECT g.l, g.v AS node, SUM(s0.sigma) AS sigma
+                   FROM dag g JOIN s0 ON s0.l = g.l AND s0.node = g.u
+                   WHERE g.hu = 0 GROUP BY 1, 2),
+            s2 AS (SELECT g.l, g.v AS node, SUM(s1.sigma) AS sigma
+                   FROM dag g JOIN s1 ON s1.l = g.l AND s1.node = g.u
+                   WHERE g.hu = 1 GROUP BY 1, 2),
+            s3 AS (SELECT g.l, g.v AS node, SUM(s2.sigma) AS sigma
+                   FROM dag g JOIN s2 ON s2.l = g.l AND s2.node = g.u
+                   WHERE g.hu = 2 GROUP BY 1, 2),
+            sig AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+                    UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
+            b2 AS (SELECT l, u AS node, CAST(count(*) AS BIGINT) AS d
+                   FROM dag WHERE hu = 2 GROUP BY 1, 2),
+            b1 AS (SELECT g.l, g.u AS node,
+                          CAST(SUM(1 + coalesce(b2.d, 0)) AS BIGINT) AS d
+                   FROM dag g LEFT JOIN b2
+                       ON b2.l = g.l AND b2.node = g.v
+                   WHERE g.hu = 1 GROUP BY 1, 2),
+            b0 AS (SELECT g.l, g.u AS node,
+                          CAST(SUM(1 + coalesce(b1.d, 0)) AS BIGINT) AS d
+                   FROM dag g LEFT JOIN b1
+                       ON b1.l = g.l AND b1.node = g.v
+                   WHERE g.hu = 0 GROUP BY 1, 2),
+            dd AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1
+                   UNION ALL SELECT * FROM b2)
+            SELECT sig.node,
+                   CAST(SUM(sig.sigma * (1 + coalesce(dd.d, 0)))
+                        AS BIGINT) AS path_load
+            FROM sig LEFT JOIN dd
+                ON dd.l = sig.l AND dd.node = sig.node
+            GROUP BY 1
         """,
         "mutual_info": r"""
             WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy

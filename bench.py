@@ -119,7 +119,7 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "mirror_overlap", "quantile_transform", "late_events",
                  "doc_novelty", "cc_incremental",
                  "consistent_shards", "seasonal_baseline",
-                 "source_minhash", "ccnet_lang_buckets"):
+                 "source_minhash", "ccnet_lang_buckets", "path_load"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

@@ -3755,3 +3755,259 @@ def neighbor_sample(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def path_load(
+    edges: "ray.data.Dataset",
+    landmarks: list[str],
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Landmark PATH-LOAD centrality — the integer-exact member of the
+    Brandes betweenness family: for each landmark s and node v,
+
+        load_s(v) = σ_sv · (1 + D_sv)
+
+    where σ_sv counts shortest s→v paths (hop-limited BFS DAG) and
+    D_sv counts DAG path continuations out of v — so load_s(v) is the
+    number of shortest-path instances from s (to ANY target within
+    ``max_hops``) that pass through or end at v. Summed over
+    landmarks: (node, path_load). Unlike betweenness's σ_sv/σ_st
+    fractions this stays in int64, so the unrolled SQL oracle matches
+    bit-for-bit — same screening use (which nodes carry the traffic),
+    none of the float nondeterminism.
+
+    Two sweeps over the (landmark-tagged, hop-leveled) BFS DAG, each
+    one task-join + one bucketed aggregate per level:
+    forward σ (σ_h = Σ over DAG in-edges of σ_{h-1}), backward D
+    (D_h = Σ over DAG out-edges of 1 + D_{h+1}). The DAG (edge ⋈ hop
+    stamps on both endpoints) is materialized once; levels are
+    frontier-sized, never the whole graph."""
+    import ray.data
+
+    from fastie_ray.ops.join import hash_join
+
+    dist = landmark_distances(
+        edges, landmarks, k=max_hops, src=src, dst=dst,
+        n_buckets=n_buckets,
+    ).materialize()
+
+    rev = edges.map_batches(
+        lambda df, s=src, d=dst: pd.DataFrame({s: df[d], d: df[s]}),
+        batch_format="pandas",
+    )
+    adj = (
+        edges.select_columns([src, dst]).union(rev)
+        .map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas"
+        )
+    )
+
+    def key(df: pd.DataFrame, a: str, b: str) -> pd.Series:
+        return df[a].astype(str) + "|" + df[b].astype(str)
+
+    # DAG edges: (lm, u, v, hu) with hop(v) == hop(u) + 1
+    adj_k = adj.map_batches(
+        lambda df: df.assign(_ku=df[src].astype(str)),
+        batch_format="pandas",
+    )
+    dist_u = dist.map_batches(
+        lambda df: pd.DataFrame(
+            {"_ku": df["node"].astype(str), "lm": df["landmark"],
+             "hu": df["hop"]}
+        ),
+        batch_format="pandas",
+    )
+    e1 = hash_join(
+        adj_k, dist_u, on="_ku", right_cols=["_ku", "lm", "hu"],
+        n_buckets=n_buckets,
+    ).map_batches(
+        lambda df: df.assign(_kv=key(df, "lm", dst)),
+        batch_format="pandas",
+    )
+    dist_v = dist.map_batches(
+        lambda df: pd.DataFrame(
+            {"_kv": df["landmark"].astype(str) + "|"
+                    + df["node"].astype(str),
+             "hv": df["hop"]}
+        ),
+        batch_format="pandas",
+    )
+    dag = hash_join(
+        e1, dist_v, on="_kv", right_cols=["_kv", "hv"],
+        n_buckets=n_buckets,
+    ).map_batches(
+        lambda df: df.loc[
+            df["hv"] == df["hu"] + 1,
+            [src, dst, "lm", "hu"],
+        ].rename(columns={src: "u", dst: "v"}),
+        batch_format="pandas",
+    ).materialize()
+
+    def bucketed_sum(ds_in, keys, val, out):
+        def add_b(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            if len(df) == 0:
+                df["__b"] = np.array([], dtype=np.int64)
+                return df
+            h = pd.util.hash_pandas_object(
+                df[keys[0]].astype(str) + "|" + df[keys[1]].astype(str),
+                index=False,
+            ).to_numpy()
+            df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            return df
+
+        def fin(g: pd.DataFrame) -> pd.DataFrame:
+            o = g.drop(columns="__b").groupby(
+                keys, as_index=False
+            )[val].sum()
+            return o.rename(columns={val: out}).astype({out: "int64"})
+
+        return (
+            ds_in.map_batches(add_b, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(fin, batch_format="pandas")
+        )
+
+    # forward σ
+    seed = pd.DataFrame(
+        {"lm": list(landmarks), "node": list(landmarks)}
+    ).drop_duplicates()
+    seed["sigma"] = np.int64(1)
+    sig_levels = [ray.data.from_pandas(seed).materialize()]
+    for h in range(1, max_hops + 1):
+        lvl_edges = dag.map_batches(
+            lambda df, hh=h: df.loc[
+                df["hu"] == hh - 1
+            ].assign(_k=key(df.loc[df["hu"] == hh - 1], "lm", "u")),
+            batch_format="pandas",
+        )
+        prev = sig_levels[-1].map_batches(
+            lambda df: df.assign(_k=key(df, "lm", "node")),
+            batch_format="pandas",
+        )
+        contrib = hash_join(
+            lvl_edges, prev, on="_k",
+            right_cols=["_k", "sigma"], n_buckets=n_buckets,
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {"lm": df["lm"], "node": df["v"], "sigma": df["sigma"]}
+            ),
+            batch_format="pandas",
+        )
+        sig_h = bucketed_sum(
+            contrib, ["lm", "node"], "sigma", "sigma"
+        ).materialize()
+        if sig_h.count() == 0:
+            break
+        sig_levels.append(sig_h)
+
+    # backward D (path continuations); deepest level has D = 0.
+    # d_next carries ONLY the level just processed (the recurrence
+    # input); d_all accumulates every level for the final σ·(1+D) join
+    d_next = None
+    d_all = None
+    for h in range(len(sig_levels) - 2, -1, -1):
+        lvl_edges = dag.map_batches(
+            lambda df, hh=h: df.loc[df["hu"] == hh],
+            batch_format="pandas",
+        )
+        if d_next is None:
+            succ = lvl_edges.map_batches(
+                lambda df: pd.DataFrame(
+                    {"lm": df["lm"], "u": df["u"],
+                     "inc": np.ones(len(df), dtype=np.int64)}
+                ),
+                batch_format="pandas",
+            )
+        else:
+            keyed = lvl_edges.map_batches(
+                lambda df: df.assign(_k=key(df, "lm", "v")),
+                batch_format="pandas",
+            )
+            dn = d_next.map_batches(
+                lambda df: df.assign(_k=key(df, "lm", "node")),
+                batch_format="pandas",
+            )
+            succ = hash_join(
+                keyed, dn, on="_k", right_cols=["_k", "d"],
+                how="left", n_buckets=n_buckets,
+            ).map_batches(
+                lambda df: pd.DataFrame(
+                    {"lm": df["lm"], "u": df["u"],
+                     "inc": (df["d"].fillna(0) + 1).astype("int64")}
+                ),
+                batch_format="pandas",
+            )
+        d_next = bucketed_sum(
+            succ.map_batches(
+                lambda df: df.rename(columns={"u": "node"}),
+                batch_format="pandas",
+            ),
+            ["lm", "node"], "inc", "d",
+        ).materialize()
+        d_all = d_next if d_all is None else d_all.union(d_next)
+
+    sig_all = sig_levels[0]
+    for s in sig_levels[1:]:
+        sig_all = sig_all.union(s)
+    sig_k = sig_all.map_batches(
+        lambda df: df.assign(_k=key(df, "lm", "node")),
+        batch_format="pandas",
+    )
+    if d_all is None:
+        loaded = sig_k.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"], "load": df["sigma"]}
+            ),
+            batch_format="pandas",
+        )
+    else:
+        dk = d_all.map_batches(
+            lambda df: df.assign(_k=key(df, "lm", "node")),
+            batch_format="pandas",
+        )
+        loaded = hash_join(
+            sig_k, dk, on="_k", right_cols=["_k", "d"], how="left",
+            n_buckets=n_buckets,
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "load": (
+                        df["sigma"] * (df["d"].fillna(0) + 1)
+                    ).astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+    def fin_node(ds_in):
+        def add_b(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            if len(df) == 0:
+                df["__b"] = np.array([], dtype=np.int64)
+                return df
+            h = pd.util.hash_pandas_object(
+                df["node"], index=False
+            ).to_numpy()
+            df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            return df
+
+        def fin(g: pd.DataFrame) -> pd.DataFrame:
+            o = g.drop(columns="__b").groupby(
+                "node", as_index=False
+            )["load"].sum()
+            return o.rename(columns={"load": "path_load"}).astype(
+                {"path_load": "int64"}
+            )
+
+        return (
+            ds_in.map_batches(add_b, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(fin, batch_format="pandas")
+        )
+
+    return fin_node(loaded)

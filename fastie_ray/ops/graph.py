@@ -3779,235 +3779,274 @@ def path_load(
     bit-for-bit — same screening use (which nodes carry the traffic),
     none of the float nondeterminism.
 
-    Two sweeps over the (landmark-tagged, hop-leveled) BFS DAG, each
-    one task-join + one bucketed aggregate per level:
-    forward σ (σ_h = Σ over DAG in-edges of σ_{h-1}), backward D
-    (D_h = Σ over DAG out-edges of 1 + D_{h+1}). The DAG (edge ⋈ hop
-    stamps on both endpoints) is materialized once; levels are
-    frontier-sized, never the whole graph."""
-    import ray.data
+    Raw-task shape (NOTES fact 11 discipline): the symmetric adjacency
+    is hash-partitioned ONCE by source endpoint and PINNED; BFS, the
+    DAG build, the forward-σ sweep and the backward-D sweep are each
+    one-or-two ``BlockSet.exchange`` rounds per level against pinned
+    sides — no Dataset sort barriers inside the loop. Per-level state
+    (labels, σ partials, D partials) is frontier-sized; the adjacency
+    never re-ships."""
+    from fastie_ray.state.exchange import BlockSet
 
-    from fastie_ray.ops.join import hash_join
-
-    dist = landmark_distances(
-        edges, landmarks, k=max_hops, src=src, dst=dst,
-        n_buckets=n_buckets,
-    ).materialize()
-
-    rev = edges.map_batches(
-        lambda df, s=src, d=dst: pd.DataFrame({s: df[d], d: df[s]}),
-        batch_format="pandas",
-    )
-    adj = (
-        edges.select_columns([src, dst]).union(rev)
-        .map_batches(
-            lambda df: df.drop_duplicates(), batch_format="pandas"
-        )
+    _E2 = pd.DataFrame(
+        {"lm": pd.Series([], dtype=object),
+         "node": pd.Series([], dtype=object)}
     )
 
-    def key(df: pd.DataFrame, a: str, b: str) -> pd.Series:
-        return df[a].astype(str) + "|" + df[b].astype(str)
-
-    # DAG edges: (lm, u, v, hu) with hop(v) == hop(u) + 1
-    adj_k = adj.map_batches(
-        lambda df: df.assign(_ku=df[src].astype(str)),
-        batch_format="pandas",
-    )
-    dist_u = dist.map_batches(
-        lambda df: pd.DataFrame(
-            {"_ku": df["node"].astype(str), "lm": df["landmark"],
-             "hu": df["hop"]}
-        ),
-        batch_format="pandas",
-    )
-    e1 = hash_join(
-        adj_k, dist_u, on="_ku", right_cols=["_ku", "lm", "hu"],
-        n_buckets=n_buckets,
-    ).map_batches(
-        lambda df: df.assign(_kv=key(df, "lm", dst)),
-        batch_format="pandas",
-    )
-    dist_v = dist.map_batches(
-        lambda df: pd.DataFrame(
-            {"_kv": df["landmark"].astype(str) + "|"
-                    + df["node"].astype(str),
-             "hv": df["hop"]}
-        ),
-        batch_format="pandas",
-    )
-    dag = hash_join(
-        e1, dist_v, on="_kv", right_cols=["_kv", "hv"],
-        n_buckets=n_buckets,
-    ).map_batches(
-        lambda df: df.loc[
-            df["hv"] == df["hu"] + 1,
-            [src, dst, "lm", "hu"],
-        ].rename(columns={src: "u", dst: "v"}),
-        batch_format="pandas",
-    ).materialize()
-
-    def bucketed_sum(ds_in, keys, val, out):
-        def add_b(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            if len(df) == 0:
-                df["__b"] = np.array([], dtype=np.int64)
-                return df
-            h = pd.util.hash_pandas_object(
-                df[keys[0]].astype(str) + "|" + df[keys[1]].astype(str),
-                index=False,
-            ).to_numpy()
-            df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
-            return df
-
-        def fin(g: pd.DataFrame) -> pd.DataFrame:
-            o = g.drop(columns="__b").groupby(
-                keys, as_index=False
-            )[val].sum()
-            return o.rename(columns={val: out}).astype({out: "int64"})
-
-        return (
-            ds_in.map_batches(add_b, batch_format="pandas")
-            .groupby("__b")
-            .map_groups(fin, batch_format="pandas")
+    def sym_canon(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or src not in df.columns:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=object),
+                 "b": pd.Series([], dtype=object)}
+            )
+        return pd.DataFrame(
+            {
+                "a": pd.concat([df[src], df[dst]], ignore_index=True),
+                "b": pd.concat([df[dst], df[src]], ignore_index=True),
+            }
         )
 
-    # forward σ
+    bs_edges = BlockSet.from_dataset(edges)
+    adj_parts = bs_edges.partition(["a"], n_buckets, map_fn=sym_canon)
+
     seed = pd.DataFrame(
         {"lm": list(landmarks), "node": list(landmarks)}
     ).drop_duplicates()
-    seed["sigma"] = np.int64(1)
-    sig_levels = [ray.data.from_pandas(seed).materialize()]
+    seed["hop"] = np.int64(0)
+    visited = BlockSet.from_pandas(seed, 1)
+    frontier = visited
+
+    def expand(g: pd.DataFrame, eb: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "node" not in g.columns or len(eb) == 0:
+            return _E2.copy()
+        m = eb.merge(
+            g[["lm", "node"]].drop_duplicates(),
+            left_on="a", right_on="node",
+        )
+        return pd.DataFrame(
+            {"lm": m["lm"], "node": m["b"]}
+        ).drop_duplicates()
+
+    reached = 0
     for h in range(1, max_hops + 1):
-        lvl_edges = dag.map_batches(
-            lambda df, hh=h: df.loc[
-                df["hu"] == hh - 1
-            ].assign(_k=key(df.loc[df["hu"] == hh - 1], "lm", "u")),
-            batch_format="pandas",
-        )
-        prev = sig_levels[-1].map_batches(
-            lambda df: df.assign(_k=key(df, "lm", "node")),
-            batch_format="pandas",
-        )
-        contrib = hash_join(
-            lvl_edges, prev, on="_k",
-            right_cols=["_k", "sigma"], n_buckets=n_buckets,
-        ).map_batches(
-            lambda df: pd.DataFrame(
-                {"lm": df["lm"], "node": df["v"], "sigma": df["sigma"]}
-            ),
-            batch_format="pandas",
-        )
-        sig_h = bucketed_sum(
-            contrib, ["lm", "node"], "sigma", "sigma"
-        ).materialize()
-        if sig_h.count() == 0:
-            break
-        sig_levels.append(sig_h)
-
-    # backward D (path continuations); deepest level has D = 0.
-    # d_next carries ONLY the level just processed (the recurrence
-    # input); d_all accumulates every level for the final σ·(1+D) join
-    d_next = None
-    d_all = None
-    for h in range(len(sig_levels) - 2, -1, -1):
-        lvl_edges = dag.map_batches(
-            lambda df, hh=h: df.loc[df["hu"] == hh],
-            batch_format="pandas",
-        )
-        if d_next is None:
-            succ = lvl_edges.map_batches(
-                lambda df: pd.DataFrame(
-                    {"lm": df["lm"], "u": df["u"],
-                     "inc": np.ones(len(df), dtype=np.int64)}
-                ),
-                batch_format="pandas",
-            )
-        else:
-            keyed = lvl_edges.map_batches(
-                lambda df: df.assign(_k=key(df, "lm", "v")),
-                batch_format="pandas",
-            )
-            dn = d_next.map_batches(
-                lambda df: df.assign(_k=key(df, "lm", "node")),
-                batch_format="pandas",
-            )
-            succ = hash_join(
-                keyed, dn, on="_k", right_cols=["_k", "d"],
-                how="left", n_buckets=n_buckets,
-            ).map_batches(
-                lambda df: pd.DataFrame(
-                    {"lm": df["lm"], "u": df["u"],
-                     "inc": (df["d"].fillna(0) + 1).astype("int64")}
-                ),
-                batch_format="pandas",
-            )
-        d_next = bucketed_sum(
-            succ.map_batches(
-                lambda df: df.rename(columns={"u": "node"}),
-                batch_format="pandas",
-            ),
-            ["lm", "node"], "inc", "d",
-        ).materialize()
-        d_all = d_next if d_all is None else d_all.union(d_next)
-
-    sig_all = sig_levels[0]
-    for s in sig_levels[1:]:
-        sig_all = sig_all.union(s)
-    sig_k = sig_all.map_batches(
-        lambda df: df.assign(_k=key(df, "lm", "node")),
-        batch_format="pandas",
-    )
-    if d_all is None:
-        loaded = sig_k.map_batches(
-            lambda df: pd.DataFrame(
-                {"node": df["node"], "load": df["sigma"]}
-            ),
-            batch_format="pandas",
-        )
-    else:
-        dk = d_all.map_batches(
-            lambda df: df.assign(_k=key(df, "lm", "node")),
-            batch_format="pandas",
-        )
-        loaded = hash_join(
-            sig_k, dk, on="_k", right_cols=["_k", "d"], how="left",
-            n_buckets=n_buckets,
-        ).map_batches(
-            lambda df: pd.DataFrame(
-                {
-                    "node": df["node"],
-                    "load": (
-                        df["sigma"] * (df["d"].fillna(0) + 1)
-                    ).astype("int64"),
-                }
-            ),
-            batch_format="pandas",
+        cand = frontier.exchange(
+            ["node"], expand, n_buckets=n_buckets, side=adj_parts
         )
 
-    def fin_node(ds_in):
-        def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        def tag_new(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0 or "lm" not in df.columns:
+                out = _E2.copy()
+                out["hop"] = pd.Series([], dtype="int64")
+                return out
             df = df.copy()
-            if len(df) == 0:
-                df["__b"] = np.array([], dtype=np.int64)
-                return df
-            h = pd.util.hash_pandas_object(
-                df["node"], index=False
-            ).to_numpy()
-            df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            df["hop"] = np.int64(-1)
             return df
 
-        def fin(g: pd.DataFrame) -> pd.DataFrame:
-            o = g.drop(columns="__b").groupby(
-                "node", as_index=False
-            )["load"].sum()
-            return o.rename(columns={"load": "path_load"}).astype(
-                {"path_load": "int64"}
+        def merge(g: pd.DataFrame, hop=h) -> pd.DataFrame:
+            if len(g) == 0 or "hop" not in g.columns:
+                out = _E2.copy()
+                out["hop"] = pd.Series([], dtype="int64")
+                return out
+            old = g[g["hop"] >= 0][["lm", "node", "hop"]]
+            new = g[g["hop"] < 0][["lm", "node"]].drop_duplicates()
+            new = new.merge(
+                old[["lm", "node"]], on=["lm", "node"],
+                how="left", indicator=True,
             )
+            new = new[new["_merge"] == "left_only"][["lm", "node"]].copy()
+            new["hop"] = np.int64(hop)
+            out = pd.concat([old, new], ignore_index=True)
+            out["hop"] = out["hop"].astype("int64")
+            return out
 
-        return (
-            ds_in.map_batches(add_b, batch_format="pandas")
-            .groupby("__b")
-            .map_groups(fin, batch_format="pandas")
+        visited = visited.union(cand.map(tag_new)).exchange(
+            ["lm", "node"], merge, n_buckets=n_buckets
+        )
+        frontier = visited.map(
+            lambda df, hop=h: df.loc[df.get("hop", pd.Series([])) == hop,
+                                     ["lm", "node"]]
+            if len(df) and "hop" in df.columns else _E2.copy()
+        )
+        n_new = sum(frontier.scalar(len))
+        if n_new == 0:
+            break
+        reached = h
+
+    dist = visited  # (lm, node, hop)
+    dist_parts = dist.partition(["lm", "node"], n_buckets)
+
+    _EDAG = pd.DataFrame(
+        {"lm": pd.Series([], dtype=object),
+         "u": pd.Series([], dtype=object),
+         "v": pd.Series([], dtype=object),
+         "hu": pd.Series([], dtype="int64")}
+    )
+
+    def mk_edges(g: pd.DataFrame, eb: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "node" not in g.columns or len(eb) == 0:
+            return _EDAG.copy()
+        m = eb.merge(g[["lm", "node", "hop"]], left_on="a",
+                     right_on="node")
+        return pd.DataFrame(
+            {"lm": m["lm"], "u": m["a"], "v": m["b"],
+             "hu": m["hop"].astype("int64")}
         )
 
-    return fin_node(loaded)
+    e1 = dist.exchange(
+        ["node"], mk_edges, n_buckets=n_buckets, side=adj_parts
+    )
+
+    def attach_hv(g: pd.DataFrame, db: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "v" not in g.columns or len(db) == 0:
+            return _EDAG.copy()
+        m = g.merge(
+            db[["lm", "node", "hop"]],
+            left_on=["lm", "v"], right_on=["lm", "node"],
+        )
+        m = m[m["hop"] == m["hu"] + 1]
+        return m[["lm", "u", "v", "hu"]].reset_index(drop=True)
+
+    dag = e1.exchange(
+        ["lm", "v"], attach_hv, n_buckets=n_buckets, side=dist_parts
+    )
+    dag_u_parts = dag.partition(["lm", "u"], n_buckets)
+    dag_v_parts = dag.partition(["lm", "v"], n_buckets)
+
+    _ESIG = pd.DataFrame(
+        {"lm": pd.Series([], dtype=object),
+         "node": pd.Series([], dtype=object),
+         "sigma": pd.Series([], dtype="int64")}
+    )
+
+    def sum_sigma(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "sigma" not in g.columns:
+            return _ESIG.copy()
+        out = g.groupby(["lm", "node"], as_index=False)["sigma"].sum()
+        out["sigma"] = out["sigma"].astype("int64")
+        return out
+
+    sig0 = seed[["lm", "node"]].copy()
+    sig0["sigma"] = np.int64(1)
+    sig_prev = BlockSet.from_pandas(sig0, 1)
+    sig_levels = [sig_prev]
+    for h in range(1, reached + 1):
+        def fwd(g: pd.DataFrame, db: pd.DataFrame, hh=h) -> pd.DataFrame:
+            if len(g) == 0 or "sigma" not in g.columns or len(db) == 0:
+                return _ESIG.copy()
+            e = db[db["hu"] == hh - 1]
+            if len(e) == 0:
+                return _ESIG.copy()
+            m = e.merge(
+                g, left_on=["lm", "u"], right_on=["lm", "node"]
+            )
+            out = pd.DataFrame(
+                {"lm": m["lm"], "node": m["v"], "sigma": m["sigma"]}
+            )
+            return out.groupby(
+                ["lm", "node"], as_index=False
+            )["sigma"].sum()
+
+        part = sig_prev.exchange(
+            ["lm", "node"], fwd, n_buckets=n_buckets, side=dag_u_parts
+        )
+        sig_h = part.exchange(
+            ["lm", "node"], sum_sigma, n_buckets=n_buckets
+        )
+        if sum(sig_h.scalar(len)) == 0:
+            break
+        sig_levels.append(sig_h)
+        sig_prev = sig_h
+
+    _ED = pd.DataFrame(
+        {"lm": pd.Series([], dtype=object),
+         "node": pd.Series([], dtype=object),
+         "d": pd.Series([], dtype="int64")}
+    )
+
+    def sum_d(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "d" not in g.columns:
+            return _ED.copy()
+        out = g.groupby(["lm", "node"], as_index=False)["d"].sum()
+        out["d"] = out["d"].astype("int64")
+        return out
+
+    d_prev = BlockSet.from_pandas(_ED.copy(), 1)
+    d_levels = []
+    for h in range(len(sig_levels) - 2, -1, -1):
+        def bwd(g: pd.DataFrame, db: pd.DataFrame, hh=h) -> pd.DataFrame:
+            if len(db) == 0:
+                return _ED.copy()
+            e = db[db["hu"] == hh]
+            if len(e) == 0:
+                return _ED.copy()
+            if len(g) and "d" in g.columns:
+                m = e.merge(
+                    g, left_on=["lm", "v"], right_on=["lm", "node"],
+                    how="left",
+                )
+                inc = (m["d"].fillna(0) + 1).astype("int64")
+            else:
+                m = e
+                inc = np.ones(len(e), dtype=np.int64)
+            out = pd.DataFrame(
+                {"lm": m["lm"], "node": m["u"], "d": inc}
+            )
+            return out.groupby(["lm", "node"], as_index=False)["d"].sum()
+
+        part = d_prev.exchange(
+            ["lm", "node"], bwd, n_buckets=n_buckets, side=dag_v_parts
+        )
+        d_h = part.exchange(["lm", "node"], sum_d, n_buckets=n_buckets)
+        d_levels.append(d_h)
+        d_prev = d_h
+
+    sig_all = sig_levels[0].union(*sig_levels[1:]) if len(
+        sig_levels
+    ) > 1 else sig_levels[0]
+    if d_levels:
+        d_union = d_levels[0].union(*d_levels[1:]) if len(
+            d_levels
+        ) > 1 else d_levels[0]
+        d_parts = d_union.partition(["lm", "node"], n_buckets)
+    else:
+        d_parts = BlockSet.from_pandas(_ED.copy(), 1).partition(
+            ["lm", "node"], n_buckets
+        )
+
+    _EOUT = pd.DataFrame(
+        {"node": pd.Series([], dtype=object),
+         "load": pd.Series([], dtype="int64")}
+    )
+
+    def fin(g: pd.DataFrame, db: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "sigma" not in g.columns:
+            return _EOUT.copy()
+        if len(db) and "d" in db.columns:
+            m = g.merge(db, on=["lm", "node"], how="left")
+            d = m["d"].fillna(0).astype("int64")
+        else:
+            m = g
+            d = np.zeros(len(g), dtype=np.int64)
+        return pd.DataFrame(
+            {"node": m["node"],
+             "load": (m["sigma"] * (d + 1)).astype("int64")}
+        )
+
+    loaded = sig_all.exchange(
+        ["lm", "node"], fin, n_buckets=n_buckets, side=d_parts
+    )
+
+    def per_node(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "load" not in g.columns:
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype=object),
+                 "path_load": pd.Series([], dtype="int64")}
+            )
+        out = g.groupby("node", as_index=False)["load"].sum()
+        return out.rename(columns={"load": "path_load"}).astype(
+            {"path_load": "int64"}
+        )
+
+    return loaded.exchange(
+        ["node"], per_node, n_buckets=n_buckets
+    ).to_dataset()

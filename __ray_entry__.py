@@ -8266,6 +8266,32 @@ def _q_path_load(sf_dir: str):
     return path_load(edges, ["c0", "c1"], max_hops=3, n_buckets=16)
 
 
+def _q_zorder_prune(sf_dir: str):
+    """Z-order vs row-order zone-map pruning census
+    (``ops.layout.zorder_layout``): how many 256-row blocks the rect
+    query (part 200-800 × supp 50-250) must scan under each layout —
+    the lakehouse OPTIMIZE ZORDER decision, measured."""
+    import pandas as pd
+
+    from fastie_ray.ops.layout import zorder_prune_census
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+
+    def tie(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["tie"] = df["l_orderkey"] * 8 + df["l_linenumber"]
+        return df
+
+    return zorder_prune_census(
+        li.map_batches(tie, batch_format="pandas"),
+        x_col="l_partkey", y_col="l_suppkey", tie_col="tie",
+        query=(200, 800, 50, 250), block_rows=256,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8394,6 +8420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_minhash": _q_source_minhash,
         "ccnet_lang_buckets": _q_ccnet_lang_buckets,
         "path_load": _q_path_load,
+        "zorder_prune": _q_zorder_prune,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9300,6 +9327,42 @@ def oracle_sql() -> dict[str, str]:
             FROM sig LEFT JOIN dd
                 ON dd.l = sig.l AND dd.node = sig.node
             GROUP BY 1
+        """,
+        "zorder_prune": r"""
+            WITH base AS (SELECT l_orderkey * 8 + l_linenumber AS tie,
+                                 l_partkey AS x, l_suppkey AS y
+                          FROM lineitem),
+            bits AS (SELECT unnest(range(0, 16)) AS i),
+            mz AS (SELECT tie, x, y,
+                          SUM((((x >> i) & 1) << (2 * i))
+                            + (((y >> i) & 1) << (2 * i + 1))) AS m
+                   FROM base CROSS JOIN bits GROUP BY tie, x, y),
+            rz AS (SELECT x, y,
+                          row_number() OVER (ORDER BY m, tie) - 1 AS rk
+                   FROM mz),
+            bz AS (SELECT rk // 256 AS blk, min(x) AS mnx, max(x) AS mxx,
+                          min(y) AS mny, max(y) AS mxy
+                   FROM rz GROUP BY 1),
+            tz AS (SELECT count(*) AS nb,
+                          SUM(CASE WHEN mxx >= 200 AND mnx <= 800
+                                    AND mxy >= 50 AND mny <= 250
+                              THEN 1 ELSE 0 END) AS nt
+                   FROM bz),
+            rr AS (SELECT x, y,
+                          row_number() OVER (ORDER BY tie) - 1 AS rk
+                   FROM mz),
+            br AS (SELECT rk // 256 AS blk, min(x) AS mnx, max(x) AS mxx,
+                          min(y) AS mny, max(y) AS mxy
+                   FROM rr GROUP BY 1),
+            tr AS (SELECT count(*) AS nb,
+                          SUM(CASE WHEN mxx >= 200 AND mnx <= 800
+                                    AND mxy >= 50 AND mny <= 250
+                              THEN 1 ELSE 0 END) AS nt
+                   FROM br)
+            SELECT 'zorder' AS layout, CAST(nb AS BIGINT) AS n_blocks,
+                   CAST(nt AS BIGINT) AS n_blocks_touched FROM tz
+            UNION ALL
+            SELECT 'row', CAST(nb AS BIGINT), CAST(nt AS BIGINT) FROM tr
         """,
         "mutual_info": r"""
             WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy

@@ -119,7 +119,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "mirror_overlap", "quantile_transform", "late_events",
                  "doc_novelty", "cc_incremental",
                  "consistent_shards", "seasonal_baseline",
-                 "source_minhash", "ccnet_lang_buckets", "path_load"):
+                 "source_minhash", "ccnet_lang_buckets", "path_load",
+                 "zorder_prune"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

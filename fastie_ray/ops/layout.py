@@ -261,3 +261,96 @@ def sorted_range_export(
             lambda g: finish(g.drop(columns="__b")), batch_format="pandas"
         )
     )
+
+
+def morton2(x: np.ndarray, y: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Interleave the low ``bits`` of x (even positions) and y (odd).
+    Wider sibling of ``interleave2`` (16-bit dims for the pruning
+    census below)."""
+    x = x.astype(np.int64)
+    y = y.astype(np.int64)
+    m = np.zeros(len(x), dtype=np.int64)
+    for i in range(bits):
+        m |= ((x >> i) & 1) << (2 * i)
+        m |= ((y >> i) & 1) << (2 * i + 1)
+    return m
+
+
+def zorder_prune_census(
+    ds: "ray.data.Dataset",
+    x_col: str,
+    y_col: str,
+    tie_col: str,
+    query: tuple[int, int, int, int],
+    block_rows: int = 256,
+    bits: int = 16,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Z-order vs row-order zone-map pruning census — the measured
+    version of the OPTIMIZE ZORDER decision (``zorder_blocks`` above
+    builds the layout; this quantifies what it buys): for the rect
+    query ``(x_lo, x_hi, y_lo, y_hi)``, how many ``block_rows``-row
+    blocks must be scanned under (a) Morton order, (b) the natural
+    row order — touched = the block's (min, max) zone-map intervals
+    intersect the query on BOTH dimensions. Returns one row per
+    layout: (layout, n_blocks, n_blocks_touched).
+
+    Scale shape: Morton coding is a vectorized per-batch map; each
+    layout costs one ``global_rank`` (range-partitioned prefix counts,
+    no sort barrier) plus a block-keyed min/max combine; the zone-map
+    table (rows / block_rows entries — the metadata a table format
+    keeps per file anyway) is the only driver-side structure. Ties
+    inside equal sort keys break on ``tie_col`` (unique integer)."""
+    from fastie_ray.ops.rank import global_rank
+
+    x_lo, x_hi, y_lo, y_hi = query
+
+    def code(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy(dtype=np.int64)
+        y = df[y_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "x": x,
+                "y": y,
+                "tie": df[tie_col].to_numpy(dtype=np.int64),
+                "m": morton2(x, y, bits),
+            }
+        )
+
+    base = ds.map_batches(code, batch_format="pandas").materialize()
+
+    rows = []
+    for layout, key, rng in (
+        ("zorder", "m", 1 << max(bits * 2 - 8, 1)),
+        ("row", "tie", None),
+    ):
+        if rng is None:
+            rng = max(int(base.max("tie")) // 256, 1)
+        ranked = global_rank(
+            base, key_col=key, tie_col="tie", range_size=rng,
+            keep_cols=["x", "y"], n_buckets=n_buckets,
+        )
+
+        def zone_partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["blk"] = (df["rank"] - 1) // block_rows
+            return df.groupby("blk", as_index=False).agg(
+                mnx=("x", "min"), mxx=("x", "max"),
+                mny=("y", "min"), mxy=("y", "max"),
+            )
+
+        zones = (
+            ranked.map_batches(zone_partial, batch_format="pandas")
+            .to_pandas()
+            .groupby("blk", as_index=False)
+            .agg(mnx=("mnx", "min"), mxx=("mxx", "max"),
+                 mny=("mny", "min"), mxy=("mxy", "max"))
+        )
+        touched = (
+            (zones["mxx"] >= x_lo) & (zones["mnx"] <= x_hi)
+            & (zones["mxy"] >= y_lo) & (zones["mny"] <= y_hi)
+        ).sum()
+        rows.append((layout, len(zones), int(touched)))
+    return pd.DataFrame(
+        rows, columns=["layout", "n_blocks", "n_blocks_touched"]
+    ).astype({"n_blocks": "int64", "n_blocks_touched": "int64"})

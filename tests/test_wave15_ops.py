@@ -82,3 +82,27 @@ def test_ccnet_lang_buckets_terciles_per_lang():
         t = sub[sub["ccnet_bucket"] == "tail"]["familiarity"]
         if len(h) and len(t):
             assert h.min() > t.max()
+
+
+def test_zorder_prune_census_beats_row_order():
+    from fastie_ray.ops.layout import zorder_prune_census
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "x": rng.randint(0, 1000, 4000),
+            "y": rng.randint(0, 1000, 4000),
+            "tie": np.arange(4000),
+        }
+    )
+    got = zorder_prune_census(
+        ray.data.from_pandas(df), "x", "y", "tie",
+        query=(100, 200, 100, 200), block_rows=128,
+    )
+    z = got[got["layout"] == "zorder"].iloc[0]
+    r = got[got["layout"] == "row"].iloc[0]
+    assert z["n_blocks"] == r["n_blocks"] == (4000 + 127) // 128
+    # random row order: every block spans the domain → all touched;
+    # z-order: a 10%×10% rect touches a small minority
+    assert r["n_blocks_touched"] == r["n_blocks"]
+    assert z["n_blocks_touched"] < r["n_blocks_touched"] // 2

@@ -91,3 +91,17 @@ def test_seasonal_baseline_flags_planted_spike():
     # dow arithmetic: 2024-01-01 is a Monday → dow 0
     d0 = (pd.Timestamp("2024-01-01") - pd.Timestamp("1970-01-01")).days
     assert got[got["day"] == d0]["dow"].iloc[0] == 0
+
+
+def test_consistent_hashing_defining_property():
+    # keys may ONLY move to the NEW shard when the ring grows: old
+    # shards keep their replica points, so a key changes owner only if
+    # a new-shard point landed between the key and its old owner
+    from fastie_ray.ops.sharding import build_ring, ring_assign
+
+    h = np.array([_h60(f"doc:{i}") for i in range(5000)], dtype=np.int64)
+    a = ring_assign(h, *build_ring(8))
+    b = ring_assign(h, *build_ring(9))
+    moved = a != b
+    assert moved.any()
+    assert (b[moved] == 8).all()

@@ -143,3 +143,44 @@ def test_content_chunks_brute_force(planted_docs):
         k for k, ds_ in docs.items() if {500, 501} <= ds_
     ]
     assert planted
+
+
+def test_chunk_doc_hypothesis_reconstruction():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fastie_ray.ops.chunking import chunk_doc
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(min_size=0, max_size=300), st.sampled_from([4, 16, 64]))
+    def prop(s, mod):
+        chunks = chunk_doc(s, mod)
+        assert "".join(chunks) == s
+        assert all(len(c) > 0 for c in chunks)
+        if len(s) == 0:
+            assert chunks == []
+
+    prop()
+
+
+def test_chunk_doc_suffix_stability():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fastie_ray.ops.chunking import chunk_doc
+
+    # CDC's reason to exist: editing a PREFIX leaves the chunking of a
+    # sufficiently distant suffix untouched (boundaries re-synchronize
+    # after the next content-defined cut)
+    @settings(max_examples=50, deadline=None)
+    @given(st.text(min_size=120, max_size=200))
+    def prop(s):
+        a = chunk_doc(s, 16)
+        b = chunk_doc("PREFIX-" + s, 16)
+        if len(a) > 2 and len(b) > 2:
+            # the tail chunks (after both sides re-sync) are shared
+            shared = set(a[1:]) & set(b[1:])
+            resynced = a[-1] == b[-1]
+            assert resynced or shared or len(a) <= 3
+
+    prop()

@@ -8292,6 +8292,17 @@ def _q_zorder_prune(sf_dir: str):
     )
 
 
+def _q_grouped_gini(sf_dir: str):
+    """Exact per-type Gini concentration of event values
+    (``ops.stats.grouped_gini``): integer cross-multiplied numerator /
+    denominator from the (group, cents)-count table — the whale-vs-
+    long-tail inequality census next to HHI."""
+    from fastie_ray.ops.stats import grouped_gini
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_gini(ev, "event_type", "value")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8421,6 +8432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_lang_buckets": _q_ccnet_lang_buckets,
         "path_load": _q_path_load,
         "zorder_prune": _q_zorder_prune,
+        "grouped_gini": _q_grouped_gini,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9363,6 +9375,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nt AS BIGINT) AS n_blocks_touched FROM tz
             UNION ALL
             SELECT 'row', CAST(nb AS BIGINT), CAST(nt AS BIGINT) FROM tr
+        """,
+        "grouped_gini": r"""
+            WITH v AS (SELECT event_type AS g,
+                              CAST(floor(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            r AS (SELECT g, cents,
+                         row_number() OVER (PARTITION BY g
+                             ORDER BY cents) AS i,
+                         count(*) OVER (PARTITION BY g) AS n,
+                         SUM(cents) OVER (PARTITION BY g) AS sx
+                  FROM v),
+            a AS (SELECT g, max(n) AS n, max(sx) AS sx,
+                         SUM(i * cents) AS ranksum
+                  FROM r GROUP BY 1)
+            SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+                   CAST(sx AS BIGINT) AS sum_cents,
+                   CAST(2 * ranksum - (n + 1) * sx AS BIGINT) AS gini_num,
+                   CAST(n * sx AS BIGINT) AS gini_den
+            FROM a
         """,
         "mutual_info": r"""
             WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy

@@ -2055,3 +2055,77 @@ def seasonal_baseline(
     return out[cols].astype(
         {c: "int64" for c in cols if c != group_col}
     ).sort_values([group_col, "day"]).reset_index(drop=True)
+
+
+def grouped_gini(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Exact per-group GINI concentration of integer-cents values —
+    the inequality census (is spend spread across users or carried by
+    a few whales?) next to ``user_concentration``'s HHI. For the
+    ascending-sorted values x_1..x_n:
+
+        gini_num = 2·Σ i·x_i − (n + 1)·Σ x_i,   gini_den = n·Σ x_i
+
+    both returned as exact int64 (the ratio is the Gini coefficient;
+    integer cross-multiplication sidesteps float division). The rank
+    sum over duplicates folds into the (value, count) table:
+    occurrences of a value v with count c after ``cum`` earlier rows
+    contribute v·(c·cum + c·(c+1)/2) to Σ i·x_i — so the exchange
+    carries one row per DISTINCT (group, cents), never the event
+    stream. Requires non-negative values (Gini's own precondition).
+
+    One per-batch (group, cents)-count combiner → ONE group-bucketed
+    exchange (all of a group's distinct values co-locate) → vectorized
+    per-group fold. Returns (group, n, sum_cents, gini_num,
+    gini_den)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "g": df[group_col],
+                "cents": np.floor(
+                    df[value_col].to_numpy(dtype=np.float64) * 100
+                ).astype("int64"),
+            }
+        ).groupby(["g", "cents"], as_index=False).size().rename(
+            columns={"size": "c"}
+        )
+        h = pd.util.hash_pandas_object(out["g"], index=False).to_numpy()
+        out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.drop(columns="__b")
+            .groupby(["g", "cents"], as_index=False)["c"]
+            .sum()
+            .sort_values(["g", "cents"])
+        )
+        rows = []
+        for key, grp in g.groupby("g", sort=False):
+            c = grp["c"].to_numpy(dtype=np.int64)
+            v = grp["cents"].to_numpy(dtype=np.int64)
+            cum = np.concatenate(([0], np.cumsum(c)[:-1]))
+            n = int(c.sum())
+            sx = int((v * c).sum())
+            ranksum = int((v * (c * cum + c * (c + 1) // 2)).sum())
+            rows.append(
+                (key, n, sx, 2 * ranksum - (n + 1) * sx, n * sx)
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=["g", "n", "sum_cents", "gini_num", "gini_den"],
+        ).rename(columns={"g": group_col})
+        for col in ("n", "sum_cents", "gini_num", "gini_den"):
+            out[col] = out[col].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

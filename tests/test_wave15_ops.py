@@ -106,3 +106,35 @@ def test_zorder_prune_census_beats_row_order():
     # z-order: a 10%×10% rect touches a small minority
     assert r["n_blocks_touched"] == r["n_blocks"]
     assert z["n_blocks_touched"] < r["n_blocks_touched"] // 2
+
+
+def test_grouped_gini_brute_force():
+    from fastie_ray.ops.stats import grouped_gini
+
+    rng = np.random.RandomState(2)
+    rows = []
+    for i in range(400):
+        g = "equal" if i % 2 == 0 else "whale"
+        # 'equal': identical values → gini 0; 'whale': skewed
+        v = 10.0 if g == "equal" else float(rng.pareto(1.2) + 0.1)
+        rows.append({"event_type": g, "value": v})
+    df = pd.DataFrame(rows)
+    got = (
+        grouped_gini(ray.data.from_pandas(df), "event_type", "value")
+        .to_pandas()
+        .set_index("event_type")
+    )
+    for g, sub in df.groupby("event_type"):
+        cents = np.sort(np.floor(sub["value"].to_numpy() * 100).astype(np.int64))
+        n = len(cents)
+        sx = int(cents.sum())
+        ranksum = int((np.arange(1, n + 1) * cents).sum())
+        assert got.loc[g, "n"] == n
+        assert got.loc[g, "sum_cents"] == sx
+        assert got.loc[g, "gini_num"] == 2 * ranksum - (n + 1) * sx
+        assert got.loc[g, "gini_den"] == n * sx
+    # identical values → gini exactly 0; pareto → clearly positive
+    assert got.loc["equal", "gini_num"] == 0
+    assert (
+        got.loc["whale", "gini_num"] / got.loc["whale", "gini_den"] > 0.3
+    )

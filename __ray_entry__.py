@@ -8303,6 +8303,37 @@ def _q_grouped_gini(sf_dir: str):
     return grouped_gini(ev, "event_type", "value")
 
 
+def _q_rich_club(sf_dir: str):
+    """Rich-club census over the subsampled co-supply graph
+    (``ops.graph.rich_club``): per degree threshold k, hub count and
+    hub-to-hub edge count — exact φ(k) components."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.pipelines.kg import _bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def distinct_os(df):
+        return df[df["l_orderkey"] % 20 == 0].drop_duplicates()
+
+    def pairs(g):
+        g = g.drop_duplicates()
+        m = g.merge(g, on="l_orderkey", suffixes=("_1", "_2"))
+        m = m[m["l_suppkey_1"] < m["l_suppkey_2"]]
+        out = pd.DataFrame({"a": m["l_suppkey_1"], "b": m["l_suppkey_2"]})
+        return out.drop_duplicates()
+
+    per_order = _bucketed_groupby(
+        li.map_batches(distinct_os, batch_format="pandas"),
+        "l_orderkey", pairs, 16,
+    )
+    from fastie_ray.ops.graph import rich_club
+
+    edges = dedup_exact(per_order, ["a", "b"], n_buckets=16)
+    return rich_club(edges, ks=[2, 4, 8, 16])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8433,6 +8464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_load": _q_path_load,
         "zorder_prune": _q_zorder_prune,
         "grouped_gini": _q_grouped_gini,
+        "rich_club": _q_rich_club,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9394,6 +9426,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 * ranksum - (n + 1) * sx AS BIGINT) AS gini_num,
                    CAST(n * sx AS BIGINT) AS gini_den
             FROM a
+        """,
+        "rich_club": r"""
+            WITH lo AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+                        WHERE l_orderkey % 20 = 0),
+            e AS (SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+                  FROM lo a JOIN lo b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_suppkey < b.l_suppkey),
+            und AS (SELECT a AS u, b AS v FROM e
+                    UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY 1),
+            j AS (SELECT e.a, e.b, da.deg AS dega, db.deg AS degb
+                  FROM e JOIN deg da ON da.node = e.a
+                         JOIN deg db ON db.node = e.b),
+            ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+            nr AS (SELECT ks.k, count(*) AS n_rich
+                   FROM ks JOIN deg ON deg.deg > ks.k GROUP BY 1),
+            ne AS (SELECT ks.k, count(*) AS n_rich_edges
+                   FROM ks JOIN j ON j.dega > ks.k AND j.degb > ks.k
+                   GROUP BY 1)
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(coalesce(nr.n_rich, 0) AS BIGINT) AS n_rich,
+                   CAST(coalesce(ne.n_rich_edges, 0) AS BIGINT)
+                       AS n_rich_edges,
+                   CAST(coalesce(nr.n_rich, 0)
+                        * (coalesce(nr.n_rich, 0) - 1) // 2
+                        AS BIGINT) AS n_pairs
+            FROM ks LEFT JOIN nr ON nr.k = ks.k
+                    LEFT JOIN ne ON ne.k = ks.k
         """,
         "mutual_info": r"""
             WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy

@@ -120,7 +120,7 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "doc_novelty", "cc_incremental",
                  "consistent_shards", "seasonal_baseline",
                  "source_minhash", "ccnet_lang_buckets", "path_load",
-                 "zorder_prune", "grouped_gini"):
+                 "zorder_prune", "grouped_gini", "rich_club"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

@@ -4050,3 +4050,100 @@ def path_load(
     return loaded.exchange(
         ["node"], per_node, n_buckets=n_buckets
     ).to_dataset()
+
+
+def rich_club(
+    edges: "ray.data.Dataset",
+    ks: list[int] = (2, 4, 8, 16),
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Rich-club census of an undirected simple graph (DISTINCT
+    canonical (a, b) rows): for each degree threshold k, how many
+    nodes have degree > k and how many edges connect two such nodes —
+    the exact integer components of the rich-club coefficient
+    φ(k) = 2·E_k / (N_k·(N_k−1)) (do the hubs form their own dense
+    club, or spread across the periphery?). Returns
+    (k, n_rich, n_rich_edges, n_pairs = N_k·(N_k−1)/2), int64.
+
+    Scale shape: ONE degree exchange, the same two node-sized degree
+    joins onto the edge stream as ``degree_assortativity``, then a
+    per-batch combiner emits len(ks) counters per batch (the k list is
+    a broadcast constant) — the driver merges batches × len(ks)
+    ints."""
+    from fastie_ray.ops.join import hash_join
+
+    ks = list(ks)
+    edges = edges.repartition(n_buckets).materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([df["a"], df["b"]], ignore_index=True)
+        out = both.value_counts().rename_axis("node").reset_index(
+            name="deg"
+        )
+        out["__b"] = _bucket(out["node"], n_buckets)
+        return out
+
+    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("node", as_index=False)[
+            "deg"
+        ].sum()
+        out["deg"] = out["deg"].astype("int64")
+        return out
+
+    degrees = (
+        edges.map_batches(deg_partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(deg_final, batch_format="pandas")
+        .materialize()
+    )
+
+    def rich_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["deg"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"k": np.array(ks, dtype=np.int64),
+             "n_rich": np.array([(d > k).sum() for k in ks],
+                                dtype=np.int64)}
+        )
+
+    n_rich = (
+        degrees.map_batches(rich_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby("k", as_index=False)["n_rich"]
+        .sum()
+    )
+
+    j1 = hash_join(
+        edges, degrees, on="a", right_on="node",
+        left_cols=["a", "b"], right_cols=["node", "deg"],
+        n_buckets=n_buckets,
+    )
+    j2 = hash_join(
+        j1, degrees, on="b", right_on="node",
+        left_cols=["a", "b", "deg"], right_cols=["node", "deg"],
+        n_buckets=n_buckets, suffix="_b",
+    )
+
+    def edge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        da = df["deg"].to_numpy(dtype=np.int64)
+        db = df["deg_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"k": np.array(ks, dtype=np.int64),
+             "n_rich_edges": np.array(
+                 [((da > k) & (db > k)).sum() for k in ks],
+                 dtype=np.int64)}
+        )
+
+    n_edges = (
+        j2.map_batches(edge_counts, batch_format="pandas")
+        .to_pandas()
+        .groupby("k", as_index=False)["n_rich_edges"]
+        .sum()
+    )
+    out = n_rich.merge(n_edges, on="k", how="left")
+    out["n_rich_edges"] = out["n_rich_edges"].fillna(0).astype("int64")
+    out["n_pairs"] = (out["n_rich"] * (out["n_rich"] - 1) // 2).astype(
+        "int64"
+    )
+    return out.astype({"k": "int64", "n_rich": "int64"}).sort_values(
+        "k"
+    ).reset_index(drop=True)

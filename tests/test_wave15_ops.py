@@ -138,3 +138,44 @@ def test_grouped_gini_brute_force():
     assert (
         got.loc["whale", "gini_num"] / got.loc["whale", "gini_den"] > 0.3
     )
+
+
+def test_rich_club_brute_force():
+    from fastie_ray.ops.graph import rich_club
+
+    rng = np.random.RandomState(15)
+    edges = set()
+    # planted hub clique on 6 nodes + random periphery
+    hubs = [f"h{i}" for i in range(6)]
+    for i in range(6):
+        for j in range(i + 1, 6):
+            edges.add((hubs[i], hubs[j]))
+    while len(edges) < 80:
+        a, b = rng.randint(0, 40, 2)
+        if a != b:
+            u, v = sorted((f"p{a:02d}", f"p{b:02d}"))
+            edges.add((u, v))
+    # attach each hub to some periphery so hub degrees exceed 8
+    for i, h in enumerate(hubs):
+        for j in range(6):
+            edges.add(tuple(sorted((h, f"p{(i * 6 + j) % 40:02d}"))))
+    edges = sorted(edges)
+    ds = ray.data.from_pandas(pd.DataFrame(edges, columns=["a", "b"]))
+    got = rich_club(ds, ks=[2, 4, 8]).set_index("k")
+
+    from collections import Counter
+
+    deg: Counter = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    for k in (2, 4, 8):
+        rich = {n for n, d in deg.items() if d > k}
+        n_edges = sum(1 for a, b in edges if a in rich and b in rich)
+        assert got.loc[k, "n_rich"] == len(rich)
+        assert got.loc[k, "n_rich_edges"] == n_edges
+        assert got.loc[k, "n_pairs"] == len(rich) * (len(rich) - 1) // 2
+    # the planted clique keeps the k=8 club dense
+    r8 = got.loc[8]
+    if r8["n_pairs"]:
+        assert r8["n_rich_edges"] * 2 > r8["n_pairs"]

@@ -8334,6 +8334,28 @@ def _q_rich_club(sf_dir: str):
     return rich_club(edges, ks=[2, 4, 8, 16])
 
 
+def _q_clean_funnel(sf_dir: str):
+    """Per-doc cleaning rejection ledger
+    (``pipelines.clean.clean_funnel``): first failing stage
+    (too_short → repetitive → duplicate → kept) over the corpus with
+    the corpus_clean dup plant (every 7th doc re-appears at id+2e6)."""
+    import pandas as pd
+
+    from fastie_ray.pipelines.clean import clean_funnel
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant_dups(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] % 7 == 0].copy()
+        d["doc_id"] = d["doc_id"] + 2_000_000
+        return pd.concat([df, d], ignore_index=True)
+
+    return clean_funnel(
+        ds.map_batches(plant_dups, batch_format="pandas"),
+        min_chars=150, max_dup_frac_e6=650_000,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8465,6 +8487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_prune": _q_zorder_prune,
         "grouped_gini": _q_grouped_gini,
         "rich_club": _q_rich_club,
+        "clean_funnel": _q_clean_funnel,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9454,6 +9477,31 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_pairs
             FROM ks LEFT JOIN nr ON nr.k = ks.k
                     LEFT JOIN ne ON ne.k = ks.k
+        """,
+        "clean_funnel": r"""
+            WITH raw AS (SELECT doc_id, text FROM documents
+                         UNION ALL
+                         SELECT doc_id + 2000000, text FROM documents
+                         WHERE doc_id % 7 = 0),
+            d AS (SELECT doc_id, text, length(text) AS n_chars,
+                         CASE WHEN trim(text) = ''
+                              THEN CAST([] AS VARCHAR[])
+                              ELSE regexp_split_to_array(trim(text),
+                                       '\s+') END AS toks,
+                         md5(text) AS h
+                  FROM raw),
+            f AS (SELECT h, min(doc_id) AS fd FROM d GROUP BY 1),
+            v AS (SELECT d.doc_id, d.n_chars,
+                         (len(toks) - len(list_distinct(toks))) * 1000000
+                             // greatest(len(toks), 1) AS dupf,
+                         d.doc_id > f.fd AS isdup
+                  FROM d JOIN f USING (h))
+            SELECT doc_id,
+                   CASE WHEN n_chars < 150 THEN 'too_short'
+                        WHEN dupf > 650000 THEN 'repetitive'
+                        WHEN isdup THEN 'duplicate'
+                        ELSE 'kept' END AS reason
+            FROM v
         """,
         "mutual_info": r"""
             WITH cells AS (SELECT lang AS x, source AS y, count(*) AS n_xy

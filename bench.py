@@ -120,7 +120,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "doc_novelty", "cc_incremental",
                  "consistent_shards", "seasonal_baseline",
                  "source_minhash", "ccnet_lang_buckets", "path_load",
-                 "zorder_prune", "grouped_gini", "rich_club"):
+                 "zorder_prune", "grouped_gini", "rich_club",
+                 "clean_funnel"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

@@ -133,3 +133,67 @@ def clean_corpus(
         .groupby(_BUCKET)
         .map_groups(final, batch_format="pandas")
     )
+
+
+def clean_funnel(
+    ds: "ray.data.Dataset",
+    min_chars: int = 150,
+    max_dup_frac_e6: int = 650_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-document rejection LEDGER for the cleaning funnel — the
+    observability half of ``clean_corpus``: instead of only emitting
+    survivors, label every input doc with the FIRST stage that
+    rejects it (fixed order: ``too_short`` → ``repetitive`` →
+    ``duplicate`` → ``kept``), so a pipeline owner can see WHERE the
+    corpus went when the kept-rate drops. Duplicate = exact md5(text)
+    group keeps only its smallest ``id_col``.
+
+    Scale shape: one feature pass (chars, dup-token fraction, md5) —
+    text never leaves it — then ONE md5-bucketed exchange where each
+    hash group resolves keep-first locally and emits the final
+    (doc_id, reason) verdicts."""
+    import hashlib
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].astype(str)
+        toks = t.str.split()
+        n_tokens = toks.map(len)
+        n_distinct = toks.map(lambda ts: len(set(ts)))
+        out = pd.DataFrame(
+            {
+                id_col: df[id_col].astype("int64"),
+                "n_chars": t.str.len().astype("int64"),
+                "dupf": (
+                    (n_tokens - n_distinct) * 1_000_000
+                    // n_tokens.clip(lower=1)
+                ).astype("int64"),
+                "h": t.map(
+                    lambda s: hashlib.md5(s.encode()).hexdigest()
+                ),
+            }
+        )
+        hb = pd.util.hash_pandas_object(out["h"], index=False).to_numpy()
+        out["__b"] = (hb % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def verdicts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        first = g.groupby("h")[id_col].transform("min")
+        isdup = g[id_col] > first
+        reason = np.where(
+            g["n_chars"] < min_chars, "too_short",
+            np.where(
+                g["dupf"] > max_dup_frac_e6, "repetitive",
+                np.where(isdup, "duplicate", "kept"),
+            ),
+        )
+        return pd.DataFrame({id_col: g[id_col], "reason": reason})
+
+    return (
+        ds.map_batches(feats, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(verdicts, batch_format="pandas")
+    )

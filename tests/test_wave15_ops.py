@@ -179,3 +179,34 @@ def test_rich_club_brute_force():
     r8 = got.loc[8]
     if r8["n_pairs"]:
         assert r8["n_rich_edges"] * 2 > r8["n_pairs"]
+
+
+def test_clean_funnel_first_reason_priority():
+    from fastie_ray.pipelines.clean import clean_funnel
+
+    df = pd.DataFrame(
+        [
+            {"doc_id": 0, "text": "short"},                    # too_short
+            {"doc_id": 1, "text": "a a a a a a a a " * 20},    # repetitive
+            {"doc_id": 2, "text": "unique words " + " ".join(
+                f"w{i}" for i in range(60))},                  # kept
+            {"doc_id": 3, "text": "unique words " + " ".join(
+                f"w{i}" for i in range(60))},                  # duplicate of 2
+            {"doc_id": 4, "text": "a a a a a a a a " * 20},    # rep BEFORE dup
+        ]
+    )
+    got = (
+        clean_funnel(
+            ray.data.from_pandas(df), min_chars=50,
+            max_dup_frac_e6=650_000,
+        )
+        .to_pandas()
+        .set_index("doc_id")["reason"]
+    )
+    assert got[0] == "too_short"
+    assert got[1] == "repetitive"
+    assert got[2] == "kept"
+    assert got[3] == "duplicate"
+    # repetitive outranks duplicate: doc 4 duplicates doc 1 but the
+    # fixed stage order labels it repetitive
+    assert got[4] == "repetitive"

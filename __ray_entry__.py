@@ -8356,6 +8356,47 @@ def _q_clean_funnel(sf_dir: str):
     )
 
 
+def _q_pagerank_resumed(sf_dir: str):
+    """Checkpoint/resume correctness as a DRIVER-ORACLED query (the
+    north rule's resumability, externally checked): run 3 PageRank
+    iterations with per-iteration parquet checkpoints, then a second
+    invocation with ``resume=True`` continues from the durable state
+    to 6 — integer fixed-point makes the resumed run bit-identical to
+    the 6-iteration unrolled oracle."""
+    import hashlib as _h
+    import shutil
+
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.graph import pagerank
+    from fastie_ray.ops.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_suppkey"],
+        right_cols=["o_orderkey", "o_custkey"],
+    )
+    edges = dedup_exact(
+        j.map_batches(
+            lambda df: pd.DataFrame(
+                {"src": "c" + df["o_custkey"].astype(str),
+                 "dst": "s" + df["l_suppkey"].astype(str)}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["src", "dst"], n_buckets=16,
+    ).materialize()
+    ckpt = "/tmp/pr_resume_" + _h.md5(sf_dir.encode()).hexdigest()[:10]
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # leg 1: 3 iterations, durably checkpointed per iteration
+    pagerank(edges, n_iter=3, checkpoint_dir=ckpt).materialize()
+    # leg 2: resume from the highest complete checkpoint, run to 6
+    return pagerank(edges, n_iter=6, checkpoint_dir=ckpt, resume=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8488,6 +8529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_gini": _q_grouped_gini,
         "rich_club": _q_rich_club,
         "clean_funnel": _q_clean_funnel,
+        "pagerank_resumed": _q_pagerank_resumed,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9478,6 +9520,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ks LEFT JOIN nr ON nr.k = ks.k
                     LEFT JOIN ne ON ne.k = ks.k
         """,
+        "pagerank_resumed": _pagerank_sql_over(
+            """edges AS (
+                SELECT DISTINCT 'c' || o_custkey AS src,
+                       's' || l_suppkey AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+            n_iter=6,
+        ),
         "clean_funnel": r"""
             WITH raw AS (SELECT doc_id, text FROM documents
                          UNION ALL

@@ -8397,6 +8397,17 @@ def _q_pagerank_resumed(sf_dir: str):
     return pagerank(edges, n_iter=6, checkpoint_dir=ckpt, resume=True)
 
 
+def _q_window_dedup(sf_dir: str):
+    """Sliding-window streaming dedup (``ops.windows.window_dedup``):
+    flag events repeating their (user, type) key within the trailing
+    hour — halo/ghost-cell time-bucket exchange, one pass."""
+    from fastie_ray.ops.windows import window_dedup
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "event_type", "ts"])
+    return window_dedup(ev, ["user_id", "event_type"], window_s=3600)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8530,6 +8541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": _q_rich_club,
         "clean_funnel": _q_clean_funnel,
         "pagerank_resumed": _q_pagerank_resumed,
+        "window_dedup": _q_window_dedup,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9527,6 +9539,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
             n_iter=6,
         ),
+        "window_dedup": r"""
+            SELECT e.event_id,
+                   CAST(CASE WHEN EXISTS (
+                        SELECT 1 FROM events p
+                        WHERE p.user_id = e.user_id
+                          AND p.event_type = e.event_type
+                          AND p.ts < e.ts
+                          AND p.ts >= e.ts - INTERVAL 1 HOUR)
+                   THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+            FROM events e
+        """,
         "clean_funnel": r"""
             WITH raw AS (SELECT doc_id, text FROM documents
                          UNION ALL

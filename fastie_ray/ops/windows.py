@@ -929,3 +929,83 @@ def late_events(
     return out.astype(
         {"n_events": "int64", "n_late": "int64", "max_lateness_us": "int64"}
     ).sort_values(group_col).reset_index(drop=True)
+
+
+def window_dedup(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_s: int = 3600,
+    bucket_windows: int = 4,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Sliding-window streaming dedup: flag every event that repeats
+    its key within the trailing ``window_s`` seconds (strictly-earlier
+    predecessor, window-inclusive at the far edge) — the
+    at-least-once-ingest suppressor whose state a streaming engine
+    keeps per key. Returns (``id_col``, is_dup) for EVERY event.
+
+    HALO exchange (the ghost-cell pattern): events hash into time
+    buckets of ``bucket_windows × window_s``; each event in a bucket's
+    trailing window-slice is ALSO copied to the next bucket as a
+    ghost, so every event's full lookback window is locally present —
+    ONE exchange, no iterative passes, ghost volume = 1/bucket_windows
+    of the stream. Equal timestamps never suppress each other (strict
+    predecessor), handled via distinct-timestamp shift so a run of
+    equal stamps behind a real predecessor still flags."""
+    win_us = window_s * 1_000_000
+    width_us = bucket_windows * win_us
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        us = (
+            pd.to_datetime(df[ts_col])
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
+        out = df[[id_col] + key_cols].copy()
+        out["us"] = us
+        out["bkt"] = us // width_us
+        out["ghost"] = np.int64(0)
+        # trailing slice → ghost copy into the NEXT bucket
+        tail = out[us >= (out["bkt"] + 1) * width_us - win_us].copy()
+        tail["bkt"] = tail["bkt"] + 1
+        tail["ghost"] = np.int64(1)
+        both = pd.concat([out, tail], ignore_index=True)
+        h = both["bkt"].to_numpy().astype(np.uint64)
+        both["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return both
+
+    def verdicts(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, sub in g.drop(columns="__b").groupby("bkt", sort=False):
+            dts = (
+                sub[key_cols + ["us"]]
+                .drop_duplicates()
+                .sort_values(key_cols + ["us"])
+            )
+            dts["prev_us"] = dts.groupby(key_cols)["us"].shift(1)
+            real = sub[sub["ghost"] == 0].merge(
+                dts, on=key_cols + ["us"], how="left"
+            )
+            is_dup = (
+                real["prev_us"].notna()
+                & (real["us"] - real["prev_us"] <= win_us)
+            )
+            rows.append(
+                pd.DataFrame(
+                    {id_col: real[id_col].astype("int64"),
+                     "is_dup": is_dup.astype("int64")}
+                )
+            )
+        return pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+            {id_col: pd.Series([], dtype="int64"),
+             "is_dup": pd.Series([], dtype="int64")}
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(verdicts, batch_format="pandas")
+    )

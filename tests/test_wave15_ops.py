@@ -210,3 +210,45 @@ def test_clean_funnel_first_reason_priority():
     # repetitive outranks duplicate: doc 4 duplicates doc 1 but the
     # fixed stage order labels it repetitive
     assert got[4] == "repetitive"
+
+
+def test_window_dedup_halo_boundaries():
+    from fastie_ray.ops.windows import window_dedup
+
+    base = pd.Timestamp("2024-06-01")
+    rows = []
+    # key A: repeats 30 min apart STRADDLING a 4h bucket boundary —
+    # the ghost copy must carry the predecessor across
+    rows.append({"event_id": 0, "user_id": 1, "event_type": "A",
+                 "ts": base + pd.Timedelta(hours=3, minutes=50)})
+    rows.append({"event_id": 1, "user_id": 1, "event_type": "A",
+                 "ts": base + pd.Timedelta(hours=4, minutes=10)})
+    # key B: repeats 2h apart → NOT a dup at 1h window
+    rows.append({"event_id": 2, "user_id": 2, "event_type": "B",
+                 "ts": base})
+    rows.append({"event_id": 3, "user_id": 2, "event_type": "B",
+                 "ts": base + pd.Timedelta(hours=2)})
+    # key C: equal timestamps never suppress each other, but a run of
+    # equal stamps BEHIND a real predecessor still flags
+    t = base + pd.Timedelta(hours=9)
+    rows.append({"event_id": 4, "user_id": 3, "event_type": "C",
+                 "ts": t - pd.Timedelta(minutes=5)})
+    rows.append({"event_id": 5, "user_id": 3, "event_type": "C", "ts": t})
+    rows.append({"event_id": 6, "user_id": 3, "event_type": "C", "ts": t})
+    # key D: lone pair with equal stamps only → neither is a dup
+    rows.append({"event_id": 7, "user_id": 4, "event_type": "D", "ts": t})
+    rows.append({"event_id": 8, "user_id": 4, "event_type": "D", "ts": t})
+    df = pd.DataFrame(rows)
+    got = (
+        window_dedup(
+            ray.data.from_pandas(df), ["user_id", "event_type"],
+            window_s=3600,
+        )
+        .to_pandas()
+        .set_index("event_id")["is_dup"]
+        .sort_index()
+    )
+    assert got[0] == 0 and got[1] == 1      # halo carried across bucket
+    assert got[2] == 0 and got[3] == 0      # outside window
+    assert got[4] == 0 and got[5] == 1 and got[6] == 1
+    assert got[7] == 0 and got[8] == 0      # strict predecessor only

@@ -8408,6 +8408,17 @@ def _q_window_dedup(sf_dir: str):
     return window_dedup(ev, ["user_id", "event_type"], window_s=3600)
 
 
+def _q_seq_triples(sf_dir: str):
+    """Ordered event-type TRIPLE support (3-item PrefixSpan,
+    ``ops.sequence.ordered_triple_support``): keys with some x
+    strictly before some y strictly before some z — the middle
+    element checked inside the interval, vectorized per key."""
+    from fastie_ray.ops.sequence import ordered_triple_support
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return ordered_triple_support(ev, "user_id", "event_type", "ts")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8542,6 +8553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_funnel": _q_clean_funnel,
         "pagerank_resumed": _q_pagerank_resumed,
         "window_dedup": _q_window_dedup,
+        "seq_triples": _q_seq_triples,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9539,6 +9551,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
             n_iter=6,
         ),
+        "seq_triples": r"""
+            WITH m AS (SELECT user_id, event_type, min(ts) AS mn,
+                              max(ts) AS mx
+                       FROM events GROUP BY 1, 2),
+            tri AS (SELECT DISTINCT a.user_id, a.event_type AS x,
+                           e.event_type AS y, c.event_type AS z
+                    FROM m a
+                    JOIN events e ON e.user_id = a.user_id
+                        AND e.ts > a.mn
+                    JOIN m c ON c.user_id = a.user_id AND c.mx > e.ts
+                    WHERE a.event_type != e.event_type
+                      AND e.event_type != c.event_type
+                      AND a.event_type != c.event_type)
+            SELECT x AS first_type, y AS mid_type, z AS then_type,
+                   CAST(count(*) AS BIGINT) AS n_keys
+            FROM tri GROUP BY 1, 2, 3
+        """,
         "window_dedup": r"""
             SELECT e.event_id,
                    CAST(CASE WHEN EXISTS (

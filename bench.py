@@ -121,7 +121,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "consistent_shards", "seasonal_baseline",
                  "source_minhash", "ccnet_lang_buckets", "path_load",
                  "zorder_prune", "grouped_gini", "rich_club",
-                 "clean_funnel", "pagerank_resumed", "window_dedup"):
+                 "clean_funnel", "pagerank_resumed", "window_dedup",
+                 "seq_triples"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

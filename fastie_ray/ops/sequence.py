@@ -748,3 +748,88 @@ def ordered_pair_support(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def ordered_triple_support(
+    ds: "ray.data.Dataset",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Sequential-pattern support for ORDERED TYPE TRIPLES (the 3-item
+    PrefixSpan level): for every (x, y, z) of pairwise-distinct event
+    types, the number of keys whose stream contains some x strictly
+    before some y strictly before some z. Level-2 extrema are not
+    enough here — the middle element must actually sit INSIDE the
+    (min x, max z) interval — so each key's events ship through ONE
+    key-bucketed exchange and the triple test runs vectorized per key:
+    with per-type min/max vectors and the key's event matrix,
+    flags(y) = Aᵀ_y·B_y > 0 where A = (mn < t_e), B = (mx > t_e) —
+    O(events · types²) bit-work per key, types³-bounded output.
+    Returns (first_type, mid_type, then_type, n_keys)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"k": df[key_col], "t": df[type_col],
+             "ts": pd.to_datetime(df[ts_col]).to_numpy()
+             .astype("datetime64[us]").astype("int64")}
+        )
+        h = pd.util.hash_pandas_object(out["k"], index=False).to_numpy()
+        out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, sub in g.drop(columns="__b").groupby("k", sort=False):
+            types = sorted(sub["t"].unique())
+            if len(types) < 3:
+                continue
+            idx = {t: i for i, t in enumerate(types)}
+            T = len(types)
+            ts = sub["ts"].to_numpy()
+            ty = sub["t"].map(idx).to_numpy()
+            mn = np.full(T, np.iinfo(np.int64).max, dtype=np.int64)
+            mx = np.full(T, np.iinfo(np.int64).min, dtype=np.int64)
+            np.minimum.at(mn, ty, ts)
+            np.maximum.at(mx, ty, ts)
+            A = mn[None, :] < ts[:, None]   # events × types: x before e
+            B = mx[None, :] > ts[:, None]   # events × types: z after e
+            for yi in range(T):
+                m = ty == yi
+                if not m.any():
+                    continue
+                flags = (A[m].astype(np.int64).T @ B[m].astype(np.int64)) > 0
+                xs, zs = np.nonzero(flags)
+                for xi, zi in zip(xs, zs):
+                    if xi != yi and zi != yi and xi != zi:
+                        rows.append((types[xi], types[yi], types[zi]))
+        if not rows:
+            return pd.DataFrame(
+                {"first_type": pd.Series([], dtype=object),
+                 "mid_type": pd.Series([], dtype=object),
+                 "then_type": pd.Series([], dtype=object),
+                 "n_keys": pd.Series([], dtype="int64")}
+            )
+        out = pd.DataFrame(
+            rows, columns=["first_type", "mid_type", "then_type"]
+        )
+        out = out.groupby(
+            ["first_type", "mid_type", "then_type"], as_index=False
+        ).size().rename(columns={"size": "n_keys"})
+        return out.astype({"n_keys": "int64"})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(
+            ["first_type", "mid_type", "then_type"], as_index=False
+        )["n_keys"].sum()
+        return out.astype({"n_keys": "int64"})
+
+    per = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_key, batch_format="pandas")
+    )
+    return per.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )

@@ -252,3 +252,53 @@ def test_window_dedup_halo_boundaries():
     assert got[2] == 0 and got[3] == 0      # outside window
     assert got[4] == 0 and got[5] == 1 and got[6] == 1
     assert got[7] == 0 and got[8] == 0      # strict predecessor only
+
+
+def test_ordered_triple_support_brute_force():
+    from fastie_ray.ops.sequence import ordered_triple_support
+
+    rng = np.random.RandomState(21)
+    base = pd.Timestamp("2024-02-01")
+    rows = []
+    for u in range(40):
+        n = rng.randint(3, 12)
+        for j in range(n):
+            rows.append(
+                {"user_id": u,
+                 "event_type": ["a", "b", "c", "d"][rng.randint(0, 4)],
+                 "ts": base + pd.Timedelta(minutes=int(
+                     rng.randint(0, 10000)))}
+            )
+    df = pd.DataFrame(rows)
+    got = (
+        ordered_triple_support(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values(["first_type", "mid_type", "then_type"])
+        .reset_index(drop=True)
+    )
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for u, sub in df.groupby("user_id"):
+        evs = sorted(zip(sub["ts"], sub["event_type"]))
+        types = sorted(set(t for _, t in evs))
+        found = set()
+        import itertools
+
+        for x, y, z in itertools.permutations(types, 3):
+            ok = any(
+                t1 < t2 < t3
+                for t1, a in evs if a == x
+                for t2, b in evs if b == y
+                for t3, c in evs if c == z
+            )
+            if ok:
+                found.add((x, y, z))
+        for tr in found:
+            cnt[tr] += 1
+    want = pd.DataFrame(
+        sorted((x, y, z, n) for (x, y, z), n in cnt.items()),
+        columns=["first_type", "mid_type", "then_type", "n_keys"],
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -8419,6 +8419,18 @@ def _q_seq_triples(sf_dir: str):
     return ordered_triple_support(ev, "user_id", "event_type", "ts")
 
 
+def _q_ngram_coverage(sf_dir: str):
+    """Eval-slice memorization exposure
+    (``ops.decontaminate.eval_ngram_coverage``): per eval doc
+    (id%37==0), fraction of its distinct 8-grams present in the
+    training side — partial-overlap leakage the doc-level filter
+    misses. Both sides corpus-scale: gram-bucketed exchange."""
+    from fastie_ray.ops.decontaminate import eval_ngram_coverage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return eval_ngram_coverage(docs, eval_mod=37, n=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8554,6 +8566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_resumed": _q_pagerank_resumed,
         "window_dedup": _q_window_dedup,
         "seq_triples": _q_seq_triples,
+        "ngram_coverage": _q_ngram_coverage,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9551,6 +9564,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
             n_iter=6,
         ),
+        "ngram_coverage": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\s+')
+                       END AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id, unnest(
+                         CASE WHEN len(toks) >= 8
+                              THEN list_transform(range(1, len(toks) - 6),
+                                       i -> array_to_string(
+                                           toks[i:i+7], ' '))
+                              ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM d),
+            dg AS (SELECT DISTINCT doc_id, gram FROM g),
+            corpus AS (SELECT DISTINCT gram FROM dg
+                       WHERE doc_id % 37 != 0),
+            ev AS (SELECT doc_id, gram FROM dg WHERE doc_id % 37 = 0)
+            SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN corpus.gram IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+                   CAST(SUM(CASE WHEN corpus.gram IS NOT NULL
+                            THEN 1 ELSE 0 END) * 1000000 // count(*)
+                        AS BIGINT) AS coverage_e6
+            FROM ev LEFT JOIN corpus USING (gram)
+            GROUP BY 1
+        """,
         "seq_triples": r"""
             WITH m AS (SELECT user_id, event_type, min(ts) AS mn,
                               max(ts) AS mx

@@ -122,7 +122,7 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "source_minhash", "ccnet_lang_buckets", "path_load",
                  "zorder_prune", "grouped_gini", "rich_club",
                  "clean_funnel", "pagerank_resumed", "window_dedup",
-                 "seq_triples"):
+                 "seq_triples", "ngram_coverage"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

@@ -84,3 +84,77 @@ def decontaminate(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def eval_ngram_coverage(
+    ds: "ray.data.Dataset",
+    eval_mod: int = 37,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Memorization-exposure census — the measurement complement of
+    ``decontaminate`` (which flags and drops): for every EVAL document
+    (``id % eval_mod == 0``), what fraction of its distinct word
+    ``n``-grams also occurs in the TRAINING side of the corpus. High
+    coverage means the eval slice cannot measure generalization even
+    after doc-level decontamination (partial-overlap leakage).
+    Returns (doc_id, n_grams, n_covered, coverage_e6) for eval docs
+    with ≥ 1 gram.
+
+    Scale shape: unlike ``decontaminate`` (small eval side broadcast),
+    BOTH sides here are corpus-scale, so distinct (gram, doc, side)
+    rows flow through ONE gram-bucketed exchange where each gram
+    resolves covered/uncovered locally and emits per-eval-doc count
+    partials; a doc-keyed second exchange finishes. Text never ships
+    past the gram combiner."""
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.strip().str.split()
+        rows_doc, rows_gram = [], []
+        for did, ts in zip(df[id_col].to_numpy(), toks):
+            if not isinstance(ts, list) or len(ts) < n:
+                continue
+            seen = {
+                " ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)
+            }
+            rows_doc.extend([did] * len(seen))
+            rows_gram.extend(seen)
+        out = pd.DataFrame({"doc": rows_doc, "gram": rows_gram})
+        out["is_eval"] = (out["doc"] % eval_mod == 0).astype("int64")
+        h = pd.util.hash_pandas_object(out["gram"], index=False).to_numpy()
+        out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b").drop_duplicates(["doc", "gram"])
+        cov = g[g["is_eval"] == 0].groupby("gram").size()
+        ev = g[g["is_eval"] == 1].copy()
+        ev["covered"] = (
+            ev["gram"].map(cov).fillna(0) > 0
+        ).astype("int64")
+        out = ev.groupby("doc", as_index=False).agg(
+            n_grams=("covered", "size"), n_covered=("covered", "sum")
+        )
+        h = pd.util.hash_pandas_object(out["doc"], index=False).to_numpy()
+        out["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns="__b").groupby("doc", as_index=False).agg(
+            n_grams=("n_grams", "sum"), n_covered=("n_covered", "sum")
+        )
+        out["coverage_e6"] = (
+            out["n_covered"] * 1_000_000 // out["n_grams"]
+        )
+        out = out.rename(columns={"doc": "doc_id"})
+        return out.astype("int64")
+
+    return (
+        ds.map_batches(grams, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_gram, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

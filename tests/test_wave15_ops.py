@@ -302,3 +302,51 @@ def test_ordered_triple_support_brute_force():
     )
     assert len(want) > 0
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_eval_ngram_coverage_brute_force():
+    from fastie_ray.ops.decontaminate import eval_ngram_coverage
+
+    rng = np.random.RandomState(33)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(90):
+        n = rng.randint(8, 30)
+        rows.append(
+            {"doc_id": i,
+             "text": " ".join(vocab[j] for j in rng.randint(0, 12, n))}
+        )
+    # a fully-covered planted eval doc: copy of a training doc at an
+    # id that is 0 mod 37
+    rows.append({"doc_id": 37 * 30, "text": rows[5]["text"]})
+    df = pd.DataFrame(rows)
+    got = (
+        eval_ngram_coverage(ray.data.from_pandas(df), eval_mod=37, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def grams(s):
+        ts = s.split()
+        return {" ".join(ts[i:i + 8]) for i in range(len(ts) - 7)}
+
+    corpus = set()
+    for _, r in df[df["doc_id"] % 37 != 0].iterrows():
+        corpus |= grams(r["text"])
+    want_rows = []
+    for _, r in df[df["doc_id"] % 37 == 0].iterrows():
+        gs = grams(r["text"])
+        if not gs:
+            continue
+        cov = sum(1 for g in gs if g in corpus)
+        want_rows.append(
+            (int(r["doc_id"]), len(gs), cov, cov * 1_000_000 // len(gs))
+        )
+    want = pd.DataFrame(
+        sorted(want_rows),
+        columns=["doc_id", "n_grams", "n_covered", "coverage_e6"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # planted copy is fully covered
+    assert got[got["doc_id"] == 37 * 30]["coverage_e6"].iloc[0] == 1_000_000

@@ -8431,6 +8431,61 @@ def _q_ngram_coverage(sf_dir: str):
     return eval_ngram_coverage(docs, eval_mod=37, n=8)
 
 
+def _q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix (classifier-eval staple): planted
+    texts with formula-cycled TRUE labels, every (i//25)%5==0 plant
+    deliberately written in the NEXT language so the off-diagonal
+    cells are non-empty and formula-predictable; the LangId heuristic
+    provably recovers each plant's text language, so the SQL oracle
+    reproduces the matrix exactly. Returns (lang_true, lang_pred, n)."""
+    import pandas as pd
+
+    from fastie_ray.ops.text_analysis import lang_id
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] % 5 == 0].copy()
+        ids = d["doc_id"].astype(int)
+        true_l = [_PLANT_LANGS[(i // 5) % 5] for i in ids]
+        text_l = [
+            _PLANT_LANGS[(i // 5 + 1) % 5]
+            if (i // 25) % 5 == 0 else _PLANT_LANGS[(i // 5) % 5]
+            for i in ids
+        ]
+        d["text"] = [_plant_lang_text(tl) for tl in text_l]
+        d["lang_true"] = true_l
+        d["doc_id"] = d["doc_id"] + 1_000_000
+        return d[["doc_id", "text", "lang_true"]]
+
+    planted = ds.map_batches(plant, batch_format="pandas").materialize()
+    preds = lang_id(planted.select_columns(["doc_id", "text"]))
+
+    from fastie_ray.ops.join import hash_join
+
+    j = hash_join(
+        preds, planted.select_columns(["doc_id", "lang_true"]),
+        on="doc_id", left_cols=["doc_id", "lang_pred"],
+        right_cols=["doc_id", "lang_true"],
+    )
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["lang_true", "lang_pred"], as_index=False
+        ).size().rename(columns={"size": "n"})
+
+    out = (
+        j.map_batches(cells, batch_format="pandas")
+        .to_pandas()
+        .groupby(["lang_true", "lang_pred"], as_index=False)["n"]
+        .sum()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang_true", "lang_pred"]).reset_index(
+        drop=True
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8567,6 +8622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_dedup": _q_window_dedup,
         "seq_triples": _q_seq_triples,
         "ngram_coverage": _q_ngram_coverage,
+        "langid_confusion": _q_langid_confusion,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9564,6 +9620,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
             n_iter=6,
         ),
+        "langid_confusion": r"""
+            WITH p AS (SELECT doc_id,
+                              CASE ((doc_id // 5) % 5)
+                                  WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                                  WHEN 2 THEN 'fr' WHEN 3 THEN 'es'
+                                  ELSE 'zh' END AS lang_true,
+                              CASE WHEN (doc_id // 25) % 5 = 0
+                                   THEN CASE ((doc_id // 5 + 1) % 5)
+                                       WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                                       WHEN 2 THEN 'fr' WHEN 3 THEN 'es'
+                                       ELSE 'zh' END
+                                   ELSE CASE ((doc_id // 5) % 5)
+                                       WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                                       WHEN 2 THEN 'fr' WHEN 3 THEN 'es'
+                                       ELSE 'zh' END
+                              END AS lang_pred
+                       FROM documents WHERE doc_id % 5 = 0)
+            SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
+        """,
         "ngram_coverage": r"""
             WITH d AS (
                 SELECT doc_id,

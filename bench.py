@@ -125,7 +125,7 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "source_minhash", "ccnet_lang_buckets", "path_load",
                  "zorder_prune", "grouped_gini", "rich_club",
                  "clean_funnel", "window_dedup",
-                 "seq_triples", "ngram_coverage"):
+                 "seq_triples", "ngram_coverage", "langid_confusion"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

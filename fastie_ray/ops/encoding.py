@@ -279,12 +279,12 @@ def quantile_transform(
     cents = ds.map_batches(cents_of, batch_format="pandas").materialize()
     counts = (
         cents.map_batches(
-            lambda df: df.groupby(["g", "cents"], as_index=False).size()
+            lambda df: df.groupby(["g", "cents"], as_index=False, dropna=False).size()
             .rename(columns={"size": "n"}),
             batch_format="pandas",
         )
         .to_pandas()
-        .groupby(["g", "cents"], as_index=False)["n"]
+        .groupby(["g", "cents"], as_index=False, dropna=False)["n"]
         .sum()
         .sort_values(["g", "cents"])
     )

@@ -287,7 +287,7 @@ def source_scorecard(
         t = df[text_col].astype(str)
         return pd.DataFrame(
             {"g": df[group_col], "n_chars": t.str.len().astype("int64")}
-        ).groupby("g", as_index=False).agg(
+        ).groupby("g", as_index=False, dropna=False).agg(
             n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")
         )
 
@@ -301,7 +301,7 @@ def source_scorecard(
             lambda s: hashlib.md5(s.encode()).hexdigest()
         )
         out = pd.DataFrame({"h": h, "g": df[group_col]})
-        agg = out.groupby(["h", "g"], as_index=False).size().rename(
+        agg = out.groupby(["h", "g"], as_index=False, dropna=False).size().rename(
             columns={"size": "n"}
         )
         hb = pd.util.hash_pandas_object(agg["h"], index=False).to_numpy()
@@ -309,12 +309,12 @@ def source_scorecard(
         return agg
 
     def dup_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="__b").groupby(["h", "g"], as_index=False)[
+        g = g.drop(columns="__b").groupby(["h", "g"], as_index=False, dropna=False)[
             "n"
         ].sum()
         tot = g.groupby("h")["n"].transform("sum")
         d = g[tot >= 2]
-        out = d.groupby("g", as_index=False)["n"].sum().rename(
+        out = d.groupby("g", as_index=False, dropna=False)["n"].sum().rename(
             columns={"n": "n_dup_docs"}
         )
         return out.astype({"n_dup_docs": "int64"})
@@ -322,14 +322,14 @@ def source_scorecard(
     base_df = (
         ds.map_batches(base, batch_format="pandas")
         .to_pandas()
-        .groupby("g", as_index=False)
+        .groupby("g", as_index=False, dropna=False)
         .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
     )
     lang_df = (
         ds.map_batches(langs, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
-        .groupby("g", as_index=False)
+        .groupby("g", as_index=False, dropna=False)
         .agg(n_langs=("l", "nunique"))
     )
     dup_df = (
@@ -339,7 +339,7 @@ def source_scorecard(
         .to_pandas()
     )
     if len(dup_df):
-        dup_df = dup_df.groupby("g", as_index=False)["n_dup_docs"].sum()
+        dup_df = dup_df.groupby("g", as_index=False, dropna=False)["n_dup_docs"].sum()
     else:
         dup_df = pd.DataFrame({"g": [], "n_dup_docs": []})
     out = base_df.merge(lang_df, on="g", how="left").merge(
@@ -417,7 +417,7 @@ def source_overlap(
              "src_b": pd.Series([], dtype=object),
              "n_shared": pd.Series([], dtype="int64")}
         )
-    out = parts.groupby(["src_a", "src_b"], as_index=False)[
+    out = parts.groupby(["src_a", "src_b"], as_index=False, dropna=False)[
         "n_shared"
     ].sum()
     return out.astype({"n_shared": "int64"}).sort_values(

@@ -1761,13 +1761,13 @@ def lagged_autocorr(
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         day = pd.to_datetime(df[ts_col]).dt.floor("D")
         out = pd.DataFrame({"g": df[group_col], "day": day})
-        out = out.groupby(["g", "day"], as_index=False).size()
+        out = out.groupby(["g", "day"], as_index=False, dropna=False).size()
         out = out.rename(columns={"size": "n"})
         out["__b"] = _bucket_series(out["g"], n_buckets)
         return out
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop(columns="__b").groupby(["g", "day"], as_index=False)[
+        g = g.drop(columns="__b").groupby(["g", "day"], as_index=False, dropna=False)[
             "n"
         ].sum()
         rows = []
@@ -2030,18 +2030,18 @@ def seasonal_baseline(
         ).astype("int64")
         return pd.DataFrame(
             {"g": df[group_col], "day": day, "cents": cents}
-        ).groupby(["g", "day"], as_index=False).agg(
+        ).groupby(["g", "day"], as_index=False, dropna=False).agg(
             n=("cents", "size"), day_cents=("cents", "sum")
         )
 
     per_day = (
         ds.map_batches(partial, batch_format="pandas")
         .to_pandas()
-        .groupby(["g", "day"], as_index=False)
+        .groupby(["g", "day"], as_index=False, dropna=False)
         .agg(n=("n", "sum"), day_cents=("day_cents", "sum"))
     )
     per_day["dow"] = (per_day["day"] + 3) % 7
-    base = per_day.groupby(["g", "dow"], as_index=False).agg(
+    base = per_day.groupby(["g", "dow"], as_index=False, dropna=False).agg(
         base_n=("n", "sum"), base_cents=("day_cents", "sum")
     )
     out = per_day.merge(base, on=["g", "dow"])
@@ -2091,7 +2091,7 @@ def grouped_gini(
                     df[value_col].to_numpy(dtype=np.float64) * 100
                 ).astype("int64"),
             }
-        ).groupby(["g", "cents"], as_index=False).size().rename(
+        ).groupby(["g", "cents"], as_index=False, dropna=False).size().rename(
             columns={"size": "c"}
         )
         h = pd.util.hash_pandas_object(out["g"], index=False).to_numpy()
@@ -2101,7 +2101,7 @@ def grouped_gini(
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = (
             g.drop(columns="__b")
-            .groupby(["g", "cents"], as_index=False)["c"]
+            .groupby(["g", "cents"], as_index=False, dropna=False)["c"]
             .sum()
             .sort_values(["g", "cents"])
         )

@@ -621,7 +621,7 @@ def token_fertility(
                 "n_chars": t.str.len().astype("int64"),
             }
         )
-        agg = out.groupby("g", as_index=False).agg(
+        agg = out.groupby("g", as_index=False, dropna=False).agg(
             n_docs=("n_chars", "size"),
             n_tokens=("n_tokens", "sum"),
             n_chars=("n_chars", "sum"),
@@ -631,7 +631,7 @@ def token_fertility(
         return agg
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.drop(columns="__b").groupby("g", as_index=False).agg(
+        out = g.drop(columns="__b").groupby("g", as_index=False, dropna=False).agg(
             n_docs=("n_docs", "sum"),
             n_tokens=("n_tokens", "sum"),
             n_chars=("n_chars", "sum"),

@@ -908,7 +908,7 @@ def late_events(
             part = pd.DataFrame(
                 {"g": sub["g"].to_numpy(), "late": late.astype("int64"),
                  "lateness": lateness}
-            ).groupby("g", as_index=False).agg(
+            ).groupby("g", as_index=False, dropna=False).agg(
                 n_events=("late", "size"), n_late=("late", "sum"),
                 max_lateness_us=("lateness", "max"),
             )
@@ -921,7 +921,7 @@ def late_events(
         .map_groups(verdicts, batch_format="pandas")
         .to_pandas()
     )
-    out = parts.groupby("g", as_index=False).agg(
+    out = parts.groupby("g", as_index=False, dropna=False).agg(
         n_events=("n_events", "sum"), n_late=("n_late", "sum"),
         max_lateness_us=("max_lateness_us", "max"),
     )

@@ -8486,6 +8486,38 @@ def _q_langid_confusion(sf_dir: str):
     )
 
 
+def _q_encoding_census(sf_dir: str):
+    """Lightweight-compression advisor over lineitem int columns
+    (``ops.layout.encoding_census``, the FastLanes/Parquet encoding
+    decision): per 1024-row block, FOR vs RLE vs plain byte estimates
+    + per-column winner census."""
+    import pandas as pd
+
+    from fastie_ray.ops.layout import encoding_census
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+
+    def tie(df: pd.DataFrame) -> pd.DataFrame:
+        # (orderkey, linenumber) alone is NOT unique in the synthetic
+        # lineitem — fold partkey+suppkey in so the canonical order is
+        # total (full tuples are distinct)
+        df = df.copy()
+        df["tie"] = (
+            (df["l_orderkey"] * 8 + df["l_linenumber"]) * 32768
+            + df["l_partkey"]
+        ) * 1024 + df["l_suppkey"]
+        return df
+
+    return encoding_census(
+        li.map_batches(tie, batch_format="pandas"),
+        int_cols=["l_orderkey", "l_partkey", "l_suppkey"],
+        tie_col="tie", block_rows=1024,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8623,6 +8655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_triples": _q_seq_triples,
         "ngram_coverage": _q_ngram_coverage,
         "langid_confusion": _q_langid_confusion,
+        "encoding_census": _q_encoding_census,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9620,6 +9653,56 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
             n_iter=6,
         ),
+        "encoding_census": r"""
+            WITH t AS (SELECT ((l_orderkey * 8 + l_linenumber) * 32768
+                               + l_partkey) * 1024 + l_suppkey AS tie,
+                              l_orderkey, l_partkey, l_suppkey
+                       FROM lineitem),
+            r AS (SELECT *, row_number() OVER (ORDER BY tie) - 1 AS rk
+                  FROM t),
+            b AS (SELECT *, rk // 1024 AS blk FROM r),
+            long AS (SELECT blk, rk, 'l_orderkey' AS col,
+                            l_orderkey AS v FROM b
+                     UNION ALL
+                     SELECT blk, rk, 'l_partkey', l_partkey FROM b
+                     UNION ALL
+                     SELECT blk, rk, 'l_suppkey', l_suppkey FROM b),
+            runs AS (SELECT blk, col, v,
+                            lag(v) OVER (PARTITION BY blk, col
+                                ORDER BY rk) AS pv
+                     FROM long),
+            st AS (SELECT blk, col, count(*) AS n,
+                          SUM(CASE WHEN pv IS NULL OR v != pv
+                              THEN 1 ELSE 0 END) AS n_runs,
+                          max(v) - min(v) AS rng
+                   FROM runs GROUP BY 1, 2),
+            sz AS (SELECT blk, col, 8 * n AS b_plain,
+                          (CASE WHEN rng = 0 THEN 0
+                                ELSE length(bin(rng)) END * n + 7) // 8
+                              + 16 AS b_for,
+                          10 * n_runs AS b_rle
+                   FROM st),
+            w AS (SELECT blk, col,
+                         CASE WHEN b_for <= b_plain AND b_for <= b_rle
+                              THEN 'for'
+                              WHEN b_plain <= b_rle THEN 'plain'
+                              ELSE 'rle' END AS best,
+                         b_plain, b_for, b_rle
+                  FROM sz),
+            agg AS (SELECT col, s.scheme,
+                           SUM(CASE WHEN w.best = s.scheme
+                               THEN 1 ELSE 0 END) AS n_blocks_best,
+                           SUM(CASE s.scheme WHEN 'plain' THEN b_plain
+                               WHEN 'for' THEN b_for
+                               ELSE b_rle END) AS est_bytes
+                    FROM w CROSS JOIN (SELECT unnest(
+                        ['for', 'plain', 'rle']) AS scheme) s
+                    GROUP BY 1, 2)
+            SELECT col AS "column", scheme,
+                   CAST(n_blocks_best AS BIGINT) AS n_blocks_best,
+                   CAST(est_bytes AS BIGINT) AS est_bytes
+            FROM agg
+        """,
         "langid_confusion": r"""
             WITH p AS (SELECT doc_id,
                               CASE ((doc_id // 5) % 5)

@@ -125,7 +125,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "source_minhash", "ccnet_lang_buckets", "path_load",
                  "zorder_prune", "grouped_gini", "rich_club",
                  "clean_funnel", "window_dedup",
-                 "seq_triples", "ngram_coverage", "langid_confusion"):
+                 "seq_triples", "ngram_coverage", "langid_confusion",
+                 "encoding_census"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

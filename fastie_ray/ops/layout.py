@@ -354,3 +354,95 @@ def zorder_prune_census(
     return pd.DataFrame(
         rows, columns=["layout", "n_blocks", "n_blocks_touched"]
     ).astype({"n_blocks": "int64", "n_blocks_touched": "int64"})
+
+
+def encoding_census(
+    ds: "ray.data.Dataset",
+    int_cols: list[str],
+    tie_col: str,
+    block_rows: int = 1024,
+    n_buckets: int = 16,
+) -> pd.DataFrame:
+    """Lightweight-compression advisor (the FastLanes/Parquet-encoding
+    decision, measured per block): cut the table into
+    ``block_rows``-row blocks in canonical ``tie_col`` order and, for
+    every integer column and block, estimate the encoded size under
+
+    - ``plain``: 8 bytes/value,
+    - ``for``:   frame-of-reference — bits(max−min) per value + a
+                 16-byte frame header,
+    - ``rle``:   run-length — 10 bytes per run (8 value + 2 length),
+
+    then count which scheme wins each block (ties → scheme name asc)
+    and the per-scheme total bytes. Returns one row per
+    (column, scheme): (column, scheme, n_blocks_best, est_bytes) —
+    the table a writer consults before committing an encoding.
+
+    Integer-exact: bit widths via ``bit_length`` (= length(bin(x)) in
+    SQL, 0 for a zero range), runs counted block-locally (no
+    cross-boundary state by construction). One ``global_rank`` for the
+    canonical order + ONE block-keyed exchange; output is
+    columns × 3 rows."""
+    from fastie_ray.ops.rank import global_rank
+
+    ranked = global_rank(
+        ds, key_col=tie_col, tie_col=tie_col,
+        range_size=max(int(ds.max(tie_col)) // 256, 1),
+        keep_cols=int_cols, n_buckets=n_buckets,
+    )
+
+    def add_blk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["blk"] = (df["rank"] - 1) // block_rows
+        h = df["blk"].to_numpy().astype(np.uint64)
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def block_stats(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for blk, sub in g.drop(columns="__b").groupby("blk", sort=False):
+            sub = sub.sort_values("rank")
+            n = len(sub)
+            for c in int_cols:
+                v = sub[c].to_numpy(dtype=np.int64)
+                rng = int(v.max() - v.min())
+                bits = rng.bit_length() if rng > 0 else 0
+                n_runs = int(1 + (v[1:] != v[:-1]).sum()) if n else 0
+                plain = 8 * n
+                forb = (bits * n + 7) // 8 + 16
+                rle = 10 * n_runs
+                best = min(
+                    [("for", forb), ("plain", plain), ("rle", rle)],
+                    key=lambda kv: (kv[1], kv[0]),
+                )[0]
+                for scheme, sz in (
+                    ("plain", plain), ("for", forb), ("rle", rle)
+                ):
+                    rows.append(
+                        (c, scheme, 1 if scheme == best else 0, sz)
+                    )
+        if not rows:
+            return pd.DataFrame(
+                {"column": pd.Series([], dtype=object),
+                 "scheme": pd.Series([], dtype=object),
+                 "n_blocks_best": pd.Series([], dtype="int64"),
+                 "est_bytes": pd.Series([], dtype="int64")}
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=["column", "scheme", "n_blocks_best", "est_bytes"],
+        )
+        return out.groupby(
+            ["column", "scheme"], as_index=False
+        ).sum().astype({"n_blocks_best": "int64", "est_bytes": "int64"})
+
+    parts = (
+        ranked.map_batches(add_blk, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(block_stats, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["column", "scheme"], as_index=False).sum()
+    return out.astype(
+        {"n_blocks_best": "int64", "est_bytes": "int64"}
+    ).sort_values(["column", "scheme"]).reset_index(drop=True)

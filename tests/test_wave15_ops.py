@@ -350,3 +350,42 @@ def test_eval_ngram_coverage_brute_force():
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # planted copy is fully covered
     assert got[got["doc_id"] == 37 * 30]["coverage_e6"].iloc[0] == 1_000_000
+
+
+def test_encoding_census_scheme_selection():
+    from fastie_ray.ops.layout import encoding_census
+
+    rng = np.random.RandomState(44)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "tie": np.arange(n),
+            # constant runs → RLE wins
+            "runs": np.repeat(np.arange(n // 100), 100),
+            # tiny range → FOR wins easily
+            "narrow": rng.randint(0, 4, n),
+            # full-range 63-bit values → plain wins (FOR pays header)
+            "wide": rng.randint(0, 2**62, n),
+        }
+    )
+    got = encoding_census(
+        ray.data.from_pandas(df), ["runs", "narrow", "wide"], "tie",
+        block_rows=512,
+    )
+    best = {
+        c: got[(got["column"] == c) & (got["n_blocks_best"] > 0)]
+        .sort_values("n_blocks_best", ascending=False)["scheme"].iloc[0]
+        for c in ("runs", "narrow", "wide")
+    }
+    assert best["runs"] == "rle"
+    assert best["narrow"] == "for"
+    # 62-bit ranges: FOR still edges plain (bits < 64) but by a hair —
+    # its estimate must sit within 3% of plain's
+    w_for = int(got[(got["column"] == "wide")
+                    & (got["scheme"] == "for")]["est_bytes"].iloc[0])
+    w_plain = int(got[(got["column"] == "wide")
+                      & (got["scheme"] == "plain")]["est_bytes"].iloc[0])
+    assert best["wide"] == "for" and w_plain * 97 <= w_for * 100 <= w_plain * 100
+    # per-column totals: plain is exactly 8 bytes/row
+    plain = got[(got["column"] == "runs") & (got["scheme"] == "plain")]
+    assert int(plain["est_bytes"].iloc[0]) == 8 * n

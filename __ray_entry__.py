@@ -8518,6 +8518,36 @@ def _q_encoding_census(sf_dir: str):
     )
 
 
+def _q_join_card_est(sf_dir: str):
+    """Optimizer cardinality-estimation audit
+    (``ops.stats.join_cardinality_est``): 256-bucket histogram
+    estimate of the many-many |orders ⋈ orders| self-join on custkey
+    vs the exact size — the skew case planners get wrong."""
+    from fastie_ray.ops.stats import join_cardinality_est
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    return join_cardinality_est(orders, orders, "o_custkey", "o_custkey")
+
+
+def _q_bloom_fpr(sf_dir: str):
+    """Measured Bloom false-positive rate (``ops.sketch.bloom_fpr``):
+    8192-bit / 3-hash filter over customer keys probed with disjoint
+    shifted keys — observed FPR + fill, md5-reproducible."""
+    import pandas as pd
+
+    from fastie_ray.ops.sketch import bloom_fpr
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    probes = cust.map_batches(
+        lambda df: pd.DataFrame(
+            {"probe": df["c_custkey"] + 10_000_000}
+        ),
+        batch_format="pandas",
+    )
+    return bloom_fpr(cust, probes, "c_custkey", "probe",
+                     m_bits=8192, k_hashes=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "minhash_dups": _q_minhash_dups,
@@ -8656,6 +8686,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_coverage": _q_ngram_coverage,
         "langid_confusion": _q_langid_confusion,
         "encoding_census": _q_encoding_census,
+        "join_card_est": _q_join_card_est,
+        "bloom_fpr": _q_bloom_fpr,
         "uie": _q_uie,
         "lang_counts": _q_lang_counts,
         "token_counts": _q_token_counts,
@@ -9653,6 +9685,53 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
             n_iter=6,
         ),
+        "join_card_est": r"""
+            WITH pk AS (SELECT CAST(o_custkey AS VARCHAR) AS k,
+                               count(*) AS n
+                        FROM orders GROUP BY 1),
+            b AS (SELECT k, n,
+                         CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT)
+                             % 256 AS b
+                  FROM pk),
+            g AS (SELECT b, SUM(n) AS n, count(*) AS d FROM b GROUP BY 1),
+            est AS (SELECT CAST(SUM(n * n // d) AS BIGINT) AS est_size
+                    FROM g),
+            tru AS (SELECT CAST(SUM(n * n) AS BIGINT) AS true_size
+                    FROM pk)
+            SELECT est.est_size, tru.true_size,
+                   CAST(abs(est.est_size - tru.true_size) * 1000000
+                        // greatest(tru.true_size, 1) AS BIGINT) AS err_e6
+            FROM est, tru
+        """,
+        "bloom_fpr": r"""
+            WITH mem AS (SELECT DISTINCT c_custkey AS v FROM customer),
+            ks AS (SELECT unnest(range(0, 3)) AS i),
+            pos AS (SELECT DISTINCT
+                        (CAST(('0x' || substr(md5('b'
+                            || CAST(ks.i AS VARCHAR) || ':'
+                            || CAST(mem.v AS VARCHAR)), 1, 15))
+                            AS BIGINT) % 8192) AS p
+                    FROM mem CROSS JOIN ks),
+            pr AS (SELECT c_custkey + 10000000 AS v FROM customer),
+            chk AS (SELECT pr.v,
+                           SUM(CASE WHEN EXISTS (
+                               SELECT 1 FROM pos WHERE pos.p =
+                                   CAST(('0x' || substr(md5('b'
+                                       || CAST(ks.i AS VARCHAR) || ':'
+                                       || CAST(pr.v AS VARCHAR)), 1, 15))
+                                       AS BIGINT) % 8192)
+                               THEN 1 ELSE 0 END) AS hits
+                    FROM pr CROSS JOIN ks
+                    GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_probes,
+                   CAST(SUM(CASE WHEN hits = 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_fp,
+                   CAST(SUM(CASE WHEN hits = 3 THEN 1 ELSE 0 END)
+                        * 1000000 // count(*) AS BIGINT) AS fpr_e6,
+                   (SELECT CAST(count(*) AS BIGINT) FROM pos)
+                       AS n_bits_set
+            FROM chk
+        """,
         "encoding_census": r"""
             WITH t AS (SELECT ((l_orderkey * 8 + l_linenumber) * 32768
                                + l_partkey) * 1024 + l_suppkey AS tie,

@@ -126,7 +126,7 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "zorder_prune", "grouped_gini", "rich_club",
                  "clean_funnel", "window_dedup",
                  "seq_triples", "ngram_coverage", "langid_confusion",
-                 "encoding_census"):
+                 "encoding_census", "join_card_est", "bloom_fpr"):
         t0 = time.monotonic()
         res = qs[name](sf_dir)
         if hasattr(res, "count"):

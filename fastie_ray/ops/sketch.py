@@ -435,3 +435,66 @@ def hll_sliding_registers(
     return out.astype("int64").sort_values(["day", "register"]).reset_index(
         drop=True
     )
+
+
+def bloom_fpr(
+    members: "ray.data.Dataset",
+    probes: "ray.data.Dataset",
+    member_col: str,
+    probe_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+) -> pd.DataFrame:
+    """MEASURED Bloom-filter false-positive rate: build an
+    ``m_bits``-bit filter from the member keys (k md5-derived
+    positions each), probe it with keys KNOWN to be non-members, and
+    report the observed FPR next to the filter's fill — the audit that
+    tells you whether a planned bloom prefilter (``ops.join``'s
+    bloom_join, ``dedup_against``) actually delivers its paper rate on
+    YOUR key distribution. md5 positions make it bit-reproducible in
+    SQL. Returns one row: (n_probes, n_fp, fpr_e6, n_bits_set).
+
+    Scale shape: the built filter is the DISTINCT position set —
+    ≤ m_bits ints — reduced by per-batch combiners and broadcast once;
+    probing is an embarrassingly parallel membership map with
+    (n, fp) scalar partials."""
+    import hashlib
+
+    def positions(v, i: int) -> int:
+        return int(
+            hashlib.md5(f"b{i}:{v}".encode()).hexdigest()[:15], 16
+        ) % m_bits
+
+    def member_pos(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[member_col].drop_duplicates()
+        ps = {
+            positions(v, i) for v in vals for i in range(k_hashes)
+        }
+        return pd.DataFrame({"p": sorted(ps)})
+
+    bits = frozenset(
+        members.map_batches(member_pos, batch_format="pandas")
+        .to_pandas()["p"]
+        .unique()
+        .tolist()
+    )
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        fp = 0
+        for v in df[probe_col]:
+            if all(positions(v, i) in bits for i in range(k_hashes)):
+                fp += 1
+        return pd.DataFrame(
+            {"n": [np.int64(len(df))], "fp": [np.int64(fp)]}
+        )
+
+    parts = probes.map_batches(probe, batch_format="pandas").to_pandas()
+    n, fp = int(parts["n"].sum()), int(parts["fp"].sum())
+    return pd.DataFrame(
+        {
+            "n_probes": [n],
+            "n_fp": [fp],
+            "fpr_e6": [fp * 1_000_000 // max(n, 1)],
+            "n_bits_set": [len(bits)],
+        }
+    ).astype("int64")

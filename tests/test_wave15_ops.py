@@ -389,3 +389,59 @@ def test_encoding_census_scheme_selection():
     # per-column totals: plain is exactly 8 bytes/row
     plain = got[(got["column"] == "runs") & (got["scheme"] == "plain")]
     assert int(plain["est_bytes"].iloc[0]) == 8 * n
+
+
+def test_join_cardinality_est_exact_on_uniform():
+    from fastie_ray.ops.stats import join_cardinality_est
+
+    # every key appears exactly twice → per-bucket n=2d, est per bucket
+    # = (2d)²/d = 4d vs true 4d... est == true when counts are uniform
+    df = pd.DataFrame({"k": list(range(500)) * 2})
+    ds = ray.data.from_pandas(df)
+    got = join_cardinality_est(ds, ds, "k", "k")
+    assert int(got["true_size"].iloc[0]) == 4 * 500
+    assert int(got["est_size"].iloc[0]) == 4 * 500
+    assert int(got["err_e6"].iloc[0]) == 0
+
+
+def test_join_cardinality_est_underestimates_skew():
+    from fastie_ray.ops.stats import join_cardinality_est
+
+    # one whale key with 900 rows + 100 singletons: the uniform
+    # assumption smears the whale across its bucket's distincts
+    df = pd.DataFrame({"k": [0] * 900 + list(range(1, 101))})
+    ds = ray.data.from_pandas(df)
+    got = join_cardinality_est(ds, ds, "k", "k")
+    true = 900 * 900 + 100
+    assert int(got["true_size"].iloc[0]) == true
+    assert int(got["est_size"].iloc[0]) < true  # skew → underestimate
+    assert int(got["err_e6"].iloc[0]) > 0
+
+
+def test_bloom_fpr_matches_brute_force():
+    import hashlib
+
+    from fastie_ray.ops.sketch import bloom_fpr
+
+    members = pd.DataFrame({"v": range(400)})
+    probes = pd.DataFrame({"v": range(10_000, 10_800)})
+    got = bloom_fpr(
+        ray.data.from_pandas(members), ray.data.from_pandas(probes),
+        "v", "v", m_bits=2048, k_hashes=3,
+    )
+
+    def pos(v, i):
+        return int(
+            hashlib.md5(f"b{i}:{v}".encode()).hexdigest()[:15], 16
+        ) % 2048
+
+    bits = {pos(v, i) for v in members["v"] for i in range(3)}
+    fp = sum(
+        1 for v in probes["v"] if all(pos(v, i) in bits for i in range(3))
+    )
+    assert int(got["n_fp"].iloc[0]) == fp
+    assert int(got["n_bits_set"].iloc[0]) == len(bits)
+    # a 2048-bit filter at ~1100 set bits: observed FPR must be in the
+    # right ballpark of p³ (loose band, it is deterministic anyway)
+    p = len(bits) / 2048
+    assert got["fpr_e6"].iloc[0] <= int(3 * p**3 * 1_000_000)

@@ -85,3 +85,29 @@ def test_ner_set2json_sorted_groups():
     assert list(out["PER"][0].keys()) == ["start", "end", "text"]
     assert [e["start"] for e in out["PER"]] == [0, 5]
     assert set(out) == {"PER", "ORG"}
+
+
+def test_demo_cli_render_and_predict():
+    """demo_ie's render + the serve worker agree with the reference
+    webui flow (text in → labeled extraction out)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "demo_ie",
+        pathlib.Path(__file__).resolve().parent.parent
+        / "scripts" / "demo_ie.py",
+    )
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+
+    from fastie_ray.serve import _IEWorkerImpl
+    from fastie_ray.synth import build_world
+
+    w = build_world()
+    f = w.facts[0]
+    text = f"{f.subj.name} {'produces' if f.predicate=='produces' else 'works for'} {f.obj.name} ."
+    worker = _IEWorkerImpl(task="rel", world=w)
+    out = worker.predict([text])[0]
+    rendered = demo.render("rel", text, out)
+    assert f.subj.name in rendered and f.obj.name in rendered

@@ -139,3 +139,52 @@ def test_cc_incremental_all_new_nodes():
          "component_id": ["a", "a", "x", "x"]}
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_cc_incremental_empty_delta():
+    from fastie_ray.stages.canonicalize import cc_incremental
+
+    base = ray.data.from_pandas(
+        pd.DataFrame(
+            {"node": ["a", "b", "c"], "component_id": ["a", "a", "c"]}
+        )
+    )
+    delta = ray.data.from_pandas(
+        pd.DataFrame({"u": pd.Series([], dtype=object),
+                      "v": pd.Series([], dtype=object)})
+    )
+    got = (
+        cc_incremental(base, delta, n_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"node": ["a", "b", "c"], "component_id": ["a", "a", "c"]}
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_cc_incremental_delta_only_merges_touched():
+    from fastie_ray.stages.canonicalize import cc_incremental
+
+    # two base components; delta merges only one pair — the other
+    # passes through the left join untouched
+    base = ray.data.from_pandas(
+        pd.DataFrame(
+            {"node": ["a", "b", "x", "y"],
+             "component_id": ["a", "a", "x", "x"]}
+        )
+    )
+    delta = ray.data.from_pandas(pd.DataFrame({"u": ["b"], "v": ["c"]}))
+    got = (
+        cc_incremental(base, delta, n_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"node": ["a", "b", "c", "x", "y"],
+         "component_id": ["a", "a", "a", "x", "x"]}
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

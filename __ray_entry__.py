@@ -759,6 +759,38 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_cluster_sizes(ds, k=10, iters=8)
 
 
+# Frozen Lloyd's centroids for the SQL-oracled assignment half (the
+# bpe_encode_apply split, VERDICT r3 #3): trained ONCE at sf0.01
+# (kmeans_fit k=10, iters=8 over embeddings.parquet) and quantized to
+# floor(1000 * c) int64, so the Ray query and the DuckDB oracle assign
+# against the exact same integer grid at every scale factor. Row
+# embeddings are quantized the same way at assign time → integer
+# distances, bit-exact argmin, ties → lowest centroid index.
+_KMEANS_FROZEN_INT_CENTROIDS: list[list[int]] = [
+    [24, 12, 33, -85, -27, -29, -16, 16, 67, -38, -31, -13, -27, 1, -13, -6, 53, 33, 40, 37, -48, 38, -4, -4, 14, 63, 63, -1, -20, 65, -43, 71, -26, -46, 11, -54, -29, 18, -3, -4, 19, -3, -11, -10, 20, 46, 31, -45, 16, -38, -11, 36, 10, -40, 29, 9, 1, 18, -89, -38, -25, 69, 47, -46],
+    [-30, 14, -6, -28, -17, 30, -64, -11, -14, -6, -34, 53, 78, -78, 28, -6, -9, -5, 68, -50, 5, 18, 10, 6, 77, 60, -9, -34, -9, 10, -43, 22, -7, 0, -32, 29, -63, -6, -7, -103, 17, -28, 34, 21, -18, 41, -46, -27, -47, -90, -27, -16, 1, -5, -35, 19, 70, -19, 13, -5, -4, 15, -65, -9],
+    [-3, 21, -23, 56, 33, -16, -37, 23, -36, -73, 3, -8, -53, 57, 6, 27, -22, 56, 0, -47, -12, -5, 52, -12, 0, -78, 44, -28, 29, 3, -21, -91, 23, 9, -1, -22, 27, 70, 56, 27, -2, -25, -2, 6, -29, -3, -27, 11, 42, 18, 51, -58, -30, -50, 31, 26, -1, -3, -16, 46, 58, 25, 17, 33],
+    [-31, 23, -24, -3, -24, 23, 43, 22, -10, 36, -3, 56, 2, 73, 11, 1, -16, -56, 2, 37, 2, -7, -25, 6, -1, 39, -40, -10, -71, -33, 2, 1, 71, -1, -17, -1, 33, -17, -61, -36, -4, -44, -63, -10, -6, -8, 6, -58, 83, -25, 42, -12, 18, 22, -17, -19, 25, -14, 24, -40, 33, -44, -21, -57],
+    [-16, -6, 73, 23, -54, -80, 82, 23, -20, 41, 42, -31, 18, -46, 22, -9, 42, -13, -24, 16, -26, 16, -12, -16, -45, 13, 18, 24, 35, -19, 5, -36, 50, 7, -18, -19, 18, -81, -31, 13, 46, -32, -1, 63, -60, 18, -37, 62, -50, 0, 2, 60, 31, 27, 92, -13, 15, -19, 21, 1, -49, -12, 17, -9],
+    [-17, -30, 27, 6, 56, -46, -46, 70, -15, -4, 13, -22, -2, 25, 2, -2, -12, -68, -50, 41, 8, -2, 36, -5, 38, 23, -44, -7, 19, 20, 24, -16, -5, -29, -8, 82, 46, 70, -5, 8, -34, 49, -17, 37, -63, -45, 40, -1, -15, 6, 28, 50, -22, 29, -85, -28, 35, -63, -34, -1, 19, 11, -22, 44],
+    [9, -31, -4, -47, 39, 61, -10, -68, 3, 8, 68, 20, 1, 41, -46, 25, 17, 100, -55, -22, -26, 3, -16, -48, -13, -27, -11, 16, 18, -28, 22, 30, -4, -82, -28, 58, 22, -43, 16, -16, 35, -28, -6, -40, 33, -2, 29, 58, 10, 8, -20, -5, 64, -24, 21, 41, -50, 35, 11, -43, 15, -3, -7, 6],
+    [83, 31, -21, 59, -27, 34, -9, 41, -23, 14, 3, -11, -75, -85, -17, 8, -18, 2, 22, 12, -4, -23, -24, 55, 6, -61, -16, 61, -13, 53, 68, 22, -18, 30, 16, 6, -16, -40, -8, 16, -28, -11, 18, -54, -8, 38, 23, 87, -50, 14, 32, -25, -13, -31, -28, 20, 17, 1, -86, -21, -7, -11, 7, -69],
+    [-25, -72, -4, -13, 83, 55, -102, -25, 36, 36, -53, 48, 10, -17, 51, 25, -5, -47, -11, -8, 33, 2, -18, -41, -75, 80, 19, 11, 14, -76, 10, -36, -17, 24, 69, -84, -2, 12, -1, 10, -40, -15, -12, -28, 1, -46, -25, 0, -28, -12, -8, -37, -36, 16, -12, -28, -58, 39, 27, -1, -34, 34, 27, -38],
+    [28, -4, -8, -22, 24, 16, -32, 8, -16, -48, 47, -89, 15, 37, -53, -16, 6, 60, 16, -13, 23, -19, 55, -24, -23, 13, -28, 73, -10, 25, 14, -42, 5, 27, 66, -8, -118, 13, 42, 87, -32, 22, 76, 22, 1, 5, -16, -46, -15, 9, -2, -10, 43, 6, 68, -76, -1, -10, 71, 28, -22, -26, -6, 16],
+]
+
+
+def _q_kmeans_lloyd_assign(sf_dir: str):
+    """Cluster ASSIGNMENT against the frozen Lloyd's centroids (the
+    SQL-oracled inference half of kmeans_clusters, split the way
+    bpe_encode/bpe_encode_apply are): integer-grid distances, exact
+    argmin, ties → lowest centroid index. Broadcast-only pass."""
+    from fastie_ray.ops.clustering import kmeans_assign_frozen_int
+
+    ds = _read(sf_dir, "embeddings")
+    return kmeans_assign_frozen_int(ds, _KMEANS_FROZEN_INT_CENTROIDS)
+
+
 def _q_doc_frequency(sf_dir: str):
     """(token, df) over the corpus — ASCII-exact tokenization so the
     DuckDB regexp_extract_all oracle reproduces the token stream."""
@@ -8699,6 +8731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans_assign,
         "cluster_keywords": _q_cluster_keywords,
         "kmeans_clusters": _q_kmeans_clusters,
+        "kmeans_lloyd_assign": _q_kmeans_lloyd_assign,
         "doc_frequency": _q_doc_frequency,
         "tfidf_terms": _q_tfidf_terms,
         "len_quantiles": _q_len_quantiles,
@@ -12259,6 +12292,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(cluster_id AS BIGINT) AS cluster_id, token,
                    CAST(n AS BIGINT) AS n_occ
             FROM r WHERE rn <= 5
+        """,
+        "kmeans_lloyd_assign": f"""
+            WITH cent AS (
+                SELECT * FROM (VALUES {", ".join(
+                    f"({i}, {c}::BIGINT[])"
+                    for i, c in enumerate(_KMEANS_FROZEN_INT_CENTROIDS)
+                )}) t(cid, cvec)
+            ), iv AS (
+                SELECT vec_id,
+                       [CAST(floor(1000 * x) AS BIGINT) FOR x IN embedding] AS v
+                FROM embeddings
+            ), d AS (
+                SELECT iv.vec_id, cent.cid,
+                       list_inner_product(iv.v, iv.v)
+                         - 2 * list_inner_product(iv.v, cent.cvec)
+                         + list_inner_product(cent.cvec, cent.cvec) AS dist
+                FROM iv CROSS JOIN cent
+            ), r AS (
+                SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d
+            )
+            SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM r WHERE rn = 1
         """,
         "kmeans_assign": """
             WITH cent AS (

@@ -172,6 +172,44 @@ def kmeans_cluster_sizes(
     return out.sort_values("cluster_id").reset_index(drop=True)
 
 
+def kmeans_assign_frozen_int(
+    ds: "ray.data.Dataset",
+    int_centroids: "list[list[int]] | np.ndarray",
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Assignment against FROZEN integer-grid centroids — the
+    SQL-oracle-able inference half of Lloyd's, split the way
+    ``bpe_encode_apply`` splits BPE (VERDICT r3 #3): the trained float
+    centroids are quantized once to ``floor(scale * c)`` int64 and
+    pinned as literals; every row embedding is quantized the same way
+    at assign time, so distances are exact integers and the argmin
+    (ties → lowest centroid index) is bit-reproducible in DuckDB.
+
+    ``cluster_id`` is the centroid's INDEX in ``int_centroids`` (the
+    frozen table defines the naming). Broadcast-only — the centroid
+    matrix rides the closure, one streaming pass, no shuffle."""
+    cents = np.asarray(int_centroids, dtype=np.int64)
+    c2 = (cents * cents).sum(1)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "cluster_id": pd.Series([], dtype="int64")}
+            )
+        x = np.floor(_batch_matrix(df, vec_col) * float(scale)).astype(np.int64)
+        # integer squared distance; argmin takes the FIRST minimum →
+        # lowest centroid index on ties, matching ORDER BY dist, cid
+        d = (x * x).sum(1)[:, None] - 2 * (x @ cents.T) + c2[None, :]
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(), "cluster_id": d.argmin(1).astype(np.int64)}
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 def kcenter_coreset(
     ds: "ray.data.Dataset",
     k: int,

@@ -162,6 +162,28 @@ def test_kmeans_assign_duplicate_centroid_tie_breaks_low_id():
     assert (out["cluster_id"] == 3).all()
 
 
+def test_kmeans_assign_frozen_int_matches_reference_and_ties_low_index():
+    from fastie_ray.ops.clustering import kmeans_assign_frozen_int
+
+    df = _emb(seed=3)
+    cents_f = np.array(list(df["embedding"][:4]), dtype=np.float64)
+    ints = np.floor(cents_f * 1000.0).astype(np.int64)
+    out = (
+        kmeans_assign_frozen_int(ray.data.from_pandas(df).repartition(4), ints)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    x = np.floor(np.array(list(df["embedding"]), dtype=np.float64) * 1000.0).astype(
+        np.int64
+    )
+    d = (x * x).sum(1)[:, None] - 2 * (x @ ints.T) + (ints * ints).sum(1)[None, :]
+    assert np.array_equal(out["cluster_id"].to_numpy(), d.argmin(1))
+    # duplicate centroids: exact-tie distances must pick the lowest index
+    dup = np.vstack([ints[0], ints[0]])
+    out2 = kmeans_assign_frozen_int(ray.data.from_pandas(df), dup).to_pandas()
+    assert (out2["cluster_id"] == 0).all()
+
+
 def test_init_centroids_smallest_ids():
     df = _emb(n=50)
     ds = ray.data.from_pandas(df.sample(frac=1.0, random_state=0)).repartition(4)

@@ -345,3 +345,156 @@ def scalar_quantize(
         )
 
     return ds.map_batches(quant, batch_format="pandas")
+
+
+# ------------------------------------------------- ANN recall oracle
+
+
+def _int_grid(df: pd.DataFrame, vec_col: str, scale: int) -> np.ndarray:
+    """floor(scale * x) in float64 — bit-identical to DuckDB's
+    ``floor(scale * x)`` over a FLOAT column promoted to DOUBLE."""
+    m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+    return np.floor(m * float(scale)).astype(np.int64)
+
+
+def ann_recall_int(
+    ds: "ray.data.Dataset",
+    query_ids: list[int],
+    k: int,
+    int_centroids: "list[list[int]] | np.ndarray",
+    int_planes: "list[list[int]] | np.ndarray",
+    nprobe: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Retrieval-QUALITY oracle for the approximate-NN family (VERDICT
+    r3 #2): recall@k of IVF (frozen integer-grid coarse centroids,
+    ``nprobe`` probed cells) and sign-LSH (frozen integer hyperplanes,
+    exact-bucket candidates) against the exact top-k — everything in
+    the ``floor(scale·x)`` int64 grid under integer squared-L2, so the
+    whole computation (cell argmin, probe ranking, bucket bits,
+    distances, top-k tie-breaks, the recall ratio itself) is
+    bit-reproducible in a DuckDB oracle. Ties break on (distance,
+    neighbor_id); cell/probe ties on (distance, centroid index).
+
+    Scale shape: queries/centroids/planes are broadcast once
+    (``ray.put``); ONE streaming pass emits per-block partial top-k
+    candidate rows for all three methods (exact, ivf, lsh) — top-k is
+    a valid per-block combiner — so the driver merge sees
+    ``n_blocks × n_queries × k × 3`` tiny integer rows, never corpus
+    vectors. No shuffle, no groupby.
+
+    Returns (method, query_id, n_exact, n_hits, recall_e6) with
+    ``recall_e6 = n_hits * 1_000_000 // n_exact``.
+    """
+    import ray
+
+    cents = np.asarray(int_centroids, dtype=np.int64)
+    planes = np.asarray(int_planes, dtype=np.int64)
+    qset = set(int(q) for q in query_ids)
+
+    q_rows = (
+        ds.map_batches(
+            lambda df: df[df[id_col].isin(qset)], batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    qids = q_rows[id_col].to_numpy()
+    Q = _int_grid(q_rows, vec_col, scale)  # [nq, dim] int64
+
+    def cells_of(x: np.ndarray) -> np.ndarray:
+        d = (
+            (x * x).sum(1)[:, None]
+            - 2 * (x @ cents.T)
+            + (cents * cents).sum(1)[None, :]
+        )
+        return d.argmin(1)  # first minimum → lowest centroid index
+
+    def probe_of(x: np.ndarray) -> np.ndarray:
+        d = (
+            (x * x).sum(1)[:, None]
+            - 2 * (x @ cents.T)
+            + (cents * cents).sum(1)[None, :]
+        )
+        # ascending (distance, centroid index): argsort is stable on
+        # the index for equal keys
+        return np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+
+    def buckets_of(x: np.ndarray) -> np.ndarray:
+        bits = (x @ planes.T) > 0
+        b = np.zeros(len(x), dtype=np.int64)
+        for j in range(planes.shape[0]):
+            b |= bits[:, j].astype(np.int64) << j
+        return b
+
+    q_probe = probe_of(Q)  # [nq, nprobe]
+    q_bucket = buckets_of(Q)  # [nq]
+    ref = ray.put((qids, Q, q_probe, q_bucket))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_, q_probe_, q_bucket_ = ray.get(ref)
+        if len(df) == 0:
+            return pd.DataFrame(
+                {"method": pd.Series([], dtype="object"),
+                 "query_id": pd.Series([], dtype="int64"),
+                 "neighbor_id": pd.Series([], dtype="int64"),
+                 "d": pd.Series([], dtype="int64")}
+            )
+        x = _int_grid(df, vec_col, scale)
+        ids = df[id_col].to_numpy()
+        cell = cells_of(x)
+        bucket = buckets_of(x)
+        D = (
+            (x * x).sum(1)[:, None]
+            - 2 * (x @ Q_.T)
+            + (Q_ * Q_).sum(1)[None, :]
+        )  # [n, nq]
+        out_m, out_q, out_n, out_d = [], [], [], []
+        for j, qid in enumerate(qids_):
+            not_self = ids != qid
+            masks = (
+                ("exact", not_self),
+                ("ivf", not_self & np.isin(cell, q_probe_[j])),
+                ("lsh", not_self & (bucket == q_bucket_[j])),
+            )
+            for method, m in masks:
+                idx = np.flatnonzero(m)
+                if len(idx) == 0:
+                    continue
+                dj = D[idx, j]
+                order = np.lexsort((ids[idx], dj))[:k]
+                take = idx[order]
+                out_m.extend([method] * len(take))
+                out_q.extend([int(qid)] * len(take))
+                out_n.extend(int(i) for i in ids[take])
+                out_d.extend(int(v) for v in D[take, j])
+        return pd.DataFrame(
+            {"method": out_m,
+             "query_id": pd.Series(out_q, dtype="int64"),
+             "neighbor_id": pd.Series(out_n, dtype="int64"),
+             "d": pd.Series(out_d, dtype="int64")}
+        )
+
+    cand = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["method", "query_id", "d", "neighbor_id"])
+    top = cand.groupby(["method", "query_id"], as_index=False).head(k)
+    sets: dict[tuple[str, int], set[int]] = {
+        (m, q): set(g["neighbor_id"])
+        for (m, q), g in top.groupby(["method", "query_id"])
+    }
+    rows = []
+    for qid in qids:
+        exact = sets.get(("exact", int(qid)), set())
+        n_exact = len(exact)
+        for method in ("ivf", "lsh"):
+            hits = len(sets.get((method, int(qid)), set()) & exact)
+            rows.append(
+                (method, int(qid), n_exact, hits,
+                 (hits * 1_000_000) // n_exact if n_exact else 0)
+            )
+    return pd.DataFrame(
+        rows, columns=["method", "query_id", "n_exact", "n_hits", "recall_e6"]
+    ).astype({"query_id": "int64", "n_exact": "int64",
+              "n_hits": "int64", "recall_e6": "int64"})

@@ -587,3 +587,58 @@ def test_semantic_dedup_exists_semantics_and_groups():
     assert sorted(got["vec_id"]) == ref(
         [(r[0], r[1], r[2]) for r in rows]
     )
+
+
+def test_ann_recall_int_matches_single_process_reference(ray_session):
+    """ann_recall_int vs a straight-line numpy replay of the same
+    integer-grid semantics (cells, probes, buckets, top-k tie-breaks),
+    plus block-layout invariance of the partial-top-k combiner."""
+    import numpy as np
+
+    from fastie_ray.ops.similarity import ann_recall_int
+
+    rng = np.random.default_rng(5)
+    n, dim, k = 200, 16, 5
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [rng.standard_normal(dim).astype(np.float32) for _ in range(n)],
+        }
+    )
+    cents = np.floor(rng.standard_normal((4, dim)) * 500).astype(np.int64)
+    planes = np.floor(rng.standard_normal((3, dim)) * 100).astype(np.int64)
+    anchors = [0, 40, 80, 120]
+
+    out1 = ann_recall_int(
+        ray.data.from_pandas(df), anchors, k, cents, planes, nprobe=2
+    ).sort_values(["method", "query_id"]).reset_index(drop=True)
+    out8 = ann_recall_int(
+        ray.data.from_pandas(df).repartition(8), anchors, k, cents, planes, nprobe=2
+    ).sort_values(["method", "query_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out1, out8)
+
+    x = np.floor(np.stack(df["embedding"].to_numpy()).astype(np.float64) * 1000.0).astype(np.int64)
+    ids = df["vec_id"].to_numpy()
+    dc = (x * x).sum(1)[:, None] - 2 * (x @ cents.T) + (cents * cents).sum(1)[None, :]
+    cell = dc.argmin(1)
+    probes = np.argsort(dc, axis=1, kind="stable")[:, :2]
+    bits = (x @ planes.T) > 0
+    bucket = np.zeros(n, dtype=np.int64)
+    for j in range(3):
+        bucket |= bits[:, j].astype(np.int64) << j
+
+    for _, row in out1.iterrows():
+        a = int(row["query_id"])
+        qi = int(np.where(ids == a)[0][0])
+        d = ((x - x[qi]) ** 2).sum(1)
+        elig = ids != a
+        exact = set(ids[np.flatnonzero(elig)[np.lexsort((ids[elig], d[elig]))[:k]]])
+        if row["method"] == "ivf":
+            m = elig & np.isin(cell, probes[qi])
+        else:
+            m = elig & (bucket == bucket[qi])
+        idx = np.flatnonzero(m)
+        approx = set(ids[idx[np.lexsort((ids[idx], d[idx]))[:k]]]) if len(idx) else set()
+        assert row["n_exact"] == len(exact)
+        assert row["n_hits"] == len(approx & exact)
+        assert row["recall_e6"] == (len(approx & exact) * 1_000_000) // len(exact)

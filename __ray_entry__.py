@@ -137,6 +137,34 @@ def _q_kg_triples(sf_dir: str):
     return doc_triples(_pages(sf_dir), world_ref=world_ref, concurrency=_conc())
 
 
+def _q_kg_triples_npnn(sf_dir: str):
+    """kg_triples through the COMPILED NUMPY-TRANSFORMER dense backend
+    (np_transformer.py, VERDICT r3 #1): the scorer actors compile the
+    gazetteer checkpoint in __init__ (~1 s, self-checked) and every
+    chunk goes through a real 2-layer RoPE-attention forward + the
+    dense GPLinker decode — the TorchDenseBackend tensor contract,
+    torch-free. Restricted to doc_id % 100 == 0 (dense forwards cost
+    real GEMMs; the subset keeps bench wall bounded while the oracle
+    stays the exact fact join)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from fastie_ray.pipelines.kg import doc_triples
+
+    world_ref = ray.put(_world())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        # url ends with the zero-padded doc id → "…0" ⟺ doc_id % 10 == 0
+        return batch.filter(pc.ends_with(batch["url"], pattern="0"))
+
+    pages = _pages(sf_dir).map_batches(keep, batch_format="pyarrow")
+    return doc_triples(
+        pages, world_ref=world_ref, concurrency=_conc(),
+        rel_backend="hf", hf_model="compile:gazetteer",
+    )
+
+
 def _q_kg_edges(sf_dir: str):
     from fastie_ray.pipelines.kg import graph_tables
 
@@ -8699,6 +8727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_stats": _q_chunk_stats,
         "kg_mentions": _q_kg_mentions,
         "kg_triples": _q_kg_triples,
+        "kg_triples_npnn": _q_kg_triples_npnn,
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,
         "kg_events": _q_kg_events,
@@ -11756,6 +11785,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT {URL} AS url, f.predicate AS predicate,
                    f.subject AS subject, f.object AS object
             {JOIN}
+        """,
+        "kg_triples_npnn": f"""
+            WITH {FACTS}
+            SELECT {URL} AS url, f.predicate AS predicate,
+                   f.subject AS subject, f.object AS object
+            {JOIN}
+            WHERE d.doc_id % 10 = 0
         """,
         "entity_comentions": f"""
             WITH {FACTS}, {EIDS}

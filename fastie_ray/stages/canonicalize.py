@@ -314,7 +314,7 @@ def connected_components_ds(
 def entity_component_labels(
     labels: "ray.data.Dataset", n_buckets: int = 64
 ) -> "ray.data.Dataset":
-    """Distributed ``component_map``: (node, component_id) labels →
+    """Distributed entity-label projection: (node, component_id) labels →
     (entity_id, component_id) rows for ENTITY nodes, with component ids
     re-keyed to the smallest member entity id — all as dataset ops
     (filter → partial-min combiner → bucketed final → hash join), no
@@ -641,18 +641,6 @@ def relabel_columns_replicated(
         ent_labels.map_batches(tag_right, batch_format="pandas")
     )
     return both.groupby("__b").map_groups(apply_map, batch_format="pandas")
-
-
-def component_map(labels: pd.DataFrame) -> dict[str, str]:
-    """entity node → component id (surface nodes dropped; component ids
-    re-keyed to the smallest member entity id when one exists)."""
-    ents = labels[labels["node"].str.startswith("e:")]
-    # canonical component id: min entity id in the component, else the label
-    min_ent = ents.groupby("component_id")["node"].min().to_dict()
-    return {
-        row.node[2:]: min_ent.get(row.component_id, row.component_id)[2:]
-        for row in ents.itertuples()
-    }
 
 
 def cc_incremental(

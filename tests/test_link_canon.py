@@ -8,7 +8,6 @@ import ray.data
 from fastie_ray.stages.canonicalize import (
     _driver_cc,
     _distributed_cc,
-    component_map,
     connected_components,
     mention_edges,
 )
@@ -89,15 +88,21 @@ def test_distributed_cc_equals_driver_on_skewed_graph():
     assert wm == gm
 
 
-def test_component_map_prefers_min_entity():
+def test_entity_label_projection_prefers_min_entity():
+    # the bounded below-threshold projection (labels already driver-
+    # resident): surface nodes dropped, component id re-keyed to the
+    # smallest member entity id. The former dict-building component_map
+    # API was removed (VERDICT r3 #5) — no O(surfaces) driver API.
+    from fastie_ray.stages.canonicalize import _project_entity_labels_driver
+
     labels = pd.DataFrame(
         {
             "node": ["e:E2", "e:E1", "s:foo"],
             "component_id": ["e:E1", "e:E1", "e:E1"],
         }
     )
-    m = component_map(labels)
-    assert m == {"E2": "E1", "E1": "E1"}
+    out = _project_entity_labels_driver(labels)
+    assert dict(zip(out.entity_id, out.component_id)) == {"E2": "E1", "E1": "E1"}
 
 
 def test_mention_edges_and_cc_end_to_end():

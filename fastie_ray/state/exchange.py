@@ -112,6 +112,58 @@ def _reduce(group_fn, *parts):
 
 
 @ray.remote
+def _reduce_budget(group_fn, cols: tuple, max_bytes: int, *parts):
+    """Budget-guarded reduce (VERDICT r3 #6): when the bucket's rows
+    exceed ``max_bytes``, sub-partition by a SALTED hash of the same
+    key columns and run ``group_fn`` once per sub-group instead of
+    once over the whole bucket. All rows of a key still share a
+    sub-group (the hash is per-key), so the group contract holds; what
+    the guard caps is the concat + group_fn working set — the 2-3×
+    heap term that OOMs a reduce task on a skewed bucket. A bucket
+    whose RAW rows exceed worker heap outright needs the Dataset
+    sort-based shuffle instead (module docstring trade-off)."""
+    live = [p for p in parts if len(p)]
+    if not live:
+        typed = next((p for p in parts if len(p.columns)), None)
+        if typed is None:
+            return pd.DataFrame()
+        try:
+            return group_fn(typed).head(0).reset_index(drop=True)
+        except Exception:
+            return pd.DataFrame()
+    total = sum(int(p.memory_usage(deep=True).sum()) for p in live)
+    if total <= max_bytes:
+        g = pd.concat(live, ignore_index=True) if len(live) > 1 else live[0]
+        return group_fn(g).reset_index(drop=True)
+    n_sub = min(int(np.ceil(total / max_bytes)), 256)
+    outs = []
+    for s in range(n_sub):
+        sub_parts = []
+        for p in live:
+            h = pd.util.hash_pandas_object(p[cols[0]], index=False).to_numpy()
+            for c in cols[1:]:
+                h = h + np.uint64(0x9E3779B97F4A7C15) * pd.util.hash_pandas_object(
+                    p[c], index=False
+                ).to_numpy()
+            # salt ^ keeps this split independent of the bucket hash
+            sub = (np.uint64(0xA5A5A5A5A5A5A5A5) ^ h) % np.uint64(n_sub)
+            part = p[sub.astype(np.int64) == s]
+            if len(part):
+                sub_parts.append(part)
+        if not sub_parts:
+            continue
+        g = (
+            pd.concat(sub_parts, ignore_index=True)
+            if len(sub_parts) > 1
+            else sub_parts[0]
+        )
+        outs.append(group_fn(g))
+    if not outs:
+        return group_fn(live[0].head(0)).reset_index(drop=True)
+    return pd.concat(outs, ignore_index=True).reset_index(drop=True)
+
+
+@ray.remote
 def _reduce_side(group_fn, side, *parts):
     """Reduce with a pinned per-bucket side table: ``group_fn(g, side)``.
     Unlike plain ``_reduce``, runs even when the exchanged rows are
@@ -221,10 +273,19 @@ class BlockSet:
         n_buckets: int = 16,
         map_fn: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
         side: list | None = None,
+        max_bucket_bytes: int | None = None,
     ) -> "BlockSet":
         """Hash-partition on ``key_cols`` and apply ``group_fn`` once
         per bucket (all rows of a key co-locate). ``map_fn`` fuses a
         per-block transform into the split task (no extra task wave).
+
+        ``max_bucket_bytes`` turns the docstring's "caller-checked
+        contract" into a runtime guard: a reduce whose bucket exceeds
+        the budget sub-partitions by a salted key hash and runs
+        ``group_fn`` per sub-group (keys never split), capping the
+        concat+group working set instead of OOMing. Costs one
+        memory_usage scan per reduce; incompatible with ``side=``
+        (a pinned side table is already bucket-sized by construction).
 
         ``side``: per-bucket pinned ObjectRefs from :meth:`partition`
         (same ``n_buckets`` AND same key hash — i.e. key columns whose
@@ -248,6 +309,8 @@ class BlockSet:
                 for r in self.refs
             ]
         if side is not None:
+            if max_bucket_bytes is not None:
+                raise ValueError("max_bucket_bytes is not supported with side=")
             if len(side) != n_buckets:
                 raise ValueError(
                     f"side has {len(side)} buckets, exchange has {n_buckets}"
@@ -257,6 +320,19 @@ class BlockSet:
             return BlockSet(
                 [
                     _reduce_side.remote(group_fn, side[i], *[o[i] for o in outs])
+                    for i in range(n_buckets)
+                ]
+            )
+        if max_bucket_bytes is not None:
+            if n_buckets == 1:
+                return BlockSet(
+                    [_reduce_budget.remote(group_fn, cols, max_bucket_bytes, *outs)]
+                )
+            return BlockSet(
+                [
+                    _reduce_budget.remote(
+                        group_fn, cols, max_bucket_bytes, *[o[i] for o in outs]
+                    )
                     for i in range(n_buckets)
                 ]
             )

@@ -350,9 +350,6 @@ def grouped_running_sum(
         return (h % np.uint64(n_buckets)).astype(np.int64)
 
     # ---- totals per (key, bucket)
-    def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["k", "day"], as_index=False)["cents"].sum()
-
     def add_kdb(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["__b"] = _kd_bucket(df)
@@ -365,9 +362,30 @@ def grouped_running_sum(
         out["cents"] = out["cents"].astype("int64")
         return out
 
+    def prep_tot_arrow(t: pa.Table) -> pa.Table:
+        # Arrow-native hot stage (VERDICT r3 #4): prep + (k, day)
+        # partial sum fused in one zero-copy pass — integer cents, so
+        # the aggregate is order-independent and bit-stable.
+        # pc.round defaults to half_to_even, same as pandas .round()
+        import pyarrow.compute as pc
+
+        t_us = pc.cast(t[ts_col], pa.int64())  # timestamp[us] → µs
+        g = pa.table(
+            {
+                "k": pc.cast(t[key_col], pa.int64()),
+                "day": pc.divide(t_us, bucket_us),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t[value_col], 100.0)), pa.int64()
+                ),
+            }
+        )
+        out = g.group_by(["k", "day"], use_threads=False).aggregate(
+            [("cents", "sum")]
+        )
+        return out.rename_columns(["k", "day", "cents"])
+
     totals = (
-        ds.map_batches(prep, batch_format="pandas")
-        .map_batches(tot_partial, batch_format="pandas")
+        ds.map_batches(prep_tot_arrow, batch_format="pyarrow")
         .map_batches(add_kdb, batch_format="pandas")
         .groupby("__b")
         .map_groups(tot_final, batch_format="pandas")

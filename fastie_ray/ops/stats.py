@@ -38,9 +38,14 @@ def value_counts(
     """(value, n) exact counts; the exchange carries one row per
     distinct value per batch (combiner-first)."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(col, as_index=False).size()
-        return out.rename(columns={"size": "n"})
+    def partial(t: "pa.Table") -> "pa.Table":
+        # Arrow-native hot stage (VERDICT r3 #4): null rows dropped
+        # first to match pandas-groupby semantics
+        import pyarrow.compute as pc
+
+        t = t.select([col]).filter(pc.is_valid(t[col]))
+        out = t.group_by([col], use_threads=False).aggregate([([], "count_all")])
+        return out.rename_columns([col, "n"])
 
     def add_b(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -57,7 +62,7 @@ def value_counts(
         return out
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .map_batches(add_b, batch_format="pandas")
         .groupby("__b")
         .map_groups(final, batch_format="pandas")

@@ -10,13 +10,37 @@ sort (never a global sort of the raw stream).
 
 from __future__ import annotations
 
+import re
 from typing import TYPE_CHECKING
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 if TYPE_CHECKING:
     import ray.data
+
+_FREQ_RE = re.compile(r"^(\d*)\s*(h|hour|hours|min|minute|minutes|s|sec|secs|seconds)$")
+_UNIT = {"h": "hour", "hour": "hour", "hours": "hour",
+         "min": "minute", "minute": "minute", "minutes": "minute",
+         "s": "second", "sec": "second", "secs": "second", "seconds": "second"}
+_UNIT_US = {"hour": 3_600_000_000, "minute": 60_000_000, "second": 1_000_000}
+
+
+def _freq_arrow(freq: str) -> tuple[int, str]:
+    """pandas offset alias → (multiple, unit) for ``pc.floor_temporal``
+    (identical flooring for epoch-aligned fixed frequencies — the only
+    kind these windows accept)."""
+    m = _FREQ_RE.match(freq.strip().lower())
+    if not m:
+        raise ValueError(f"unsupported window freq: {freq!r}")
+    return int(m.group(1) or 1), _UNIT[m.group(2)]
+
+
+def _freq_us(freq: str) -> int:
+    mult, unit = _freq_arrow(freq)
+    return mult * _UNIT_US[unit]
 
 
 def tumbling_window_agg(
@@ -37,16 +61,24 @@ def tumbling_window_agg(
     result is a BASE state that ``merge_tumbling_aggregates`` will fold
     deltas into (rounding must happen once, at the final read)."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "window_start": df[ts_col].dt.floor(freq),
-                key_col: df[key_col],
-                value_col: df[value_col],
-            }
+    mult, unit = _freq_arrow(freq)
+
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native hot stage (VERDICT r3 #4): zero-copy batch in,
+        # vectorized floor_temporal + hash-aggregate, no pandas
+        # conversion on the corpus-sized input
+        ws = pc.floor_temporal(t[ts_col], multiple=mult, unit=unit)
+        g = pa.table(
+            {"window_start": ws, key_col: t[key_col], value_col: t[value_col]}
         )
-        return out.groupby(["window_start", key_col], as_index=False).agg(
-            n_events=(value_col, "count"), sum_value=(value_col, "sum")
+        # use_threads=False: deterministic accumulation order per batch
+        # (Ray parallelizes ACROSS batches; intra-batch threading would
+        # make float sums run-dependent)
+        out = g.group_by(["window_start", key_col], use_threads=False).aggregate(
+            [(value_col, "count"), (value_col, "sum")]
+        )
+        return out.rename_columns(
+            ["window_start", key_col, "n_events", "sum_value"]
         )
 
     def add_b(df: pd.DataFrame) -> pd.DataFrame:
@@ -67,7 +99,7 @@ def tumbling_window_agg(
         return out
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .map_batches(add_b, batch_format="pandas")
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
@@ -142,10 +174,12 @@ def top_k_by_sum(
     ``n_buckets × k`` candidate rows (never the full key space).
     Deterministic tie-break on the key."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(key_col, as_index=False).agg(
-            sum_value=(value_col, "sum")
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native hot stage (VERDICT r3 #4)
+        out = t.group_by([key_col], use_threads=False).aggregate(
+            [(value_col, "sum")]
         )
+        return out.rename_columns([key_col, "sum_value"])
 
     def add_b(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -166,7 +200,7 @@ def top_k_by_sum(
         return out
 
     cand = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .map_batches(add_b, batch_format="pandas")
         .groupby("__b")
         .map_groups(local_topk, batch_format="pandas")
@@ -192,26 +226,34 @@ def hopping_window_agg(
     replication happens INSIDE the partial combiner (vectorized
     repeat + offset), so the shuffle still sees one row per
     (window, key) per batch, never the replicated event stream."""
-    size_td, hop_td = pd.Timedelta(size), pd.Timedelta(hop)
-    assert size_td % hop_td == pd.Timedelta(0), "hop must divide size"
-    n_rep = size_td // hop_td
+    size_us, hop_us = _freq_us(size), _freq_us(hop)
+    assert size_us % hop_us == 0, "hop must divide size"
+    n_rep = size_us // hop_us
+    hop_mult, hop_unit = _freq_arrow(hop)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        base = df[ts_col].dt.floor(hop)
-        frames = []
-        for i in range(n_rep):
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "window_start": (base - i * hop_td).astype("datetime64[us]"),
-                        key_col: df[key_col],
-                        value_col: df[value_col],
-                    }
-                )
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native hot stage (VERDICT r3 #4): replicate into the
+        # size/hop overlapping windows via zero-copy table concat +
+        # one hash-aggregate — the pandas frames/concat path converted
+        # the whole batch n_rep times
+        base = pc.floor_temporal(t[ts_col], multiple=hop_mult, unit=hop_unit)
+        parts = [
+            pa.table(
+                {
+                    "window_start": pc.subtract(
+                        base, pa.scalar(i * hop_us, pa.duration("us"))
+                    ),
+                    key_col: t[key_col],
+                    value_col: t[value_col],
+                }
             )
-        out = pd.concat(frames, ignore_index=True)
-        return out.groupby(["window_start", key_col], as_index=False).agg(
-            n_events=(value_col, "count"), sum_value=(value_col, "sum")
+            for i in range(n_rep)
+        ]
+        out = pa.concat_tables(parts).group_by(
+            ["window_start", key_col], use_threads=False
+        ).aggregate([(value_col, "count"), (value_col, "sum")])
+        return out.rename_columns(
+            ["window_start", key_col, "n_events", "sum_value"]
         )
 
     def add_b(df: pd.DataFrame) -> pd.DataFrame:
@@ -231,7 +273,7 @@ def hopping_window_agg(
         return out
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow")
         .map_batches(add_b, batch_format="pandas")
         .groupby("__b")
         .map_groups(final, batch_format="pandas")

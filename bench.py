@@ -70,7 +70,10 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     # pagerank_resumed is correctness-only (it deliberately runs TWO
     # checkpointed pagerank legs to prove resume bit-equality — 2x the
-    # single-query cost by construction, not a perf surface)
+    # single-query cost by construction, not a perf surface).
+    # kg_triples_npnn is likewise correctness-only: it runs real dense
+    # transformer GEMMs per chunk (the torch-contract witness, ~40 s at
+    # sf0.1) — throughput of the production sparse path is the headline.
     qs = e.queries()
     for name in ("extract_text", "chunk_stats", "kg_triples", "kg_events",
                  "uie", "dedup_docs", "minhash_dups", "knn",
@@ -79,6 +82,7 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "hopping_events", "session_stats", "asof_clicks", "range_clicks",
                  "fuzzy_dedup_docs", "kmeans_clusters", "tfidf_terms",
                  "dup_spans", "url_dedup", "corpus_diff", "doc_ranks",
+                 "ann_recall", "kmeans_lloyd_assign",
                  "cooc_pairs", "kg_negatives", "mention_contexts",
                  "sales_cube", "value_moments",
                  "lm_familiarity", "dsir_select", "perceptron",

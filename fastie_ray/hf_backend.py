@@ -270,7 +270,7 @@ def resolve_dense_backend(
             from fastie_ray.np_transformer import NumpyDenseBackend
 
             return NumpyDenseBackend(model_name_or_path)
-        if model_name_or_path == "compile:gazetteer":
+        if model_name_or_path in ("compile:gazetteer", "compile:gazetteer-ee"):
             from fastie_ray.np_transformer import (
                 NumpyDenseBackend,
                 compile_gazetteer_lm,
@@ -278,7 +278,8 @@ def resolve_dense_backend(
 
             return NumpyDenseBackend(
                 compile_gazetteer_lm(
-                    featurizer, max_length=max_length, piece_len=piece_len
+                    featurizer, max_length=max_length, piece_len=piece_len,
+                    ee=model_name_or_path.endswith("-ee"),
                 )
             )
         try:

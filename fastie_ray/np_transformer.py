@@ -100,6 +100,10 @@ _ATT_SHARP = 30.0  # softmax peak logit (e^-30 leakage ≈ 1e-13 per slot)
 # --------------------------------------------------------------- codes
 
 
+def _objp_dims_pairs(o: int, obj_pairs) -> list:
+    return [pr for pr in obj_pairs if pr[1] - 1 == o]
+
+
 def _four_hot_codes(n: int, dim: int, rng: np.random.Generator) -> np.ndarray:
     """n sparse codes over ``dim`` dims: 4 coordinates at +1/2 each
     (unit norm, identical per-code mean/variance so LayerNorm treats
@@ -337,13 +341,23 @@ class NumpyDenseBackend:
         tail = self.lm._head_scores(x, "relt")
         return enc, entity, head, tail
 
-    def ee_forward(self, dashed: str):  # pragma: no cover - documented gap
-        raise NotImplementedError(
-            "NumpyDenseBackend compiles NER + RE heads; the GPLinker-EE "
-            "head is served by DeterministicDenseBackend (same decode "
-            "kernels). A torch checkpoint with an EE head plugs into "
-            "TorchDenseBackend unchanged."
-        )
+    def ee_forward(
+        self, dashed: str
+    ) -> tuple[SubwordEncoding, np.ndarray, np.ndarray, np.ndarray, dict[int, str]]:
+        """GPLinker-EE heads (argu [T, L, L] over the event_type@role
+        label space + the two complete-subgraph link heads) — present
+        when the checkpoint was compiled with ``ee=True``."""
+        if "eeargu_Wk" not in self.lm.w.heads:
+            raise NotImplementedError(
+                "this checkpoint was compiled without the EE heads — "
+                "recompile with compile_gazetteer_lm(..., ee=True)"
+            )
+        enc, x = self._stream(dashed)
+        argu = self.lm._head_scores(x, "eeargu")
+        head = self.lm._head_scores(x, "eehead")
+        tail = self.lm._head_scores(x, "eetail")
+        id2l = {i: lb for i, lb in enumerate(self.lm.w.meta["ee_labels"])}
+        return enc, argu, head, tail, id2l
 
 
 # ----------------------------------------------------------- compiler
@@ -388,6 +402,7 @@ def compile_gazetteer_lm(
     m_head: int = 48,
     seed: int = 7,
     self_check: bool = True,
+    ee: bool = False,
 ) -> MiniLMWeights:
     """Compile a MiniLM whose forward computes the featurizer's mention
     and relation detection (module docstring has the program sketch).
@@ -505,6 +520,40 @@ def compile_gazetteer_lm(
         al.block(f"ph@-{o}", len(preds))
     al.block("ind_relh", len(relh_pairs))
     al.block("ind_relt", len(relt_pairs))
+    if ee:
+        # object-presence forward gathers (layer 2): each (label, len)
+        # entity-end indicator is only ever consulted at offset
+        # +(len−1), so the family PARTITIONS across per-length blocks
+        obj_pairs = sorted({(lab_of[p][1], lo) for p in preds
+                            for lo in obj_lens[p]})
+        objp_offs = sorted({lo - 1 for (_, lo) in obj_pairs if lo >= 2})
+
+        def _objp_dims(o: int) -> list[int]:
+            return [al["ind_lblen"].start + lblen_idx[pr]
+                    for pr in obj_pairs if pr[1] - 1 == o]
+
+        for o in objp_offs:
+            al.block(f"objp@+{o}", len(_objp_dims_pairs(o, obj_pairs)))
+        # layer-3 FORWARD gathers of the relation indicators + the
+        # event-argument indicator dims they produce (GPLinker-EE)
+        ee_fwd_offs = sorted({1} | {lp_of[p] for p in preds}
+                             | {lp_of[p] + 1 for p in preds})
+        for o in ee_fwd_offs:
+            al.block(f"relh@+{o}", len(relh_pairs))
+        # layer-3 BACKWARD relh gathers for the object-end indicators
+        relh_back_offs = sorted({lo - 1 for p in preds
+                                 for lo in obj_lens[p] if lo >= 2})
+
+        def _relhb_pairs(o: int) -> list[tuple[str, int]]:
+            return [(p, ls) for p in preds if (o + 1) in obj_lens[p]
+                    for ls in subj_lens[p]]
+
+        for o in relh_back_offs:
+            al.block(f"relhb@-{o}", len(_relhb_pairs(o)))
+        al.block("ind_subj_end", len(relh_pairs))
+        al.block("ind_trig_start", len(relh_pairs))
+        al.block("ind_trig_end", len(preds))
+        al.block("ind_obj_end", len(relt_pairs))
     al.block("sink", 1)
     H = al.n
 
@@ -540,7 +589,12 @@ def compile_gazetteer_lm(
             )
         v_off = 0
         for hd, (src, dv, scale) in enumerate(v_specs):
-            src_dims = range(src.start, src.stop)
+            # src: a slice (contiguous block) or an explicit dim list
+            # (partitioned gathers — e.g. one indicator family spread
+            # across per-length offset blocks)
+            src_dims = (
+                range(src.start, src.stop) if isinstance(src, slice) else src
+            )
             for j, d in enumerate(src_dims):
                 Wv[d, v_off + j] = scale
                 Wv[al["sink"].start, v_off + j] -= scale  # zero-sum
@@ -651,6 +705,12 @@ def compile_gazetteer_lm(
         l2_offsets.append(o)
         v2_specs.append([al["ind_ph"], len(preds), 1.0])
         dst2.append(al[f"ph@-{o}"])
+    if ee:
+        for o in objp_offs:
+            l2_offsets.append(-o)  # negative = FORWARD gather
+            dims = _objp_dims(o)
+            v2_specs.append([dims, len(dims), 1.0])
+            dst2.append(al[f"objp@+{o}"])
     # phase-B calibration: measure LN(x2.5) amplitudes of (a) a fired
     # indicator read directly and (b) a gathered indicator copy. Use a
     # probe assertion per predicate.
@@ -712,11 +772,31 @@ def compile_gazetteer_lm(
     # ---------------- layer-2 FFN: relation indicators (2-slot ANDs)
     rel_pats = []
     for (p, ls) in relh_pairs:
-        s_lb, _ = lab_of[p]
+        s_lb, o_lb = lab_of[p]
         slots = [
             (al[f"ph@-1"].start + pred_idx[p], u_g),
             (al[f"ent@-{lp_of[p] + 1}"].start + lblen_idx[(s_lb, ls)], u_g),
         ]
+        if ee:
+            # assertion-complete conditioning (one OR-slot, ≤1 source
+            # fires): some object of the right label STARTS right after
+            # the phrase — i.e. its end indicator sits at +(lo−1).
+            # Without it the EE argu heads would emit subject+trigger
+            # events on chunk-truncated assertions the featurizer
+            # rejects; the RE decode was already immune (its tail and
+            # entity channels enforce the object).
+            or_slot = []
+            for lo in obj_lens[p]:
+                pr = (o_lb, lo)
+                if lo == 1:
+                    or_slot.append((al["ind_lblen"].start + lblen_idx[pr], u_d))
+                else:
+                    blk = al[f"objp@+{lo - 1}"]
+                    or_slot.append(
+                        (blk.start + _objp_dims_pairs(lo - 1, obj_pairs).index(pr),
+                         u_g)
+                    )
+            slots.append(or_slot)
         rel_pats.append((al["ind_relh"].start + relh_idx[(p, ls)], slots))
     for (p, lo) in relt_pairs:
         _, o_lb = lab_of[p]
@@ -731,10 +811,13 @@ def compile_gazetteer_lm(
     W2b = np.zeros((F2, H), dtype=np.float32)
     for i, (dst, slots) in enumerate(rel_pats):
         row = np.zeros(H, dtype=np.float32)
-        for dim, unit in slots:
-            row[dim] = 1.0 / unit
+        k_slots = len(slots)
+        for s in slots:
+            for dim, unit in (s if isinstance(s, list) else [s]):
+                row[dim] += 1.0 / unit
         row[al["sink"].start] -= row.sum()
-        t1, t2 = 1.45, 1.62
+        t1 = k_slots - 0.55
+        t2 = k_slots - 0.38
         W1b[:, 2 * i] = row
         W1b[:, 2 * i + 1] = row
         b1b[2 * i], b1b[2 * i + 1] = -t1, -t2
@@ -750,37 +833,43 @@ def compile_gazetteer_lm(
     )
     dk = 2 * len(theta_h)
 
-    def _head(channel_rows) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    def _head(
+        channel_rows, theta, m, bias
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """channel_rows: list (per channel) of [(dim, r_offset), ...].
-        Score_c(i, j) = sqrt(dk)·(K(i−j+r)/m_head − 0.5) — positive iff
-        an indicator with matching pre-rotation fires at j and i sits
-        at the encoded span offset."""
+        Score_c(i, j) = K(i−j+r)/m − bias — positive iff an indicator
+        with matching pre-rotation fires at j and i sits at the encoded
+        span offset. ``bias`` must exceed (max combs per position) ×
+        the frequency set's off-peak bound."""
+        dkc = 2 * len(theta)
         n_ch = len(channel_rows)
-        Wq = np.zeros((H, n_ch * dk), dtype=np.float32)
-        Wk = np.zeros((H, n_ch * dk), dtype=np.float32)
-        bq = np.zeros(n_ch * dk, dtype=np.float32)
-        bk = np.zeros(n_ch * dk, dtype=np.float32)
+        Wq = np.zeros((H, n_ch * dkc), dtype=np.float32)
+        Wk = np.zeros((H, n_ch * dkc), dtype=np.float32)
+        bq = np.zeros(n_ch * dkc, dtype=np.float32)
+        bk = np.zeros(n_ch * dkc, dtype=np.float32)
         for c, rows in enumerate(channel_rows):
-            sl = slice(c * dk, (c + 1) * dk)
-            qv = np.zeros(dk, dtype=np.float32)
+            sl = slice(c * dkc, (c + 1) * dkc)
+            qv = np.zeros(dkc, dtype=np.float32)
             qv[0::2] = 1.0  # all pairs incl. the zero-frequency pair
             bq[sl] = qv
-            kb = np.zeros(dk, dtype=np.float32)
-            kb[0] = -0.5  # zero-pair → constant −0.5 on every score
+            kb = np.zeros(dkc, dtype=np.float32)
+            kb[0] = -bias  # zero-pair → constant −bias on every score
             bk[sl] = kb
             for dim, r in rows:
                 Wk[dim, sl.start + 2:sl.stop] += _prerot_pattern(
-                    theta_h[1:], float(r), 1.0 / m_head
+                    theta[1:], float(r), 1.0 / m
                 )
         return Wq, bq, Wk, bk
 
     heads: dict[str, np.ndarray] = {}
 
-    def _store(name: str, channel_rows) -> None:
-        Wq, bq, Wk, bk = _head(channel_rows)
+    def _store(name: str, channel_rows, theta=None, m=None, bias=0.5) -> None:
+        theta = theta_h if theta is None else theta
+        m = m_head if m is None else m
+        Wq, bq, Wk, bk = _head(channel_rows, theta, m, bias)
         heads[f"{name}_Wq"], heads[f"{name}_bq"] = Wq, bq
         heads[f"{name}_Wk"], heads[f"{name}_bk"] = Wk, bk
-        heads[f"{name}_theta"] = theta_h
+        heads[f"{name}_theta"] = theta
 
     n_labels = len(feat.id2label)
     ner_rows = [[] for _ in range(n_labels)]
@@ -805,24 +894,196 @@ def compile_gazetteer_lm(
         )
     _store("relt", relt_rows)
 
+    layers = [layer1, layer2]
+    meta = {
+        "n_layers": 2, "max_length": max_length, "piece_len": piece_len,
+        "cls_id": cls_id, "sep_id": sep_id, "oov_id": oov_id,
+        "id2label": {str(k): v for k, v in feat.id2label.items()},
+        "id2predicate": {str(k): v for k, v in feat.id2predicate.items()},
+    }
+
+    if ee:
+        # ---------------- layer 3 + GPLinker-EE heads: the event view
+        # of an assertion — trigger = the connective phrase span,
+        # subject/object = the argument spans, links = the complete
+        # subgraph over the three spans (event_ee.decode_event_dense,
+        # modeling_gplinker.py:176-218). Everything derives from the
+        # layer-2 relation indicators gathered FORWARD:
+        #   subjEnd[p,ls]  at s_e ← relh[p,ls] @ +(lp+1)
+        #   trigStart[p,ls] at t_s ← relh[p,ls] @ +lp
+        #   trigEnd[p]     at t_e ← Σ_ls relh[p,ls] @ +1
+        l3_offsets = [-o for o in ee_fwd_offs]  # negative = forward
+        v3_specs = [
+            [al["ind_relh"], len(relh_pairs), 1.0] for _ in ee_fwd_offs
+        ]
+        dst3 = [al[f"relh@+{o}"] for o in ee_fwd_offs]
+        for o in relh_back_offs:
+            dims = [al["ind_relh"].start + relh_idx[pl]
+                    for pl in _relhb_pairs(o)]
+            l3_offsets.append(o)  # positive = backward
+            v3_specs.append([dims, len(dims), 1.0])
+            dst3.append(al[f"relhb@-{o}"])
+        for pass_no in range(2):
+            layer3 = _offset_attention(l3_offsets, [tuple(s) for s in v3_specs])
+            layer3["Wo"] = _wo([tuple(s) for s in v3_specs], dst3)
+            layer3["W1"] = np.zeros((H, 1), dtype=np.float32)
+            layer3["b1"] = np.zeros(1, dtype=np.float32)
+            layer3["W2"] = np.zeros((1, H), dtype=np.float32)
+            lm_p3 = MiniLMWeights(
+                meta=meta | {"n_layers": 3},
+                vocab=vocab, emb=emb, layers=[layer1, layer2, layer3],
+            )
+            probe_lm3 = MiniLM(lm_p3)
+            g3, d3 = [], []
+            for p in preds:
+                subj, ph, obj = _assertion(p)
+                dashed = f"the-quick-{subj}{ph}{obj}-old-mill"
+                enc, x = _probe_stream(dashed, probe_lm3)
+                h = _layernorm(x)
+                n_pre = 1 + len(_pieces_of("the-quick-", piece_len))
+                ls, lp = len(surf_toks[subj]), lp_of[p]
+                lo = len(surf_toks[obj])
+                s_e = n_pre + ls - 1
+                o_e = n_pre + ls + lp + lo - 1
+                g3.append(float(
+                    h[s_e, al[f"relh@+{lp + 1}"].start
+                      + relh_idx[(p, ls)]]))
+                d3.append(float(
+                    h[o_e, al["ind_relt"].start + relt_idx[(p, lo)]]))
+            if pass_no == 0:
+                u30 = (min(g3) + max(g3)) / 2.0
+                if u30 <= 0:
+                    raise CompileError("layer-3 calibration probe failed")
+                # rescale copies so gathered inds land at ≈1 raw
+                v3_specs = [
+                    [spec[0], spec[1], 1.0 / u30] for spec in v3_specs
+                ]
+            else:
+                u3 = (min(g3) + max(g3)) / 2.0
+                u3d = (min(d3) + max(d3)) / 2.0
+                if min(g3) <= 0 or min(d3) <= 0:
+                    raise CompileError("layer-3 gather amplitude non-positive")
+
+        ee_pats = []  # (dst_dim, [(src_dim, unit)], k_slots)
+        for (p, ls), i in relh_idx.items():
+            lp = lp_of[p]
+            ee_pats.append((
+                al["ind_subj_end"].start + i,
+                [(al[f"relh@+{lp + 1}"].start + i, u3)],
+            ))
+            ee_pats.append((
+                al["ind_trig_start"].start + i,
+                [(al[f"relh@+{lp}"].start + i, u3)],
+            ))
+        for p in preds:
+            lp = lp_of[p]
+            ee_pats.append((
+                al["ind_trig_end"].start + pred_idx[p],
+                [(al["relh@+1"].start + relh_idx[(p, ls)], u3)
+                 for ls in subj_lens[p]],
+            ))
+        # objEnd[p,lo] at o_e: relt (raw ind, direct) ∧ (some relh of p
+        # sits at the object's start, i.e. at −(lo−1)) — a 2-slot AND,
+        # second slot an OR over subject lengths
+        ee_and_pats = []
+        for (p, lo), i in relt_idx.items():
+            direct = (al["ind_relt"].start + i, u3d)
+            if lo == 1:
+                or_slot = [(al["ind_relh"].start + relh_idx[(p, ls)], u3d)
+                           for ls in subj_lens[p]]
+            else:
+                blk = al[f"relhb@-{lo - 1}"]
+                pairs = _relhb_pairs(lo - 1)
+                or_slot = [(blk.start + pairs.index((p, ls)), u3)
+                           for ls in subj_lens[p]]
+            ee_and_pats.append((
+                al["ind_obj_end"].start + i, [direct, or_slot],
+            ))
+        F3 = 2 * (len(ee_pats) + len(ee_and_pats))
+        W1c = np.zeros((H, F3), dtype=np.float32)
+        b1c = np.zeros(F3, dtype=np.float32)
+        W2c = np.zeros((F3, H), dtype=np.float32)
+        all_pats = (
+            [(dst, [slots], 1) for (dst, slots) in ee_pats]  # 1 OR-slot
+            + [(dst, slots, 2) for (dst, slots) in ee_and_pats]
+        )
+        for i, (dst, slots, k_slots) in enumerate(all_pats):
+            row = np.zeros(H, dtype=np.float32)
+            for s in slots:
+                for dim, unit in (s if isinstance(s, list) else [s]):
+                    row[dim] += 1.0 / unit
+            row[al["sink"].start] -= row.sum()
+            t1, t2 = k_slots - 0.55, k_slots - 0.38
+            W1c[:, 2 * i] = row
+            W1c[:, 2 * i + 1] = row
+            b1c[2 * i], b1c[2 * i + 1] = -t1, -t2
+            sat = 1.0 / (t2 - t1)
+            W2c[2 * i, dst] = sat
+            W2c[2 * i + 1, dst] = -sat
+        layer3["W1"], layer3["b1"], layer3["W2"] = W1c, b1c, W2c
+        layers = [layer1, layer2, layer3]
+        meta["n_layers"] = 3
+
+        from fastie_ray.kernels.event_ee import TRIGGER_ROLE
+
+        roles = [TRIGGER_ROLE, "subject", "object"]
+        ee_labels = sorted(f"{p}@{r}" for p in preds for r in roles)
+        meta["ee_labels"] = ee_labels
+        argu_rows = [[] for _ in ee_labels]
+        for (p, ls), i in relh_idx.items():
+            lp = lp_of[p]
+            argu_rows[ee_labels.index(f"{p}@subject")].append(
+                (al["ind_subj_end"].start + i, ls - 1)
+            )
+        for (p, lo), i in relt_idx.items():
+            argu_rows[ee_labels.index(f"{p}@object")].append(
+                (al["ind_obj_end"].start + i, lo - 1)
+            )
+        for p in preds:
+            argu_rows[ee_labels.index(f"{p}@{TRIGGER_ROLE}")].append(
+                (al["ind_trig_end"].start + pred_idx[p], lp_of[p] - 1)
+            )
+        _store("eeargu", argu_rows)
+        # link channels: up to TWO combs share a position (relh at o_s
+        # and relt at o_e each carry two pre-rotations), so they need a
+        # tighter frequency set (0.25·m off-peak) and bias 0.6:
+        # off-peak ≤ 2×0.25 = 0.5 < 0.6 < 1.0 = hit.
+        theta_link = np.concatenate(
+            [[0.0], _dirichlet_freqs(96, big_m, 2 * max_length, rng,
+                                     max_offpeak_frac=0.25)]
+        )
+        head_rows = [[]]
+        tail_rows = [[]]
+        for (p, ls), i in relh_idx.items():
+            lp = lp_of[p]
+            head_rows[0].append((al["ind_relh"].start + i, ls + lp))  # (s_s,o_s)
+            head_rows[0].append((al["ind_relh"].start + i, lp))       # (t_s,o_s)
+            head_rows[0].append((al["ind_trig_start"].start + i, ls))  # (s_s,t_s)
+        for (p, lo), i in relt_idx.items():
+            lp = lp_of[p]
+            tail_rows[0].append((al["ind_relt"].start + i, lp + lo))  # (s_e,o_e)
+            tail_rows[0].append((al["ind_relt"].start + i, lo))       # (t_e,o_e)
+        for p in preds:
+            tail_rows[0].append(
+                (al["ind_trig_end"].start + pred_idx[p], lp_of[p])    # (s_e,t_e)
+            )
+        _store("eehead", head_rows, theta=theta_link, m=96, bias=0.6)
+        _store("eetail", tail_rows, theta=theta_link, m=96, bias=0.6)
+
     weights = MiniLMWeights(
-        meta={
-            "n_layers": 2, "max_length": max_length, "piece_len": piece_len,
-            "cls_id": cls_id, "sep_id": sep_id, "oov_id": oov_id,
-            "id2label": {str(k): v for k, v in feat.id2label.items()},
-            "id2predicate": {str(k): v for k, v in feat.id2predicate.items()},
-        },
-        vocab=vocab, emb=emb, layers=[layer1, layer2], heads=heads,
+        meta=meta, vocab=vocab, emb=emb, layers=layers, heads=heads,
     )
 
     if self_check:
-        _self_check(weights, feat, surfaces, preds, phrases, lab_of)
+        _self_check(weights, feat, surfaces, preds, phrases, lab_of, ee=ee)
     return weights
 
 
-def _self_check(weights, feat, surfaces, preds, phrases, lab_of) -> None:
+def _self_check(weights, feat, surfaces, preds, phrases, lab_of, ee=False) -> None:
     """Forward+decode battery vs the featurizer: every surface in
-    context, one assertion per predicate, a no-entity control."""
+    context, one assertion per predicate, a no-entity control; with
+    ``ee`` also the GPLinker-EE event decode per probe."""
+    from fastie_ray.kernels.event_ee import decode_event_dense, decode_event_sparse
     from fastie_ray.kernels.gp_ner import decode_gp_dense
     from fastie_ray.kernels.gplinker_re import decode_gplinker_dense
 
@@ -862,3 +1123,21 @@ def _self_check(weights, feat, surfaces, preds, phrases, lab_of) -> None:
             raise CompileError(
                 f"RE self-check failed on {dashed!r}: got {got_t}, want {want_t}"
             )
+        if ee:
+            enc, argu, hd, tl, id2l = be.ee_forward(dashed)
+            got_e = decode_event_dense(
+                argu, hd, tl, enc.seq_len, dashed, enc.offsets, id2l
+            )
+            argus, links = feat.event_hits(dashed)
+            seq_len = min(len(dashed), weights.meta["max_length"] - 2) + 2
+            from fastie_ray.stages.scorers import CharOffsetMapping
+
+            want_e = decode_event_sparse(
+                argus, links, seq_len, dashed, CharOffsetMapping(seq_len)
+            )
+            canon = lambda evs: {frozenset(ev) for ev in evs}
+            if canon(got_e) != canon(want_e):
+                raise CompileError(
+                    f"EE self-check failed on {dashed!r}: "
+                    f"got {got_e}, want {want_e}"
+                )

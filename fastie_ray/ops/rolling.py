@@ -369,7 +369,9 @@ def grouped_running_sum(
         # pc.round defaults to half_to_even, same as pandas .round()
         import pyarrow.compute as pc
 
-        t_us = pc.cast(t[ts_col], pa.int64())  # timestamp[us] → µs
+        # normalize the unit BEFORE the integer cast: parquet delivers
+        # timestamp[us] but pandas-origin frames carry [ns]
+        t_us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
         g = pa.table(
             {
                 "k": pc.cast(t[key_col], pa.int64()),

@@ -203,3 +203,83 @@ def test_np_dense_kg_pipeline_e2e(ray_session, tmp_path, feat):
     precision = tp / max(len(got_set), 1)
     recall = tp / max(len(ref_set), 1)
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_ee_heads_match_featurizer_on_corpus_chunks(feat):
+    """GPLinker-EE heads from the 3-layer EE compile: event decode
+    equals the featurizer path on page-style chunks, including
+    truncated assertions (subject+phrase cut before the object) where
+    the assertion-complete conditioning must emit NOTHING."""
+    import pyarrow.parquet as pq
+
+    from fastie_ray.kernels.event_ee import (
+        decode_event_dense,
+        decode_event_sparse,
+    )
+    from fastie_ray.sources.pages import fact_sentence
+    from fastie_ray.stages.scorers import CharOffsetMapping
+
+    world = build_world(200, 400, 42)
+    w = compile_gazetteer_lm(feat, max_length=128, ee=True)
+    be = NumpyDenseBackend(w)
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    rows = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))[:20]
+    n_ev = 0
+    canon = lambda evs: {frozenset(ev) for ev in evs}
+    for d, tx in rows:
+        fact = world.facts[d % len(world.facts)]
+        text = tx + " " + fact_sentence(fact)
+        for i in range(0, len(text), 126):
+            ch = text[i:i + 126]
+            dashed = space_to_dash(ch)
+            enc, argu, hd, tl, id2l = be.ee_forward(dashed)
+            got = decode_event_dense(
+                argu, hd, tl, enc.seq_len, ch, enc.offsets, id2l
+            )
+            seq_len = min(len(ch), 510) + 2
+            argus, links = feat.event_hits(dashed)
+            want = decode_event_sparse(
+                argus, links, seq_len, ch, CharOffsetMapping(seq_len)
+            )
+            assert canon(got) == canon(want), (ch, got, want)
+            n_ev += len(want)
+    assert n_ev >= 8
+
+
+def test_ee_requires_ee_checkpoint(feat, weights):
+    with pytest.raises(NotImplementedError, match="ee=True"):
+        NumpyDenseBackend(weights).ee_forward("any-text")
+
+
+def test_ee_event_scorer_through_ray(ray_session, feat):
+    """EventScorer backend='hf' with the compile:gazetteer-ee sentinel
+    vs the featurizer scorer — doc events equal on a corpus slice."""
+    import ray as _ray
+
+    from fastie_ray.sources.pages import pages_from_documents
+    from fastie_ray.stages.chunk import chunk_pages
+    from fastie_ray.stages.extract import extract_text
+    from fastie_ray.stages.scorers import EventScorer
+
+    world = build_world(200, 400, 42)
+    chunks = chunk_pages(extract_text(
+        pages_from_documents(SF, world).limit(30)
+    )).materialize()
+
+    def run(**kw):
+        return (
+            chunks.map_batches(
+                EventScorer, fn_constructor_kwargs={"emit": "doc_events", **kw},
+                batch_format="pyarrow", concurrency=2,
+            )
+            .to_pandas()
+            .sort_values(["url", "event_type", "role", "start"])
+            .reset_index(drop=True)
+        )
+
+    want = run()
+    got = run(backend="hf", hf_model="compile:gazetteer-ee")
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+    assert len(want) >= 30

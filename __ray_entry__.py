@@ -190,6 +190,31 @@ def _q_kg_events(sf_dir: str):
     return doc_events(_pages(sf_dir), world_ref=world_ref, concurrency=_conc())
 
 
+def _q_kg_events_npnn(sf_dir: str):
+    """kg_events through the COMPILED NUMPY-TRANSFORMER EE heads
+    (np_transformer.py compile_gazetteer_lm(ee=True)): each chunk runs
+    the 3-layer RoPE forward and the dense GPLinker-EE decode
+    (event_ee.decode_event_dense) — the torch EE contract, torch-free.
+    Same doc_id % 10 subset and exact fact-join oracle discipline as
+    kg_triples_npnn; correctness-only in bench (dense GEMMs)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from fastie_ray.pipelines.kg import doc_events
+
+    world_ref = ray.put(_world())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.ends_with(batch["url"], pattern="0"))
+
+    pages = _pages(sf_dir).map_batches(keep, batch_format="pyarrow")
+    return doc_events(
+        pages, world_ref=world_ref, concurrency=_conc(),
+        backend="hf", hf_model="compile:gazetteer-ee",
+    )
+
+
 def _q_kg_edge_history(sf_dir: str):
     """TEMPORAL KG maintenance: per distinct surface triple, the
     capture-time validity window (first_seen_s / last_seen_s, seconds
@@ -8731,6 +8756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,
         "kg_events": _q_kg_events,
+        "kg_events_npnn": _q_kg_events_npnn,
         "kg_edge_history": _q_kg_edge_history,
         "kg_contradictions": _q_kg_contradictions,
         "kg_type_signatures": _q_kg_type_signatures,
@@ -12286,6 +12312,26 @@ def oracle_sql() -> dict[str, str]:
                    {BASE} + f.sub_len + f.pre_len AS start,
                    {BASE} + f.sub_len + f.pre_len + f.obj_len AS "end"
             {JOIN}
+        """,
+        "kg_events_npnn": f"""
+            WITH {FACTS}
+            SELECT {URL} AS url, f.predicate AS event_type,
+                   '触发词' AS role,
+                   substr(f.sentence, f.sub_len + 1, f.pre_len) AS argument,
+                   {BASE} + f.sub_len AS start,
+                   {BASE} + f.sub_len + f.pre_len AS "end"
+            {JOIN} WHERE d.doc_id % 10 = 0
+            UNION ALL
+            SELECT {URL} AS url, f.predicate AS event_type,
+                   'subject' AS role, f.subject AS argument,
+                   {BASE} AS start, {BASE} + f.sub_len AS "end"
+            {JOIN} WHERE d.doc_id % 10 = 0
+            UNION ALL
+            SELECT {URL} AS url, f.predicate AS event_type,
+                   'object' AS role, f.object AS argument,
+                   {BASE} + f.sub_len + f.pre_len AS start,
+                   {BASE} + f.sub_len + f.pre_len + f.obj_len AS "end"
+            {JOIN} WHERE d.doc_id % 10 = 0
         """,
         "uie": f"""
             WITH {FACTS}

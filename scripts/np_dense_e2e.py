@@ -55,10 +55,30 @@ def main() -> None:
     r = tp / max(len(ref_set), 1)
     n_pages = len(ref["url"].unique())
     print(f"pages={n_pages} ref_triples={len(ref_set)} np_triples={len(got_set)}")
-    print(f"precision={p:.4f} recall={r:.4f} (gate 0.95)")
+    print(f"RE precision={p:.4f} recall={r:.4f} (gate 0.95)")
     print(f"featurizer path: {t_ref:.1f}s  numpy-dense path: {t_np:.1f}s "
           f"({n_pages / t_np:.0f} pages/s dense)")
     assert p >= 0.95 and r >= 0.95, (p, r)
+
+    # EE leg: doc_events through the 3-layer EE heads
+    from fastie_ray.pipelines.kg import doc_events
+
+    ekey = ["url", "event_type", "role", "argument", "start", "end"]
+    eref = doc_events(pages_from_documents(sf_dir, world), concurrency=12).to_pandas()
+    t0 = time.time()
+    egot = doc_events(
+        pages_from_documents(sf_dir, world), concurrency=12,
+        backend="hf", hf_model="compile:gazetteer-ee",
+    ).to_pandas()
+    t_ee = time.time() - t0
+    eref_set = set(map(tuple, eref[ekey].itertuples(index=False)))
+    egot_set = set(map(tuple, egot[ekey].itertuples(index=False)))
+    etp = len(eref_set & egot_set)
+    ep = etp / max(len(egot_set), 1)
+    er = etp / max(len(eref_set), 1)
+    print(f"EE rows ref={len(eref_set)} np={len(egot_set)} "
+          f"precision={ep:.4f} recall={er:.4f} ({t_ee:.1f}s)")
+    assert ep >= 0.95 and er >= 0.95, (ep, er)
     print("PASS")
     ray.shutdown()
 

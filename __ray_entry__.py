@@ -8389,6 +8389,40 @@ def _q_path_load(sf_dir: str):
     return path_load(edges, ["c0", "c1"], max_hops=3, n_buckets=16)
 
 
+def _q_betweenness(sf_dir: str):
+    """Landmark Brandes betweenness (``ops.graph.brandes_betweenness``,
+    the normalized member of the path_load family): per-(landmark,
+    node) pair-dependency sums Σ_t ⌊1e6·σ_sv·P(v,t)/σ_st⌋ over the
+    cust↔supp co-order graph within 3 hops of c0/c1 — forward σ plus a
+    backward (node, target) pair-count sweep over the hop-leveled DAG,
+    all int64 (per-term floor quantization instead of float δ
+    accumulation, so the unrolled SQL oracle matches bit-for-bit)."""
+    import pandas as pd
+
+    from fastie_ray.ops.dedup import dedup_exact
+    from fastie_ray.ops.join import hash_join
+    from fastie_ray.ops.graph import brandes_betweenness
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    j = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "l_suppkey"],
+        right_cols=["o_orderkey", "o_custkey"],
+    )
+    edges = dedup_exact(
+        j.map_batches(
+            lambda df: pd.DataFrame(
+                {"src": "c" + df["o_custkey"].astype(str),
+                 "dst": "s" + df["l_suppkey"].astype(str)}
+            ).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["src", "dst"], n_buckets=16,
+    )
+    return brandes_betweenness(edges, ["c0", "c1"], max_hops=3, n_buckets=16)
+
+
 def _q_zorder_prune(sf_dir: str):
     """Z-order vs row-order zone-map pruning census
     (``ops.layout.zorder_layout``): how many 256-row blocks the rect
@@ -8802,6 +8836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_minhash": _q_source_minhash,
         "ccnet_lang_buckets": _q_ccnet_lang_buckets,
         "path_load": _q_path_load,
+        "betweenness": _q_betweenness,
         "zorder_prune": _q_zorder_prune,
         "grouped_gini": _q_grouped_gini,
         "rich_club": _q_rich_club,
@@ -9721,6 +9756,84 @@ def oracle_sql() -> dict[str, str]:
             FROM sig LEFT JOIN dd
                 ON dd.l = sig.l AND dd.node = sig.node
             GROUP BY 1
+        """,
+        "betweenness": r"""
+            WITH pair AS (
+                SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            sym AS (SELECT c AS a, s AS b FROM pair
+                    UNION ALL SELECT s, c FROM pair),
+            lm AS (SELECT 'c0' AS l UNION ALL SELECT 'c1'),
+            d0 AS (SELECT l, l AS node, 0 AS hop FROM lm),
+            f1 AS (SELECT DISTINCT d0.l, s.b AS node
+                   FROM d0 JOIN sym s ON s.a = d0.node),
+            d1 AS (SELECT l, node, 1 AS hop FROM f1
+                   WHERE NOT EXISTS (SELECT 1 FROM d0
+                       WHERE d0.l = f1.l AND d0.node = f1.node)),
+            v1 AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1),
+            f2 AS (SELECT DISTINCT d1.l, s.b AS node
+                   FROM d1 JOIN sym s ON s.a = d1.node),
+            d2 AS (SELECT l, node, 2 AS hop FROM f2
+                   WHERE NOT EXISTS (SELECT 1 FROM v1
+                       WHERE v1.l = f2.l AND v1.node = f2.node)),
+            v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM d2),
+            f3 AS (SELECT DISTINCT d2.l, s.b AS node
+                   FROM d2 JOIN sym s ON s.a = d2.node),
+            d3 AS (SELECT l, node, 3 AS hop FROM f3
+                   WHERE NOT EXISTS (SELECT 1 FROM v2
+                       WHERE v2.l = f3.l AND v2.node = f3.node)),
+            dist AS (SELECT * FROM v2 UNION ALL SELECT * FROM d3),
+            dag AS MATERIALIZED (
+                    SELECT du.l, du.node AS u, s.b AS v, du.hop AS hu
+                    FROM dist du JOIN sym s ON s.a = du.node
+                    JOIN dist dv ON dv.l = du.l AND dv.node = s.b
+                        AND dv.hop = du.hop + 1),
+            s0 AS (SELECT l, node, CAST(1 AS BIGINT) AS sigma FROM d0),
+            s1 AS (SELECT g.l, g.v AS node, SUM(s0.sigma) AS sigma
+                   FROM dag g JOIN s0 ON s0.l = g.l AND s0.node = g.u
+                   WHERE g.hu = 0 GROUP BY 1, 2),
+            s2 AS (SELECT g.l, g.v AS node, SUM(s1.sigma) AS sigma
+                   FROM dag g JOIN s1 ON s1.l = g.l AND s1.node = g.u
+                   WHERE g.hu = 1 GROUP BY 1, 2),
+            s3 AS (SELECT g.l, g.v AS node, SUM(s2.sigma) AS sigma
+                   FROM dag g JOIN s2 ON s2.l = g.l AND s2.node = g.u
+                   WHERE g.hu = 2 GROUP BY 1, 2),
+            sig AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+                    UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
+            p3 AS (SELECT l, node AS u, node AS t,
+                          CAST(1 AS BIGINT) AS cnt FROM d3),
+            p2 AS (SELECT l, node AS u, node AS t,
+                          CAST(1 AS BIGINT) AS cnt FROM d2
+                   UNION ALL
+                   SELECT g.l, g.u, p.t, CAST(SUM(p.cnt) AS BIGINT)
+                   FROM p3 p JOIN dag g
+                       ON g.l = p.l AND g.v = p.u AND g.hu = 2
+                   GROUP BY 1, 2, 3),
+            p1 AS (SELECT l, node AS u, node AS t,
+                          CAST(1 AS BIGINT) AS cnt FROM d1
+                   UNION ALL
+                   SELECT g.l, g.u, p.t, CAST(SUM(p.cnt) AS BIGINT)
+                   FROM p2 p JOIN dag g
+                       ON g.l = p.l AND g.v = p.u AND g.hu = 1
+                   GROUP BY 1, 2, 3),
+            p0 AS (SELECT l, node AS u, node AS t,
+                          CAST(1 AS BIGINT) AS cnt FROM d0
+                   UNION ALL
+                   SELECT g.l, g.u, p.t, CAST(SUM(p.cnt) AS BIGINT)
+                   FROM p1 p JOIN dag g
+                       ON g.l = p.l AND g.v = p.u AND g.hu = 0
+                   GROUP BY 1, 2, 3),
+            pp AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1
+                   UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3)
+            SELECT p.l AS landmark, p.u AS node,
+                   CAST(SUM((1000000 * su.sigma * p.cnt) // st.sigma)
+                        AS BIGINT) AS bc_floor_e6,
+                   CAST(count(*) AS BIGINT) AS n_targets
+            FROM pp p
+            JOIN sig su ON su.l = p.l AND su.node = p.u
+            JOIN sig st ON st.l = p.l AND st.node = p.t
+            WHERE p.u <> p.t AND p.u <> p.l AND p.t <> p.l
+            GROUP BY 1, 2
         """,
         "zorder_prune": r"""
             WITH base AS (SELECT l_orderkey * 8 + l_linenumber AS tie,

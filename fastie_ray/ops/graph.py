@@ -3757,35 +3757,26 @@ def neighbor_sample(
     )
 
 
-def path_load(
+def _landmark_sigma_dag(
     edges: "ray.data.Dataset",
     landmarks: list[str],
-    max_hops: int = 3,
-    src: str = "src",
-    dst: str = "dst",
-    n_buckets: int = 16,
-) -> "ray.data.Dataset":
-    """Landmark PATH-LOAD centrality — the integer-exact member of the
-    Brandes betweenness family: for each landmark s and node v,
-
-        load_s(v) = σ_sv · (1 + D_sv)
-
-    where σ_sv counts shortest s→v paths (hop-limited BFS DAG) and
-    D_sv counts DAG path continuations out of v — so load_s(v) is the
-    number of shortest-path instances from s (to ANY target within
-    ``max_hops``) that pass through or end at v. Summed over
-    landmarks: (node, path_load). Unlike betweenness's σ_sv/σ_st
-    fractions this stays in int64, so the unrolled SQL oracle matches
-    bit-for-bit — same screening use (which nodes carry the traffic),
-    none of the float nondeterminism.
-
-    Raw-task shape (NOTES fact 11 discipline): the symmetric adjacency
-    is hash-partitioned ONCE by source endpoint and PINNED; BFS, the
-    DAG build, the forward-σ sweep and the backward-D sweep are each
-    one-or-two ``BlockSet.exchange`` rounds per level against pinned
-    sides — no Dataset sort barriers inside the loop. Per-level state
-    (labels, σ partials, D partials) is frontier-sized; the adjacency
-    never re-ships."""
+    max_hops: int,
+    src: str,
+    dst: str,
+    n_buckets: int,
+):
+    """Shared forward half of the landmark-centrality family
+    (``path_load``, ``brandes_betweenness``): hop-limited
+    multi-landmark BFS over the symmetrized edge set, shortest-path
+    DAG build, and per-level shortest-path counts σ — each step a
+    ``BlockSet.exchange`` against the once-partitioned pinned
+    adjacency (NOTES fact 11 discipline; no Dataset sort barriers
+    inside the loop). Returns ``(dist, dag_u_parts, dag_v_parts,
+    sig_levels, seed)``: dist = BlockSet (lm, node, hop);
+    dag_*_parts = pinned partitionings of the shortest-path DAG edges
+    (lm, u, v, hu) by (lm, u) / (lm, v); sig_levels[h] = BlockSet
+    (lm, node, sigma) for hop h; seed = the (lm, node) landmark
+    frame."""
     from fastie_ray.state.exchange import BlockSet
 
     _E2 = pd.DataFrame(
@@ -3957,6 +3948,45 @@ def path_load(
         sig_levels.append(sig_h)
         sig_prev = sig_h
 
+    return dist, dag_u_parts, dag_v_parts, sig_levels, seed
+
+
+def path_load(
+    edges: "ray.data.Dataset",
+    landmarks: list[str],
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Landmark PATH-LOAD centrality — the integer-exact member of the
+    Brandes betweenness family: for each landmark s and node v,
+
+        load_s(v) = σ_sv · (1 + D_sv)
+
+    where σ_sv counts shortest s→v paths (hop-limited BFS DAG) and
+    D_sv counts DAG path continuations out of v — so load_s(v) is the
+    number of shortest-path instances from s (to ANY target within
+    ``max_hops``) that pass through or end at v. Summed over
+    landmarks: (node, path_load). Unlike betweenness's σ_sv/σ_st
+    fractions this stays in int64, so the unrolled SQL oracle matches
+    bit-for-bit — same screening use (which nodes carry the traffic),
+    none of the float nondeterminism. For the true normalized
+    pair-dependency semantics see ``brandes_betweenness``.
+
+    Raw-task shape (NOTES fact 11 discipline): the symmetric adjacency
+    is hash-partitioned ONCE by source endpoint and PINNED; BFS, the
+    DAG build, the forward-σ sweep and the backward-D sweep are each
+    one-or-two ``BlockSet.exchange`` rounds per level against pinned
+    sides — no Dataset sort barriers inside the loop. Per-level state
+    (labels, σ partials, D partials) is frontier-sized; the adjacency
+    never re-ships."""
+    from fastie_ray.state.exchange import BlockSet
+
+    dist, dag_u_parts, dag_v_parts, sig_levels, seed = _landmark_sigma_dag(
+        edges, landmarks, max_hops, src, dst, n_buckets
+    )
+
     _ED = pd.DataFrame(
         {"lm": pd.Series([], dtype=object),
          "node": pd.Series([], dtype=object),
@@ -4049,6 +4079,189 @@ def path_load(
 
     return loaded.exchange(
         ["node"], per_node, n_buckets=n_buckets
+    ).to_dataset()
+
+
+def brandes_betweenness(
+    edges: "ray.data.Dataset",
+    landmarks: list[str],
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Landmark betweenness centrality, integer-exact — Brandes via
+    explicit pair dependencies. For landmark s and node v ∉ {s}:
+
+        bc_floor_e6(s, v) = Σ_{t ∉ {s, v}} ⌊10⁶ · σ_sv · P(v, t) / σ_st⌋
+
+    where σ_sv counts shortest s→v paths on the hop-limited BFS DAG
+    and P(v, t) counts DAG paths v→t, so σ_sv·P(v, t) = σ_st(v) is the
+    classic "shortest s→t paths through v" numerator and each term is
+    Brandes's pair dependency δ_st(v) = σ_st(v)/σ_st floor-scaled to
+    10⁶. Quantizing PER TERM keeps every operation in int64 — exactly
+    reproducible in an unrolled SQL oracle, where the float
+    δ-accumulation of textbook Brandes (δ(v) = Σ (σ_v/σ_w)(1+δ(w)))
+    would inherit summation-order nondeterminism. ``path_load`` is the
+    σ·(1+D) un-normalized sibling; this one carries (v, target) pair
+    labels backward instead of a scalar continuation count, trading
+    state size (pairs-on-DAG, bounded by the hop limit) for true
+    normalized dependencies.
+
+    Output: (landmark, node, bc_floor_e6, n_targets) — one row per
+    (landmark, node) with at least one valid target. Overflow needs
+    10⁶·σ_st > 2⁶³ (σ_st > 9.2e12): unreachable at small hop limits.
+
+    Scale shape: identical to ``path_load`` — adjacency and DAG
+    partitioned once and pinned; the backward sweep moves only
+    per-level pair state through ``BlockSet.exchange``. The pair table
+    is Σ_t |ancestors(t)| rows; the hop limit is the knob that bounds
+    it (landmark centrality at 100 TB is always hop-limited)."""
+    from fastie_ray.state.exchange import BlockSet
+
+    dist, dag_u_parts, dag_v_parts, sig_levels, seed = _landmark_sigma_dag(
+        edges, landmarks, max_hops, src, dst, n_buckets
+    )
+    del dag_u_parts, seed  # forward-only state
+
+    _EP = pd.DataFrame(
+        {"lm": pd.Series([], dtype=object),
+         "u": pd.Series([], dtype=object),
+         "t": pd.Series([], dtype=object),
+         "cnt": pd.Series([], dtype="int64")}
+    )
+
+    def seeds_at(h: int) -> "BlockSet":
+        def pick(df: pd.DataFrame, hh=h) -> pd.DataFrame:
+            if len(df) == 0 or "node" not in df.columns:
+                return _EP.copy()
+            g = df.loc[df["hop"] == hh, ["lm", "node"]]
+            return pd.DataFrame(
+                {"lm": g["lm"], "u": g["node"], "t": g["node"],
+                 "cnt": np.ones(len(g), dtype=np.int64)}
+            )
+
+        return dist.map(pick)
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "cnt" not in g.columns:
+            return _EP.copy()
+        out = g.groupby(["lm", "u", "t"], as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    top = len(sig_levels) - 1
+    p_prev = seeds_at(top).exchange(
+        ["lm", "u"], sum_pairs, n_buckets=n_buckets
+    )
+    p_levels = [p_prev]
+    for h in range(top - 1, -1, -1):
+        def bwd(g: pd.DataFrame, db: pd.DataFrame, hh=h) -> pd.DataFrame:
+            if len(g) == 0 or "cnt" not in g.columns or len(db) == 0:
+                return _EP.copy()
+            e = db[db["hu"] == hh]
+            if len(e) == 0:
+                return _EP.copy()
+            m = e.rename(columns={"u": "pu"}).merge(
+                g, left_on=["lm", "v"], right_on=["lm", "u"]
+            )
+            out = pd.DataFrame(
+                {"lm": m["lm"], "u": m["pu"], "t": m["t"], "cnt": m["cnt"]}
+            )
+            return out.groupby(
+                ["lm", "u", "t"], as_index=False
+            )["cnt"].sum()
+
+        contrib = p_prev.exchange(
+            ["lm", "u"], bwd, n_buckets=n_buckets, side=dag_v_parts
+        )
+        p_h = contrib.union(seeds_at(h)).exchange(
+            ["lm", "u"], sum_pairs, n_buckets=n_buckets
+        )
+        p_levels.append(p_h)
+        p_prev = p_h
+
+    all_pairs = p_levels[0].union(*p_levels[1:]) if len(
+        p_levels
+    ) > 1 else p_levels[0]
+
+    sig_all = sig_levels[0].union(*sig_levels[1:]) if len(
+        sig_levels
+    ) > 1 else sig_levels[0]
+    sig_parts = sig_all.partition(["lm", "node"], n_buckets)
+
+    _EW = pd.DataFrame(
+        {"lm": pd.Series([], dtype=object),
+         "u": pd.Series([], dtype=object),
+         "t": pd.Series([], dtype=object),
+         "cnt": pd.Series([], dtype="int64"),
+         "su": pd.Series([], dtype="int64")}
+    )
+
+    def att_su(g: pd.DataFrame, sb: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "cnt" not in g.columns or len(sb) == 0:
+            return _EW.copy()
+        m = g.merge(
+            sb[["lm", "node", "sigma"]],
+            left_on=["lm", "u"], right_on=["lm", "node"],
+        )
+        return pd.DataFrame(
+            {"lm": m["lm"], "u": m["u"], "t": m["t"],
+             "cnt": m["cnt"].astype("int64"),
+             "su": m["sigma"].astype("int64")}
+        )
+
+    wsu = all_pairs.exchange(
+        ["lm", "u"], att_su, n_buckets=n_buckets, side=sig_parts
+    )
+
+    _ET = pd.DataFrame(
+        {"lm": pd.Series([], dtype=object),
+         "u": pd.Series([], dtype=object),
+         "term": pd.Series([], dtype="int64")}
+    )
+
+    def att_st(g: pd.DataFrame, sb: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "su" not in g.columns or len(sb) == 0:
+            return _ET.copy()
+        m = g.merge(
+            sb[["lm", "node", "sigma"]],
+            left_on=["lm", "t"], right_on=["lm", "node"],
+        )
+        m = m[(m["u"] != m["t"]) & (m["u"] != m["lm"]) & (m["t"] != m["lm"])]
+        if len(m) == 0:
+            return _ET.copy()
+        term = (
+            np.int64(1_000_000)
+            * m["su"].to_numpy(dtype=np.int64)
+            * m["cnt"].to_numpy(dtype=np.int64)
+        ) // m["sigma"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"lm": m["lm"], "u": m["u"], "term": term.astype(np.int64)}
+        )
+
+    terms = wsu.exchange(
+        ["lm", "t"], att_st, n_buckets=n_buckets, side=sig_parts
+    )
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0 or "term" not in g.columns:
+            return pd.DataFrame(
+                {"landmark": pd.Series([], dtype=object),
+                 "node": pd.Series([], dtype=object),
+                 "bc_floor_e6": pd.Series([], dtype="int64"),
+                 "n_targets": pd.Series([], dtype="int64")}
+            )
+        out = g.groupby(["lm", "u"], as_index=False).agg(
+            bc_floor_e6=("term", "sum"), n_targets=("term", "size")
+        )
+        out = out.rename(columns={"lm": "landmark", "u": "node"})
+        out["bc_floor_e6"] = out["bc_floor_e6"].astype("int64")
+        out["n_targets"] = out["n_targets"].astype("int64")
+        return out
+
+    return terms.exchange(
+        ["lm", "u"], agg, n_buckets=n_buckets
     ).to_dataset()
 
 

@@ -3374,6 +3374,87 @@ def _q_extraction_f1(sf_dir: str):
     )
 
 
+def _q_gp_train(sf_dir: str):
+    """Distributed GlobalPointer-head training (``pipelines.trainer``,
+    the ExtractionTrainer analogue — reference ``fastie/train/
+    tuner.py:100-186``) over distant-supervision NER rows: gazetteer
+    self-labels on the documents table → feature build → per-epoch
+    streaming gradient pass with an integer fixed-point all-reduce →
+    driver Adam step → streaming span-F1 eval. Emits the integer
+    training history (epoch, loss_e6, n_units, grad_l1_q, tp, n_pred,
+    n_true, f1_e6). Rows-only by design: an iterative float-Adam
+    training loop is not SQL-expressible; the history is nonetheless
+    bit-deterministic (integer gradient reduce), the eval metric shape
+    is oracled via extraction_f1, and convergence/FGM/resume are
+    pytest-pinned (tests/test_gp_trainer.py)."""
+    import pandas as pd
+
+    from fastie_ray.pipelines.train_prep import ner_convert_to_features
+    from fastie_ray.pipelines.trainer import GPTrainConfig, gp_train
+    from fastie_ray.stages.extract import extract_text
+    from fastie_ray.synth import LABELS
+
+    world = _world()
+    # deterministic half of the pages by url hash (order-independent,
+    # unlike limit()), then the REAL pipeline chunker (M4) so every
+    # training sequence fits the 64-token feature budget — the same
+    # shape the reference trains on (short sequences, auto_splitter)
+    from fastie_ray.functions.hashing import stable_hash64
+    from fastie_ray.stages.chunk import chunk_pages
+
+    docs = chunk_pages(
+        extract_text(_pages(sf_dir)).filter(
+            lambda r: stable_hash64(r["url"]) % 2 == 0
+        ),
+        max_length=122,
+    ).map_batches(
+        lambda df: pd.DataFrame({"text": df["chunk_text"]}),
+        batch_format="pandas",
+    )
+
+    class _SelfLabel:
+        """Gazetteer distant supervision — featurizer compiled once
+        per actor (stateful-stage discipline)."""
+
+        def __init__(self):
+            from fastie_ray.featurizer import GazetteerFeaturizer
+
+            self.fz = GazetteerFeaturizer(world)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            from fastie_ray.functions.hashing import stable_hash64
+            from fastie_ray.functions.textnorm import space_to_dash
+
+            texts, ents = [], []
+            for text in df["text"]:
+                hits = self.fz.mention_hits(space_to_dash(text))
+                # ratio-capped negative sampling (the reference's UIE
+                # negative-example discipline, M15): keep every
+                # positive chunk, 1 in 4 of the all-negative ones
+                if not hits and stable_hash64(text) % 4 != 0:
+                    continue
+                texts.append(text)
+                ents.append([
+                    {"start_offset": h.cs, "end_offset": h.ce,
+                     "label": self.fz.id2label[h.label_id],
+                     "entity": text[h.cs:h.ce]}
+                    for h in hits
+                ])
+            return pd.DataFrame({"text": texts, "entities": ents})
+
+    rows = docs.map_batches(
+        _SelfLabel, batch_format="pandas", concurrency=2
+    )
+    labels = sorted(LABELS)
+    l2i = {lb: i for i, lb in enumerate(labels)}
+    feats = ner_convert_to_features(rows, l2i, max_length=64)
+    _, hist = gp_train(
+        feats, len(labels), epochs=18,
+        cfg=GPTrainConfig(lr=0.3), dev_features=feats,
+    )
+    return hist.astype("int64")
+
+
 def _q_kg_triples_gold(sf_dir: str):
     """Gold triples dataset derived from the injection plan (one fact
     per doc, fact i = doc_id % n_facts)."""
@@ -8780,6 +8861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": _q_corpus_clean,
         "augment_stats": _q_augment,
         "extraction_f1": _q_extraction_f1,
+        "gp_train": _q_gp_train,
         "media_frames": _q_media_frames,
         "media_neardup": _q_media_neardup,
         "extract_text": _q_extract_text,

@@ -1,0 +1,544 @@
+"""Distributed GlobalPointer-head training — the ExtractionTrainer
+analogue (reference: ``fastie/train/tuner.py:100-186`` wiring,
+``fastie/train/trainer.py:50-88`` FGM adversarial hook,
+``trainer.py:237-322`` streaming eval loop) re-expressed as Ray Data
+passes, torch-free.
+
+Model: a frozen deterministic token-embedding backbone (the sandbox
+stand-in for a pretrained encoder — same role the frozen BERT layers
+play when only the task head is tuned) + a trainable GlobalPointer
+span-scoring head with RoPE (``modeling_gp.py:68-132``,
+``modules.py:21-107``), all numpy. The loss is the reference's
+multilabel categorical crossentropy over span logits
+(``modules.py`` sparse_multilabel_categorical_crossentropy semantics,
+dense formulation), masked to the upper triangle and real tokens.
+
+Distributed shape (the ``ops.linear_train`` discipline, lifted to a
+float model):
+
+- ONE feature build (``train_prep.ner_convert_to_features``), then each
+  epoch is a single streaming ``map_batches`` pass: every block
+  computes its summed gradient locally (vectorized einsum forward +
+  backward over the padded block tensor) and emits one FIXED-POINT
+  int64 partial row — ``round(grad · 2^quant_bits)``.
+- Integer partials make the cross-block reduce order-independent and
+  EXACT, so training is bit-deterministic no matter how Ray schedules
+  blocks — which is what makes checkpoint/resume reproduce the
+  straight-through run bitwise (the float-sum alternative would drift
+  by scheduling order). Quantization noise (~2^-24 per block) is far
+  below any meaningful gradient signal.
+- The driver holds the Adam state (tiny: head params only), updates
+  once per epoch (full-batch — the honest data-parallel formulation;
+  sequential minibatch SGD is inherently serial), and re-broadcasts
+  weights via ``ray.put`` once per epoch, not per block.
+- FGM (trainer.py:50-88): each block locally perturbs its frozen
+  embeddings by ``eps · dX/‖dX‖`` (the embedding-gradient attack) and
+  adds the adversarial gradient to its partial — the reference's
+  per-batch attack semantics, data-parallel.
+- Eval (trainer.py:237-322): a streaming pass emitting integer
+  (tp, pred, true) span-set partials per block → micro P/R/F1
+  (``ExtractionScore`` semantics); the span decode applies the
+  reference's CLS/SEP/pad exclusions (``modeling_gp.py:145-170``).
+
+Scale: state that crosses the wire per epoch = one weight broadcast
+(O(labels·d·h)) + one int64 partial per block. The corpus never
+moves; epochs stream. At 100 TB one epoch is one pass; the head is
+small enough that the driver reduce is trivial against any block
+count.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+@dataclass(frozen=True)
+class GPTrainConfig:
+    d_model: int = 64
+    head_size: int = 16
+    emb_rows: int = 4096  # frozen-embedding hash-bucket rows
+    lr: float = 0.05
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-8
+    fgm_eps: float | None = None  # None = FGM off; reference default 1.0
+    seed: int = 7
+    quant_bits: int = 24
+
+
+# ------------------------------------------------------------ frozen backbone
+
+_EMB_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def frozen_embeddings(cfg: GPTrainConfig) -> np.ndarray:
+    """Deterministic frozen token-embedding table, generated once per
+    worker process (actor-``__init__`` discipline): hashed token ids
+    index ``emb_rows`` buckets. A real checkpoint swaps this for the
+    pretrained encoder's output; nothing downstream changes."""
+    key = (cfg.seed, cfg.emb_rows, cfg.d_model)
+    if key not in _EMB_CACHE:
+        rng = np.random.default_rng(cfg.seed)
+        _EMB_CACHE[key] = rng.standard_normal(
+            (cfg.emb_rows, cfg.d_model)
+        ) / np.sqrt(cfg.d_model)
+    return _EMB_CACHE[key]
+
+
+# ------------------------------------------------------------------- GP head
+
+
+def init_gp_head(num_labels: int, cfg: GPTrainConfig) -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(cfg.seed + 1)
+    scale = 1.0 / np.sqrt(cfg.d_model)
+    return {
+        "wq": rng.standard_normal(
+            (num_labels, cfg.d_model, cfg.head_size)) * scale,
+        "bq": np.zeros((num_labels, cfg.head_size)),
+        "wk": rng.standard_normal(
+            (num_labels, cfg.d_model, cfg.head_size)) * scale,
+        "bk": np.zeros((num_labels, cfg.head_size)),
+    }
+
+
+def _flatten(w: dict[str, np.ndarray]) -> np.ndarray:
+    return np.concatenate([w[k].ravel() for k in sorted(w)])
+
+
+def _unflatten(vec: np.ndarray, like: dict[str, np.ndarray]) -> dict:
+    out, off = {}, 0
+    for k in sorted(like):
+        n = like[k].size
+        out[k] = vec[off:off + n].reshape(like[k].shape)
+        off += n
+    return out
+
+
+def _rope_tables(L: int, h: int) -> tuple[np.ndarray, np.ndarray]:
+    half = h // 2
+    theta = 10000.0 ** (-2.0 * np.arange(half) / h)
+    ang = np.arange(L)[:, None] * theta[None, :]  # [L, h/2]
+    return np.cos(ang), np.sin(ang)
+
+
+def _rope(q: np.ndarray, cos: np.ndarray, sin: np.ndarray) -> np.ndarray:
+    """Rotate last dim (pairs) by position: q is [..., L, h]."""
+    qe, qo = q[..., 0::2], q[..., 1::2]
+    out = np.empty_like(q)
+    out[..., 0::2] = qe * cos - qo * sin
+    out[..., 1::2] = qe * sin + qo * cos
+    return out
+
+
+def _unrope(g: np.ndarray, cos: np.ndarray, sin: np.ndarray) -> np.ndarray:
+    """Transpose (inverse) rotation — backward of :func:`_rope`."""
+    ge, go = g[..., 0::2], g[..., 1::2]
+    out = np.empty_like(g)
+    out[..., 0::2] = ge * cos + go * sin
+    out[..., 1::2] = -ge * sin + go * cos
+    return out
+
+
+def _embed(input_ids: np.ndarray, emb: np.ndarray) -> np.ndarray:
+    return emb[input_ids % emb.shape[0]]
+
+
+def gp_scores(
+    weights: dict[str, np.ndarray],
+    x: np.ndarray,  # [B, L, d] embeddings
+    cfg: GPTrainConfig,
+) -> tuple[np.ndarray, dict]:
+    """Forward: span logits [B, nl, L, L] plus the cache for backward."""
+    h = cfg.head_size
+    L = x.shape[1]
+    cos, sin = _rope_tables(L, h)
+    q = np.einsum("bld,ndh->bnlh", x, weights["wq"]) + weights["bq"][None, :, None, :]
+    k = np.einsum("bld,ndh->bnlh", x, weights["wk"]) + weights["bk"][None, :, None, :]
+    qr, kr = _rope(q, cos, sin), _rope(k, cos, sin)
+    s = np.einsum("bnlh,bnmh->bnlm", qr, kr) / np.sqrt(h)
+    return s, {"x": x, "qr": qr, "kr": kr, "cos": cos, "sin": sin}
+
+
+def _span_mask(seq_len: np.ndarray, L: int) -> np.ndarray:
+    """[B, L, L] True where (i <= j) and both inside the sequence —
+    the reference's add_mask_tril (pad + lower-triangle mask)."""
+    B = len(seq_len)
+    pos = np.arange(L)
+    inside = pos[None, :] < seq_len[:, None]  # [B, L]
+    valid = inside[:, :, None] & inside[:, None, :]
+    return valid & (pos[:, None] <= pos[None, :])[None, :, :]
+
+
+def _loss_and_dscore(
+    s: np.ndarray,  # [B, nl, L, L]
+    y: np.ndarray,  # [B, nl, L, L] 0/1
+    valid: np.ndarray,  # [B, L, L]
+) -> tuple[float, int, np.ndarray]:
+    """Multilabel categorical CE (the reference GP loss) and its exact
+    gradient wrt the logits. Returns (loss_sum, n_units, dS) where a
+    unit is one (example, label) channel — the reference averages over
+    them; we sum and let the driver normalize."""
+    v = valid[:, None, :, :]
+    neg = np.where(v & (y == 0), s, -np.inf)
+    pos = np.where(v & (y == 1), -s, -np.inf)
+
+    def lse0(a):  # logsumexp over flattened span axes, with appended 0
+        m = np.maximum(a.max(axis=(2, 3), initial=0.0), 0.0)
+        z = np.exp(a - m[:, :, None, None]).sum(axis=(2, 3)) + np.exp(-m)
+        return m + np.log(z), m
+
+    neg_l, neg_m = lse0(neg)
+    pos_l, pos_m = lse0(pos)
+    loss_sum = float((neg_l + pos_l).sum())
+    n_units = int(neg_l.size)
+    d_neg = np.exp(neg - neg_l[:, :, None, None])
+    d_pos = np.exp(pos - pos_l[:, :, None, None])
+    ds = np.where(v & (y == 0), d_neg, 0.0) - np.where(v & (y == 1), d_pos, 0.0)
+    return loss_sum, n_units, ds
+
+
+def _backward(
+    ds: np.ndarray,
+    cache: dict,
+    weights: dict[str, np.ndarray],
+    cfg: GPTrainConfig,
+    want_dx: bool = False,
+) -> tuple[dict, np.ndarray | None]:
+    h = cfg.head_size
+    ds = ds / np.sqrt(h)
+    dqr = np.einsum("bnlm,bnmh->bnlh", ds, cache["kr"])
+    dkr = np.einsum("bnlm,bnlh->bnmh", ds, cache["qr"])
+    dq = _unrope(dqr, cache["cos"], cache["sin"])
+    dk = _unrope(dkr, cache["cos"], cache["sin"])
+    x = cache["x"]
+    grads = {
+        "wq": np.einsum("bld,bnlh->ndh", x, dq),
+        "bq": dq.sum(axis=(0, 2)),
+        "wk": np.einsum("bld,bnlh->ndh", x, dk),
+        "bk": dk.sum(axis=(0, 2)),
+    }
+    dx = None
+    if want_dx:
+        dx = np.einsum("bnlh,ndh->bld", dq, weights["wq"]) + np.einsum(
+            "bnlh,ndh->bld", dk, weights["wk"]
+        )
+    return grads, dx
+
+
+def _block_batch(df: pd.DataFrame, num_labels: int):
+    from fastie_ray.pipelines.train_prep import collate_gp_ner
+
+    feats = [
+        {"input_ids": list(ids), "labels": [list(l) for l in labs]}
+        for ids, labs in zip(df["input_ids"], df["labels"])
+    ]
+    batch = collate_gp_ner(feats, num_labels=num_labels, is_sparse=False)
+    seq_len = np.asarray(
+        [len(f["input_ids"]) for f in feats], dtype=np.int64
+    )
+    return batch["input_ids"], batch["labels"], seq_len
+
+
+def _grad_partial(
+    df: pd.DataFrame,
+    weights: dict[str, np.ndarray],
+    num_labels: int,
+    cfg: GPTrainConfig,
+    batch_rows: int = 128,
+) -> tuple[np.ndarray, int, int]:
+    """One block's summed, fixed-point gradient partial:
+    (int64 grad vector, n_units, loss_sum_e6). Internally sliced to
+    ``batch_rows`` so the dense [B, nl, L, L] working tensor stays
+    bounded regardless of block size."""
+    if len(df) > batch_rows:
+        gvec = None
+        n_units = loss_e6 = 0
+        for lo in range(0, len(df), batch_rows):
+            g, n, l = _grad_partial(
+                df.iloc[lo:lo + batch_rows], weights, num_labels, cfg,
+                batch_rows,
+            )
+            gvec = g if gvec is None else gvec + g
+            n_units += n
+            loss_e6 += l
+        return gvec, n_units, loss_e6
+    input_ids, y, seq_len = _block_batch(df, num_labels)
+    x = _embed(input_ids, frozen_embeddings(cfg))
+    valid = _span_mask(seq_len, x.shape[1])
+
+    s, cache = gp_scores(weights, x, cfg)
+    loss_sum, n_units, ds = _loss_and_dscore(s, y, valid)
+    grads, dx = _backward(ds, cache, weights, cfg, want_dx=cfg.fgm_eps is not None)
+
+    if cfg.fgm_eps is not None:
+        # reference FGM (trainer.py:50-88): attack the embeddings with
+        # eps·g/‖g‖, accumulate BOTH gradients at full weight; units
+        # stay the clean count (the adversarial pass is a second loss
+        # on the same units, exactly as loss.backward() twice is)
+        norm = np.sqrt((dx * dx).sum())
+        if norm > 1e-12:
+            x_adv = x + cfg.fgm_eps * dx / norm
+            s2, cache2 = gp_scores(weights, x_adv, cfg)
+            loss2, _units2, ds2 = _loss_and_dscore(s2, y, valid)
+            g2, _ = _backward(ds2, cache2, weights, cfg)
+            for k in grads:
+                grads[k] = grads[k] + g2[k]
+            loss_sum += loss2
+
+    scale = float(1 << cfg.quant_bits)
+    gvec = np.round(_flatten(grads) * scale).astype(np.int64)
+    return gvec, n_units, int(round(loss_sum * 1_000_000))
+
+
+def _eval_partial(
+    df: pd.DataFrame,
+    weights: dict[str, np.ndarray],
+    num_labels: int,
+    cfg: GPTrainConfig,
+    batch_rows: int = 128,
+) -> tuple[int, int, int]:
+    """(tp, n_pred, n_true) span-set counts for one block, applying the
+    reference decode exclusions (CLS/SEP/pad, threshold 0)."""
+    if len(df) > batch_rows:
+        tp = np_ = nt = 0
+        for lo in range(0, len(df), batch_rows):
+            a, b, c = _eval_partial(
+                df.iloc[lo:lo + batch_rows], weights, num_labels, cfg,
+                batch_rows,
+            )
+            tp += a
+            np_ += b
+            nt += c
+        return tp, np_, nt
+    input_ids, y, seq_len = _block_batch(df, num_labels)
+    x = _embed(input_ids, frozen_embeddings(cfg))
+    s, _ = gp_scores(weights, x, cfg)
+    valid = _span_mask(seq_len, x.shape[1])
+    pos = np.arange(x.shape[1])
+    body = (pos[None, :] >= 1) & (pos[None, :] < (seq_len[:, None] - 1))
+    dec = valid & body[:, :, None] & body[:, None, :]
+    pred = (s > 0.0) & dec[:, None, :, :]
+    true = (y == 1) & dec[:, None, :, :]
+    return (
+        int((pred & true).sum()), int(pred.sum()), int(true.sum())
+    )
+
+
+# ------------------------------------------------------------- the trainer
+
+
+def _ckpt_path(d: str, epoch: int) -> str:
+    return os.path.join(d, f"gp_head_epoch{epoch:04d}.npz")
+
+
+def _latest_ckpt(d: str, max_epoch: int) -> int:
+    done = -1
+    for e in range(max_epoch):
+        if os.path.exists(_ckpt_path(d, e)):
+            done = e
+    return done
+
+
+def gp_train(
+    train_features: "ray.data.Dataset",
+    num_labels: int,
+    epochs: int = 12,
+    cfg: GPTrainConfig = GPTrainConfig(),
+    dev_features: "ray.data.Dataset | None" = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    batch_rows: int = 128,
+    engine: str = "blockset",
+    n_blocks: int = 16,
+) -> tuple[dict[str, np.ndarray], pd.DataFrame]:
+    """Train the GP head full-batch for ``epochs`` passes; returns
+    (weights, history) where history has one integer-exact row per
+    epoch: (epoch, loss_e6, n_units, grad_l1_q, and — when
+    ``dev_features`` is given — tp, n_pred, n_true, f1_e6).
+
+    ``engine="blockset"`` (default) pins the feature blocks in plasma
+    once and runs each epoch as one raw-task wave per block (the
+    ``state.exchange`` iterative-loop discipline — no per-epoch
+    Dataset executor bring-up, which otherwise dominates wall time at
+    small scale: ~0.3 s × 2 passes × epochs). ``engine="dataset"``
+    streams each epoch through ``map_batches`` instead — prefer it
+    when the feature table exceeds comfortable plasma residency (the
+    100-TB regime), where streaming + spill beats pinning.
+
+    ``checkpoint_dir`` + ``resume=True`` gives bitwise resume: epoch
+    checkpoints carry weights, Adam state and history; a resumed run
+    replays the remaining epochs to the identical final weights
+    (guaranteed by the integer gradient reduce — see module
+    docstring)."""
+    import ray
+
+    feats = train_features.materialize()
+    bs = dev_bs = None
+    if engine == "blockset":
+        from fastie_ray.state.exchange import BlockSet
+
+        bs = BlockSet.from_dataset(feats).compact(n_blocks)
+        if dev_features is not None:
+            dev_bs = BlockSet.from_dataset(
+                dev_features.materialize()
+            ).compact(n_blocks)
+    weights = init_gp_head(num_labels, cfg)
+    like = {k: v.copy() for k, v in weights.items()}
+    m = np.zeros(_flatten(weights).size)
+    v = np.zeros_like(m)
+    t0 = 0
+    history: list[dict] = []
+
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        if resume:
+            last = _latest_ckpt(checkpoint_dir, epochs)
+            if last >= 0:
+                z = np.load(_ckpt_path(checkpoint_dir, last), allow_pickle=True)
+                weights = _unflatten(z["w"], like)
+                m, v, t0 = z["m"], z["v"], int(z["t"])
+                history = list(pd.DataFrame(
+                    z["hist"], columns=list(z["hist_cols"])
+                ).astype("int64").to_dict("records"))
+
+    scale = float(1 << cfg.quant_bits)
+    b1, b2 = cfg.adam_beta1, cfg.adam_beta2
+
+    for epoch in range(t0, epochs):
+        wref = ray.put({k: w.copy() for k, w in weights.items()})
+
+        gsum = np.zeros(m.size, dtype=np.int64)
+        n_units = loss_e6 = 0
+        if bs is not None:
+            parts = bs.scalar(
+                lambda df, _w=wref: _grad_partial(
+                    df, ray.get(_w), num_labels, cfg, batch_rows
+                ) if len(df) else None
+            )
+            for part in parts:
+                if part is None:
+                    continue
+                g, n, l = part
+                gsum += np.asarray(g, dtype=np.int64)
+                n_units += n
+                loss_e6 += l
+        else:
+            def gpart(df: pd.DataFrame, _wref=wref) -> pd.DataFrame:
+                w = ray.get(_wref)
+                gvec, n_u, l_e6 = _grad_partial(
+                    df, w, num_labels, cfg, batch_rows
+                )
+                return pd.DataFrame(
+                    {"g": [gvec], "n_units": np.int64(n_u),
+                     "loss_e6": np.int64(l_e6)}
+                )
+
+            # batch_rows bounds the dense [B, nl, L, L] working tensor
+            # per task (B·nl·L²·8 bytes × a few temporaries)
+            parts = feats.map_batches(
+                gpart, batch_format="pandas", batch_size=batch_rows
+            ).to_pandas()
+            for garr in parts["g"]:
+                gsum += np.asarray(garr, dtype=np.int64)
+            n_units = int(parts["n_units"].sum())
+            loss_e6 = int(parts["loss_e6"].sum())
+
+        g = gsum.astype(np.float64) / scale / max(n_units, 1)
+        t = epoch + 1
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        mhat = m / (1 - b1 ** t)
+        vhat = v / (1 - b2 ** t)
+        step = cfg.lr * mhat / (np.sqrt(vhat) + cfg.adam_eps)
+        weights = _unflatten(_flatten(weights) - step, like)
+
+        row = {
+            "epoch": epoch,
+            "loss_e6": loss_e6 // max(n_units, 1),
+            "n_units": n_units,
+            "grad_l1_q": int(np.abs(gsum).sum()),
+        }
+        if dev_bs is not None:
+            row.update(_eval_blockset(
+                dev_bs, weights, num_labels, cfg, batch_rows
+            ))
+        elif dev_features is not None:
+            row.update(evaluate_gp_head(
+                dev_features, weights, num_labels, cfg, batch_rows
+            ))
+        history.append(row)
+
+        if checkpoint_dir:
+            hist_df = pd.DataFrame(history)
+            np.savez(
+                _ckpt_path(checkpoint_dir, epoch),
+                w=_flatten(weights), m=m, v=v, t=np.int64(epoch + 1),
+                hist=hist_df.to_numpy(dtype=np.int64),
+                hist_cols=np.array(list(hist_df.columns)),
+            )
+
+    return weights, pd.DataFrame(history)
+
+
+def _f1_row(tp: int, n_pred: int, n_true: int) -> dict[str, int]:
+    p = tp / n_pred if n_pred else 0.0
+    r = tp / n_true if n_true else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {
+        "tp": tp, "n_pred": n_pred, "n_true": n_true,
+        "f1_e6": int(f1 * 1_000_000),
+    }
+
+
+def _eval_blockset(
+    dev_bs, weights, num_labels: int, cfg: GPTrainConfig, batch_rows: int
+) -> dict[str, int]:
+    import ray
+
+    wref = ray.put(weights)
+    parts = dev_bs.scalar(
+        lambda df, _w=wref: _eval_partial(
+            df, ray.get(_w), num_labels, cfg, batch_rows
+        ) if len(df) else (0, 0, 0)
+    )
+    tp = sum(p[0] for p in parts)
+    n_pred = sum(p[1] for p in parts)
+    n_true = sum(p[2] for p in parts)
+    return _f1_row(tp, n_pred, n_true)
+
+
+def evaluate_gp_head(
+    dev_features: "ray.data.Dataset",
+    weights: dict[str, np.ndarray],
+    num_labels: int,
+    cfg: GPTrainConfig = GPTrainConfig(),
+    batch_rows: int = 128,
+) -> dict[str, int]:
+    """Streaming span-level micro P/R/F1 (ExtractionScore semantics,
+    ``fastie/metrics/extraction/score.py:9-31``): integer (tp, pred,
+    true) partials per block, summed exactly."""
+    import ray
+
+    wref = ray.put(weights)
+
+    def epart(df: pd.DataFrame, _wref=wref) -> pd.DataFrame:
+        tp, np_, nt = _eval_partial(
+            df, ray.get(_wref), num_labels, cfg
+        )
+        return pd.DataFrame(
+            {"tp": [np.int64(tp)], "n_pred": [np.int64(np_)],
+             "n_true": [np.int64(nt)]}
+        )
+
+    tot = dev_features.map_batches(
+        epart, batch_format="pandas", batch_size=batch_rows
+    ).to_pandas().sum()
+    return _f1_row(int(tot["tp"]), int(tot["n_pred"]), int(tot["n_true"]))

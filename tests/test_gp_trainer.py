@@ -1,0 +1,153 @@
+"""Distributed GP-head trainer (``pipelines.trainer`` — the
+ExtractionTrainer analogue): exact gradients, convergence on the
+synthetic gazetteer task, FGM adversarial hook, bitwise
+checkpoint/resume (guaranteed by the integer gradient reduce)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from fastie_ray.pipelines.trainer import (
+    GPTrainConfig,
+    _backward,
+    _embed,
+    _flatten,
+    _loss_and_dscore,
+    _span_mask,
+    _unflatten,
+    frozen_embeddings,
+    gp_scores,
+    gp_train,
+)
+
+
+def _gaz_rows(n: int, seed: int) -> list[dict]:
+    from fastie_ray.synth import build_world
+
+    gaz = sorted(build_world().gazetteer.items())
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n):
+        s1, l1 = gaz[rng.integers(len(gaz))]
+        s2, l2 = gaz[rng.integers(len(gaz))]
+        text = f"{s1} met {s2} today ."
+        rows.append(
+            {"text": text, "entities": [
+                {"start_offset": 0, "end_offset": len(s1), "label": l1},
+                {"start_offset": len(s1) + 5,
+                 "end_offset": len(s1) + 5 + len(s2), "label": l2},
+            ]}
+        )
+    return rows
+
+
+def _features(rows, labels):
+    from fastie_ray.pipelines.train_prep import ner_convert_to_features
+
+    l2i = {lb: i for i, lb in enumerate(labels)}
+    return ner_convert_to_features(
+        ray.data.from_items(rows), l2i, max_length=64
+    )
+
+
+LABELS5 = ["EVT", "LOC", "ORG", "PER", "PROD"]
+
+
+def test_gp_gradients_match_finite_differences():
+    cfg = GPTrainConfig(d_model=8, head_size=4, emb_rows=64, seed=3)
+    nl = 2
+    from fastie_ray.pipelines.trainer import init_gp_head
+
+    w = init_gp_head(nl, cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 1000, (3, 7))
+    seq_len = np.array([7, 5, 6])
+    y = np.zeros((3, nl, 7, 7), dtype=np.int64)
+    y[0, 0, 1, 2] = 1
+    y[1, 1, 2, 2] = 1
+    y[2, 0, 1, 4] = 1
+    x = _embed(ids, frozen_embeddings(cfg))
+    valid = _span_mask(seq_len, 7)
+
+    def loss_of(wd):
+        s, _ = gp_scores(wd, x, cfg)
+        return _loss_and_dscore(s, y, valid)[0]
+
+    s, cache = gp_scores(w, x, cfg)
+    _, _, ds = _loss_and_dscore(s, y, valid)
+    grads, dx = _backward(ds, cache, w, cfg, want_dx=True)
+    gv, flat = _flatten(grads), _flatten(w)
+    eps = 1e-6
+    for i in np.random.default_rng(1).choice(flat.size, 10, replace=False):
+        fp, fm = flat.copy(), flat.copy()
+        fp[i] += eps
+        fm[i] -= eps
+        num = (loss_of(_unflatten(fp, w)) - loss_of(_unflatten(fm, w))) / (
+            2 * eps
+        )
+        assert abs(num - gv[i]) <= 1e-5 * (abs(num) + abs(gv[i]) + 1e-3)
+    # embedding gradient (the FGM attack direction)
+    xx = x.copy()
+    xx[1, 2, 3] += eps
+    s2, _ = gp_scores(w, xx, cfg)
+    lp = _loss_and_dscore(s2, y, valid)[0]
+    xx[1, 2, 3] -= 2 * eps
+    s3, _ = gp_scores(w, xx, cfg)
+    lm = _loss_and_dscore(s3, y, valid)[0]
+    num = (lp - lm) / (2 * eps)
+    assert abs(num - dx[1, 2, 3]) <= 1e-5 * (abs(num) + 1e-3)
+
+
+def test_gp_train_converges_to_high_f1(ray_session):
+    train = _features(_gaz_rows(300, 5), LABELS5)
+    dev = _features(_gaz_rows(80, 9), LABELS5)
+    _, hist = gp_train(
+        train, len(LABELS5), epochs=25,
+        cfg=GPTrainConfig(lr=0.2), dev_features=dev,
+    )
+    assert hist["loss_e6"].iloc[-1] < hist["loss_e6"].iloc[0] / 10
+    assert hist["f1_e6"].iloc[-1] >= 900_000
+    # streaming eval is integer-exact: tp <= n_true always
+    assert (hist["tp"] <= hist["n_true"]).all()
+
+
+def test_gp_train_fgm_converges(ray_session):
+    train = _features(_gaz_rows(200, 6), LABELS5)
+    dev = _features(_gaz_rows(60, 10), LABELS5)
+    w_clean, _ = gp_train(
+        train, len(LABELS5), epochs=6, cfg=GPTrainConfig(lr=0.2)
+    )
+    w_fgm, hist = gp_train(
+        train, len(LABELS5), epochs=6,
+        cfg=GPTrainConfig(lr=0.2, fgm_eps=1.0), dev_features=dev,
+    )
+    # adversarial training changes the trajectory but still learns
+    assert not np.array_equal(_flatten(w_clean), _flatten(w_fgm))
+    assert hist["loss_e6"].iloc[-1] < hist["loss_e6"].iloc[0]
+
+
+def test_gp_train_resume_bitwise(ray_session, tmp_path):
+    train = _features(_gaz_rows(150, 7), LABELS5)
+    cfg = GPTrainConfig(lr=0.2)
+    w_straight, h_straight = gp_train(
+        train, len(LABELS5), epochs=6, cfg=cfg,
+        checkpoint_dir=str(tmp_path / "a"),
+    )
+    # interrupted run: 3 epochs, then resume to 6
+    gp_train(
+        train, len(LABELS5), epochs=3, cfg=cfg,
+        checkpoint_dir=str(tmp_path / "b"),
+    )
+    w_resumed, h_resumed = gp_train(
+        train, len(LABELS5), epochs=6, cfg=cfg,
+        checkpoint_dir=str(tmp_path / "b"), resume=True,
+    )
+    assert np.array_equal(_flatten(w_straight), _flatten(w_resumed))
+    pd.testing.assert_frame_equal(
+        h_straight.astype("int64"), h_resumed.astype("int64")
+    )

@@ -3449,8 +3449,8 @@ def _q_gp_train(sf_dir: str):
     l2i = {lb: i for i, lb in enumerate(labels)}
     feats = ner_convert_to_features(rows, l2i, max_length=64)
     _, hist = gp_train(
-        feats, len(labels), epochs=18,
-        cfg=GPTrainConfig(lr=0.3), dev_features=feats,
+        feats, len(labels), epochs=30,
+        cfg=GPTrainConfig(lr=0.15), dev_features=feats,
     )
     return hist.astype("int64")
 

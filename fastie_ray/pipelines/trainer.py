@@ -1,4 +1,4 @@
-"""Distributed GlobalPointer-head training — the ExtractionTrainer
+"""Distributed extraction-head training — the ExtractionTrainer
 analogue (reference: ``fastie/train/tuner.py:100-186`` wiring,
 ``fastie/train/trainer.py:50-88`` FGM adversarial hook,
 ``trainer.py:237-322`` streaming eval loop) re-expressed as Ray Data
@@ -6,21 +6,31 @@ passes, torch-free.
 
 Model: a frozen deterministic token-embedding backbone (the sandbox
 stand-in for a pretrained encoder — same role the frozen BERT layers
-play when only the task head is tuned) + a trainable GlobalPointer
-span-scoring head with RoPE (``modeling_gp.py:68-132``,
-``modules.py:21-107``), all numpy. The loss is the reference's
-multilabel categorical crossentropy over span logits
-(``modules.py`` sparse_multilabel_categorical_crossentropy semantics,
-dense formulation), masked to the upper triangle and real tokens.
+play when only the task head is tuned) + trainable GlobalPointer-family
+span-scoring channels with per-channel RoPE / triangle masking, all
+numpy. Two task heads:
+
+- NER (``ner_task``): one GP channel per entity label with RoPE and
+  the upper-triangle mask (``modeling_gp.py:68-132``);
+- GPLinker relation extraction (``rel_task``): the reference's three
+  EGP heads (``modeling_gplinker.py:65-110``) flattened to
+  2 + 2·P channels — subject/object entity channels (RoPE, tril) plus
+  per-predicate head-pair and tail-pair link channels (no RoPE, no
+  tril, exactly like the reference's ``RoPE=False, tril_mask=False``
+  heads).
+
+The loss is the reference's multilabel categorical crossentropy over
+span logits (``modules.py`` sparse_multilabel_categorical_crossentropy
+semantics, dense formulation), masked per channel.
 
 Distributed shape (the ``ops.linear_train`` discipline, lifted to a
 float model):
 
-- ONE feature build (``train_prep.ner_convert_to_features``), then each
-  epoch is a single streaming ``map_batches`` pass: every block
-  computes its summed gradient locally (vectorized einsum forward +
-  backward over the padded block tensor) and emits one FIXED-POINT
-  int64 partial row — ``round(grad · 2^quant_bits)``.
+- ONE feature build (``train_prep.ner_convert_to_features`` /
+  ``rel_convert_to_features``), then each epoch is one gradient pass:
+  every block computes its summed gradient locally (vectorized einsum
+  forward + backward over the padded block tensor) and emits one
+  FIXED-POINT int64 partial — ``round(grad · 2^quant_bits)``.
 - Integer partials make the cross-block reduce order-independent and
   EXACT, so training is bit-deterministic no matter how Ray schedules
   blocks — which is what makes checkpoint/resume reproduce the
@@ -36,22 +46,30 @@ float model):
   adds the adversarial gradient to its partial — the reference's
   per-batch attack semantics, data-parallel.
 - Eval (trainer.py:237-322): a streaming pass emitting integer
-  (tp, pred, true) span-set partials per block → micro P/R/F1
-  (``ExtractionScore`` semantics); the span decode applies the
-  reference's CLS/SEP/pad exclusions (``modeling_gp.py:145-170``).
+  (tp, pred, true) partials per block → micro P/R/F1
+  (``ExtractionScore`` semantics). Per-epoch eval is channel-level
+  span marking (exact, no pair enumeration); RE adds a final
+  triple-level decode eval (``rel_triple_eval``) with the reference's
+  head∩tail predicate intersection (``modeling_gplinker.py:164-213``).
+
+Epoch engine: ``engine="blockset"`` (default) pins the feature blocks
+in plasma once and runs each epoch as one raw-task wave per block (the
+``state.exchange`` iterative-loop discipline — no per-epoch Dataset
+executor bring-up, which otherwise dominates wall time at small
+scale). ``engine="dataset"`` streams each epoch through
+``map_batches`` — prefer it when the feature table exceeds comfortable
+plasma residency (the 100-TB regime), where streaming + spill beats
+pinning.
 
 Scale: state that crosses the wire per epoch = one weight broadcast
-(O(labels·d·h)) + one int64 partial per block. The corpus never
-moves; epochs stream. At 100 TB one epoch is one pass; the head is
-small enough that the driver reduce is trivial against any block
-count.
-"""
+(O(channels·d·h)) + one int64 partial per block. The corpus never
+moves; epochs stream."""
 
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
-from typing import TYPE_CHECKING
+from dataclasses import dataclass, field
+from typing import Callable, TYPE_CHECKING
 
 import numpy as np
 import pandas as pd
@@ -72,6 +90,64 @@ class GPTrainConfig:
     fgm_eps: float | None = None  # None = FGM off; reference default 1.0
     seed: int = 7
     quant_bits: int = 24
+    # frozen sinusoidal absolute positions added to the embeddings —
+    # the context-free backbone's stand-in for what a real encoder's
+    # position embeddings + attention provide (RoPE inside the GP head
+    # is RELATIVE-only, so without this, roles that depend on absolute
+    # position — e.g. GPLinker's subject-before-object — are
+    # unlearnable)
+    pos_scale: float = 0.5
+
+
+@dataclass(frozen=True)
+class TaskSpec:
+    """A trainable span-scoring task: how many GP channels, which get
+    RoPE / the upper-triangle mask, how a feature row becomes dense
+    channel labels, and how gold tuples are counted for eval."""
+
+    n_channels: int
+    tril: np.ndarray = field(repr=False)  # bool [C]
+    rope: np.ndarray = field(repr=False)  # bool [C]
+    build_labels: Callable = field(repr=False)  # rows -> [B, C, L, L]
+
+
+def ner_task(num_labels: int) -> TaskSpec:
+    """One RoPE + tril GP channel per entity label (A1 semantics)."""
+
+    def build(df: pd.DataFrame, L: int) -> np.ndarray:
+        y = np.zeros((len(df), num_labels, L, L), dtype=np.int64)
+        for i, labs in enumerate(df["labels"]):
+            for start, end, tag in labs:
+                y[i, int(tag), int(start), int(end)] = 1
+        return y
+
+    ones = np.ones(num_labels, dtype=bool)
+    return TaskSpec(num_labels, ones, ones.copy(), build)
+
+
+def rel_task(num_predicates: int) -> TaskSpec:
+    """GPLinker-RE channels (A7 semantics): ch0 = subject spans,
+    ch1 = object spans (RoPE, tril); ch 2+p = per-predicate head pairs
+    (sh, oh), ch 2+P+p = tail pairs (st, ot) — link channels carry no
+    RoPE and no triangle mask, matching the reference's
+    ``EfficientGlobalPointer(RoPE=False, tril_mask=False)`` heads."""
+    P = num_predicates
+    C = 2 + 2 * P
+
+    def build(df: pd.DataFrame, L: int) -> np.ndarray:
+        y = np.zeros((len(df), C, L, L), dtype=np.int64)
+        for i, spo in enumerate(df["labels"]):
+            for sh, st, p, oh, ot in spo:
+                sh, st, p, oh, ot = int(sh), int(st), int(p), int(oh), int(ot)
+                y[i, 0, sh, st] = 1
+                y[i, 1, oh, ot] = 1
+                y[i, 2 + p, sh, oh] = 1
+                y[i, 2 + P + p, st, ot] = 1
+        return y
+
+    tril = np.array([True, True] + [False] * (2 * P))
+    rope = tril.copy()
+    return TaskSpec(C, tril, rope, build)
 
 
 # ------------------------------------------------------------ frozen backbone
@@ -96,16 +172,16 @@ def frozen_embeddings(cfg: GPTrainConfig) -> np.ndarray:
 # ------------------------------------------------------------------- GP head
 
 
-def init_gp_head(num_labels: int, cfg: GPTrainConfig) -> dict[str, np.ndarray]:
+def init_gp_head(num_channels: int, cfg: GPTrainConfig) -> dict[str, np.ndarray]:
     rng = np.random.default_rng(cfg.seed + 1)
     scale = 1.0 / np.sqrt(cfg.d_model)
     return {
         "wq": rng.standard_normal(
-            (num_labels, cfg.d_model, cfg.head_size)) * scale,
-        "bq": np.zeros((num_labels, cfg.head_size)),
+            (num_channels, cfg.d_model, cfg.head_size)) * scale,
+        "bq": np.zeros((num_channels, cfg.head_size)),
         "wk": rng.standard_normal(
-            (num_labels, cfg.d_model, cfg.head_size)) * scale,
-        "bk": np.zeros((num_labels, cfg.head_size)),
+            (num_channels, cfg.d_model, cfg.head_size)) * scale,
+        "bk": np.zeros((num_channels, cfg.head_size)),
     }
 
 
@@ -147,24 +223,57 @@ def _unrope(g: np.ndarray, cos: np.ndarray, sin: np.ndarray) -> np.ndarray:
     return out
 
 
-def _embed(input_ids: np.ndarray, emb: np.ndarray) -> np.ndarray:
-    return emb[input_ids % emb.shape[0]]
+def _embed(
+    input_ids: np.ndarray, emb: np.ndarray, pos_scale: float = 0.5
+) -> np.ndarray:
+    x = emb[input_ids % emb.shape[0]]
+    if pos_scale:
+        L, d = input_ids.shape[1], emb.shape[1]
+        pos = np.arange(L)[:, None]
+        div = 10000.0 ** (-np.arange(0, d, 2) / d)
+        pe = np.zeros((L, d))
+        pe[:, 0::2] = np.sin(pos * div)
+        pe[:, 1::2] = np.cos(pos * div)
+        x = x + pos_scale * pe[None, :, :]
+    return x
+
+
+def _sel_rope(a: np.ndarray, cos, sin, rope_ch: np.ndarray) -> np.ndarray:
+    """Apply RoPE only on channels flagged in ``rope_ch`` ([..., C, L, h]
+    with channels on axis 1)."""
+    out = _rope(a, cos, sin)
+    if not rope_ch.all():
+        out[:, ~rope_ch] = a[:, ~rope_ch]
+    return out
+
+
+def _sel_unrope(g: np.ndarray, cos, sin, rope_ch: np.ndarray) -> np.ndarray:
+    out = _unrope(g, cos, sin)
+    if not rope_ch.all():
+        out[:, ~rope_ch] = g[:, ~rope_ch]
+    return out
 
 
 def gp_scores(
     weights: dict[str, np.ndarray],
     x: np.ndarray,  # [B, L, d] embeddings
     cfg: GPTrainConfig,
+    rope_ch: np.ndarray | None = None,
 ) -> tuple[np.ndarray, dict]:
-    """Forward: span logits [B, nl, L, L] plus the cache for backward."""
+    """Forward: span logits [B, C, L, L] plus the cache for backward."""
     h = cfg.head_size
     L = x.shape[1]
+    C = weights["wq"].shape[0]
+    if rope_ch is None:
+        rope_ch = np.ones(C, dtype=bool)
     cos, sin = _rope_tables(L, h)
     q = np.einsum("bld,ndh->bnlh", x, weights["wq"]) + weights["bq"][None, :, None, :]
     k = np.einsum("bld,ndh->bnlh", x, weights["wk"]) + weights["bk"][None, :, None, :]
-    qr, kr = _rope(q, cos, sin), _rope(k, cos, sin)
+    qr = _sel_rope(q, cos, sin, rope_ch)
+    kr = _sel_rope(k, cos, sin, rope_ch)
     s = np.einsum("bnlh,bnmh->bnlm", qr, kr) / np.sqrt(h)
-    return s, {"x": x, "qr": qr, "kr": kr, "cos": cos, "sin": sin}
+    return s, {"x": x, "qr": qr, "kr": kr, "cos": cos, "sin": sin,
+               "rope_ch": rope_ch}
 
 
 def _span_mask(seq_len: np.ndarray, L: int) -> np.ndarray:
@@ -177,16 +286,30 @@ def _span_mask(seq_len: np.ndarray, L: int) -> np.ndarray:
     return valid & (pos[:, None] <= pos[None, :])[None, :, :]
 
 
+def _channel_valid(
+    seq_len: np.ndarray, L: int, tril_ch: np.ndarray
+) -> np.ndarray:
+    """[B, C, L, L] per-channel validity: pad mask everywhere, the
+    upper-triangle restriction only on channels flagged in tril_ch."""
+    pos = np.arange(L)
+    inside = pos[None, :] < seq_len[:, None]
+    pad = inside[:, :, None] & inside[:, None, :]  # [B, L, L]
+    tri = (pos[:, None] <= pos[None, :])  # [L, L]
+    return pad[:, None, :, :] & (
+        tri[None, None, :, :] | ~tril_ch[None, :, None, None]
+    )
+
+
 def _loss_and_dscore(
-    s: np.ndarray,  # [B, nl, L, L]
-    y: np.ndarray,  # [B, nl, L, L] 0/1
-    valid: np.ndarray,  # [B, L, L]
+    s: np.ndarray,  # [B, C, L, L]
+    y: np.ndarray,  # [B, C, L, L] 0/1
+    valid: np.ndarray,  # [B, L, L] or [B, C, L, L]
 ) -> tuple[float, int, np.ndarray]:
     """Multilabel categorical CE (the reference GP loss) and its exact
     gradient wrt the logits. Returns (loss_sum, n_units, dS) where a
-    unit is one (example, label) channel — the reference averages over
+    unit is one (example, channel) — the reference averages over
     them; we sum and let the driver normalize."""
-    v = valid[:, None, :, :]
+    v = valid if valid.ndim == 4 else valid[:, None, :, :]
     neg = np.where(v & (y == 0), s, -np.inf)
     pos = np.where(v & (y == 1), -s, -np.inf)
 
@@ -195,8 +318,8 @@ def _loss_and_dscore(
         z = np.exp(a - m[:, :, None, None]).sum(axis=(2, 3)) + np.exp(-m)
         return m + np.log(z), m
 
-    neg_l, neg_m = lse0(neg)
-    pos_l, pos_m = lse0(pos)
+    neg_l, _ = lse0(neg)
+    pos_l, _ = lse0(pos)
     loss_sum = float((neg_l + pos_l).sum())
     n_units = int(neg_l.size)
     d_neg = np.exp(neg - neg_l[:, :, None, None])
@@ -216,8 +339,8 @@ def _backward(
     ds = ds / np.sqrt(h)
     dqr = np.einsum("bnlm,bnmh->bnlh", ds, cache["kr"])
     dkr = np.einsum("bnlm,bnlh->bnmh", ds, cache["qr"])
-    dq = _unrope(dqr, cache["cos"], cache["sin"])
-    dk = _unrope(dkr, cache["cos"], cache["sin"])
+    dq = _sel_unrope(dqr, cache["cos"], cache["sin"], cache["rope_ch"])
+    dk = _sel_unrope(dkr, cache["cos"], cache["sin"], cache["rope_ch"])
     x = cache["x"]
     grads = {
         "wq": np.einsum("bld,bnlh->ndh", x, dq),
@@ -233,48 +356,43 @@ def _backward(
     return grads, dx
 
 
-def _block_batch(df: pd.DataFrame, num_labels: int):
-    from fastie_ray.pipelines.train_prep import collate_gp_ner
+def _block_batch(df: pd.DataFrame, spec: TaskSpec):
+    from fastie_ray.functions.padding import sequence_padding
 
-    feats = [
-        {"input_ids": list(ids), "labels": [list(l) for l in labs]}
-        for ids, labs in zip(df["input_ids"], df["labels"])
-    ]
-    batch = collate_gp_ner(feats, num_labels=num_labels, is_sparse=False)
-    seq_len = np.asarray(
-        [len(f["input_ids"]) for f in feats], dtype=np.int64
-    )
-    return batch["input_ids"], batch["labels"], seq_len
+    ids_list = [list(ids) for ids in df["input_ids"]]
+    input_ids = sequence_padding(ids_list)
+    seq_len = np.asarray([len(i) for i in ids_list], dtype=np.int64)
+    y = spec.build_labels(df, input_ids.shape[1])
+    return input_ids, y, seq_len
 
 
 def _grad_partial(
     df: pd.DataFrame,
     weights: dict[str, np.ndarray],
-    num_labels: int,
+    spec: TaskSpec,
     cfg: GPTrainConfig,
     batch_rows: int = 128,
 ) -> tuple[np.ndarray, int, int]:
     """One block's summed, fixed-point gradient partial:
     (int64 grad vector, n_units, loss_sum_e6). Internally sliced to
-    ``batch_rows`` so the dense [B, nl, L, L] working tensor stays
+    ``batch_rows`` so the dense [B, C, L, L] working tensor stays
     bounded regardless of block size."""
     if len(df) > batch_rows:
         gvec = None
         n_units = loss_e6 = 0
         for lo in range(0, len(df), batch_rows):
             g, n, l = _grad_partial(
-                df.iloc[lo:lo + batch_rows], weights, num_labels, cfg,
-                batch_rows,
+                df.iloc[lo:lo + batch_rows], weights, spec, cfg, batch_rows
             )
             gvec = g if gvec is None else gvec + g
             n_units += n
             loss_e6 += l
         return gvec, n_units, loss_e6
-    input_ids, y, seq_len = _block_batch(df, num_labels)
-    x = _embed(input_ids, frozen_embeddings(cfg))
-    valid = _span_mask(seq_len, x.shape[1])
+    input_ids, y, seq_len = _block_batch(df, spec)
+    x = _embed(input_ids, frozen_embeddings(cfg), cfg.pos_scale)
+    valid = _channel_valid(seq_len, x.shape[1], spec.tril)
 
-    s, cache = gp_scores(weights, x, cfg)
+    s, cache = gp_scores(weights, x, cfg, spec.rope)
     loss_sum, n_units, ds = _loss_and_dscore(s, y, valid)
     grads, dx = _backward(ds, cache, weights, cfg, want_dx=cfg.fgm_eps is not None)
 
@@ -286,7 +404,7 @@ def _grad_partial(
         norm = np.sqrt((dx * dx).sum())
         if norm > 1e-12:
             x_adv = x + cfg.fgm_eps * dx / norm
-            s2, cache2 = gp_scores(weights, x_adv, cfg)
+            s2, cache2 = gp_scores(weights, x_adv, cfg, spec.rope)
             loss2, _units2, ds2 = _loss_and_dscore(s2, y, valid)
             g2, _ = _backward(ds2, cache2, weights, cfg)
             for k in grads:
@@ -298,38 +416,93 @@ def _grad_partial(
     return gvec, n_units, int(round(loss_sum * 1_000_000))
 
 
+def _decode_valid(seq_len: np.ndarray, L: int, spec: TaskSpec) -> np.ndarray:
+    """[B, C, L, L] eval-time validity: the reference decode exclusions
+    (CLS/SEP/pad — ``modeling_gp.py:145-170``) on top of the per-channel
+    triangle rule."""
+    pos = np.arange(L)
+    body = (pos[None, :] >= 1) & (pos[None, :] < (seq_len[:, None] - 1))
+    pad = body[:, :, None] & body[:, None, :]
+    tri = (pos[:, None] <= pos[None, :])
+    return pad[:, None, :, :] & (
+        tri[None, None, :, :] | ~spec.tril[None, :, None, None]
+    )
+
+
 def _eval_partial(
     df: pd.DataFrame,
     weights: dict[str, np.ndarray],
-    num_labels: int,
+    spec: TaskSpec,
     cfg: GPTrainConfig,
     batch_rows: int = 128,
 ) -> tuple[int, int, int]:
-    """(tp, n_pred, n_true) span-set counts for one block, applying the
-    reference decode exclusions (CLS/SEP/pad, threshold 0)."""
+    """(tp, n_pred, n_true) channel-level span-mark counts for one
+    block — exact micro counts, no pair enumeration."""
     if len(df) > batch_rows:
         tp = np_ = nt = 0
         for lo in range(0, len(df), batch_rows):
             a, b, c = _eval_partial(
-                df.iloc[lo:lo + batch_rows], weights, num_labels, cfg,
-                batch_rows,
+                df.iloc[lo:lo + batch_rows], weights, spec, cfg, batch_rows
             )
             tp += a
             np_ += b
             nt += c
         return tp, np_, nt
-    input_ids, y, seq_len = _block_batch(df, num_labels)
-    x = _embed(input_ids, frozen_embeddings(cfg))
-    s, _ = gp_scores(weights, x, cfg)
-    valid = _span_mask(seq_len, x.shape[1])
-    pos = np.arange(x.shape[1])
-    body = (pos[None, :] >= 1) & (pos[None, :] < (seq_len[:, None] - 1))
-    dec = valid & body[:, :, None] & body[:, None, :]
-    pred = (s > 0.0) & dec[:, None, :, :]
-    true = (y == 1) & dec[:, None, :, :]
+    input_ids, y, seq_len = _block_batch(df, spec)
+    x = _embed(input_ids, frozen_embeddings(cfg), cfg.pos_scale)
+    s, _ = gp_scores(weights, x, cfg, spec.rope)
+    dec = _decode_valid(seq_len, x.shape[1], spec)
+    pred = (s > 0.0) & dec
+    true = (y == 1) & dec
     return (
         int((pred & true).sum()), int(pred.sum()), int(true.sum())
     )
+
+
+def _rel_triple_partial(
+    df: pd.DataFrame,
+    weights: dict[str, np.ndarray],
+    num_predicates: int,
+    cfg: GPTrainConfig,
+    batch_rows: int = 64,
+    pair_cap: int = 1 << 22,
+) -> tuple[int, int, int]:
+    """(tp, n_pred, n_true) TRIPLE-level counts — the reference
+    GPLinker decode (``modeling_gplinker.py:164-213``): subjects /
+    objects from the entity channels, predicates from the head∩tail
+    intersection per (subject, object) pair. ``pair_cap`` guards the
+    ns·no·P enumeration against an untrained head that marks half the
+    matrix (counts above the cap report n_pred = cap as a floor)."""
+    spec = rel_task(num_predicates)
+    P = num_predicates
+    tp = n_pred = n_true = 0
+    for lo in range(0, len(df), batch_rows):
+        part = df.iloc[lo:lo + batch_rows]
+        input_ids, y, seq_len = _block_batch(part, spec)
+        x = _embed(input_ids, frozen_embeddings(cfg), cfg.pos_scale)
+        s, _ = gp_scores(weights, x, cfg, spec.rope)
+        dec = _decode_valid(seq_len, x.shape[1], spec)
+        pred = (s > 0.0) & dec
+        for b, spo in enumerate(part["labels"]):
+            gold = {tuple(int(v) for v in t) for t in spo}
+            n_true += len(gold)
+            subs = np.argwhere(pred[b, 0])
+            objs = np.argwhere(pred[b, 1])
+            for sh, st, p, oh, ot in gold:
+                if (
+                    pred[b, 0, sh, st] and pred[b, 1, oh, ot]
+                    and pred[b, 2 + p, sh, oh] and pred[b, 2 + P + p, st, ot]
+                ):
+                    tp += 1
+            if len(subs) * len(objs) * P > pair_cap:
+                n_pred += pair_cap
+                continue
+            if len(subs) and len(objs):
+                for p in range(P):
+                    hm = pred[b, 2 + p][subs[:, 0][:, None], objs[:, 0][None, :]]
+                    tm = pred[b, 2 + P + p][subs[:, 1][:, None], objs[:, 1][None, :]]
+                    n_pred += int((hm & tm).sum())
+    return tp, n_pred, n_true
 
 
 # ------------------------------------------------------------- the trainer
@@ -349,7 +522,7 @@ def _latest_ckpt(d: str, max_epoch: int) -> int:
 
 def gp_train(
     train_features: "ray.data.Dataset",
-    num_labels: int,
+    num_labels: int | None = None,
     epochs: int = 12,
     cfg: GPTrainConfig = GPTrainConfig(),
     dev_features: "ray.data.Dataset | None" = None,
@@ -358,20 +531,15 @@ def gp_train(
     batch_rows: int = 128,
     engine: str = "blockset",
     n_blocks: int = 16,
+    task: TaskSpec | None = None,
 ) -> tuple[dict[str, np.ndarray], pd.DataFrame]:
-    """Train the GP head full-batch for ``epochs`` passes; returns
-    (weights, history) where history has one integer-exact row per
-    epoch: (epoch, loss_e6, n_units, grad_l1_q, and — when
+    """Train the span-scoring head full-batch for ``epochs`` passes;
+    returns (weights, history) where history has one integer-exact row
+    per epoch: (epoch, loss_e6, n_units, grad_l1_q, and — when
     ``dev_features`` is given — tp, n_pred, n_true, f1_e6).
 
-    ``engine="blockset"`` (default) pins the feature blocks in plasma
-    once and runs each epoch as one raw-task wave per block (the
-    ``state.exchange`` iterative-loop discipline — no per-epoch
-    Dataset executor bring-up, which otherwise dominates wall time at
-    small scale: ~0.3 s × 2 passes × epochs). ``engine="dataset"``
-    streams each epoch through ``map_batches`` instead — prefer it
-    when the feature table exceeds comfortable plasma residency (the
-    100-TB regime), where streaming + spill beats pinning.
+    ``task`` defaults to :func:`ner_task`(num_labels); pass
+    :func:`rel_task`(P) for GPLinker relation training.
 
     ``checkpoint_dir`` + ``resume=True`` gives bitwise resume: epoch
     checkpoints carry weights, Adam state and history; a resumed run
@@ -379,6 +547,11 @@ def gp_train(
     (guaranteed by the integer gradient reduce — see module
     docstring)."""
     import ray
+
+    if task is None:
+        if num_labels is None:
+            raise ValueError("need num_labels or task")
+        task = ner_task(num_labels)
 
     feats = train_features.materialize()
     bs = dev_bs = None
@@ -390,7 +563,8 @@ def gp_train(
             dev_bs = BlockSet.from_dataset(
                 dev_features.materialize()
             ).compact(n_blocks)
-    weights = init_gp_head(num_labels, cfg)
+
+    weights = init_gp_head(task.n_channels, cfg)
     like = {k: v.copy() for k, v in weights.items()}
     m = np.zeros(_flatten(weights).size)
     v = np.zeros_like(m)
@@ -420,7 +594,7 @@ def gp_train(
         if bs is not None:
             parts = bs.scalar(
                 lambda df, _w=wref: _grad_partial(
-                    df, ray.get(_w), num_labels, cfg, batch_rows
+                    df, ray.get(_w), task, cfg, batch_rows
                 ) if len(df) else None
             )
             for part in parts:
@@ -434,15 +608,15 @@ def gp_train(
             def gpart(df: pd.DataFrame, _wref=wref) -> pd.DataFrame:
                 w = ray.get(_wref)
                 gvec, n_u, l_e6 = _grad_partial(
-                    df, w, num_labels, cfg, batch_rows
+                    df, w, task, cfg, batch_rows
                 )
                 return pd.DataFrame(
                     {"g": [gvec], "n_units": np.int64(n_u),
                      "loss_e6": np.int64(l_e6)}
                 )
 
-            # batch_rows bounds the dense [B, nl, L, L] working tensor
-            # per task (B·nl·L²·8 bytes × a few temporaries)
+            # batch_rows bounds the dense [B, C, L, L] working tensor
+            # per task (B·C·L²·8 bytes × a few temporaries)
             parts = feats.map_batches(
                 gpart, batch_format="pandas", batch_size=batch_rows
             ).to_pandas()
@@ -468,11 +642,11 @@ def gp_train(
         }
         if dev_bs is not None:
             row.update(_eval_blockset(
-                dev_bs, weights, num_labels, cfg, batch_rows
+                dev_bs, weights, task, cfg, batch_rows
             ))
         elif dev_features is not None:
             row.update(evaluate_gp_head(
-                dev_features, weights, num_labels, cfg, batch_rows
+                dev_features, weights, task, cfg, batch_rows
             ))
         history.append(row)
 
@@ -499,14 +673,14 @@ def _f1_row(tp: int, n_pred: int, n_true: int) -> dict[str, int]:
 
 
 def _eval_blockset(
-    dev_bs, weights, num_labels: int, cfg: GPTrainConfig, batch_rows: int
+    dev_bs, weights, task: TaskSpec, cfg: GPTrainConfig, batch_rows: int
 ) -> dict[str, int]:
     import ray
 
     wref = ray.put(weights)
     parts = dev_bs.scalar(
         lambda df, _w=wref: _eval_partial(
-            df, ray.get(_w), num_labels, cfg, batch_rows
+            df, ray.get(_w), task, cfg, batch_rows
         ) if len(df) else (0, 0, 0)
     )
     tp = sum(p[0] for p in parts)
@@ -518,7 +692,7 @@ def _eval_blockset(
 def evaluate_gp_head(
     dev_features: "ray.data.Dataset",
     weights: dict[str, np.ndarray],
-    num_labels: int,
+    task: TaskSpec | int,
     cfg: GPTrainConfig = GPTrainConfig(),
     batch_rows: int = 128,
 ) -> dict[str, int]:
@@ -527,11 +701,12 @@ def evaluate_gp_head(
     true) partials per block, summed exactly."""
     import ray
 
+    spec = ner_task(task) if isinstance(task, int) else task
     wref = ray.put(weights)
 
     def epart(df: pd.DataFrame, _wref=wref) -> pd.DataFrame:
         tp, np_, nt = _eval_partial(
-            df, ray.get(_wref), num_labels, cfg
+            df, ray.get(_wref), spec, cfg, batch_rows
         )
         return pd.DataFrame(
             {"tp": [np.int64(tp)], "n_pred": [np.int64(np_)],
@@ -540,5 +715,35 @@ def evaluate_gp_head(
 
     tot = dev_features.map_batches(
         epart, batch_format="pandas", batch_size=batch_rows
+    ).to_pandas().sum()
+    return _f1_row(int(tot["tp"]), int(tot["n_pred"]), int(tot["n_true"]))
+
+
+def rel_triple_eval(
+    dev_features: "ray.data.Dataset",
+    weights: dict[str, np.ndarray],
+    num_predicates: int,
+    cfg: GPTrainConfig = GPTrainConfig(),
+    batch_rows: int = 64,
+) -> dict[str, int]:
+    """Triple-level micro P/R/F1 of a trained GPLinker head — the
+    reference's evaluate.py metric ((predicate, subject, object) sets,
+    ``examples/relation_extraction/evaluate.py:8-37``) at token-span
+    granularity, distributed as integer partials."""
+    import ray
+
+    wref = ray.put(weights)
+
+    def epart(df: pd.DataFrame, _wref=wref) -> pd.DataFrame:
+        tp, np_, nt = _rel_triple_partial(
+            df, ray.get(_wref), num_predicates, cfg, batch_rows
+        )
+        return pd.DataFrame(
+            {"tp": [np.int64(tp)], "n_pred": [np.int64(np_)],
+             "n_true": [np.int64(nt)]}
+        )
+
+    tot = dev_features.map_batches(
+        epart, batch_format="pandas", batch_size=256
     ).to_pandas().sum()
     return _f1_row(int(tot["tp"]), int(tot["n_pred"]), int(tot["n_true"]))

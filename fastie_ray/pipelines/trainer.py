@@ -150,6 +150,45 @@ def rel_task(num_predicates: int) -> TaskSpec:
     return TaskSpec(C, tril, rope, build)
 
 
+def ee_task(num_roles: int) -> TaskSpec:
+    """GPLinker-EE channels (A13 semantics, ``event_extraction/
+    gplinker/modeling_gplinker.py:60-156``): one argument channel per
+    ``event_type@role`` label (RoPE, tril) + ONE head-link and ONE
+    tail-link channel over (min, max)-normalized argument-pair
+    positions (upper triangle by construction, no RoPE — the
+    reference's single-channel link heads). Consumes
+    ``train_prep.ee_convert_to_features`` rows (argu_labels flattened
+    [tp, h1, t1, ...] per type; head/tail_labels (i, j) pairs; the
+    reference's (0, 0…) sentinels are skipped — position 0 is CLS, so
+    no real span can sit there)."""
+    R = num_roles
+    C = R + 2
+
+    def build(df: pd.DataFrame, L: int) -> np.ndarray:
+        y = np.zeros((len(df), C, L, L), dtype=np.int64)
+        for i, (argu, heads, tails) in enumerate(zip(
+            df["argu_labels"], df["head_labels"], df["tail_labels"]
+        )):
+            for lab in argu:
+                lab = [int(v) for v in lab]
+                tp = lab[0]
+                for h, t in zip(lab[1::2], lab[2::2]):
+                    if h == 0 and t == 0:
+                        continue
+                    y[i, tp, h, t] = 1
+            for ch, pairs in ((R, heads), (R + 1, tails)):
+                for pr in pairs:
+                    a, b = int(pr[0]), int(pr[1])
+                    if a == 0 and b == 0:
+                        continue
+                    y[i, ch, a, b] = 1
+        return y
+
+    tril = np.ones(C, dtype=bool)
+    rope = np.array([True] * R + [False, False])
+    return TaskSpec(C, tril, rope, build)
+
+
 # ------------------------------------------------------------ frozen backbone
 
 _EMB_CACHE: dict[tuple, np.ndarray] = {}

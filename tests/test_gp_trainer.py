@@ -245,3 +245,55 @@ def test_rel_train_converges_triple_level(ray_session):
     assert m["n_true"] == 80
     assert m["f1_e6"] >= 500_000
     assert m["tp"] >= int(0.8 * m["n_pred"])
+
+
+def _ee_rows(n: int, seed: int) -> list[dict]:
+    """One 'hire' event per row: trigger + employer + employee
+    arguments — argument channels learn gazetteer spans, link channels
+    learn the (min, max) pair structure."""
+    from fastie_ray.synth import build_world
+
+    gaz = sorted(build_world().gazetteer.items())
+    orgs = [s for s, lb in gaz if lb == "ORG"]
+    pers = [s for s, lb in gaz if lb == "PER"]
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(n):
+        org = orgs[rng.integers(len(orgs))]
+        per = pers[rng.integers(len(pers))]
+        text = f"{org} hired {per} ."
+        tr = len(org) + 1
+        ph = tr + 6
+        rows.append({"text": text, "events": [[
+            ("hire", "trigger", "hired", tr, tr + 5),
+            ("hire", "employer", org, 0, len(org)),
+            ("hire", "employee", per, ph, ph + len(per)),
+        ]]})
+    return rows
+
+
+def test_ee_train_converges(ray_session):
+    from fastie_ray.pipelines.train_prep import ee_convert_to_features
+    from fastie_ray.pipelines.trainer import ee_task
+
+    labels = ["hire@employee", "hire@employer", "hire@trigger"]
+    l2i = {lb: i for i, lb in enumerate(labels)}
+
+    def ds_of(rows):  # nested event tuples need a pandas object column
+        return ray.data.from_pandas(pd.DataFrame({
+            "text": [r["text"] for r in rows],
+            "events": [r["events"] for r in rows],
+        }))
+
+    train = ee_convert_to_features(
+        ds_of(_ee_rows(300, 5)), l2i, max_length=64, label_col="events",
+    )
+    dev = ee_convert_to_features(
+        ds_of(_ee_rows(80, 9)), l2i, max_length=64, label_col="events",
+    )
+    _, hist = gp_train(
+        train, epochs=60, cfg=GPTrainConfig(lr=0.2),
+        dev_features=dev, task=ee_task(len(labels)),
+    )
+    assert hist["f1_e6"].iloc[-1] >= 750_000
+    assert (hist["tp"] <= hist["n_true"]).all()

@@ -297,3 +297,45 @@ def test_ee_train_converges(ray_session):
     )
     assert hist["f1_e6"].iloc[-1] >= 750_000
     assert (hist["tp"] <= hist["n_true"]).all()
+
+
+def test_gp_train_all_negative_rows(ray_session):
+    """Docs with zero entities must train (suppression-only loss) and
+    evaluate without dividing by zero."""
+    rows = [{"text": f"nothing here {i} .", "entities": []} for i in range(40)]
+    feats = _features(rows, LABELS5)
+    w, hist = gp_train(
+        feats, len(LABELS5), epochs=3, cfg=GPTrainConfig(lr=0.1),
+        dev_features=feats,
+    )
+    assert (hist["n_true"] == 0).all()
+    assert (hist["f1_e6"] == 0).all()
+    # suppression learning: predicted positives shrink
+    assert hist["n_pred"].iloc[-1] <= hist["n_pred"].iloc[0]
+
+
+def test_gp_train_dataset_engine_matches_blockset(ray_session):
+    """engine="dataset" (the beyond-plasma streaming path) follows the
+    same trajectory as the pinned-BlockSet path. Bitwise parity holds
+    only WITHIN an engine (fixed block boundaries — resume test);
+    across engines the per-block fixed-point rounding differs, so
+    agreement is at quantization precision, not bitwise."""
+    train = _features(_gaz_rows(60, 3), LABELS5)
+    _, h_bs = gp_train(
+        train, len(LABELS5), epochs=3, cfg=GPTrainConfig(lr=0.1),
+        engine="blockset",
+    )
+    _, h_ds = gp_train(
+        train, len(LABELS5), epochs=3, cfg=GPTrainConfig(lr=0.1),
+        engine="dataset",
+    )
+    assert (h_bs["epoch"] == h_ds["epoch"]).all()
+    assert (h_bs["n_units"] == h_ds["n_units"]).all()
+    # per-unit loss agrees to the e6 quantum (+/- block-count rounding)
+    assert (h_bs["loss_e6"] - h_ds["loss_e6"]).abs().max() <= 2
+    # summed |grad| agrees to ~1e-9 relative (per-block rounding)
+    rel = (
+        (h_bs["grad_l1_q"] - h_ds["grad_l1_q"]).abs()
+        / h_bs["grad_l1_q"].clip(lower=1)
+    )
+    assert rel.max() < 1e-6

@@ -1,0 +1,130 @@
+"""run_train_job CLI (the ``fastie-cli train`` analogue): in-process
+end-to-end runs of the three task modes + bitwise resume, and parity
+of the trained RE head with the production GPLinker decode kernel."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+
+def _run_job(argv: list[str], capsys) -> dict:
+    sys.path.insert(0, "/root/repo/scripts")
+    import importlib
+
+    import run_train_job
+
+    importlib.reload(run_train_job)
+    old = sys.argv
+    sys.argv = ["run_train_job.py"] + argv
+    try:
+        rc = run_train_job.main()
+    finally:
+        sys.argv = old
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def test_train_job_ner_distant_and_resume(ray_session, tmp_path, capsys):
+    out = str(tmp_path / "run")
+    rep = _run_job(
+        ["--task", "ner", "--sf-dir", "/root/testdata/sf0.001",
+         "--out-dir", out, "--epochs", "4", "--lr", "0.15"], capsys,
+    )
+    assert rep["task"] == "ner" and rep["final"]["epoch"] == 3
+    w1 = np.load(str(tmp_path / "run" / "weights.npz"))
+    # rerun with --resume: epochs already checkpointed, bitwise replay
+    rep2 = _run_job(
+        ["--task", "ner", "--sf-dir", "/root/testdata/sf0.001",
+         "--out-dir", out, "--epochs", "4", "--lr", "0.15", "--resume"],
+        capsys,
+    )
+    w2 = np.load(str(tmp_path / "run" / "weights.npz"))
+    assert rep2["final"] == rep["final"]
+    for k in w1.files:
+        assert np.array_equal(w1[k], w2[k])
+    hist = pd.read_parquet(str(tmp_path / "run" / "history.parquet"))
+    assert len(hist) == 4
+
+
+def _write_rel_jsonl(path: str, n: int, seed: int) -> None:
+    from fastie_ray.synth import PREDICATES, build_world
+
+    gaz = sorted(build_world().gazetteer.items())
+    preds = sorted(PREDICATES)
+    labs = sorted({lb for _, lb in gaz})
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for _ in range(n):
+            s, l1 = gaz[rng.integers(len(gaz))]
+            o, _ = gaz[rng.integers(len(gaz))]
+            p = preds[labs.index(l1) % len(preds)]
+            text = f"{s} {p.replace('_', ' ')} {o} ."
+            f.write(json.dumps({"text": text, "spo_list": [
+                {"predicate": p, "subject": s, "object": o}]}) + "\n")
+
+
+def test_train_job_rel_jsonl_and_kernel_parity(
+    ray_session, tmp_path, capsys
+):
+    """The trained head's channels split 2 / P / P and drive the
+    PRODUCTION decode kernel (``kernels.gplinker_re.
+    decode_gplinker_dense``) — surface triples out, not just counts."""
+    train_json = str(tmp_path / "rel.jsonl")
+    _write_rel_jsonl(train_json, 420, 3)
+    out = str(tmp_path / "rel_run")
+    rep = _run_job(
+        ["--task", "rel", "--train-json", train_json, "--out-dir", out,
+         "--epochs", "130", "--lr", "0.3"], capsys,
+    )
+    assert rep["n_channels"] == 2 + 2 * rep["n_labels"]
+
+    # decode a held-out example through the production kernel
+    from fastie_ray.hf_backend import WordPieceTokenizer
+    from fastie_ray.kernels.gplinker_re import decode_gplinker_dense
+    from fastie_ray.pipelines.trainer import (
+        GPTrainConfig, _embed, frozen_embeddings, gp_scores, rel_task,
+    )
+    from fastie_ray.synth import PREDICATES, build_world
+
+    preds = sorted(PREDICATES)
+    P = len(preds)
+    spec = rel_task(P)
+    z = np.load(str(tmp_path / "rel_run" / "weights.npz"))
+    weights = {k: z[k] for k in z.files}
+    cfg = GPTrainConfig(lr=0.3)
+
+    gaz = sorted(build_world().gazetteer.items())
+    labs = sorted({lb for _, lb in gaz})
+    rng = np.random.default_rng(17)
+    hits = 0
+    for _ in range(20):
+        s, l1 = gaz[rng.integers(len(gaz))]
+        o, _ = gaz[rng.integers(len(gaz))]
+        p = preds[labs.index(l1) % P]
+        text = f"{s} {p.replace('_', ' ')} {o} ."
+        enc = WordPieceTokenizer(64).encode(text.replace(" ", "-"))
+        from fastie_ray.pipelines.train_prep import _token_ids
+
+        ids = np.asarray([_token_ids(enc.offsets, text.replace(" ", "-"))])
+        x = _embed(ids, frozen_embeddings(cfg), cfg.pos_scale)
+        sc, _ = gp_scores(weights, x, cfg, spec.rope)[0][0], None
+        triples = decode_gplinker_dense(
+            sc[:2], sc[2:2 + P], sc[2 + P:], enc.seq_len, text,
+            enc.offsets, {i: pr for i, pr in enumerate(preds)},
+        )
+        if (p, s, o) in triples:
+            hits += 1
+    # the trained head recovers a solid share of in-distribution
+    # triples through the unmodified production decode path (the
+    # content-only link channels bound recall on unseen pairs —
+    # NOTES round-4 fact 22)
+    assert hits >= 8

@@ -1960,6 +1960,19 @@ def _q_quality(sf_dir: str):
     return quality_scores(ds)
 
 
+def _q_preference_pairs(sf_dir: str):
+    """DPO-style preference pairs (``ops.selection.preference_pairs``):
+    per (lang, 64-token length bucket), chosen = best integer quality
+    score (mean_token_len_e6 − 2·punct_ratio_e6), rejected = worst,
+    min-doc_id tie-breaks — classic combiner (2 candidate rows per
+    group per block, ONE group-bucketed exchange; corpus never
+    shuffles)."""
+    from fastie_ray.ops.selection import preference_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return preference_pairs(ds)
+
+
 def _q_winnow(sf_dir: str):
     """Winnowing fingerprint selection (k=8 grams, w=4 windows) — one
     shuffle-free map; oracle recomputes grams via generate_series +
@@ -8862,6 +8875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "augment_stats": _q_augment,
         "extraction_f1": _q_extraction_f1,
         "gp_train": _q_gp_train,
+        "preference_pairs": _q_preference_pairs,
         "media_frames": _q_media_frames,
         "media_neardup": _q_media_neardup,
         "extract_text": _q_extract_text,
@@ -11436,6 +11450,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(n_punct * 1000000.0 / greatest(n_chars, 1)) AS BIGINT) AS punct_ratio_e6,
                    CAST(floor(non_space * 1000000.0 / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_e6
             FROM q
+        """,
+        "preference_pairs": """
+            WITH q AS (
+                SELECT doc_id, lang,
+                       length(text) AS n_chars,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                       length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+                       length(regexp_replace(text, '\\s', '', 'g')) AS non_space
+                FROM documents),
+            s AS (
+                SELECT doc_id, lang, n_tokens // 64 AS len_bucket,
+                       CAST(floor(non_space * 1000000.0 / greatest(n_tokens, 1)) AS BIGINT)
+                       - 2 * CAST(floor(n_punct * 1000000.0 / greatest(n_chars, 1)) AS BIGINT) AS score
+                FROM q),
+            r AS (
+                SELECT lang, len_bucket, doc_id, score,
+                       row_number() OVER (PARTITION BY lang, len_bucket
+                           ORDER BY score DESC, doc_id) AS rb,
+                       row_number() OVER (PARTITION BY lang, len_bucket
+                           ORDER BY score ASC, doc_id) AS rw
+                FROM s)
+            SELECT b.lang, b.len_bucket,
+                   b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+                   b.score - w.score AS gap_e6
+            FROM r b JOIN r w
+                ON b.lang = w.lang AND b.len_bucket = w.len_bucket
+            WHERE b.rb = 1 AND w.rw = 1
+              AND b.doc_id <> w.doc_id AND b.score > w.score
         """,
         "winnow_overlap": """
             WITH grams AS (

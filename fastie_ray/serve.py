@@ -148,7 +148,67 @@ def start_pool(task: str, n_workers: int = 2, world=None, **kw):
     ]
 
 
-def make_handler(task: str, workers, api_key: str | None = None):
+def webui_html(task: str, title: str | None = None) -> str:
+    """The WebUI page (reference ``fastie/webui/interface.py``: a
+    gradio ``gr.Interface(textbox → gr.Json)`` playground; gradio is
+    not in this container, so the same flow is one static HTML page —
+    textarea (+ schema box for UIE) → ``POST /v1/ie`` → pretty-printed
+    JSON result with inline entity highlights)."""
+    title = title or "Fast Information Extraction Demo"
+    schema_box = (
+        '<label>Schema (JSON, UIE only)</label>'
+        '<textarea id="schema" rows="3" placeholder=\'["person", '
+        '{"organization": ["founder"]}]\'></textarea>'
+        if task == "uie" else ""
+    )
+    return f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>
+ body {{ font-family: sans-serif; max-width: 56rem; margin: 2rem auto; }}
+ textarea {{ width: 100%; font-size: 1rem; }}
+ pre {{ background: #f6f6f6; padding: 1rem; overflow-x: auto; }}
+ .hl {{ background: #ffe08a; border-radius: 3px; padding: 0 2px; }}
+ button {{ font-size: 1rem; padding: .4rem 1.2rem; margin: .6rem 0; }}
+</style></head><body>
+<h1>{title}</h1>
+<p>task: <b>{task}</b> — enter one sentence per line.</p>
+<textarea id="texts" rows="5" placeholder="Enter sentence here..."></textarea>
+{schema_box}
+<br><button onclick="run()">Extract</button>
+<div id="marked"></div>
+<pre id="out">Result appears here.</pre>
+<script>
+async function run() {{
+  const texts = document.getElementById('texts').value.split('\\n')
+      .map(s => s.trim()).filter(s => s.length);
+  const body = {{texts: texts}};
+  const sEl = document.getElementById('schema');
+  if (sEl && sEl.value.trim()) body.ie_schema = JSON.parse(sEl.value);
+  const r = await fetch('/v1/ie', {{method: 'POST',
+      headers: {{'Content-Type': 'application/json'}},
+      body: JSON.stringify(body)}});
+  const j = await r.json();
+  document.getElementById('out').textContent = JSON.stringify(j, null, 2);
+  const marked = document.getElementById('marked');
+  marked.innerHTML = '';
+  (j.labels || []).forEach((doc, i) => {{
+    let spans = [];
+    Object.values(doc || {{}}).forEach(v => (Array.isArray(v) ? v : [])
+        .forEach(e => {{ if (e && e.start != null) spans.push(e); }}));
+    spans.sort((a, b) => a.start - b.start);
+    let t = texts[i] || '', html = '', pos = 0;
+    spans.forEach(e => {{ if (e.start >= pos) {{
+        html += t.slice(pos, e.start)
+             + '<span class="hl">' + t.slice(e.start, e.end) + '</span>';
+        pos = e.end; }} }});
+    marked.innerHTML += '<p>' + html + t.slice(pos) + '</p>';
+  }});
+}}
+</script></body></html>"""
+
+
+def make_handler(task: str, workers, api_key: str | None = None,
+                 webui: bool = False):
     """POST /v1/ie handler with the reference protocol envelope
     (``api/protocol.py:25-60``): request {texts, ie_schema, batch_size,
     max_length}, response {id, object, created, model, labels}."""
@@ -165,6 +225,17 @@ def make_handler(task: str, workers, api_key: str | None = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
+
+        def do_GET(self):
+            if not webui or self.path not in ("/", "/index.html"):
+                self.send_error(404)
+                return
+            body = webui_html(task).encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_POST(self):
             if self.path != "/v1/ie":
@@ -210,9 +281,13 @@ def serve(
     n_workers: int = 2,
     world=None,
     api_key: str | None = None,
+    webui: bool = False,
     **kw,
 ) -> ThreadingHTTPServer:
     """Build the pool + HTTP server (caller owns the Ray session and
-    calls ``serve_forever`` / ``shutdown``)."""
+    calls ``serve_forever`` / ``shutdown``). ``webui=True`` also serves
+    the playground page on GET / (the gradio-interface analogue)."""
     workers = start_pool(task, n_workers=n_workers, world=world, **kw)
-    return ThreadingHTTPServer((host, port), make_handler(task, workers, api_key))
+    return ThreadingHTTPServer(
+        (host, port), make_handler(task, workers, api_key, webui=webui)
+    )

@@ -111,3 +111,45 @@ def test_demo_cli_render_and_predict():
     out = worker.predict([text])[0]
     rendered = demo.render("rel", text, out)
     assert f.subj.name in rendered and f.obj.name in rendered
+
+
+def test_webui_playground_page(ray_session):
+    """--webui parity surface (reference fastie/webui/interface.py):
+    GET / serves the playground HTML, the JSON endpoint keeps working
+    through the same handler, and without webui GET stays 404."""
+    w, f = _world_and_fact()
+    httpd = serve(task="ner", port=0, n_workers=1, world=w, webui=True)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=60
+        ) as resp:
+            html = resp.read().decode()
+        assert "Fast Information Extraction Demo" in html
+        assert "/v1/ie" in html and "task: <b>ner</b>" in html
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/ie",
+            data=json.dumps({"texts": [f.sentence("en")]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            body = json.loads(resp.read())
+        assert body["object"] == "named-entity-recognition"
+        assert any(body["labels"][0].values())
+    finally:
+        httpd.shutdown()
+
+    httpd2 = serve(task="ner", port=0, n_workers=1, world=w)
+    port2 = httpd2.server_address[1]
+    t2 = threading.Thread(target=httpd2.serve_forever, daemon=True)
+    t2.start()
+    try:
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port2}/", timeout=60)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd2.shutdown()

@@ -250,6 +250,60 @@ class TorchDenseBackend:
         return SubwordEncoding(offsets=offsets, char2tok=char2tok)
 
 
+class TrainedHeadBackend:
+    """A head TRAINED by ``pipelines.trainer`` (``save_trained_head``
+    checkpoint: wq/bq/wk/bk + backbone hyperparameters + labels) as a
+    drop-in dense backend — the reference's train → save →
+    ``from_pretrained`` → predict loop closed torch-free: the npz the
+    train job writes drives the SAME scorer/decode path
+    (``NerScorer(ner_backend="hf", hf_model=path)``) as any other
+    checkpoint. Token ids reuse the training featurization
+    (``train_prep._token_ids`` hashed ids over the wordpiece offsets),
+    so inference sees exactly the representation the head was trained
+    on."""
+
+    def __init__(self, path: str, max_length: int = 512):
+        from fastie_ray.pipelines.trainer import load_trained_head
+
+        self.w, self.task, labels, self.cfg = load_trained_head(path)
+        self.max_length = max_length
+        self.tokenizer = WordPieceTokenizer(max_length=max_length)
+        if self.task == "rel":
+            self.id2predicate = {i: p for i, p in enumerate(labels)}
+            self.n_predicates = len(labels)
+        else:
+            self.id2label = {i: lb for i, lb in enumerate(labels)}
+
+    def encode(self, dashed: str) -> SubwordEncoding:
+        return self.tokenizer.encode(dashed)
+
+    def _scores(self, dashed: str, rope) -> tuple[SubwordEncoding, np.ndarray]:
+        from fastie_ray.pipelines.train_prep import _token_ids
+        from fastie_ray.pipelines.trainer import (
+            _embed, frozen_embeddings, gp_scores,
+        )
+
+        enc = self.tokenizer.encode(dashed)
+        ids = np.asarray([_token_ids(enc.offsets, dashed)])
+        x = _embed(ids, frozen_embeddings(self.cfg), self.cfg.pos_scale)
+        s, _ = gp_scores(self.w, x, self.cfg, rope)
+        return enc, s[0]
+
+    def ner_forward(self, dashed: str) -> tuple[SubwordEncoding, np.ndarray]:
+        if self.task != "ner":
+            raise ValueError(f"checkpoint was trained for task {self.task!r}")
+        return self._scores(dashed, None)
+
+    def rel_forward(self, dashed: str):
+        if self.task != "rel":
+            raise ValueError(f"checkpoint was trained for task {self.task!r}")
+        from fastie_ray.pipelines.trainer import rel_task
+
+        P = self.n_predicates
+        enc, s = self._scores(dashed, rel_task(P).rope)
+        return enc, s[:2], s[2:2 + P], s[2 + P:]
+
+
 def resolve_dense_backend(
     featurizer,
     max_length: int = 512,
@@ -259,7 +313,9 @@ def resolve_dense_backend(
     """Dense-backend dispatch (VERDICT r1 #1, r3 #1) — deployment is a
     config change, not new code:
 
-    - ``*.npz``             → ``NumpyDenseBackend`` (a real transformer
+    - ``*.npz`` with trained-head keys → ``TrainedHeadBackend``
+      (a ``run_train_job`` / ``save_trained_head`` checkpoint)
+    - other ``*.npz``       → ``NumpyDenseBackend`` (a real transformer
       forward over a compiled checkpoint; torch-free)
     - ``"compile:gazetteer"`` → compile the numpy checkpoint from the
       featurizer's gazetteer in-process (once per actor, ~1 s)
@@ -267,6 +323,12 @@ def resolve_dense_backend(
       else fall back to the deterministic featurizer backend."""
     if model_name_or_path is not None:
         if model_name_or_path.endswith(".npz"):
+            with np.load(model_name_or_path) as z:
+                trained = "head_task" in z.files
+            if trained:
+                return TrainedHeadBackend(
+                    model_name_or_path, max_length=max_length
+                )
             from fastie_ray.np_transformer import NumpyDenseBackend
 
             return NumpyDenseBackend(model_name_or_path)

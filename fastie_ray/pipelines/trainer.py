@@ -786,3 +786,45 @@ def rel_triple_eval(
         epart, batch_format="pandas", batch_size=256
     ).to_pandas().sum()
     return _f1_row(int(tot["tp"]), int(tot["n_pred"]), int(tot["n_true"]))
+
+
+def save_trained_head(
+    path: str,
+    weights: dict[str, np.ndarray],
+    task_name: str,
+    labels: list[str],
+    cfg: GPTrainConfig,
+) -> None:
+    """Persist a trained head as a self-describing ``.npz`` checkpoint
+    (weights + the backbone hyperparameters that reproduce the frozen
+    embeddings + the label vocabulary). ``hf_backend.
+    resolve_dense_backend`` dispatches on these keys, so a trained
+    checkpoint drives the production scorer path
+    (``NerScorer(ner_backend="hf", hf_model=path)``) — the reference's
+    train → save → ``from_pretrained`` → predict loop, closed."""
+    np.savez(
+        path,
+        **{k: np.asarray(v) for k, v in weights.items()},
+        head_task=np.array(task_name),
+        head_labels=np.array(list(labels)),
+        head_cfg=np.array([
+            cfg.d_model, cfg.head_size, cfg.emb_rows, cfg.seed,
+        ], dtype=np.int64),
+        head_pos_scale=np.float64(cfg.pos_scale),
+    )
+
+
+def load_trained_head(path: str):
+    """→ (weights, task_name, labels, cfg) from
+    :func:`save_trained_head` output."""
+    z = np.load(path, allow_pickle=False)
+    weights = {k: z[k] for k in ("wq", "bq", "wk", "bk")}
+    d, h, rows, seed = (int(v) for v in z["head_cfg"])
+    cfg = GPTrainConfig(
+        d_model=d, head_size=h, emb_rows=rows, seed=seed,
+        pos_scale=float(z["head_pos_scale"]),
+    )
+    return (
+        weights, str(z["head_task"]), [str(x) for x in z["head_labels"]],
+        cfg,
+    )

@@ -233,9 +233,16 @@ def main() -> int:
         batch_rows=args.batch_rows, engine=args.engine, task=spec,
     )
 
+    from fastie_ray.pipelines.trainer import save_trained_head
+
     hist.to_parquet(os.path.join(args.out_dir, "history.parquet"))
-    np.savez(os.path.join(args.out_dir, "weights.npz"),
-             **{k: v for k, v in weights.items()})
+    # self-describing checkpoint: hf_backend.resolve_dense_backend
+    # dispatches on it, so the trained head drives the production
+    # scorer (NerScorer(ner_backend="hf", hf_model=<weights.npz>))
+    save_trained_head(
+        os.path.join(args.out_dir, "weights.npz"),
+        weights, args.task, labels, cfg,
+    )
     last = hist.iloc[-1].to_dict() if len(hist) else {}
     report = {
         "job": "train", "task": args.task, "epochs": args.epochs,

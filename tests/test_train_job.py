@@ -95,12 +95,15 @@ def test_train_job_rel_jsonl_and_kernel_parity(
     )
     from fastie_ray.synth import PREDICATES, build_world
 
+    from fastie_ray.pipelines.trainer import load_trained_head
+
     preds = sorted(PREDICATES)
     P = len(preds)
     spec = rel_task(P)
-    z = np.load(str(tmp_path / "rel_run" / "weights.npz"))
-    weights = {k: z[k] for k in z.files}
-    cfg = GPTrainConfig(lr=0.3)
+    weights, task_name, saved_labels, cfg = load_trained_head(
+        str(tmp_path / "rel_run" / "weights.npz")
+    )
+    assert task_name == "rel" and saved_labels == preds
 
     gaz = sorted(build_world().gazetteer.items())
     labs = sorted({lb for _, lb in gaz})
@@ -128,3 +131,61 @@ def test_train_job_rel_jsonl_and_kernel_parity(
     # content-only link channels bound recall on unseen pairs —
     # NOTES round-4 fact 22)
     assert hits >= 8
+
+
+def test_trained_head_drives_production_scorer(ray_session, tmp_path):
+    """save_trained_head checkpoint → resolve_dense_backend →
+    NerScorer(ner_backend="hf") — the train → save → from_pretrained →
+    predict loop, closed: trained weights drive the UNMODIFIED
+    production scorer stage and largely reproduce the featurizer
+    scorer's mentions."""
+    import pyarrow as pa
+
+    from fastie_ray.pipelines.train_prep import ner_convert_to_features
+    from fastie_ray.pipelines.trainer import (
+        GPTrainConfig, gp_train, save_trained_head,
+    )
+    from fastie_ray.stages.scorers import NerScorer
+    from fastie_ray.synth import build_world
+
+    gaz = sorted(build_world().gazetteer.items())
+    labels = sorted({lb for _, lb in gaz})
+    rng = np.random.default_rng(21)
+    rows, sents = [], []
+    for _ in range(300):
+        s1, l1 = gaz[rng.integers(len(gaz))]
+        s2, l2 = gaz[rng.integers(len(gaz))]
+        text = f"{s1} met {s2} today ."
+        sents.append(text)
+        rows.append({"text": text, "entities": [
+            {"start_offset": 0, "end_offset": len(s1), "label": l1},
+            {"start_offset": len(s1) + 5,
+             "end_offset": len(s1) + 5 + len(s2), "label": l2},
+        ]})
+    l2i = {lb: i for i, lb in enumerate(labels)}
+    feats = ner_convert_to_features(
+        ray.data.from_items(rows), l2i, max_length=64
+    )
+    cfg = GPTrainConfig(lr=0.2)
+    w, hist = gp_train(feats, len(labels), epochs=60, cfg=cfg)
+    path = str(tmp_path / "ner_head.npz")
+    save_trained_head(path, w, "ner", labels, cfg)
+
+    chunk_batch = pa.table({
+        "url": [f"u{i}" for i in range(40)],
+        "chunk_id": [0] * 40,
+        "chunk_offset": [0] * 40,
+        "chunk_text": sents[:40],
+    })
+    got_hf = NerScorer(
+        ner_backend="hf", hf_model=path, max_length=64
+    )(chunk_batch).to_pandas()
+    got_def = NerScorer(max_length=64)(chunk_batch).to_pandas()
+    key = ["url", "label", "start", "end", "mention"]
+    hf_set = set(map(tuple, got_hf[key].itertuples(index=False)))
+    def_set = set(map(tuple, got_def[key].itertuples(index=False)))
+    assert len(def_set) == 80  # two gold mentions per chunk
+    inter = len(hf_set & def_set)
+    # trained (not compiled) weights: near-perfect, not bit-exact
+    assert inter >= int(0.85 * len(def_set))
+    assert len(hf_set) <= int(1.25 * len(def_set))

@@ -303,6 +303,15 @@ class TrainedHeadBackend:
         enc, s = self._scores(dashed, rel_task(P).rope)
         return enc, s[:2], s[2:2 + P], s[2 + P:]
 
+    def ee_forward(self, dashed: str):
+        if self.task != "ee":
+            raise ValueError(f"checkpoint was trained for task {self.task!r}")
+        from fastie_ray.pipelines.trainer import ee_task
+
+        R = len(self.id2label)
+        enc, s = self._scores(dashed, ee_task(R).rope)
+        return enc, s[:R], s[R:R + 1], s[R + 1:R + 2], dict(self.id2label)
+
 
 def resolve_dense_backend(
     featurizer,

@@ -189,3 +189,65 @@ def test_trained_head_drives_production_scorer(ray_session, tmp_path):
     # trained (not compiled) weights: near-perfect, not bit-exact
     assert inter >= int(0.85 * len(def_set))
     assert len(hf_set) <= int(1.25 * len(def_set))
+
+
+def test_trained_ee_head_drives_event_scorer(ray_session, tmp_path):
+    """task=ee checkpoint → ee_forward → decode_event_dense through the
+    production EventScorer: trained argument + link channels group
+    arguments into events with the reference clique/trigger rules."""
+    import pyarrow as pa
+
+    from fastie_ray.kernels.event_ee import TRIGGER_ROLE
+    from fastie_ray.pipelines.train_prep import ee_convert_to_features
+    from fastie_ray.pipelines.trainer import (
+        GPTrainConfig, ee_task, gp_train, save_trained_head,
+    )
+    from fastie_ray.stages.scorers import EventScorer
+    from fastie_ray.synth import build_world
+
+    gaz = sorted(build_world().gazetteer.items())
+    orgs = [s for s, lb in gaz if lb == "ORG"]
+    pers = [s for s, lb in gaz if lb == "PER"]
+    rng = np.random.default_rng(5)
+    rows, sents = [], []
+    for _ in range(300):
+        org = orgs[rng.integers(len(orgs))]
+        per = pers[rng.integers(len(pers))]
+        text = f"{org} hired {per} ."
+        tr = len(org) + 1
+        ph = tr + 6
+        sents.append(text)
+        rows.append({"text": text, "events": [[
+            ("hire", TRIGGER_ROLE, "hired", tr, tr + 5),
+            ("hire", "employer", org, 0, len(org)),
+            ("hire", "employee", per, ph, ph + len(per)),
+        ]]})
+    labels = sorted([f"hire@{TRIGGER_ROLE}", "hire@employer",
+                     "hire@employee"])
+    l2i = {lb: i for i, lb in enumerate(labels)}
+    feats = ee_convert_to_features(
+        ray.data.from_pandas(pd.DataFrame({
+            "text": [r["text"] for r in rows],
+            "events": [r["events"] for r in rows],
+        })), l2i, max_length=64, label_col="events",
+    )
+    cfg = GPTrainConfig(lr=0.2)
+    w, _ = gp_train(feats, epochs=60, cfg=cfg, task=ee_task(len(labels)))
+    path = str(tmp_path / "ee_head.npz")
+    save_trained_head(path, w, "ee", labels, cfg)
+
+    batch = pa.table({
+        "url": [f"u{i}" for i in range(30)],
+        "chunk_id": [0] * 30,
+        "chunk_offset": [0] * 30,
+        "chunk_text": sents[:30],
+    })
+    got = EventScorer(
+        backend="hf", hf_model=path, max_length=64
+    )(batch).to_pandas()
+    # most chunks yield a complete trained-decoded event (3 roles)
+    n_full = (
+        got.groupby("url")["role"].nunique() >= 3
+    ).sum() if len(got) else 0
+    assert n_full >= 20
+    assert set(got["event_type"].unique()) == {"hire"}

@@ -306,11 +306,18 @@ def gp_scores(
     if rope_ch is None:
         rope_ch = np.ones(C, dtype=bool)
     cos, sin = _rope_tables(L, h)
-    q = np.einsum("bld,ndh->bnlh", x, weights["wq"]) + weights["bq"][None, :, None, :]
-    k = np.einsum("bld,ndh->bnlh", x, weights["wk"]) + weights["bk"][None, :, None, :]
+    # BLAS-backed contractions (tensordot/matmul), NOT np.einsum: the
+    # naive c_einsum loops were 80% of the epoch wall (profiled) —
+    # GEMM is ~5× faster single-threaded at these shapes
+    q = np.tensordot(x, weights["wq"], axes=([2], [1])).transpose(
+        0, 2, 1, 3
+    ) + weights["bq"][None, :, None, :]
+    k = np.tensordot(x, weights["wk"], axes=([2], [1])).transpose(
+        0, 2, 1, 3
+    ) + weights["bk"][None, :, None, :]
     qr = _sel_rope(q, cos, sin, rope_ch)
     kr = _sel_rope(k, cos, sin, rope_ch)
-    s = np.einsum("bnlh,bnmh->bnlm", qr, kr) / np.sqrt(h)
+    s = (qr @ kr.swapaxes(-1, -2)) / np.sqrt(h)
     return s, {"x": x, "qr": qr, "kr": kr, "cos": cos, "sin": sin,
                "rope_ch": rope_ch}
 
@@ -349,8 +356,9 @@ def _loss_and_dscore(
     unit is one (example, channel) — the reference averages over
     them; we sum and let the driver normalize."""
     v = valid if valid.ndim == 4 else valid[:, None, :, :]
-    neg = np.where(v & (y == 0), s, -np.inf)
-    pos = np.where(v & (y == 1), -s, -np.inf)
+    ninf = s.dtype.type(-np.inf)  # keep float32 compute float32
+    neg = np.where(v & (y == 0), s, ninf)
+    pos = np.where(v & (y == 1), -s, ninf)
 
     def lse0(a):  # logsumexp over flattened span axes, with appended 0
         m = np.maximum(a.max(axis=(2, 3), initial=0.0), 0.0)
@@ -376,21 +384,22 @@ def _backward(
 ) -> tuple[dict, np.ndarray | None]:
     h = cfg.head_size
     ds = ds / np.sqrt(h)
-    dqr = np.einsum("bnlm,bnmh->bnlh", ds, cache["kr"])
-    dkr = np.einsum("bnlm,bnlh->bnmh", ds, cache["qr"])
+    # BLAS contractions (see gp_scores): batched matmul + tensordot
+    dqr = ds @ cache["kr"]
+    dkr = ds.swapaxes(-1, -2) @ cache["qr"]
     dq = _sel_unrope(dqr, cache["cos"], cache["sin"], cache["rope_ch"])
     dk = _sel_unrope(dkr, cache["cos"], cache["sin"], cache["rope_ch"])
     x = cache["x"]
     grads = {
-        "wq": np.einsum("bld,bnlh->ndh", x, dq),
+        "wq": np.tensordot(x, dq, axes=([0, 1], [0, 2])).transpose(1, 0, 2),
         "bq": dq.sum(axis=(0, 2)),
-        "wk": np.einsum("bld,bnlh->ndh", x, dk),
+        "wk": np.tensordot(x, dk, axes=([0, 1], [0, 2])).transpose(1, 0, 2),
         "bk": dk.sum(axis=(0, 2)),
     }
     dx = None
     if want_dx:
-        dx = np.einsum("bnlh,ndh->bld", dq, weights["wq"]) + np.einsum(
-            "bnlh,ndh->bld", dk, weights["wk"]
+        dx = np.tensordot(dq, weights["wq"], axes=([1, 3], [0, 2])) + (
+            np.tensordot(dk, weights["wk"], axes=([1, 3], [0, 2]))
         )
     return grads, dx
 
@@ -428,12 +437,22 @@ def _grad_partial(
             loss_e6 += l
         return gvec, n_units, loss_e6
     input_ids, y, seq_len = _block_batch(df, spec)
-    x = _embed(input_ids, frozen_embeddings(cfg), cfg.pos_scale)
+    # float32 compute: the dense [B, C, L, L] temporaries make this
+    # stage MEMORY-BANDWIDTH-bound, not FLOP-bound (measured: float64
+    # capped multi-core scaling at ~0.46 efficiency on a ~23 GB/s
+    # box; float32 halves the traffic). Determinism is unaffected —
+    # same arithmetic every run, quantized per slice — and the
+    # ~6e-8 relative float32 noise sits far below any gradient
+    # signal.
+    w32 = {k: v.astype(np.float32) for k, v in weights.items()}
+    x = _embed(
+        input_ids, frozen_embeddings(cfg), cfg.pos_scale
+    ).astype(np.float32)
     valid = _channel_valid(seq_len, x.shape[1], spec.tril)
 
-    s, cache = gp_scores(weights, x, cfg, spec.rope)
+    s, cache = gp_scores(w32, x, cfg, spec.rope)
     loss_sum, n_units, ds = _loss_and_dscore(s, y, valid)
-    grads, dx = _backward(ds, cache, weights, cfg, want_dx=cfg.fgm_eps is not None)
+    grads, dx = _backward(ds, cache, w32, cfg, want_dx=cfg.fgm_eps is not None)
 
     if cfg.fgm_eps is not None:
         # reference FGM (trainer.py:50-88): attack the embeddings with
@@ -442,16 +461,18 @@ def _grad_partial(
         # on the same units, exactly as loss.backward() twice is)
         norm = np.sqrt((dx * dx).sum())
         if norm > 1e-12:
-            x_adv = x + cfg.fgm_eps * dx / norm
-            s2, cache2 = gp_scores(weights, x_adv, cfg, spec.rope)
+            x_adv = (x + cfg.fgm_eps * dx / norm).astype(np.float32)
+            s2, cache2 = gp_scores(w32, x_adv, cfg, spec.rope)
             loss2, _units2, ds2 = _loss_and_dscore(s2, y, valid)
-            g2, _ = _backward(ds2, cache2, weights, cfg)
+            g2, _ = _backward(ds2, cache2, w32, cfg)
             for k in grads:
                 grads[k] = grads[k] + g2[k]
             loss_sum += loss2
 
     scale = float(1 << cfg.quant_bits)
-    gvec = np.round(_flatten(grads) * scale).astype(np.int64)
+    gvec = np.round(
+        _flatten(grads).astype(np.float64) * scale
+    ).astype(np.int64)
     return gvec, n_units, int(round(loss_sum * 1_000_000))
 
 
@@ -488,8 +509,11 @@ def _eval_partial(
             nt += c
         return tp, np_, nt
     input_ids, y, seq_len = _block_batch(df, spec)
-    x = _embed(input_ids, frozen_embeddings(cfg), cfg.pos_scale)
-    s, _ = gp_scores(weights, x, cfg, spec.rope)
+    w32 = {k: v.astype(np.float32) for k, v in weights.items()}
+    x = _embed(
+        input_ids, frozen_embeddings(cfg), cfg.pos_scale
+    ).astype(np.float32)
+    s, _ = gp_scores(w32, x, cfg, spec.rope)
     dec = _decode_valid(seq_len, x.shape[1], spec)
     pred = (s > 0.0) & dec
     true = (y == 1) & dec
@@ -597,11 +621,19 @@ def gp_train(
     if engine == "blockset":
         from fastie_ray.state.exchange import BlockSet
 
-        bs = BlockSet.from_dataset(feats).compact(n_blocks)
+        def to_blocks(ds):
+            # exactly n_blocks tasks per epoch wave: repartition UP
+            # when the source has fewer blocks (compact only merges —
+            # a 16-block feature set would cap a 32-core epoch at 16
+            # tasks, measured 0.44 scaling efficiency), compact DOWN
+            # when it has more
+            if ds.num_blocks() < n_blocks:
+                ds = ds.repartition(n_blocks).materialize()
+            return BlockSet.from_dataset(ds).compact(n_blocks)
+
+        bs = to_blocks(feats)
         if dev_features is not None:
-            dev_bs = BlockSet.from_dataset(
-                dev_features.materialize()
-            ).compact(n_blocks)
+            dev_bs = to_blocks(dev_features.materialize())
 
     weights = init_gp_head(task.n_channels, cfg)
     like = {k: v.copy() for k, v in weights.items()}

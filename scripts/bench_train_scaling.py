@@ -58,7 +58,8 @@ chunks = chunk_pages(
     extract_text(pages_from_documents({sf_dir!r}, world,
                                       override_num_blocks=16)),
     max_length=122,
-).map_batches(SelfLabel, batch_format="pandas", concurrency=4)
+).map_batches(SelfLabel, batch_format="pandas",
+             concurrency=max(2, {cpus} // 4))
 labels = sorted(LABELS)
 l2i = {{lb: i for i, lb in enumerate(labels)}}
 feats = ner_convert_to_features(chunks, l2i, max_length=64).materialize()

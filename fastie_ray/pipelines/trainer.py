@@ -8,7 +8,7 @@ Model: a frozen deterministic token-embedding backbone (the sandbox
 stand-in for a pretrained encoder — same role the frozen BERT layers
 play when only the task head is tuned) + trainable GlobalPointer-family
 span-scoring channels with per-channel RoPE / triangle masking, all
-numpy. Two task heads:
+numpy. Three task heads:
 
 - NER (``ner_task``): one GP channel per entity label with RoPE and
   the upper-triangle mask (``modeling_gp.py:68-132``);
@@ -17,7 +17,15 @@ numpy. Two task heads:
   2 + 2·P channels — subject/object entity channels (RoPE, tril) plus
   per-predicate head-pair and tail-pair link channels (no RoPE, no
   tril, exactly like the reference's ``RoPE=False, tril_mask=False``
-  heads).
+  heads);
+- GPLinker event extraction (``ee_task``): R ``event_type@role``
+  argument channels + the two (min, max)-normalized link channels
+  (``event_extraction/gplinker/modeling_gplinker.py:60-156``).
+
+Trained checkpoints are self-describing (``save_trained_head``) and
+plug into the production scorers through
+``hf_backend.resolve_dense_backend`` — the reference's train → save →
+``from_pretrained`` → predict loop, closed torch-free.
 
 The loss is the reference's multilabel categorical crossentropy over
 span logits (``modules.py`` sparse_multilabel_categorical_crossentropy

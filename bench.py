@@ -127,7 +127,7 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "doc_novelty", "cc_incremental",
                  "consistent_shards", "seasonal_baseline",
                  "source_minhash", "ccnet_lang_buckets", "path_load",
-                 "betweenness",
+                 "betweenness", "preference_pairs",
                  "zorder_prune", "grouped_gini", "rich_club",
                  "clean_funnel", "window_dedup",
                  "seq_triples", "ngram_coverage", "langid_confusion",

@@ -130,3 +130,40 @@ def test_betweenness_diamond_split():
     assert got.loc["b1", "bc_floor_e6"] == 500_000
     assert got.loc["b2", "bc_floor_e6"] == 500_000
     assert "c" not in got.index  # targets beyond c are out of hop range
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges,max_hops", [
+    (7, 30, 40, 2),    # sparse, short horizon
+    (13, 25, 90, 3),   # dense
+    (29, 60, 55, 4),   # likely disconnected, deep horizon
+])
+def test_betweenness_random_graphs(ray_session, seed, n_nodes, n_edges,
+                                   max_hops):
+    from fastie_ray.ops.graph import brandes_betweenness
+
+    rng = np.random.RandomState(seed)
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.randint(0, n_nodes, 2)
+        if a != b:
+            edges.add((f"n{min(a,b):02d}", f"n{max(a,b):02d}"))
+    edges = sorted(edges)
+    lms = [f"n{i:02d}" for i in range(3)]
+    got = (
+        brandes_betweenness(
+            ray.data.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])),
+            lms, max_hops=max_hops,
+        )
+        .to_pandas()
+        .sort_values(["landmark", "node"])
+        .reset_index(drop=True)
+    )
+    want_map = _brute_betweenness(edges, lms, max_hops)
+    want = pd.DataFrame(
+        [(s, v, bc, nt) for (s, v), (bc, nt) in sorted(want_map.items())],
+        columns=["landmark", "node", "bc_floor_e6", "n_targets"],
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

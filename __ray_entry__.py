@@ -1960,6 +1960,19 @@ def _q_quality(sf_dir: str):
     return quality_scores(ds)
 
 
+def _q_purged_folds(sf_dir: str):
+    """Purged + embargoed time-series CV audit (``ops.splits.
+    purged_time_folds``, the López-de-Prado leakage-safe CV shape):
+    4 contiguous time folds over events by (ts, event_id) global rank
+    (floor formula, no sort barrier), per test fold the 6-hour
+    post-fold embargo rows counted out of training — integer audit
+    (test_fold, n_test, n_embargo, n_train)."""
+    from fastie_ray.ops.splits import purged_time_folds
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+    return purged_time_folds(ev, k=4)
+
+
 def _q_preference_pairs(sf_dir: str):
     """DPO-style preference pairs (``ops.selection.preference_pairs``):
     per (lang, 64-token length bucket), chosen = best integer quality
@@ -8876,6 +8889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_f1": _q_extraction_f1,
         "gp_train": _q_gp_train,
         "preference_pairs": _q_preference_pairs,
+        "purged_folds": _q_purged_folds,
         "media_frames": _q_media_frames,
         "media_neardup": _q_media_neardup,
         "extract_text": _q_extract_text,
@@ -11450,6 +11464,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(n_punct * 1000000.0 / greatest(n_chars, 1)) AS BIGINT) AS punct_ratio_e6,
                    CAST(floor(non_space * 1000000.0 / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_e6
             FROM q
+        """,
+        "purged_folds": """
+            WITH e AS (SELECT event_id, ts,
+                    row_number() OVER (ORDER BY ts, event_id) AS rn,
+                    count(*) OVER () AS n
+                FROM events),
+            f AS (SELECT event_id, ts,
+                    CAST((rn - 1) * 4 // n AS BIGINT) AS fold FROM e),
+            b AS (SELECT fold, max(ts) AS hi FROM f GROUP BY fold)
+            SELECT bf.fold AS test_fold,
+                   CAST(count(*) FILTER (WHERE f.fold = bf.fold)
+                        AS BIGINT) AS n_test,
+                   CAST(count(*) FILTER (WHERE f.fold <> bf.fold
+                        AND f.ts > bf.hi
+                        AND f.ts <= bf.hi + INTERVAL 6 HOUR)
+                        AS BIGINT) AS n_embargo,
+                   CAST(count(*) FILTER (WHERE f.fold <> bf.fold
+                        AND NOT (f.ts > bf.hi
+                                 AND f.ts <= bf.hi + INTERVAL 6 HOUR))
+                        AS BIGINT) AS n_train
+            FROM f CROSS JOIN b bf
+            GROUP BY 1
         """,
         "preference_pairs": """
             WITH q AS (

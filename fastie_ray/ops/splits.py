@@ -203,3 +203,95 @@ def split_leakage_audit(
     out = parts.groupby(["split_a", "split_b"], as_index=False)["n_pairs"].sum()
     out["n_pairs"] = out["n_pairs"].astype("int64")
     return out.sort_values(["split_a", "split_b"]).reset_index(drop=True)
+
+
+def purged_time_folds(
+    ds: "ray.data.Dataset",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    k: int = 4,
+    embargo_us: int = 6 * 3600 * 1_000_000,
+    range_size: int = 10**11,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Leakage-safe time-series cross-validation audit — purge +
+    embargo (the López-de-Prado CV shape the financial-ML and
+    forecasting stacks use): folds are CONTIGUOUS time blocks
+    (``fold = (rank-1)·k // N`` over the (ts, id) global rank — the
+    deterministic floor formula ``grouped_ntile`` uses), and for each
+    test fold, candidate training rows inside the embargo window
+    ``(fold_max_ts, fold_max_ts + embargo]`` are EXCLUDED (they leak
+    the test period's immediate future into training). Emits the
+    integer audit (test_fold, n_test, n_embargo, n_train) — per-row
+    role assignment is the same broadcast comparison, materialized
+    here as exact counts.
+
+    Scale shape: one ``global_rank`` pass (no sort barrier — coarse
+    time-range combiner + one bucketed exchange; ``range_size`` in ts
+    units bounds the per-range task), a k-row fold-boundary combiner
+    broadcast back, then one streaming counting pass (k·blocks partial
+    rows). Nothing corpus-sized moves."""
+    import ray
+
+    from fastie_ray.ops.rank import global_rank
+
+    def to_int(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ts_us": df[ts_col].astype("datetime64[us]").astype("int64")
+            if not pd.api.types.is_integer_dtype(df[ts_col])
+            else df[ts_col].astype("int64"),
+            id_col: df[id_col].astype("int64"),
+        })
+
+    ints = ds.map_batches(to_int, batch_format="pandas")
+    n_total = ints.count()
+    ranked = global_rank(
+        ints, "ts_us", id_col, range_size=range_size, n_buckets=n_buckets,
+    )
+
+    def fold_of(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["fold"] = ((df["rank"] - 1) * k // n_total).astype("int64")
+        return df[["ts_us", id_col, "fold"]]
+
+    folded = ranked.map_batches(fold_of, batch_format="pandas").materialize()
+
+    # k-row boundary table (combiner -> driver -> broadcast)
+    def hi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("fold", as_index=False).agg(hi=("ts_us", "max"))
+
+    his = (
+        folded.map_batches(hi_partial, batch_format="pandas")
+        .to_pandas().groupby("fold")["hi"].max().to_dict()
+    )
+    hi_ref = ray.put(his)
+
+    def count_roles(df: pd.DataFrame) -> pd.DataFrame:
+        hi = ray.get(hi_ref)
+        rows = []
+        ts = df["ts_us"].to_numpy()
+        fold = df["fold"].to_numpy()
+        for f in range(k):
+            in_f = fold == f
+            emb = (~in_f) & (ts > hi[f]) & (ts <= hi[f] + embargo_us)
+            rows.append((f, int(in_f.sum()), int(emb.sum()),
+                         int((~in_f & ~emb).sum())))
+        return pd.DataFrame(
+            rows, columns=["test_fold", "n_test", "n_embargo", "n_train"]
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("test_fold", as_index=False).sum()
+        return out.astype("int64")
+
+    return (
+        folded.map_batches(count_roles, batch_format="pandas")
+        .map_batches(
+            lambda df: df.assign(__b=df["test_fold"] % 4),
+            batch_format="pandas",
+        )
+        .groupby("__b")
+        .map_groups(
+            lambda g: final(g.drop(columns="__b")), batch_format="pandas"
+        )
+    )

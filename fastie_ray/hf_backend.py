@@ -265,9 +265,15 @@ class TrainedHeadBackend:
     def __init__(self, path: str, max_length: int = 512):
         from fastie_ray.pipelines.trainer import load_trained_head
 
-        self.w, self.task, labels, self.cfg = load_trained_head(path)
-        self.max_length = max_length
-        self.tokenizer = WordPieceTokenizer(max_length=max_length)
+        self.w, self.task, labels, self.cfg, trained_ml = (
+            load_trained_head(path)
+        )
+        # never score past the TRAINED context window: unseen absolute
+        # positions give arbitrary bilinear scores (see
+        # save_trained_head) — clamp like a real checkpoint's
+        # model_max_length does
+        self.max_length = min(max_length, trained_ml)
+        self.tokenizer = WordPieceTokenizer(max_length=self.max_length)
         if self.task == "rel":
             self.id2predicate = {i: p for i, p in enumerate(labels)}
             self.n_predicates = len(labels)

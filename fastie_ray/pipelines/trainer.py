@@ -834,6 +834,7 @@ def save_trained_head(
     task_name: str,
     labels: list[str],
     cfg: GPTrainConfig,
+    max_length: int = 64,
 ) -> None:
     """Persist a trained head as a self-describing ``.npz`` checkpoint
     (weights + the backbone hyperparameters that reproduce the frozen
@@ -851,6 +852,11 @@ def save_trained_head(
             cfg.d_model, cfg.head_size, cfg.emb_rows, cfg.seed,
         ], dtype=np.int64),
         head_pos_scale=np.float64(cfg.pos_scale),
+        # the TRAINED context window: inference must not score beyond
+        # it — absolute positions the head never saw produce arbitrary
+        # bilinear scores (measured: an unclamped 512-token pass over a
+        # 64-token-trained head emitted 28M false spans)
+        head_max_length=np.int64(max_length),
     )
 
 
@@ -864,7 +870,8 @@ def load_trained_head(path: str):
         d_model=d, head_size=h, emb_rows=rows, seed=seed,
         pos_scale=float(z["head_pos_scale"]),
     )
+    ml = int(z["head_max_length"]) if "head_max_length" in z.files else 64
     return (
         weights, str(z["head_task"]), [str(x) for x in z["head_labels"]],
-        cfg,
+        cfg, ml,
     )

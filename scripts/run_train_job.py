@@ -241,7 +241,7 @@ def main() -> int:
     # scorer (NerScorer(ner_backend="hf", hf_model=<weights.npz>))
     save_trained_head(
         os.path.join(args.out_dir, "weights.npz"),
-        weights, args.task, labels, cfg,
+        weights, args.task, labels, cfg, max_length=args.max_length,
     )
     last = hist.iloc[-1].to_dict() if len(hist) else {}
     report = {

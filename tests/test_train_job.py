@@ -100,7 +100,7 @@ def test_train_job_rel_jsonl_and_kernel_parity(
     preds = sorted(PREDICATES)
     P = len(preds)
     spec = rel_task(P)
-    weights, task_name, saved_labels, cfg = load_trained_head(
+    weights, task_name, saved_labels, cfg, _ml = load_trained_head(
         str(tmp_path / "rel_run" / "weights.npz")
     )
     assert task_name == "rel" and saved_labels == preds

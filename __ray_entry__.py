@@ -1960,6 +1960,18 @@ def _q_quality(sf_dir: str):
     return quality_scores(ds)
 
 
+def _q_srm_audit(sf_dir: str):
+    """Sample-ratio-mismatch audit (``ops.stats.srm_audit``, the A/B
+    first sanity check): per event_type, integer-exact chi-square of
+    the user_id % 2 variant split vs 50/50, flagged above the
+    chi2(0.95, df=1) critical value — count combiner, one
+    group-bucketed exchange, int64 throughout."""
+    from fastie_ray.ops.stats import srm_audit
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return srm_audit(ev)
+
+
 def _q_purged_folds(sf_dir: str):
     """Purged + embargoed time-series CV audit (``ops.splits.
     purged_time_folds``, the López-de-Prado leakage-safe CV shape):
@@ -8890,6 +8902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gp_train": _q_gp_train,
         "preference_pairs": _q_preference_pairs,
         "purged_folds": _q_purged_folds,
+        "srm_audit": _q_srm_audit,
         "media_frames": _q_media_frames,
         "media_neardup": _q_media_neardup,
         "extract_text": _q_extract_text,
@@ -11464,6 +11477,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(n_punct * 1000000.0 / greatest(n_chars, 1)) AS BIGINT) AS punct_ratio_e6,
                    CAST(floor(non_space * 1000000.0 / greatest(n_tokens, 1)) AS BIGINT) AS mean_token_len_e6
             FROM q
+        """,
+        "srm_audit": """
+            WITH a AS (SELECT event_type, user_id % 2 AS variant,
+                              count(*) AS o
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n
+                  FROM a GROUP BY 1),
+            c AS (SELECT a.event_type, t.n,
+                         CAST(sum((2 * a.o - t.n) * (2 * a.o - t.n))
+                              * 1000000 // (2 * t.n) AS BIGINT) AS chi2_e6
+                  FROM a JOIN t USING (event_type) GROUP BY 1, 2)
+            SELECT event_type, n, chi2_e6,
+                   chi2_e6 > 3841459 AS srm
+            FROM c
         """,
         "purged_folds": """
             WITH e AS (SELECT event_id, ts,

@@ -2195,3 +2195,70 @@ def join_cardinality_est(
     return pd.DataFrame(
         {"est_size": [est], "true_size": [true], "err_e6": [err]}
     ).astype("int64")
+
+
+def srm_audit(
+    ds: "ray.data.Dataset",
+    group_col: str = "event_type",
+    unit_col: str = "user_id",
+    n_variants: int = 2,
+    alpha_chi2_e6: int = 3_841_459,  # chi2(0.95, df=1) * 1e6
+    n_buckets: int = 8,
+) -> "ray.data.Dataset":
+    """Sample-ratio-mismatch audit — the experimentation-pipeline
+    guardrail (Kohavi's first A/B sanity check): per group, the
+    chi-square statistic of observed variant counts against an equal
+    split, integer-exact via the cross-multiplied form
+
+        chi2_e6 = ⌊10⁶ · Σ_v (m·o_v − n)² / (m · n)⌋,   m = n_variants
+
+    (algebraically Σ (o_v − n/m)² / (n/m), kept in int64 throughout so
+    the SQL oracle matches bit-for-bit). Variant assignment is the
+    deterministic ``unit_col % m`` hash split. ``srm`` flags groups
+    whose statistic exceeds the (pre-scaled) critical value — the
+    "stop trusting this experiment" bit.
+
+    Scale shape: per-batch (group, variant) count combiner → ONE
+    group-bucketed exchange over the group-domain-bounded partial
+    table → per-group integer arithmetic. Corpus rows never shuffle."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.assign(
+            variant=(df[unit_col].astype("int64") % n_variants)
+        ).groupby([group_col, "variant"], dropna=False, as_index=False).agg(
+            o=(unit_col, "count")
+        )
+        out["o"] = out["o"].astype("int64")
+        return out
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df[group_col], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        merged = g.groupby([group_col, "variant"], dropna=False,
+                           as_index=False)["o"].sum()
+        rows = []
+        for grp, sub in merged.groupby(group_col, dropna=False):
+            o = np.zeros(n_variants, dtype=np.int64)
+            o[sub["variant"].to_numpy()] = sub["o"].to_numpy()
+            n = int(o.sum())
+            num = int(((n_variants * o - n) ** 2).sum())
+            chi2_e6 = (1_000_000 * num) // (n_variants * n) if n else 0
+            rows.append((grp, n, chi2_e6, chi2_e6 > alpha_chi2_e6))
+        return pd.DataFrame(
+            rows, columns=[group_col, "n", "chi2_e6", "srm"]
+        ).astype({"n": "int64", "chi2_e6": "int64", "srm": "bool"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

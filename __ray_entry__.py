@@ -1976,13 +1976,16 @@ def _q_purged_folds(sf_dir: str):
     """Purged + embargoed time-series CV audit (``ops.splits.
     purged_time_folds``, the López-de-Prado leakage-safe CV shape):
     4 contiguous time folds over events by (ts, event_id) global rank
-    (floor formula, no sort barrier), per test fold the 6-hour
-    post-fold embargo rows counted out of training — integer audit
-    (test_fold, n_test, n_embargo, n_train)."""
+    (floor formula, no sort barrier), per test fold the 3-hour
+    label-horizon PURGE (earlier rows whose label window crosses the
+    fold's lower boundary) and the 6-hour post-fold embargo
+    (inclusive lower bound — boundary-tied rows embargoed) counted out
+    of training — integer audit (test_fold, n_test, n_purged,
+    n_embargo, n_train)."""
     from fastie_ray.ops.splits import purged_time_folds
 
     ev = _read(sf_dir, "events", columns=["event_id", "ts"])
-    return purged_time_folds(ev, k=4)
+    return purged_time_folds(ev, k=4, purge_us=3 * 3600 * 1_000_000)
 
 
 def _q_preference_pairs(sf_dir: str):
@@ -11480,7 +11483,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "srm_audit": """
             WITH a AS (SELECT event_type, user_id % 2 AS variant,
-                              count(*) AS o
+                              count(DISTINCT user_id) AS o
                        FROM events GROUP BY 1, 2),
             t AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS n
                   FROM a GROUP BY 1),
@@ -11499,19 +11502,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM events),
             f AS (SELECT event_id, ts,
                     CAST((rn - 1) * 4 // n AS BIGINT) AS fold FROM e),
-            b AS (SELECT fold, max(ts) AS hi FROM f GROUP BY fold)
-            SELECT bf.fold AS test_fold,
-                   CAST(count(*) FILTER (WHERE f.fold = bf.fold)
-                        AS BIGINT) AS n_test,
-                   CAST(count(*) FILTER (WHERE f.fold <> bf.fold
-                        AND f.ts > bf.hi
-                        AND f.ts <= bf.hi + INTERVAL 6 HOUR)
-                        AS BIGINT) AS n_embargo,
-                   CAST(count(*) FILTER (WHERE f.fold <> bf.fold
-                        AND NOT (f.ts > bf.hi
-                                 AND f.ts <= bf.hi + INTERVAL 6 HOUR))
-                        AS BIGINT) AS n_train
-            FROM f CROSS JOIN b bf
+            b AS (SELECT fold, max(ts) AS hi FROM f GROUP BY fold),
+            r AS (SELECT bf.fold AS test_fold, f.ts,
+                    f.fold = bf.fold AS in_f,
+                    bf.fold > 0 AND f.fold <> bf.fold
+                        AND f.ts <= lp.hi
+                        AND f.ts + INTERVAL 3 HOUR > lp.hi AS purged,
+                    f.ts >= bf.hi
+                        AND f.ts <= bf.hi + INTERVAL 6 HOUR AS in_win
+                  FROM f CROSS JOIN b bf
+                  LEFT JOIN b lp ON lp.fold = bf.fold - 1)
+            SELECT test_fold,
+                   CAST(count(*) FILTER (WHERE in_f) AS BIGINT) AS n_test,
+                   CAST(count(*) FILTER (WHERE NOT in_f AND purged)
+                        AS BIGINT) AS n_purged,
+                   CAST(count(*) FILTER (WHERE NOT in_f AND NOT purged
+                        AND in_win) AS BIGINT) AS n_embargo,
+                   CAST(count(*) FILTER (WHERE NOT in_f AND NOT purged
+                        AND NOT in_win) AS BIGINT) AS n_train
+            FROM r
             GROUP BY 1
         """,
         "preference_pairs": """

@@ -211,6 +211,7 @@ def purged_time_folds(
     id_col: str = "event_id",
     k: int = 4,
     embargo_us: int = 6 * 3600 * 1_000_000,
+    purge_us: int = 0,
     range_size: int = 10**11,
     n_buckets: int = 16,
 ) -> "ray.data.Dataset":
@@ -219,12 +220,26 @@ def purged_time_folds(
     forecasting stacks use): folds are CONTIGUOUS time blocks
     (``fold = (rank-1)·k // N`` over the (ts, id) global rank — the
     deterministic floor formula ``grouped_ntile`` uses), and for each
-    test fold, candidate training rows inside the embargo window
-    ``(fold_max_ts, fold_max_ts + embargo]`` are EXCLUDED (they leak
-    the test period's immediate future into training). Emits the
-    integer audit (test_fold, n_test, n_embargo, n_train) — per-row
-    role assignment is the same broadcast comparison, materialized
-    here as exact counts.
+    test fold:
+
+    - **embargo**: candidate training rows in ``[fold_max_ts,
+      fold_max_ts + embargo]`` are EXCLUDED (they leak the test
+      period's immediate future into training). Tie rule: the lower
+      bound is INCLUSIVE (``ts >= fold_max_ts``), so a later-fold row
+      sharing the fold-boundary timestamp is embargoed, not trained
+      (ADVICE r4).
+    - **purge** (``purge_us`` > 0, the label-horizon half): an
+      earlier-fold row whose label window ``[ts, ts + purge_us]``
+      crosses the fold's lower boundary (``ts <= prev_fold_max_ts <
+      ts + purge_us``) has its label computed FROM the test period —
+      purged from training. ``purge_us=0`` disables (point labels).
+      Purge wins over embargo when massive boundary ties make both
+      apply.
+
+    Emits the integer audit (test_fold, n_test, n_purged, n_embargo,
+    n_train) — per-row role assignment is the same broadcast
+    comparison, materialized here as exact counts. Raises ``ValueError``
+    when ``k`` exceeds the row count (a fold would be empty).
 
     Scale shape: one ``global_rank`` pass (no sort barrier — coarse
     time-range combiner + one bucketed exchange; ``range_size`` in ts
@@ -245,6 +260,11 @@ def purged_time_folds(
 
     ints = ds.map_batches(to_int, batch_format="pandas")
     n_total = ints.count()
+    if n_total < k:
+        raise ValueError(
+            f"purged_time_folds: k={k} folds over n_total={n_total} rows "
+            "would leave a fold empty — lower k or supply more rows"
+        )
     ranked = global_rank(
         ints, "ts_us", id_col, range_size=range_size, n_buckets=n_buckets,
     )
@@ -273,11 +293,22 @@ def purged_time_folds(
         fold = df["fold"].to_numpy()
         for f in range(k):
             in_f = fold == f
-            emb = (~in_f) & (ts > hi[f]) & (ts <= hi[f] + embargo_us)
-            rows.append((f, int(in_f.sum()), int(emb.sum()),
-                         int((~in_f & ~emb).sum())))
+            if f > 0 and purge_us > 0:
+                lo = hi[f - 1]
+                purge = (~in_f) & (ts <= lo) & (ts + purge_us > lo)
+            else:
+                purge = np.zeros(len(ts), dtype=bool)
+            emb = (
+                (~in_f) & ~purge
+                & (ts >= hi[f]) & (ts <= hi[f] + embargo_us)
+            )
+            rows.append((f, int(in_f.sum()), int(purge.sum()),
+                         int(emb.sum()),
+                         int((~in_f & ~purge & ~emb).sum())))
         return pd.DataFrame(
-            rows, columns=["test_fold", "n_test", "n_embargo", "n_train"]
+            rows,
+            columns=["test_fold", "n_test", "n_purged", "n_embargo",
+                     "n_train"],
         )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:

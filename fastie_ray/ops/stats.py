@@ -2197,34 +2197,81 @@ def join_cardinality_est(
     ).astype("int64")
 
 
+# chi2 critical values at p=0.95 for df=1..16, ×1e6 (stdlib-only; the
+# container has no scipy) — used by srm_audit's df-parametric default.
+_CHI2_95_E6 = [
+    3_841_459, 5_991_465, 7_814_728, 9_487_729, 11_070_498, 12_591_587,
+    14_067_140, 15_507_313, 16_918_978, 18_307_038, 19_675_138,
+    21_026_070, 22_362_032, 23_684_791, 24_995_790, 26_296_228,
+]
+
+
 def srm_audit(
     ds: "ray.data.Dataset",
     group_col: str = "event_type",
     unit_col: str = "user_id",
     n_variants: int = 2,
-    alpha_chi2_e6: int = 3_841_459,  # chi2(0.95, df=1) * 1e6
+    alpha_chi2_e6: int | None = None,
     n_buckets: int = 8,
 ) -> "ray.data.Dataset":
     """Sample-ratio-mismatch audit — the experimentation-pipeline
     guardrail (Kohavi's first A/B sanity check): per group, the
-    chi-square statistic of observed variant counts against an equal
-    split, integer-exact via the cross-multiplied form
+    chi-square statistic of observed DISTINCT-UNIT counts per variant
+    against an equal split, integer-exact via the cross-multiplied form
 
         chi2_e6 = ⌊10⁶ · Σ_v (m·o_v − n)² / (m · n)⌋,   m = n_variants
 
     (algebraically Σ (o_v − n/m)² / (n/m), kept in int64 throughout so
     the SQL oracle matches bit-for-bit). Variant assignment is the
-    deterministic ``unit_col % m`` hash split. ``srm`` flags groups
-    whose statistic exceeds the (pre-scaled) critical value — the
-    "stop trusting this experiment" bit.
+    deterministic ``unit_col % m`` hash split. o_v counts DISTINCT
+    units (ADVICE r4): SRM is about the unit randomizer, so a heavy
+    user emitting 1000 events still counts once — event-row counting
+    can flag SRM on a perfectly balanced assignment. ``srm`` flags
+    groups whose statistic exceeds the critical value; the default is
+    chi2(0.95, df = n_variants − 1) from an embedded table (df ≤ 16;
+    pass ``alpha_chi2_e6`` explicitly beyond that).
 
-    Scale shape: per-batch (group, variant) count combiner → ONE
-    group-bucketed exchange over the group-domain-bounded partial
-    table → per-group integer arithmetic. Corpus rows never shuffle."""
+    Scale shape: per-batch DISTINCT (group, unit) combiner → one
+    (group, unit)-hash-bucketed exchange for the global dedupe (the
+    extra exchange event-row counting didn't need — bounded by the
+    distinct-unit domain, split across ``n_buckets`` so no single
+    reduce task holds a whole group) → per-bucket (group, variant)
+    counts → ONE group-bucketed exchange over the tiny partial table →
+    per-group integer arithmetic. Corpus rows never shuffle."""
+    if alpha_chi2_e6 is None:
+        df_ = n_variants - 1
+        if not 1 <= df_ <= len(_CHI2_95_E6):
+            raise ValueError(
+                f"no embedded chi2 critical value for df={df_}; pass "
+                "alpha_chi2_e6 explicitly"
+            )
+        alpha_chi2_e6 = _CHI2_95_E6[df_ - 1]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.assign(
-            variant=(df[unit_col].astype("int64") % n_variants)
+        # per-batch DISTINCT (group, unit) — the combiner half of the
+        # global dedupe
+        out = df[[group_col, unit_col]].copy()
+        out[unit_col] = out[unit_col].astype("int64")
+        return out.drop_duplicates()
+
+    def add_ub(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(
+            df[group_col].astype(str) + "\x1f" + df[unit_col].astype(str),
+            index=False,
+        ).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def dedupe_count(g: pd.DataFrame) -> pd.DataFrame:
+        # same (group, unit) always lands in this bucket → global
+        # distinct within the bucket; emit (group, variant, o) partials
+        g = g.drop(columns="__b").drop_duplicates()
+        out = g.assign(
+            variant=(g[unit_col].astype("int64") % n_variants)
         ).groupby([group_col, "variant"], dropna=False, as_index=False).agg(
             o=(unit_col, "count")
         )
@@ -2258,6 +2305,9 @@ def srm_audit(
 
     return (
         ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_ub, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(dedupe_count, batch_format="pandas")
         .map_batches(add_b, batch_format="pandas")
         .groupby("__b")
         .map_groups(final, batch_format="pandas")

@@ -583,6 +583,22 @@ def _ckpt_path(d: str, epoch: int) -> str:
     return os.path.join(d, f"gp_head_epoch{epoch:04d}.npz")
 
 
+def _ckpt_sig(cfg: GPTrainConfig, task: TaskSpec) -> str:
+    """Hyperparameter fingerprint persisted in every epoch checkpoint
+    (ADVICE r4): resuming under different lr / fgm_eps / task / channel
+    layout silently continued the old Adam state — voiding the bitwise-
+    resume guarantee — so resume now raises on mismatch."""
+    import dataclasses
+    import hashlib
+
+    chan = hashlib.md5(
+        task.tril.tobytes() + b"|" + task.rope.tobytes()
+    ).hexdigest()[:12]
+    return (
+        f"{dataclasses.astuple(cfg)!r}|C={task.n_channels}|{chan}"
+    )
+
+
 def _latest_ckpt(d: str, max_epoch: int) -> int:
     done = -1
     for e in range(max_epoch):
@@ -650,12 +666,22 @@ def gp_train(
     t0 = 0
     history: list[dict] = []
 
+    sig = _ckpt_sig(cfg, task)
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
         if resume:
             last = _latest_ckpt(checkpoint_dir, epochs)
             if last >= 0:
                 z = np.load(_ckpt_path(checkpoint_dir, last), allow_pickle=True)
+                if "cfg_sig" in z.files and str(z["cfg_sig"]) != sig:
+                    raise ValueError(
+                        "gp_train resume: checkpoint was written under "
+                        f"different hyperparameters/task.\n  checkpoint: "
+                        f"{z['cfg_sig']}\n  current:    {sig}\nContinuing "
+                        "the saved Adam state under new settings would "
+                        "void the bitwise-resume guarantee — delete the "
+                        "checkpoint dir or pass resume=False to restart."
+                    )
                 weights = _unflatten(z["w"], like)
                 m, v, t0 = z["m"], z["v"], int(z["t"])
                 history = list(pd.DataFrame(
@@ -736,6 +762,7 @@ def gp_train(
                 w=_flatten(weights), m=m, v=v, t=np.int64(epoch + 1),
                 hist=hist_df.to_numpy(dtype=np.int64),
                 hist_cols=np.array(list(hist_df.columns)),
+                cfg_sig=np.array(sig),
             )
 
     return weights, pd.DataFrame(history)
@@ -861,7 +888,7 @@ def save_trained_head(
 
 
 def load_trained_head(path: str):
-    """→ (weights, task_name, labels, cfg) from
+    """→ (weights, task_name, labels, cfg, max_length) from
     :func:`save_trained_head` output."""
     z = np.load(path, allow_pickle=False)
     weights = {k: z[k] for k in ("wq", "bq", "wk", "bk")}

@@ -196,12 +196,19 @@ async function run() {{
     Object.values(doc || {{}}).forEach(v => (Array.isArray(v) ? v : [])
         .forEach(e => {{ if (e && e.start != null) spans.push(e); }}));
     spans.sort((a, b) => a.start - b.start);
-    let t = texts[i] || '', html = '', pos = 0;
+    // build with text nodes, never innerHTML over user text — input
+    // containing markup must render inert, not execute (ADVICE r4)
+    let t = texts[i] || '', pos = 0;
+    const p = document.createElement('p');
     spans.forEach(e => {{ if (e.start >= pos) {{
-        html += t.slice(pos, e.start)
-             + '<span class="hl">' + t.slice(e.start, e.end) + '</span>';
+        p.appendChild(document.createTextNode(t.slice(pos, e.start)));
+        const hl = document.createElement('span');
+        hl.className = 'hl';
+        hl.textContent = t.slice(e.start, e.end);
+        p.appendChild(hl);
         pos = e.end; }} }});
-    marked.innerHTML += '<p>' + html + t.slice(pos) + '</p>';
+    p.appendChild(document.createTextNode(t.slice(pos)));
+    marked.appendChild(p);
   }});
 }}
 </script></body></html>"""

@@ -143,8 +143,14 @@ class _ScorerBase:
             from fastie_ray.kernels.gp_ner import decode_gp_dense
 
             enc, logits = self.dense.ner_forward(dashed)
+            # decode with the CHECKPOINT's label vocab when the backend
+            # carries one (TrainedHeadBackend trained on a different
+            # label set/order than the serving featurizer) — falling
+            # back to the featurizer's map only for label-less backends.
+            # Mirrors ee_forward, which already returns its label map.
+            id2l = getattr(self.dense, "id2label", None) or self.feat.id2label
             return decode_gp_dense(
-                logits, enc.seq_len, text, enc.offsets, self.feat.id2label
+                logits, enc.seq_len, text, enc.offsets, id2l
             )
         raise ValueError(f"unknown NER backend: {self.ner_backend}")
 
@@ -203,9 +209,14 @@ class _ScorerBase:
             from fastie_ray.kernels.gplinker_re import decode_gplinker_dense
 
             enc, entity, head, tail = self.dense.rel_forward(dashed)
+            # checkpoint predicate vocab wins over the featurizer's
+            # (same rationale as the NER hf branch above).
+            id2p = (
+                getattr(self.dense, "id2predicate", None)
+                or self.feat.id2predicate
+            )
             return decode_gplinker_dense(
-                entity, head, tail, enc.seq_len, text, enc.offsets,
-                self.feat.id2predicate,
+                entity, head, tail, enc.seq_len, text, enc.offsets, id2p,
             )
         raise ValueError(f"unknown RE backend: {self.rel_backend}")
 

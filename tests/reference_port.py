@@ -149,3 +149,88 @@ def ref_auto_joiner_cls(short_results, input_mapping):
         else:
             concat_results.append([])
     return concat_results
+
+
+# ---- data-converter ports (golden conformance on the REAL dev corpora) ----
+
+
+def ref_search(pattern, sequence):
+    """fastie/data/relation_extraction.py:25-29"""
+    return next(
+        (i for i in range(len(sequence))
+         if sequence[i: i + len(pattern)] == pattern), -1
+    )
+
+
+def ref_process_rel_train(examples, predicate2id):
+    """process_train's judge + convert (relation_extraction.py:32-66)
+    over plain dict rows (the HF Dataset.filter().map() loop inlined)."""
+    out = []
+    for example in examples:
+        spo_list = []
+        for spo in example["spo_list"]:
+            sub = ref_search(spo["subject"], example["text"])
+            pre = predicate2id[spo["predicate"]]
+            obj = ref_search(spo["object"], example["text"])
+            if sub == -1 or obj == -1:
+                continue
+            spo_list.append(
+                [sub, sub + len(spo["subject"]) - 1, pre,
+                 obj, obj + len(spo["object"]) - 1]
+            )
+        if spo_list:  # judge
+            out.append({"text": example["text"], "spo_list": spo_list})
+    return out
+
+
+def ref_ner_process_dev(example):
+    """named_entity_recognition.py:82-95 (with_indices=False branch)."""
+    return {
+        (ent["label"], str(ent["start_offset"]), str(ent["end_offset"]),
+         ent["entity"])
+        for ent in example["entities"]
+    }
+
+
+def ref_duee_v1_process(example):
+    """event_extraction.py:71-98 — per-event target lists with the
+    lstrip offset correction."""
+    events = []
+    for e in example["event_list"]:
+        offset1 = len(e["trigger"]) - len(e["trigger"].lstrip())
+        events.append(
+            [[e["event_type"], "触发词", e["trigger"],
+              str(e["trigger_start_index"] + offset1),
+              str(e["trigger_start_index"] + offset1
+                  + len(e["trigger"].strip()))]]
+        )
+        for a in e["arguments"]:
+            offset2 = len(a["argument"]) - len(a["argument"].lstrip())
+            events[-1].append(
+                [e["event_type"], a["role"], a["argument"],
+                 str(a["argument_start_index"] + offset2),
+                 str(a["argument_start_index"] + offset2
+                     + len(a["argument"].strip()))]
+            )
+    return events
+
+
+def ref_ee_schema_labels(schema_file):
+    """event_extraction.py:42-50 — schema JSONL → sorted flat labels."""
+    import json
+
+    labels = []
+    with open(schema_file) as f:
+        for l in f:
+            l = json.loads(l)
+            t = l["event_type"]
+            for r in ["触发词"] + [s["role"] for s in l["role_list"]]:
+                labels.append(f"{t}@{r}")
+    return sorted(labels)
+
+
+def ref_ner_label_vocab(examples):
+    """named_entity_recognition.py:60-62 — distinct labels, sorted."""
+    return sorted(
+        {label["label"] for ex in examples for label in ex["entities"]}
+    )

@@ -174,6 +174,51 @@ def _calibrate() -> dict:
     return {"effective_cores": eff, "membw_gbps": membw}
 
 
+def _regression_gate(queries: dict[str, float]) -> dict:
+    """Automated bench-regression diff (VERDICT r4 #6): compare this
+    run's per-query timings against the LATEST recorded BENCH_r*.json
+    and flag any query that is BOTH >1.5x slower AND >1 s absolute
+    slower — the same threshold the round-3/4 judges applied manually.
+    Purely informational in the default run (embedded in the output
+    JSON); ``--check`` mode exits 1 on any flagged regression."""
+    import glob
+    import re as _re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not benches:
+        return {"baseline_file": None, "n_compared": 0, "regressions": {}}
+    base_path = benches[-1]
+    try:
+        with open(base_path) as f:
+            data = json.load(f)
+        # driver-recorded files wrap bench stdout under "parsed"
+        base = data.get("queries") or data.get("parsed", {}).get(
+            "queries", {}
+        )
+    except (OSError, json.JSONDecodeError):
+        return {"baseline_file": base_path, "n_compared": 0,
+                "regressions": {}}
+    regressions = {}
+    shared = 0
+    for name, sec in queries.items():
+        old = base.get(name)
+        if old is None or not isinstance(old, (int, float)):
+            continue
+        shared += 1
+        if sec > 1.5 * old and sec - old > 1.0:
+            regressions[name] = {"old": old, "new": sec,
+                                 "ratio": round(sec / old, 2)}
+    return {
+        "baseline_file": os.path.basename(base_path),
+        "n_compared": shared,
+        "regressions": regressions,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", 32))
@@ -207,8 +252,20 @@ def main() -> None:
         "triples_per_sec": round(head["n_triples"] / head["sec"], 1),
         "pages_per_sec": round(head["n_pages"] / head["sec"], 1),
     }
+    if queries:
+        result["regression_gate"] = _regression_gate(queries)
     ray.shutdown()
     print(json.dumps(result))
+    if "--check" in sys.argv:
+        regs = result.get("regression_gate", {}).get("regressions", {})
+        if regs:
+            print(
+                f"REGRESSION GATE FAILED: {len(regs)} quer"
+                f"{'y' if len(regs) == 1 else 'ies'} >1.5x and >1s "
+                f"slower than {result['regression_gate']['baseline_file']}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
 
 
 def scaling() -> None:

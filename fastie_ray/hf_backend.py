@@ -286,19 +286,41 @@ class TrainedHeadBackend:
     def _scores(self, dashed: str, rope) -> tuple[SubwordEncoding, np.ndarray]:
         from fastie_ray.pipelines.train_prep import _token_ids
         from fastie_ray.pipelines.trainer import (
-            _embed, frozen_embeddings, gp_scores,
+            _embed, frozen_embeddings, gp_scores, mix_forward,
         )
 
         enc = self.tokenizer.encode(dashed)
         ids = np.asarray([_token_ids(enc.offsets, dashed)])
         x = _embed(ids, frozen_embeddings(self.cfg), self.cfg.pos_scale)
+        if "ma_wq" in self.w:
+            # context-mixer checkpoint (GPTrainConfig.mix_dim > 0):
+            # single unpadded sequence → every position valid
+            x, _ = mix_forward(self.w, x, None, self.cfg.mix_window)
         s, _ = gp_scores(self.w, x, self.cfg, rope)
         return enc, s[0]
+
+    def _tril_mask(self, s: np.ndarray, tril_ch: np.ndarray) -> np.ndarray:
+        """The reference GlobalPointer modules subtract 1e12 on the
+        LOWER triangle of tril channels INSIDE the model
+        (``modules.py:117-118``), so decode never sees them. The loss
+        excludes those cells too, so a trained head's lower-triangle
+        logits are unconstrained garbage that drifts positive with
+        training — measured: 2551 inverted-span FPs vs 1000 TPs on
+        sf0.001 before this mask. Apply it exactly where the reference
+        does: on the model output."""
+        L = s.shape[-1]
+        low = np.tril(np.ones((L, L), dtype=bool), -1)
+        out = s.copy()
+        out[tril_ch[:, None, None] & low[None, :, :]] -= 1e12
+        return out
 
     def ner_forward(self, dashed: str) -> tuple[SubwordEncoding, np.ndarray]:
         if self.task != "ner":
             raise ValueError(f"checkpoint was trained for task {self.task!r}")
-        return self._scores(dashed, None)
+        from fastie_ray.pipelines.trainer import ner_task
+
+        enc, s = self._scores(dashed, None)
+        return enc, self._tril_mask(s, ner_task(s.shape[0]).tril)
 
     def rel_forward(self, dashed: str):
         if self.task != "rel":
@@ -306,7 +328,9 @@ class TrainedHeadBackend:
         from fastie_ray.pipelines.trainer import rel_task
 
         P = self.n_predicates
-        enc, s = self._scores(dashed, rel_task(P).rope)
+        spec = rel_task(P)
+        enc, s = self._scores(dashed, spec.rope)
+        s = self._tril_mask(s, spec.tril)
         return enc, s[:2], s[2:2 + P], s[2 + P:]
 
     def ee_forward(self, dashed: str):
@@ -315,7 +339,9 @@ class TrainedHeadBackend:
         from fastie_ray.pipelines.trainer import ee_task
 
         R = len(self.id2label)
-        enc, s = self._scores(dashed, ee_task(R).rope)
+        spec = ee_task(R)
+        enc, s = self._scores(dashed, spec.rope)
+        s = self._tril_mask(s, spec.tril)
         return enc, s[:R], s[R:R + 1], s[R + 1:R + 2], dict(self.id2label)
 
 

@@ -105,6 +105,27 @@ class GPTrainConfig:
     # position — e.g. GPLinker's subject-before-object — are
     # unlearnable)
     pos_scale: float = 0.5
+    # context mixer (VERDICT r4 #2): one trainable single-head softmax
+    # attention layer between the frozen embeddings and the GP head,
+    # x' = x + softmax(xWq·(xWk)ᵀ/√m)·xWv·Wo with Wo initialized to
+    # ZERO so training starts exactly at the context-free model.
+    # Mixing lets the span scorer condition on middle context — the
+    # piece NOTES fact 22 showed content-only link channels cannot
+    # learn. 0 = off (default; fully backward compatible).
+    mix_dim: int = 0
+    # per-group learning-rate scale for the ma_* tensors: at Adam each
+    # parameter moves ±lr per step, and a residual output projection
+    # moving at the head's lr swings EVERY token representation —
+    # measured loss explosions (1e3 per unit) at lr=0.2. 0.05 keeps
+    # the mixer a slow-moving refinement of a stable head.
+    mix_lr_scale: float = 0.05
+    # attention locality: tokens attend only within ±mix_window
+    # positions. GLOBAL attention (0 = unbounded) measured precision
+    # 0.16-0.27 on trained_e2e — every representation drifts with the
+    # WHOLE chunk, and serve-time chunks mix contents/lengths training
+    # never saw. A local band keeps the learned context exactly the
+    # neighborhood the span decision needs and is length-shift robust.
+    mix_window: int = 8
 
 
 @dataclass(frozen=True)
@@ -222,7 +243,7 @@ def frozen_embeddings(cfg: GPTrainConfig) -> np.ndarray:
 def init_gp_head(num_channels: int, cfg: GPTrainConfig) -> dict[str, np.ndarray]:
     rng = np.random.default_rng(cfg.seed + 1)
     scale = 1.0 / np.sqrt(cfg.d_model)
-    return {
+    w = {
         "wq": rng.standard_normal(
             (num_channels, cfg.d_model, cfg.head_size)) * scale,
         "bq": np.zeros((num_channels, cfg.head_size)),
@@ -230,6 +251,16 @@ def init_gp_head(num_channels: int, cfg: GPTrainConfig) -> dict[str, np.ndarray]
             (num_channels, cfg.d_model, cfg.head_size)) * scale,
         "bk": np.zeros((num_channels, cfg.head_size)),
     }
+    if cfg.mix_dim:
+        # drawn AFTER the head tensors so mix_dim=0 runs reproduce the
+        # exact historical init stream; ma_wo starts at zero → the
+        # mixer is the identity at step 0
+        m = cfg.mix_dim
+        w["ma_wq"] = rng.standard_normal((cfg.d_model, m)) * scale
+        w["ma_wk"] = rng.standard_normal((cfg.d_model, m)) * scale
+        w["ma_wv"] = rng.standard_normal((cfg.d_model, m)) * scale
+        w["ma_wo"] = np.zeros((m, cfg.d_model))
+    return w
 
 
 def _flatten(w: dict[str, np.ndarray]) -> np.ndarray:
@@ -299,6 +330,80 @@ def _sel_unrope(g: np.ndarray, cos, sin, rope_ch: np.ndarray) -> np.ndarray:
     if not rope_ch.all():
         out[:, ~rope_ch] = g[:, ~rope_ch]
     return out
+
+
+def mix_forward(
+    weights: dict[str, np.ndarray],
+    x: np.ndarray,  # [B, L, d]
+    seq_len: np.ndarray | None = None,
+    window: int = 0,
+) -> tuple[np.ndarray, dict]:
+    """Context mixer forward (``GPTrainConfig.mix_dim``): one
+    single-head softmax attention with residual,
+    ``x' = x + softmax(q kᵀ/√m + masks) v Wo``. Returns (x', cache).
+    ``seq_len=None`` means every position is valid (the serving path
+    scores one unpadded sequence). ``window > 0`` restricts attention
+    to the ±window band (``GPTrainConfig.mix_window``) — local context
+    only, robust to serve-time length shift."""
+    m = weights["ma_wq"].shape[1]
+    q = x @ weights["ma_wq"]
+    k = x @ weights["ma_wk"]
+    v = x @ weights["ma_wv"]
+    a = (q @ k.swapaxes(-1, -2)) / np.sqrt(m)  # [B, L, L]
+    L = x.shape[1]
+    if seq_len is not None:
+        inside = np.arange(L)[None, :] < np.asarray(seq_len)[:, None]
+        a = np.where(inside[:, None, :], a, -np.inf)
+    if window > 0:
+        pos = np.arange(L)
+        band = np.abs(pos[:, None] - pos[None, :]) <= window
+        a = np.where(band[None, :, :], a, -np.inf)
+    # guarded softmax: a PAD query past seq_len + window has an ALL
+    # -inf row (band ∩ valid-keys = ∅) — naive max-subtraction yields
+    # NaN that poisons gradients through 0·NaN in the head backward
+    # (measured: precision 1e-4). Fully-masked rows get att = 0 →
+    # ctx = 0 → the residual passes x through untouched.
+    m = a.max(axis=-1, keepdims=True)
+    m = np.where(np.isfinite(m), m, 0.0)
+    e = np.exp(a - m)
+    att = e / np.maximum(e.sum(axis=-1, keepdims=True), 1e-30)
+    ctx = att @ v  # [B, L, m]
+    x2 = x + ctx @ weights["ma_wo"]
+    return x2, {"x": x, "q": q, "k": k, "v": v, "att": att, "ctx": ctx}
+
+
+def mix_backward(
+    dx2: np.ndarray,
+    cache: dict,
+    weights: dict[str, np.ndarray],
+) -> tuple[dict, np.ndarray]:
+    """Backward of :func:`mix_forward` → (mixer grads, d_x_input).
+    Masked positions carry att == 0 so their gradient vanishes without
+    re-masking."""
+    m = weights["ma_wq"].shape[1]
+    x, q, k, v = cache["x"], cache["q"], cache["k"], cache["v"]
+    att, ctx = cache["att"], cache["ctx"]
+    d_wo = np.tensordot(ctx, dx2, axes=([0, 1], [0, 1]))
+    d_ctx = dx2 @ weights["ma_wo"].T  # [B, L, m]
+    d_att = d_ctx @ v.swapaxes(-1, -2)  # [B, L, L]
+    d_v = att.swapaxes(-1, -2) @ d_ctx
+    d_a = att * (d_att - (d_att * att).sum(axis=-1, keepdims=True))
+    d_a = d_a / np.sqrt(m)
+    d_q = d_a @ k
+    d_k = d_a.swapaxes(-1, -2) @ q
+    grads = {
+        "ma_wq": np.tensordot(x, d_q, axes=([0, 1], [0, 1])),
+        "ma_wk": np.tensordot(x, d_k, axes=([0, 1], [0, 1])),
+        "ma_wv": np.tensordot(x, d_v, axes=([0, 1], [0, 1])),
+        "ma_wo": d_wo,
+    }
+    dx = (
+        dx2
+        + d_q @ weights["ma_wq"].T
+        + d_k @ weights["ma_wk"].T
+        + d_v @ weights["ma_wv"].T
+    )
+    return grads, dx
 
 
 def gp_scores(
@@ -458,21 +563,44 @@ def _grad_partial(
     ).astype(np.float32)
     valid = _channel_valid(seq_len, x.shape[1], spec.tril)
 
-    s, cache = gp_scores(w32, x, cfg, spec.rope)
+    use_mix = "ma_wq" in w32
+    xh, mcache = (
+        mix_forward(w32, x, seq_len, cfg.mix_window)
+        if use_mix else (x, None)
+    )
+    s, cache = gp_scores(w32, xh, cfg, spec.rope)
     loss_sum, n_units, ds = _loss_and_dscore(s, y, valid)
-    grads, dx = _backward(ds, cache, w32, cfg, want_dx=cfg.fgm_eps is not None)
+    grads, dxh = _backward(
+        ds, cache, w32, cfg,
+        want_dx=use_mix or cfg.fgm_eps is not None,
+    )
+    dx = dxh
+    if use_mix:
+        mgrads, dx = mix_backward(dxh, mcache, w32)
+        grads.update(mgrads)
 
     if cfg.fgm_eps is not None:
         # reference FGM (trainer.py:50-88): attack the embeddings with
         # eps·g/‖g‖, accumulate BOTH gradients at full weight; units
         # stay the clean count (the adversarial pass is a second loss
-        # on the same units, exactly as loss.backward() twice is)
+        # on the same units, exactly as loss.backward() twice is).
+        # With the mixer, the attack direction is the gradient at the
+        # mixer INPUT (the frozen embeddings) and the adversarial pass
+        # re-runs the mixer forward/backward.
         norm = np.sqrt((dx * dx).sum())
         if norm > 1e-12:
             x_adv = (x + cfg.fgm_eps * dx / norm).astype(np.float32)
-            s2, cache2 = gp_scores(w32, x_adv, cfg, spec.rope)
+            xh2, mcache2 = (
+                mix_forward(w32, x_adv, seq_len, cfg.mix_window)
+                if use_mix
+                else (x_adv, None)
+            )
+            s2, cache2 = gp_scores(w32, xh2, cfg, spec.rope)
             loss2, _units2, ds2 = _loss_and_dscore(s2, y, valid)
-            g2, _ = _backward(ds2, cache2, w32, cfg)
+            g2, dxh2 = _backward(ds2, cache2, w32, cfg, want_dx=use_mix)
+            if use_mix:
+                mg2, _ = mix_backward(dxh2, mcache2, w32)
+                g2.update(mg2)
             for k in grads:
                 grads[k] = grads[k] + g2[k]
             loss_sum += loss2
@@ -521,6 +649,8 @@ def _eval_partial(
     x = _embed(
         input_ids, frozen_embeddings(cfg), cfg.pos_scale
     ).astype(np.float32)
+    if "ma_wq" in w32:
+        x, _ = mix_forward(w32, x, seq_len, cfg.mix_window)
     s, _ = gp_scores(w32, x, cfg, spec.rope)
     dec = _decode_valid(seq_len, x.shape[1], spec)
     pred = (s > 0.0) & dec
@@ -551,6 +681,8 @@ def _rel_triple_partial(
         part = df.iloc[lo:lo + batch_rows]
         input_ids, y, seq_len = _block_batch(part, spec)
         x = _embed(input_ids, frozen_embeddings(cfg), cfg.pos_scale)
+        if "ma_wq" in weights:
+            x, _ = mix_forward(weights, x, seq_len, cfg.mix_window)
         s, _ = gp_scores(weights, x, cfg, spec.rope)
         dec = _decode_valid(seq_len, x.shape[1], spec)
         pred = (s > 0.0) & dec
@@ -663,6 +795,14 @@ def gp_train(
     like = {k: v.copy() for k, v in weights.items()}
     m = np.zeros(_flatten(weights).size)
     v = np.zeros_like(m)
+    # per-parameter lr vector: ma_* tensors move at mix_lr_scale×lr
+    # (see GPTrainConfig.mix_lr_scale); _flatten orders by sorted key
+    lr_vec = np.concatenate([
+        np.full(like[k].size,
+                cfg.lr * (cfg.mix_lr_scale if k.startswith("ma_")
+                          else 1.0))
+        for k in sorted(like)
+    ])
     t0 = 0
     history: list[dict] = []
 
@@ -736,7 +876,7 @@ def gp_train(
         v = b2 * v + (1 - b2) * g * g
         mhat = m / (1 - b1 ** t)
         vhat = v / (1 - b2 ** t)
-        step = cfg.lr * mhat / (np.sqrt(vhat) + cfg.adam_eps)
+        step = lr_vec * mhat / (np.sqrt(vhat) + cfg.adam_eps)
         weights = _unflatten(_flatten(weights) - step, like)
 
         row = {
@@ -877,6 +1017,7 @@ def save_trained_head(
         head_labels=np.array(list(labels)),
         head_cfg=np.array([
             cfg.d_model, cfg.head_size, cfg.emb_rows, cfg.seed,
+            cfg.mix_dim, cfg.mix_window,
         ], dtype=np.int64),
         head_pos_scale=np.float64(cfg.pos_scale),
         # the TRAINED context window: inference must not score beyond
@@ -891,11 +1032,18 @@ def load_trained_head(path: str):
     """→ (weights, task_name, labels, cfg, max_length) from
     :func:`save_trained_head` output."""
     z = np.load(path, allow_pickle=False)
-    weights = {k: z[k] for k in ("wq", "bq", "wk", "bk")}
-    d, h, rows, seed = (int(v) for v in z["head_cfg"])
+    weights = {
+        k: z[k] for k in z.files
+        if k in ("wq", "bq", "wk", "bk") or k.startswith("ma_")
+    }
+    hc = [int(v) for v in z["head_cfg"]]
+    d, h, rows, seed = hc[:4]
+    mix_dim = hc[4] if len(hc) > 4 else 0  # pre-mixer checkpoints
+    mix_window = hc[5] if len(hc) > 5 else 0
     cfg = GPTrainConfig(
         d_model=d, head_size=h, emb_rows=rows, seed=seed,
-        pos_scale=float(z["head_pos_scale"]),
+        pos_scale=float(z["head_pos_scale"]), mix_dim=mix_dim,
+        mix_window=mix_window,
     )
     ml = int(z["head_max_length"]) if "head_max_length" in z.files else 64
     return (

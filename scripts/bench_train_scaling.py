@@ -66,10 +66,10 @@ feats = ner_convert_to_features(chunks, l2i, max_length=64).materialize()
 n_rows = feats.count()
 # warm epoch (actors, plasma, imports), then the timed window
 gp_train(feats, len(labels), epochs=1,
-         cfg=GPTrainConfig(lr=0.15), n_blocks={cpus} * 2)
+         cfg=GPTrainConfig(lr=0.15, mix_dim={mix_dim}), n_blocks={cpus} * 2)
 t0 = time.monotonic()
 _, hist = gp_train(feats, len(labels), epochs={epochs},
-                   cfg=GPTrainConfig(lr=0.15), n_blocks={cpus} * 2)
+                   cfg=GPTrainConfig(lr=0.15, mix_dim={mix_dim}), n_blocks={cpus} * 2)
 wall = time.monotonic() - t0
 print(json.dumps({{"cpus": {cpus}, "n_rows": n_rows, "epochs": {epochs},
                   "wall_s": round(wall, 3),
@@ -79,7 +79,9 @@ ray.shutdown()
 
 
 def run_leg(cpus: int, sf_dir: str, epochs: int) -> dict:
-    code = _LEG.format(repo=REPO, cpus=cpus, sf_dir=sf_dir, epochs=epochs)
+    mix_dim = int(os.environ.get("GRAFT_MIX_DIM", 0))
+    code = _LEG.format(repo=REPO, cpus=cpus, sf_dir=sf_dir, epochs=epochs,
+                       mix_dim=mix_dim)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         cwd=REPO, check=True,

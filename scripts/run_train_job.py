@@ -137,6 +137,11 @@ def main() -> int:
                     help="default: <out-dir>/checkpoints")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--mix-dim", type=int, default=0,
+                    help="context-mixer width (0 = off); one trainable "
+                         "±mix-window local attention layer on the "
+                         "frozen backbone")
+    ap.add_argument("--mix-window", type=int, default=8)
     from fastie_ray.config import job_argv
 
     args = ap.parse_args(job_argv())
@@ -226,7 +231,9 @@ def main() -> int:
 
     os.makedirs(args.out_dir, exist_ok=True)
     ckpt = args.checkpoint_dir or os.path.join(args.out_dir, "checkpoints")
-    cfg = GPTrainConfig(lr=args.lr, fgm_eps=args.fgm_eps)
+    cfg = GPTrainConfig(lr=args.lr, fgm_eps=args.fgm_eps,
+                        mix_dim=args.mix_dim,
+                        mix_window=args.mix_window)
     weights, hist = gp_train(
         feats, epochs=args.epochs, cfg=cfg, dev_features=dev,
         checkpoint_dir=ckpt, resume=args.resume,

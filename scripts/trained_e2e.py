@@ -9,12 +9,16 @@ What this witnesses vs ``np_dense_e2e.py``: that script runs COMPILED
 weights (exact by construction, gate 0.95) — the exactness story. This
 one runs LEARNED weights, so it witnesses the full plumbing
 (train job → self-describing checkpoint → backend dispatch → unmodified
-scorer/decode) plus what a small context-free frozen backbone can
-actually learn from distant supervision: recall saturates (gate 0.95)
-while precision plateaus around ~0.4 — separating 200 near-identical
-gazetteer surfaces wants a contextual encoder, which is exactly the
-piece a real pretrained checkpoint would supply through the same
-``resolve_dense_backend`` seam (gate 0.30, printed honestly).
+scorer/decode). Round-5 history: the r4 precision "plateau" (~0.38) was
+two findings — (1) TrainedHeadBackend emitted RAW head scores while the
+reference GlobalPointer modules subtract 1e12 on the lower triangle
+INSIDE the model (modules.py:117-118); the loss never constrains those
+cells, so trained lower-triangle logits drift positive and decoded as
+inverted-span FPs (measured 2551 FPs vs 1000 TPs). Masking where the
+reference masks lifted precision to 0.96. (2) The ±8-window context
+mixer (GPTrainConfig.mix_dim/mix_window, VERDICT r4 #2) lifts it
+further to ~0.99 at recall ~0.99 — local context separates surfaces the
+content-only head confuses. Gates: recall 0.95, precision 0.60.
 
 Usage: python scripts/trained_e2e.py [sf_dir]
 """
@@ -89,8 +93,16 @@ def main() -> None:
     labels = sorted(LABELS)
     l2i = {lb: i for i, lb in enumerate(labels)}
     feats = ner_convert_to_features(rows, l2i, max_length=64)
-    cfg = GPTrainConfig(lr=0.2)
-    weights, hist = gp_train(feats, len(labels), epochs=60, cfg=cfg)
+    # context mixer (VERDICT r4 #2): one trainable attention layer on
+    # the frozen backbone makes middle-context-conditioned surfaces
+    # separable (NOTES fact 22) — configurable for A/B via env
+    mix_dim = int(os.environ.get("GRAFT_MIX_DIM", 32))
+    epochs = int(os.environ.get("GRAFT_E2E_EPOCHS", 60))
+    mls = float(os.environ.get("GRAFT_MIX_LR_SCALE", 0.05))
+    mw = int(os.environ.get("GRAFT_MIX_WINDOW", 8))
+    cfg = GPTrainConfig(lr=0.2, mix_dim=mix_dim, mix_lr_scale=mls,
+                        mix_window=mw)
+    weights, hist = gp_train(feats, len(labels), epochs=epochs, cfg=cfg)
     path = tempfile.mktemp(suffix=".npz")
     save_trained_head(path, weights, "ner", labels, cfg)
     print(f"trained {len(hist)} epochs over distant supervision in "
@@ -119,10 +131,10 @@ def main() -> None:
     print(f"pages={n_pages} ref_mentions={len(ref_set)} "
           f"trained_mentions={len(got_set)}")
     print(f"NER mention precision={p:.4f} recall={r:.4f} "
-          f"(gates: recall 0.95, precision 0.30 — see module docstring; "
+          f"(gates: recall 0.95, precision 0.60 — see module docstring; "
           f"compiled-weights witness np_dense_e2e.py gates 0.95/0.95)")
     print(f"featurizer path: {t_ref:.1f}s  trained-head path: {t_hf:.1f}s")
-    assert r >= 0.95 and p >= 0.30, (p, r)
+    assert r >= 0.95 and p >= 0.60, (p, r)
 
 
 if __name__ == "__main__":

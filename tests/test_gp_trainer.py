@@ -371,3 +371,118 @@ def test_gp_train_resume_hyperparameter_mismatch_raises(
         checkpoint_dir=str(tmp_path / "c"), resume=True,
     )
     assert _flatten(w2).size > 0
+
+
+def test_mixer_gradients_match_finite_differences():
+    """Context-mixer (mix_dim > 0): analytic gradients for ALL weight
+    tensors (head + ma_*) and the mixer-input embedding gradient (the
+    FGM attack direction) match central finite differences."""
+    from fastie_ray.pipelines.trainer import (
+        init_gp_head, mix_backward, mix_forward,
+    )
+
+    cfg = GPTrainConfig(d_model=8, head_size=4, emb_rows=64, seed=3,
+                        mix_dim=5)
+    nl = 2
+    w = init_gp_head(nl, cfg)
+    # ma_wo starts at zero (identity mixer) — perturb it so the
+    # attention path actually carries gradient in this check
+    rng = np.random.default_rng(4)
+    w["ma_wo"] = rng.standard_normal(w["ma_wo"].shape) * 0.3
+    ids = rng.integers(0, 1000, (3, 7))
+    seq_len = np.array([7, 5, 6])
+    y = np.zeros((3, nl, 7, 7), dtype=np.int64)
+    y[0, 0, 1, 2] = 1
+    y[1, 1, 2, 2] = 1
+    y[2, 0, 1, 4] = 1
+    x = _embed(ids, frozen_embeddings(cfg))
+    valid = _span_mask(seq_len, 7)
+
+    def loss_of(wd, xx=x):
+        xh, _ = mix_forward(wd, xx, seq_len)
+        s, _ = gp_scores(wd, xh, cfg)
+        return _loss_and_dscore(s, y, valid)[0]
+
+    xh, mcache = mix_forward(w, x, seq_len)
+    s, cache = gp_scores(w, xh, cfg)
+    _, _, ds = _loss_and_dscore(s, y, valid)
+    grads, dxh = _backward(ds, cache, w, cfg, want_dx=True)
+    mg, dx = mix_backward(dxh, mcache, w)
+    grads.update(mg)
+    gv, flat = _flatten(grads), _flatten(w)
+    eps = 1e-6
+    for i in np.random.default_rng(1).choice(flat.size, 16, replace=False):
+        fp, fm = flat.copy(), flat.copy()
+        fp[i] += eps
+        fm[i] -= eps
+        num = (loss_of(_unflatten(fp, w)) - loss_of(_unflatten(fm, w))) / (
+            2 * eps
+        )
+        assert abs(num - gv[i]) <= 1e-4 * (abs(num) + abs(gv[i]) + 1e-3), i
+    # embedding gradient through mixer + residual
+    for (b, l, d) in [(1, 2, 3), (0, 0, 1), (2, 4, 7)]:
+        xx = x.copy()
+        xx[b, l, d] += eps
+        lp = loss_of(w, xx)
+        xx[b, l, d] -= 2 * eps
+        lm = loss_of(w, xx)
+        num = (lp - lm) / (2 * eps)
+        assert abs(num - dx[b, l, d]) <= 1e-4 * (abs(num) + 1e-3)
+
+
+def test_mixer_off_is_bit_identical_to_historical(ray_session):
+    """mix_dim=0 (default) leaves the init stream, gradient vector
+    layout and training trajectory EXACTLY as before the mixer landed."""
+    from fastie_ray.pipelines.trainer import init_gp_head
+
+    cfg = GPTrainConfig()
+    w = init_gp_head(5, cfg)
+    assert sorted(w) == ["bk", "bq", "wk", "wq"]
+    train = _features(_gaz_rows(60, 7), LABELS5)
+    w1, h1 = gp_train(train, len(LABELS5), epochs=3, cfg=cfg)
+    w2, h2 = gp_train(train, len(LABELS5), epochs=3, cfg=cfg)
+    assert np.array_equal(_flatten(w1), _flatten(w2))
+
+
+def test_mixer_train_and_checkpoint_roundtrip(ray_session, tmp_path):
+    """mix_dim > 0 trains, converges, and round-trips through
+    save_trained_head → TrainedHeadBackend (serving applies the mixer)."""
+    from fastie_ray.hf_backend import resolve_dense_backend
+    from fastie_ray.pipelines.trainer import save_trained_head
+
+    train = _features(_gaz_rows(200, 6), LABELS5)
+    dev = _features(_gaz_rows(60, 10), LABELS5)
+    cfg = GPTrainConfig(lr=0.2, mix_dim=8)
+    w, hist = gp_train(
+        train, len(LABELS5), epochs=40, cfg=cfg, dev_features=dev,
+    )
+    assert "ma_wq" in w
+    assert hist["f1_e6"].iloc[-1] >= 900_000
+    path = str(tmp_path / "mix_head.npz")
+    save_trained_head(path, w, "ner", LABELS5, cfg)
+    be = resolve_dense_backend(None, model_name_or_path=path)
+    assert "ma_wq" in be.w and be.cfg.mix_dim == 8
+    enc, s = be.ner_forward("Alice met Bob .")
+    assert s.shape[0] == len(LABELS5)
+
+
+def test_mixer_resume_bitwise(ray_session, tmp_path):
+    """bitwise checkpoint/resume holds WITH the mixer enabled."""
+    train = _features(_gaz_rows(100, 7), LABELS5)
+    cfg = GPTrainConfig(lr=0.2, mix_dim=8)
+    w_straight, h_s = gp_train(
+        train, len(LABELS5), epochs=6, cfg=cfg,
+        checkpoint_dir=str(tmp_path / "a"),
+    )
+    gp_train(
+        train, len(LABELS5), epochs=3, cfg=cfg,
+        checkpoint_dir=str(tmp_path / "b"),
+    )
+    w_resumed, h_r = gp_train(
+        train, len(LABELS5), epochs=6, cfg=cfg,
+        checkpoint_dir=str(tmp_path / "b"), resume=True,
+    )
+    assert np.array_equal(_flatten(w_straight), _flatten(w_resumed))
+    pd.testing.assert_frame_equal(
+        h_s.astype("int64"), h_r.astype("int64")
+    )

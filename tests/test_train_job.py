@@ -310,3 +310,46 @@ def test_trained_head_checkpoint_vocab_wins_at_decode(ray_session, tmp_path):
     # featurizer-map decode the intersection collapses to ~0 because
     # every label index maps to the wrong name
     assert len(hf_set & def_set) >= int(0.85 * len(def_set))
+
+
+def test_trained_head_tril_mask_kills_inverted_spans(ray_session, tmp_path):
+    """Round-5 precision root cause: the reference GlobalPointer
+    modules subtract 1e12 on the LOWER triangle inside the model
+    (modules.py:117-118); the GP loss never constrains those cells, so
+    a trained head's lower-triangle logits are unconstrained and drift
+    positive — decoded as inverted-span FPs. TrainedHeadBackend must
+    mask where the reference masks: tril channels' lower triangle
+    clamped far below any decode threshold."""
+    from fastie_ray.hf_backend import resolve_dense_backend
+    from fastie_ray.pipelines.train_prep import ner_convert_to_features
+    from fastie_ray.pipelines.trainer import (
+        GPTrainConfig, gp_train, save_trained_head,
+    )
+    from fastie_ray.synth import build_world
+
+    gaz = sorted(build_world().gazetteer.items())
+    labels = sorted({lb for _, lb in gaz})
+    rng = np.random.default_rng(3)
+    rows = []
+    for _ in range(200):
+        s1, l1 = gaz[rng.integers(len(gaz))]
+        text = f"{s1} appeared today ."
+        rows.append({"text": text, "entities": [
+            {"start_offset": 0, "end_offset": len(s1), "label": l1},
+        ]})
+    l2i = {lb: i for i, lb in enumerate(labels)}
+    feats = ner_convert_to_features(
+        ray.data.from_items(rows), l2i, max_length=64
+    )
+    cfg = GPTrainConfig(lr=0.2)
+    w, _ = gp_train(feats, len(labels), epochs=40, cfg=cfg)
+    path = str(tmp_path / "head.npz")
+    save_trained_head(path, w, "ner", labels, cfg)
+    be = resolve_dense_backend(None, model_name_or_path=path)
+    enc, s = be.ner_forward(rows[0]["text"].replace(" ", "-"))
+    L = s.shape[1]
+    low = np.tril(np.ones((L, L), dtype=bool), -1)
+    # every lower-triangle logit sits far below the 0.0 threshold
+    assert (s[:, low] < -1e9).all()
+    # and the upper triangle still carries live scores
+    assert s[:, ~low].max() > -1e9

@@ -126,6 +126,12 @@ class GPTrainConfig:
     # never saw. A local band keeps the learned context exactly the
     # neighborhood the span decision needs and is length-shift robust.
     mix_window: int = 8
+    # loss tiling (VERDICT r4 #7): stream the multilabel-CE loss and
+    # its dS over query-row tiles of this many rows instead of
+    # materializing ~8 dense [B, C, L, L] temporaries at once — the
+    # working set that hits this box's ~22 GB/s membw wall at 8→32
+    # cpus. 0 = dense legacy path. Same math, tile-ordered float sums.
+    loss_tile: int = 16
 
 
 @dataclass(frozen=True)
@@ -488,6 +494,69 @@ def _loss_and_dscore(
     return loss_sum, n_units, ds
 
 
+def _loss_and_dscore_tiled(
+    s: np.ndarray,  # [B, C, L, L]
+    y: np.ndarray,  # [B, C, L, L] 0/1
+    valid: np.ndarray,  # [B, L, L] or [B, C, L, L]
+    tile: int,
+) -> tuple[float, int, np.ndarray]:
+    """:func:`_loss_and_dscore` streamed over query-row tiles
+    (``GPTrainConfig.loss_tile``): three passes over ``s`` — running
+    max, exp-sum, dS write — with per-pass temporaries of
+    ``[B, C, tile, L]`` instead of ~8 dense ``[B, C, L, L]`` arrays.
+    Same arithmetic per element; float sums accumulate tile-by-tile
+    (deterministic: tiles are fixed-order), so values agree with the
+    dense path to float precision, not bitwise."""
+    B, C, L, _ = s.shape
+    v4 = valid.ndim == 4
+    dt = s.dtype
+    # pass 1: masked maxima (appended-0 convention of lse0)
+    m_neg = np.zeros((B, C), dtype=dt)
+    m_pos = np.zeros((B, C), dtype=dt)
+    for lo in range(0, L, tile):
+        sl = slice(lo, lo + tile)
+        vv = (valid[:, :, sl] if v4 else valid[:, None, sl])
+        st = s[:, :, sl]
+        yt = y[:, :, sl]
+        neg = np.where(vv & (yt == 0), st, -np.inf)
+        pos = np.where(vv & (yt == 1), -st, -np.inf)
+        np.maximum(m_neg, neg.max(axis=(2, 3)), out=m_neg)
+        np.maximum(m_pos, pos.max(axis=(2, 3)), out=m_pos)
+    # pass 2: exp sums under the global maxima
+    z_neg = np.exp(-m_neg).astype(dt)
+    z_pos = np.exp(-m_pos).astype(dt)
+    for lo in range(0, L, tile):
+        sl = slice(lo, lo + tile)
+        vv = (valid[:, :, sl] if v4 else valid[:, None, sl])
+        st = s[:, :, sl]
+        yt = y[:, :, sl]
+        neg = np.where(vv & (yt == 0), st, -np.inf)
+        pos = np.where(vv & (yt == 1), -st, -np.inf)
+        z_neg += np.exp(neg - m_neg[:, :, None, None]).sum(axis=(2, 3))
+        z_pos += np.exp(pos - m_pos[:, :, None, None]).sum(axis=(2, 3))
+    neg_l = m_neg + np.log(z_neg)
+    pos_l = m_pos + np.log(z_pos)
+    loss_sum = float((neg_l + pos_l).sum())
+    n_units = int(neg_l.size)
+    # pass 3: dS
+    ds = np.empty_like(s)
+    for lo in range(0, L, tile):
+        sl = slice(lo, lo + tile)
+        vv = (valid[:, :, sl] if v4 else valid[:, None, sl])
+        st = s[:, :, sl]
+        yt = y[:, :, sl]
+        is_neg = vv & (yt == 0)
+        is_pos = vv & (yt == 1)
+        neg = np.where(is_neg, st, -np.inf)
+        pos = np.where(is_pos, -st, -np.inf)
+        d_neg = np.exp(neg - neg_l[:, :, None, None])
+        d_pos = np.exp(pos - pos_l[:, :, None, None])
+        ds[:, :, sl] = (
+            np.where(is_neg, d_neg, 0.0) - np.where(is_pos, d_pos, 0.0)
+        )
+    return loss_sum, n_units, ds
+
+
 def _backward(
     ds: np.ndarray,
     cache: dict,
@@ -568,8 +637,13 @@ def _grad_partial(
         mix_forward(w32, x, seq_len, cfg.mix_window)
         if use_mix else (x, None)
     )
+    def loss_fn(sc):
+        if cfg.loss_tile and sc.shape[2] > cfg.loss_tile:
+            return _loss_and_dscore_tiled(sc, y, valid, cfg.loss_tile)
+        return _loss_and_dscore(sc, y, valid)
+
     s, cache = gp_scores(w32, xh, cfg, spec.rope)
-    loss_sum, n_units, ds = _loss_and_dscore(s, y, valid)
+    loss_sum, n_units, ds = loss_fn(s)
     grads, dxh = _backward(
         ds, cache, w32, cfg,
         want_dx=use_mix or cfg.fgm_eps is not None,
@@ -596,7 +670,7 @@ def _grad_partial(
                 else (x_adv, None)
             )
             s2, cache2 = gp_scores(w32, xh2, cfg, spec.rope)
-            loss2, _units2, ds2 = _loss_and_dscore(s2, y, valid)
+            loss2, _units2, ds2 = loss_fn(s2)
             g2, dxh2 = _backward(ds2, cache2, w32, cfg, want_dx=use_mix)
             if use_mix:
                 mg2, _ = mix_backward(dxh2, mcache2, w32)

@@ -486,3 +486,62 @@ def test_mixer_resume_bitwise(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         h_s.astype("int64"), h_r.astype("int64")
     )
+
+
+def test_tiled_loss_matches_dense():
+    """loss_tile path (VERDICT r4 #7): tiled three-pass loss/dS equals
+    the dense formulation to float tolerance on random masked inputs,
+    and its gradients pass the same finite-difference check."""
+    from fastie_ray.pipelines.trainer import _loss_and_dscore_tiled
+
+    rng = np.random.default_rng(0)
+    B, C, L = 3, 4, 23
+    s = rng.standard_normal((B, C, L, L)).astype(np.float32) * 3
+    y = (rng.random((B, C, L, L)) < 0.02).astype(np.int64)
+    seq_len = np.array([23, 11, 17])
+    valid = _span_mask(seq_len, L)
+    y = y & valid[:, None, :, :]
+    l_d, n_d, ds_d = _loss_and_dscore(s, y, valid)
+    for tile in (1, 5, 16, 23, 64):
+        l_t, n_t, ds_t = _loss_and_dscore_tiled(s, y, valid, tile)
+        assert n_t == n_d
+        assert abs(l_t - l_d) <= 1e-3 * (abs(l_d) + 1)
+        np.testing.assert_allclose(ds_t, ds_d, rtol=2e-4, atol=2e-6)
+
+
+def test_tiled_gradients_match_finite_differences():
+    cfg = GPTrainConfig(d_model=8, head_size=4, emb_rows=64, seed=3,
+                        loss_tile=3)
+    nl = 2
+    from fastie_ray.pipelines.trainer import (
+        _loss_and_dscore_tiled, init_gp_head,
+    )
+
+    w = init_gp_head(nl, cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 1000, (3, 7))
+    seq_len = np.array([7, 5, 6])
+    y = np.zeros((3, nl, 7, 7), dtype=np.int64)
+    y[0, 0, 1, 2] = 1
+    y[1, 1, 2, 2] = 1
+    y[2, 0, 1, 4] = 1
+    x = _embed(ids, frozen_embeddings(cfg))
+    valid = _span_mask(seq_len, 7)
+
+    def loss_of(wd):
+        s, _ = gp_scores(wd, x, cfg)
+        return _loss_and_dscore_tiled(s, y, valid, cfg.loss_tile)[0]
+
+    s, cache = gp_scores(w, x, cfg)
+    _, _, ds = _loss_and_dscore_tiled(s, y, valid, cfg.loss_tile)
+    grads, _ = _backward(ds, cache, w, cfg)
+    gv, flat = _flatten(grads), _flatten(w)
+    eps = 1e-6
+    for i in np.random.default_rng(1).choice(flat.size, 10, replace=False):
+        fp, fm = flat.copy(), flat.copy()
+        fp[i] += eps
+        fm[i] -= eps
+        num = (loss_of(_unflatten(fp, w)) - loss_of(_unflatten(fm, w))) / (
+            2 * eps
+        )
+        assert abs(num - gv[i]) <= 1e-5 * (abs(num) + abs(gv[i]) + 1e-3)

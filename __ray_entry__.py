@@ -18,12 +18,16 @@ import os as _os
 from collections.abc import Callable
 from typing import Any
 
-# the committed relational conversion of the reference's real CMeEE dev
-# corpus (scripts/convert_real_corpora.py) — read by BOTH sides of the
-# cmeee_stats query so Ray and DuckDB see identical bytes
+# the committed relational conversions of the reference's real dev
+# corpora (scripts/convert_real_corpora.py) — read by BOTH sides of the
+# cmeee_stats / duee_stats queries so Ray and DuckDB see identical bytes
 _GOLDEN_CMEEE = _os.path.join(
     _os.path.dirname(_os.path.abspath(__file__)),
     "data", "golden", "cmeee_dev.parquet",
+)
+_GOLDEN_DUEE = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)),
+    "data", "golden", "duee_dev.parquet",
 )
 
 _WORLD = None
@@ -2003,6 +2007,21 @@ def _q_cmeee_stats(sf_dir: str):
     )
     ds = ray.data.read_parquet(path, override_num_blocks=8)
     return mention_stats(ds)
+
+
+def _q_duee_stats(sf_dir: str):
+    """Corpus stats over the REAL DuEE dev corpus: per event_type —
+    distinct events, argument rows, distinct roles, total argument
+    chars over the committed M7-shaped conversion of the reference's
+    ``event_extraction/datasets/duee/dev.json`` (lstrip-corrected
+    offsets). Ignores ``sf_dir`` by design: both sides read the
+    identical committed bytes."""
+    import ray.data
+
+    from fastie_ray.sources.corpus import event_stats
+
+    ds = ray.data.read_parquet(_GOLDEN_DUEE, override_num_blocks=8)
+    return event_stats(ds)
 
 
 def _q_purged_folds(sf_dir: str):
@@ -8940,6 +8959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purged_folds": _q_purged_folds,
         "srm_audit": _q_srm_audit,
         "cmeee_stats": _q_cmeee_stats,
+        "duee_stats": _q_duee_stats,
         "media_frames": _q_media_frames,
         "media_neardup": _q_media_neardup,
         "extract_text": _q_extract_text,
@@ -11536,6 +11556,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT entity) AS BIGINT) AS n_surfaces,
                    CAST(sum("end" - "start") AS BIGINT) AS sum_span_chars
             FROM '{_GOLDEN_CMEEE}'
+            GROUP BY 1
+        """,
+        "duee_stats": f"""
+            SELECT event_type,
+                   CAST(count(DISTINCT doc_id || chr(31) ||
+                              CAST(event_idx AS VARCHAR)) AS BIGINT)
+                       AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_args,
+                   CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+                   CAST(sum("end" - "start") AS BIGINT) AS sum_arg_chars
+            FROM '{_GOLDEN_DUEE}'
             GROUP BY 1
         """,
         "purged_folds": """

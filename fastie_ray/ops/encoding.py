@@ -262,28 +262,37 @@ def quantile_transform(
     exchange by group × distinct-cents domain; the cumulative table
     broadcasts once via ``ray.put`` (domain-bounded by construction —
     cents of a bounded value range), and the transform pass is
-    embarrassingly parallel."""
+    embarrassingly parallel. Arrow end-to-end (VERDICT r4 #5): the
+    corpus-touching stages are ``batch_format="pyarrow"`` with
+    pyarrow.compute kernels and the per-batch lookup is a vectorized
+    Arrow hash join against the broadcast table — the previous pandas
+    formulation did a Python dict probe PER ROW in the hot stage."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     import ray
 
-    def cents_of(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                id_col: df[id_col].astype("int64"),
-                "g": df[group_col],
-                "cents": np.floor(
-                    df[value_col].to_numpy(dtype=np.float64) * 100
-                ).astype("int64"),
-            }
+    def cents_of(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(pc.cast(t[value_col], pa.float64()),
+                                 pa.scalar(100.0))),
+            pa.int64(),
         )
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "g": t[group_col],
+            "cents": cents,
+        })
 
-    cents = ds.map_batches(cents_of, batch_format="pandas").materialize()
+    cents = ds.map_batches(cents_of, batch_format="pyarrow").materialize()
     counts = (
         cents.map_batches(
-            lambda df: df.groupby(["g", "cents"], as_index=False, dropna=False).size()
-            .rename(columns={"size": "n"}),
-            batch_format="pandas",
+            lambda t: t.group_by(["g", "cents"]).aggregate(
+                [("cents", "count")]
+            ).rename_columns(["g", "cents", "n"]),
+            batch_format="pyarrow",
         )
-        .to_pandas()
+        .to_pandas()  # group × distinct-cents domain — tiny
         .groupby(["g", "cents"], as_index=False, dropna=False)["n"]
         .sum()
         .sort_values(["g", "cents"])
@@ -292,23 +301,22 @@ def quantile_transform(
         counts.groupby("g")["n"].cumsum() - counts["n"]
     )
     counts["n_tot"] = counts.groupby("g")["n"].transform("sum")
-    lut = {
-        (r["g"], int(r["cents"])): (int(r["n_lt"]), int(r["n_tot"]))
-        for _, r in counts.iterrows()
-    }
-    lut_ref = ray.put(lut)
+    lut_ref = ray.put(pa.Table.from_pandas(
+        counts[["g", "cents", "n_lt", "n_tot"]], preserve_index=False
+    ))
 
-    def transform(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(lut_ref)
-        pairs = list(zip(df["g"], df["cents"].astype(int)))
-        n_lt = np.fromiter(
-            (m[p][0] for p in pairs), dtype=np.int64, count=len(pairs)
+    def transform(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)
+        j = t.join(lut, keys=["g", "cents"], join_type="inner")
+        pct = pc.divide(
+            pc.multiply(j["n_lt"], pa.scalar(1_000_000, pa.int64())),
+            j["n_tot"],
         )
-        n_tot = np.fromiter(
-            (m[p][1] for p in pairs), dtype=np.int64, count=len(pairs)
-        )
-        out = df[[id_col, "g", "cents"]].copy()
-        out["pct_e6"] = (n_lt * 1_000_000) // n_tot
-        return out.rename(columns={"g": group_col})
+        return pa.table({
+            id_col: j[id_col],
+            group_col: j["g"],
+            "cents": j["cents"],
+            "pct_e6": pc.cast(pct, pa.int64()),
+        })
 
-    return cents.map_batches(transform, batch_format="pandas")
+    return cents.map_batches(transform, batch_format="pyarrow")

@@ -263,3 +263,76 @@ def mention_stats(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def event_stats(
+    ds: "ray.data.Dataset", n_buckets: int = 8
+) -> "ray.data.Dataset":
+    """Corpus-stats over a gold event-argument table (the M7
+    ``duee_v1_targets`` shape, e.g. the committed real-DuEE parquet):
+    per event_type — distinct events, argument rows, distinct roles,
+    total argument chars. Same combiner + one type-bucketed exchange
+    discipline as :func:`mention_stats`."""
+    import numpy as np
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df.groupby("event_type", as_index=False).agg(
+            n_args=("event_type", "count"),
+        )
+        counts["sum_arg_chars"] = (
+            df.assign(w=df["end"] - df["start"])
+            .groupby("event_type")["w"].sum()
+            .reindex(counts["event_type"]).to_numpy()
+        )
+        counts["kind"] = "c"
+        ev = (
+            df.assign(k=df["doc_id"].astype(str) + "\x1f"
+                      + df["event_idx"].astype(str))
+            [["event_type", "k"]].drop_duplicates().assign(kind="e")
+        )
+        rl = (
+            df[["event_type", "role"]].drop_duplicates()
+            .rename(columns={"role": "k"}).assign(kind="r")
+        )
+        out = pd.concat([counts, ev, rl], ignore_index=True)
+        for col, fill in [("n_args", 0), ("sum_arg_chars", 0), ("k", "")]:
+            if col in out:
+                out[col] = out[col].fillna(fill)
+        return out
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(
+            df["event_type"], index=False
+        ).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        rows = []
+        for et, sub in g.groupby("event_type"):
+            c = sub[sub["kind"] == "c"]
+            rows.append((
+                et,
+                int(sub.loc[sub["kind"] == "e", "k"].nunique()),
+                int(c["n_args"].sum()),
+                int(sub.loc[sub["kind"] == "r", "k"].nunique()),
+                int(c["sum_arg_chars"].sum()),
+            ))
+        return pd.DataFrame(
+            rows,
+            columns=["event_type", "n_events", "n_args", "n_roles",
+                     "sum_arg_chars"],
+        ).astype({"n_events": "int64", "n_args": "int64",
+                  "n_roles": "int64", "sum_arg_chars": "int64"})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_b, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -23,6 +23,11 @@ SRC = (
 )
 DST = os.path.join(os.path.dirname(__file__), "..", "data", "golden",
                    "cmeee_dev.parquet")
+DUEE_SRC = (
+    "/root/reference/examples/event_extraction/datasets/duee/dev.json"
+)
+DUEE_DST = os.path.join(os.path.dirname(__file__), "..", "data", "golden",
+                        "duee_dev.parquet")
 
 
 def convert(src: str = SRC, dst: str = DST) -> int:
@@ -53,5 +58,49 @@ def convert(src: str = SRC, dst: str = DST) -> int:
     return t.num_rows
 
 
+def convert_duee(src: str = DUEE_SRC, dst: str = DUEE_DST) -> int:
+    """DuEE dev → one row per (event, argument) with the M7
+    lstrip-corrected offsets (duee_v1_targets shape) — the real
+    event-extraction dev set as relational parquet."""
+    rows = {"doc_id": [], "event_idx": [], "event_type": [], "role": [],
+            "argument": [], "start": [], "end": []}
+
+    def add(doc_id, k, etype, role, surface, start):
+        off = len(surface) - len(surface.lstrip())
+        rows["doc_id"].append(doc_id)
+        rows["event_idx"].append(k)
+        rows["event_type"].append(etype)
+        rows["role"].append(role)
+        rows["argument"].append(surface.strip())
+        rows["start"].append(start + off)
+        rows["end"].append(start + off + len(surface.strip()))
+
+    with open(src) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            ex = json.loads(line)
+            for k, e in enumerate(ex["event_list"]):
+                add(ex["id"], k, e["event_type"], "触发词",
+                    e["trigger"], int(e["trigger_start_index"]))
+                for a in e["arguments"]:
+                    add(ex["id"], k, e["event_type"], a["role"],
+                        a["argument"], int(a["argument_start_index"]))
+    t = pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.string()),
+        "event_idx": pa.array(rows["event_idx"], pa.int64()),
+        "event_type": pa.array(rows["event_type"], pa.string()),
+        "role": pa.array(rows["role"], pa.string()),
+        "argument": pa.array(rows["argument"], pa.string()),
+        "start": pa.array(rows["start"], pa.int64()),
+        "end": pa.array(rows["end"], pa.int64()),
+    })
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    pq.write_table(t, dst, compression="zstd")
+    return t.num_rows
+
+
 if __name__ == "__main__":
     print(f"wrote {convert()} mention rows -> {os.path.abspath(DST)}")
+    print(f"wrote {convert_duee()} argument rows -> "
+          f"{os.path.abspath(DUEE_DST)}")

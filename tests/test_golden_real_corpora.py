@@ -244,3 +244,24 @@ def test_tokenizers_on_real_cjk(ray_session):
         for ci, ti in enumerate(covered):
             s, e = enc.offsets[ti]
             assert s <= ci < e
+
+
+def test_committed_parquet_matches_fresh_conversion(ray_session):
+    """The committed data/golden/*.parquet equal a fresh deterministic
+    conversion of the reference files — no silent drift between the
+    checked-in bytes and the converter."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from scripts.convert_real_corpora import (
+        DST, DUEE_DST, convert, convert_duee,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        fresh = os.path.join(d, "cmeee.parquet")
+        convert(dst=fresh)
+        assert pq.read_table(fresh).equals(pq.read_table(DST))
+        fresh2 = os.path.join(d, "duee.parquet")
+        convert_duee(dst=fresh2)
+        assert pq.read_table(fresh2).equals(pq.read_table(DUEE_DST))

@@ -385,8 +385,23 @@ def session_window_agg(
     key's rows (coarse hash partition — all rows of a key land in one
     partition task, the op's partitioning assumption); within the
     partition, session ids are a vectorized sort + diff + cumsum per
-    key. Emits (key, session_start, n_events, sum_value)."""
+    key. Emits (key, session_start, n_events, sum_value). The
+    corpus-row bucket-tag stage runs zero-copy Arrow when the key is
+    an integer and ``n_buckets`` is a power of two (bit-mask bucket —
+    VERDICT r4 #5 session-path portage); bucket choice is
+    correctness-invariant (all rows of a key co-locate either way)."""
     gap_td = pd.Timedelta(gap)
+
+    def add_b_arrow(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.bit_wise_and(
+            pc.cast(t[key_col], pa.uint64()),
+            pa.scalar(n_buckets - 1, pa.uint64()),
+        )
+        return t.select([key_col, ts_col, value_col]).append_column(
+            "__b", pc.cast(b, pa.int64())
+        )
 
     def add_b(df: pd.DataFrame) -> pd.DataFrame:
         df = df[[key_col, ts_col, value_col]].copy()
@@ -410,10 +425,20 @@ def session_window_agg(
         out["sum_value"] = out["sum_value"].round(4)
         return out.drop(columns="__sess")
 
-    return (
-        ds.map_batches(add_b, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(sessions, batch_format="pandas")
+    try:
+        sch = ds.schema()
+        key_type = sch.types[sch.names.index(key_col)]
+        int_key = pa.types.is_integer(key_type)
+    except (ValueError, AttributeError, TypeError):
+        int_key = False  # unknown schema → generic pandas hash path
+    pow2 = n_buckets > 0 and (n_buckets & (n_buckets - 1)) == 0
+    tagged = (
+        ds.map_batches(add_b_arrow, batch_format="pyarrow")
+        if int_key and pow2
+        else ds.map_batches(add_b, batch_format="pandas")
+    )
+    return tagged.groupby("__b").map_groups(
+        sessions, batch_format="pandas"
     )
 
 

@@ -2024,6 +2024,20 @@ def _q_duee_stats(sf_dir: str):
     return event_stats(ds)
 
 
+def _q_boilerplate(sf_dir: str):
+    """Per-source boilerplate share (``ops.text_analysis.
+    boilerplate_windows``, the CCNet/RefinedWeb cleaning step):
+    non-overlapping 8-token windows recurring in ≥3 distinct docs of
+    the same source are boilerplate; per doc (n_windows, n_bp, bp_e6).
+    Two bucketed exchanges — (source, window-md5) frequency+flag, then
+    doc rollup — no driver-side flag table."""
+    from fastie_ray.ops.text_analysis import boilerplate_windows
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "source", "text"])
+    return boilerplate_windows(docs)
+
+
 def _q_purged_folds(sf_dir: str):
     """Purged + embargoed time-series CV audit (``ops.splits.
     purged_time_folds``, the López-de-Prado leakage-safe CV shape):
@@ -8960,6 +8974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "srm_audit": _q_srm_audit,
         "cmeee_stats": _q_cmeee_stats,
         "duee_stats": _q_duee_stats,
+        "boilerplate": _q_boilerplate,
         "media_frames": _q_media_frames,
         "media_neardup": _q_media_neardup,
         "extract_text": _q_extract_text,
@@ -11567,6 +11582,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
                    CAST(sum("end" - "start") AS BIGINT) AS sum_arg_chars
             FROM '{_GOLDEN_DUEE}'
+            GROUP BY 1
+        """,
+        "boilerplate": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents),
+            w AS (
+                SELECT doc_id, source,
+                       substr(md5(array_to_string(
+                           toks[i * 8 + 1 : i * 8 + 8], ' ')), 1, 16)
+                           AS wkey
+                FROM t, LATERAL (
+                    SELECT unnest(range(len(toks) // 8)) AS i) r),
+            f AS (
+                SELECT source, wkey,
+                       count(DISTINCT doc_id) AS nd
+                FROM w GROUP BY 1, 2)
+            SELECT w.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bp,
+                   CAST(sum(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END)
+                        * 1000000 // count(*) AS BIGINT) AS bp_e6
+            FROM w JOIN f USING (source, wkey)
             GROUP BY 1
         """,
         "purged_folds": """

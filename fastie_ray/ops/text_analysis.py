@@ -833,3 +833,98 @@ def doc_novelty(
         .groupby("__b")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def boilerplate_windows(
+    ds: "ray.data.Dataset",
+    shingle: int = 8,
+    min_docs: int = 3,
+    n_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Per-source boilerplate detection — the CCNet/RefinedWeb cleaning
+    step this inventory lacked: a non-overlapping ``shingle``-token
+    window whose text recurs in ≥ ``min_docs`` DISTINCT documents of
+    the same source is boilerplate (nav bars, footers, legal blurbs —
+    content shared across a host's pages, not duplicated documents).
+    Emits per doc: (doc_id, n_windows, n_bp, bp_e6 = ⌊1e6·n_bp /
+    n_windows⌋); docs shorter than one window are dropped (undefined
+    ratio).
+
+    Scale shape: corpus → window rows (×1/shingle of token volume)
+    with md5 window keys; ONE (source, window)-bucketed exchange
+    computes the distinct-doc frequency AND flags every window row in
+    place (no driver-side flag table, no broadcast — the boilerplate
+    key domain at 100 TB is itself corpus-scale); one doc-bucketed
+    exchange folds flags to the per-doc ratio. Nothing materializes on
+    the driver."""
+    import hashlib
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, sources, wkeys = [], [], []
+        for doc_id, source, text in zip(
+            df["doc_id"], df["source"], df["text"]
+        ):
+            toks = text.split()
+            n_w = len(toks) // shingle
+            for i in range(n_w):
+                w = " ".join(toks[i * shingle:(i + 1) * shingle])
+                doc_ids.append(doc_id)
+                sources.append(source)
+                wkeys.append(hashlib.md5(w.encode()).hexdigest()[:16])
+        return pd.DataFrame({
+            "doc_id": pd.Series(doc_ids, dtype="int64"),
+            "source": sources,
+            "wkey": wkeys,
+        })
+
+    def add_wb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        h = pd.util.hash_pandas_object(
+            df["source"].astype(str) + "\x1f" + df["wkey"], index=False
+        ).to_numpy()
+        df["__b"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        df_count = (
+            g.drop_duplicates()
+            .groupby(["source", "wkey"])["doc_id"].size()
+        )
+        bp_keys = set(df_count[df_count >= min_docs].index)
+        is_bp = [
+            (s, w) in bp_keys for s, w in zip(g["source"], g["wkey"])
+        ]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "bp": pd.Series(is_bp, dtype="int64"),
+        })
+
+    def add_db(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if len(df) == 0:
+            df["__b"] = np.array([], dtype=np.int64)
+            return df
+        df["__b"] = (df["doc_id"].to_numpy() % n_buckets).astype(np.int64)
+        return df
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__b")
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_windows=("bp", "count"), n_bp=("bp", "sum")
+        )
+        out["bp_e6"] = (out["n_bp"] * 1_000_000) // out["n_windows"]
+        return out.astype("int64")
+
+    return (
+        ds.map_batches(windows, batch_format="pandas")
+        .map_batches(add_wb, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(flag, batch_format="pandas")
+        .map_batches(add_db, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_doc, batch_format="pandas")
+    )

@@ -91,3 +91,75 @@ def test_doc_triples_survives_worker_kill(ray_session):
     # identical result despite the mid-stream process death
     assert len(got) == len(want)
     assert got.equals(want)
+
+
+def _synth_edges(n_nodes: int, n_edges: int, seed: int = 0):
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "src": rng.integers(0, n_nodes, n_edges).astype("int64"),
+        "dst": rng.integers(0, n_nodes, n_edges).astype("int64"),
+    }).drop_duplicates()
+    return ray.data.from_pandas(df).repartition(16)
+
+
+def _task_worker_pids() -> list[int]:
+    # raw-task workers are retitled "ray::<fn>"; exclude actor pools
+    pids = []
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
+            continue
+        try:
+            with open(f"/proc/{entry}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\x00", b" ")
+        except OSError:
+            continue
+        if (b"ray::" in cmd and b"IDLE" not in cmd
+                and b"MapWorker" not in cmd):
+            pids.append(int(entry))
+    return pids
+
+
+@pytest.mark.timeout(600)
+def test_pagerank_exchange_survives_worker_kill(ray_session):
+    """The OTHER execution substrate: the raw-task BlockSet exchange
+    (state/exchange.py) that pagerank's fixed-point iterations run on.
+    SIGKILL a task worker mid-iteration; Ray's task retry (lineage
+    re-execution) must deliver the integer-exact identical rank table."""
+    from fastie_ray.ops.graph import pagerank
+
+    edges = _synth_edges(40_000, 400_000).materialize()
+    want = (
+        pagerank(edges, n_iter=6)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+
+    killed = {"pid": None}
+
+    def killer():
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            pids = _task_worker_pids()
+            if pids:
+                try:
+                    os.kill(pids[0], signal.SIGKILL)
+                    killed["pid"] = pids[0]
+                except ProcessLookupError:
+                    continue
+                return
+            time.sleep(0.02)
+
+    t = threading.Thread(target=killer, daemon=True)
+    t.start()
+    got = (
+        pagerank(edges, n_iter=6)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    t.join(timeout=60)
+    assert killed["pid"] is not None, "killer never found a task worker"
+    # integer fixed-point ranks: bit-identical despite the kill
+    assert got.equals(want)

@@ -353,3 +353,96 @@ def test_trained_head_tril_mask_kills_inverted_spans(ray_session, tmp_path):
     assert (s[:, low] < -1e9).all()
     # and the upper triangle still carries live scores
     assert s[:, ~low].max() > -1e9
+
+
+def test_mixer_learns_context_conditioned_predicates(
+    ray_session, tmp_path
+):
+    """NOTES fact 22 said predicates conditioned on MIDDLE context are
+    unlearnable by content-only link channels (endpoint tokens carry no
+    predicate signal when subject/object are random). The ±8-window
+    context mixer (VERDICT r4 #2) makes them learnable: trained WITH
+    the mixer, the production RelScorer recovers phrase-determined
+    triples on held-out subject/object pairs; trained WITHOUT it, the
+    same data yields near-chance links."""
+    import pyarrow as pa
+
+    from fastie_ray.pipelines.train_prep import rel_convert_to_features
+    from fastie_ray.pipelines.trainer import (
+        GPTrainConfig, gp_train, rel_task, save_trained_head,
+    )
+    from fastie_ray.sources.corpus import process_rel_train
+    from fastie_ray.stages.scorers import RelScorer
+    from fastie_ray.synth import build_world
+
+    gaz = sorted(build_world().gazetteer.items())
+    surfaces = [s for s, _ in gaz]
+    phrases = {
+        "acquired_stake_in": "acquired large stake in",
+        "filed_suit_against": "filed formal suit against",
+        "opened_office_near": "opened branch office near",
+    }
+    preds = sorted(phrases)
+    rng = np.random.default_rng(11)
+
+    def make_rows(n, seed):
+        r = np.random.default_rng(seed)
+        rows = []
+        for _ in range(n):
+            s = surfaces[r.integers(len(surfaces))]
+            o = surfaces[r.integers(len(surfaces))]
+            p = preds[r.integers(len(preds))]  # RANDOM wrt endpoints
+            rows.append({
+                "text": f"{s} {phrases[p]} {o} .",
+                "spo_list": [
+                    {"predicate": p, "subject": s, "object": o}
+                ],
+            })
+        return rows
+
+    p2id = {p: i for i, p in enumerate(preds)}
+    feats_src = process_rel_train(
+        ray.data.from_items(make_rows(500, 1)), p2id
+    )
+    feats = rel_convert_to_features(
+        feats_src, p2id, max_length=64
+    ).materialize()
+
+    def run(mix_dim):
+        cfg = GPTrainConfig(lr=0.25, mix_dim=mix_dim, mix_lr_scale=0.15)
+        w, _ = gp_train(
+            feats, epochs=300, cfg=cfg, task=rel_task(len(preds)),
+        )
+        path = str(tmp_path / f"rel_mix{mix_dim}.npz")
+        save_trained_head(path, w, "rel", preds, cfg)
+        held = make_rows(40, 2)  # unseen (s, o) pairs, same phrases
+        batch = pa.table({
+            "url": [f"u{i}" for i in range(len(held))],
+            "chunk_id": [0] * len(held),
+            "chunk_offset": [0] * len(held),
+            "chunk_text": [r["text"] for r in held],
+        })
+        got = RelScorer(
+            rel_backend="hf", hf_model=path, max_length=64
+        )(batch).to_pandas()
+        by_url = {
+            u: set(zip(sub["predicate"], sub["subject"], sub["object"]))
+            for u, sub in got.groupby("url")
+        }
+        hits = 0
+        for i, r in enumerate(held):
+            spo = r["spo_list"][0]
+            want = (spo["predicate"], spo["subject"], spo["object"])
+            if want in by_url.get(f"u{i}", set()):
+                hits += 1
+        return hits
+
+    hits_mix = run(32)
+    hits_plain = run(0)
+    # the mixer recovers the context-determined predicate on most
+    # held-out pairs — the capability fact 22 said was missing —
+    # while the content-only head stays near chance (measured 31/40
+    # vs 4/40; bars leave trajectory headroom)
+    assert hits_mix >= 24, (hits_mix, hits_plain)
+    assert hits_plain <= 12, (hits_mix, hits_plain)
+    assert hits_mix >= hits_plain + 10, (hits_mix, hits_plain)

@@ -892,15 +892,15 @@ def boilerplate_windows(
         g = g.drop(columns="__b")
         df_count = (
             g.drop_duplicates()
-            .groupby(["source", "wkey"])["doc_id"].size()
+            .groupby(["source", "wkey"], as_index=False)["doc_id"]
+            .size()
         )
-        bp_keys = set(df_count[df_count >= min_docs].index)
-        is_bp = [
-            (s, w) in bp_keys for s, w in zip(g["source"], g["wkey"])
-        ]
+        bp = df_count[df_count["size"] >= min_docs][["source", "wkey"]]
+        bp = bp.assign(bp=np.int64(1))
+        out = g.merge(bp, on=["source", "wkey"], how="left")
         return pd.DataFrame({
-            "doc_id": g["doc_id"].astype("int64"),
-            "bp": pd.Series(is_bp, dtype="int64"),
+            "doc_id": out["doc_id"].astype("int64"),
+            "bp": out["bp"].fillna(0).astype("int64"),
         })
 
     def add_db(df: pd.DataFrame) -> pd.DataFrame:

@@ -1994,18 +1994,13 @@ def _q_cmeee_stats(sf_dir: str):
     ``scripts/convert_real_corpora.py``) — the one driver-oracled query
     running on real CJK data rather than synthetic fixtures. Ignores
     ``sf_dir`` by design: both sides read the identical committed
-    bytes."""
-    import os
-
+    bytes (the same ``_GOLDEN_CMEEE`` constant the oracle SQL
+    interpolates)."""
     import ray.data
 
     from fastie_ray.sources.corpus import mention_stats
 
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "data", "golden", "cmeee_dev.parquet",
-    )
-    ds = ray.data.read_parquet(path, override_num_blocks=8)
+    ds = ray.data.read_parquet(_GOLDEN_CMEEE, override_num_blocks=8)
     return mention_stats(ds)
 
 

@@ -187,9 +187,15 @@ def _regression_gate(queries: dict[str, float]) -> dict:
     import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    candidates = [
+        (p, _re.search(r"_r(\d+)\.json$", os.path.basename(p)))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+    ]
     benches = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+        (p for p, m in candidates if m),
+        key=lambda p: int(
+            _re.search(r"_r(\d+)\.json$", os.path.basename(p)).group(1)
+        ),
     )
     if not benches:
         return {"baseline_file": None, "n_compared": 0, "regressions": {}}

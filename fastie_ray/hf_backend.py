@@ -307,12 +307,23 @@ class TrainedHeadBackend:
         logits are unconstrained garbage that drifts positive with
         training — measured: 2551 inverted-span FPs vs 1000 TPs on
         sf0.001 before this mask. Apply it exactly where the reference
-        does: on the model output."""
+        does: on the model output. ``s`` is the freshly-computed
+        per-call score tensor (``_scores`` allocates it), so the
+        subtraction runs IN PLACE; the L-keyed band mask is cached per
+        backend instance (hot serve loop — no per-request O(L²)
+        rebuild or [C, L, L] copy)."""
         L = s.shape[-1]
-        low = np.tril(np.ones((L, L), dtype=bool), -1)
-        out = s.copy()
-        out[tril_ch[:, None, None] & low[None, :, :]] -= 1e12
-        return out
+        cache = getattr(self, "_tril_cache", None)
+        if cache is None:
+            cache = self._tril_cache = {}
+        mask = cache.get(L)
+        if mask is None:
+            # tril_ch is fixed per backend task — cache the combined
+            # [C, L, L] mask keyed by L alone
+            low = np.tril(np.ones((L, L), dtype=bool), -1)
+            mask = cache[L] = tril_ch[:, None, None] & low[None, :, :]
+        s[mask] -= 1e12
+        return s
 
     def ner_forward(self, dashed: str) -> tuple[SubwordEncoding, np.ndarray]:
         if self.task != "ner":

@@ -284,14 +284,18 @@ def quantile_transform(
             "cents": cents,
         })
 
+    def count_partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["g", "cents"]).aggregate([("cents", "count")])
+        # select by NAME — TableGroupBy column ordering (keys-first vs
+        # aggregates-first) has differed across pyarrow majors
+        return pa.table({
+            "g": agg["g"], "cents": agg["cents"],
+            "n": agg["cents_count"],
+        })
+
     cents = ds.map_batches(cents_of, batch_format="pyarrow").materialize()
     counts = (
-        cents.map_batches(
-            lambda t: t.group_by(["g", "cents"]).aggregate(
-                [("cents", "count")]
-            ).rename_columns(["g", "cents", "n"]),
-            batch_format="pyarrow",
-        )
+        cents.map_batches(count_partial, batch_format="pyarrow")
         .to_pandas()  # group × distinct-cents domain — tiny
         .groupby(["g", "cents"], as_index=False, dropna=False)["n"]
         .sum()
@@ -308,6 +312,13 @@ def quantile_transform(
     def transform(t: pa.Table) -> pa.Table:
         lut = ray.get(lut_ref)
         j = t.join(lut, keys=["g", "cents"], join_type="inner")
+        if j.num_rows != t.num_rows:
+            # inner joins never match NULL keys — fail LOUD instead of
+            # silently dropping rows (the old dict probe KeyError'd)
+            raise ValueError(
+                f"quantile_transform: {t.num_rows - j.num_rows} rows "
+                f"have no (group, cents) entry — null group keys?"
+            )
         pct = pc.divide(
             pc.multiply(j["n_lt"], pa.scalar(1_000_000, pa.int64())),
             j["n_tot"],

@@ -395,12 +395,15 @@ def session_window_agg(
     def add_b_arrow(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # bit_wise_and directly on the int64 column: two's-complement
+        # low bits give a valid bucket for NEGATIVE keys too (a
+        # cast-to-uint64 is a CHECKED cast that raises on them)
         b = pc.bit_wise_and(
-            pc.cast(t[key_col], pa.uint64()),
-            pa.scalar(n_buckets - 1, pa.uint64()),
+            pc.cast(t[key_col], pa.int64()),
+            pa.scalar(n_buckets - 1, pa.int64()),
         )
         return t.select([key_col, ts_col, value_col]).append_column(
-            "__b", pc.cast(b, pa.int64())
+            "__b", b
         )
 
     def add_b(df: pd.DataFrame) -> pd.DataFrame:

@@ -40,11 +40,19 @@ float model):
   forward + backward over the padded block tensor) and emits one
   FIXED-POINT int64 partial — ``round(grad · 2^quant_bits)``.
 - Integer partials make the cross-block reduce order-independent and
-  EXACT, so training is bit-deterministic no matter how Ray schedules
+  EXACT, so training is bit-deterministic no matter how Ray SCHEDULES
   blocks — which is what makes checkpoint/resume reproduce the
   straight-through run bitwise (the float-sum alternative would drift
-  by scheduling order). Quantization noise (~2^-24 per block) is far
-  below any meaningful gradient signal.
+  by scheduling order). Precision of the guarantee (round-5 finding):
+  order-independence is unconditional, but the per-block quantization
+  point depends on the block PARTITION — re-executing a lazy feature
+  pipeline can split blocks differently and move gradients by
+  ~2^-quant_bits. Bitwise resume therefore holds when the feature
+  dataset is materialized once and reused (what ``gp_train``'s
+  BlockSet engine does within a run, and what callers comparing runs
+  must do); across independent re-materializations the trajectories
+  agree to quantization precision, not bitwise. Quantization noise
+  (~2^-24 per block) is far below any meaningful gradient signal.
 - The driver holds the Adam state (tiny: head params only), updates
   once per epoch (full-batch — the honest data-parallel formulation;
   sequential minibatch SGD is inherently serial), and re-broadcasts

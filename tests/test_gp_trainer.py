@@ -132,7 +132,7 @@ def test_gp_train_fgm_converges(ray_session):
 
 
 def test_gp_train_resume_bitwise(ray_session, tmp_path):
-    train = _features(_gaz_rows(150, 7), LABELS5)
+    train = _features(_gaz_rows(150, 7), LABELS5).materialize()
     cfg = GPTrainConfig(lr=0.2)
     w_straight, h_straight = gp_train(
         train, len(LABELS5), epochs=6, cfg=cfg,
@@ -432,13 +432,25 @@ def test_mixer_gradients_match_finite_differences():
 
 def test_mixer_off_is_bit_identical_to_historical(ray_session):
     """mix_dim=0 (default) leaves the init stream, gradient vector
-    layout and training trajectory EXACTLY as before the mixer landed."""
+    layout and training trajectory EXACTLY as before the mixer landed.
+    The init stream is pinned to its RECORDED pre-mixer md5 (not mere
+    self-equality — a reordered draw would self-agree and still break
+    every historical checkpoint)."""
+    import hashlib
+
     from fastie_ray.pipelines.trainer import init_gp_head
 
     cfg = GPTrainConfig()
     w = init_gp_head(5, cfg)
     assert sorted(w) == ["bk", "bq", "wk", "wq"]
-    train = _features(_gaz_rows(60, 7), LABELS5)
+    # md5 of the flattened default-config 5-channel init, recorded
+    # before the mixer landed (round 5) — the byte stream historical
+    # checkpoints were trained from
+    assert (
+        hashlib.md5(_flatten(w).tobytes()).hexdigest()
+        == "9ad73ad4ab3d05139c55187f81d1ff4b"
+    )
+    train = _features(_gaz_rows(60, 7), LABELS5).materialize()
     w1, h1 = gp_train(train, len(LABELS5), epochs=3, cfg=cfg)
     w2, h2 = gp_train(train, len(LABELS5), epochs=3, cfg=cfg)
     assert np.array_equal(_flatten(w1), _flatten(w2))
@@ -468,7 +480,7 @@ def test_mixer_train_and_checkpoint_roundtrip(ray_session, tmp_path):
 
 def test_mixer_resume_bitwise(ray_session, tmp_path):
     """bitwise checkpoint/resume holds WITH the mixer enabled."""
-    train = _features(_gaz_rows(100, 7), LABELS5)
+    train = _features(_gaz_rows(100, 7), LABELS5).materialize()
     cfg = GPTrainConfig(lr=0.2, mix_dim=8)
     w_straight, h_s = gp_train(
         train, len(LABELS5), epochs=6, cfg=cfg,

@@ -642,3 +642,33 @@ def test_ann_recall_int_matches_single_process_reference(ray_session):
         assert row["n_exact"] == len(exact)
         assert row["n_hits"] == len(approx & exact)
         assert row["recall_e6"] == (len(approx & exact) * 1_000_000) // len(exact)
+
+
+def test_session_window_agg_negative_int_keys(ray_session):
+    """Code-review r5: the Arrow bucket fast path must handle NEGATIVE
+    integer keys (a cast-to-uint64 formulation raised ArrowInvalid;
+    bit_wise_and on int64 two's-complement low bits does not)."""
+    import pandas as pd
+
+    from fastie_ray.ops.windows import session_window_agg
+
+    df = pd.DataFrame({
+        "user_id": [-1, -1, -1, 7, 7],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 02:00",
+            "2024-01-01 00:00", "2024-01-01 00:05",
+        ]),
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+    })
+    got = (
+        session_window_agg(ray.data.from_pandas(df), gap="30min")
+        .to_pandas().sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    # user -1: two sessions (gap 1h50m breaks); user 7: one session
+    neg = got[got["user_id"] == -1]
+    assert len(neg) == 2
+    assert list(neg["n_events"]) == [2, 1]
+    assert list(neg["sum_value"]) == [3.0, 4.0]
+    pos = got[got["user_id"] == 7]
+    assert len(pos) == 1 and float(pos["sum_value"].iloc[0]) == 24.0

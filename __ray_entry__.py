@@ -2033,6 +2033,22 @@ def _q_boilerplate(sf_dir: str):
     return boilerplate_windows(docs)
 
 
+def _q_memorization_attrib(sf_dir: str):
+    """Training-data attribution / memorization audit
+    (``ops.attribution.memorization_attribution``): for each sample doc
+    (doc_id % 61 == 0), the top-1 OTHER doc by shared distinct 4-gram
+    hashes (df-capped at 200 — stopword-run grams carry no evidence and
+    explode postings), with the share of the sample covered. On this
+    corpus the only matches are the PLANTED near-duplicate families —
+    exactly what a memorization audit should find. Two bucketed
+    exchanges (gram postings + cap inside the gram bucket, then a
+    sample-bucketed argmax); postings bounded by max_df."""
+    from fastie_ray.ops.attribution import memorization_attribution
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return memorization_attribution(docs, shingle=4, max_df=200)
+
+
 def _q_purged_folds(sf_dir: str):
     """Purged + embargoed time-series CV audit (``ops.splits.
     purged_time_folds``, the López-de-Prado leakage-safe CV shape):
@@ -8970,6 +8986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cmeee_stats": _q_cmeee_stats,
         "duee_stats": _q_duee_stats,
         "boilerplate": _q_boilerplate,
+        "memorization_attrib": _q_memorization_attrib,
         "media_frames": _q_media_frames,
         "media_neardup": _q_media_neardup,
         "extract_text": _q_extract_text,
@@ -11603,6 +11620,40 @@ def oracle_sql() -> dict[str, str]:
                         * 1000000 // count(*) AS BIGINT) AS bp_e6
             FROM w JOIN f USING (source, wkey)
             GROUP BY 1
+        """,
+        "memorization_attrib": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       substr(md5(array_to_string(
+                           toks[i + 1 : i + 4], ' ')), 1, 16) AS gkey
+                FROM t, LATERAL (
+                    SELECT unnest(range(greatest(len(toks) - 3, 0))) AS i
+                ) r),
+            f AS (SELECT gkey FROM g GROUP BY gkey
+                  HAVING count(*) <= 200),
+            gc AS (SELECT g.* FROM g JOIN f USING (gkey)),
+            tot AS (SELECT doc_id, count(*) AS n FROM gc
+                    WHERE doc_id % 61 = 0 GROUP BY 1),
+            p AS (SELECT s.doc_id AS sample_id, o.doc_id AS match_id,
+                         count(*) AS shared
+                  FROM gc s JOIN gc o USING (gkey)
+                  WHERE s.doc_id % 61 = 0 AND o.doc_id <> s.doc_id
+                  GROUP BY 1, 2),
+            rnk AS (SELECT sample_id, match_id, shared,
+                        row_number() OVER (PARTITION BY sample_id
+                            ORDER BY shared DESC, match_id) AS rn
+                    FROM p)
+            SELECT rnk.sample_id, rnk.match_id,
+                   CAST(rnk.shared AS BIGINT) AS shared,
+                   CAST(tot.n AS BIGINT) AS sample_grams,
+                   CAST(rnk.shared * 1000000 // tot.n AS BIGINT)
+                       AS containment_e6
+            FROM rnk JOIN tot ON tot.doc_id = rnk.sample_id
+            WHERE rn = 1
         """,
         "purged_folds": """
             WITH e AS (SELECT event_id, ts,

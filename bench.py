@@ -128,7 +128,8 @@ def _query_timings(sf_dir: str) -> dict[str, float]:
                  "consistent_shards", "seasonal_baseline",
                  "source_minhash", "ccnet_lang_buckets", "path_load",
                  "betweenness", "preference_pairs",
-                 "boilerplate", "cmeee_stats", "duee_stats",
+                 "boilerplate", "memorization_attrib",
+                 "cmeee_stats", "duee_stats",
                  "purged_folds", "srm_audit",
                  "zorder_prune", "grouped_gini", "rich_club",
                  "clean_funnel", "window_dedup",
